@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** Numeric determinism helpers.
   *
   * Double summation is order-dependent; Spark sums per-partition in parallel
-  * while the DuckDB oracle sums sequentially, so `sum(double)` can hash-差.
+  * while the DuckDB oracle sums sequentially, so `sum(double)` can hash-differ.
   * All money-like aggregates therefore go through exact integer cents:
   * `round(x*100)` is integral, its long cast is exact, and long sums are
   * associative. The reference keeps money-like fields as double throughout

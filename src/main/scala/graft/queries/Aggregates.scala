@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.Num
+import graft.tables.Tables
+import Registry.{Entry, Q}
+
+/** Aggregation analytics: SURVEY.md §2.4 (A1-A10) plus the cube extension.
+  *
+  * All double aggregates go through exact integer cents ([[graft.ops.Num]])
+  * so results are independent of partition-level summation order — the
+  * property that makes a distributed hash aggregate hash-match a
+  * single-threaded DuckDB run, at any partition count. Every group-by here
+  * is a Catalyst partial+final hash aggregate (map-side combine), which is
+  * the scale path: the shuffle moves one row per group per partition, not
+  * the data.
+  */
+object Aggregates {
+
+  /** A1/A4/A5 + TPC-H Q1 shape — the reference's distribution/average batch
+    * summaries (reference: src/streaming_service.py:329-338) generalized to
+    * the classic pricing-summary aggregate.
+    */
+  private val q1Agg: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        Num.dollars(sum(Num.cents(col("l_quantity")))).as("sum_qty"),
+        Num.dollars(sum(Num.cents(col("l_extendedprice")))).as("sum_base"),
+        Num.dollars(sum(Num.cents(col("l_extendedprice") * (lit(1) - col("l_discount")))))
+          .as("sum_disc"),
+        round(sum(Num.cents(col("l_quantity"))) / lit(100.0) / count(lit(1)), 4).as("avg_qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val q1AggSql =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+      |       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base,
+      |       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_disc,
+      |       round(CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*), 4) AS avg_qty,
+      |       count(*) AS cnt
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** A3 — exact count-distinct per group (reference `nunique` per batch,
+    * src/streaming_service.py:336-337). countDistinct shuffles by
+    * (group, value) for partial dedup — the exact-at-scale plan;
+    * approx_count_distinct is the constant-memory variant (ml-side only,
+    * not oracle-comparable since HLL sketches differ between engines).
+    */
+  private val countDistinctQ: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"),
+        Num.dollars(sum(Num.cents(col("o_totalprice")))).as("sum_total"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val countDistinctSql =
+    """SELECT c_mktsegment,
+      |       count(DISTINCT o_custkey) AS n_cust,
+      |       count(*) AS n_orders,
+      |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** A2 — group distribution with share-of-total, the reference's emotion /
+    * action distributions (reference: src/streaming_service.py:329,338).
+    */
+  private val distribution: Q = (s, d) => {
+    val counts = Tables.events(s, d).groupBy("event_type").agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("pct", round(col("cnt") * lit(100.0) / sum("cnt").over(Window.partitionBy()), 2))
+      .orderBy("event_type")
+  }
+
+  private val distributionSql =
+    """SELECT event_type, count(*) AS cnt,
+      |       round(count(*) * CAST(100.0 AS DOUBLE) / SUM(count(*)) OVER (), 2) AS pct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** A6 — max-per-group keeping a payload: per-user best event by value,
+    * ties broken by event id via struct ordering — the reference keeps the
+    * full display struct of the best-rated interaction per track
+    * (reference: src/streaming_service.py:358-368). Built-in `max_by`, no
+    * shuffle beyond the hash aggregate.
+    */
+  private val maxBy: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(
+        max_by(col("event_id"), struct(col("value"), col("event_id"))).as("best_event"),
+        max(col("value")).as("best_value"))
+      .orderBy("user_id")
+
+  private val maxBySql =
+    """SELECT user_id, event_id AS best_event, value AS best_value
+      |FROM (SELECT user_id, event_id, value,
+      |             row_number() OVER (PARTITION BY user_id
+      |                                ORDER BY value DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** A7 — grouped count → top-k (popular artists top-3,
+    * reference: src/streaming_service.py:373-382). Catalyst turns
+    * sort+limit into TakeOrderedAndProject — no global sort at scale.
+    */
+  private val topkGroup: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("n_name"))
+      .limit(3)
+  }
+
+  private val topkGroupSql =
+    """SELECT n_name, count(*) AS cnt
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY cnt DESC, n_name LIMIT 3""".stripMargin
+
+  /** Cube extension — multi-dimensional distribution (emotion×action in the
+    * reference's domain, SURVEY.md §2.4 note). Nulls introduced by cube are
+    * coalesced away so ordering semantics match across engines; grouping_id
+    * disambiguates 'ALL' from a literal value.
+    */
+  private val cubeDist: Q = (s, d) =>
+    Tables.documents(s, d)
+      .cube("lang", "source")
+      .agg(count(lit(1)).as("cnt"), grouping_id().as("gid"))
+      .select(
+        coalesce(col("lang"), lit("ALL")).as("lang_g"),
+        coalesce(col("source"), lit("ALL")).as("source_g"),
+        col("gid"), col("cnt"))
+      .orderBy("gid", "lang_g", "source_g")
+
+  private val cubeDistSql =
+    """SELECT coalesce(lang, 'ALL') AS lang_g,
+      |       coalesce(source, 'ALL') AS source_g,
+      |       GROUPING(lang, source) AS gid,
+      |       count(*) AS cnt
+      |FROM documents
+      |GROUP BY CUBE (lang, source)
+      |ORDER BY gid, lang_g, source_g""".stripMargin
+
+  /** A1/A4/A5 in one scan — global scalar stats (the reference's logging
+    * probes, src/spark/training.py:98,230,318). One partial+final aggregate,
+    * no shuffle of raw rows.
+    */
+  private val globalStats: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        Num.dollars(sum(Num.cents(col("l_quantity")))).as("sum_qty"),
+        round(sum(Num.cents(col("l_extendedprice"))) / lit(100.0) / count(lit(1)), 4)
+          .as("avg_price"),
+        to_date(min(col("l_shipdate"))).as("min_ship"),
+        to_date(max(col("l_shipdate"))).as("max_ship"))
+
+  private val globalStatsSql =
+    """SELECT count(*) AS n_rows,
+      |       count(DISTINCT l_partkey) AS n_parts,
+      |       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+      |       round(CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*), 4) AS avg_price,
+      |       CAST(min(l_shipdate) AS DATE) AS min_ship,
+      |       CAST(max(l_shipdate) AS DATE) AS max_ship
+      |FROM lineitem""".stripMargin
+
+  /** A10/F10 — clamp-to-range scalar inside an aggregate: the reference's
+    * rating clamp 1..5 (reference: src/streaming_service.py:244;
+    * src/app_optimized.py:501).
+    */
+  private val clampAgg: Q = (s, d) => {
+    val ratingCents = Num.cents(greatest(lit(1.0), least(lit(5.0), col("value") / lit(40.0))))
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        round(sum(ratingCents) / lit(100.0) / count(lit(1)), 4).as("avg_rating"),
+        count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+  }
+
+  private val clampAggSql =
+    """SELECT event_type,
+      |       round(CAST(SUM(CAST(round(greatest(CAST(1.0 AS DOUBLE), least(CAST(5.0 AS DOUBLE), value / 40.0)) * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*), 4) AS avg_rating,
+      |       count(*) AS cnt
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val entries: Seq[Entry] = Seq(
+    Entry("q1_agg", q1Agg, Some(q1AggSql)),
+    Entry("q_count_distinct", countDistinctQ, Some(countDistinctSql)),
+    Entry("q_distribution", distribution, Some(distributionSql)),
+    Entry("q_max_by", maxBy, Some(maxBySql)),
+    Entry("q_topk_group", topkGroup, Some(topkGroupSql)),
+    Entry("q_cube_dist", cubeDist, Some(cubeDistSql)),
+    Entry("q_global_stats", globalStats, Some(globalStatsSql)),
+    Entry("q_clamp_agg", clampAgg, Some(clampAggSql)),
+  )
+}

@@ -1,0 +1,412 @@
+package graft.queries
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, RegexTokenizer}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.Hashing
+import graft.tables.Tables
+import Registry.{Entry, Q}
+
+/** LLM-data-pipeline operators over `documents` / `embeddings`
+  * (the north star beyond the reference's own surface, BASELINE.json):
+  * exact + near dedup, similarity search (brute-force and bucketed ANN),
+  * text analysis, document fingerprinting, multimodal plumbing.
+  *
+  * Scale design: no all-pairs joins without blocking — near-dup compares
+  * only within a blocking key (lang here; LSH band-buckets in the MinHash
+  * path), ANN prunes candidates by a deterministic sign-bit coarse quantizer
+  * before scoring. At 100 TB these become shuffle-by-block + bounded
+  * per-block work instead of an O(n²) explosion; the brute-force cosine
+  * variant broadcasts a small query set against the full corpus (embarrassingly
+  * parallel map, no shuffle at all).
+  */
+object LlmQueries {
+
+  /** Dot product of two double arrays via higher-order functions — stays in
+    * codegen; summation is a sequential left fold, so it matches DuckDB's
+    * list functions bit-for-bit.
+    */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Exact dedup: md5 content fingerprint → hash groupBy. Duplicates are
+    * injected deterministically (testdata has none) by re-appending the
+    * first 50 docs under shifted ids; canonical = min id per fingerprint.
+    */
+  private val dedupExact: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val dup = docs.filter(col("doc_id") < 50)
+      .withColumn("doc_id", col("doc_id") + lit(10000L))
+    docs.unionByName(dup)
+      .withColumn("fp", md5(col("text")))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("cnt"), min("doc_id").as("canonical_id"))
+      .filter(col("cnt") > 1)
+      .orderBy("canonical_id")
+  }
+
+  private val dedupExactSql =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 50)
+      |SELECT md5(text) AS fp, count(*) AS cnt, min(doc_id) AS canonical_id
+      |FROM all_docs GROUP BY fp HAVING count(*) > 1
+      |ORDER BY canonical_id""".stripMargin
+
+  /** Near-dup by word-set Jaccard, blocked by lang so the pair space is
+    * per-block O(k²) instead of global O(n²) — the same blocking that makes
+    * this viable at scale (LSH buckets play the lang role there).
+    */
+  private val dedupJaccard: Q = (s, d) => {
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), array_distinct(split(col("text"), " ")).as("toks"))
+    val a = t.select(col("doc_id").as("doc_a"), col("lang"), col("toks").as("toks_a"))
+    val b = t.select(col("doc_id").as("doc_b"), col("lang"), col("toks").as("toks_b"))
+    a.join(b, Seq("lang"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn(
+        "jac",
+        round(
+          size(array_intersect(col("toks_a"), col("toks_b"))) /
+            size(array_union(col("toks_a"), col("toks_b"))), 4))
+      .filter(col("jac") >= 0.5)
+      .select("doc_a", "doc_b", "jac")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val dedupJaccardSql =
+    """WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+      |           FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       round(len(list_intersect(a.toks, b.toks)) /
+      |             CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 4) AS jac
+      |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |WHERE round(len(list_intersect(a.toks, b.toks)) /
+      |            CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 4) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** SimHash near-dup: 32-bit simhash from per-token md5 bit votes, then
+    * hamming distance over same-lang pairs. Pure expressions end-to-end —
+    * the bit-vote aggregation is a hash groupBy, the pair scan is blocked —
+    * and exactly reproducible in the oracle.
+    */
+  private val simhash: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val sh = docs
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(split(col("text"), " "))).as("w"))
+      .withColumn("h", Hashing.md5Long(col("w")))
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(0), lit(31))).as("bit"), col("h"))
+      .withColumn("c",
+        when(expr("(shiftright(h, bit) & 1) = 1"), lit(1)).otherwise(lit(-1)))
+      .groupBy("doc_id", "lang", "bit")
+      .agg(sum("c").as("v"))
+      .withColumn("bv", when(col("v") > 0, lit(1L)).otherwise(lit(0L)))
+      .groupBy("doc_id", "lang")
+      .agg(sum(expr("shiftleft(bv, bit)")).as("sim"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("lang"), col("sim").as("sim_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("lang"), col("sim").as("sim_b"))
+    a.join(b, Seq("lang"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("dist", expr("bit_count(sim_a ^ sim_b)"))
+      .filter(col("dist") <= 10)
+      .select("doc_a", "doc_b", "dist")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val simhashSql =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS w
+      |  FROM documents),
+      |hashed AS (
+      |  SELECT doc_id, lang, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM toks),
+      |bits AS (
+      |  SELECT doc_id, lang, unnest(range(0, 32)) AS bit, h FROM hashed),
+      |votes AS (
+      |  SELECT doc_id, lang, bit,
+      |         SUM(CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM bits GROUP BY doc_id, lang, bit),
+      |sh AS (
+      |  SELECT doc_id, lang,
+      |         CAST(SUM((CASE WHEN v > 0 THEN CAST(1 AS BIGINT) ELSE 0 END) << bit) AS BIGINT) AS sim
+      |  FROM votes GROUP BY doc_id, lang)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS dist
+      |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sim, b.sim)) <= 10
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** MinHash+LSH near-dup (the scale path for dedup): shingle → minhash →
+    * band-bucket join via MLlib's MinHashLSH. Seeded, deterministic, but the
+    * hash family isn't expressible in ANSI SQL → rows-only driver check;
+    * ScalaTest asserts it finds the planted exact dups.
+    */
+  private val minhashDedup: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val dup = docs.filter(col("doc_id") < 25)
+      .withColumn("doc_id", col("doc_id") + lit(10000L))
+    val all = docs.unionByName(dup)
+    val tok = new RegexTokenizer().setInputCol("text").setOutputCol("words")
+      .setPattern("\\s+")
+    val tf = new HashingTF().setInputCol("words").setOutputCol("features")
+      .setNumFeatures(1 << 14).setBinary(true)
+    val featured = tf.transform(tok.transform(all))
+    val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(8).setSeed(42)
+    val model = mh.fit(featured)
+    model.approxSimilarityJoin(featured, featured, 0.5, "dist")
+      .filter(col("datasetA.doc_id") < col("datasetB.doc_id"))
+      .select(
+        col("datasetA.doc_id").as("doc_a"),
+        col("datasetB.doc_id").as("doc_b"),
+        round(col("dist"), 4).as("jaccard_dist"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Brute-force cosine top-k: small query set broadcast against the full
+    * corpus — an embarrassingly parallel map over embeddings partitions, no
+    * shuffle until the final per-query top-k. This is the correctness
+    * baseline ANN variants are judged against.
+    */
+  private val embedCosineTopk: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("v")), 3))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select("q_id", "rank", "vec_id", "cos")
+      .orderBy("q_id", "rank")
+  }
+
+  private val embedCosineTopkSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q_id, vec_id, round(list_cosine_similarity(qv, v), 3) AS cos
+      |  FROM q, e WHERE vec_id <> q_id)
+      |SELECT q_id, rank, vec_id, cos
+      |FROM (SELECT q_id, vec_id, cos,
+      |             row_number() OVER (PARTITION BY q_id
+      |                                ORDER BY cos DESC, vec_id) AS rank
+      |      FROM scored)
+      |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** IVF-style bucketed ANN: a deterministic coarse quantizer (sign bits of
+    * the first 4 dimensions → 16 buckets) prunes candidates before scoring —
+    * the shuffle is by bucket, per-bucket work is corpus/16. The same shape
+    * as LSH bucketing but exactly reproducible in SQL, so the pruning
+    * logic itself is oracle-verified.
+    */
+  private val annIvf: Q = (s, d) => {
+    def bucketOf(v: Column): Column =
+      (when(element_at(v, 1) >= 0, 8).otherwise(0) +
+        when(element_at(v, 2) >= 0, 4).otherwise(0) +
+        when(element_at(v, 3) >= 0, 2).otherwise(0) +
+        when(element_at(v, 4) >= 0, 1).otherwise(0)).cast("int")
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("bucket", bucketOf(col("v")))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+    e.join(q, Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("v")), 3))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select("q_id", "rank", "vec_id", "bucket", "cos")
+      .orderBy("q_id", "rank")
+  }
+
+  private val annIvfSql =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |         (CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END +
+      |          CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END +
+      |          CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END +
+      |          CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS bucket
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM e WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.q_id, e.vec_id, e.bucket,
+      |         round(list_cosine_similarity(q.qv, e.v), 3) AS cos
+      |  FROM q JOIN e ON q.bucket = e.bucket AND e.vec_id <> q.q_id)
+      |SELECT q_id, rank, vec_id, bucket, cos
+      |FROM (SELECT q_id, vec_id, bucket, cos,
+      |             row_number() OVER (PARTITION BY q_id
+      |                                ORDER BY cos DESC, vec_id) AS rank
+      |      FROM scored)
+      |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
+  /** Language-ID by stopword-hit voting (n-gram heuristic): tokens join a
+    * tiny broadcast stopword dim, argmax per doc with deterministic ties,
+    * reported as a lang×prediction confusion matrix.
+    */
+  private val langId: Q = (s, d) => {
+    import s.implicits._
+    val sw = Seq(
+      ("en", "the"), ("en", "and"), ("en", "of"), ("en", "to"), ("en", "in"),
+      ("es", "el"), ("es", "la"), ("es", "de"), ("es", "que"), ("es", "y"),
+      ("fr", "le"), ("fr", "la"), ("fr", "et"), ("fr", "les"), ("fr", "des"),
+      ("de", "der"), ("de", "die"), ("de", "und"), ("de", "das"), ("de", "ist"),
+      ("zh", "de"), ("zh", "shi"), ("zh", "le"), ("zh", "wo"), ("zh", "ni"))
+      .toDF("cand", "sw")
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val pred = toks.join(broadcast(sw), col("w") === col("sw"))
+      .groupBy("doc_id", "cand")
+      .agg(count(lit(1)).as("hits"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("hits"), asc("cand"))))
+      .filter(col("rn") === 1)
+      .select("doc_id", "cand")
+    docs.join(pred, Seq("doc_id"), "left")
+      .withColumn("pred", coalesce(col("cand"), lit("unknown")))
+      .groupBy("lang", "pred")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("lang", "pred")
+  }
+
+  private val langIdSql =
+    """WITH sw(cand, sw) AS (VALUES
+      |  ('en','the'),('en','and'),('en','of'),('en','to'),('en','in'),
+      |  ('es','el'),('es','la'),('es','de'),('es','que'),('es','y'),
+      |  ('fr','le'),('fr','la'),('fr','et'),('fr','les'),('fr','des'),
+      |  ('de','der'),('de','die'),('de','und'),('de','das'),('de','ist'),
+      |  ('zh','de'),('zh','shi'),('zh','le'),('zh','wo'),('zh','ni')),
+      |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |pred AS (
+      |  SELECT doc_id, cand
+      |  FROM (SELECT doc_id, cand, count(*) AS hits,
+      |               row_number() OVER (PARTITION BY doc_id
+      |                                  ORDER BY count(*) DESC, cand) AS rn
+      |        FROM toks JOIN sw ON w = sw.sw GROUP BY doc_id, cand)
+      |  WHERE rn = 1)
+      |SELECT lang, coalesce(cand, 'unknown') AS pred, count(*) AS cnt
+      |FROM documents LEFT JOIN pred USING (doc_id)
+      |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin
+
+  /** Quality scoring: length / word-shape / stopword-ratio heuristics
+    * composed into one score — all row-local expressions, fully pushed into
+    * the scan's codegen stage.
+    */
+  private val qualityScore: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("n_words", size(split(col("text"), " ")))
+      .withColumn("awl",
+        round(length(translate(col("text"), " ", "")) / col("n_words").cast("double"), 4))
+      .withColumn("stop_hits",
+        expr("size(filter(split(text, ' '), w -> array_contains(array('the','a','of','and','to'), w)))"))
+      .withColumn("score",
+        round(
+          least(lit(1.0), col("n_words") / lit(50.0)) * lit(0.5) +
+            least(lit(1.0), col("awl") / lit(8.0)) * lit(0.3) +
+            col("stop_hits") / col("n_words").cast("double") * lit(0.2), 4))
+      .select("doc_id", "n_words", "awl", "stop_hits", "score")
+      .orderBy("doc_id")
+
+  private val qualityScoreSql =
+    """WITH x AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+      |         round(strlen(replace(text, ' ', '')) /
+      |               CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS awl,
+      |         CAST(len(list_filter(string_split(text, ' '),
+      |              w -> list_contains(['the','a','of','and','to'], w))) AS INT) AS stop_hits
+      |  FROM documents)
+      |SELECT doc_id, n_words, awl, stop_hits,
+      |       round(least(CAST(1.0 AS DOUBLE), n_words / CAST(50.0 AS DOUBLE)) * 0.5 +
+      |             least(CAST(1.0 AS DOUBLE), awl / CAST(8.0 AS DOUBLE)) * 0.3 +
+      |             stop_hits / CAST(n_words AS DOUBLE) * 0.2, 4) AS score
+      |FROM x ORDER BY doc_id""".stripMargin
+
+  /** Token counting per lang: whitespace tokens + a regex token class
+    * (BPE-ish `[a-z]+` word pieces), aggregated map-side.
+    */
+  private val tokenCount: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("n_ws", size(split(col("text"), " ")))
+      .withColumn("n_alpha", expr("size(regexp_extract_all(text, '[a-z]+', 0))"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum("n_ws").as("sum_ws"),
+        sum("n_alpha").as("sum_alpha"),
+        round(sum("n_ws") / count(lit(1)).cast("double"), 2).as("avg_ws"))
+      .orderBy("lang")
+
+  private val tokenCountSql =
+    """SELECT lang, count(*) AS docs,
+      |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_ws,
+      |       CAST(SUM(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS sum_alpha,
+      |       round(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / count(*), 2) AS avg_ws
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Document fingerprinting: rolling 3-gram window → per-gram hash → min
+    * (winnowing-style). One scan, no shuffle before the final order.
+    */
+  private val fingerprint: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("grams",
+        expr("transform(sequence(0, size(ws) - 3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))"))
+      .withColumn("fp",
+        expr("array_min(transform(grams, g -> cast(conv(substring(md5(g), 1, 8), 16, 10) as bigint)))"))
+      .select(col("doc_id"), col("fp"), size(col("grams")).as("n_grams"))
+      .orderBy("doc_id")
+
+  private val fingerprintSql =
+    """SELECT doc_id,
+      |       list_min(list_transform(grams, g -> ('0x' || substr(md5(g), 1, 8))::BIGINT)) AS fp,
+      |       CAST(len(grams) AS INT) AS n_grams
+      |FROM (SELECT doc_id,
+      |             list_transform(range(1, len(ws) - 1),
+      |                            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS grams
+      |      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
+  /** Multimodal plumbing: text → binary payload → stubbed decode via
+    * mapPartitions ([[graft.llm.Multimodal]]). The oracle recomputes the
+    * same deterministic features from the text, verifying the binary path
+    * end-to-end.
+    */
+  private val mmBinaryFeatures: Q = (s, d) => {
+    val payloads = Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    graft.llm.Multimodal.decodeFeatures(s, payloads).orderBy("doc_id")
+  }
+
+  private val mmBinaryFeaturesSql =
+    """SELECT doc_id,
+      |       CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |       CAST(strlen(text) % 640 AS BIGINT) AS width,
+      |       CAST(strlen(text) % 480 AS BIGINT) AS height,
+      |       CAST(list_aggregate(list_transform(range(1, 9),
+      |            i -> ascii(substr(text, CAST(i AS INT), 1))), 'sum') AS BIGINT) AS head_sum
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val entries: Seq[Entry] = Seq(
+    Entry("q_dedup_exact", dedupExact, Some(dedupExactSql)),
+    Entry("q_dedup_jaccard", dedupJaccard, Some(dedupJaccardSql)),
+    Entry("q_simhash", simhash, Some(simhashSql)),
+    Entry("q_minhash_dedup", minhashDedup, None),
+    Entry("q_embed_cosine_topk", embedCosineTopk, Some(embedCosineTopkSql)),
+    Entry("q_ann_ivf", annIvf, Some(annIvfSql)),
+    Entry("q_lang_id", langId, Some(langIdSql)),
+    Entry("q_quality_score", qualityScore, Some(qualityScoreSql)),
+    Entry("q_token_count", tokenCount, Some(tokenCountSql)),
+    Entry("q_fingerprint", fingerprint, Some(fingerprintSql)),
+    Entry("mm_binary_features", mmBinaryFeatures, Some(mmBinaryFeaturesSql)),
+  )
+}

@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.Num
+import graft.tables.Tables
+import Registry.{Entry, Q}
+
+/** Window functions, sorts, limits, top-k: SURVEY.md §2.5 (W1-W7) plus the
+  * frame-spec and sessionization extensions the reference lacks.
+  *
+  * Scale notes: global sort+limit compiles to TakeOrderedAndProject (per-
+  * partition top-k, then k·partitions rows to one reducer — never a full
+  * sort); per-group rankings shuffle once on the partition key; every
+  * ordering carries a unique tiebreaker so results are hash-stable
+  * (the reference's `argsort` is stable on index, SURVEY.md §7.4).
+  */
+object Windows {
+
+  /** W1/W2 — global top-k by score (featured tracks top-5,
+    * reference: src/streaming_service.py:370).
+    */
+  private val topkGlobal: Q = (s, d) =>
+    Tables.events(s, d)
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy(desc("value"), asc("event_id"))
+      .limit(5)
+
+  private val topkGlobalSql =
+    """SELECT event_id, user_id, event_type, value
+      |FROM events ORDER BY value DESC, event_id LIMIT 5""".stripMargin
+
+  /** W5 — per-group top-N ranking, the relational twin of
+    * `recommendForUserSubset` (reference: src/app.py:214-231).
+    */
+  private val topnPerGroup: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(desc("value"), asc("event_id"))))
+      .filter(col("rn") <= 3)
+      .select("user_id", "rn", "event_id", "value")
+      .orderBy("user_id", "rn")
+
+  private val topnPerGroupSql =
+    """SELECT user_id, rn, event_id, value
+      |FROM (SELECT user_id, event_id, value,
+      |             row_number() OVER (PARTITION BY user_id
+      |                                ORDER BY value DESC, event_id) AS rn
+      |      FROM events)
+      |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin
+
+  /** W4 — deterministic pagination via row_number over a total order
+    * (reference `limit`/`offset` args: src/app.py:176-183;
+    * src/app_optimized.py:747-753). Page = rows 51..70.
+    */
+  private val pagination: Q = (s, d) =>
+    Tables.part(s, d)
+      .withColumn("rn", row_number().over(Window.orderBy(asc("p_partkey"))))
+      .filter(col("rn") > 50 && col("rn") <= 70)
+      .select("rn", "p_partkey", "p_name", "p_retailprice")
+      .orderBy("rn")
+
+  private val paginationSql =
+    """SELECT rn, p_partkey, p_name, p_retailprice
+      |FROM (SELECT p_partkey, p_name, p_retailprice,
+      |             row_number() OVER (ORDER BY p_partkey) AS rn FROM part)
+      |WHERE rn > 50 AND rn <= 70 ORDER BY rn""".stripMargin
+
+  /** W6 — rank-decayed score synthesis: `base - i*0.1` by list position
+    * (reference: src/app_optimized.py:496-501).
+    */
+  private val rankDecay: Q = (s, d) =>
+    Tables.part(s, d)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(desc("p_retailprice"), asc("p_partkey"))))
+      .filter(col("rn") <= 20)
+      .select(
+        col("rn"), col("p_partkey"),
+        round(lit(5.0) - (col("rn") - lit(1)) * lit(0.1), 1).as("score"))
+      .orderBy("rn")
+
+  private val rankDecaySql =
+    """SELECT rn, p_partkey,
+      |       round(CAST(5.0 AS DOUBLE) - (rn - 1) * CAST(0.1 AS DOUBLE), 1) AS score
+      |FROM (SELECT p_partkey,
+      |             row_number() OVER (ORDER BY p_retailprice DESC, p_partkey) AS rn
+      |      FROM part)
+      |WHERE rn <= 20 ORDER BY rn""".stripMargin
+
+  /** W7 extension — rolling average over a 3-row frame per user, the
+    * frame-spec window API the reference's trend series implies
+    * (reference: src/streamlit_app.py:644-655). Sums exact cents inside the
+    * frame, divides once — partition-order independent.
+    */
+  private val rollingAvg: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+      .rowsBetween(-2, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("sum_c", sum(Num.cents(col("value"))).over(w))
+      .withColumn("n_w", count(lit(1)).over(w))
+      .select(
+        col("user_id"), col("event_id"),
+        round(col("sum_c") / lit(100.0) / col("n_w"), 4).as("avg3"))
+      .orderBy("user_id", "event_id")
+  }
+
+  private val rollingAvgSql =
+    """SELECT user_id, event_id,
+      |       round(CAST(sum_c AS DOUBLE) / 100.0 / n_w, 4) AS avg3
+      |FROM (SELECT user_id, event_id,
+      |             SUM(CAST(round(value * 100) AS BIGINT))
+      |               OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS sum_c,
+      |             COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS n_w
+      |      FROM events)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** Lag extension — per-user successive-difference series (the analytic
+    * twin of the reference's batch-size deltas over time,
+    * src/streamlit_app.py:644-655).
+    */
+  private val lagDelta: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    Tables.events(s, d)
+      .withColumn("delta", round(col("value") - lag(col("value"), 1).over(w), 2))
+      .select(
+        col("user_id"), col("event_id"),
+        coalesce(col("delta"), lit(0.0)).as("delta"))
+      .orderBy("user_id", "event_id")
+  }
+
+  private val lagDeltaSql =
+    """SELECT user_id, event_id,
+      |       coalesce(round(value - lag(value, 1)
+      |                OVER (PARTITION BY user_id ORDER BY ts, event_id), 2), 0.0) AS delta
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
+  /** Sessionization (gaps-and-islands) — 30-minute-gap sessions per user,
+    * the batch twin of event-time session windows (extension over the
+    * reference's processing-time-only streaming, SURVEY.md §2.8 T10).
+    */
+  private val sessionGap: Q = (s, d) => {
+    val byTs = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    val gapUs = 1800L * 1000000L
+    Tables.events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn(
+        "new_s",
+        when(
+          lag(col("us"), 1).over(byTs).isNull ||
+            col("us") - lag(col("us"), 1).over(byTs) > gapUs, lit(1))
+          .otherwise(lit(0)))
+      .withColumn(
+        "session_id",
+        sum(col("new_s")).over(
+          Window.partitionBy("user_id").orderBy(asc("us"), asc("event_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        floor((max(col("us")) - min(col("us"))) / lit(1000000.0)).cast("long").as("span_s"))
+      .orderBy("user_id", "session_id")
+  }
+
+  private val sessionGapSql =
+    """WITH x AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |         CASE WHEN lag(epoch_us(ts), 1)
+      |                     OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |                OR epoch_us(ts) - lag(epoch_us(ts), 1)
+      |                     OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |              THEN 1 ELSE 0 END AS new_s
+      |  FROM events),
+      |y AS (
+      |  SELECT user_id, us,
+      |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                          ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM x)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |       CAST(floor((max(us) - min(us)) / 1000000.0) AS BIGINT) AS span_s
+      |FROM y GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  val entries: Seq[Entry] = Seq(
+    Entry("q_topk_global", topkGlobal, Some(topkGlobalSql)),
+    Entry("q_topn_per_group", topnPerGroup, Some(topnPerGroupSql)),
+    Entry("q_pagination", pagination, Some(paginationSql)),
+    Entry("q_rank_decay", rankDecay, Some(rankDecaySql)),
+    Entry("q_rolling_avg", rollingAvg, Some(rollingAvgSql)),
+    Entry("q_lag_delta", lagDelta, Some(lagDeltaSql)),
+    Entry("q_session_gap", sessionGap, Some(sessionGapSql)),
+  )
+}

@@ -286,7 +286,7 @@ object LlmQueries {
       |  ('de','der'),('de','die'),('de','und'),('de','das'),('de','ist'),
       |  ('zh','de'),('zh','shi'),('zh','le'),('zh','wo'),('zh','ni')),
       |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-      |pred AS (
+      |p AS (
       |  SELECT doc_id, cand
       |  FROM (SELECT doc_id, cand, count(*) AS hits,
       |               row_number() OVER (PARTITION BY doc_id
@@ -294,8 +294,8 @@ object LlmQueries {
       |        FROM toks JOIN sw ON w = sw.sw GROUP BY doc_id, cand)
       |  WHERE rn = 1)
       |SELECT lang, coalesce(cand, 'unknown') AS pred, count(*) AS cnt
-      |FROM documents LEFT JOIN pred USING (doc_id)
-      |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin
+      |FROM documents LEFT JOIN p USING (doc_id)
+      |GROUP BY lang, coalesce(cand, 'unknown') ORDER BY lang, pred""".stripMargin
 
   /** Quality scoring: length / word-shape / stopword-ratio heuristics
     * composed into one score — all row-local expressions, fully pushed into

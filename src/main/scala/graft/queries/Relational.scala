@@ -47,7 +47,9 @@ object Relational {
         Clean.allValid(Seq(col("l_quantity"), col("l_discount"))) &&
           col("l_returnflag") =!= lit("N") && col("l_discount") > lit(0.02))
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")
-      .orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic testdata;
+      // sort every output column for a total order.
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")
 
   private val filterPredSql =
     """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
@@ -55,7 +57,7 @@ object Relational {
       |WHERE l_quantity IS NOT NULL AND NOT isnan(l_quantity)
       |  AND l_discount IS NOT NULL AND NOT isnan(l_discount)
       |  AND l_returnflag <> 'N' AND l_discount > 0.02
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag""".stripMargin
 
   /** P3 — null/NaN/±Inf repair. The testdata is clean, so dirt is injected
     * deterministically first, then repaired exactly as the reference repairs
@@ -134,7 +136,9 @@ object Relational {
         col("l_orderkey"), col("l_linenumber"), col("o_orderstatus"),
         col("c_mktsegment"), col("nation"),
         Num.cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue_cents"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic testdata;
+      // revenue_cents completes the total order so hashes are stable.
+      .orderBy("l_orderkey", "l_linenumber", "revenue_cents")
   }
 
   private val joinEnrichSql =
@@ -145,7 +149,7 @@ object Relational {
       |LEFT JOIN orders ON l_orderkey = o_orderkey
       |LEFT JOIN customer ON o_custkey = c_custkey
       |LEFT JOIN nation ON c_nationkey = n_nationkey
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, revenue_cents""".stripMargin
 
   /** J4/D1 — dedup the build side before joining, exactly as the reference
     * dedups dims before merge (reference: src/data_processor.py:87-114).

@@ -83,7 +83,7 @@ object Scalars {
         col("p_partkey"),
         concat(
           floor(ms / 60000).cast("long").cast("string"), lit(":"),
-          lpad(floor(pmod(ms, 60000) / 1000).cast("long").cast("string"), 2, "0"))
+          lpad(floor(pmod(ms, lit(60000)) / 1000).cast("long").cast("string"), 2, "0"))
           .as("duration"),
         concat(lit("https://example.com/part/"), col("p_partkey")).as("url"))
       .orderBy("p_partkey")

@@ -1,12 +1,271 @@
 package graft.queries
 
-import Registry.Entry
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.evaluation.RegressionEvaluator
+import org.apache.spark.ml.feature.{
+  HashingTF, IDF, Normalizer, RegexTokenizer, StandardScaler, StopWordsRemover,
+  StringIndexer, VectorAssembler
+}
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.ml.recommendation.ALS
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.Hashing
+import graft.tables.Tables
+import Registry.{Entry, Q}
 
-/** MLlib surface: SURVEY.md §2.7 (M1-M16) — feature pipelines, KMeans,
-  * ALS, TF-IDF, cosine top-k. Populated incrementally; relational twins of
-  * the ML-shaped queries (scored top-k, per-user ranking) live in
-  * [[Windows]] and [[LlmQueries]].
+/** MLlib surface: SURVEY.md §2.7 (M1-M16) re-expressed over the driver's
+  * testdata — part≈tracks, customer≈users, md5-synthesized interactions
+  * standing in for the reference's seeded-rand ones
+  * (reference: src/spark/training.py:444-461).
+  *
+  * MLlib estimators aren't ANSI-SQL-expressible, so most entries are
+  * rows-only for the driver; ScalaTest asserts the reference's declared
+  * quality gates instead (ALS RMSE ≤ 0.8 from als_config.json, KMeans
+  * k-clamp rule, indexer frequency ordering — SURVEY.md §5.4). The
+  * StringIndexer mapping IS relational (rank by frequency) and carries an
+  * exact oracle.
+  *
+  * Scale notes: every fit here is the distributed MLlib implementation —
+  * StandardScaler/IDF are one-pass tree-aggregates, KMeans is per-partition
+  * Lloyd updates, ALS shuffles factor blocks by user/item id. No driver
+  * collects anywhere; recommendations come from `recommendForUserSubset`
+  * (block-matrix top-k) and are exploded back to relational rows.
   */
 object MLQueries {
-  val entries: Seq[Entry] = Seq.empty
+
+  /** M9 — the deterministic synthetic user×item interaction set (F2
+    * bucketized base rating + F3 jitter + F4 user assignment, md5 for
+    * reproducibility). ~8 interactions per part so ALS has overlap.
+    */
+  private[queries] def interactions(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"), col("p_name"))
+      .withColumn("i", explode(sequence(lit(0), lit(7))))
+      .withColumn("user_id",
+        pmod(Hashing.md5Long(concat(col("p_partkey"), lit("u"), col("i"))), lit(200L))
+          .cast("int"))
+      .withColumn("pop", pmod(Hashing.md5Long(col("p_name")), lit(101L)))
+      .withColumn("base",
+        when(col("pop") > 70, 5.0).when(col("pop") > 50, 4.0)
+          .when(col("pop") > 30, 3.0).when(col("pop") > 10, 2.0).otherwise(1.0))
+      .withColumn("jit",
+        Hashing.md5Frac(concat(col("p_partkey"), lit("j"), col("i"))) - lit(0.5))
+      .select(
+        col("user_id"),
+        col("p_partkey").cast("int").as("item_id"),
+        (col("base") + col("jit")).cast("float").as("rating"))
+
+  /** M1-M3 — VectorAssembler → StandardScaler pipeline over numeric part
+    * features (reference: src/spark/training.py:327-375). Output: per-part
+    * scaled feature vector, reported as rounded arrays.
+    */
+  private val featurePipeline: Q = (s, d) => {
+    val feats = Tables.part(s, d).select(
+      col("p_partkey"),
+      col("p_retailprice"),
+      col("p_size").cast("double").as("size_d"))
+    val assembler = new VectorAssembler()
+      .setInputCols(Array("p_retailprice", "size_d"))
+      .setOutputCol("features").setHandleInvalid("skip")
+    val scaler = new StandardScaler()
+      .setInputCol("features").setOutputCol("scaled")
+      .setWithMean(true).setWithStd(true)
+    val model = new Pipeline().setStages(Array(assembler, scaler)).fit(feats)
+    val toArr = udf((v: Vector) => v.toArray.map(x => math.rint(x * 1e4) / 1e4))
+    model.transform(feats)
+      .select(col("p_partkey"), toArr(col("scaled")).as("scaled"))
+      .orderBy("p_partkey")
+  }
+
+  /** M4/M15 — KMeans with the reference's k-clamp rule
+    * k = clamp(rows/1000, 10, 50), seed 42, on scaled features
+    * (reference: src/spark/training.py:377-402). Output: cluster sizes —
+    * stable under the fixed seed.
+    */
+  private val kmeansClusters: Q = (s, d) => {
+    val feats = Tables.part(s, d).select(
+      col("p_partkey"), col("p_retailprice"), col("p_size").cast("double").as("size_d"))
+    val n = feats.count()
+    val k = math.min(math.max(n / 1000, 10), 50).toInt
+    val assembler = new VectorAssembler()
+      .setInputCols(Array("p_retailprice", "size_d"))
+      .setOutputCol("features").setHandleInvalid("skip")
+    val scaler = new StandardScaler()
+      .setInputCol("features").setOutputCol("scaled")
+      .setWithMean(true).setWithStd(true)
+    val km = new KMeans().setK(k).setSeed(42).setFeaturesCol("scaled")
+      .setPredictionCol("cluster")
+    val model = new Pipeline().setStages(Array(assembler, scaler, km)).fit(feats)
+    model.transform(feats)
+      .groupBy("cluster").agg(count(lit(1)).as("n_parts"))
+      .orderBy("cluster")
+  }
+
+  /** M5/M11 — StringIndexer as a relational mapping: index = rank by
+    * frequency desc, ties alphabetical (frequencyDesc, Spark's default) —
+    * the one MLlib estimator with an exact SQL twin.
+    */
+  private val stringIndexer: Q = (s, d) => {
+    val cust = Tables.customer(s, d)
+    val model = new StringIndexer()
+      .setInputCol("c_mktsegment").setOutputCol("idx")
+      .setHandleInvalid("skip").fit(cust)
+    model.transform(cust)
+      .groupBy("c_mktsegment")
+      .agg(min("idx").cast("int").as("idx"), count(lit(1)).as("cnt"))
+      .orderBy("idx")
+  }
+
+  private val stringIndexerSql =
+    """SELECT c_mktsegment,
+      |       CAST(row_number() OVER (ORDER BY count(*) DESC, c_mktsegment) - 1 AS INT) AS idx,
+      |       count(*) AS cnt
+      |FROM customer GROUP BY c_mktsegment ORDER BY idx""".stripMargin
+
+  /** M6-M8 — ALS explicit (rank/iter/reg per the reference's config,
+    * scaled-down rank for the test corpus), seeded 80/20 split, RMSE via
+    * RegressionEvaluator (reference: src/spark/training.py:463-498;
+    * thresholds from data/models/config/als_config.json). Output: one
+    * metrics row; ScalaTest asserts rmse <= 0.8.
+    */
+  private val alsRmse: Q = (s, d) => {
+    import s.implicits._
+    val ratings = interactions(s, d)
+    val Array(train, test) = ratings.randomSplit(Array(0.8, 0.2), 42)
+    val als = new ALS()
+      .setRank(10).setMaxIter(10).setRegParam(0.1).setSeed(42)
+      .setUserCol("user_id").setItemCol("item_id").setRatingCol("rating")
+      .setColdStartStrategy("drop")
+    val model = als.fit(train)
+    val rmse = new RegressionEvaluator()
+      .setMetricName("rmse").setLabelCol("rating").setPredictionCol("prediction")
+      .evaluate(model.transform(test))
+    Seq(("als_explicit", math.rint(rmse * 1e4) / 1e4, train.count(), test.count()))
+      .toDF("model", "rmse", "n_train", "n_test")
+  }
+
+  /** M7/W5 — per-user top-N recommendations from the ALS model, exploded to
+    * relational rows (reference: src/app.py:214-231; SURVEY.md §7.4 note 6).
+    */
+  private val alsRecommend: Q = (s, d) => {
+    val ratings = interactions(s, d)
+    val als = new ALS()
+      .setRank(10).setMaxIter(10).setRegParam(0.1).setSeed(42)
+      .setUserCol("user_id").setItemCol("item_id").setRatingCol("rating")
+      .setColdStartStrategy("drop")
+    val model = als.fit(ratings)
+    val users = ratings.select("user_id").distinct().filter(col("user_id") < 10)
+    model.recommendForUserSubset(users, 5)
+      .select(col("user_id"), posexplode(col("recommendations")).as(Seq("pos", "rec")))
+      .select(
+        col("user_id"), (col("pos") + 1).as("rank"),
+        col("rec.item_id").as("item_id"))
+      .orderBy("user_id", "rank")
+  }
+
+  /** M10 — NMF-equivalent implicit nonnegative factorization: MLlib ALS with
+    * implicitPrefs + nonnegative (capability parity per SURVEY.md §2.7 M10),
+    * play-count-style confidence from the rating.
+    */
+  private val nmfImplicit: Q = (s, d) => {
+    val ratings = interactions(s, d)
+    val als = new ALS()
+      .setRank(8).setMaxIter(8).setRegParam(0.1).setAlpha(1.0).setSeed(42)
+      .setImplicitPrefs(true).setNonnegative(true)
+      .setUserCol("user_id").setItemCol("item_id").setRatingCol("rating")
+      .setColdStartStrategy("drop")
+    val model = als.fit(ratings)
+    val users = ratings.select("user_id").distinct().filter(col("user_id") < 10)
+    model.recommendForUserSubset(users, 5)
+      .select(col("user_id"), posexplode(col("recommendations")).as(Seq("pos", "rec")))
+      .select(col("user_id"), (col("pos") + 1).as("rank"), col("rec.item_id").as("item_id"))
+      .orderBy("user_id", "rank")
+  }
+
+  /** M12-M14 — TF-IDF content similarity: tokenize → stopword-filter →
+    * HashingTF(100) → IDF → L2 normalize → seed-doc top-k by dot product
+    * (= cosine after normalization), excluding the seed (W3)
+    * (reference: src/training_service.py:608-633; src/app_optimized.py:435-479).
+    * The seed set is broadcast; scoring is a map-side dot product over the
+    * corpus — no all-pairs join.
+    */
+  private val tfidfSimilar: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val pipe = new Pipeline().setStages(Array(
+      new RegexTokenizer().setInputCol("text").setOutputCol("toks").setPattern("\\s+"),
+      new StopWordsRemover().setInputCol("toks").setOutputCol("words"),
+      new HashingTF().setInputCol("words").setOutputCol("tf").setNumFeatures(100),
+      new IDF().setInputCol("tf").setOutputCol("tfidf"),
+      new Normalizer().setInputCol("tfidf").setOutputCol("norm").setP(2.0)))
+    val vecs = pipe.fit(docs).transform(docs).select("doc_id", "norm")
+    val dot = udf((a: Vector, b: Vector) => {
+      var i = 0; var acc = 0.0
+      val ai = a.toSparse; val bd = b.toDense
+      while (i < ai.indices.length) { acc += ai.values(i) * bd(ai.indices(i)); i += 1 }
+      math.rint(acc * 1e4) / 1e4
+    })
+    val seeds = vecs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("seed_id"), col("norm").as("seed_vec"))
+    vecs.crossJoin(broadcast(seeds))
+      .filter(col("doc_id") =!= col("seed_id"))
+      .withColumn("cos", dot(col("seed_vec"), col("norm")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("seed_id").orderBy(desc("cos"), asc("doc_id"))))
+      .filter(col("rank") <= 5)
+      .select("seed_id", "rank", "doc_id", "cos")
+      .orderBy("seed_id", "rank")
+  }
+
+  /** M15 — cluster-based content recommendations: KMeans over embeddings,
+    * then same-cluster top-k by a deterministic popularity
+    * (reference's declared semantics: src/app.py:267-299).
+    */
+  private val clusterRecs: Q = (s, d) => {
+    val toVec = udf((a: Seq[Float]) =>
+      org.apache.spark.ml.linalg.Vectors.dense(a.map(_.toDouble).toArray))
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), toVec(col("embedding")).as("features"))
+    val km = new KMeans().setK(8).setSeed(42).setFeaturesCol("features")
+      .setPredictionCol("cluster")
+    val clustered = km.fit(e).transform(e)
+      .withColumn("pop", pmod(Hashing.md5Long(col("vec_id").cast("string")), lit(1000L)))
+    clustered
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("cluster").orderBy(desc("pop"), asc("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select("cluster", "rank", "vec_id", "pop")
+      .orderBy("cluster", "rank")
+  }
+
+  /** M16 — model-quality metadata as a small metrics DataFrame
+    * (reference: src/spark/training.py:421-431; src/training_service.py:557-566).
+    */
+  private val modelMetadata: Q = (s, d) => {
+    import s.implicits._
+    val ratings = interactions(s, d)
+    val n = ratings.count()
+    val nUsers = ratings.select("user_id").distinct().count()
+    val nItems = ratings.select("item_id").distinct().count()
+    Seq(
+      ("n_interactions", n.toDouble),
+      ("n_users", nUsers.toDouble),
+      ("n_items", nItems.toDouble),
+      ("sparsity", math.rint((1.0 - n.toDouble / (nUsers * nItems)) * 1e4) / 1e4))
+      .toDF("metric", "value").orderBy("metric")
+  }
+
+  val entries: Seq[Entry] = Seq(
+    Entry("ml_feature_pipeline", featurePipeline, None),
+    Entry("ml_kmeans_clusters", kmeansClusters, None),
+    Entry("ml_string_indexer", stringIndexer, Some(stringIndexerSql)),
+    Entry("ml_als_rmse", alsRmse, None),
+    Entry("ml_als_recommend", alsRecommend, None),
+    Entry("ml_nmf_implicit", nmfImplicit, None),
+    Entry("ml_tfidf_similar", tfidfSimilar, None),
+    Entry("ml_cluster_recs", clusterRecs, None),
+    Entry("ml_model_metadata", modelMetadata, None),
+  )
 }

@@ -1,0 +1,34 @@
+package graft
+
+import graft.queries.Registry
+
+/** Contract invariants the Verify/Bench driver depends on. */
+class RegistrySpec extends SparkSpec {
+
+  test("query names are unique") {
+    val names = Registry.all.map(_.name)
+    assert(names.distinct.size === names.size,
+      s"duplicates: ${names.diff(names.distinct).distinct}")
+  }
+
+  test("every oracle key has a query") {
+    assert(Registry.oracleSql.keySet.subsetOf(Registry.queries.keySet))
+  }
+
+  test("SparkEntry exposes the registry") {
+    assert(SparkEntry.queries.keySet === Registry.queries.keySet)
+    assert(SparkEntry.oracleSql === Registry.oracleSql)
+  }
+
+  test("entry returns rows (driver smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query runs at sf0.001 and returns a deterministic schema") {
+    Registry.all.foreach { e =>
+      val df = e.q(spark, sfDir)
+      assert(df.columns.nonEmpty, s"${e.name} has no columns")
+      assert(df.count() >= 0, s"${e.name} failed to execute")
+    }
+  }
+}

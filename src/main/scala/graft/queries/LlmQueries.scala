@@ -1,6 +1,5 @@
 package graft.queries
 
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, RegexTokenizer}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -142,32 +141,103 @@ object LlmQueries {
       |WHERE bit_count(xor(a.sim, b.sim)) <= 10
       |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** MinHash+LSH near-dup (the scale path for dedup): shingle → minhash →
-    * band-bucket join via MLlib's MinHashLSH. Seeded, deterministic, but the
-    * hash family isn't expressible in ANSI SQL → rows-only driver check;
-    * ScalaTest asserts it finds the planted exact dups.
+  /** MinHash+LSH near-dup (the scale path for dedup): 3-word shingle →
+    * 12 md5 minhash signatures → 3 bands × 4 rows → band-bucket self-join →
+    * exact shingle-Jaccard ≥ 0.8 verification of the candidates.
+    *
+    * Hand-rolled instead of MLlib's `MinHashLSH.approxSimilarityJoin`
+    * deliberately: token-SET similarity is degenerate on this corpus (~71%
+    * of all pairs are ≥ 0.5 similar → the approx join's candidate set is
+    * quadratic; it dominated a whole bench round). Word-shingles are
+    * discriminative (max non-dup pair ≈ 0.04), so banded buckets contain
+    * only true near-dups plus ~s⁴·3·n² ≈ a handful of false positives —
+    * per-bucket work stays O(1) and the whole query is one shuffle per
+    * stage at any scale. md5-based hashing keeps it deterministic AND
+    * ANSI-SQL-expressible, so unlike the MLlib hash family this is
+    * hash-checked against the oracle, not rows-only.
     */
   private val minhashDedup: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val dup = docs.filter(col("doc_id") < 25)
       .withColumn("doc_id", col("doc_id") + lit(10000L))
-    val all = docs.unionByName(dup)
-    val tok = new RegexTokenizer().setInputCol("text").setOutputCol("words")
-      .setPattern("\\s+")
-    val tf = new HashingTF().setInputCol("words").setOutputCol("features")
-      .setNumFeatures(1 << 14).setBinary(true)
-    val featured = tf.transform(tok.transform(all))
-    val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(8).setSeed(42)
-    val model = mh.fit(featured)
-    model.approxSimilarityJoin(featured, featured, 0.5, "dist")
-      .filter(col("datasetA.doc_id") < col("datasetB.doc_id"))
-      .select(
-        col("datasetA.doc_id").as("doc_a"),
-        col("datasetB.doc_id").as("doc_b"),
-        round(col("dist"), 4).as("jaccard_dist"))
+    val shingled = docs.unionByName(dup)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("sh", array_distinct(
+        expr("transform(sequence(0, size(ws) - 3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")))
+      .select("doc_id", "sh")
+    val exploded = shingled.select(col("doc_id"), explode(col("sh")).as("g"))
+    val sigCols = (0 until 12).map(i =>
+      min(Hashing.md5Long(concat(lit(s"$i:"), col("g")))).as(s"h$i"))
+    val sigs = exploded.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    def band(b: Int): Column =
+      md5(concat_ws(",", (0 until 4).map(r => col(s"h${b * 4 + r}")): _*))
+    val bands = sigs.select(col("doc_id"),
+      explode(map(lit(0), band(0), lit(1), band(1), lit(2), band(2))).as(Seq("band", "bkey")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = shingled.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val sb = shingled.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .withColumn("jac",
+        round(size(array_intersect(col("sh_a"), col("sh_b"))) /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
+      .filter(col("jac") >= 0.8)
+      .select("doc_a", "doc_b", "jac")
       .orderBy("doc_a", "doc_b")
   }
+
+  private val minhashDedupSql =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 25),
+      |sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(1, len(ws) - 1),
+      |                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM all_docs)),
+      |ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+      |sig AS (
+      |  SELECT doc_id,
+      |         min(('0x' || substr(md5('0:' || g), 1, 8))::BIGINT) AS h0,
+      |         min(('0x' || substr(md5('1:' || g), 1, 8))::BIGINT) AS h1,
+      |         min(('0x' || substr(md5('2:' || g), 1, 8))::BIGINT) AS h2,
+      |         min(('0x' || substr(md5('3:' || g), 1, 8))::BIGINT) AS h3,
+      |         min(('0x' || substr(md5('4:' || g), 1, 8))::BIGINT) AS h4,
+      |         min(('0x' || substr(md5('5:' || g), 1, 8))::BIGINT) AS h5,
+      |         min(('0x' || substr(md5('6:' || g), 1, 8))::BIGINT) AS h6,
+      |         min(('0x' || substr(md5('7:' || g), 1, 8))::BIGINT) AS h7,
+      |         min(('0x' || substr(md5('8:' || g), 1, 8))::BIGINT) AS h8,
+      |         min(('0x' || substr(md5('9:' || g), 1, 8))::BIGINT) AS h9,
+      |         min(('0x' || substr(md5('10:' || g), 1, 8))::BIGINT) AS h10,
+      |         min(('0x' || substr(md5('11:' || g), 1, 8))::BIGINT) AS h11
+      |  FROM ex GROUP BY doc_id),
+      |banded AS (
+      |  SELECT doc_id,
+      |         md5(h0 || ',' || h1 || ',' || h2 || ',' || h3) AS b0,
+      |         md5(h4 || ',' || h5 || ',' || h6 || ',' || h7) AS b1,
+      |         md5(h8 || ',' || h9 || ',' || h10 || ',' || h11) AS b2
+      |  FROM sig),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band, b0 AS bkey FROM banded
+      |  UNION ALL SELECT doc_id, 1 AS band, b1 AS bkey FROM banded
+      |  UNION ALL SELECT doc_id, 2 AS band, b2 AS bkey FROM banded),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b,
+      |       round(len(list_intersect(sa.sh, sb.sh)) /
+      |             CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 4) AS jac
+      |FROM cand
+      |JOIN sh sa ON sa.doc_id = cand.doc_a
+      |JOIN sh sb ON sb.doc_id = cand.doc_b
+      |WHERE round(len(list_intersect(sa.sh, sb.sh)) /
+      |            CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 4) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Brute-force cosine top-k: small query set broadcast against the full
     * corpus — an embarrassingly parallel map over embeddings partitions, no
@@ -400,7 +470,7 @@ object LlmQueries {
     Entry("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     Entry("q_dedup_jaccard", dedupJaccard, Some(dedupJaccardSql)),
     Entry("q_simhash", simhash, Some(simhashSql)),
-    Entry("q_minhash_dedup", minhashDedup, None),
+    Entry("q_minhash_dedup", minhashDedup, Some(minhashDedupSql)),
     Entry("q_embed_cosine_topk", embedCosineTopk, Some(embedCosineTopkSql)),
     Entry("q_ann_ivf", annIvf, Some(annIvfSql)),
     Entry("q_lang_id", langId, Some(langIdSql)),

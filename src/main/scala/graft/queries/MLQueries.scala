@@ -60,7 +60,10 @@ object MLQueries {
 
   /** M1-M3 — VectorAssembler → StandardScaler pipeline over numeric part
     * features (reference: src/spark/training.py:327-375). Output: per-part
-    * scaled feature vector, reported as rounded arrays.
+    * scaled features as SCALAR doubles (one column per feature) — the
+    * driver's hash compare can't sort array cells, and StandardScaler's
+    * (x − mean) / stddev_samp is exactly expressible in SQL, so this carries
+    * a full oracle rather than a rows-only check.
     */
   private val featurePipeline: Q = (s, d) => {
     val feats = Tables.part(s, d).select(
@@ -74,11 +77,25 @@ object MLQueries {
       .setInputCol("features").setOutputCol("scaled")
       .setWithMean(true).setWithStd(true)
     val model = new Pipeline().setStages(Array(assembler, scaler)).fit(feats)
-    val toArr = udf((v: Vector) => v.toArray.map(x => math.rint(x * 1e4) / 1e4))
+    val el = udf((v: Vector, i: Int) => {
+      val r = math.rint(v(i) * 1e4) / 1e4
+      if (r == 0.0) 0.0 else r // normalize -0.0 for byte-stable hashing
+    })
     model.transform(feats)
-      .select(col("p_partkey"), toArr(col("scaled")).as("scaled"))
+      .select(
+        col("p_partkey"),
+        el(col("scaled"), lit(0)).as("scaled_price"),
+        el(col("scaled"), lit(1)).as("scaled_size"))
       .orderBy("p_partkey")
   }
+
+  private val featurePipelineSql =
+    """SELECT p_partkey,
+      |       round((p_retailprice - avg(p_retailprice) OVER ()) /
+      |             stddev_samp(p_retailprice) OVER (), 4) + 0.0 AS scaled_price,
+      |       round((CAST(p_size AS DOUBLE) - avg(CAST(p_size AS DOUBLE)) OVER ()) /
+      |             stddev_samp(CAST(p_size AS DOUBLE)) OVER (), 4) + 0.0 AS scaled_size
+      |FROM part ORDER BY p_partkey""".stripMargin
 
   /** M4/M15 — KMeans with the reference's k-clamp rule
     * k = clamp(rows/1000, 10, 50), seed 42, on scaled features
@@ -258,7 +275,7 @@ object MLQueries {
   }
 
   val entries: Seq[Entry] = Seq(
-    Entry("ml_feature_pipeline", featurePipeline, None),
+    Entry("ml_feature_pipeline", featurePipeline, Some(featurePipelineSql)),
     Entry("ml_kmeans_clusters", kmeansClusters, None),
     Entry("ml_string_indexer", stringIndexer, Some(stringIndexerSql)),
     Entry("ml_als_rmse", alsRmse, None),

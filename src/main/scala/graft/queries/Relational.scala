@@ -274,17 +274,13 @@ object Relational {
     * (reference: src/app_optimized.py:687-745, weights at :704,:717).
     */
   private val unionHybrid: Q = (s, d) => {
-    val c = Tables.customer(s, d)
-    val collab = c
-      .withColumn("rank", row_number().over(
-        Window.orderBy(desc("c_acctbal"), asc("c_custkey"))))
-      .filter(col("rank") <= 7)
-      .select(col("c_custkey"), col("c_name"), lit("collab").as("source"), col("rank"))
-    val content = c
-      .withColumn("rank", row_number().over(
-        Window.orderBy(asc("c_name"), asc("c_custkey"))))
-      .filter(col("rank") <= 3)
-      .select(col("c_custkey"), col("c_name"), lit("content").as("source"), col("rank"))
+    val c = Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal")
+    val collab = graft.ops.Rank.firstK(c, 7, desc("c_acctbal"), asc("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), lit("collab").as("source"),
+        col("rn").as("rank"))
+    val content = graft.ops.Rank.firstK(c, 3, asc("c_name"), asc("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), lit("content").as("source"),
+        col("rn").as("rank"))
     collab.unionByName(content).orderBy("source", "rank")
   }
 

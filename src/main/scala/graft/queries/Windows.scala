@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.Num
+import graft.ops.{Num, Rank}
 import graft.tables.Tables
 import Registry.{Entry, Q}
 
@@ -51,12 +51,15 @@ object Windows {
 
   /** W4 — deterministic pagination via row_number over a total order
     * (reference `limit`/`offset` args: src/app.py:176-183;
-    * src/app_optimized.py:747-753). Page = rows 51..70.
+    * src/app_optimized.py:747-753). Page = rows 51..70. Sort+limit runs
+    * first ([[Num]]-style TakeOrderedAndProject via [[graft.ops.Rank]]), so
+    * no full-dataset single-partition window ever materializes.
     */
   private val pagination: Q = (s, d) =>
-    Tables.part(s, d)
-      .withColumn("rn", row_number().over(Window.orderBy(asc("p_partkey"))))
-      .filter(col("rn") > 50 && col("rn") <= 70)
+    Rank.firstK(
+        Tables.part(s, d).select("p_partkey", "p_name", "p_retailprice"),
+        70, asc("p_partkey"))
+      .filter(col("rn") > 50)
       .select("rn", "p_partkey", "p_name", "p_retailprice")
       .orderBy("rn")
 
@@ -67,13 +70,13 @@ object Windows {
       |WHERE rn > 50 AND rn <= 70 ORDER BY rn""".stripMargin
 
   /** W6 — rank-decayed score synthesis: `base - i*0.1` by list position
-    * (reference: src/app_optimized.py:496-501).
+    * (reference: src/app_optimized.py:496-501). Top-20 prefix first, then
+    * position numbering — see [[graft.ops.Rank]].
     */
   private val rankDecay: Q = (s, d) =>
-    Tables.part(s, d)
-      .withColumn("rn", row_number().over(
-        Window.orderBy(desc("p_retailprice"), asc("p_partkey"))))
-      .filter(col("rn") <= 20)
+    Rank.firstK(
+        Tables.part(s, d).select("p_partkey", "p_retailprice"),
+        20, desc("p_retailprice"), asc("p_partkey"))
       .select(
         col("rn"), col("p_partkey"),
         round(lit(5.0) - (col("rn") - lit(1)) * lit(0.1), 1).as("score"))
@@ -165,11 +168,16 @@ object Windows {
 
   private val sessionGapSql =
     """WITH x AS (
-      |  SELECT user_id, event_id, epoch_us(ts) AS us,
-      |         CASE WHEN lag(epoch_us(ts), 1)
-      |                     OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-      |                OR epoch_us(ts) - lag(epoch_us(ts), 1)
-      |                     OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |  -- order by micro-TRUNCATED ts (epoch_ns // 1000), not native nano ts:
+      |  -- Spark's parquet reader only sees micros, so events equal at micro
+      |  -- precision must tie-break on event_id in BOTH engines identically.
+      |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
+      |         CASE WHEN lag(epoch_ns(ts) // 1000, 1)
+      |                     OVER (PARTITION BY user_id
+      |                           ORDER BY epoch_ns(ts) // 1000, event_id) IS NULL
+      |                OR epoch_ns(ts) // 1000 - lag(epoch_ns(ts) // 1000, 1)
+      |                     OVER (PARTITION BY user_id
+      |                           ORDER BY epoch_ns(ts) // 1000, event_id) > 1800000000
       |              THEN 1 ELSE 0 END AS new_s
       |  FROM events),
       |y AS (

@@ -71,11 +71,27 @@ for name, sql in sorted(oracle.items()):
     else:
         n_fail += 1
 
-# rows-only entries (no oracle)
+# rows-only entries (no oracle): mirror the driver's sort+hash anyway, so a
+# column type pandas can't sort (arrays, structs) fails HERE, not in the
+# driver (round-3 lesson: ml_feature_pipeline's array<double> column).
 for d in sorted(glob.glob(f"{out_dir}/*/")):
     nm = os.path.basename(d.rstrip('/'))
     if nm not in oracle:
-        files = glob.glob(f"{d}/*.parquet")
-        n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
-        print(f"ROWS-ONLY {nm}: {n} rows")
+        files = sorted(glob.glob(f"{d}/*.parquet"))
+        if not files:
+            print(f"ROWS-ONLY {nm}: MISSING OUTPUT")
+            n_fail += 1
+            continue
+        df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+        try:
+            df = df[sorted(df.columns)]
+            df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+            pd.util.hash_pandas_object(df, index=False)
+            print(f"ROWS-ONLY {nm}: {len(df)} rows (driver-sortable)")
+            if len(df) == 0:
+                print(f"  WARNING {nm}: 0 rows — driver smoke wants rows>0")
+                n_fail += 1
+        except Exception as e:
+            print(f"ROWS-ONLY {nm}: {len(df)} rows — DRIVER-UNSORTABLE: {type(e).__name__}: {e}")
+            n_fail += 1
 print(f"\n{n_pass} pass / {n_fail} fail")

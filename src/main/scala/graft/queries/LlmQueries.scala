@@ -62,17 +62,27 @@ object LlmQueries {
     * this viable at scale (LSH buckets play the lang role there).
     */
   private val dedupJaccard: Q = (s, d) => {
+    // The answer set is inherently quadratic within a lang block (this IS
+    // all-pairs n-gram Jaccard; MinHash below is the sub-quadratic scale
+    // path), so the win is per-pair cost: tokens are sorted+deduped ONCE per
+    // doc, each pair is one allocation-free merge-walk (custom codegen
+    // expression [[graft.functions.JaccardSorted]]) instead of the two
+    // hash-set builds of array_intersect+array_union, and the length-ratio
+    // bound (jac ≥ 0.5 ⇒ min(|A|,|B|)/max(|A|,|B|) ≥ 0.5) prunes pairs
+    // before any token comparison.
     val t = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), array_distinct(split(col("text"), " ")).as("toks"))
-    val a = t.select(col("doc_id").as("doc_a"), col("lang"), col("toks").as("toks_a"))
-    val b = t.select(col("doc_id").as("doc_b"), col("lang"), col("toks").as("toks_b"))
+      .select(col("doc_id"), col("lang"),
+        sort_array(array_distinct(split(col("text"), " "))).as("toks"))
+      .withColumn("n", size(col("toks")))
+    val a = t.select(col("doc_id").as("doc_a"), col("lang"),
+      col("toks").as("toks_a"), col("n").as("n_a"))
+    val b = t.select(col("doc_id").as("doc_b"), col("lang"),
+      col("toks").as("toks_b"), col("n").as("n_b"))
     a.join(b, Seq("lang"))
-      .filter(col("doc_a") < col("doc_b"))
-      .withColumn(
-        "jac",
-        round(
-          size(array_intersect(col("toks_a"), col("toks_b"))) /
-            size(array_union(col("toks_a"), col("toks_b"))), 4))
+      .filter(col("doc_a") < col("doc_b") &&
+        col("n_a") * 2 >= col("n_b") && col("n_b") * 2 >= col("n_a"))
+      .withColumn("jac",
+        round(graft.functions.JaccardSorted(col("toks_a"), col("toks_b")), 4))
       .filter(col("jac") >= 0.5)
       .select("doc_a", "doc_b", "jac")
       .orderBy("doc_a", "doc_b")

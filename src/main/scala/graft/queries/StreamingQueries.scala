@@ -13,25 +13,22 @@ import Registry.{Entry, Q}
   * generalization — tumbling/sliding/session windows — which is what
   * actually scales: event-time windows are shuffle-by-key aggregations
   * whose state is bounded by the watermark, not by wall-clock racing. The
-  * live Structured Streaming path (rate source → foreachBatch sink, file
-  * control loop) lives in `graft.stream` and is exercised by ScalaTest; the
-  * queries here are the same aggregations in batch form so the driver's
+  * live Structured Streaming path lives in `graft.stream`
+  * ([[graft.stream.Interactions]] rate source → foreachBatch sink,
+  * [[graft.stream.Retrain]] file control loop) and is exercised by
+  * `StreamSpec`; the window queries here call the SAME definitions
+  * ([[graft.stream.EventTimeWindows]]) in batch form so the driver's
   * DuckDB oracle can check them.
   */
 object StreamingQueries {
 
   /** Event-time tumbling window (1 day) per event type — `window(ts, "1 day")`
-    * aligns to epoch days, identical to DuckDB's date_trunc.
+    * aligns to epoch days, identical to DuckDB's date_trunc. Definition
+    * shared with the live streaming path ([[graft.stream.EventTimeWindows]]);
+    * the watermark is a no-op in batch mode.
     */
   private val tumblingWindow: Q = (s, d) =>
-    Tables.events(s, d)
-      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
-      .agg(
-        count(lit(1)).as("cnt"),
-        Num.dollars(sum(Num.cents(col("value")))).as("sum_value"))
-      .select(
-        to_date(col("w.start")).as("day"),
-        col("event_type"), col("cnt"), col("sum_value"))
+    graft.stream.EventTimeWindows.tumblingDaily(Tables.events(s, d))
       .orderBy("day", "event_type")
 
   private val tumblingWindowSql =
@@ -44,10 +41,7 @@ object StreamingQueries {
     * exactly two windows — [d-1, d+1) and [d, d+2) for d = its day.
     */
   private val slidingWindow: Q = (s, d) =>
-    Tables.events(s, d)
-      .groupBy(window(col("ts"), "2 days", "1 day").as("w"))
-      .agg(count(lit(1)).as("cnt"))
-      .select(to_date(col("w.start")).as("wstart"), col("cnt"))
+    graft.stream.EventTimeWindows.slidingTwoDay(Tables.events(s, d))
       .orderBy("wstart")
 
   private val slidingWindowSql =
@@ -63,13 +57,7 @@ object StreamingQueries {
     * merges only strictly-overlapping [ts, ts+gap) windows).
     */
   private val sessionWindow: Q = (s, d) =>
-    Tables.events(s, d)
-      .groupBy(session_window(col("ts"), "1 hour").as("sw"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"))
-      .select(
-        col("user_id"),
-        unix_micros(col("sw.start")).as("start_us"),
-        col("n_events"))
+    graft.stream.EventTimeWindows.userSessions(Tables.events(s, d))
       .orderBy("user_id", "start_us")
 
   private val sessionWindowSql =

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.JaccardSorted
+import graft.tables.Tables
+
+/** [[graft.functions.JaccardSorted]] (custom codegen expression) must agree
+  * exactly with the built-in `array_intersect`/`array_union` formulation it
+  * replaced in the all-pairs dedup hot path — including on real corpus
+  * pairs, empty arrays, and null propagation.
+  */
+class JaccardSortedSpec extends SparkSpec {
+
+  test("merge-walk Jaccard equals the built-in intersect/union formulation") {
+    val t = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        sort_array(array_distinct(split(col("text"), " "))).as("toks"))
+    val a = t.select(col("doc_id").as("doc_a"), col("lang"), col("toks").as("ta"))
+    val b = t.select(col("doc_id").as("doc_b"), col("lang"), col("toks").as("tb"))
+    val pairs = a.join(b, Seq("lang")).filter(col("doc_a") < col("doc_b"))
+      .withColumn("fast", JaccardSorted(col("ta"), col("tb")))
+      .withColumn("ref",
+        size(array_intersect(col("ta"), col("tb"))) /
+          size(array_union(col("ta"), col("tb"))).cast("double"))
+    assert(pairs.count() > 1000, "need a meaningful pair population")
+    assert(pairs.filter(col("fast") =!= col("ref")).count() === 0,
+      "codegen merge-walk must match built-ins bit-for-bit")
+  }
+
+  test("edge cases: empty arrays, disjoint, identical, null propagation") {
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (array('a','b'), array('a','b')),
+        |  (array('a','b'), array('c','d')),
+        |  (CAST(array() AS array<string>), CAST(array() AS array<string>)),
+        |  (CAST(array() AS array<string>), array('a')),
+        |  (CAST(NULL AS array<string>), array('a'))
+        |AS t(x, y)""".stripMargin)
+      .select(JaccardSorted(col("x"), col("y")).as("j"))
+    val out = df.collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0))
+    assert(out(0) === 1.0)
+    assert(out(1) === 0.0)
+    assert(out(2) === 1.0, "both-empty defined as identical")
+    assert(out(3) === 0.0)
+    assert(out(4) === null, "null input propagates null")
+  }
+}

@@ -1,0 +1,176 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.{DataFrame, Encoder}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.stream.{EventTimeWindows, Interactions, Retrain}
+import graft.tables.Tables
+
+/** Live Structured Streaming path (SURVEY.md §2.8, T1-T10): deterministic
+  * interaction synthesis, foreachBatch batch-file sink, retrain control
+  * loop, and event-time windows with real watermark semantics.
+  */
+object StreamSpec {
+  final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class Ev2(ts: Timestamp, user_id: Long)
+}
+
+class StreamSpec extends SparkSpec {
+  import StreamSpec.{Ev, Ev2}
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def rateLike(n: Long): DataFrame = {
+    // Batch stand-in for the rate source's (timestamp, value) contract —
+    // synthesize() is expression-only, so batch and streaming agree exactly.
+    spark.range(n).select(
+      expr("timestamp_micros(1704067200000000 + id * 2000000)").as("timestamp"),
+      col("id").as("value"))
+  }
+
+  test("T1: interaction synthesis is deterministic, bounded, and nested") {
+    val a = Interactions.synthesize(rateLike(200)).collect()
+    val b = Interactions.synthesize(rateLike(200)).collect()
+    assert(a.toSeq === b.toSeq, "same offsets must replay identically")
+    a.foreach { r =>
+      val rating = r.getAs[Double]("rating")
+      assert(rating >= 1.0 && rating <= 5.0)
+      assert(r.getAs[Long]("user_id") >= 0 && r.getAs[Long]("user_id") < 500)
+      assert(Set("play", "like", "skip").contains(r.getAs[String]("action")))
+      assert(r.getAs[org.apache.spark.sql.Row]("track_display").getAs[String]("name").startsWith("Track T"))
+    }
+  }
+
+  test("T4: per-batch analytics summary matches direct aggregation") {
+    val batch = Interactions.synthesize(rateLike(300))
+    val s = Interactions.batchSummary(batch).collect().head
+    assert(s.getAs[Long]("size") === 300L)
+    assert(s.getAs[Long]("unique_users") ===
+      batch.select("user_id").distinct().count())
+    val expectedAvg = batch.agg(round(avg("rating"), 4)).collect().head.getDouble(0)
+    assert(s.getAs[Double]("avg_rating") === expectedAvg)
+    val dist = s.getAs[Map[String, Long]]("action_distribution")
+    assert(dist.values.sum === 300L)
+    val featured = s.getAs[collection.Seq[org.apache.spark.sql.Row]]("featured_tracks")
+    assert(featured.size === 5)
+    val ratings = featured.map(_.getAs[Double]("rating"))
+    assert(ratings === ratings.sortBy(-_), "featured must be rating-desc")
+  }
+
+  test("T2/T5/S8: foreachBatch sink writes sequenced batch dirs + summaries") {
+    import spark.implicits._
+    val out = tmp("graft-batches")
+    val ms = MemoryStream[(Timestamp, Long)](
+      implicitly[Encoder[(Timestamp, Long)]], spark.sqlContext)
+    val interactions = Interactions.synthesize(
+      ms.toDF().toDF("timestamp", "value"))
+    val q = Interactions.writeBatches(
+      interactions, out, tmp("graft-ckpt"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      // two count-shaped flushes of 50 (the reference's batch size)
+      ms.addData((0L until 50L).map(i => (new Timestamp(1704067200000L + i * 1000), i)))
+      q.processAllAvailable()
+      ms.addData((50L until 100L).map(i => (new Timestamp(1704067200000L + i * 1000), i)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val dirs = new java.io.File(out).listFiles().map(_.getName).sorted
+    val batchDirs = dirs.filter(_.startsWith("batch_"))
+    assert(batchDirs.length >= 2, s"expected >=2 batch dirs, got ${dirs.toSeq}")
+    assert(batchDirs.head === "batch_000000", "T5 batch-id sequencing")
+    // every batch dir must round-trip through the declared schema
+    val back = spark.read.schema(Retrain.interactionSchema).json(s"$out/batch_*")
+    assert(back.count() === 100)
+    assert(back.select("user_id").where(col("user_id").isNull).count() === 0)
+    val summaries = dirs.filter(_.startsWith("summary_"))
+    assert(summaries.length === batchDirs.length, "one T4 summary per batch")
+  }
+
+  test("T8/T9: retrain fires at >=3 pending batch dirs, ledger survives restart") {
+    val batchDir = tmp("graft-retrain")
+    val ckpt = tmp("graft-retrain-ckpt")
+    def writeBatch(id: Int, n: Long, seed: Long): Unit =
+      Interactions.synthesize(rateLike(n).withColumn("value", col("value") + lit(seed)))
+        .write.mode("overwrite").json(f"$batchDir/batch_$id%06d")
+    (0 until 4).foreach(i => writeBatch(i, 50, i * 1000L))
+
+    val trained = new ConcurrentLinkedQueue[Long]()
+    val c1 = Retrain.control(spark, batchDir, ckpt,
+      minPendingBatches = 3,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)) {
+      df => trained.add(df.count()); ()
+    }
+    try c1.query.processAllAvailable() finally c1.query.stop()
+    assert(trained.size === 1, "4 pending dirs >= 3 → exactly one retrain")
+    assert(trained.peek() === 200L, "retrain sees the union of all pending batches")
+    assert(c1.pendingCount === 0)
+
+    // restart: the checkpoint is the processed-ledger (T9) — old dirs are
+    // NOT redelivered; 2 new dirs stay below the threshold.
+    (4 until 6).foreach(i => writeBatch(i, 50, i * 1000L))
+    val c2 = Retrain.control(spark, batchDir, ckpt,
+      minPendingBatches = 3,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)) {
+      df => trained.add(df.count()); ()
+    }
+    try c2.query.processAllAvailable() finally c2.query.stop()
+    assert(trained.size === 1, "2 new pending dirs < 3 → no second retrain")
+    assert(c2.pendingCount === 2, "new dirs buffered, old dirs not replayed")
+  }
+
+  test("T10: streaming tumbling windows equal the batch oracle query") {
+    import spark.implicits._
+    val rows = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect().toSeq
+    val ms = MemoryStream[Ev](implicitly[Encoder[Ev]], spark.sqlContext)
+    val sink = s"tumbling_stream_${System.identityHashCode(this)}"
+    val q = EventTimeWindows.tumblingDaily(ms.toDF())
+      .writeStream.outputMode("complete").format("memory").queryName(sink).start()
+    try {
+      val (h, t) = rows.splitAt(rows.size / 2)
+      ms.addData(h); q.processAllAvailable()
+      ms.addData(t); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table(sink)
+      .orderBy("day", "event_type").collect().toSeq
+    val batch = EventTimeWindows.tumblingDaily(Tables.events(spark, sfDir))
+      .orderBy("day", "event_type").collect().toSeq
+    assert(streamed === batch)
+  }
+
+  test("T10: watermark admits append output and drops late data") {
+    import spark.implicits._
+    val base = 1704067200000L // 2024-01-01T00:00Z
+    val ms = MemoryStream[Ev2](implicitly[Encoder[Ev2]], spark.sqlContext)
+    val sink = s"sessions_stream_${System.identityHashCode(this)}"
+    val q = EventTimeWindows.userSessions(
+        ms.toDF().withColumn("ts", col("ts")))
+      .writeStream.outputMode("append").format("memory").queryName(sink).start()
+    try {
+      // one 3-event session for user 7, then a sentinel 10 days later that
+      // advances the watermark (2-day delay) far past the session's close.
+      ms.addData(Seq(
+        Ev2(new Timestamp(base), 7L),
+        Ev2(new Timestamp(base + 10 * 60 * 1000), 7L),
+        Ev2(new Timestamp(base + 20 * 60 * 1000), 7L)))
+      q.processAllAvailable()
+      ms.addData(Seq(Ev2(new Timestamp(base + 10L * 86400 * 1000), 99L)))
+      q.processAllAvailable()
+      val emitted = spark.table(sink).collect()
+      assert(emitted.length === 1, "closed session emitted once watermark passed")
+      assert(emitted.head.getAs[Long]("user_id") === 7L)
+      assert(emitted.head.getAs[Long]("n_events") === 3L)
+      // a late event behind the watermark must be dropped, not re-open state
+      ms.addData(Seq(Ev2(new Timestamp(base + 5 * 60 * 1000), 7L)))
+      q.processAllAvailable()
+      assert(spark.table(sink).count() === 1, "late event dropped by watermark")
+    } finally q.stop()
+  }
+}

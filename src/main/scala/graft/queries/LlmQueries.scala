@@ -152,8 +152,9 @@ object LlmQueries {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** MinHash+LSH near-dup (the scale path for dedup): 3-word shingle →
-    * 12 md5 minhash signatures → 3 bands × 4 rows → band-bucket self-join →
-    * exact shingle-Jaccard ≥ 0.8 verification of the candidates.
+    * one md5 base hash per shingle → 12 signatures via the classic
+    * `(a·h + b) mod p` linear family → 3 bands × 4 rows → band-bucket
+    * self-join → exact shingle-Jaccard ≥ 0.8 verification of candidates.
     *
     * Hand-rolled instead of MLlib's `MinHashLSH.approxSimilarityJoin`
     * deliberately: token-SET similarity is degenerate on this corpus (~71%
@@ -162,9 +163,14 @@ object LlmQueries {
     * discriminative (max non-dup pair ≈ 0.04), so banded buckets contain
     * only true near-dups plus ~s⁴·3·n² ≈ a handful of false positives —
     * per-bucket work stays O(1) and the whole query is one shuffle per
-    * stage at any scale. md5-based hashing keeps it deterministic AND
-    * ANSI-SQL-expressible, so unlike the MLlib hash family this is
-    * hash-checked against the oracle, not rows-only.
+    * stage at any scale. Hashing each shingle ONCE and permuting the
+    * 32-bit value arithmetically (p = 4294967311, the first prime > 2³²;
+    * a = 2i+1 keeps a·h < 2³⁷, overflow-safe in int64 for both engines)
+    * is 12× less md5 work than hashing per-signature, stays map-side via
+    * higher-order array functions (no explode/groupBy shuffle), and keeps
+    * the whole construction deterministic AND ANSI-SQL-expressible — so
+    * unlike the MLlib hash family this is hash-checked against the oracle,
+    * not rows-only.
     */
   private val minhashDedup: Q = (s, d) => {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
@@ -175,10 +181,12 @@ object LlmQueries {
       .withColumn("sh", array_distinct(
         expr("transform(sequence(0, size(ws) - 3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")))
       .select("doc_id", "sh")
-    val exploded = shingled.select(col("doc_id"), explode(col("sh")).as("g"))
+    val hashed = shingled.withColumn("hs",
+      transform(col("sh"), g => Hashing.md5Long(g)))
     val sigCols = (0 until 12).map(i =>
-      min(Hashing.md5Long(concat(lit(s"$i:"), col("g")))).as(s"h$i"))
-    val sigs = exploded.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      array_min(transform(col("hs"),
+        h => (h * lit(2L * i + 1) + lit(7919L * i)) % lit(4294967311L))).as(s"h$i"))
+    val sigs = hashed.select(col("doc_id") +: sigCols: _*)
     def band(b: Int): Column =
       md5(concat_ws(",", (0 until 4).map(r => col(s"h${b * 4 + r}")): _*))
     val bands = sigs.select(col("doc_id"),
@@ -209,21 +217,22 @@ object LlmQueries {
       |         list_distinct(list_transform(range(1, len(ws) - 1),
       |                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM all_docs)),
-      |ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+      |ex AS (SELECT doc_id, ('0x' || substr(md5(unnest(sh)), 1, 8))::BIGINT AS h
+      |       FROM sh),
       |sig AS (
       |  SELECT doc_id,
-      |         min(('0x' || substr(md5('0:' || g), 1, 8))::BIGINT) AS h0,
-      |         min(('0x' || substr(md5('1:' || g), 1, 8))::BIGINT) AS h1,
-      |         min(('0x' || substr(md5('2:' || g), 1, 8))::BIGINT) AS h2,
-      |         min(('0x' || substr(md5('3:' || g), 1, 8))::BIGINT) AS h3,
-      |         min(('0x' || substr(md5('4:' || g), 1, 8))::BIGINT) AS h4,
-      |         min(('0x' || substr(md5('5:' || g), 1, 8))::BIGINT) AS h5,
-      |         min(('0x' || substr(md5('6:' || g), 1, 8))::BIGINT) AS h6,
-      |         min(('0x' || substr(md5('7:' || g), 1, 8))::BIGINT) AS h7,
-      |         min(('0x' || substr(md5('8:' || g), 1, 8))::BIGINT) AS h8,
-      |         min(('0x' || substr(md5('9:' || g), 1, 8))::BIGINT) AS h9,
-      |         min(('0x' || substr(md5('10:' || g), 1, 8))::BIGINT) AS h10,
-      |         min(('0x' || substr(md5('11:' || g), 1, 8))::BIGINT) AS h11
+      |         min((h * 1 + 0) % 4294967311) AS h0,
+      |         min((h * 3 + 7919) % 4294967311) AS h1,
+      |         min((h * 5 + 15838) % 4294967311) AS h2,
+      |         min((h * 7 + 23757) % 4294967311) AS h3,
+      |         min((h * 9 + 31676) % 4294967311) AS h4,
+      |         min((h * 11 + 39595) % 4294967311) AS h5,
+      |         min((h * 13 + 47514) % 4294967311) AS h6,
+      |         min((h * 15 + 55433) % 4294967311) AS h7,
+      |         min((h * 17 + 63352) % 4294967311) AS h8,
+      |         min((h * 19 + 71271) % 4294967311) AS h9,
+      |         min((h * 21 + 79190) % 4294967311) AS h10,
+      |         min((h * 23 + 87109) % 4294967311) AS h11
       |  FROM ex GROUP BY doc_id),
       |banded AS (
       |  SELECT doc_id,

@@ -41,4 +41,65 @@ object Multimodal {
       }
       .toDF()
   }
+
+  /** Resize output: the resized payload travels WITH its typed metadata —
+    * binary in, binary out, scalars alongside (the shape a real thumbnail
+    * stage has).
+    */
+  final case class Resized(
+      doc_id: Long, resized: Array[Byte], resized_bytes: Long,
+      scale_x: Double, scale_y: Double)
+
+  /** Resize a binary "image" to `targetW`×`targetH`. STUB resize: the
+    * payload is truncated to the target pixel budget and scale factors are
+    * derived from the stub decode's dimensions; a production build swaps
+    * the partition body for the real scaler. One-in/one-out map, binary
+    * column preserved end-to-end, no driver transfer.
+    */
+  def resize(spark: SparkSession, payloads: DataFrame,
+      targetW: Int, targetH: Int): DataFrame = {
+    import spark.implicits._
+    val budget = targetW * targetH
+    payloads
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val n = bytes.length
+          val out = bytes.take(budget)
+          // half-up (not rint's half-even): matches SQL round() on the
+          // always-positive scale factors, e.g. 250/64 = 3.90625 → 3.9063
+          val r4 = (x: Double) => math.floor(x * 1e4 + 0.5) / 1e4
+          Resized(id, out, out.length.toLong,
+            r4((n % 640).toDouble / targetW), r4((n % 480).toDouble / targetH))
+        }
+      }
+      .toDF()
+  }
+
+  /** One sampled "video frame" with its position and a content feature. */
+  final case class Frame(doc_id: Long, frame_idx: Long, head_byte: Long)
+
+  /** Sample every `everyN`-th fixed-size frame from a binary "video" — the
+    * one-to-many decode shape (flatMap inside mapPartitions): a 2-hour
+    * clip explodes into thousands of frame rows without ever leaving the
+    * executor. STUB decode: frames are contiguous `frameBytes`-byte spans;
+    * the per-frame feature is its first byte.
+    */
+  def frameSample(spark: SparkSession, payloads: DataFrame,
+      frameBytes: Int, everyN: Int): DataFrame = {
+    import spark.implicits._
+    payloads
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val nFrames = bytes.length / frameBytes
+          (0 until nFrames).iterator
+            .filter(_ % everyN == 0)
+            .map(f => Frame(id, f.toLong, (bytes(f * frameBytes) & 0xff).toLong))
+        }
+      }
+      .toDF()
+  }
 }

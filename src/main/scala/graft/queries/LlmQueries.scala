@@ -485,6 +485,45 @@ object LlmQueries {
       |            i -> ascii(substr(text, CAST(i AS INT), 1))), 'sum') AS BIGINT) AS head_sum
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Multimodal resize: binary-preserving thumbnail stage
+    * ([[graft.llm.Multimodal.resize]]); the driver-facing projection keeps
+    * the scalar metadata, the oracle recomputes it from the text twin.
+    */
+  private val mmResize: Q = (s, d) => {
+    val payloads = Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    graft.llm.Multimodal.resize(s, payloads, 64, 48)
+      .select("doc_id", "resized_bytes", "scale_x", "scale_y")
+      .orderBy("doc_id")
+  }
+
+  private val mmResizeSql =
+    """SELECT doc_id,
+      |       CAST(least(strlen(text), 3072) AS BIGINT) AS resized_bytes,
+      |       round((strlen(text) % 640) / 64.0, 4) AS scale_x,
+      |       round((strlen(text) % 480) / 48.0, 4) AS scale_y
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Multimodal frame sampling: one-to-many decode
+    * ([[graft.llm.Multimodal.frameSample]], 64-byte frames, every 4th) —
+    * the flatMap batch shape a video pipeline needs.
+    */
+  private val mmFrameSample: Q = (s, d) => {
+    val payloads = Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    graft.llm.Multimodal.frameSample(s, payloads, 64, 4)
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  private val mmFrameSampleSql =
+    """WITH f AS (
+      |  SELECT doc_id, text,
+      |         unnest(range(0, strlen(text) // 64)) AS frame_idx
+      |  FROM documents)
+      |SELECT doc_id, frame_idx,
+      |       CAST(ascii(substr(text, CAST(frame_idx * 64 + 1 AS INT), 1)) AS BIGINT) AS head_byte
+      |FROM f WHERE frame_idx % 4 = 0 ORDER BY doc_id, frame_idx""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     Entry("q_dedup_jaccard", dedupJaccard, Some(dedupJaccardSql)),
@@ -497,5 +536,7 @@ object LlmQueries {
     Entry("q_token_count", tokenCount, Some(tokenCountSql)),
     Entry("q_fingerprint", fingerprint, Some(fingerprintSql)),
     Entry("mm_binary_features", mmBinaryFeatures, Some(mmBinaryFeaturesSql)),
+    Entry("mm_resize", mmResize, Some(mmResizeSql)),
+    Entry("mm_frame_sample", mmFrameSample, Some(mmFrameSampleSql)),
   )
 }

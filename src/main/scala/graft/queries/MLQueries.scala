@@ -142,6 +142,17 @@ object MLQueries {
       |       count(*) AS cnt
       |FROM customer GROUP BY c_mktsegment ORDER BY idx""".stripMargin
 
+  /** Adaptive ALS block count: MLlib defaults to one user/item block per
+    * core, which at small ratings volumes means dozens of near-empty blocks
+    * whose per-iteration task overhead dominates the 10-iteration fit.
+    * Scale blocks with the data (one block per ~50k ratings) and cap at the
+    * cluster's parallelism, so the same code is overhead-light on the test
+    * corpus and fully parallel at 100 TB.
+    */
+  private def alsBlocks(s: SparkSession, nRatings: Long): Int =
+    math.max(2L, math.min(
+      s.sparkContext.defaultParallelism.toLong, nRatings / 50000L)).toInt
+
   /** M6-M8 — ALS explicit (rank/iter/reg per the reference's config,
     * scaled-down rank for the test corpus), seeded 80/20 split, RMSE via
     * RegressionEvaluator (reference: src/spark/training.py:463-498;
@@ -151,11 +162,13 @@ object MLQueries {
   private val alsRmse: Q = (s, d) => {
     import s.implicits._
     val ratings = interactions(s, d)
+    val b = alsBlocks(s, ratings.count())
     val Array(train, test) = ratings.randomSplit(Array(0.8, 0.2), 42)
     val als = new ALS()
       .setRank(10).setMaxIter(10).setRegParam(0.1).setSeed(42)
       .setUserCol("user_id").setItemCol("item_id").setRatingCol("rating")
       .setColdStartStrategy("drop")
+      .setNumUserBlocks(b).setNumItemBlocks(b)
     val model = als.fit(train)
     val rmse = new RegressionEvaluator()
       .setMetricName("rmse").setLabelCol("rating").setPredictionCol("prediction")
@@ -169,10 +182,12 @@ object MLQueries {
     */
   private val alsRecommend: Q = (s, d) => {
     val ratings = interactions(s, d)
+    val b = alsBlocks(s, ratings.count())
     val als = new ALS()
       .setRank(10).setMaxIter(10).setRegParam(0.1).setSeed(42)
       .setUserCol("user_id").setItemCol("item_id").setRatingCol("rating")
       .setColdStartStrategy("drop")
+      .setNumUserBlocks(b).setNumItemBlocks(b)
     val model = als.fit(ratings)
     val users = ratings.select("user_id").distinct().filter(col("user_id") < 10)
     model.recommendForUserSubset(users, 5)
@@ -189,11 +204,13 @@ object MLQueries {
     */
   private val nmfImplicit: Q = (s, d) => {
     val ratings = interactions(s, d)
+    val b = alsBlocks(s, ratings.count())
     val als = new ALS()
       .setRank(8).setMaxIter(8).setRegParam(0.1).setAlpha(1.0).setSeed(42)
       .setImplicitPrefs(true).setNonnegative(true)
       .setUserCol("user_id").setItemCol("item_id").setRatingCol("rating")
       .setColdStartStrategy("drop")
+      .setNumUserBlocks(b).setNumItemBlocks(b)
     val model = als.fit(ratings)
     val users = ratings.select("user_id").distinct().filter(col("user_id") < 10)
     model.recommendForUserSubset(users, 5)

@@ -120,6 +120,32 @@ object Interactions {
     stats.crossJoin(dist).crossJoin(emo).crossJoin(featured).crossJoin(artists)
   }
 
+  /** T7 — topic-multiplexed routing, Spark-native form: instead of the
+    * reference's four consumer buffers with four sinks
+    * (src/streaming/kafka_consumer.py:33-56), ONE stream partitions each
+    * micro-batch by the routing column (`partitionBy` on write), producing
+    * `<outDir>/batch_%06d/<col>=<topic>/` — a single checkpointed query,
+    * no per-topic state, and downstream readers get partition pruning on
+    * the topic for free.
+    */
+  def writeBatchesByTopic(
+      interactions: DataFrame,
+      topicCol: String,
+      outDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+    interactions.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          batch.write.mode("overwrite").partitionBy(topicCol)
+            .json(f"$outDir/batch_$id%06d")
+        ()
+      }
+      .start()
+
   /** S8/T5 — batch-file sink: every micro-batch lands as
     * `<outDir>/batch_%06d/` (distributed JSON write) with its T4 summary at
     * `<outDir>/summary_%06d/`. Restart-safe via the checkpoint: a replayed

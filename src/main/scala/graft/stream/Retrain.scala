@@ -57,12 +57,18 @@ object Retrain {
     * buffer depth for tests/monitoring.
     */
   /** Handle on the running loop; `pendingCount` = batch dirs buffered and
-    * not yet retrained over (the reference's `len(pending_batches)`).
+    * not yet retrained over (the reference's `len(pending_batches)`);
+    * `totals` = (retrain runs, interaction rows consumed) accumulated
+    * across retrains — A9, the reference's running `total_records`
+    * counters (src/training_service.py:249-274). Callers persist them as
+    * model metadata via [[graft.sources.ModelRegistry.publish]].
     */
   final class Control private[Retrain] (
       val query: StreamingQuery,
-      pending: AtomicReference[Set[String]]) {
+      pending: AtomicReference[Set[String]],
+      accumulated: AtomicReference[(Long, Long)]) {
     def pendingCount: Int = pending.get().size
+    def totals: (Long, Long) = accumulated.get()
   }
 
   def control(
@@ -73,6 +79,7 @@ object Retrain {
       trigger: Trigger = Trigger.ProcessingTime("60 seconds"))(
       train: DataFrame => Unit): Control = {
     val pending = new AtomicReference[Set[String]](Set.empty)
+    val accumulated = new AtomicReference[(Long, Long)]((0L, 0L))
     val stream = spark.readStream
       .schema(interactionSchema)
       .option("pathGlobFilter", "*.json")
@@ -97,12 +104,15 @@ object Retrain {
             // is_training latch: clear BEFORE training so a slow retrain
             // never double-consumes the same pending set.
             pending.set(Set.empty)
-            train(spark.read.schema(interactionSchema).json(buf.toSeq: _*))
+            val df = spark.read.schema(interactionSchema).json(buf.toSeq: _*)
+            val n = df.count()
+            train(df)
+            accumulated.updateAndGet { case (r, t) => (r + 1, t + n) }
           }
         }
         ()
       }
       .start()
-    new Control(query, pending)
+    new Control(query, pending, accumulated)
   }
 }

@@ -110,6 +110,8 @@ class StreamSpec extends SparkSpec {
     assert(trained.size === 1, "4 pending dirs >= 3 → exactly one retrain")
     assert(trained.peek() === 200L, "retrain sees the union of all pending batches")
     assert(c1.pendingCount === 0)
+    assert(c1.totals === ((1L, 200L)),
+      "A9: running totals accumulate (retrains, records) across retrains")
 
     // restart: the checkpoint is the processed-ledger (T9) — old dirs are
     // NOT redelivered; 2 new dirs stay below the threshold.
@@ -122,6 +124,29 @@ class StreamSpec extends SparkSpec {
     try c2.query.processAllAvailable() finally c2.query.stop()
     assert(trained.size === 1, "2 new pending dirs < 3 → no second retrain")
     assert(c2.pendingCount === 2, "new dirs buffered, old dirs not replayed")
+  }
+
+  test("T7: topic-multiplexed sink partitions each batch by routing column") {
+    import spark.implicits._
+    val out = tmp("graft-topics")
+    val ms = MemoryStream[(Timestamp, Long)](
+      implicitly[Encoder[(Timestamp, Long)]], spark.sqlContext)
+    val q = Interactions.writeBatchesByTopic(
+      Interactions.synthesize(ms.toDF().toDF("timestamp", "value")),
+      "action", out, tmp("graft-topics-ckpt"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      ms.addData((0L until 100L).map(i => (new Timestamp(1704067200000L + i * 1000), i)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val topicDirs = new java.io.File(s"$out/batch_000000").listFiles()
+      .map(_.getName).filter(_.startsWith("action=")).sorted
+    assert(topicDirs.toSeq === Seq("action=like", "action=play", "action=skip"),
+      "one partition dir per topic under a single checkpointed sink")
+    // partition pruning: reading one topic must not scan the others
+    val plays = spark.read.schema(Retrain.interactionSchema)
+      .json(s"$out/batch_000000/action=play")
+    assert(plays.count() > 0)
   }
 
   test("T10: streaming tumbling windows equal the batch oracle query") {

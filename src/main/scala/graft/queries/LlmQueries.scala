@@ -103,6 +103,13 @@ object LlmQueries {
     * hamming distance over same-lang pairs. Pure expressions end-to-end —
     * the bit-vote aggregation is a hash groupBy, the pair scan is blocked —
     * and exactly reproducible in the oracle.
+    *
+    * Deliberately explode+groupBy, NOT nested higher-order functions:
+    * a map-side `aggregate(transform(...))` signature was measured 9×
+    * SLOWER (1.9s → 17.5s at sf0.1) — HOF lambdas are CodegenFallback, and
+    * without the aggregation barrier Catalyst collapses the projection into
+    * the self-join and re-evaluates the whole vote expression per PAIR.
+    * The codegen'd explode+shuffle is the fast path here.
     */
   private val simhash: Q = (s, d) => {
     val docs = Tables.documents(s, d)

@@ -40,7 +40,7 @@ object MLQueries {
     * bucketized base rating + F3 jitter + F4 user assignment, md5 for
     * reproducibility). ~8 interactions per part so ALS has overlap.
     */
-  private[queries] def interactions(s: SparkSession, d: String): DataFrame =
+  private[graft] def interactions(s: SparkSession, d: String): DataFrame =
     Tables.part(s, d)
       .select(col("p_partkey"), col("p_name"))
       .withColumn("i", explode(sequence(lit(0), lit(7))))

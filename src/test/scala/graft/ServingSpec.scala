@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.api.Serving
+import graft.queries.MLQueries
+import graft.sources.ModelRegistry
+import graft.tables.Tables
+
+/** Serving surface (SURVEY.md §2.9): train-once/publish/serve-many over the
+  * model registry — the reference's API lifecycle as library calls.
+  */
+class ServingSpec extends SparkSpec {
+
+  private lazy val registry =
+    new ModelRegistry(Files.createTempDirectory("graft-serving").toString)
+  private lazy val serving = new Serving(spark, registry)
+  private lazy val ratings = MLQueries.interactions(spark, sfDir)
+
+  test("train publishes a registry version with metadata") {
+    val v = serving.trainCollaborative(ratings)
+    assert(v === "v000000")
+    assert(registry.best("als") === Some(v))
+    assert(registry.metadata("als", v).contains("\"algo\":\"als\""))
+  }
+
+  test("collaborative serves per-user top-k from the PERSISTED model") {
+    serving.trainCollaborative(ratings)
+    val recs = serving.collaborative(Seq(1, 2, 3), 5).collect()
+    assert(recs.length === 15)
+    assert(recs.map(_.getAs[Int]("user_id")).distinct.sorted.toSeq === Seq(1, 2, 3))
+    recs.groupBy(_.getAs[Int]("user_id")).values.foreach { rows =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq === (1 to 5))
+      val scores = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("score"))
+      assert(scores.toSeq === scores.sortBy(-_).toSeq, "ranked by score desc")
+    }
+  }
+
+  test("hybrid blends ceil(0.7k) collaborative with content rows") {
+    serving.trainCollaborative(ratings)
+    val content = Tables.part(spark, sfDir)
+      .select(col("p_partkey").as("item_id"),
+        (col("p_retailprice") / 1000.0).as("score"))
+    val out = serving.hybrid(1, content, 10).collect()
+    assert(out.length === 10)
+    assert(out.count(_.getAs[String]("source") == "collab") === 7)
+    assert(out.count(_.getAs[String]("source") == "content") === 3)
+  }
+
+  test("catalog pagination pages partition the sorted scan") {
+    val catalog = Tables.part(spark, sfDir)
+      .select("p_partkey", "p_name", "p_retailprice")
+    val p1 = serving.catalogPage(catalog, "p_partkey", 10, 0)
+      .select("p_partkey").collect().map(_.getLong(0))
+    val p2 = serving.catalogPage(catalog, "p_partkey", 10, 10)
+      .select("p_partkey").collect().map(_.getLong(0))
+    val full = catalog.orderBy("p_partkey").limit(20)
+      .select("p_partkey").collect().map(_.getLong(0))
+    assert((p1 ++ p2).toSeq === full.toSeq,
+      "concat of pages == prefix of the full sorted scan")
+  }
+
+  test("models info reflects best and latest versions") {
+    serving.trainCollaborative(ratings) // publish at least one
+    serving.trainCollaborative(ratings, markBest = false)
+    val info = serving.modelsInfo().collect().head
+    assert(info.getAs[String]("best_version") < info.getAs[String]("latest_version"))
+  }
+}

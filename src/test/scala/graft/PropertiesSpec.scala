@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.ops.Rank
+import graft.tables.Tables
+
+/** ScalaCheck properties promised by SURVEY.md §5.3: clamp bounds,
+  * bucketization monotonicity, pagination partition property, top-k ⊆
+  * full-sort prefix, dedup idempotence, and the custom Jaccard expression
+  * against a reference-model implementation on arbitrary inputs.
+  *
+  * Each trial runs a real (small) Spark job, so trial counts are kept low —
+  * the generators cover the edge ranges (±Inf, boundaries) explicitly.
+  */
+class PropertiesSpec extends SparkSpec {
+
+  private val params = SCTest.Parameters.default.withMinSuccessfulTests(5)
+
+  private def check(p: Prop): Unit = {
+    val r = SCTest.check(params, p)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("F10/A10: clamp is bounded and identity inside [1, 5]") {
+    import spark.implicits._
+    val gen = Gen.listOfN(50, Gen.oneOf(
+      Gen.choose(-1e9, 1e9), Gen.oneOf(
+        0.999999, 1.0, 5.0, 5.000001, Double.MaxValue, -0.0,
+        Double.PositiveInfinity, Double.NegativeInfinity)))
+    check(Prop.forAll(gen) { xs =>
+      val out = xs.toDF("r")
+        .select(col("r"), greatest(lit(1.0), least(lit(5.0), col("r"))).as("c"))
+        .collect()
+      out.forall { row =>
+        val (r, c) = (row.getDouble(0), row.getDouble(1))
+        c >= 1.0 && c <= 5.0 && (!(r >= 1.0 && r <= 5.0) || c == r)
+      }
+    })
+  }
+
+  test("F2: popularity bucketization is monotone non-decreasing") {
+    import spark.implicits._
+    val gen = Gen.listOfN(60, Gen.choose(0L, 100L))
+    check(Prop.forAll(gen) { pops =>
+      val rating = when(col("pop") > 70, 5.0).when(col("pop") > 50, 4.0)
+        .when(col("pop") > 30, 3.0).when(col("pop") > 10, 2.0).otherwise(1.0)
+      val rows = pops.toDF("pop").select(col("pop"), rating.as("r"))
+        .orderBy("pop").collect()
+      rows.sliding(2).forall {
+        case Array(a, b) => a.getDouble(1) <= b.getDouble(1)
+        case _           => true
+      }
+    })
+  }
+
+  test("W4: pages partition the sorted scan (concat of pages == prefix)") {
+    val catalog = Tables.part(spark, sfDir).select("p_partkey").cache()
+    val gen = for {
+      limit  <- Gen.choose(1, 40)
+      offset <- Gen.choose(0, 60)
+    } yield (limit, offset)
+    check(Prop.forAll(gen) { case (limit, offset) =>
+      val page = Rank.firstK(catalog, offset + limit, asc("p_partkey"))
+        .filter(col("rn") > offset)
+        .select("p_partkey").collect().map(_.getLong(0)).toSeq
+      val expect = catalog.orderBy("p_partkey").limit(offset + limit)
+        .collect().map(_.getLong(0)).toSeq.drop(offset)
+      page == expect
+    })
+  }
+
+  test("W1: Rank.firstK rows equal the full-sort prefix with 1-based ranks") {
+    val df = Tables.customer(spark, sfDir).select("c_custkey", "c_acctbal").cache()
+    check(Prop.forAll(Gen.choose(1, 50)) { k =>
+      val got = Rank.firstK(df, k, desc("c_acctbal"), asc("c_custkey"))
+        .select("rn", "c_custkey").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq
+      val expect = df.orderBy(desc("c_acctbal"), asc("c_custkey")).limit(k)
+        .collect().map(_.getLong(0)).zipWithIndex
+        .map { case (id, i) => (i + 1, id) }.toSeq
+      got == expect
+    })
+  }
+
+  test("D1: dropDuplicates is idempotent and canonical under re-application") {
+    import spark.implicits._
+    val gen = Gen.listOfN(80, Gen.choose(0, 15))
+    check(Prop.forAll(gen) { keys =>
+      val df = keys.zipWithIndex.toDF("k", "seq")
+      val once = df.dropDuplicates("k")
+      val twice = once.dropDuplicates("k")
+      once.count() == twice.count() &&
+        once.select("k").collect().map(_.getInt(0)).sorted.toSeq ==
+          keys.distinct.sorted
+    })
+  }
+
+  test("JaccardSorted equals a set-model reference on arbitrary token arrays") {
+    import spark.implicits._
+    val tok = Gen.oneOf("a", "b", "c", "aa", "ab", "é", "zz", "0", "", " ")
+    val arr = Gen.listOfN(8, tok)
+    check(Prop.forAll(arr, arr) { (xs, ys) =>
+      val expect = {
+        val (sx, sy) = (xs.toSet, ys.toSet)
+        val u = (sx ++ sy).size
+        if (u == 0) 1.0 else (sx & sy).size.toDouble / u
+      }
+      val got = Seq((xs, ys)).toDF("x", "y")
+        .select(graft.functions.JaccardSorted(
+          sort_array(array_distinct(col("x"))),
+          sort_array(array_distinct(col("y")))).as("j"))
+        .collect().head.getDouble(0)
+      got == expect
+    })
+  }
+}

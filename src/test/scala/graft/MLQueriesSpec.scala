@@ -49,4 +49,54 @@ class MLQueriesSpec extends SparkSpec {
     assert(planted.length === 25, s"found ${planted.length}/25 planted dups")
     assert(planted.forall(_.getAs[Double]("jac") === 1.0))
   }
+
+  private def assertRankedPerGroup(name: String, group: String, k: Int,
+      scoreDesc: Option[String] = None): Unit = {
+    val rows = run(name).collect()
+    rows.groupBy(_.getAs[Any](group)).foreach { case (g, rs) =>
+      val ranks = rs.map(_.getAs[Int]("rank")).sorted.toSeq
+      assert(ranks === (1 to ranks.size), s"$name group $g ranks: $ranks")
+      assert(ranks.size <= k, s"$name group $g exceeds top-$k")
+      scoreDesc.foreach { sc =>
+        val scores = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double](sc))
+        assert(scores.toSeq === scores.sortBy(-_).toSeq,
+          s"$name group $g not ranked by $sc desc")
+      }
+    }
+  }
+
+  test("ALS recommendations are dense ranked top-5 per requested user") {
+    assertRankedPerGroup("ml_als_recommend", "user_id", 5)
+    assert(run("ml_als_recommend").select("user_id").distinct().count() === 10)
+  }
+
+  test("implicit NMF-equivalent recommendations share the ranked shape") {
+    assertRankedPerGroup("ml_nmf_implicit", "user_id", 5)
+  }
+
+  test("TF-IDF similar excludes the seed and ranks by cosine desc in [-1,1]") {
+    assertRankedPerGroup("ml_tfidf_similar", "seed_id", 5, Some("cos"))
+    val rows = run("ml_tfidf_similar").collect()
+    assert(rows.forall(r => r.getAs[Long]("doc_id") != r.getAs[Long]("seed_id")),
+      "W3: seed must be excluded from its own similar list")
+    assert(rows.forall(r => math.abs(r.getAs[Double]("cos")) <= 1.0001))
+  }
+
+  test("cluster recs keep <=3 per cluster ranked by popularity desc") {
+    val rows = run("ml_cluster_recs").collect()
+    rows.groupBy(_.getAs[Int]("cluster")).foreach { case (c, rs) =>
+      assert(rs.length <= 3, s"cluster $c has ${rs.length} recs")
+      val pops = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("pop"))
+      assert(pops.toSeq === pops.sortBy(-_).toSeq, s"cluster $c not pop-desc")
+    }
+  }
+
+  test("model metadata reports the declared metrics with consistent values") {
+    val m = run("ml_model_metadata").collect()
+      .map(r => r.getAs[String]("metric") -> r.getAs[Double]("value")).toMap
+    assert(m.keySet === Set("n_interactions", "n_users", "n_items", "sparsity"))
+    assert(m("n_interactions") === Tables.part(spark, sfDir).count() * 8.0)
+    val expectSparsity = 1.0 - m("n_interactions") / (m("n_users") * m("n_items"))
+    assert(math.abs(m("sparsity") - expectSparsity) < 1e-3)
+  }
 }

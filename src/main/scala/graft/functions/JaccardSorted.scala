@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Jaccard similarity of two SORTED, DISTINCT string arrays via a single
   * merge-walk — `|A∩B| / (|A|+|B|-|A∩B|)` with no per-pair hash-set or array
@@ -27,9 +27,16 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class JaccardSorted(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // Inputs must be array<string> (enforced by the Column wrapper's callers;
-  // ExpectsInputTypes is private[sql] in Spark 4, so the precondition is
-  // documented rather than analyzer-checked).
+  // Inputs must be array<string> or array<bigint> (enforced by the Column
+  // wrapper's callers; ExpectsInputTypes is private[sql] in Spark 4, so the
+  // precondition is documented rather than analyzer-checked). The long
+  // variant exists for pre-hashed token sets: one 60-bit md5-derived long
+  // per token makes each merge-walk step a primitive compare instead of a
+  // byte-wise string compare — and because the oracle hashes with the SAME
+  // md5 construction, results agree by construction even under collisions.
+  private def elemIsLong: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == LongType
+
   override def dataType: DataType = DoubleType
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
@@ -37,9 +44,12 @@ case class JaccardSorted(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     val m = y.numElements()
+    val longs = elemIsLong
     var i = 0; var j = 0; var common = 0
     while (i < n && j < m) {
-      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      val c =
+        if (longs) java.lang.Long.compare(x.getLong(i), y.getLong(j))
+        else x.getUTF8String(i).compareTo(y.getUTF8String(j))
       if (c < 0) i += 1
       else if (c > 0) j += 1
       else { common += 1; i += 1; j += 1 }
@@ -54,12 +64,15 @@ case class JaccardSorted(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val common = ctx.freshName("common"); val c = ctx.freshName("c")
       val union = ctx.freshName("union")
+      val cmp =
+        if (elemIsLong) s"java.lang.Long.compare($a.getLong($i), $b.getLong($j))"
+        else s"$a.getUTF8String($i).compareTo($b.getUTF8String($j))"
       s"""
          |final int $n = $a.numElements();
          |final int $m = $b.numElements();
          |int $i = 0; int $j = 0; int $common = 0;
          |while ($i < $n && $j < $m) {
-         |  final int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  final int $c = $cmp;
          |  if ($c < 0) { $i++; } else if ($c > 0) { $j++; }
          |  else { $common++; $i++; $j++; }
          |}

@@ -21,6 +21,14 @@ object Hashing {
   def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** First 15 hex chars of md5 as a non-negative long in [0, 2^60) — a
+    * collision-negligible token fingerprint for hashed-set similarity
+    * (the merge-walk in [[graft.functions.JaccardSorted]] compares these as
+    * primitive longs). DuckDB twin: `('0x' || substr(md5(x), 1, 15))::BIGINT`.
+    */
+  def md5Long60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Deterministic uniform fraction in [0, 1) — the engine's seeded stand-in
     * for the reference's unseeded `random.random()`
     * (reference: src/streaming_service.py:236-266).

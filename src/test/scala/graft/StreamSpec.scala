@@ -177,6 +177,40 @@ class StreamSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("custom state: flatMapGroupsWithState sessionizes with gap and timeout") {
+    import spark.implicits._
+    import graft.stream.StatefulSessions
+    import graft.stream.StatefulSessions.UserEvent
+    val base = 1704067200000L
+    val ms = MemoryStream[UserEvent](
+      implicitly[Encoder[UserEvent]], spark.sqlContext)
+    val sink = s"stateful_sessions_${System.identityHashCode(this)}"
+    val q = StatefulSessions.sessions(
+        ms.toDS().withWatermark("ts", "10 minutes"), gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory").queryName(sink).start()
+    try {
+      // session 1: three events 10 min apart; then a 2h gap opens session 2
+      // IN-BATCH (closed by the gap rule, no timeout needed)
+      ms.addData(Seq(0L, 10L, 20L, 140L, 150L).map(m =>
+        UserEvent(7L, new Timestamp(base + m * 60000L))))
+      q.processAllAvailable()
+      val afterGap = spark.table(sink).as[StatefulSessions.CompletedSession].collect()
+      assert(afterGap.length === 1, "gap-closed session emitted immediately")
+      assert(afterGap.head.n_events === 3 &&
+        afterGap.head.duration_us === 20L * 60 * 1000000)
+      // advance the watermark far past session 2's last+gap: the TIMEOUT
+      // path must close and emit it without any further user-7 events
+      ms.addData(Seq(UserEvent(99L, new Timestamp(base + 86400000L))))
+      q.processAllAvailable()
+      ms.addData(Seq(UserEvent(99L, new Timestamp(base + 2 * 86400000L))))
+      q.processAllAvailable()
+      val all = spark.table(sink).as[StatefulSessions.CompletedSession]
+        .collect().filter(_.user_id == 7L).sortBy(_.start_us)
+      assert(all.length === 2, "timeout-closed session emitted via watermark")
+      assert(all(1).n_events === 2 && all(1).duration_us === 10L * 60 * 1000000)
+    } finally q.stop()
+  }
+
   test("T10: watermark admits append output and drops late data") {
     import spark.implicits._
     val base = 1704067200000L // 2024-01-01T00:00Z

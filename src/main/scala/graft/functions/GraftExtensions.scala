@@ -1,0 +1,27 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SparkSessionExtensions hook exposing the engine's custom expressions to
+  * SQL. Activate with
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
+  * (done by the engine's entry points and test fixture); SQL users then get
+  *
+  * {{{ SELECT jaccard_sorted(sort_array(array_distinct(a)),
+  *                           sort_array(array_distinct(b))) }}}
+  *
+  * with the same codegen merge-walk the DataFrame path uses.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("jaccard_sorted"),
+      new ExpressionInfo(classOf[JaccardSorted].getName, "jaccard_sorted"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "jaccard_sorted(arrayA, arrayB)")
+        JaccardSorted(children.head, children(1))
+      }))
+  }
+}

@@ -44,6 +44,13 @@ class JaccardSortedSpec extends SparkSpec {
       "primitive-long merge-walk must agree with the string merge-walk")
   }
 
+  test("jaccard_sorted is SQL-callable via GraftExtensions") {
+    val r = spark.sql(
+      """SELECT jaccard_sorted(array('a','b','c'), array('b','c','d')) AS j"""
+    ).collect().head.getDouble(0)
+    assert(r === 0.5)
+  }
+
   test("edge cases: empty arrays, disjoint, identical, null propagation") {
     val df = spark.sql(
       """SELECT * FROM VALUES

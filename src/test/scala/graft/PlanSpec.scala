@@ -62,4 +62,12 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_semi_join").contains("LeftSemi"))
     assert(plan("q_anti_join").contains("LeftAnti"))
   }
+
+  test("the containment theta-join broadcasts its tiny build side") {
+    // J5 is inherently non-equi: acceptable ONLY as a broadcast nested
+    // loop with the small side built (never a shuffled cartesian).
+    val p = plan("q_containment_words")
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"), p)
+    assert(!p.contains("CartesianProduct"))
+  }
 }

@@ -3,13 +3,13 @@ package graft.queries
 import org.apache.spark.ml.Pipeline
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.evaluation.RegressionEvaluator
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.ml.feature.{
   HashingTF, IDF, Normalizer, RegexTokenizer, StandardScaler, StopWordsRemover,
   StringIndexer, VectorAssembler
 }
-import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.ml.recommendation.ALS
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.Hashing
@@ -77,15 +77,15 @@ object MLQueries {
       .setInputCol("features").setOutputCol("scaled")
       .setWithMean(true).setWithStd(true)
     val model = new Pipeline().setStages(Array(assembler, scaler)).fit(feats)
-    val el = udf((v: Vector, i: Int) => {
-      val r = math.rint(v(i) * 1e4) / 1e4
-      if (r == 0.0) 0.0 else r // normalize -0.0 for byte-stable hashing
-    })
+    // bround = half-even (what math.rint did); + 0.0 normalizes -0.0 for
+    // byte-stable hashing. Pure expressions — no UDF in the output path.
+    def el(i: Int): Column =
+      bround(element_at(vector_to_array(col("scaled")), i + 1), 4) + lit(0.0)
     model.transform(feats)
       .select(
         col("p_partkey"),
-        el(col("scaled"), lit(0)).as("scaled_price"),
-        el(col("scaled"), lit(1)).as("scaled_size"))
+        el(0).as("scaled_price"),
+        el(1).as("scaled_size"))
       .orderBy("p_partkey")
   }
 
@@ -234,18 +234,19 @@ object MLQueries {
       new HashingTF().setInputCol("words").setOutputCol("tf").setNumFeatures(100),
       new IDF().setInputCol("tf").setOutputCol("tfidf"),
       new Normalizer().setInputCol("tfidf").setOutputCol("norm").setP(2.0)))
-    val vecs = pipe.fit(docs).transform(docs).select("doc_id", "norm")
-    val dot = udf((a: Vector, b: Vector) => {
-      var i = 0; var acc = 0.0
-      val ai = a.toSparse; val bd = b.toDense
-      while (i < ai.indices.length) { acc += ai.values(i) * bd(ai.indices(i)); i += 1 }
-      math.rint(acc * 1e4) / 1e4
-    })
+    val vecs = pipe.fit(docs).transform(docs)
+      .select(col("doc_id"), vector_to_array(col("norm")).as("norm"))
+    // Expression-level dot over the dense arrays (index-ordered fold, same
+    // summation order as the sparse loop it replaced since + 0.0 is an
+    // identity); bround = half-even like the old math.rint.
+    def dotArr(a: Column, b: Column): Column =
+      bround(aggregate(zip_with(a, b, (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x), 4)
     val seeds = vecs.filter(col("doc_id") < 5)
       .select(col("doc_id").as("seed_id"), col("norm").as("seed_vec"))
     vecs.crossJoin(broadcast(seeds))
       .filter(col("doc_id") =!= col("seed_id"))
-      .withColumn("cos", dot(col("seed_vec"), col("norm")))
+      .withColumn("cos", dotArr(col("seed_vec"), col("norm")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("seed_id").orderBy(desc("cos"), asc("doc_id"))))
       .filter(col("rank") <= 5)
@@ -258,10 +259,9 @@ object MLQueries {
     * (reference's declared semantics: src/app.py:267-299).
     */
   private val clusterRecs: Q = (s, d) => {
-    val toVec = udf((a: Seq[Float]) =>
-      org.apache.spark.ml.linalg.Vectors.dense(a.map(_.toDouble).toArray))
     val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), toVec(col("embedding")).as("features"))
+      .select(col("vec_id"),
+        array_to_vector(col("embedding").cast("array<double>")).as("features"))
     val km = new KMeans().setK(8).setSeed(42).setFeaturesCol("features")
       .setPredictionCol("cluster")
     val clustered = km.fit(e).transform(e)

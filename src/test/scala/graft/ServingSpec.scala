@@ -67,4 +67,43 @@ class ServingSpec extends SparkSpec {
     val info = serving.modelsInfo().collect().head
     assert(info.getAs[String]("best_version") < info.getAs[String]("latest_version"))
   }
+
+  test("end-to-end: streaming retrain loop publishes servable model versions") {
+    // the reference's full lifecycle: interaction batches land on disk →
+    // the control loop crosses the pending threshold → a retrain publishes
+    // a new registry version → serving answers from the persisted model.
+    import graft.stream.{Interactions, Retrain}
+    val batchDir = Files.createTempDirectory("graft-e2e-batches").toString
+    val reg = new ModelRegistry(Files.createTempDirectory("graft-e2e-models").toString)
+    val sv = new Serving(spark, reg)
+    (0 until 3).foreach { i =>
+      Interactions.synthesize(
+          spark.range(200).select(
+            expr(s"timestamp_micros(1704067200000000 + id * 1000000)").as("timestamp"),
+            (col("id") + lit(i * 10000L)).as("value")))
+        .write.mode("overwrite").json(f"$batchDir/batch_$i%06d")
+    }
+    val c = Retrain.control(spark, batchDir,
+      Files.createTempDirectory("graft-e2e-ckpt").toString,
+      minPendingBatches = 3,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)) { df =>
+      val r = df.select(
+        col("user_id").cast("int").as("user_id"),
+        substring(col("track_id"), 2, 5).cast("int").as("item_id"),
+        col("rating"))
+      sv.trainCollaborative(r)
+      ()
+    }
+    try c.query.processAllAvailable() finally c.query.stop()
+    assert(c.totals._1 === 1L && c.totals._2 === 600L)
+    assert(reg.best("als").isDefined, "retrain must publish a BEST version")
+    // serve users that exist in the trained interaction set (cold-start
+    // users are dropped by design, reference coldStartStrategy="drop")
+    val present = spark.read.schema(Retrain.interactionSchema)
+      .json(s"$batchDir/batch_*")
+      .select(col("user_id").cast("int")).distinct()
+      .limit(2).collect().map(_.getInt(0)).toSeq
+    val recs = sv.collaborative(present, 3).collect()
+    assert(recs.length === 6, "persisted model must serve recommendations")
+  }
 }

@@ -60,4 +60,14 @@ object Ingest {
   /** S7 — JSON sink. */
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** ORC scan/sink (format capability beyond the reference's CSV/JSON):
+    * the columnar alternative where a lake standardizes on ORC — same
+    * pushdown/pruning properties as the engine's primary Parquet path.
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 }

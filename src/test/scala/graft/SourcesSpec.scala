@@ -80,6 +80,16 @@ class SourcesSpec extends SparkSpec {
       .collect().toSeq === out.collect().toSeq)
   }
 
+  test("ORC sink → ORC scan round-trips with schema intact") {
+    val dir = tmp("graft-orc")
+    val out = Tables.supplier(spark, sfDir)
+      .select("s_suppkey", "s_name", "s_acctbal").orderBy("s_suppkey")
+    Ingest.writeOrc(out, dir)
+    val back = Ingest.orc(spark, dir).orderBy("s_suppkey")
+    assert(back.schema === out.schema)
+    assert(back.collect().toSeq === out.collect().toSeq)
+  }
+
   test("S12/S13: registry publishes, loads, advances BEST, keeps last 5") {
     val reg = new ModelRegistry(tmp("graft-models"), keepLast = 5)
     val fit = new StringIndexer().setInputCol("c_mktsegment").setOutputCol("idx")

@@ -21,9 +21,9 @@ object Registry {
   final case class Entry(name: String, q: Q, oracle: Option[String])
 
   def all: Seq[Entry] =
-    Relational.entries ++ Aggregates.entries ++ Windows.entries ++
-      Scalars.entries ++ MLQueries.entries ++ LlmQueries.entries ++
-      StreamingQueries.entries
+    Relational.entries ++ Aggregates.entries ++ Stats.entries ++
+      Windows.entries ++ Scalars.entries ++ MLQueries.entries ++
+      LlmQueries.entries ++ StreamingQueries.entries
 
   def queries: Map[String, Q] = all.map(e => e.name -> e.q).toMap
   def oracleSql: Map[String, String] =

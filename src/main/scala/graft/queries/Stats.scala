@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.Num
+import graft.tables.Tables
+import Registry.{Entry, Q}
+
+/** OLAP/statistical surface beyond the reference's own aggregates: rollup
+  * hierarchies, pivoted cross-tabs, exact interpolated percentiles, and
+  * second-moment statistics — the analytics a complete engine serves that
+  * the reference computed client-side in the dashboard, when at all
+  * (reference: src/streamlit_app.py:640-670 does its "analytics" in pandas
+  * on collected rows; the engine keeps them distributed).
+  *
+  * Scale notes: rollup/pivot/stats are all single hash-aggregate shuffles
+  * with map-side partials (pivot compiles to one conditional aggregate per
+  * cell — no per-pivot-value pass); percentiles use Spark's exact
+  * `percentile` (sort-based within group) — at extreme cardinality the
+  * constant-memory swap-in is `percentile_approx`, kept out of the oracle
+  * path because sketches differ across engines.
+  */
+object Stats {
+
+  /** Rollup hierarchy: nation → mktsegment subtotals + grand total.
+    * grouping() disambiguates NULL-as-subtotal from NULL data.
+    *
+    * Aggregate-then-join, deliberately: rolling up on the fact's nation KEY
+    * and broadcast-joining the ~26 aggregate rows to names afterwards joins
+    * a constant-size result instead of every fact row — and sidesteps a
+    * Spark 4.1 analyzer quirk where rollup over a join trips the
+    * ambiguous-self-join detector (grouping-sets expansion duplicates the
+    * joined child). The name↔key bijection makes this identical to the
+    * oracle's rollup-over-join.
+    */
+  private val rollupQ: Q = (s, d) => {
+    val rolled = Tables.customer(s, d)
+      .rollup("c_nationkey", "c_mktsegment")
+      .agg(
+        count(lit(1)).as("cnt"),
+        Num.dollars(sum(Num.cents(col("c_acctbal")))).as("sum_bal"),
+        grouping("c_nationkey").as("g_nation"),
+        grouping("c_mktsegment").as("g_seg"))
+    val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+    rolled.join(broadcast(n), col("c_nationkey") === col("n_nationkey"), "left")
+      .select("n_name", "c_mktsegment", "cnt", "sum_bal", "g_nation", "g_seg")
+      .orderBy(asc_nulls_first("n_name"), asc_nulls_first("c_mktsegment"))
+  }
+
+  private val rollupSql =
+    """SELECT n_name, c_mktsegment, count(*) AS cnt,
+      |       CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_bal,
+      |       CAST(grouping(n_name) AS TINYINT) AS g_nation,
+      |       CAST(grouping(c_mktsegment) AS TINYINT) AS g_seg
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY ROLLUP (n_name, c_mktsegment)
+      |ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin
+
+  /** Pivoted cross-tab: order count per mktsegment × orderstatus. Spark's
+    * `pivot` with an explicit value list compiles to one conditional
+    * aggregate per cell — a single shuffle, no per-value scan.
+    */
+  private val pivotQ: Q = (s, d) => {
+    val o = Tables.orders(s, d).select("o_custkey", "o_orderstatus")
+    val c = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("c_mktsegment"), col("F").as("n_f"), col("O").as("n_o"),
+        col("P").as("n_p"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val pivotSql =
+    """SELECT c_mktsegment,
+      |       count(*) FILTER (o_orderstatus = 'F') AS n_f,
+      |       count(*) FILTER (o_orderstatus = 'O') AS n_o,
+      |       count(*) FILTER (o_orderstatus = 'P') AS n_p
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Exact interpolated percentiles (p50/p90/p99) of event value per type —
+    * Spark `percentile` and DuckDB `quantile_cont` share the continuous
+    * interpolation definition, so this is hash-comparable.
+    */
+  private val percentilesQ: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+      .orderBy("event_type")
+
+  private val percentilesSql =
+    """SELECT event_type,
+      |       round(quantile_cont(value, 0.5), 4) AS p50,
+      |       round(quantile_cont(value, 0.9), 4) AS p90,
+      |       round(quantile_cont(value, 0.99), 4) AS p99
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Second-moment statistics per order status: sample stddev/variance of
+    * the price and its correlation/covariance with quantity.
+    */
+  private val statsAggQ: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+        round(var_samp(col("l_extendedprice")), 2).as("var_price"),
+        round(corr(col("l_extendedprice"), col("l_quantity")), 6).as("corr_pq"),
+        round(covar_samp(col("l_extendedprice"), col("l_quantity")), 2).as("cov_pq"))
+      .orderBy("l_returnflag")
+
+  private val statsAggSql =
+    """SELECT l_returnflag,
+      |       round(stddev_samp(l_extendedprice), 2) AS sd_price,
+      |       round(var_samp(l_extendedprice), 2) AS var_price,
+      |       round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+      |       round(covar_samp(l_extendedprice, l_quantity), 2) AS cov_pq
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  val entries: Seq[Entry] = Seq(
+    Entry("q_rollup", rollupQ, Some(rollupSql)),
+    Entry("q_pivot_status", pivotQ, Some(pivotSql)),
+    Entry("q_percentiles", percentilesQ, Some(percentilesSql)),
+    Entry("q_stats_agg", statsAggQ, Some(statsAggSql)),
+  )
+}

@@ -121,10 +121,84 @@ object Stats {
       |       round(covar_samp(l_extendedprice, l_quantity), 2) AS cov_pq
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** JSON path extraction over the events' semi-structured `props` column
+    * (`{"k": 87}`-shaped): extract, type, aggregate — the scan stays
+    * columnar, only the string column is parsed, per row, in codegen.
+    */
+  private val jsonExtractQ: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("cnt"),
+        min("k").as("min_k"),
+        max("k").as("max_k"),
+        round(avg("k"), 4).as("avg_k"))
+      .orderBy("event_type")
+
+  private val jsonExtractSql =
+    """SELECT event_type, count(*) AS cnt,
+      |       min(CAST(props->>'k' AS INT)) AS min_k,
+      |       max(CAST(props->>'k' AS INT)) AS max_k,
+      |       round(avg(CAST(props->>'k' AS INT)), 4) AS avg_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Ranking-distribution window functions: percent_rank / cume_dist /
+    * ntile(4) of value within each event type, sampled to a deterministic
+    * row subset so the output stays bounded.
+    */
+  private val rankFuncsQ: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(asc("value"), asc("event_id"))
+    Tables.events(s, d)
+      .withColumn("pr", round(percent_rank().over(w), 6))
+      .withColumn("cd", round(cume_dist().over(w), 6))
+      .withColumn("quartile", ntile(4).over(w))
+      .filter(col("event_id") % 199 === 0)
+      .select("event_id", "event_type", "pr", "cd", "quartile")
+      .orderBy("event_id")
+  }
+
+  private val rankFuncsSql =
+    """SELECT event_id, event_type,
+      |       round(percent_rank() OVER (PARTITION BY event_type
+      |                                  ORDER BY value, event_id), 6) AS pr,
+      |       round(cume_dist() OVER (PARTITION BY event_type
+      |                               ORDER BY value, event_id), 6) AS cd,
+      |       ntile(4) OVER (PARTITION BY event_type
+      |                      ORDER BY value, event_id) AS quartile
+      |FROM events QUALIFY event_id % 199 = 0 ORDER BY event_id""".stripMargin
+
+  /** Set operations (the surface beyond the reference's union-only J7):
+    * customers with BOTH fulfilled and open orders (INTERSECT) and with
+    * fulfilled-only (EXCEPT), tagged and unioned. Both compile to
+    * aggregate/join plans, not row-by-row comparisons.
+    */
+  private val setOpsQ: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val f = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+    val open = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+    f.intersect(open).withColumn("tag", lit("both"))
+      .unionByName(f.except(open).withColumn("tag", lit("f_only")))
+      .orderBy("tag", "o_custkey")
+  }
+
+  private val setOpsSql =
+    """WITH f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+      |o AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+      |bo AS (SELECT o_custkey, 'both' AS tag FROM (SELECT * FROM f INTERSECT SELECT * FROM o)),
+      |fo AS (SELECT o_custkey, 'f_only' AS tag FROM (SELECT * FROM f EXCEPT SELECT * FROM o))
+      |SELECT o_custkey, tag FROM bo
+      |UNION ALL SELECT o_custkey, tag FROM fo
+      |ORDER BY tag, o_custkey""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q_rollup", rollupQ, Some(rollupSql)),
     Entry("q_pivot_status", pivotQ, Some(pivotSql)),
     Entry("q_percentiles", percentilesQ, Some(percentilesSql)),
     Entry("q_stats_agg", statsAggQ, Some(statsAggSql)),
+    Entry("q_json_extract", jsonExtractQ, Some(jsonExtractSql)),
+    Entry("q_rank_funcs", rankFuncsQ, Some(rankFuncsSql)),
+    Entry("q_set_ops", setOpsQ, Some(setOpsSql)),
   )
 }

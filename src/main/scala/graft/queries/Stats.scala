@@ -192,7 +192,83 @@ object Stats {
       |UNION ALL SELECT o_custkey, tag FROM fo
       |ORDER BY tag, o_custkey""".stripMargin
 
+  /** AS-OF join — the canonical "operator Spark lacks" (SURVEY §4 custom-op
+    * candidates), expressed by COMPOSING built-ins rather than a custom
+    * physical operator (the preference order's option (a)): union the two
+    * event streams, window per user ordered by time, carry the most recent
+    * left-side timestamp forward with last_value(ignoreNulls), keep the
+    * right-side rows. One shuffle by user — the same cost as any
+    * per-user window — where a naive inequality join would be O(n·m) per
+    * user. Semantics: each purchase matched to the user's most recent
+    * preceding-or-simultaneous click (null if none).
+    */
+  private val asofJoinQ: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(asc("us"), asc("event_id"))
+    ev.withColumn("click_us",
+        last(when(col("event_type") === "click", col("us")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"), col("event_id").as("purchase_id"),
+        col("us").as("purchase_us"), col("click_us"),
+        (col("us") - col("click_us")).as("lag_us"))
+      .orderBy("user_id", "purchase_id")
+  }
+
+  private val asofJoinSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us
+      |  FROM events WHERE event_type IN ('click', 'purchase'))
+      |SELECT user_id, event_id AS purchase_id, us AS purchase_us, click_us,
+      |       us - click_us AS lag_us
+      |FROM (SELECT *,
+      |             last_value(CASE WHEN event_type = 'click' THEN us END
+      |                        IGNORE NULLS)
+      |               OVER (PARTITION BY user_id ORDER BY us, event_id) AS click_us
+      |      FROM ev)
+      |WHERE event_type = 'purchase'
+      |ORDER BY user_id, purchase_id""".stripMargin
+
+  /** Column profiling — the data-quality pass every training pipeline runs
+    * before ingest: per-column count / nulls / min / max / cent-exact mean,
+    * in long form via `stack` so one scan profiles all columns (a single
+    * partial+final aggregate, not one job per column).
+    */
+  private val profileQ: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(expr(
+        """stack(3,
+          |  'l_quantity', l_quantity,
+          |  'l_extendedprice', l_extendedprice,
+          |  'l_discount', l_discount) AS (col_name, v)""".stripMargin))
+      .groupBy("col_name")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+        min("v").as("min_v"),
+        max("v").as("max_v"),
+        round(sum(Num.cents(col("v"))) / lit(100.0) / count(col("v")), 4).as("mean_v"))
+      .orderBy("col_name")
+
+  private val profileSql =
+    """WITH long AS (
+      |  SELECT 'l_quantity' AS col_name, l_quantity AS v FROM lineitem
+      |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem)
+      |SELECT col_name, count(*) AS n,
+      |       CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      |       min(v) AS min_v, max(v) AS max_v,
+      |       round(CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS DOUBLE) / 100.0
+      |             / count(v), 4) AS mean_v
+      |FROM long GROUP BY col_name ORDER BY col_name""".stripMargin
+
   val entries: Seq[Entry] = Seq(
+    Entry("q_asof_join", asofJoinQ, Some(asofJoinSql)),
+    Entry("q_profile", profileQ, Some(profileSql)),
     Entry("q_rollup", rollupQ, Some(rollupSql)),
     Entry("q_pivot_status", pivotQ, Some(pivotSql)),
     Entry("q_percentiles", percentilesQ, Some(percentilesSql)),

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ops.Num
+import graft.ops.{Hashing, Num}
 import graft.tables.Tables
 import Registry.{Entry, Q}
 
@@ -266,9 +266,93 @@ object Stats {
       |             / count(v), 4) AS mean_v
       |FROM long GROUP BY col_name ORDER BY col_name""".stripMargin
 
+  /** Range (interval) join — events matched to the promo window containing
+    * them. The interval dim is tiny and broadcast, so the inequality join
+    * is a broadcast nested loop over a handful of build rows per stream
+    * row — the right plan when one side is small; at big×big scale the
+    * composition is bucketize-then-equi-join (events already carry their
+    * day bucket here, which IS that rewrite: the equi-key prunes before
+    * the residual range predicate).
+    */
+  private val rangeJoinQ: Q = (s, d) => {
+    val iv = s.range(10).select(
+      col("id").as("promo_id"),
+      (lit(1704067200000000L) + col("id") * lit(86400000000L)).as("b_us"),
+      (lit(1704067200000000L) + col("id") * lit(86400000000L) + lit(43200000000L)).as("e_us"))
+    Tables.events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .join(broadcast(iv),
+        col("us") >= col("b_us") && col("us") < col("e_us"))
+      .groupBy("promo_id")
+      .agg(count(lit(1)).as("cnt"),
+        Num.dollars(sum(Num.cents(col("value")))).as("sum_value"))
+      .orderBy("promo_id")
+  }
+
+  private val rangeJoinSql =
+    """WITH iv AS (
+      |  SELECT i AS promo_id,
+      |         1704067200000000 + i * 86400000000 AS b_us,
+      |         1704067200000000 + i * 86400000000 + 43200000000 AS e_us
+      |  FROM (SELECT unnest(range(0, 10)) AS i))
+      |SELECT promo_id, count(*) AS cnt,
+      |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+      |FROM events JOIN iv
+      |  ON epoch_ns(ts) // 1000 >= b_us AND epoch_ns(ts) // 1000 < e_us
+      |GROUP BY promo_id ORDER BY promo_id""".stripMargin
+
+  /** Count-min sketch of user-id frequencies, built as ONE hash aggregate:
+    * 4 depths × 256 buckets via deterministic md5-derived hashes — the
+    * streaming-friendly heavy-hitter sketch, constructed distributed and
+    * (because the hash family is md5) byte-identical in the oracle. Output
+    * is the sketch's point estimates (min over depths) for three probe
+    * users next to their exact counts, so over-estimation bias is visible
+    * and bounded.
+    */
+  private val countMinQ: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val cells = ev.select(col("user_id"),
+        explode(expr(
+          """transform(sequence(0, 3), dd -> named_struct(
+            |  'depth', dd,
+            |  'bucket', pmod(cast(conv(substring(md5(concat(cast(dd as string), ':', cast(user_id as string))), 1, 8), 16, 10) as bigint), 256L)))"""
+            .stripMargin)).as("c"))
+      .groupBy(col("c.depth").as("depth"), col("c.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val probes = ev.filter(col("user_id") < 3)
+      .groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+      .withColumn("depth", explode(sequence(lit(0), lit(3))))
+      .withColumn("bucket",
+        pmod(Hashing.md5Long(concat(col("depth"), lit(":"), col("user_id"))), lit(256L)))
+    probes.join(cells, Seq("depth", "bucket"))
+      .groupBy("user_id", "exact_cnt")
+      .agg(min("cnt").as("cm_estimate"))
+      .orderBy("user_id")
+  }
+
+  private val countMinSql =
+    """WITH cells AS (
+      |  SELECT dd AS depth,
+      |         ('0x' || substr(md5(dd || ':' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 256 AS bucket,
+      |         count(*) AS cnt
+      |  FROM events, (SELECT unnest(range(0, 4)) AS dd)
+      |  GROUP BY depth, bucket),
+      |probes AS (
+      |  SELECT user_id, count(*) AS exact_cnt FROM events
+      |  WHERE user_id < 3 GROUP BY user_id),
+      |pb AS (
+      |  SELECT user_id, exact_cnt, dd AS depth,
+      |         ('0x' || substr(md5(dd || ':' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 256 AS bucket
+      |  FROM probes, (SELECT unnest(range(0, 4)) AS dd))
+      |SELECT pb.user_id, pb.exact_cnt, min(cells.cnt) AS cm_estimate
+      |FROM pb JOIN cells ON pb.depth = cells.depth AND pb.bucket = cells.bucket
+      |GROUP BY pb.user_id, pb.exact_cnt ORDER BY pb.user_id""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q_asof_join", asofJoinQ, Some(asofJoinSql)),
     Entry("q_profile", profileQ, Some(profileSql)),
+    Entry("q_range_join", rangeJoinQ, Some(rangeJoinSql)),
+    Entry("q_countmin", countMinQ, Some(countMinSql)),
     Entry("q_rollup", rollupQ, Some(rollupSql)),
     Entry("q_pivot_status", pivotQ, Some(pivotSql)),
     Entry("q_percentiles", percentilesQ, Some(percentilesSql)),

@@ -2,8 +2,9 @@ package graft.api
 
 import org.apache.spark.ml.recommendation.{ALS, ALSModel}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.Rank
+import graft.ops.{Hashing, Rank}
 import graft.sources.ModelRegistry
 
 /** The serving surface (SURVEY.md §2.9): the reference's Flask endpoints
@@ -46,6 +47,61 @@ final class Serving(spark: SparkSession, registry: ModelRegistry) {
     val v = registry.best("als").getOrElse(
       throw new IllegalStateException("no published collaborative model"))
     ALSModel.load(registry.modelPath("als", v))
+  }
+
+  private def alsAt(version: String): ALSModel =
+    ALSModel.load(registry.modelPath("als", version))
+
+  private def fromModel(model: ALSModel, userIds: Seq[Int], k: Int): DataFrame = {
+    import spark.implicits._
+    model.recommendForUserSubset(userIds.toDF("user_id"), k)
+      .select(col("user_id"), posexplode(col("recommendations")).as(Seq("pos", "rec")))
+      .select(col("user_id"), (col("pos") + 1).as("rank"),
+        col("rec.item_id").as("item_id"),
+        round(col("rec.rating").cast("double"), 4).as("score"))
+  }
+
+  /** Hash-synthesized fallback recommendations — the bottom serving tier
+    * (reference: src/app_optimized.py:481-513 `get_simulated_recommendations`:
+    * per-user seeded shuffle of the catalog, `rating = 4.0 - i*0.1 +
+    * (user_hash%100)/100`, clamped to [1,5]). The Spark twin replaces the
+    * driver-side `np.random.shuffle` with a deterministic per-(user,item)
+    * md5 ordering — same "consistent per user" contract, but distributed:
+    * one window top-k per user, no driver loop, any catalog size.
+    */
+  def synthetic(userIds: Seq[Int], catalog: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    val shuffleKey = Hashing.md5Long(
+      concat(col("user_id").cast("string"), lit("#"), col("item_id").cast("string")))
+    val w = Window.partitionBy("user_id").orderBy(asc("hk"), asc("item_id"))
+    userIds.toDF("user_id")
+      .crossJoin(broadcast(catalog.select("item_id")))
+      .withColumn("hk", shuffleKey)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("user_id"), col("rank"), col("item_id"),
+        round(greatest(lit(1.0), least(lit(5.0),
+          lit(4.0) - (col("rank") - 1) * lit(0.1)
+            + pmod(col("user_id"), lit(100)) / lit(100.0))), 2).as("score"))
+  }
+
+  /** GET /recommend/collaborative with the reference's source-preference
+    * chain (src/app_optimized.py:516-540,594-633): serve the registry's
+    * BEST trained model; if no BEST pointer exists fall back to the latest
+    * published version; with an empty registry serve hash-synthesized
+    * recommendations over `catalog` — the coalesce-style tiering SURVEY §2.9
+    * promises. The `tier` column names the source that actually served.
+    */
+  def collaborativeTiered(userIds: Seq[Int], k: Int,
+      catalog: DataFrame): DataFrame = {
+    val (df, tier) = registry.best("als") match {
+      case Some(v) => (fromModel(alsAt(v), userIds, k), "trained-best")
+      case None => registry.latest("als") match {
+        case Some(v) => (fromModel(alsAt(v), userIds, k), "trained-latest")
+        case None => (synthetic(userIds, catalog, k), "synthetic")
+      }
+    }
+    df.withColumn("tier", lit(tier)).orderBy("user_id", "rank")
   }
 
   /** GET /recommend/collaborative/&lt;user&gt;?num=k — per-user top-k from the

@@ -23,5 +23,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "jaccard_sorted(arrayA, arrayB)")
         JaccardSorted(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "dot_product(arrayA, arrayB)")
+        DotProduct(children.head, children(1))
+      }))
   }
 }

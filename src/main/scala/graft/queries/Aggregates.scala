@@ -48,8 +48,7 @@ object Aggregates {
   /** A3 — exact count-distinct per group (reference `nunique` per batch,
     * src/streaming_service.py:336-337). countDistinct shuffles by
     * (group, value) for partial dedup — the exact-at-scale plan;
-    * approx_count_distinct is the constant-memory variant (ml-side only,
-    * not oracle-comparable since HLL sketches differ between engines).
+    * [[countDistinctApproxQ]] is the constant-memory HLL variant.
     */
   private val countDistinctQ: Q = (s, d) => {
     val o = Tables.orders(s, d)
@@ -60,6 +59,24 @@ object Aggregates {
         countDistinct(col("o_custkey")).as("n_cust"),
         count(lit(1)).as("n_orders"),
         Num.dollars(sum(Num.cents(col("o_totalprice")))).as("sum_total"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** HLL twin of [[countDistinctQ]] — `approx_count_distinct` keeps one
+    * bounded HyperLogLog++ sketch per group instead of shuffling every
+    * (group, value) pair for exact dedup: at extreme cardinality the exact
+    * plan's shuffle is the bottleneck, the sketch's isn't. HLL registers
+    * aren't cross-engine comparable, so no SQL oracle; the relative-error
+    * property test vs the exact query is the gate (PropertiesSpec).
+    */
+  private val countDistinctApproxQ: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        approx_count_distinct(col("o_custkey"), 0.02).as("n_cust_approx"),
+        count(lit(1)).as("n_orders"))
       .orderBy("c_mktsegment")
   }
 
@@ -198,6 +215,7 @@ object Aggregates {
   val entries: Seq[Entry] = Seq(
     Entry("q1_agg", q1Agg, Some(q1AggSql)),
     Entry("q_count_distinct", countDistinctQ, Some(countDistinctSql)),
+    Entry("q_count_distinct_approx", countDistinctApproxQ, None),
     Entry("q_distribution", distribution, Some(distributionSql)),
     Entry("q_max_by", maxBy, Some(maxBySql)),
     Entry("q_topk_group", topkGroup, Some(topkGroupSql)),

@@ -22,12 +22,16 @@ import Registry.{Entry, Q}
   */
 object LlmQueries {
 
-  /** Dot product of two double arrays via higher-order functions — stays in
-    * codegen; summation is a sequential left fold, so it matches DuckDB's
-    * list functions bit-for-bit.
+  /** Dot product of two double arrays — custom codegen index loop
+    * ([[graft.functions.DotProduct]]); the HOF formulation
+    * `aggregate(zip_with(...))` is CodegenFallback and pays two interpreted
+    * closures plus a zipped intermediate array per pair, which dominates on
+    * the blocked-pair and query×corpus paths below. Summation stays the
+    * same sequential left fold, so it matches DuckDB's list functions (and
+    * the previous HOF results) bit-for-bit.
     */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.DotProduct(a, b)
 
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -57,39 +61,81 @@ object LlmQueries {
       |FROM all_docs GROUP BY fp HAVING count(*) > 1
       |ORDER BY canonical_id""".stripMargin
 
+  /** Per-doc sorted/deduped 60-bit token fingerprints — the shared input of
+    * exact-Jaccard scoring: tokens are md5-fingerprinted to longs and
+    * sorted ONCE per doc so every pair compare is an allocation-free
+    * primitive merge-walk ([[graft.functions.JaccardSorted]]).
+    */
+  private def tokenSets(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(col("doc_id"), col("lang"),
+      sort_array(array_distinct(
+        transform(split(col("text"), " "), w => Hashing.md5Long60(w)))).as("toks"))
+      .withColumn("n", size(col("toks")))
+
+  /** EXACT all-pairs word-set Jaccard within `blockCols` blocks — the
+    * verification oracle of the dedup family, NOT the 100 TB discovery
+    * path (that is [[minhashDedup]]'s banded LSH; route its candidate pairs
+    * into [[jaccardVerify]] at scale). The pair space is inherently
+    * O(maxBlock²), so the precondition REFUSES to run when any block
+    * exceeds `maxBlockRows` — a corpus where one lang is the whole dataset
+    * cannot silently go cartesian.
+    *
+    * Per-pair cost is the engineered part: one codegen merge-walk per pair
+    * instead of two hash-set builds (array_intersect+array_union), with the
+    * length-ratio bound (jac ≥ t ⇒ min(|A|,|B|)/max(|A|,|B|) ≥ t) pruning
+    * pairs before any comparison. The oracle hashes with the SAME md5
+    * construction, so results agree by construction.
+    */
+  def jaccardPairs(docs: org.apache.spark.sql.DataFrame,
+      blockCols: Seq[String], threshold: Double,
+      maxBlockRows: Long = 65536L): org.apache.spark.sql.DataFrame = {
+    require(blockCols.nonEmpty,
+      "exact Jaccard needs a blocking key; unblocked all-pairs is O(n²) — " +
+        "use the MinHash LSH path for global discovery")
+    val t = tokenSets(docs)
+    val biggest = t.groupBy(blockCols.map(col).toIndexedSeq: _*)
+      .count().agg(max("count")).first().getLong(0)
+    require(biggest <= maxBlockRows,
+      s"largest ${blockCols.mkString(",")} block has $biggest rows " +
+        s"(> $maxBlockRows): the all-pairs space would be ~${biggest * biggest / 2} " +
+        "pairs. Use q_minhash_dedup's banded LSH for discovery and " +
+        "jaccardVerify on its candidates for exact scores.")
+    val a = t.select(col("doc_id").as("doc_a"),
+      col("lang"), col("toks").as("toks_a"), col("n").as("n_a"))
+    val b = t.select(col("doc_id").as("doc_b"),
+      col("lang"), col("toks").as("toks_b"), col("n").as("n_b"))
+    val ratio = lit(threshold)
+    a.join(b, blockCols)
+      .filter(col("doc_a") < col("doc_b") &&
+        col("n_a") >= col("n_b") * ratio && col("n_b") >= col("n_a") * ratio)
+      .withColumn("jac",
+        round(graft.functions.JaccardSorted(col("toks_a"), col("toks_b")), 4))
+      .filter(col("jac") >= threshold)
+      .select("doc_a", "doc_b", "jac")
+  }
+
+  /** Exact-Jaccard verification of CANDIDATE pairs (doc_a, doc_b) — the
+    * scale path's second stage: LSH proposes (sub-quadratic), this scores
+    * each proposed pair exactly with one equi-join per side and one
+    * merge-walk per pair. Pair count is the candidate count, never n².
+    */
+  def jaccardVerify(docs: org.apache.spark.sql.DataFrame,
+      candidates: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val t = tokenSets(docs)
+    candidates.select("doc_a", "doc_b")
+      .join(t.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), "doc_a")
+      .join(t.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(graft.functions.JaccardSorted(col("toks_a"), col("toks_b")), 4).as("jac"))
+  }
+
   /** Near-dup by word-set Jaccard, blocked by lang so the pair space is
     * per-block O(k²) instead of global O(n²) — the same blocking that makes
     * this viable at scale (LSH buckets play the lang role there).
     */
-  private val dedupJaccard: Q = (s, d) => {
-    // The answer set is inherently quadratic within a lang block (this IS
-    // all-pairs n-gram Jaccard; MinHash below is the sub-quadratic scale
-    // path), so the win is per-pair cost: tokens are md5-fingerprinted to
-    // 60-bit longs and sorted+deduped ONCE per doc, each pair is one
-    // allocation-free primitive-compare merge-walk (custom codegen
-    // expression [[graft.functions.JaccardSorted]]) instead of the two
-    // string-hash-set builds of array_intersect+array_union, and the
-    // length-ratio bound (jac ≥ 0.5 ⇒ min(|A|,|B|)/max(|A|,|B|) ≥ 0.5)
-    // prunes pairs before any comparison. The oracle hashes with the SAME
-    // md5 construction, so results agree by construction.
-    val t = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"),
-        sort_array(array_distinct(
-          transform(split(col("text"), " "), w => Hashing.md5Long60(w)))).as("toks"))
-      .withColumn("n", size(col("toks")))
-    val a = t.select(col("doc_id").as("doc_a"), col("lang"),
-      col("toks").as("toks_a"), col("n").as("n_a"))
-    val b = t.select(col("doc_id").as("doc_b"), col("lang"),
-      col("toks").as("toks_b"), col("n").as("n_b"))
-    a.join(b, Seq("lang"))
-      .filter(col("doc_a") < col("doc_b") &&
-        col("n_a") * 2 >= col("n_b") && col("n_b") * 2 >= col("n_a"))
-      .withColumn("jac",
-        round(graft.functions.JaccardSorted(col("toks_a"), col("toks_b")), 4))
-      .filter(col("jac") >= 0.5)
-      .select("doc_a", "doc_b", "jac")
+  private val dedupJaccard: Q = (s, d) =>
+    jaccardPairs(Tables.documents(s, d), Seq("lang"), 0.5)
       .orderBy("doc_a", "doc_b")
-  }
 
   private val dedupJaccardSql =
     """WITH t AS (SELECT doc_id, lang,
@@ -400,6 +446,75 @@ object LlmQueries {
       |      FROM scored)
       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
+  /** Trained-codebook IVF ANN — the scale path [[annIvf]]'s scaladoc
+    * promises: a KMeans codebook (seed 42, the corpus-trained twin of
+    * FAISS's IVF coarse quantizer) replaces the fixed sign-bit quantizer,
+    * and queries probe their `nprobe` NEAREST centroids instead of exactly
+    * one bucket — the recall lever real IVF deployments turn.
+    *
+    * Plan shape at 100 TB: one KMeans fit (sampled in practice), one
+    * map-side assignment pass, shuffle-by-bucket; each query scores
+    * ~nprobe/k of the corpus. The centroid table is k rows — broadcast by
+    * construction. Not SQL-expressible (iterative fit), so driver-checked
+    * rows-only; the REAL gate is the recall@k property test vs the
+    * brute-force ground truth in MLQueriesSpec — recall ≥ 0.9 at nprobe 2
+    * on a corpus WITH cluster structure (IVF's contract presumes locality;
+    * on a uniform-random corpus like the synthetic `embeddings` table NO
+    * quantizer beats ~nprobe/k coverage, so there the gate is
+    * nprobe-monotonicity + full-probe ≡ brute force vs [[embedCosineTopk]]).
+    */
+  def annTrainedOn(embeddings: org.apache.spark.sql.DataFrame, numQueries: Int,
+      k: Int, nprobe: Int, topK: Int): org.apache.spark.sql.DataFrame = {
+    val s = embeddings.sparkSession
+    import s.implicits._
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    // L2-normalize first: on the unit sphere euclidean cells ARE cosine
+    // neighborhoods (‖a−b‖² = 2−2·cosθ), so the euclidean KMeans codebook
+    // partitions by the metric we search with — clustering raw magnitudes
+    // would split cosine-near vectors across cells. Cosine then reduces to
+    // a plain dot product (no per-pair sqrt).
+    val e = embeddings
+      .select(col("vec_id"), col("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("vn", transform(col("v"), x => x / col("nrm")))
+      .select("vec_id", "vn")
+    val feat = e.withColumn("features", array_to_vector(col("vn")))
+    val km = new KMeans().setK(k).setSeed(42).setMaxIter(20)
+      .setFeaturesCol("features").fit(feat)
+    val assigned = km.transform(feat)
+      .select(col("vec_id"), col("vn"), col("prediction").as("bucket"))
+    val cents = km.clusterCenters.toSeq.map(_.toArray).zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("bucket", "cv")
+    // nprobe nearest centroids per query by squared euclidean distance;
+    // ||q||² is constant per query so d² ranks equal to (||c||² - 2·q·c)
+    val probes = assigned.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("vn").as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d2", dot(col("cv"), col("cv")) - lit(2.0) * dot(col("qv"), col("cv")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("q_id").orderBy(asc("d2"), asc("bucket"))))
+      .filter(col("pr") <= nprobe)
+      .select("q_id", "qv", "bucket")
+    probes.join(assigned, Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(dot(col("qv"), col("vn")), 3))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))))
+      .filter(col("rank") <= topK)
+      .select("q_id", "rank", "vec_id", "cos")
+      .orderBy("q_id", "rank")
+  }
+
+  def annTrained(s: org.apache.spark.sql.SparkSession, d: String,
+      k: Int = 16, nprobe: Int = 2, topK: Int = 5): org.apache.spark.sql.DataFrame =
+    annTrainedOn(
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      numQueries = 10, k = k, nprobe = nprobe, topK = topK)
+
+  private val annTrainedQ: Q = (s, d) => annTrained(s, d)
+
   /** Language-ID by stopword-hit voting (n-gram heuristic): tokens join a
     * tiny broadcast stopword dim, argmax per doc with deterministic ties,
     * reported as a lang×prediction confusion matrix.
@@ -594,6 +709,7 @@ object LlmQueries {
     Entry("q_embed_cosine_topk", embedCosineTopk, Some(embedCosineTopkSql)),
     Entry("q_dedup_embed", dedupEmbed, Some(dedupEmbedSql)),
     Entry("q_ann_ivf", annIvf, Some(annIvfSql)),
+    Entry("ml_ann_trained", annTrainedQ, None),
     Entry("q_lang_id", langId, Some(langIdSql)),
     Entry("q_quality_score", qualityScore, Some(qualityScoreSql)),
     Entry("q_token_count", tokenCount, Some(tokenCountSql)),

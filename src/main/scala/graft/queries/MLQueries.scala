@@ -236,12 +236,12 @@ object MLQueries {
       new Normalizer().setInputCol("tfidf").setOutputCol("norm").setP(2.0)))
     val vecs = pipe.fit(docs).transform(docs)
       .select(col("doc_id"), vector_to_array(col("norm")).as("norm"))
-    // Expression-level dot over the dense arrays (index-ordered fold, same
-    // summation order as the sparse loop it replaced since + 0.0 is an
-    // identity); bround = half-even like the old math.rint.
+    // Codegen dot over the dense arrays ([[graft.functions.DotProduct]]:
+    // index-ordered fold, same summation order as the HOF and sparse loops
+    // it replaced since + 0.0 is an identity); bround = half-even like the
+    // old math.rint.
     def dotArr(a: Column, b: Column): Column =
-      bround(aggregate(zip_with(a, b, (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x), 4)
+      bround(graft.functions.DotProduct(a, b), 4)
     val seeds = vecs.filter(col("doc_id") < 5)
       .select(col("doc_id").as("seed_id"), col("norm").as("seed_vec"))
     vecs.crossJoin(broadcast(seeds))

@@ -100,6 +100,22 @@ object Stats {
       |       round(quantile_cont(value, 0.99), 4) AS p99
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Constant-memory twin of [[percentilesQ]] — `percentile_approx`
+    * (Greenwald-Khanna sketch, bounded state per group) is the swap-in at
+    * extreme cardinality where the exact sort-based `percentile` would
+    * spill. Sketches aren't cross-engine comparable, so no SQL oracle;
+    * the error-bound property test vs the exact query is the gate
+    * (PropertiesSpec).
+    */
+  private val percentilesApproxQ: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile_approx(value, 0.5, 10000)"), 4).as("p50"),
+        round(expr("percentile_approx(value, 0.9, 10000)"), 4).as("p90"),
+        round(expr("percentile_approx(value, 0.99, 10000)"), 4).as("p99"))
+      .orderBy("event_type")
+
   /** Second-moment statistics per order status: sample stddev/variance of
     * the price and its correlation/covariance with quantity.
     */
@@ -356,6 +372,7 @@ object Stats {
     Entry("q_rollup", rollupQ, Some(rollupSql)),
     Entry("q_pivot_status", pivotQ, Some(pivotSql)),
     Entry("q_percentiles", percentilesQ, Some(percentilesSql)),
+    Entry("q_percentiles_approx", percentilesApproxQ, None),
     Entry("q_stats_agg", statsAggQ, Some(statsAggSql)),
     Entry("q_json_extract", jsonExtractQ, Some(jsonExtractSql)),
     Entry("q_rank_funcs", rankFuncsQ, Some(rankFuncsSql)),

@@ -144,15 +144,16 @@ object Windows {
     * reference's processing-time-only streaming, SURVEY.md §2.8 T10).
     */
   private val sessionGap: Q = (s, d) => {
-    val byTs = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    val byUs = Window.partitionBy("user_id").orderBy(asc("us"), asc("event_id"))
     val gapUs = 1800L * 1000000L
     Tables.events(s, d)
       .withColumn("us", unix_micros(col("ts")))
+      .select("user_id", "event_id", "us")
       .withColumn(
         "new_s",
         when(
-          lag(col("us"), 1).over(byTs).isNull ||
-            col("us") - lag(col("us"), 1).over(byTs) > gapUs, lit(1))
+          lag(col("us"), 1).over(byUs).isNull ||
+            col("us") - lag(col("us"), 1).over(byUs) > gapUs, lit(1))
           .otherwise(lit(0)))
       .withColumn(
         "session_id",
@@ -181,9 +182,13 @@ object Windows {
       |              THEN 1 ELSE 0 END AS new_s
       |  FROM events),
       |y AS (
+      |  -- CAST: DuckDB window SUM(BIGINT) yields HUGEINT, which lands as
+      |  -- float64 in the driver's pandas compare while Spark writes int64 —
+      |  -- numerically equal values then hash differently (the r03/r04 red
+      |  -- cell). Force BIGINT so both sides carry identical dtypes.
       |  SELECT user_id, us,
-      |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
-      |                          ROWS UNBOUNDED PRECEDING) AS session_id
+      |         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       |  FROM x)
       |SELECT user_id, session_id, count(*) AS n_events,
       |       CAST(floor((max(us) - min(us)) / 1000000.0) AS BIGINT) AS span_s

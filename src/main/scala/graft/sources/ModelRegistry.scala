@@ -1,9 +1,7 @@
 package graft.sources
 
-import java.nio.file.{Files, Path, Paths}
-import java.util.Comparator
-
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 import org.apache.spark.ml.util.MLWritable
 
@@ -24,16 +22,38 @@ import org.apache.spark.ml.util.MLWritable
   * replays are deterministic; `keepLast` prunes old versions after each
   * publish. A "symlink" is a one-line pointer file — portable to object
   * stores (s3a://) where symlinks don't exist.
+  *
+  * All IO goes through `org.apache.hadoop.fs.FileSystem` resolved from the
+  * root URI — the same abstraction MLlib's own writers use — so the registry
+  * addresses `file://`, `hdfs://`, and `s3a://` roots identically (S11). On
+  * object stores the pointer-file rewrite relies on put-overwrite, which S3
+  * provides atomically per key.
   */
-final class ModelRegistry(root: String, keepLast: Int = 5) {
+final class ModelRegistry(root: String, keepLast: Int = 5,
+    conf: Configuration = new Configuration()) {
 
-  private def nameDir(name: String): Path = Paths.get(root, name)
+  private val rootPath = new Path(root)
+  private val fs: FileSystem = rootPath.getFileSystem(conf)
+
+  private def nameDir(name: String): Path = new Path(rootPath, name)
+
+  private def readString(p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  private def writeString(p: Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes("UTF-8"))
+    finally out.close()
+  }
 
   private def versions(name: String): Seq[String] = {
     val d = nameDir(name)
-    if (!Files.isDirectory(d)) Seq.empty
-    else Files.list(d).iterator().asScala
-      .map(_.getFileName.toString).filter(_.startsWith("v")).toSeq.sorted
+    if (!fs.exists(d) || !fs.getFileStatus(d).isDirectory) Seq.empty
+    else fs.listStatus(d).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("v")).sorted
   }
 
   /** Latest version id for `name`, if any published. */
@@ -41,16 +61,16 @@ final class ModelRegistry(root: String, keepLast: Int = 5) {
 
   /** The version id the BEST pointer references, if set. */
   def best(name: String): Option[String] = {
-    val p = nameDir(name).resolve("BEST")
-    if (Files.exists(p)) Some(Files.readString(p).trim) else None
+    val p = new Path(nameDir(name), "BEST")
+    if (fs.exists(p)) Some(readString(p).trim) else None
   }
 
   /** Path to a version's MLlib model dir (pass to `XxxModel.load`). */
   def modelPath(name: String, version: String): String =
-    nameDir(name).resolve(version).resolve("model").toString
+    new Path(new Path(nameDir(name), version), "model").toString
 
   def metadata(name: String, version: String): String =
-    Files.readString(nameDir(name).resolve(version).resolve("metadata.json"))
+    readString(new Path(new Path(nameDir(name), version), "metadata.json"))
 
   /** Publish a new version: MLlib save + metadata, advance BEST when
     * `markBest`, prune to `keepLast`. Returns the new version id.
@@ -60,11 +80,11 @@ final class ModelRegistry(root: String, keepLast: Int = 5) {
     val seq = versions(name).lastOption
       .map(v => v.stripPrefix("v").toInt + 1).getOrElse(0)
     val version = f"v$seq%06d"
-    val vdir = nameDir(name).resolve(version)
-    Files.createDirectories(vdir)
-    model.write.overwrite().save(vdir.resolve("model").toString)
-    Files.writeString(vdir.resolve("metadata.json"), metadataJson)
-    if (markBest) Files.writeString(nameDir(name).resolve("BEST"), version)
+    val vdir = new Path(nameDir(name), version)
+    fs.mkdirs(vdir)
+    model.write.overwrite().save(new Path(vdir, "model").toString)
+    writeString(new Path(vdir, "metadata.json"), metadataJson)
+    if (markBest) writeString(new Path(nameDir(name), "BEST"), version)
     gc(name)
     version
   }
@@ -74,9 +94,7 @@ final class ModelRegistry(root: String, keepLast: Int = 5) {
     val vs = versions(name)
     val keep = (vs.takeRight(keepLast) ++ best(name)).toSet
     vs.filterNot(keep).foreach { v =>
-      val d = nameDir(name).resolve(v)
-      Files.walk(d).sorted(Comparator.reverseOrder[Path]())
-        .iterator().asScala.foreach(Files.delete)
+      fs.delete(new Path(nameDir(name), v), true)
     }
   }
 }

@@ -68,4 +68,35 @@ class JaccardSortedSpec extends SparkSpec {
     assert(out(3) === 0.0)
     assert(out(4) === null, "null input propagates null")
   }
+
+  test("jaccardPairs guard refuses blocks whose all-pairs space explodes") {
+    import graft.queries.LlmQueries
+    import graft.tables.Tables
+    val docs = Tables.documents(spark, sfDir)
+    // The sf0.001 lang blocks are tiny; with a cap below the largest block
+    // the precondition must refuse rather than go quadratic.
+    val e = intercept[IllegalArgumentException] {
+      LlmQueries.jaccardPairs(docs, Seq("lang"), 0.5, maxBlockRows = 2L)
+    }
+    assert(e.getMessage.contains("jaccardVerify"),
+      "guard message points to the LSH-candidates scale path")
+    val unblocked = intercept[IllegalArgumentException] {
+      LlmQueries.jaccardPairs(docs, Seq.empty, 0.5)
+    }
+    assert(unblocked.getMessage.contains("blocking key"))
+  }
+
+  test("jaccardVerify on LSH-style candidates equals all-pairs exact scores") {
+    import graft.queries.LlmQueries
+    import graft.tables.Tables
+    val docs = Tables.documents(spark, sfDir)
+    val exact = LlmQueries.jaccardPairs(docs, Seq("lang"), 0.5)
+    // feed the exact result's pair list back as "candidates": the verifier
+    // must reproduce identical scores via its join-per-side plan
+    val verified = LlmQueries.jaccardVerify(docs, exact.select("doc_a", "doc_b"))
+      .orderBy("doc_a", "doc_b").collect()
+    val expected = exact.orderBy("doc_a", "doc_b").collect()
+    assert(verified.map(_.toString).toSeq === expected.map(_.toString).toSeq)
+    assert(verified.nonEmpty, "sf0.001 corpus must yield at least one near-dup pair")
+  }
 }

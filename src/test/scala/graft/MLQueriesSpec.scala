@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import graft.queries.Registry
 import graft.tables.Tables
 
@@ -89,6 +90,66 @@ class MLQueriesSpec extends SparkSpec {
       val pops = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("pop"))
       assert(pops.toSeq === pops.sortBy(-_).toSeq, s"cluster $c not pop-desc")
     }
+  }
+
+  test("trained-IVF ANN reaches recall@5 >= 0.9 at nprobe 2 on clustered data") {
+    // IVF's contract presumes locality, so the recall gate runs on a corpus
+    // that HAS it: 20 deterministic well-separated centers × 15 members
+    // with small perturbations. (The synthetic embeddings table is
+    // uniform-random 64-dim — no quantizer can localize cosine neighbors
+    // there; it gets the structural gates in the next test instead.)
+    import spark.implicits._
+    import graft.queries.LlmQueries
+    // orthogonal basis centers (dim > #centers) + small deterministic noise:
+    // within-cluster cosine ≈ 0.98, cross-cluster ≈ 0.05 — clean locality
+    val dim = 32
+    def vec(center: Int, member: Int): Array[Double] =
+      Array.tabulate(dim) { j =>
+        (if (j == center) 1.0 else 0.0) +
+          0.05 * math.sin(center + member * 13 + j * 7)
+      }
+    val corpus = (for (c <- 0 until 20; m <- 0 until 15)
+      yield (c * 15L + m, vec(c, m).toSeq)).toDF("vec_id", "v")
+      .select(col("vec_id"), col("v").cast("array<double>").as("v"))
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r =>
+        (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    // brute-force ground truth over the normalized corpus (the metric ANN
+    // uses), computed in-Scala: 300 vectors
+    val all = corpus.collect().map(r =>
+      (r.getAs[Long]("vec_id"), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d, na, nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val truth = (for ((qid, qv) <- all.filter(_._1 < 10)) yield {
+      all.filter(_._1 != qid).map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(p => (qid, p._1))
+    }).flatten.toSet
+    val ann = pairs(LlmQueries.annTrainedOn(corpus, numQueries = 10,
+      k = 20, nprobe = 2, topK = 5))
+    val recall = (ann & truth).size.toDouble / truth.size
+    assert(truth.size === 50)
+    assert(recall >= 0.9, s"recall@5 = $recall at nprobe=2 on clustered corpus")
+  }
+
+  test("trained-IVF ANN on the random corpus: nprobe-monotone, full-probe ≡ brute force") {
+    import graft.queries.LlmQueries
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r =>
+        (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val truth = pairs(run("q_embed_cosine_topk"))
+    assert(truth.size === 50)
+    val r2 = (pairs(LlmQueries.annTrained(spark, sfDir, nprobe = 2)) & truth).size
+    val r4 = (pairs(LlmQueries.annTrained(spark, sfDir, nprobe = 4)) & truth).size
+    assert(r4 >= r2, s"recall must be monotone in nprobe ($r4 < $r2)")
+    // probing every cell makes IVF exhaustive — it must recover brute force
+    // (tolerance 1: cos is rounded to 3 decimals before ranking, and the
+    // normalized dot in ANN can flip a rounding boundary vs the raw cosine)
+    val rAll = (pairs(LlmQueries.annTrained(spark, sfDir, nprobe = 16)) & truth).size
+    assert(rAll >= truth.size - 1, s"full probe recovered only $rAll/${truth.size}")
   }
 
   test("model metadata reports the declared metrics with consistent values") {

@@ -114,4 +114,43 @@ class PropertiesSpec extends SparkSpec {
       got == expect
     })
   }
+
+  test("sketch twins stay within their error bounds vs the exact queries") {
+    val byType = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => r.getString(0) -> r).toMap
+    // percentile_approx (GK sketch) carries a RANK guarantee, not a value
+    // guarantee: with accuracy 10000 >> group size the rank error is < 1,
+    // so the result must be an order statistic adjacent to the quantile
+    // position. A relative-value bound would be wrong — adjacent tail
+    // samples at n≈200 sit up to 36% apart in this data.
+    val approxP = byType(SparkEntry.queries("q_percentiles_approx")(spark, sfDir))
+    val grouped = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getDouble(1)).sorted }
+    assert(approxP.keySet === grouped.keySet)
+    for (k <- approxP.keySet; (c, p) <- Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)) {
+      val v = grouped(k)
+      val pos = p * (v.length - 1)
+      val window = v.slice(math.max(0, pos.toInt - 1),
+        math.min(v.length, math.ceil(pos).toInt + 2))
+        .map(x => math.floor(x * 1e4 + 0.5) / 1e4) // the query rounds to 4
+      val a = approxP(k).getAs[Double](c)
+      assert(window.exists(w => math.abs(w - a) < 1e-9),
+        s"percentile_approx $k.$c=$a not an order statistic adjacent to " +
+          s"rank ${pos} (window: ${window.mkString(",")})")
+    }
+    // approx_count_distinct at rsd=0.02: assert 10% relative — 5 sigma,
+    // no flake risk, still tight enough to catch a wrong-column regression.
+    val exactC = byType(SparkEntry.queries("q_count_distinct")(spark, sfDir))
+    val approxC = byType(SparkEntry.queries("q_count_distinct_approx")(spark, sfDir))
+    assert(exactC.keySet === approxC.keySet)
+    for (k <- exactC.keySet) {
+      val e = exactC(k).getAs[Long]("n_cust").toDouble
+      val a = approxC(k).getAs[Long]("n_cust_approx").toDouble
+      assert(math.abs(a - e) <= e * 0.10,
+        s"approx_count_distinct $k: approx=$a exact=$e")
+      assert(exactC(k).getAs[Long]("n_orders") === approxC(k).getAs[Long]("n_orders"))
+    }
+  }
 }

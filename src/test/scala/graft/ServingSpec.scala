@@ -68,6 +68,37 @@ class ServingSpec extends SparkSpec {
     assert(info.getAs[String]("best_version") < info.getAs[String]("latest_version"))
   }
 
+  test("tiered serving: each fallback tier engages when the better one is absent") {
+    // reference: src/app_optimized.py:516-540 — trained model preferred,
+    // hash-synthesized fallback when none is loaded.
+    val catalog = Tables.part(spark, sfDir)
+      .select(col("p_partkey").cast("int").as("item_id")).limit(100)
+
+    // Tier 3: empty registry → synthetic, deterministic per user.
+    val reg = new ModelRegistry(
+      "file://" + Files.createTempDirectory("graft-tiers").toString)
+    val sv = new Serving(spark, reg)
+    val t3 = sv.collaborativeTiered(Seq(7, 8), 5, catalog).collect()
+    assert(t3.length === 10)
+    assert(t3.forall(_.getAs[String]("tier") == "synthetic"))
+    assert(t3.forall { r =>
+      val s = r.getAs[Double]("score"); s >= 1.0 && s <= 5.0
+    })
+    val t3again = sv.collaborativeTiered(Seq(7, 8), 5, catalog).collect()
+    assert(t3.map(_.toString).toSeq === t3again.map(_.toString).toSeq,
+      "synthetic tier is deterministic per user (seeded-shuffle contract)")
+
+    // Tier 2: a published version but no BEST pointer → trained-latest.
+    sv.trainCollaborative(ratings, markBest = false)
+    val t2 = sv.collaborativeTiered(Seq(1, 2), 3, catalog).collect()
+    assert(t2.nonEmpty && t2.forall(_.getAs[String]("tier") == "trained-latest"))
+
+    // Tier 1: BEST present → trained-best wins.
+    sv.trainCollaborative(ratings, markBest = true)
+    val t1 = sv.collaborativeTiered(Seq(1, 2), 3, catalog).collect()
+    assert(t1.nonEmpty && t1.forall(_.getAs[String]("tier") == "trained-best"))
+  }
+
   test("end-to-end: streaming retrain loop publishes servable model versions") {
     // the reference's full lifecycle: interaction batches land on disk →
     // the control loop crosses the pending threshold → a retrain publishes

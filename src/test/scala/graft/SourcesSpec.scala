@@ -91,7 +91,10 @@ class SourcesSpec extends SparkSpec {
   }
 
   test("S12/S13: registry publishes, loads, advances BEST, keeps last 5") {
-    val reg = new ModelRegistry(tmp("graft-models"), keepLast = 5)
+    // file:// URI root: all registry IO must flow through the Hadoop
+    // FileSystem API (the S11 s3a-ready contract) — a java.nio regression
+    // cannot resolve this root and would fail here.
+    val reg = new ModelRegistry("file://" + tmp("graft-models"), keepLast = 5)
     val fit = new StringIndexer().setInputCol("c_mktsegment").setOutputCol("idx")
       .fit(Tables.customer(spark, sfDir))
     val versions = (0 until 7).map { i =>
@@ -101,8 +104,10 @@ class SourcesSpec extends SparkSpec {
     assert(reg.latest("indexer") === Some("v000006"))
     assert(reg.best("indexer") === Some("v000002"))
     // 7 published, keepLast=5 → oldest pruned, but BEST survives GC
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create("file:///"), spark.sparkContext.hadoopConfiguration)
     val kept = versions.filter(v =>
-      Files.isDirectory(java.nio.file.Paths.get(reg.modelPath("indexer", v)).getParent))
+      fs.exists(new org.apache.hadoop.fs.Path(reg.modelPath("indexer", v)).getParent))
     assert(kept === Seq("v000002", "v000003", "v000004", "v000005", "v000006"))
     assert(reg.metadata("indexer", "v000002") === """{"run":2}""")
     val loaded = StringIndexerModel.load(reg.modelPath("indexer", "v000002"))

@@ -49,6 +49,17 @@ for name, sql in sorted(oracle.items()):
     ok = True
     for c in odf.columns:
         a, b = sdf[c].to_numpy(), odf[c].to_numpy()
+        # Driver hashes stringified values, so an int64 Spark column vs a
+        # float64 oracle column (e.g. DuckDB HUGEINT from SUM(BIGINT)) hash-
+        # mismatches even when numerically equal ("1" vs "1.0"). The float-
+        # tolerant compare below hides exactly that, so fail on kind skew
+        # first (r04 lesson: q_session_gap.session_id).
+        if (a.dtype.kind in 'iu') != (b.dtype.kind in 'iu') and \
+           {a.dtype.kind, b.dtype.kind} <= set('iuf'):
+            print(f"FAIL {name}.{c}: dtype kind skew spark={a.dtype} oracle={b.dtype} "
+                  f"(driver hashes stringified values: int vs float never match)")
+            ok = False
+            continue
         if a.dtype.kind == 'f' or b.dtype.kind == 'f':
             aa = a.astype(float); bb = b.astype(float)
             both_nan = np.isnan(aa) & np.isnan(bb)

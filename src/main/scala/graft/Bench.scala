@@ -21,19 +21,19 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // Millisecond precision with trailing zeros stripped keeps the JSON line
-    // short enough to survive the driver's bounded 2000-char tail capture
-    // intact (r04's full-precision line was truncated mid-record and parsed
-    // as null).
-    def f3(v: Double): String = {
-      val s = "%.3f".format(v)
+    // Centisecond per-query precision with trailing zeros stripped keeps the
+    // JSON line well inside the driver's bounded 2000-char tail capture
+    // (r04's full-precision line was truncated mid-record and parsed as
+    // null); the total keeps milliseconds.
+    def fmt(v: Double, places: Int): String = {
+      val s = s"%.${places}f".format(v)
       val t = s.reverse.dropWhile(_ == '0').reverse
       if (t.endsWith(".")) t + "0" else t
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v, 2) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -642,6 +642,190 @@ object LlmQueries {
       |      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
       |ORDER BY doc_id""".stripMargin
 
+  /** Connected components over the near-dup pair graph — the stage every
+    * 100 TB dedup pipeline ends with: pairwise matches (from Jaccard/LSH)
+    * are only EDGES; the unit of deduplication is the transitive-closure
+    * GROUP, whose canonical member (min doc_id) survives. Classic min-label
+    * propagation: every node starts labeled with its own id, each round
+    * every node takes the min of its own and its neighbors' labels, until
+    * fixpoint — converges in O(component diameter) rounds (near-dup
+    * clusters are shallow; large-star/small-star is the O(log n) variant
+    * for adversarial graphs).
+    *
+    * Scale shape: each round is one shuffle (edge join + min-aggregate);
+    * the driver loop only counts CHANGED labels per round (a scalar probe,
+    * the standard Pregel-style convergence check — never collects labels).
+    * `localCheckpoint` cuts lineage each round so the plan doesn't grow
+    * exponentially; on a real cluster this is `checkpoint` to reliable
+    * storage.
+    */
+  /** Min-label propagation to fixpoint over symmetric `(doc_a, doc_b)`
+    * edges; one shuffle per round, scalar-only convergence probe, lineage
+    * cut per round (`localCheckpoint`; on a real cluster, `checkpoint`).
+    */
+  private def propagateMinLabels(edges: org.apache.spark.sql.DataFrame,
+      maxIter: Int): org.apache.spark.sql.DataFrame = {
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val fromNeighbors = edges
+        .join(labels.select(col("doc_id").as("doc_b"), col("lbl")), "doc_b")
+        .select(col("doc_a").as("doc_id"), col("lbl"))
+      val next = labels.union(fromNeighbors)
+        .groupBy("doc_id").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.withColumnRenamed("lbl", "prev"), "doc_id")
+        .filter(col("lbl") =!= col("prev")).count()
+      labels = next
+      converged = changed == 0L
+      i += 1
+    }
+    labels
+  }
+
+  /** Connected components from an explicit `(doc_a, doc_b)` match-pair
+    * list — the closure stage on its own, so the 100 TB composition is
+    * `componentsFromPairs(minhash candidates → jaccardVerify filter)`:
+    * sub-quadratic discovery feeding the same closure the exact query uses.
+    *
+    * Contraction first: near-dup components are near-cliques, so one
+    * min-over-neighbors aggregation collapses most of the graph, and the
+    * full edge list is touched exactly twice (level-1 labels + relabel)
+    * instead of once per propagation round. The loop then runs on the
+    * CONTRACTED graph — nodes = distinct level-1 labels, a vanishing
+    * fraction of the corpus; when that graph is small it is collapsed to
+    * one partition so the remaining rounds don't pay full-width shuffles.
+    */
+  def componentsFromPairs(pairsIn: org.apache.spark.sql.DataFrame,
+      maxIter: Int = 20): org.apache.spark.sql.DataFrame = {
+    // Checkpoint the PAIRS, not the symmetrized union: a union's branches
+    // are evaluated independently, so checkpointing downstream of it would
+    // run the whole pair-scoring subtree twice.
+    val pairs = pairsIn.select("doc_a", "doc_b").localCheckpoint()
+    val sym = pairs.union(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val l1 = sym.groupBy(col("doc_a").as("doc_id"))
+      .agg(min("doc_b").as("nmin"))
+      .select(col("doc_id"), least(col("doc_id"), col("nmin")).as("lbl"))
+      .localCheckpoint()
+    val contractedWide = sym
+      .join(l1.select(col("doc_id").as("doc_a"), col("lbl").as("la")), "doc_a")
+      .join(l1.select(col("doc_id").as("doc_b"), col("lbl").as("lb")), "doc_b")
+      .filter(col("la") =!= col("lb"))
+      .select(col("la").as("doc_a"), col("lb").as("doc_b"))
+      .distinct()
+      .localCheckpoint()
+    val contracted =
+      if (contractedWide.count() <= 100000L) contractedWide.repartition(1)
+      else contractedWide
+    val compact = propagateMinLabels(contracted, maxIter)
+      .select(col("doc_id").as("lbl"), col("lbl").as("component"))
+    // Expand: level-1 labels that were already component minima have no
+    // contracted-graph row — their own label is the component id.
+    val labels = l1.join(compact, Seq("lbl"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("lbl")).as("component"))
+    val sizes = labels.groupBy("component").agg(count(lit(1)).as("csize"))
+    labels.join(sizes, "component")
+      .select(col("doc_id"), col("component"), col("csize"))
+      .orderBy("doc_id")
+  }
+
+  def dupComponents(docs: org.apache.spark.sql.DataFrame,
+      blockCols: Seq[String], threshold: Double,
+      maxIter: Int = 20): org.apache.spark.sql.DataFrame =
+    componentsFromPairs(
+      jaccardPairs(docs, blockCols, threshold), maxIter)
+
+  private val dupComponentsQ: Q = (s, d) =>
+    dupComponents(Tables.documents(s, d), Seq("lang"), 0.5)
+
+  /** The oracle computes the same closure declaratively: a recursive CTE
+    * walks labels along symmetrized edges; min reachable label ≡ component
+    * min because the graph is undirected.
+    */
+  private val dupComponentsSql =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, lang,
+      |         list_distinct(list_transform(string_split(text, ' '),
+      |           w -> ('0x' || substr(md5(w), 1, 15))::BIGINT)) AS toks
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |  WHERE round(len(list_intersect(a.toks, b.toks)) /
+      |              CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 4) >= 0.5),
+      |edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION ALL
+      |  SELECT doc_b AS a, doc_a AS b FROM pairs),
+      |walk(doc, lbl) AS (
+      |  SELECT DISTINCT a AS doc, a AS lbl FROM edges
+      |  UNION
+      |  SELECT e.b AS doc, w.lbl FROM walk w JOIN edges e ON e.a = w.doc),
+      |comp AS (SELECT doc AS doc_id, min(lbl) AS component FROM walk GROUP BY doc)
+      |SELECT doc_id, component,
+      |       count(*) OVER (PARTITION BY component) AS csize
+      |FROM comp ORDER BY doc_id""".stripMargin
+
+  /** PII scrubbing — the redaction pass a training-data pipeline runs
+    * before anything else sees the text: emails, URLs, then long digit
+    * runs, replaced in that order so address-embedded digits don't leak
+    * into the number pass. Row-local regexp chain, fully codegen, pushed
+    * to the scan. The synthetic corpus carries no PII, so deterministic
+    * PII is injected per doc and the oracle injects identically — the
+    * patterns use only character classes and bounded quantifiers, which
+    * Java regex (Spark) and RE2 (DuckDB) interpret identically.
+    */
+  private val piiScrub: Q = (s, d) => {
+    val emailRe = "[a-z0-9._-]+@[a-z0-9-]+\\.[a-z]{2,}"
+    val urlRe = "https?://[^ ]+"
+    val numRe = "[0-9]{6,}"
+    Tables.documents(s, d)
+      .withColumn("text2", concat(
+        col("text"),
+        lit(" contact user"), col("doc_id"), lit("@mail-"),
+        pmod(col("doc_id"), lit(7L)), lit(".com via http://ex.com/d/"),
+        col("doc_id"), lit(" ref "), col("doc_id") * lit(1234567L)))
+      .withColumn("n_emails",
+        size(regexp_extract_all(col("text2"), lit(emailRe), lit(0))))
+      .withColumn("n_urls",
+        size(regexp_extract_all(col("text2"), lit(urlRe), lit(0))))
+      .withColumn("scrub1", regexp_replace(col("text2"), emailRe, "<EMAIL>"))
+      .withColumn("scrub2", regexp_replace(col("scrub1"), urlRe, "<URL>"))
+      .withColumn("n_nums",
+        size(regexp_extract_all(col("scrub2"), lit(numRe), lit(0))))
+      .withColumn("scrubbed", regexp_replace(col("scrub2"), numRe, "<NUM>"))
+      .select(
+        col("doc_id"), col("n_emails"), col("n_urls"), col("n_nums"),
+        length(col("scrubbed")).as("scrub_len"),
+        substring(col("scrubbed"), 1, 30).as("head"))
+      .orderBy("doc_id")
+  }
+
+  private val piiScrubSql =
+    """WITH x AS (
+      |  SELECT doc_id,
+      |         text || ' contact user' || doc_id || '@mail-' || (doc_id % 7) ||
+      |         '.com via http://ex.com/d/' || doc_id || ' ref ' || (doc_id * 1234567) AS text2
+      |  FROM documents),
+      |y AS (
+      |  SELECT doc_id, text2,
+      |         CAST(len(regexp_extract_all(text2, '[a-z0-9._-]+@[a-z0-9-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+      |         CAST(len(regexp_extract_all(text2, 'https?://[^ ]+')) AS INT) AS n_urls,
+      |         regexp_replace(regexp_replace(text2,
+      |           '[a-z0-9._-]+@[a-z0-9-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |           'https?://[^ ]+', '<URL>', 'g') AS scrub2
+      |  FROM x)
+      |SELECT doc_id, n_emails, n_urls,
+      |       CAST(len(regexp_extract_all(scrub2, '[0-9]{6,}')) AS INT) AS n_nums,
+      |       CAST(strlen(regexp_replace(scrub2, '[0-9]{6,}', '<NUM>', 'g')) AS INT) AS scrub_len,
+      |       substr(regexp_replace(scrub2, '[0-9]{6,}', '<NUM>', 'g'), 1, 30) AS head
+      |FROM y ORDER BY doc_id""".stripMargin
+
   /** Multimodal plumbing: text → binary payload → stubbed decode via
     * mapPartitions ([[graft.llm.Multimodal]]). The oracle recomputes the
     * same deterministic features from the text, verifying the binary path
@@ -704,6 +888,8 @@ object LlmQueries {
   val entries: Seq[Entry] = Seq(
     Entry("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     Entry("q_dedup_jaccard", dedupJaccard, Some(dedupJaccardSql)),
+    Entry("q_dup_components", dupComponentsQ, Some(dupComponentsSql)),
+    Entry("q_pii_scrub", piiScrub, Some(piiScrubSql)),
     Entry("q_simhash", simhash, Some(simhashSql)),
     Entry("q_minhash_dedup", minhashDedup, Some(minhashDedupSql)),
     Entry("q_embed_cosine_topk", embedCosineTopk, Some(embedCosineTopkSql)),

@@ -86,6 +86,25 @@ class JaccardSortedSpec extends SparkSpec {
     assert(unblocked.getMessage.contains("blocking key"))
   }
 
+  test("dupComponents groups TRANSITIVE near-dups (chain without a direct pair)") {
+    import spark.implicits._
+    import graft.queries.LlmQueries
+    // doc0~doc1 (jac .6) and doc1~doc2 (jac .6) but doc0~doc2 only .33:
+    // the component must still merge all three; doc3 shares no pair.
+    val docs = Seq(
+      (0L, "en", "a b c d"),
+      (1L, "en", "a b c e"),
+      (2L, "en", "b c e f"),
+      (3L, "en", "x y z w"))
+      .toDF("doc_id", "lang", "text")
+    val out = LlmQueries.dupComponents(docs, Seq("lang"), 0.5).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).sorted.toSeq === Seq(0L, 1L, 2L),
+      "only docs with at least one near-dup edge appear")
+    assert(out.forall(_.getAs[Long]("component") == 0L),
+      "chain 0-1-2 collapses to the min-id component despite 0 and 2 not pairing")
+    assert(out.forall(_.getAs[Long]("csize") == 3L))
+  }
+
   test("jaccardVerify on LSH-style candidates equals all-pairs exact scores") {
     import graft.queries.LlmQueries
     import graft.tables.Tables

@@ -826,6 +826,36 @@ object LlmQueries {
       |       substr(regexp_replace(scrub2, '[0-9]{6,}', '<NUM>', 'g'), 1, 30) AS head
       |FROM y ORDER BY doc_id""".stripMargin
 
+  /** Stratified sampling by content hash — the reproducible-split
+    * technique training-data pipelines need: bucket = md5(id) mod 100,
+    * keep strata-specific bucket ranges (50% of `en`, 20% elsewhere).
+    * Unlike `sampleBy`/`rand(seed)` — whose draws depend on partition
+    * layout and so change with cluster size, file splits, or AQE — the
+    * hash-mod sample is a pure function of the ROW, identical on any
+    * cluster, any partitioning, any engine (which is why it can be
+    * hash-checked against the oracle at all, and why the same split
+    * reproduces when the corpus is re-processed months later).
+    */
+  private val sampleStrat: Q = (s, d) => {
+    val bucket = pmod(
+      Hashing.md5Long(concat(col("doc_id").cast("string"), lit("#samp"))),
+      lit(100L))
+    Tables.documents(s, d)
+      .withColumn("bucket", bucket)
+      .filter(col("bucket") <
+        when(col("lang") === "en", lit(50L)).otherwise(lit(20L)))
+      .select("doc_id", "lang", "bucket")
+      .orderBy("doc_id")
+  }
+
+  private val sampleStratSql =
+    """SELECT doc_id, lang,
+      |       ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#samp'), 1, 8))::BIGINT % 100 AS bucket
+      |FROM documents
+      |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#samp'), 1, 8))::BIGINT % 100
+      |      < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
+      |ORDER BY doc_id""".stripMargin
+
   /** Multimodal plumbing: text → binary payload → stubbed decode via
     * mapPartitions ([[graft.llm.Multimodal]]). The oracle recomputes the
     * same deterministic features from the text, verifying the binary path
@@ -890,6 +920,7 @@ object LlmQueries {
     Entry("q_dedup_jaccard", dedupJaccard, Some(dedupJaccardSql)),
     Entry("q_dup_components", dupComponentsQ, Some(dupComponentsSql)),
     Entry("q_pii_scrub", piiScrub, Some(piiScrubSql)),
+    Entry("q_sample_strat", sampleStrat, Some(sampleStratSql)),
     Entry("q_simhash", simhash, Some(simhashSql)),
     Entry("q_minhash_dedup", minhashDedup, Some(minhashDedupSql)),
     Entry("q_embed_cosine_topk", embedCosineTopk, Some(embedCosineTopkSql)),

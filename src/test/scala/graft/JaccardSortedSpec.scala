@@ -105,6 +105,25 @@ class JaccardSortedSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("csize") == 3L))
   }
 
+  test("scale composition: LSH discovery → exact verify → component closure") {
+    // The documented 100 TB dedup pipeline end-to-end: q_minhash_dedup's
+    // banded-LSH candidates (already exact-verified at shingle-Jaccard
+    // ≥ 0.8) feed componentsFromPairs — sub-quadratic discovery, same
+    // closure as the all-pairs oracle query. Every planted exact copy
+    // (doc_id+10000 twins for id < 25) must land in its source's component.
+    import graft.queries.LlmQueries
+    val verified = SparkEntry.queries("q_minhash_dedup")(spark, sfDir)
+    val comps = LlmQueries.componentsFromPairs(verified).collect()
+    val byDoc = comps.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
+    (0L until 25L).foreach { id =>
+      assert(byDoc.contains(id) && byDoc(id) == byDoc(id + 10000L),
+        s"planted copy pair ($id, ${id + 10000L}) split across components")
+    }
+    assert(comps.forall(_.getAs[Long]("csize") >= 2L),
+      "every doc in the closure output has at least one dup partner")
+  }
+
   test("jaccardVerify on LSH-style candidates equals all-pairs exact scores") {
     import graft.queries.LlmQueries
     import graft.tables.Tables

@@ -70,4 +70,56 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin BuildRight"), p)
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("row-local text operators shuffle only for the final presentation sort") {
+    // PII scrubbing and hash-mod sampling are pure per-row expression
+    // chains: one scan, zero joins/aggregations, a single Exchange for the
+    // ORDER BY. A second Exchange means someone added a shuffle to a map.
+    for (q <- Seq("q_pii_scrub", "q_sample_strat")) {
+      val p = plan(q)
+      assert("Exchange".r.findAllMatchIn(p).size <= 1,
+        s"$q must be map-only before its presentation sort:\n$p")
+      assert(!p.contains("Join"), s"$q must not join:\n$p")
+    }
+  }
+
+  test("the custom codegen expressions stay inside whole-stage codegen") {
+    // DotProduct/JaccardSorted exist to keep per-pair math in generated
+    // code. Two layers: (a) the expression classes must not be
+    // CodegenFallback (the HOF formulation they replaced IS — asserted as
+    // the documented contrast); (b) the finalized adaptive plans of the
+    // pair-heavy queries must contain WholeStageCodegen spans.
+    import org.apache.spark.sql.catalyst.expressions.ArrayAggregate
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    val fallback = classOf[CodegenFallback]
+    assert(!fallback.isAssignableFrom(classOf[graft.functions.DotProduct]))
+    assert(!fallback.isAssignableFrom(classOf[graft.functions.JaccardSorted]))
+    assert(fallback.isAssignableFrom(classOf[ArrayAggregate]),
+      "the HOF formulation is interpreted — the reason DotProduct exists")
+    for ((q, ex) <- Seq("q_dedup_embed" -> "dotproduct",
+        "q_dedup_jaccard" -> "jaccardsorted")) {
+      val df = Registry.queries(q)(spark, sfDir)
+      df.collect() // finalize the adaptive plan
+      val p = df.queryExecution.executedPlan.toString
+      // `*(n)` is the whole-stage-codegen marker; the custom expression
+      // must appear on a starred line, i.e. inside a generated stage.
+      val inStarredStage = p.linesIterator.exists(l =>
+        l.contains("*(") && l.toLowerCase.contains(ex))
+      assert(inStarredStage, s"$q: $ex not inside a codegen stage:\n$p")
+    }
+  }
+
+  test("tiered-serving synthetic fallback broadcasts the catalog") {
+    import org.apache.spark.sql.functions.col
+    val reg = new graft.sources.ModelRegistry(
+      "file://" + java.nio.file.Files.createTempDirectory("graft-plan-tiers"))
+    val sv = new graft.api.Serving(spark, reg)
+    val catalog = graft.tables.Tables.part(spark, sfDir)
+      .select(col("p_partkey").cast("int").as("item_id")).limit(50)
+    val p = sv.synthetic(Seq(1, 2), catalog, 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"synthetic tier must broadcast the bounded catalog, never shuffle it:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

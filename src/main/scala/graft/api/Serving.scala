@@ -85,12 +85,23 @@ final class Serving(spark: SparkSession, registry: ModelRegistry) {
             + pmod(col("user_id"), lit(100)) / lit(100.0))), 2).as("score"))
   }
 
-  /** GET /recommend/collaborative with the reference's source-preference
-    * chain (src/app_optimized.py:516-540,594-633): serve the registry's
-    * BEST trained model; if no BEST pointer exists fall back to the latest
-    * published version; with an empty registry serve hash-synthesized
-    * recommendations over `catalog` — the coalesce-style tiering SURVEY §2.9
-    * promises. The `tier` column names the source that actually served.
+  /** The reference's bottom tier: a hardcoded 10-track catalog served when
+    * even file data is unavailable (src/app_optimized.py:24-35
+    * SAMPLE_SONGS; ids re-keyed to ints for the relational surface).
+    */
+  def builtinCatalog: DataFrame = {
+    import spark.implicits._
+    (1 to 10).map(_.toLong).toDF("item_id")
+  }
+
+  /** GET /recommend/collaborative with the reference's full source-
+    * preference chain (src/app_optimized.py:516-540,594-633): serve the
+    * registry's BEST trained model; fall back to the latest published
+    * version; with an empty registry serve hash-synthesized
+    * recommendations over the caller's `catalog` (the reference's
+    * file-data tier); and when even that is empty, over the hardcoded
+    * [[builtinCatalog]] — the coalesce-style tiering SURVEY §2.9 promises.
+    * The `tier` column names the source that actually served.
     */
   def collaborativeTiered(userIds: Seq[Int], k: Int,
       catalog: DataFrame): DataFrame = {
@@ -98,7 +109,10 @@ final class Serving(spark: SparkSession, registry: ModelRegistry) {
       case Some(v) => (fromModel(alsAt(v), userIds, k), "trained-best")
       case None => registry.latest("als") match {
         case Some(v) => (fromModel(alsAt(v), userIds, k), "trained-latest")
-        case None => (synthetic(userIds, catalog, k), "synthetic")
+        case None =>
+          if (catalog.isEmpty)
+            (synthetic(userIds, builtinCatalog, k), "builtin")
+          else (synthetic(userIds, catalog, k), "synthetic")
       }
     }
     df.withColumn("tier", lit(tier)).orderBy("user_id", "rank")

@@ -88,6 +88,13 @@ class ServingSpec extends SparkSpec {
     assert(t3.map(_.toString).toSeq === t3again.map(_.toString).toSeq,
       "synthetic tier is deterministic per user (seeded-shuffle contract)")
 
+    // Tier 4: empty registry AND empty catalog → the hardcoded builtin
+    // catalog serves (the reference's SAMPLE_SONGS bottom tier).
+    val t4 = sv.collaborativeTiered(Seq(3), 4, catalog.limit(0)).collect()
+    assert(t4.length === 4)
+    assert(t4.forall(_.getAs[String]("tier") == "builtin"))
+    assert(t4.forall(r => (1L to 10L).contains(r.getAs[Long]("item_id"))))
+
     // Tier 2: a published version but no BEST pointer → trained-latest.
     sv.trainCollaborative(ratings, markBest = false)
     val t2 = sv.collaborativeTiered(Seq(1, 2), 3, catalog).collect()

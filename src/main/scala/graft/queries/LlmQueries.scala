@@ -826,6 +826,47 @@ object LlmQueries {
       |       substr(regexp_replace(scrub2, '[0-9]{6,}', '<NUM>', 'g'), 1, 30) AS head
       |FROM y ORDER BY doc_id""".stripMargin
 
+  /** Symmetric int8 embedding quantization (amax scaling) — the 4×
+    * storage-compression pass embedding stores run before indexing:
+    * scale = max|v|/127, qᵢ = clamp(⌊vᵢ/scale + ½⌋, ±127). Row-local,
+    * one pass; outputs are the quantization summary (sum/min/max of the
+    * int8 vector + worst reconstruction error, which is ≤ scale/2 by
+    * construction). Half-up rounding is written as ⌊x+½⌋ explicitly so
+    * Spark and the oracle agree on every tie regardless of each engine's
+    * native `round` convention; all arithmetic is IEEE-identical, so the
+    * gate is exact hash equality, not a tolerance.
+    */
+  private val embedQuantize: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("amax", expr("array_max(transform(v, x -> abs(x)))"))
+      .withColumn("scale", col("amax") / lit(127.0))
+      .withColumn("q", expr(
+        "transform(v, x -> greatest(-127L, least(127L, cast(floor(x / scale + 0.5d) as bigint))))"))
+      .select(col("vec_id"), col("scale"),
+        expr("aggregate(q, 0L, (a, x) -> a + x)").as("q_sum"),
+        expr("array_min(q)").as("q_min"),
+        expr("array_max(q)").as("q_max"),
+        expr("array_max(zip_with(q, v, (qi, xi) -> abs(qi * scale - xi)))").as("err_max"))
+      .orderBy("vec_id")
+
+  private val embedQuantizeSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |s AS (SELECT vec_id, v,
+      |             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      |      FROM e),
+      |q AS (SELECT vec_id, v, scale,
+      |             list_transform(v, x ->
+      |               greatest(-127, least(127, CAST(floor(x / scale + 0.5) AS BIGINT)))) AS qv
+      |      FROM s)
+      |SELECT vec_id, scale,
+      |       CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+      |       CAST(list_min(qv) AS BIGINT) AS q_min,
+      |       CAST(list_max(qv) AS BIGINT) AS q_max,
+      |       list_max(list_transform(range(1, len(qv) + 1),
+      |                i -> abs(qv[i] * scale - v[i]))) AS err_max
+      |FROM q ORDER BY vec_id""".stripMargin
+
   /** Stratified sampling by content hash — the reproducible-split
     * technique training-data pipelines need: bucket = md5(id) mod 100,
     * keep strata-specific bucket ranges (50% of `en`, 20% elsewhere).
@@ -921,6 +962,7 @@ object LlmQueries {
     Entry("q_dup_components", dupComponentsQ, Some(dupComponentsSql)),
     Entry("q_pii_scrub", piiScrub, Some(piiScrubSql)),
     Entry("q_sample_strat", sampleStrat, Some(sampleStratSql)),
+    Entry("q_embed_quantize", embedQuantize, Some(embedQuantizeSql)),
     Entry("q_simhash", simhash, Some(simhashSql)),
     Entry("q_minhash_dedup", minhashDedup, Some(minhashDedupSql)),
     Entry("q_embed_cosine_topk", embedCosineTopk, Some(embedCosineTopkSql)),

@@ -826,6 +826,64 @@ object LlmQueries {
       |       substr(regexp_replace(scrub2, '[0-9]{6,}', '<NUM>', 'g'), 1, 30) AS head
       |FROM y ORDER BY doc_id""".stripMargin
 
+  /** Sequence packing — the batching-prep stage of an LLM training
+    * pipeline: documents are packed into fixed-token-budget bins (4096
+    * here) by running token total in a deterministic order, then each bin
+    * reports its occupancy and fill ratio. The cumulative-sum formulation
+    * (`bin = ⌊(cumsum − n) / budget⌋`, i.e. the bin where the doc STARTS)
+    * is one window pass + one aggregate — contiguous greedy packing
+    * without any driver loop, reproducible on any cluster because the
+    * order is a data column, not arrival order. (True first-fit bin
+    * packing is inherently sequential; contiguous packing is what
+    * distributed training pipelines actually run, since it preserves
+    * locality and shards by bin range.)
+    *
+    * Scale note: the unpartitioned cumsum is the one deliberate
+    * single-reducer window in the registry — at 100 TB you shard it as a
+    * distributed prefix-sum (per-partition totals, broadcast offsets,
+    * per-partition local cumsum), the same two-phase shape as
+    * [[graft.ops.Salt]]; the per-bin AGGREGATE already distributes.
+    */
+  private val packSequences: Q = (s, d) => {
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("cum", sum(col("n_tokens").cast("long")).over(w))
+      .withColumn("bin", ((col("cum") - col("n_tokens")) / lit(4096L)).cast("long"))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("n_tokens").cast("long")).as("tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      // explicit ⌊x·10⁴+½⌋ rounding: tokens/4096 is k/2¹², which CAN tie at
+      // the 4th decimal — and Spark rounds half-even where DuckDB rounds
+      // half-away. The floor identity is engine-proof.
+      .withColumn("fill",
+        floor(col("tokens") * lit(10000L) / lit(4096.0) + lit(0.5)) / lit(10000.0))
+      .orderBy("bin")
+  }
+
+  private val packSequencesSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |         CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+      |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM t)
+      |SELECT bin, count(*) AS docs,
+      |       CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+      |       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+      |       floor(CAST(SUM(n_tokens) AS BIGINT) * 10000 / 4096.0 + 0.5) / 10000.0 AS fill
+      |FROM (SELECT doc_id, n_tokens,
+      |             CAST(floor((cum - n_tokens) / 4096.0) AS BIGINT) AS bin
+      |      FROM c)
+      |GROUP BY bin ORDER BY bin""".stripMargin
+
   /** Symmetric int8 embedding quantization (amax scaling) — the 4×
     * storage-compression pass embedding stores run before indexing:
     * scale = max|v|/127, qᵢ = clamp(⌊vᵢ/scale + ½⌋, ±127). Row-local,
@@ -963,6 +1021,7 @@ object LlmQueries {
     Entry("q_pii_scrub", piiScrub, Some(piiScrubSql)),
     Entry("q_sample_strat", sampleStrat, Some(sampleStratSql)),
     Entry("q_embed_quantize", embedQuantize, Some(embedQuantizeSql)),
+    Entry("q_pack_sequences", packSequences, Some(packSequencesSql)),
     Entry("q_simhash", simhash, Some(simhashSql)),
     Entry("q_minhash_dedup", minhashDedup, Some(minhashDedupSql)),
     Entry("q_embed_cosine_topk", embedCosineTopk, Some(embedCosineTopkSql)),

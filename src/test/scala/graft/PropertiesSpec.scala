@@ -115,6 +115,28 @@ class PropertiesSpec extends SparkSpec {
     })
   }
 
+  test("partition-count invariance: results identical under different parallelism") {
+    // The driver runs Verify/Bench with ITS OWN cpu count; every oracle
+    // query must produce byte-identical rows regardless of
+    // spark.sql.shuffle.partitions. Exercise the queries whose docs make
+    // that claim load-bearing (hash-mod sampling, cumsum packing, cent-sum
+    // aggregation, sessionization) under 3 vs 13 partitions.
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    def runAll(n: String): Map[String, Seq[String]] = {
+      spark.conf.set(key, n)
+      Seq("q_sample_strat", "q_pack_sequences", "q_count_distinct", "q_session_gap")
+        .map(q => q -> SparkEntry.queries(q)(spark, sfDir)
+          .collect().map(_.toString).toSeq).toMap
+    }
+    try {
+      val a = runAll("3")
+      val b = runAll("13")
+      for (q <- a.keySet)
+        assert(a(q) === b(q), s"$q differs across partition counts")
+    } finally spark.conf.set(key, before)
+  }
+
   test("sketch twins stay within their error bounds vs the exact queries") {
     val byType = (df: org.apache.spark.sql.DataFrame) =>
       df.collect().map(r => r.getString(0) -> r).toMap

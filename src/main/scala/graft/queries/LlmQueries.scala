@@ -826,6 +826,46 @@ object LlmQueries {
       |       substr(regexp_replace(scrub2, '[0-9]{6,}', '<NUM>', 'g'), 1, 30) AS head
       |FROM y ORDER BY doc_id""".stripMargin
 
+  /** Benchmark decontamination — the train/eval overlap check every
+    * training-data pipeline runs before shipping a corpus: any training
+    * document whose content fingerprint appears in the held-out set is a
+    * leak. Here the eval split is doc_id % 10 == 0 and leaks are planted
+    * deterministically (20 eval docs re-keyed into the train side); the
+    * check is a fingerprint equi-join — at 100 TB a broadcast of the
+    * (small) benchmark fingerprint set against the corpus scan, no
+    * shuffle of the training side. Reported per leaked train doc with its
+    * source eval doc.
+    */
+  private val decontaminate: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val evalSet = docs.filter(pmod(col("doc_id"), lit(10L)) === 0)
+    val leaked = evalSet.filter(col("doc_id") < 200)
+      .withColumn("doc_id", col("doc_id") + lit(20000L))
+    val train = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0)
+      .unionByName(leaked)
+    val evalFp = evalSet.select(
+      col("doc_id").as("eval_doc"), md5(col("text")).as("fp"))
+    train.select(col("doc_id").as("train_doc"), md5(col("text")).as("fp"))
+      .join(broadcast(evalFp), "fp")
+      .groupBy("train_doc")
+      .agg(min("eval_doc").as("eval_doc"), count(lit(1)).as("n_matches"))
+      .orderBy("train_doc")
+  }
+
+  private val decontaminateSql =
+    """WITH ev AS (
+      |  SELECT doc_id AS eval_doc, md5(text) AS fp
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |train AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 20000 AS doc_id, text
+      |  FROM documents WHERE doc_id % 10 = 0 AND doc_id < 200)
+      |SELECT t.doc_id AS train_doc, min(ev.eval_doc) AS eval_doc,
+      |       count(*) AS n_matches
+      |FROM train t JOIN ev ON md5(t.text) = ev.fp
+      |GROUP BY t.doc_id ORDER BY train_doc""".stripMargin
+
   /** Sequence packing — the batching-prep stage of an LLM training
     * pipeline: documents are packed into fixed-token-budget bins (4096
     * here) by running token total in a deterministic order, then each bin
@@ -1022,6 +1062,7 @@ object LlmQueries {
     Entry("q_sample_strat", sampleStrat, Some(sampleStratSql)),
     Entry("q_embed_quantize", embedQuantize, Some(embedQuantizeSql)),
     Entry("q_pack_sequences", packSequences, Some(packSequencesSql)),
+    Entry("q_decontaminate", decontaminate, Some(decontaminateSql)),
     Entry("q_simhash", simhash, Some(simhashSql)),
     Entry("q_minhash_dedup", minhashDedup, Some(minhashDedupSql)),
     Entry("q_embed_cosine_topk", embedCosineTopk, Some(embedCosineTopkSql)),

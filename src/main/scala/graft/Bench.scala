@@ -24,16 +24,30 @@ object Bench {
     // Centisecond per-query precision with trailing zeros stripped keeps the
     // JSON line well inside the driver's bounded 2000-char tail capture
     // (r04's full-precision line was truncated mid-record and parsed as
-    // null); the total keeps milliseconds.
+    // null); the total keeps milliseconds. Locale.ROOT: a comma-decimal
+    // default locale would otherwise emit invalid JSON.
     def fmt(v: Double, places: Int): String = {
-      val s = s"%.${places}f".format(v)
+      val s = String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(v))
       val t = s.reverse.dropWhile(_ == '0').reverse
       if (t.endsWith(".")) t + "0" else t
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v, 2) }
-      .mkString("{", ",", "}")
+    // Self-limiting: if the per-query map would push the line past the
+    // capture window, fold the FASTEST entries into one "other" bucket —
+    // the slow queries (the ones worth reading) always survive verbatim.
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val bySlowest = results.toSeq.sortBy { case (k, v) => (-v, k) }
+    def line(shown: Int): String = {
+      val head = bySlowest.take(shown)
+      val rest = bySlowest.drop(shown)
+      val entries = head.map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) } ++
+        (if (rest.isEmpty) Nil
+         else Seq("\"other_" + rest.size + "q\":" + fmt(rest.map(_._2).sum, 2)))
+      val qs = entries.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    var shown = bySlowest.size
+    while (line(shown).length > 1850 && shown > 0) shown -= 1
+    println(line(shown))
     spark.stop()
   }
 }

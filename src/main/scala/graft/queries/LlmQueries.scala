@@ -93,21 +93,32 @@ object LlmQueries {
       "exact Jaccard needs a blocking key; unblocked all-pairs is O(n²) — " +
         "use the MinHash LSH path for global discovery")
     val t = tokenSets(docs)
-    val biggest = t.groupBy(blockCols.map(col).toIndexedSeq: _*)
-      .count().agg(max("count")).first().getLong(0)
+    // max(count) is NULL on an empty input — treat as a zero-row block.
+    val biggest = Option(t.groupBy(blockCols.map(col).toIndexedSeq: _*)
+      .count().agg(max("count")).first().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     require(biggest <= maxBlockRows,
       s"largest ${blockCols.mkString(",")} block has $biggest rows " +
         s"(> $maxBlockRows): the all-pairs space would be ~${biggest * biggest / 2} " +
         "pairs. Use q_minhash_dedup's banded LSH for discovery and " +
         "jaccardVerify on its candidates for exact scores.")
-    val a = t.select(col("doc_id").as("doc_a"),
-      col("lang"), col("toks").as("toks_a"), col("n").as("n_a"))
-    val b = t.select(col("doc_id").as("doc_b"),
-      col("lang"), col("toks").as("toks_b"), col("n").as("n_b"))
+    // The b-side is block-guarded small, so this equi-join broadcasts and
+    // the per-pair merge-walk runs at SCAN parallelism with zero shuffle.
+    // (Measured: salting the block key to spread a shuffle join was ~40%
+    // SLOWER than the broadcast — don't "fix" the few-distinct-keys skew
+    // here, there is no shuffle to skew.)
+    val a = t.select(blockCols.map(col) ++ Seq(col("doc_id").as("doc_a"),
+      col("toks").as("toks_a"), col("n").as("n_a")): _*)
+    val b = t.select(blockCols.map(col) ++ Seq(col("doc_id").as("doc_b"),
+      col("toks").as("toks_b"), col("n").as("n_b")): _*)
+    // Conservatively loose prune (-1e-9): the bound only skips work ahead
+    // of the exact jac filter, so a threshold whose double product rounds
+    // up must not drop a boundary pair before it is scored.
     val ratio = lit(threshold)
     a.join(b, blockCols)
       .filter(col("doc_a") < col("doc_b") &&
-        col("n_a") >= col("n_b") * ratio && col("n_b") >= col("n_a") * ratio)
+        col("n_a") >= col("n_b") * ratio - lit(1e-9) &&
+        col("n_b") >= col("n_a") * ratio - lit(1e-9))
       .withColumn("jac",
         round(graft.functions.JaccardSorted(col("toks_a"), col("toks_b")), 4))
       .filter(col("jac") >= threshold)
@@ -684,7 +695,36 @@ object LlmQueries {
       converged = changed == 0L
       i += 1
     }
+    // Unconverged labels are WRONG labels (a longer path existed) — fail
+    // loudly rather than return them; contraction-first keeps diameters
+    // tiny, so hitting this means the caller under-sized maxIter.
+    require(converged,
+      s"min-label propagation did not reach fixpoint within $maxIter rounds")
     labels
+  }
+
+  /** Driver-side union-find over a BOUNDED edge list (the contracted
+    * graph only — never raw pairs), node → component-min for every node
+    * present. Union always attaches the larger root under the smaller, so
+    * a set's root IS its minimum and no second pass is needed.
+    */
+  private def unionFindLocal(edges: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x0: Long): Long = {
+      var root = x0
+      while (parent.getOrElse(root, root) != root) root = parent(root)
+      var x = x0
+      while (x != root) { val nxt = parent(x); parent.update(x, root); x = nxt }
+      root
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent.update(rb, ra)
+      else if (rb < ra) parent.update(ra, rb)
+    }
+    val nodes = scala.collection.mutable.SortedSet.empty[Long]
+    edges.foreach { case (a, b) => nodes += a; nodes += b }
+    nodes.toSeq.map(n => n -> find(n))
   }
 
   /** Connected components from an explicit `(doc_a, doc_b)` match-pair
@@ -695,10 +735,11 @@ object LlmQueries {
     * Contraction first: near-dup components are near-cliques, so one
     * min-over-neighbors aggregation collapses most of the graph, and the
     * full edge list is touched exactly twice (level-1 labels + relabel)
-    * instead of once per propagation round. The loop then runs on the
+    * instead of once per propagation round. The closure then runs on the
     * CONTRACTED graph — nodes = distinct level-1 labels, a vanishing
-    * fraction of the corpus; when that graph is small it is collapsed to
-    * one partition so the remaining rounds don't pay full-width shuffles.
+    * fraction of the corpus: bounded driver union-find when it fits
+    * (scheduler round-trips dwarf the work at that size), the distributed
+    * min-label loop when it doesn't.
     */
   def componentsFromPairs(pairsIn: org.apache.spark.sql.DataFrame,
       maxIter: Int = 20): org.apache.spark.sql.DataFrame = {
@@ -719,11 +760,24 @@ object LlmQueries {
       .select(col("la").as("doc_a"), col("lb").as("doc_b"))
       .distinct()
       .localCheckpoint()
-    val contracted =
-      if (contractedWide.count() <= 100000L) contractedWide.repartition(1)
-      else contractedWide
-    val compact = propagateMinLabels(contracted, maxIter)
-      .select(col("doc_id").as("lbl"), col("lbl").as("component"))
+    // The contracted graph is a vanishing fraction of the input (near-dup
+    // components are near-cliques: sf0.1 collapses 2.29M pairs to ~1.6k
+    // contracted edges). Below a hard cap that is a DRIVER-sized problem:
+    // one bounded collect + array union-find replaces the whole
+    // propagation loop (each distributed round costs 2+ scheduler
+    // round-trips that dwarf the actual work at this size). Over the cap —
+    // an adversarially deep/huge graph — the distributed loop still runs.
+    val nContracted = contractedWide.count()
+    val compact =
+      if (nContracted <= 4000000L) {
+        val spark = pairsIn.sparkSession
+        import spark.implicits._
+        unionFindLocal(contractedWide.as[(Long, Long)].collect())
+          .toDF("lbl", "component")
+      } else {
+        propagateMinLabels(contractedWide, maxIter)
+          .select(col("doc_id").as("lbl"), col("lbl").as("component"))
+      }
     // Expand: level-1 labels that were already component minima have no
     // contracted-graph row — their own label is the component id.
     val labels = l1.join(compact, Seq("lbl"), "left")
@@ -939,8 +993,12 @@ object LlmQueries {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("amax", expr("array_max(transform(v, x -> abs(x)))"))
       .withColumn("scale", col("amax") / lit(127.0))
+      // All-zero vector ⇒ scale 0: x/scale would be NaN, which Spark's
+      // bigint cast silently maps to 0 while the oracle errors — quantize
+      // it explicitly to the zero vector in BOTH engines instead.
       .withColumn("q", expr(
-        "transform(v, x -> greatest(-127L, least(127L, cast(floor(x / scale + 0.5d) as bigint))))"))
+        "CASE WHEN scale = 0d THEN transform(v, x -> 0L) " +
+          "ELSE transform(v, x -> greatest(-127L, least(127L, cast(floor(x / scale + 0.5d) as bigint)))) END"))
       .select(col("vec_id"), col("scale"),
         expr("aggregate(q, 0L, (a, x) -> a + x)").as("q_sum"),
         expr("array_min(q)").as("q_min"),
@@ -954,8 +1012,9 @@ object LlmQueries {
       |             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
       |      FROM e),
       |q AS (SELECT vec_id, v, scale,
-      |             list_transform(v, x ->
-      |               greatest(-127, least(127, CAST(floor(x / scale + 0.5) AS BIGINT)))) AS qv
+      |             CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+      |                  ELSE list_transform(v, x ->
+      |                    greatest(-127, least(127, CAST(floor(x / scale + 0.5) AS BIGINT)))) END AS qv
       |      FROM s)
       |SELECT vec_id, scale,
       |       CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,

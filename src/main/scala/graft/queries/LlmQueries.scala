@@ -1113,6 +1113,192 @@ object LlmQueries {
       |       CAST(ascii(substr(text, CAST(frame_idx * 64 + 1 AS INT), 1)) AS BIGINT) AS head_byte
       |FROM f WHERE frame_idx % 4 = 0 ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Round to 4 decimals as explicit ⌊x·10⁴+½⌋ — half-up on BOTH engines
+    * regardless of their native `round` tie convention.
+    */
+  private def r4(c: Column): Column =
+    floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+
+  /** Repetition / boilerplate metrics (the Gopher-family quality filters):
+    * duplicate word-2-gram and word-3-gram fractions plus the top single
+    * word's share, with a composite flag. Row-local n-gram work plus one
+    * explode-aggregate for the per-doc mode — the only shuffle is the
+    * word-count one, keyed by doc so it scales with the corpus, not with
+    * any vocabulary skew.
+    */
+  private val repetition: Q = (s, d) => {
+    val base = Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n", size(col("ws")))
+    val top = base.select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_cnt"))
+    base
+      .withColumn("d2", when(col("n") >= 2, expr(
+        "size(array_distinct(transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i+1]))))"))
+        .otherwise(lit(0)))
+      .withColumn("d3", when(col("n") >= 3, expr(
+        "size(array_distinct(transform(sequence(0, size(ws) - 3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))))"))
+        .otherwise(lit(0)))
+      .join(top, "doc_id")
+      .withColumn("dup_2gram_frac", when(col("n") >= 2,
+        r4((col("n") - 1 - col("d2")).cast("double") / (col("n") - 1))).otherwise(lit(0.0)))
+      .withColumn("dup_3gram_frac", when(col("n") >= 3,
+        r4((col("n") - 2 - col("d3")).cast("double") / (col("n") - 2))).otherwise(lit(0.0)))
+      .withColumn("top_word_frac", r4(col("top_cnt").cast("double") / col("n")))
+      .withColumn("flagged",
+        (col("dup_2gram_frac") > 0.2 || col("dup_3gram_frac") > 0.18 ||
+          col("top_word_frac") > 0.3).cast("int"))
+      .select(col("doc_id"), col("n").as("n_words"), col("dup_2gram_frac"),
+        col("dup_3gram_frac"), col("top_word_frac"), col("flagged"))
+      .orderBy("doc_id")
+  }
+
+  private val repetitionSql =
+    """WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, len(ws) AS n,
+      |        CASE WHEN len(ws) >= 2 THEN len(list_distinct(list_transform(
+      |          range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]))) ELSE 0 END AS d2,
+      |        CASE WHEN len(ws) >= 3 THEN len(list_distinct(list_transform(
+      |          range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) ELSE 0 END AS d3
+      |      FROM base),
+      |tw AS (SELECT doc_id, max(c) AS top_cnt
+      |       FROM (SELECT doc_id, word, count(*) AS c
+      |             FROM (SELECT doc_id, unnest(ws) AS word FROM base)
+      |             GROUP BY doc_id, word)
+      |       GROUP BY doc_id),
+      |f AS (SELECT g.doc_id, CAST(g.n AS INT) AS n_words,
+      |        CASE WHEN g.n >= 2 THEN floor(CAST(g.n - 1 - g.d2 AS DOUBLE) / (g.n - 1) * 10000 + 0.5) / 10000.0 ELSE 0.0 END AS dup_2gram_frac,
+      |        CASE WHEN g.n >= 3 THEN floor(CAST(g.n - 2 - g.d3 AS DOUBLE) / (g.n - 2) * 10000 + 0.5) / 10000.0 ELSE 0.0 END AS dup_3gram_frac,
+      |        floor(CAST(tw.top_cnt AS DOUBLE) / g.n * 10000 + 0.5) / 10000.0 AS top_word_frac
+      |      FROM g JOIN tw ON g.doc_id = tw.doc_id)
+      |SELECT doc_id, n_words, dup_2gram_frac, dup_3gram_frac, top_word_frac,
+      |       CAST(dup_2gram_frac > 0.2 OR dup_3gram_frac > 0.18 OR top_word_frac > 0.3 AS INT) AS flagged
+      |FROM f ORDER BY doc_id""".stripMargin
+
+  /** N-gram-level decontamination — the overlap check exact-fingerprint
+    * matching misses: a training doc that EMBEDS an eval doc's 8-gram is
+    * flagged even though its full text differs. Planted leaks wrap an eval
+    * prefix in out-of-vocabulary sentinels so only the genuine 8-gram can
+    * match. Scale shape: the eval side (benchmarks are small by nature)
+    * broadcasts as distinct (gram, eval_doc) pairs; the training corpus is
+    * exploded map-side and semi-joined against it — no shuffle touches the
+    * corpus until the final per-doc aggregate of matches only.
+    */
+  private val contamNgram: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val evalSet = docs.filter(pmod(col("doc_id"), lit(10L)) === 0)
+    val planted = evalSet.filter(col("doc_id") < 300)
+      .select((col("doc_id") + lit(30000L)).as("doc_id"),
+        concat(lit("zzq0 zzq1 "),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 8)),
+          lit(" zzq2 zzq3")).as("text"))
+    val train = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0)
+      .select("doc_id", "text").unionByName(planted)
+    def grams(df: org.apache.spark.sql.DataFrame, idAs: String) = df
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 8)
+      .select(col("doc_id").as(idAs), explode(array_distinct(expr(
+        "transform(sequence(0, size(ws) - 8), i -> concat_ws(' ', slice(ws, i + 1, 8)))"))).as("g"))
+    grams(train, "train_doc")
+      .join(broadcast(grams(evalSet, "eval_doc").distinct()), "g")
+      .groupBy("train_doc")
+      .agg(countDistinct("g").as("n_shared_grams"),
+        countDistinct("eval_doc").as("n_eval_docs"),
+        min("eval_doc").as("eval_doc"))
+      .orderBy("train_doc")
+  }
+
+  private val contamNgramSql =
+    """WITH ev AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+      |train AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 30000 AS doc_id,
+      |         'zzq0 zzq1 ' || array_to_string((string_split(text, ' '))[1:8], ' ') || ' zzq2 zzq3' AS text
+      |  FROM ev WHERE doc_id < 300),
+      |evg AS (SELECT DISTINCT doc_id AS eval_doc, g FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 6),
+      |         i -> array_to_string(ws[i:i+7], ' '))) AS g
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM ev))),
+      |tg AS (SELECT DISTINCT doc_id AS train_doc, g FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 6),
+      |         i -> array_to_string(ws[i:i+7], ' '))) AS g
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM train)))
+      |SELECT tg.train_doc, count(DISTINCT tg.g) AS n_shared_grams,
+      |       count(DISTINCT evg.eval_doc) AS n_eval_docs,
+      |       min(evg.eval_doc) AS eval_doc
+      |FROM tg JOIN evg ON tg.g = evg.g
+      |GROUP BY tg.train_doc ORDER BY tg.train_doc""".stripMargin
+
+  /** Deterministic shard assignment — the write-side layout pass of a
+    * training-data pipeline: shard = md5(doc_id) mod 16, a pure function
+    * of the row, so the SAME doc lands in the SAME shard on any cluster
+    * size, partitioning, or engine (Spark's `hash()` is none of those).
+    * The per-shard occupancy report is the balance check run before
+    * `partitionBy(shard)` writes; at 100 TB the aggregate is the same one
+    * shuffle keyed by 16 values of pre-combined map-side partials.
+    */
+  private val shardAssign: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("shard", pmod(
+        Hashing.md5Long(concat(col("doc_id").cast("string"), lit("#shard"))),
+        lit(16L)))
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("n_tokens"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("shard")
+
+  private val shardAssignSql =
+    """SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#shard'), 1, 8))::BIGINT % 16 AS shard,
+      |       count(*) AS n_docs,
+      |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM documents GROUP BY shard ORDER BY shard""".stripMargin
+
+  /** Corpus-trained unigram language-model score — the cheapest member of
+    * the model-based quality-filter family: token frequencies over the
+    * corpus ARE the model, each doc scores its mean log₁₀ probability.
+    * Per-word log-probs are fixed-pointed to micro units BEFORE summing so
+    * the per-doc total is an integer sum — exact under any partitioning or
+    * aggregation order in either engine (a raw double sum would be
+    * order-dependent). Scale shape: the vocabulary and corpus total
+    * broadcast; scoring is map-side; the only corpus-sized shuffle is the
+    * per-doc aggregate.
+    */
+  private val unigramLm: Q = (s, d) => {
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val vocab = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum("cnt").as("corpus_n"))
+    words.join(broadcast(vocab), "w")
+      .crossJoin(broadcast(total))
+      .withColumn("il", floor(
+        log10(col("cnt").cast("double") / col("corpus_n")) * lit(1000000.0) + lit(0.5))
+        .cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("il").as("sil"))
+      .select(col("doc_id"), col("n_words"),
+        (floor(col("sil") / (col("n_words") * lit(100.0)) + lit(0.5)) / lit(10000.0)).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
+  private val unigramLmSql =
+    """WITH tokens AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |vocab AS (SELECT word, count(*) AS cnt FROM tokens GROUP BY word),
+      |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS corpus_n FROM vocab),
+      |scored AS (
+      |  SELECT t.doc_id,
+      |         CAST(floor(log10(CAST(v.cnt AS DOUBLE) / tot.corpus_n) * 1000000 + 0.5) AS BIGINT) AS il
+      |  FROM tokens t JOIN vocab v ON t.word = v.word, tot)
+      |SELECT doc_id, count(*) AS n_words,
+      |       floor(CAST(SUM(il) AS BIGINT) / (count(*) * 100.0) + 0.5) / 10000.0 AS avg_logp
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     Entry("q_dedup_jaccard", dedupJaccard, Some(dedupJaccardSql)),
@@ -1135,5 +1321,9 @@ object LlmQueries {
     Entry("mm_binary_features", mmBinaryFeatures, Some(mmBinaryFeaturesSql)),
     Entry("mm_resize", mmResize, Some(mmResizeSql)),
     Entry("mm_frame_sample", mmFrameSample, Some(mmFrameSampleSql)),
+    Entry("q_repetition", repetition, Some(repetitionSql)),
+    Entry("q_contam_ngram", contamNgram, Some(contamNgramSql)),
+    Entry("q_shard_assign", shardAssign, Some(shardAssignSql)),
+    Entry("q_unigram_lm", unigramLm, Some(unigramLmSql)),
   )
 }

@@ -109,6 +109,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("corpus-vs-model scoring broadcasts the model side, never shuffles for it") {
+    // q_contam_ngram: the benchmark n-gram set broadcasts against the
+    // exploded training corpus; q_unigram_lm: the vocabulary and corpus
+    // total broadcast into map-side scoring. In both, the only
+    // corpus-sized shuffle is the per-doc aggregate — a SortMergeJoin
+    // would mean the whole corpus shuffles for the lookup at 100 TB.
+    for (q <- Seq("q_contam_ngram", "q_unigram_lm")) {
+      val df = Registry.queries(q)(spark, sfDir)
+      df.collect() // finalize the adaptive plan
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), s"$q must broadcast the model side:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q shuffles the corpus to join:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
   test("tiered-serving synthetic fallback broadcasts the catalog") {
     import org.apache.spark.sql.functions.col
     val reg = new graft.sources.ModelRegistry(

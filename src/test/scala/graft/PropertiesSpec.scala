@@ -125,7 +125,8 @@ class PropertiesSpec extends SparkSpec {
     val before = spark.conf.get(key)
     def runAll(n: String): Map[String, Seq[String]] = {
       spark.conf.set(key, n)
-      Seq("q_sample_strat", "q_pack_sequences", "q_count_distinct", "q_session_gap")
+      Seq("q_sample_strat", "q_pack_sequences", "q_count_distinct", "q_session_gap",
+          "q_shard_assign", "q_unigram_lm")
         .map(q => q -> SparkEntry.queries(q)(spark, sfDir)
           .collect().map(_.toString).toSeq).toMap
     }

@@ -1299,6 +1299,78 @@ object LlmQueries {
       |       floor(CAST(SUM(il) AS BIGINT) / (count(*) * 100.0) + 0.5) / 10000.0 AS avg_logp
       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Cross-document duplicate-SPAN coverage — the hash-gram approximation
+    * of suffix-array substring dedup (the "long shared substring" family):
+    * a 16-gram appearing in ≥2 distinct docs marks its 16-token window
+    * duplicated; overlapping windows merge into spans (gaps-and-islands
+    * over a running max-end window), and each doc reports how much of it
+    * is covered by text that exists elsewhere in the corpus. Grams travel
+    * as 60-bit hashes, so the corpus-wide frequency shuffle is ~16 bytes
+    * a row and keys are uniform — no token-skew hotspot; the frequency
+    * aggregate and the join back to positions share the same hash
+    * partitioning, and the interval merge shuffles positions keyed by doc.
+    */
+  private val dupSpans: Q = (s, d) => {
+    val k = 16
+    val base = Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n", size(col("ws")))
+    val grams = base.filter(col("n") >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(ws) - $k), i -> concat_ws(' ', slice(ws, i + 1, $k)))")))
+      .select(col("doc_id"), col("pos"), Hashing.md5Long60(col("col")).as("g"))
+    val dupGrams = grams.groupBy("g")
+      .agg(countDistinct("doc_id").as("ndocs"))
+      .filter(col("ndocs") >= 2)
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = grams.join(dupGrams, "g")
+      .select("doc_id", "pos")
+      .withColumn("prev_max",
+        max(col("pos") + k).over(win.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        (col("prev_max").isNull || col("pos") > col("prev_max")).cast("int"))
+      .withColumn("island",
+        sum("new_island").over(win.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("s"), (max("pos") + k).as("e"))
+      .groupBy("doc_id")
+      .agg(sum(col("e") - col("s")).as("covered"), count(lit(1)).as("n_spans"))
+    base.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n").as("n_words"),
+        coalesce(col("covered"), lit(0L)).as("covered_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        r4(coalesce(col("covered"), lit(0L)).cast("double") / col("n")).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  private val dupSpansSql =
+    """WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, i - 1 AS pos,
+      |        ('0x' || substr(md5(array_to_string(ws[i:i+15], ' ')), 1, 15))::BIGINT AS g
+      |      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 14)) AS i
+      |            FROM base WHERE len(ws) >= 16)),
+      |c AS (SELECT g, count(DISTINCT doc_id) AS ndocs FROM g GROUP BY g),
+      |d AS (SELECT g.doc_id, g.pos FROM g JOIN c USING (g) WHERE c.ndocs >= 2),
+      |m AS (SELECT doc_id, pos,
+      |        max(pos + 16) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      |      FROM d),
+      |isl AS (SELECT doc_id, pos,
+      |        SUM(CASE WHEN prev_max IS NULL OR pos > prev_max THEN 1 ELSE 0 END)
+      |          OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+      |        FROM m),
+      |sp AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 16 AS e
+      |       FROM isl GROUP BY doc_id, island),
+      |cov AS (SELECT doc_id, CAST(SUM(e - s) AS BIGINT) AS covered,
+      |               count(*) AS n_spans
+      |        FROM sp GROUP BY doc_id)
+      |SELECT b.doc_id, CAST(len(b.ws) AS INT) AS n_words,
+      |       COALESCE(cov.covered, 0) AS covered_tokens,
+      |       COALESCE(cov.n_spans, 0) AS n_spans,
+      |       floor(COALESCE(cov.covered, 0) / CAST(len(b.ws) AS DOUBLE) * 10000 + 0.5) / 10000.0 AS dup_frac
+      |FROM base b LEFT JOIN cov ON b.doc_id = cov.doc_id
+      |ORDER BY b.doc_id""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     Entry("q_dedup_jaccard", dedupJaccard, Some(dedupJaccardSql)),
@@ -1325,5 +1397,6 @@ object LlmQueries {
     Entry("q_contam_ngram", contamNgram, Some(contamNgramSql)),
     Entry("q_shard_assign", shardAssign, Some(shardAssignSql)),
     Entry("q_unigram_lm", unigramLm, Some(unigramLmSql)),
+    Entry("q_dup_spans", dupSpans, Some(dupSpansSql)),
   )
 }

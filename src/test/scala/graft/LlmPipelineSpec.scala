@@ -60,6 +60,36 @@ class LlmPipelineSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum === totTokens)
   }
 
+  test("q_dup_spans matches a plain-Scala interval-merge recomputation") {
+    val k = 16
+    val gramsByDoc = docs.map { case (id, t) =>
+      val ws = t.split(" ", -1)
+      id -> ((ws.length,
+        if (ws.length >= k) ws.sliding(k).map(_.mkString(" ")).toVector
+        else Vector.empty[String]))
+    }
+    val gramDocs = gramsByDoc.toSeq
+      .flatMap { case (id, (_, gs)) => gs.distinct.map(g => g -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct.size }
+    val expect = gramsByDoc.map { case (id, (n, gs)) =>
+      val dupPos = gs.zipWithIndex.collect {
+        case (g, i) if gramDocs(g) >= 2 => i
+      }
+      val merged = dupPos.foldLeft(List.empty[(Int, Int)]) {
+        case (Nil, p) => List((p, p + k))
+        case ((s, e) :: rest, p) =>
+          if (p > e) (p, p + k) :: (s, e) :: rest
+          else (s, math.max(e, p + k)) :: rest
+      }
+      val covered = merged.map { case (s, e) => (e - s).toLong }.sum
+      id -> ((n, covered, merged.size.toLong, r4(covered.toDouble / n)))
+    }
+    val got = SparkEntry.queries("q_dup_spans")(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got === expect)
+  }
+
   test("q_unigram_lm matches an order-independent fixed-point recomputation") {
     val allWords = docs.values.toSeq.flatMap(_.split(" ", -1))
     val cnt = allWords.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }

@@ -211,6 +211,29 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-deliveries within the watermark horizon") {
+    import spark.implicits._
+    import graft.stream.Dedup
+    val base = 1704067200000L
+    def ev(id: Long, minute: Long): Ev =
+      Ev(id, new Timestamp(base + minute * 60000L), id % 5, "play", 1.0)
+    val ms = MemoryStream[Ev](implicitly[Encoder[Ev]], spark.sqlContext)
+    val sink = s"stream_dedup_${System.identityHashCode(this)}"
+    val q = Dedup.exactWithinWatermark(
+        ms.toDF(), Seq("event_id"), "ts", "30 minutes")
+      .writeStream.outputMode("append").format("memory").queryName(sink).start()
+    try {
+      ms.addData(Seq(ev(1, 0), ev(2, 1), ev(3, 2)))
+      q.processAllAvailable()
+      // a later micro-batch re-delivers id 2 inside the horizon and adds 4
+      ms.addData(Seq(ev(2, 3), ev(4, 4)))
+      q.processAllAvailable()
+      val ids = spark.table(sink).select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids === Seq(1L, 2L, 3L, 4L), "replayed id must appear exactly once")
+    } finally q.stop()
+  }
+
   test("T10: watermark admits append output and drops late data") {
     import spark.implicits._
     val base = 1704067200000L // 2024-01-01T00:00Z

@@ -1371,6 +1371,175 @@ object LlmQueries {
       |FROM base b LEFT JOIN cov ON b.doc_id = cov.doc_id
       |ORDER BY b.doc_id""".stripMargin
 
+  /** Corpus-mixture rebalancing — the curation step that sets per-group
+    * sampling rates to hit target shares (here: uniform across langs):
+    * rate_g = min(1, target·N/n_g), acceptance by content hash so the SAME
+    * docs are kept on any cluster/engine. The rate table is 5 rows —
+    * broadcast — and acceptance is a map-side predicate; nothing
+    * corpus-sized shuffles except the final per-group report.
+    */
+  private val mixRebalance: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_before"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(sum("n_before").as("n_total"))))
+      .withColumn("rate",
+        least(lit(1.0), lit(0.2) * col("n_total") / col("n_before")))
+      .select("lang", "n_before", "rate")
+    val kept = docs.join(broadcast(rates), "lang")
+      .filter(Hashing.md5Frac(
+        concat(col("doc_id").cast("string"), lit("#mix"))) < col("rate"))
+      .groupBy("lang").agg(count(lit(1)).as("n_after"))
+    val after = rates.join(kept, Seq("lang"), "left")
+      .withColumn("n_after", coalesce(col("n_after"), lit(0L)))
+    after
+      .crossJoin(broadcast(after.agg(sum("n_after").as("total_after"))))
+      .select(col("lang"), col("n_before"), col("rate"), col("n_after"),
+        r4(col("n_after").cast("double") / col("total_after")).as("share_after"))
+      .orderBy("lang")
+  }
+
+  private val mixRebalanceSql =
+    """WITH c AS (SELECT lang, count(*) AS n_before FROM documents GROUP BY lang),
+      |t AS (SELECT CAST(SUM(n_before) AS BIGINT) AS n_total FROM c),
+      |r AS (SELECT lang, n_before, least(1.0, 0.2 * n_total / n_before) AS rate FROM c, t),
+      |kept AS (
+      |  SELECT d.lang FROM documents d JOIN r USING (lang)
+      |  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#mix'), 1, 8))::BIGINT
+      |        / 4294967296.0 < r.rate),
+      |a AS (SELECT r.lang, r.n_before, r.rate,
+      |             COALESCE(k.n_after, 0) AS n_after
+      |      FROM r LEFT JOIN (SELECT lang, count(*) AS n_after FROM kept GROUP BY lang) k
+      |      USING (lang)),
+      |ta AS (SELECT CAST(SUM(n_after) AS BIGINT) AS total_after FROM a)
+      |SELECT lang, n_before, rate, n_after,
+      |       floor(n_after / CAST(ta.total_after AS DOUBLE) * 10000 + 0.5) / 10000.0 AS share_after
+      |FROM a, ta ORDER BY lang""".stripMargin
+
+  /** Binary-signature ANN — the compression end of the similarity-search
+    * family: each vector packs its 64 sign bits into two BIGINT halves
+    * (32× smaller than the floats), candidates come from Hamming distance
+    * on the signatures (XOR + popcount — pure integer ops), and only the
+    * top-32 candidates per query are re-ranked with exact cosine. At
+    * 100 TB this is the memory story: the signature table fits where the
+    * float table cannot, queries broadcast, Hamming scoring is map-side,
+    * and the expensive float math touches 32 rows per query instead of
+    * the corpus.
+    */
+  private val annBinary: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("h1", expr(
+        "aggregate(sequence(0, 31), 0L, (a, i) -> a + CASE WHEN v[i] >= 0D THEN shiftleft(1L, i) ELSE 0L END)"))
+      .withColumn("h2", expr(
+        "aggregate(sequence(32, 63), 0L, (a, i) -> a + CASE WHEN v[i] >= 0D THEN shiftleft(1L, i - 32) ELSE 0L END)"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("h1").as("qh1"), col("h2").as("qh2"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("ham", expr(
+        "bit_count(h1 ^ qh1) + bit_count(h2 ^ qh2)"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("q_id").orderBy(asc("ham"), asc("vec_id"))))
+      .filter(col("crank") <= 32)
+      .withColumn("cos", round(cosine(col("qv"), col("v")), 3))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select("q_id", "rank", "vec_id", "cos", "ham")
+      .orderBy("q_id", "rank")
+  }
+
+  private val annBinarySql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |sg AS (
+      |  SELECT vec_id, v,
+      |    CAST(list_aggregate(list_transform(range(0, 32),
+      |      i -> CASE WHEN v[i + 1] >= 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END), 'sum') AS BIGINT) AS h1,
+      |    CAST(list_aggregate(list_transform(range(32, 64),
+      |      i -> CASE WHEN v[i + 1] >= 0 THEN (1::BIGINT << (i - 32)) ELSE 0::BIGINT END), 'sum') AS BIGINT) AS h2
+      |  FROM e),
+      |q AS (SELECT vec_id AS q_id, v AS qv, h1 AS qh1, h2 AS qh2 FROM sg WHERE vec_id < 10),
+      |cand AS (
+      |  SELECT q_id, vec_id, qv, v,
+      |         CAST(bit_count(xor(h1, qh1)) + bit_count(xor(h2, qh2)) AS INT) AS ham
+      |  FROM sg, q WHERE vec_id <> q_id),
+      |ranked AS (
+      |  SELECT q_id, vec_id, qv, v, ham,
+      |         row_number() OVER (PARTITION BY q_id ORDER BY ham, vec_id) AS crank
+      |  FROM cand),
+      |rerank AS (
+      |  SELECT q_id, vec_id, ham, round(list_cosine_similarity(qv, v), 3) AS cos
+      |  FROM ranked WHERE crank <= 32)
+      |SELECT q_id, rank, vec_id, cos, ham
+      |FROM (SELECT q_id, vec_id, cos, ham,
+      |             row_number() OVER (PARTITION BY q_id
+      |                                ORDER BY cos DESC, vec_id) AS rank
+      |      FROM rerank)
+      |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** End-to-end curation funnel — the composed pipeline a corpus actually
+    * runs (lang keep-list → length floor → repetition cap → exact dedup),
+    * reported as the per-stage survivor/drop table every curation job
+    * ships with. Each stage is the registry operator's own predicate, so
+    * the funnel IS the composition proof; counts are one aggregate per
+    * stage over a chain Catalyst collapses into a single scan pipeline.
+    */
+  private val curateFunnel: Q = (s, d) => {
+    // ONE scan, one aggregate: each stage's predicate is a row-local flag
+    // (conjunctive with its predecessor), the dedup stage is a conditional
+    // count-distinct over survivors' fingerprints, and the 1-row aggregate
+    // unpivots into the funnel. A per-stage re-scan (the naive union of
+    // five counts) reads the corpus five times — measured 5× slower here
+    // and 5 full scans of 100 TB there.
+    val flagged = Tables.documents(s, d)
+      .withColumn("f1", col("lang").isin("en", "de", "fr", "es"))
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n", size(col("ws")))
+      .withColumn("f2", col("f1") && col("n") >= 20)
+      .withColumn("d2", when(col("f2"), expr(
+        "size(array_distinct(transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i+1]))))")))
+      .withColumn("f3", col("f2") &&
+        r4((col("n") - 1 - col("d2")).cast("double") / (col("n") - 1)) <= 0.6)
+    flagged.agg(
+        count(lit(1)).as("n0"),
+        sum(col("f1").cast("long")).as("n1"),
+        sum(col("f2").cast("long")).as("n2"),
+        sum(col("f3").cast("long")).as("n3"),
+        countDistinct(when(col("f3"), md5(col("text")))).as("n4"))
+      .selectExpr(
+        """stack(5,
+          |  0, '00_ingest', n0, 1, '01_lang', n1, 2, '02_min_length', n2,
+          |  3, '03_repetition', n3, 4, '04_exact_dedup', n4)
+          |  AS (stage_idx, stage, n_docs)""".stripMargin)
+      .withColumn("dropped",
+        coalesce(lag("n_docs", 1).over(
+          Window.orderBy("stage_idx")), col("n_docs")) - col("n_docs"))
+      .orderBy("stage_idx")
+  }
+
+  private val curateFunnelSql =
+    """WITH s1 AS (SELECT * FROM documents WHERE lang IN ('en', 'de', 'fr', 'es')),
+      |s2 AS (SELECT *, string_split(text, ' ') AS ws FROM s1
+      |       WHERE len(string_split(text, ' ')) >= 20),
+      |s3 AS (SELECT * FROM (
+      |         SELECT doc_id, text, len(ws) AS n,
+      |                len(list_distinct(list_transform(range(1, len(ws)),
+      |                    i -> ws[i] || ' ' || ws[i+1]))) AS d2
+      |         FROM s2)
+      |       WHERE floor(CAST(n - 1 - d2 AS DOUBLE) / (n - 1) * 10000 + 0.5) / 10000.0 <= 0.6),
+      |s4 AS (SELECT md5(text) AS fp, min(doc_id) AS doc_id FROM s3 GROUP BY fp),
+      |f AS (
+      |  SELECT 0 AS stage_idx, '00_ingest' AS stage, count(*) AS n_docs FROM documents
+      |  UNION ALL SELECT 1, '01_lang', count(*) FROM s1
+      |  UNION ALL SELECT 2, '02_min_length', count(*) FROM s2
+      |  UNION ALL SELECT 3, '03_repetition', count(*) FROM s3
+      |  UNION ALL SELECT 4, '04_exact_dedup', count(*) FROM s4)
+      |SELECT stage_idx, stage, n_docs,
+      |       COALESCE(lag(n_docs) OVER (ORDER BY stage_idx), n_docs) - n_docs AS dropped
+      |FROM f ORDER BY stage_idx""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     Entry("q_dedup_jaccard", dedupJaccard, Some(dedupJaccardSql)),
@@ -1398,5 +1567,8 @@ object LlmQueries {
     Entry("q_shard_assign", shardAssign, Some(shardAssignSql)),
     Entry("q_unigram_lm", unigramLm, Some(unigramLmSql)),
     Entry("q_dup_spans", dupSpans, Some(dupSpansSql)),
+    Entry("q_mix_rebalance", mixRebalance, Some(mixRebalanceSql)),
+    Entry("q_ann_binary", annBinary, Some(annBinarySql)),
+    Entry("q_curate_funnel", curateFunnel, Some(curateFunnelSql)),
   )
 }

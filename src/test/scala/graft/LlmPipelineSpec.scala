@@ -90,6 +90,82 @@ class LlmPipelineSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def md5Frac(s: String): Double =
+    java.lang.Long.parseLong(md5Hex(s).take(8), 16) / 4294967296.0
+
+  test("q_mix_rebalance keeps exactly the hash-admitted docs per lang") {
+    val langs = Tables.documents(spark, sfDir).select("doc_id", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val before = langs.groupBy(_._2).map { case (l, xs) => l -> xs.length.toLong }
+    val total = langs.length.toLong
+    val rate = before.map { case (l, n) => l -> math.min(1.0, 0.2 * total / n) }
+    val after = langs.filter { case (id, l) => md5Frac(s"$id#mix") < rate(l) }
+      .groupBy(_._2).map { case (l, xs) => l -> xs.length.toLong }
+      .withDefaultValue(0L)
+    val got = SparkEntry.queries("q_mix_rebalance")(spark, sfDir).collect()
+    assert(got.map(_.getString(0)).toSet === before.keySet)
+    got.foreach { r =>
+      val l = r.getString(0)
+      assert(r.getLong(1) === before(l), s"$l n_before")
+      assert(r.getDouble(2) === rate(l), s"$l rate")
+      assert(r.getLong(3) === after(l), s"$l n_after")
+    }
+  }
+
+  test("q_ann_binary candidates come from signature Hamming, rerank is exact") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def sig(v: Array[Double]): (Long, Long) = {
+      var h1 = 0L; var h2 = 0L
+      for (i <- 0 until 32) if (v(i) >= 0) h1 += 1L << i
+      for (i <- 32 until 64) if (v(i) >= 0) h2 += 1L << (i - 32)
+      (h1, h2)
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val sigs = vecs.map { case (id, v) => id -> sig(v) }
+    val expect = (0L until 10L).flatMap { qid =>
+      val (q1, q2) = sigs(qid)
+      val cand = vecs.keys.filter(_ != qid).toSeq
+        .map { id =>
+          val (h1, h2) = sigs(id)
+          (id, java.lang.Long.bitCount(h1 ^ q1) + java.lang.Long.bitCount(h2 ^ q2))
+        }
+        .sortBy { case (id, ham) => (ham, id) }.take(32)
+      cand.map { case (id, ham) =>
+        (id, ham, BigDecimal(cos(vecs(qid), vecs(id)))
+          .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+        .sortBy { case (id, _, c) => (-c, id) }.take(5).zipWithIndex
+        .map { case ((id, ham, c), i) => (qid, i + 1, id, c, ham) }
+    }.toSet
+    val got = SparkEntry.queries("q_ann_binary")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4))).toSet
+    assert(got === expect)
+  }
+
+  test("q_curate_funnel counts are a consistent monotone funnel") {
+    val rows = SparkEntry.queries("q_curate_funnel")(spark, sfDir).collect()
+      .sortBy(_.getInt(0))
+    assert(rows.map(_.getString(1)).toSeq === Seq(
+      "00_ingest", "01_lang", "02_min_length", "03_repetition", "04_exact_dedup"))
+    val ns = rows.map(_.getLong(2))
+    assert(ns.zip(ns.tail).forall { case (a, b) => b <= a }, "funnel must shrink")
+    assert(rows.head.getLong(3) === 0L)
+    assert(rows.map(_.getLong(3)).sum === ns.head - ns.last,
+      "drops must account for ingest minus survivors")
+    assert(ns.head === docs.size.toLong)
+  }
+
   test("q_unigram_lm matches an order-independent fixed-point recomputation") {
     val allWords = docs.values.toSeq.flatMap(_.split(" ", -1))
     val cnt = allWords.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }

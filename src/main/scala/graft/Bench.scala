@@ -13,9 +13,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.ops.Logs.quietBoundedWindowWarning()
-    // Warm-up: one flagship pass pays the one-time JVM/codegen/parquet-
-    // footer costs so per-query timings measure the queries, not startup.
+    // Warm-up: one flagship pass plus one footer-read per table pays the
+    // one-time JVM/codegen/parquet-metadata costs so per-query timings
+    // measure the queries (steady state), not whichever query happens to
+    // touch a table first.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    for (t <- graft.tables.Tables.names)
+      try {
+        // events needs the nanos-as-long reader; everything else is a
+        // plain scan.
+        if (t == "events") graft.tables.Tables.events(spark, sfDir).count()
+        else graft.tables.Tables.read(spark, sfDir, t).count()
+      } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -1540,6 +1540,95 @@ object LlmQueries {
       |       COALESCE(lag(n_docs) OVER (ORDER BY stage_idx), n_docs) - n_docs AS dropped
       |FROM f ORDER BY stage_idx""".stripMargin
 
+  /** Incremental dedup — the production shape of exact dedup: a corpus is
+    * deduped ONCE, its fingerprints become a catalog, and each new
+    * snapshot joins against the catalog instead of re-deduping the world.
+    * Here the catalog is the md5 set of the standing corpus (doc_id % 7
+    * ≠ 0), the snapshot is the rest plus planted copies of catalog docs;
+    * each snapshot doc reports whether it collides with the catalog
+    * (min colliding catalog id) or is novel. Scale shape: the join is a
+    * fingerprint equi-join — at 100 TB the catalog is a bucketed table on
+    * `fp` and the snapshot shuffles once into the same bucketing; nothing
+    * compares text, only 32-byte fingerprints.
+    */
+  private val dedupIncremental: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val catalog = docs.filter(pmod(col("doc_id"), lit(7L)) =!= 0)
+      .select(md5(col("text")).as("fp"), col("doc_id").as("catalog_id"))
+    val planted = docs.filter(pmod(col("doc_id"), lit(7L)) =!= 0)
+      .filter(col("doc_id") < 70)
+      .select((col("doc_id") + lit(40000L)).as("doc_id"), col("text"))
+    val snapshot = docs.filter(pmod(col("doc_id"), lit(7L)) === 0)
+      .select("doc_id", "text").unionByName(planted)
+    snapshot.withColumn("fp", md5(col("text")))
+      .join(catalog.groupBy("fp").agg(min("catalog_id").as("catalog_id")),
+        Seq("fp"), "left")
+      .groupBy("doc_id")
+      .agg(min("catalog_id").as("catalog_id"),
+        max(col("catalog_id").isNotNull.cast("int")).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  private val dedupIncrementalSql =
+    """WITH catalog AS (
+      |  SELECT md5(text) AS fp, min(doc_id) AS catalog_id
+      |  FROM documents WHERE doc_id % 7 <> 0 GROUP BY fp),
+      |snapshot AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 40000 AS doc_id, text
+      |  FROM documents WHERE doc_id % 7 <> 0 AND doc_id < 70)
+      |SELECT s.doc_id, min(c.catalog_id) AS catalog_id,
+      |       max(CAST(c.catalog_id IS NOT NULL AS INT)) AS is_dup
+      |FROM snapshot s LEFT JOIN catalog c ON md5(s.text) = c.fp
+      |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+
+  /** Embedding↔document integrity — the referential check a multimodal /
+    * embedding pipeline runs before training: which docs lack a vector,
+    * which vectors lack a doc (anti-joins both ways), and per-lang
+    * coverage with L2-norm health stats. One pass over each side; the
+    * doc↔vector match is an id equi-join.
+    */
+  private val embedCoverage: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select("doc_id", "lang")
+    val embs = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        sqrt(graft.functions.DotProduct(
+          col("embedding").cast("array<double>"),
+          col("embedding").cast("array<double>"))).as("norm"))
+    // Norms are fixed-pointed to micro units BEFORE the group sum (same
+    // discipline as q_unigram_lm): a raw double avg depends on partition
+    // summation order.
+    docs.join(embs, docs("doc_id") === embs("vec_id"), "left")
+      .withColumn("inorm",
+        when(col("vec_id").isNotNull,
+          floor(col("norm") * lit(1000000.0) + lit(0.5)).cast("long")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("vec_id").isNotNull.cast("long")).as("n_with_vec"),
+        sum("inorm").as("sinorm"))
+      .select(col("lang"), col("n_docs"), col("n_with_vec"),
+        (floor(col("sinorm") / (col("n_with_vec") * lit(100.0)) + lit(0.5)) / lit(10000.0)).as("avg_norm"))
+      .orderBy("lang")
+  }
+
+  private val embedCoverageSql =
+    """WITH e AS (
+      |  SELECT vec_id,
+      |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                               CAST(embedding AS DOUBLE[]))) AS norm
+      |  FROM embeddings)
+      |SELECT lang, n_docs, n_with_vec,
+      |       floor(CAST(sinorm AS BIGINT) / (n_with_vec * 100.0) + 0.5) / 10000.0 AS avg_norm
+      |FROM (
+      |  SELECT d.lang, count(*) AS n_docs,
+      |         CAST(SUM(CAST(e.vec_id IS NOT NULL AS INT)) AS BIGINT) AS n_with_vec,
+      |         SUM(CASE WHEN e.vec_id IS NOT NULL
+      |                  THEN CAST(floor(e.norm * 1000000 + 0.5) AS BIGINT) END) AS sinorm
+      |  FROM documents d LEFT JOIN e ON d.doc_id = e.vec_id
+      |  GROUP BY d.lang)
+      |ORDER BY lang""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     Entry("q_dedup_jaccard", dedupJaccard, Some(dedupJaccardSql)),
@@ -1570,5 +1659,7 @@ object LlmQueries {
     Entry("q_mix_rebalance", mixRebalance, Some(mixRebalanceSql)),
     Entry("q_ann_binary", annBinary, Some(annBinarySql)),
     Entry("q_curate_funnel", curateFunnel, Some(curateFunnelSql)),
+    Entry("q_dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
+    Entry("q_embed_coverage", embedCoverage, Some(embedCoverageSql)),
   )
 }

@@ -166,6 +166,48 @@ class LlmPipelineSpec extends SparkSpec {
     assert(ns.head === docs.size.toLong)
   }
 
+  test("q_dedup_incremental flags exactly the catalog collisions") {
+    val catalog = docs.filter { case (id, _) => id % 7 != 0 }
+    val catalogMin = catalog.toSeq.groupBy(_._2)
+      .map { case (t, xs) => t -> xs.map(_._1).min }
+    val snapshot = docs.filter { case (id, _) => id % 7 == 0 } ++
+      catalog.filter { case (id, _) => id < 70 }
+        .map { case (id, t) => (id + 40000L) -> t }
+    val expect = snapshot.map { case (id, t) =>
+      id -> catalogMin.get(t)
+    }
+    val got = SparkEntry.queries("q_dedup_incremental")(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.getInt(2) == 1) Some(r.getLong(1)) else { assert(r.isNullAt(1)); None }))
+      .toMap
+    assert(got === expect)
+    // every planted copy must collide
+    assert(snapshot.keys.filter(_ >= 40000L).forall(id => got(id).isDefined))
+  }
+
+  test("q_embed_coverage reports exact per-lang coverage and norms") {
+    val langOf = Tables.documents(spark, sfDir).select("doc_id", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val norms = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v").collect()
+      .map { r =>
+        val v = r.getSeq[Double](1)
+        r.getLong(0) -> math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+      }.toMap
+    val expect = langOf.groupBy(_._2).map { case (l, xs) =>
+      val ids = xs.keys.toSeq
+      val withVec = ids.filter(norms.contains)
+      val sinorm = withVec.map(id =>
+        math.floor(norms(id) * 1e6 + 0.5).toLong).sum
+      l -> ((ids.size.toLong, withVec.size.toLong,
+        math.floor(sinorm / (withVec.size * 100.0) + 0.5) / 10000.0))
+    }
+    val got = SparkEntry.queries("q_embed_coverage")(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === expect)
+  }
+
   test("q_unigram_lm matches an order-independent fixed-point recomputation") {
     val allWords = docs.values.toSeq.flatMap(_.split(" ", -1))
     val cnt = allWords.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }

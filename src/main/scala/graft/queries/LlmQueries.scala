@@ -674,7 +674,7 @@ object LlmQueries {
     * edges; one shuffle per round, scalar-only convergence probe, lineage
     * cut per round (`localCheckpoint`; on a real cluster, `checkpoint`).
     */
-  private def propagateMinLabels(edges: org.apache.spark.sql.DataFrame,
+  private[graft] def propagateMinLabels(edges: org.apache.spark.sql.DataFrame,
       maxIter: Int): org.apache.spark.sql.DataFrame = {
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("lbl", col("doc_id"))

@@ -153,6 +153,73 @@ class LlmPipelineSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("binary-signature ANN holds its measured recall floor vs brute force") {
+    // Deterministic (no RNG anywhere): at sf0.01, Hamming top-32 of 500
+    // (6.4% candidate coverage) reranked exactly gives mean recall@5 of
+    // 0.64 against brute-force cosine. Gate at 0.55 as the regression
+    // floor; on uniform-random vectors this is signature quality, not
+    // luck — sign-bit agreement concentrates around cosine similarity.
+    val vecs = Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def sig(v: Array[Double]): Array[Boolean] = v.map(_ >= 0)
+    val sigs = vecs.map { case (id, v) => id -> sig(v) }
+    val recalls = (0L until 10L).map { qid =>
+      val others = vecs.keys.filter(_ != qid).toSeq
+      val exact = others.sortBy(id => (-cos(vecs(qid), vecs(id)), id)).take(5).toSet
+      val cand = others.map { id =>
+        id -> sigs(id).zip(sigs(qid)).count { case (a, b) => a != b }
+      }.sortBy { case (id, h) => (h, id) }.take(32).map(_._1)
+      val got = cand.sortBy(id => (-cos(vecs(qid), vecs(id)), id)).take(5).toSet
+      (exact intersect got).size / 5.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.55, s"mean recall@5 $mean below floor (per-query: $recalls)")
+  }
+
+  test("driver union-find and distributed propagation agree on random graphs") {
+    // The closure has two code paths (bounded collect + union-find below
+    // the cap, min-label propagation above). They must be EQUIVALENT:
+    // componentsFromPairs picks by size, so a corpus crossing the cap
+    // must not change its components. Deterministic seeded graphs.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 30
+      val edges = Seq.fill(25)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val df = edges.toDF("doc_a", "doc_b")
+      val viaQuery = graft.queries.LlmQueries.componentsFromPairs(df)
+        .select("doc_id", "component").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference model: floyd-style closure over the symmetric graph
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val adj = (edges ++ edges.map(_.swap))
+        .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).toSet }
+      def reach(start: Long): Set[Long] = {
+        var seen = Set(start); var frontier = Set(start)
+        while (frontier.nonEmpty) {
+          frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+          seen ++= frontier
+        }
+        seen
+      }
+      val model = nodes.map(v => v -> reach(v).min).toMap
+      assert(viaQuery === model, s"trial $trial union-find path diverges")
+      // the over-cap path, driven directly on the symmetrized edges
+      val sym = df.union(df.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      val viaProp = graft.queries.LlmQueries.propagateMinLabels(sym, 20)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaProp === model, s"trial $trial propagation path diverges")
+    }
+  }
+
   test("q_curate_funnel counts are a consistent monotone funnel") {
     val rows = SparkEntry.queries("q_curate_funnel")(spark, sfDir).collect()
       .sortBy(_.getInt(0))

@@ -18,10 +18,11 @@ object StreamSpec {
   final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class Ev2(ts: Timestamp, user_id: Long)
+  final case class DocEv(doc_id: Long, text: String, lang: String, ts: Timestamp)
 }
 
 class StreamSpec extends SparkSpec {
-  import StreamSpec.{Ev, Ev2}
+  import StreamSpec.{Ev, Ev2, DocEv}
 
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
@@ -231,6 +232,43 @@ class StreamSpec extends SparkSpec {
       val ids = spark.table(sink).select("event_id")
         .collect().map(_.getLong(0)).sorted.toSeq
       assert(ids === Seq(1L, 2L, 3L, 4L), "replayed id must appear exactly once")
+    } finally q.stop()
+  }
+
+  test("streaming curation composes: length filter → content dedup, exactly once") {
+    // The batch curation predicates are mode-agnostic expressions, so the
+    // same stages run on a live stream: length floor, then content-keyed
+    // dedup bounded by the watermark. Re-delivered docs AND same-text
+    // copies under new ids must both collapse.
+    import spark.implicits._
+    import graft.stream.Dedup
+    val base = 1704067200000L
+    val real = Tables.documents(spark, sfDir).select("doc_id", "text", "lang")
+      .collect().take(10)
+      .zipWithIndex.map { case (r, i) =>
+        DocEv(r.getLong(0), r.getString(1), r.getString(2),
+          new Timestamp(base + i * 60000L))
+      }.toSeq
+    val ms = MemoryStream[DocEv](implicitly[Encoder[DocEv]], spark.sqlContext)
+    val sink = s"stream_curate_${System.identityHashCode(this)}"
+    val curated = Dedup.byContentWithinWatermark(
+      ms.toDF().filter(size(split(col("text"), " ")) >= 20),
+      "text", "ts", "30 minutes")
+    val q = curated.writeStream.outputMode("append")
+      .format("memory").queryName(sink).start()
+    try {
+      ms.addData(real.take(6))
+      q.processAllAvailable()
+      // re-deliver two verbatim + two same-text copies under fresh ids + new docs
+      ms.addData(real.slice(4, 6) ++
+        real.slice(0, 2).map(d => d.copy(doc_id = d.doc_id + 50000L)) ++
+        real.drop(6))
+      q.processAllAvailable()
+      val out = spark.table(sink).select("text").collect().map(_.getString(0))
+      val expect = real.map(_.text).distinct
+        .filter(_.split(" ", -1).length >= 20)
+      assert(out.sorted.toSeq === expect.sorted.toSeq,
+        "each surviving text exactly once despite re-delivery and copies")
     } finally q.stop()
   }
 

@@ -241,11 +241,19 @@ object LlmQueries {
     * unlike the MLlib hash family this is hash-checked against the oracle,
     * not rows-only.
     */
-  private val minhashDedup: Q = (s, d) => {
+  /** Shared discovery stage for the MinHash queries: the planted-dup
+    * corpus and its LSH-verified near-dup pairs (exact shingle-Jaccard
+    * ≥ 0.8 on band-bucket candidates), unordered. `q_minhash_dedup`
+    * presents the pairs; `q_dedup_pipeline` closes them into components
+    * and picks survivors.
+    */
+  private def minhashVerified(s: org.apache.spark.sql.SparkSession, d: String):
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val dup = docs.filter(col("doc_id") < 25)
       .withColumn("doc_id", col("doc_id") + lit(10000L))
-    val shingled = docs.unionByName(dup)
+    val corpus = docs.unionByName(dup)
+    val shingled = corpus
       .withColumn("ws", split(col("text"), " "))
       .withColumn("sh", array_distinct(
         expr("transform(sequence(0, size(ws) - 3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")))
@@ -267,14 +275,17 @@ object LlmQueries {
       .distinct()
     val sa = shingled.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val sb = shingled.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+    val verified = cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
       .withColumn("jac",
         round(size(array_intersect(col("sh_a"), col("sh_b"))) /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
       .filter(col("jac") >= 0.8)
       .select("doc_a", "doc_b", "jac")
-      .orderBy("doc_a", "doc_b")
+    (corpus, verified)
   }
+
+  private val minhashDedup: Q = (s, d) =>
+    minhashVerified(s, d)._2.orderBy("doc_a", "doc_b")
 
   private val minhashDedupSql =
     """WITH all_docs AS (
@@ -326,6 +337,100 @@ object LlmQueries {
       |WHERE round(len(list_intersect(sa.sh, sb.sh)) /
       |            CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 4) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** The dedup composition a 100 TB corpus actually runs, end-to-end in
+    * one query: sub-quadratic MinHash-LSH discovery → exact Jaccard
+    * verification of candidates → connected-component closure → survivor
+    * selection (keep the longest doc per component, ties to the smallest
+    * doc_id) → per-doc keep/drop decision. Every stage is the
+    * already-proven machinery ([[minhashVerified]], [[componentsFromPairs]]);
+    * this query is the proof they compose: discovery is one shuffle per
+    * LSH stage, verification touches only band-bucket candidates, the
+    * closure contracts near-clique components before iterating, and
+    * survivor ranking partitions by component — nothing in the chain is
+    * all-pairs or driver-bound. The emitted keep/drop list (not the pair
+    * list) is what downstream training-data jobs consume.
+    */
+  private val dedupPipeline: Q = (s, d) => {
+    val (corpus, verified) = minhashVerified(s, d)
+    val comps = componentsFromPairs(verified)
+    val lens = corpus.select(col("doc_id"), length(col("text")).as("doc_len"))
+    val w = Window.partitionBy("component")
+      .orderBy(desc("doc_len"), asc("doc_id"))
+    comps.join(lens, "doc_id")
+      .withColumn("keep",
+        when(row_number().over(w) === 1, lit(1)).otherwise(lit(0)))
+      .select("doc_id", "component", "csize", "doc_len", "keep")
+      .orderBy("doc_id")
+  }
+
+  private val dedupPipelineSql =
+    """WITH RECURSIVE all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 25),
+      |sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(1, len(ws) - 1),
+      |                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM all_docs)),
+      |ex AS (SELECT doc_id, ('0x' || substr(md5(unnest(sh)), 1, 8))::BIGINT AS h
+      |       FROM sh),
+      |sig AS (
+      |  SELECT doc_id,
+      |         min((h * 1 + 0) % 4294967311) AS h0,
+      |         min((h * 3 + 7919) % 4294967311) AS h1,
+      |         min((h * 5 + 15838) % 4294967311) AS h2,
+      |         min((h * 7 + 23757) % 4294967311) AS h3,
+      |         min((h * 9 + 31676) % 4294967311) AS h4,
+      |         min((h * 11 + 39595) % 4294967311) AS h5,
+      |         min((h * 13 + 47514) % 4294967311) AS h6,
+      |         min((h * 15 + 55433) % 4294967311) AS h7,
+      |         min((h * 17 + 63352) % 4294967311) AS h8,
+      |         min((h * 19 + 71271) % 4294967311) AS h9,
+      |         min((h * 21 + 79190) % 4294967311) AS h10,
+      |         min((h * 23 + 87109) % 4294967311) AS h11
+      |  FROM ex GROUP BY doc_id),
+      |banded AS (
+      |  SELECT doc_id,
+      |         md5(h0 || ',' || h1 || ',' || h2 || ',' || h3) AS b0,
+      |         md5(h4 || ',' || h5 || ',' || h6 || ',' || h7) AS b1,
+      |         md5(h8 || ',' || h9 || ',' || h10 || ',' || h11) AS b2
+      |  FROM sig),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band, b0 AS bkey FROM banded
+      |  UNION ALL SELECT doc_id, 1 AS band, b1 AS bkey FROM banded
+      |  UNION ALL SELECT doc_id, 2 AS band, b2 AS bkey FROM banded),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      |verified AS (
+      |  SELECT doc_a, doc_b
+      |  FROM cand
+      |  JOIN sh sa ON sa.doc_id = cand.doc_a
+      |  JOIN sh sb ON sb.doc_id = cand.doc_b
+      |  WHERE round(len(list_intersect(sa.sh, sb.sh)) /
+      |              CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 4) >= 0.8),
+      |edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM verified
+      |  UNION ALL
+      |  SELECT doc_b AS a, doc_a AS b FROM verified),
+      |walk(doc, lbl) AS (
+      |  SELECT DISTINCT a AS doc, a AS lbl FROM edges
+      |  UNION
+      |  SELECT e.b AS doc, w.lbl FROM walk w JOIN edges e ON e.a = w.doc),
+      |comp AS (SELECT doc AS doc_id, min(lbl) AS component FROM walk GROUP BY doc),
+      |lens AS (SELECT doc_id, CAST(length(text) AS INT) AS doc_len FROM all_docs)
+      |SELECT doc_id, component, csize, doc_len,
+      |       CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS INT) AS keep
+      |FROM (SELECT c.doc_id, c.component,
+      |             count(*) OVER (PARTITION BY c.component) AS csize,
+      |             l.doc_len,
+      |             row_number() OVER (PARTITION BY c.component
+      |                                ORDER BY l.doc_len DESC, c.doc_id) AS rk
+      |      FROM comp c JOIN lens l ON l.doc_id = c.doc_id)
+      |ORDER BY doc_id""".stripMargin
 
   /** Brute-force cosine top-k: small query set broadcast against the full
     * corpus — an embarrassingly parallel map over embeddings partitions, no
@@ -652,6 +757,41 @@ object LlmQueries {
       |                            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS grams
       |      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
       |ORDER BY doc_id""".stripMargin
+
+  /** Context-window chunking: every doc split into fixed 64-token windows
+    * at stride 48 (16-token overlap) — the standard pretraining / retrieval
+    * preprocessing step, and the structural complement of
+    * `q_pack_sequences` (chunking cuts long docs down to a context budget;
+    * packing bins short ones up to it). Chunk starts are every strided
+    * offset below the doc's token count, so the tail window may be short —
+    * deterministic and identical under any partitioning because the whole
+    * operator is a row-local explode: one scan, no shuffle before the
+    * presentation sort, and at 100 TB it runs at scan parallelism.
+    */
+  private val chunkSplit: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n", size(col("ws")))
+      .select(col("doc_id"), col("ws"), col("n"),
+        posexplode(expr("sequence(0, n - 1, 48)")).as(Seq("chunk_idx", "start_tok")))
+      .select(
+        col("doc_id"), col("chunk_idx"), col("start_tok"),
+        least(lit(64), col("n") - col("start_tok")).as("n_tok"),
+        element_at(col("ws"), col("start_tok") + 1).as("first_tok"))
+      .orderBy("doc_id", "chunk_idx")
+
+  private val chunkSplitSql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws,
+      |         len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |c AS (SELECT doc_id, ws, n, unnest(range(0, n, 48)) AS start_tok FROM t)
+      |SELECT doc_id,
+      |       CAST(start_tok // 48 AS INT) AS chunk_idx,
+      |       CAST(start_tok AS INT) AS start_tok,
+      |       CAST(least(64, n - start_tok) AS INT) AS n_tok,
+      |       ws[CAST(start_tok + 1 AS INT)] AS first_tok
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
   /** Connected components over the near-dup pair graph — the stage every
     * 100 TB dedup pipeline ends with: pairwise matches (from Jaccard/LSH)
@@ -1640,6 +1780,7 @@ object LlmQueries {
     Entry("q_decontaminate", decontaminate, Some(decontaminateSql)),
     Entry("q_simhash", simhash, Some(simhashSql)),
     Entry("q_minhash_dedup", minhashDedup, Some(minhashDedupSql)),
+    Entry("q_dedup_pipeline", dedupPipeline, Some(dedupPipelineSql)),
     Entry("q_embed_cosine_topk", embedCosineTopk, Some(embedCosineTopkSql)),
     Entry("q_dedup_embed", dedupEmbed, Some(dedupEmbedSql)),
     Entry("q_ann_ivf", annIvf, Some(annIvfSql)),
@@ -1648,6 +1789,7 @@ object LlmQueries {
     Entry("q_quality_score", qualityScore, Some(qualityScoreSql)),
     Entry("q_token_count", tokenCount, Some(tokenCountSql)),
     Entry("q_fingerprint", fingerprint, Some(fingerprintSql)),
+    Entry("q_chunk_split", chunkSplit, Some(chunkSplitSql)),
     Entry("mm_binary_features", mmBinaryFeatures, Some(mmBinaryFeaturesSql)),
     Entry("mm_resize", mmResize, Some(mmResizeSql)),
     Entry("mm_frame_sample", mmFrameSample, Some(mmFrameSampleSql)),

@@ -220,6 +220,45 @@ class LlmPipelineSpec extends SparkSpec {
     }
   }
 
+  test("q_chunk_split matches a plain-Scala sliding-window recomputation") {
+    val expect = docs.flatMap { case (id, text) =>
+      val n = text.split(" ", -1).length
+      val ws = text.split(" ", -1)
+      (0 until n by 48).zipWithIndex.map { case (start, idx) =>
+        (id, idx, start) -> ((math.min(64, n - start), ws(start)))
+      }
+    }
+    val got = SparkEntry.queries("q_chunk_split")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)) ->
+        ((r.getInt(3), r.getString(4))))
+      .toMap
+    assert(got === expect)
+  }
+
+  test("q_dedup_pipeline keeps exactly one survivor per component, originals over copies") {
+    val rows = SparkEntry.queries("q_dedup_pipeline")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4)))
+    assert(rows.nonEmpty)
+    // ids are unique; every component id is the component's min member
+    assert(rows.map(_._1).distinct.length === rows.length)
+    val byComp = rows.groupBy(_._2)
+    byComp.foreach { case (comp, members) =>
+      assert(members.map(_._1).min === comp, s"component id $comp is not its min member")
+      assert(members.forall(_._3 === members.length.toLong), s"csize wrong in $comp")
+      assert(members.count(_._5 == 1) === 1, s"component $comp keeps != 1 survivor")
+      // survivor = max doc_len, ties to min doc_id
+      val survivor = members.minBy { case (id, _, _, len, _) => (-len, id) }
+      assert(survivor._5 === 1, s"component $comp kept a non-canonical doc")
+    }
+    // every planted copy (id >= 10000) pairs with its identical original:
+    // same length => the original (smaller id) is kept, the copy dropped
+    val kept = rows.filter(_._5 == 1).map(_._1).toSet
+    rows.filter(_._1 >= 10000L).foreach { case (id, comp, _, _, _) =>
+      assert(!kept.contains(id), s"planted copy $id survived")
+      assert(comp < 10000L, s"copy $id not joined to its original's component")
+    }
+  }
+
   test("q_curate_funnel counts are a consistent monotone funnel") {
     val rows = SparkEntry.queries("q_curate_funnel")(spark, sfDir).collect()
       .sortBy(_.getInt(0))

@@ -1,0 +1,34 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit helper: executes the named registry queries and prints each
+  * one's FINAL (post-AQE) physical plan — the artifact the per-round plan
+  * audits in PLANS_r{N}.md quote. Run:
+  *
+  *   sbt "runMain graft.PlanDump <sfDir> <query>[,<query>...]"
+  *
+  * The query runs to completion first (`collect`), because before an
+  * action AQE prints `isFinalPlan=false` with no codegen markers.
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, names) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.ops.Logs.quietBoundedWindowWarning()
+    names.split(",").map(_.trim).filter(_.nonEmpty).foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      println(s"==== $name ====")
+      println(df.queryExecution.executedPlan.toString)
+    }
+    spark.stop()
+  }
+}

@@ -58,6 +58,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("the dedup pipeline stays candidate-bounded and partitions its survivor rank") {
+    // End-to-end composition: discovery must stay LSH-bucketed (no
+    // cartesian anywhere), and survivor selection must be a window
+    // PARTITIONED by component — a global row_number here would funnel
+    // the corpus through one partition at scale.
+    val p = plan("q_dedup_pipeline")
+    assert(!p.contains("CartesianProduct"), s"pipeline degraded to cartesian:\n$p")
+    assert("Window.*component".r.findFirstIn(p).isDefined,
+      s"survivor rank must partition by component:\n$p")
+  }
+
   test("semi/anti membership use semi/anti joins, not distinct+inner") {
     assert(plan("q_semi_join").contains("LeftSemi"))
     assert(plan("q_anti_join").contains("LeftAnti"))

@@ -19,10 +19,12 @@ object StreamSpec {
       event_type: String, value: Double)
   final case class Ev2(ts: Timestamp, user_id: Long)
   final case class DocEv(doc_id: Long, text: String, lang: String, ts: Timestamp)
+  final case class Trig(user_id: Long, lts: Timestamp)
+  final case class Resp(user_id: Long, rts: Timestamp, value: Double)
 }
 
 class StreamSpec extends SparkSpec {
-  import StreamSpec.{Ev, Ev2, DocEv}
+  import StreamSpec.{Ev, Ev2, DocEv, Trig, Resp}
 
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
@@ -269,6 +271,33 @@ class StreamSpec extends SparkSpec {
         .filter(_.split(" ", -1).length >= 20)
       assert(out.sorted.toSeq === expect.sorted.toSeq,
         "each surviving text exactly once despite re-delivery and copies")
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join matches within the bound, drops outside it") {
+    import spark.implicits._
+    import graft.stream.Joins
+    val base = 1704067200000L
+    def ts(min: Long): Timestamp = new Timestamp(base + min * 60000L)
+    val lms = MemoryStream[Trig](implicitly[Encoder[Trig]], spark.sqlContext)
+    val rms = MemoryStream[Resp](implicitly[Encoder[Resp]], spark.sqlContext)
+    val joined = Joins.intervalJoin(
+      lms.toDF(), "lts", rms.toDF(), "rts", "user_id", "10 minutes", "10 minutes")
+    val sink = s"stream_joins_${System.identityHashCode(this)}"
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(sink).start()
+    try {
+      lms.addData(Trig(1, ts(0)), Trig(2, ts(0)))
+      // user 1: one response inside [t0, t0+10'], one outside;
+      // user 3: response with no trigger at all
+      rms.addData(Resp(1, ts(5), 1.5), Resp(1, ts(20), 2.5), Resp(3, ts(5), 9.9))
+      q.processAllAvailable()
+      val out = spark.table(sink)
+        .select("user_id", "lts", "rts", "value").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getDouble(3)))
+      assert(out.toSeq === Seq((1L, ts(0), ts(5), 1.5)),
+        "exactly the in-interval pair must match; out-of-interval and " +
+          s"triggerless responses must not: ${out.toSeq}")
     } finally q.stop()
   }
 

@@ -1316,6 +1316,64 @@ object LlmQueries {
       |       CAST(dup_2gram_frac > 0.2 OR dup_3gram_frac > 0.18 OR top_word_frac > 0.3 AS INT) AS flagged
       |FROM f ORDER BY doc_id""".stripMargin
 
+  /** Collocation mining for vocabulary induction: the top word bigrams by
+    * pointwise-mutual-information lift (Church & Hanks 1990) — the corpus
+    * statistic tokenizer/vocab construction and stop-phrase detection start
+    * from. `lift = P(w1w2) / (P(w1)·P(w2))`, emitted as the raw ratio
+    * (no log): every factor is an exact-in-double integer count, so both
+    * engines divide identical numbers and the hash-compare holds bit-for-bit
+    * (a `ln` would hang determinism on two libms' last-ulp agreement).
+    *
+    * Scale shape: unigram and bigram counts are partial+final aggregates
+    * (map-side combine absorbs stopword skew before the shuffle); the
+    * support-filtered bigram table joins word counts on uniform keys; the
+    * 1-row totals frame broadcasts. Top-30 is sort+limit
+    * (TakeOrderedAndProject), never a global window.
+    */
+  private val vocabPmi: Q = (s, d) => {
+    val base = Tables.documents(s, d).withColumn("ws", split(col("text"), " "))
+    val uni = base.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val totals = base.agg(
+      sum(size(col("ws"))).cast("double").as("n_uni"),
+      sum(greatest(size(col("ws")) - 1, lit(0))).cast("double").as("n_bi"))
+    val bi = base.filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i+1]))")).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= 5)
+      .withColumn("w1", element_at(split(col("b"), " "), 1))
+      .withColumn("w2", element_at(split(col("b"), " "), 2))
+    bi.join(uni.select(col("w").as("w1"), col("cw").as("ca")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cw").as("cb")), "w2")
+      .crossJoin(broadcast(totals))
+      .withColumn("lift", r4(col("cab") * col("n_uni") * col("n_uni") /
+        (col("n_bi") * col("ca") * col("cb"))))
+      .select("w1", "w2", "cab", "lift")
+      .orderBy(desc("lift"), asc("w1"), asc("w2"))
+      .limit(30)
+  }
+
+  private val vocabPmiSql =
+    """WITH base AS (SELECT string_split(text, ' ') AS ws FROM documents),
+      |uni AS (SELECT w, count(*) AS cw
+      |        FROM (SELECT unnest(ws) AS w FROM base) GROUP BY w),
+      |tot AS (SELECT CAST(SUM(len(ws)) AS DOUBLE) AS n_uni,
+      |               CAST(SUM(CASE WHEN len(ws) >= 2 THEN len(ws) - 1 ELSE 0 END) AS DOUBLE) AS n_bi
+      |        FROM base),
+      |bi AS (SELECT b, count(*) AS cab
+      |       FROM (SELECT unnest(list_transform(range(1, len(ws)),
+      |                    i -> ws[i] || ' ' || ws[i+1])) AS b
+      |             FROM base WHERE len(ws) >= 2)
+      |       GROUP BY b HAVING count(*) >= 5),
+      |j AS (SELECT string_split(b, ' ')[1] AS w1, string_split(b, ' ')[2] AS w2, cab
+      |      FROM bi)
+      |SELECT j.w1, j.w2, j.cab,
+      |       floor(CAST(j.cab AS DOUBLE) * n_uni * n_uni /
+      |             (n_bi * ua.cw * ub.cw) * 10000 + 0.5) / 10000.0 AS lift
+      |FROM j JOIN uni ua ON ua.w = j.w1 JOIN uni ub ON ub.w = j.w2, tot
+      |ORDER BY lift DESC, w1, w2 LIMIT 30""".stripMargin
+
   /** N-gram-level decontamination — the overlap check exact-fingerprint
     * matching misses: a training doc that EMBEDS an eval doc's 8-gram is
     * flagged even though its full text differs. Planted leaks wrap an eval
@@ -1790,6 +1848,7 @@ object LlmQueries {
     Entry("q_token_count", tokenCount, Some(tokenCountSql)),
     Entry("q_fingerprint", fingerprint, Some(fingerprintSql)),
     Entry("q_chunk_split", chunkSplit, Some(chunkSplitSql)),
+    Entry("q_vocab_pmi", vocabPmi, Some(vocabPmiSql)),
     Entry("mm_binary_features", mmBinaryFeatures, Some(mmBinaryFeaturesSql)),
     Entry("mm_resize", mmResize, Some(mmResizeSql)),
     Entry("mm_frame_sample", mmFrameSample, Some(mmFrameSampleSql)),

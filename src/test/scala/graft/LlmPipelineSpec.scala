@@ -235,6 +235,25 @@ class LlmPipelineSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("q_vocab_pmi matches a plain-Scala collocation recomputation") {
+    val texts = docs.values.map(_.split(" ", -1).toSeq).toSeq
+    val uni = texts.flatten.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val nUni = uni.values.sum.toDouble
+    val nBi = texts.map(ws => math.max(ws.length - 1, 0).toLong).sum.toDouble
+    val bi = texts.filter(_.length >= 2)
+      .flatMap(ws => ws.sliding(2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+      .filter(_._2 >= 5)
+    val expect = bi.toSeq.map { case ((w1, w2), cab) =>
+      val lift = math.floor(
+        cab * nUni * nUni / (nBi * uni(w1) * uni(w2)) * 10000 + 0.5) / 10000.0
+      (w1, w2, cab, lift)
+    }.sortBy { case (w1, w2, _, lift) => (-lift, w1, w2) }.take(30)
+    val got = SparkEntry.queries("q_vocab_pmi")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === expect)
+  }
+
   test("q_dedup_pipeline keeps exactly one survivor per component, originals over copies") {
     val rows = SparkEntry.queries("q_dedup_pipeline")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4)))

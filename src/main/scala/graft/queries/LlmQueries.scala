@@ -562,6 +562,70 @@ object LlmQueries {
       |      FROM scored)
       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
+  /** kNN label-vote probe — the standard embedding-quality audit: predict
+    * each query vector's label by majority vote of its 5 cosine neighbors
+    * and report per-label accuracy (on uniform-random synthetic vectors
+    * this sits at chance; the point is the audit artifact, produced at
+    * scale without an all-pairs join). Same shape as [[embedCosineTopk]]:
+    * the query set broadcasts, scoring is map-side over corpus partitions,
+    * and everything after the per-query top-5 operates on ≤ 5·|queries|
+    * rows. Vote ties break deterministically (max count, then min label).
+    */
+  private val knnLabel: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label"))
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("label").as("true_label"))
+    val top5 = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("v")), 3))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))))
+      .filter(col("rank") <= 5)
+    val pred = top5.groupBy("q_id", "true_label", "label")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("vr", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cnt"), asc("label"))))
+      .filter(col("vr") === 1)
+      .select(col("q_id"), col("true_label"), col("label").as("pred_label"))
+    pred.groupBy("true_label")
+      .agg(count(lit(1)).as("n_queries"),
+        sum((col("pred_label") === col("true_label")).cast("long")).as("n_correct"))
+      .withColumn("acc", r4(col("n_correct").cast("double") / col("n_queries")))
+      .orderBy("true_label")
+  }
+
+  private val knnLabelSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, v AS qv, label AS true_label FROM e WHERE vec_id < 50),
+      |scored AS (
+      |  SELECT q_id, true_label, e.vec_id, e.label,
+      |         round(list_cosine_similarity(qv, v), 3) AS cos
+      |  FROM q, e WHERE e.vec_id <> q_id),
+      |top5 AS (
+      |  SELECT q_id, true_label, label
+      |  FROM (SELECT q_id, true_label, label,
+      |               row_number() OVER (PARTITION BY q_id
+      |                                  ORDER BY cos DESC, vec_id) AS rank
+      |        FROM scored)
+      |  WHERE rank <= 5),
+      |votes AS (SELECT q_id, true_label, label, count(*) AS cnt
+      |          FROM top5 GROUP BY q_id, true_label, label),
+      |pred AS (
+      |  SELECT q_id, true_label, label AS pred_label
+      |  FROM (SELECT q_id, true_label, label, cnt,
+      |               row_number() OVER (PARTITION BY q_id
+      |                                  ORDER BY cnt DESC, label) AS vr
+      |        FROM votes)
+      |  WHERE vr = 1)
+      |SELECT true_label, count(*) AS n_queries,
+      |       CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+      |       floor(CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS DOUBLE) /
+      |             count(*) * 10000 + 0.5) / 10000.0 AS acc
+      |FROM pred GROUP BY true_label ORDER BY true_label""".stripMargin
+
   /** Trained-codebook IVF ANN — the scale path [[annIvf]]'s scaladoc
     * promises: a KMeans codebook (seed 42, the corpus-trained twin of
     * FAISS's IVF coarse quantizer) replaces the fixed sign-bit quantizer,
@@ -1849,6 +1913,7 @@ object LlmQueries {
     Entry("q_fingerprint", fingerprint, Some(fingerprintSql)),
     Entry("q_chunk_split", chunkSplit, Some(chunkSplitSql)),
     Entry("q_vocab_pmi", vocabPmi, Some(vocabPmiSql)),
+    Entry("q_knn_label", knnLabel, Some(knnLabelSql)),
     Entry("mm_binary_features", mmBinaryFeatures, Some(mmBinaryFeaturesSql)),
     Entry("mm_resize", mmResize, Some(mmResizeSql)),
     Entry("mm_frame_sample", mmFrameSample, Some(mmFrameSampleSql)),

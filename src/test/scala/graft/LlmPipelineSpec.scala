@@ -254,6 +254,40 @@ class LlmPipelineSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("q_knn_label matches a plain-Scala majority-vote recomputation") {
+    val rows = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v", "label")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+    val vecs = rows.map(t => t._1 -> t._2).toMap
+    val labels = rows.map(t => t._1 -> t._3).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // Spark round(c, 3) is BigDecimal HALF_UP on the double
+    def r3(x: Double): Double =
+      BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val preds = (0L until 50L).map { qid =>
+      val top5 = vecs.keys.filter(_ != qid).toSeq
+        .map(id => (id, r3(cos(vecs(qid), vecs(id)))))
+        .sortBy { case (id, c) => (-c, id) }.take(5)
+      val votes = top5.map(t => labels(t._1))
+        .groupBy(identity).map { case (l, xs) => (l, xs.size) }
+      labels(qid) -> votes.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+    }
+    val expect = preds.groupBy(_._1).map { case (tl, xs) =>
+      val correct = xs.count(p => p._2 == p._1)
+      tl -> ((xs.size.toLong, correct.toLong,
+        math.floor(correct.toDouble / xs.size * 10000 + 0.5) / 10000.0))
+    }
+    val got = SparkEntry.queries("q_knn_label")(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got === expect)
+  }
+
   test("q_dedup_pipeline keeps exactly one survivor per component, originals over copies") {
     val rows = SparkEntry.queries("q_dedup_pipeline")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4)))

@@ -1380,6 +1380,31 @@ object LlmQueries {
       |       CAST(dup_2gram_frac > 0.2 OR dup_3gram_frac > 0.18 OR top_word_frac > 0.3 AS INT) AS flagged
       |FROM f ORDER BY doc_id""".stripMargin
 
+  /** Metadata-consistency audit: stored `n_chars` vs recomputed
+    * `length(text)`, rolled up per lang — the validation pass that decides
+    * whether a 100 TB corpus's precomputed metadata columns can be trusted
+    * (and scanned INSTEAD of the text, which is the entire point of
+    * carrying them). Row-local comparison, one partial+final aggregate;
+    * all-integer output so the hash compare is exact.
+    */
+  private val metaAudit: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("actual", length(col("text")).cast("long"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("n_chars") === col("actual")).cast("long")).as("n_exact"),
+        sum(abs(col("n_chars") - col("actual"))).as("total_drift"),
+        max(abs(col("n_chars") - col("actual"))).as("max_drift"))
+      .orderBy("lang")
+
+  private val metaAuditSql =
+    """SELECT lang, count(*) AS n_docs,
+      |       CAST(SUM(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+      |       CAST(SUM(abs(n_chars - length(text))) AS BIGINT) AS total_drift,
+      |       CAST(MAX(abs(n_chars - length(text))) AS BIGINT) AS max_drift
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Collocation mining for vocabulary induction: the top word bigrams by
     * pointwise-mutual-information lift (Church & Hanks 1990) — the corpus
     * statistic tokenizer/vocab construction and stop-phrase detection start
@@ -1914,6 +1939,7 @@ object LlmQueries {
     Entry("q_chunk_split", chunkSplit, Some(chunkSplitSql)),
     Entry("q_vocab_pmi", vocabPmi, Some(vocabPmiSql)),
     Entry("q_knn_label", knnLabel, Some(knnLabelSql)),
+    Entry("q_meta_audit", metaAudit, Some(metaAuditSql)),
     Entry("mm_binary_features", mmBinaryFeatures, Some(mmBinaryFeaturesSql)),
     Entry("mm_resize", mmResize, Some(mmResizeSql)),
     Entry("mm_frame_sample", mmFrameSample, Some(mmFrameSampleSql)),

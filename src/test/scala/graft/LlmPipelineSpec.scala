@@ -254,6 +254,22 @@ class LlmPipelineSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("q_meta_audit matches a plain-Scala metadata recomputation") {
+    val meta = Tables.documents(spark, sfDir)
+      .select("lang", "text", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val expect = meta.groupBy(_._1).map { case (lang, xs) =>
+      val drifts = xs.map { case (_, text, stored) => math.abs(stored - text.length) }
+      lang -> ((xs.length.toLong,
+        xs.count { case (_, text, stored) => stored == text.length.toLong }.toLong,
+        drifts.sum, drifts.max))
+    }
+    val got = SparkEntry.queries("q_meta_audit")(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === expect)
+  }
+
   test("q_knn_label matches a plain-Scala majority-vote recomputation") {
     val rows = Tables.embeddings(spark, sfDir)
       .selectExpr("vec_id", "cast(embedding as array<double>) as v", "label")

@@ -39,6 +39,8 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_pagination").contains("TakeOrderedAndProject"),
       "pagination must bound the sort before any window numbering")
     assert(plan("q_rank_decay").contains("TakeOrderedAndProject"))
+    assert(plan("q_vocab_pmi").contains("TakeOrderedAndProject"),
+      "PMI top-30 must bound the sort, never a global window")
   }
 
   test("aggregations are partial+final (map-side combine before shuffle)") {
@@ -52,7 +54,7 @@ class PlanSpec extends SparkSpec {
     // q_containment_words is a deliberate broadcast-nested-loop theta join
     // (tiny build side, SURVEY §2.3 J5) and is excluded by design.
     for (q <- Seq("q_embed_cosine_topk", "q_dedup_jaccard", "q_minhash_dedup",
-        "q_ann_ivf", "q_simhash")) {
+        "q_ann_ivf", "q_simhash", "q_vocab_pmi", "q_knn_label")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q degraded to cartesian:\n$p")
     }

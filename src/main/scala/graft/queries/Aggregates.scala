@@ -212,8 +212,29 @@ object Aggregates {
       |       count(*) AS cnt
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** The skew-immune two-phase aggregation ([[graft.ops.Salt]]) as an
+    * oracle-checked registry query: `events` grouped by its 3-value
+    * `event_type` — exactly the few-distinct-hot-keys shape that stalls a
+    * naive groupBy's reducers at scale. The salted first phase shuffles
+    * uniformly; the second moves only keys × salts rows; integer cents make
+    * the two-phase re-aggregation exact, which is why the result
+    * hash-matches a single-threaded DuckDB GROUP BY bit-for-bit.
+    */
+  private val saltedAgg: Q = (s, d) =>
+    graft.ops.Salt.saltedCountSum(
+        Tables.events(s, d).select(col("event_type"), col("value")),
+        col("event_type"), Num.cents(col("value")), 32)
+      .select(col("k").as("event_type"), col("cnt"), col("sum_cents"))
+      .orderBy("event_type")
+
+  private val saltedAggSql =
+    """SELECT event_type, count(*) AS cnt,
+      |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q1_agg", q1Agg, Some(q1AggSql)),
+    Entry("q_salted_agg", saltedAgg, Some(saltedAggSql)),
     Entry("q_count_distinct", countDistinctQ, Some(countDistinctSql)),
     Entry("q_count_distinct_approx", countDistinctApproxQ, None),
     Entry("q_distribution", distribution, Some(distributionSql)),

@@ -1380,6 +1380,40 @@ object LlmQueries {
       |       CAST(dup_2gram_frac > 0.2 OR dup_3gram_frac > 0.18 OR top_word_frac > 0.3 AS INT) AS flagged
       |FROM f ORDER BY doc_id""".stripMargin
 
+  /** Coverage reconciliation as a FULL OUTER join — completing the join-type
+    * matrix (inner/left/semi/anti/range/as-of/theta elsewhere): docs and a
+    * deterministically-skewed embedding set (first 450 kept, 10 synthetic
+    * orphans added) reconciled into matched / doc_only / vec_only counts —
+    * the "what's missing on each side" audit two 100 TB tables get before
+    * anyone joins them for real. Full outer can't broadcast by definition;
+    * the sort-merge shuffle on unique ids IS the correct scale plan.
+    */
+  private val reconcile: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val vecs0 = Tables.embeddings(s, d).select(col("vec_id"))
+    val vecs = vecs0.filter(col("vec_id") < 450)
+      .unionByName(vecs0.filter(col("vec_id") < 10)
+        .select((col("vec_id") + lit(10000L)).as("vec_id")))
+    docs.join(vecs, docs("doc_id") === vecs("vec_id"), "full_outer")
+      .select(
+        when(col("doc_id").isNotNull && col("vec_id").isNotNull, lit("matched"))
+          .when(col("vec_id").isNull, lit("doc_only"))
+          .otherwise(lit("vec_only")).as("status"))
+      .groupBy("status").agg(count(lit(1)).as("n"))
+      .orderBy("status")
+  }
+
+  private val reconcileSql =
+    """WITH v AS (SELECT vec_id FROM embeddings WHERE vec_id < 450
+      |           UNION ALL
+      |           SELECT vec_id + 10000 AS vec_id FROM embeddings WHERE vec_id < 10)
+      |SELECT status, count(*) AS n FROM (
+      |  SELECT CASE WHEN d.doc_id IS NOT NULL AND v.vec_id IS NOT NULL THEN 'matched'
+      |              WHEN v.vec_id IS NULL THEN 'doc_only'
+      |              ELSE 'vec_only' END AS status
+      |  FROM documents d FULL OUTER JOIN v ON d.doc_id = v.vec_id)
+      |GROUP BY status ORDER BY status""".stripMargin
+
   /** Metadata-consistency audit: stored `n_chars` vs recomputed
     * `length(text)`, rolled up per lang — the validation pass that decides
     * whether a 100 TB corpus's precomputed metadata columns can be trusted
@@ -1940,6 +1974,7 @@ object LlmQueries {
     Entry("q_vocab_pmi", vocabPmi, Some(vocabPmiSql)),
     Entry("q_knn_label", knnLabel, Some(knnLabelSql)),
     Entry("q_meta_audit", metaAudit, Some(metaAuditSql)),
+    Entry("q_reconcile", reconcile, Some(reconcileSql)),
     Entry("mm_binary_features", mmBinaryFeatures, Some(mmBinaryFeaturesSql)),
     Entry("mm_resize", mmResize, Some(mmResizeSql)),
     Entry("mm_frame_sample", mmFrameSample, Some(mmFrameSampleSql)),

@@ -274,6 +274,36 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins a live stream against a batch dim") {
+    // The batch dim tables compose with streams as-is: a static DataFrame
+    // on the build side of a streaming join needs no watermark and no
+    // state — each micro-batch hash-joins against the (broadcastable) dim.
+    import spark.implicits._
+    val dim = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey"), col("n_name"))
+    val ms = MemoryStream[Ev2](implicitly[Encoder[Ev2]], spark.sqlContext)
+    val enriched = ms.toDF()
+      .withColumn("n_nationkey", pmod(col("user_id"), lit(25L)))
+      .join(broadcast(dim), "n_nationkey")
+    val sink = s"stream_static_${System.identityHashCode(this)}"
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName(sink).start()
+    try {
+      val base = 1704067200000L
+      ms.addData((1L to 6L).map(i => Ev2(new Timestamp(base + i * 1000L), i * 5L)))
+      q.processAllAvailable()
+      val out = spark.table(sink).select("user_id", "n_name").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val expect = Tables.nation(spark, sfDir)
+        .selectExpr("cast(n_nationkey as long)", "n_name").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out.keySet === (1L to 6L).map(_ * 5L).toSet)
+      out.foreach { case (uid, name) =>
+        assert(name === expect(uid % 25), s"user $uid joined wrong nation row")
+      }
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches within the bound, drops outside it") {
     import spark.implicits._
     import graft.stream.Joins

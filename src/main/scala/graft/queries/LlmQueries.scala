@@ -1904,6 +1904,62 @@ object LlmQueries {
       |FROM snapshot s LEFT JOIN catalog c ON md5(s.text) = c.fp
       |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
 
+  /** Broadcast-sketch incremental dedup — the shuffle-avoiding scale twin
+    * of [[dedupIncremental]]. A 100 TB catalog has billions of
+    * fingerprints: too big for a broadcast hash join, and shuffling every
+    * snapshot row against it wastes the fact that most snapshot docs are
+    * novel. Instead: build ONE Bloom filter over the catalog fingerprints
+    * (`df.stat.bloomFilter`, a treeAggregate — a few hundred MB at 3 % fpp
+    * even for billions of keys), probe it on the snapshot scan inside
+    * whole-stage codegen ([[graft.functions.BloomMightContain]]), and send
+    * only BF-positive rows (true dups + ~3 % false positives) into the
+    * exact fingerprint join. BF-negative rows are definitively novel — a
+    * Bloom filter has no false negatives — so they bypass the shuffle
+    * entirely. Same answer as the exact join (BloomSpec proves equality,
+    * the no-false-negative probe over the full catalog, and that the
+    * sketch actually prunes).
+    */
+  private val bloomDedup: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val catalog = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0)
+      .select(md5(col("text")).as("fp"), col("doc_id").as("catalog_id"))
+    val catAgg = catalog.groupBy("fp").agg(min("catalog_id").as("catalog_id"))
+    // Scalar sizing action for the sketch (same precedent as the k-clamp
+    // counts): one number to the driver, not data.
+    val nCat = catalog.count()
+    val bf = catalog.stat.bloomFilter("fp", math.max(nCat, 1L), 0.03)
+    val planted = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0)
+      .filter(col("doc_id") < 50)
+      .select((col("doc_id") + lit(50000L)).as("doc_id"), col("text"))
+    val snap = docs.filter(pmod(col("doc_id"), lit(5L)) === 0)
+      .select("doc_id", "text").unionByName(planted)
+      .withColumn("fp", md5(col("text")))
+    val pos = snap
+      .where(graft.functions.BloomMightContain(col("fp"), bf))
+      .join(catAgg, Seq("fp"), "left")
+    val neg = snap
+      .where(!graft.functions.BloomMightContain(col("fp"), bf))
+      .withColumn("catalog_id", lit(null).cast("long"))
+    pos.unionByName(neg)
+      .select(col("doc_id"), col("catalog_id"),
+        col("catalog_id").isNotNull.cast("int").as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  private val bloomDedupSql =
+    """WITH catalog AS (
+      |  SELECT md5(text) AS fp, min(doc_id) AS catalog_id
+      |  FROM documents WHERE doc_id % 5 <> 0 GROUP BY fp),
+      |snapshot AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 50000 AS doc_id, text
+      |  FROM documents WHERE doc_id % 5 <> 0 AND doc_id < 50)
+      |SELECT s.doc_id, c.catalog_id,
+      |       CAST(c.catalog_id IS NOT NULL AS INT) AS is_dup
+      |FROM snapshot s LEFT JOIN catalog c ON md5(s.text) = c.fp
+      |ORDER BY s.doc_id""".stripMargin
+
   /** Embedding↔document integrity — the referential check a multimodal /
     * embedding pipeline runs before training: which docs lack a vector,
     * which vectors lack a doc (anti-joins both ways), and per-lang
@@ -1987,6 +2043,7 @@ object LlmQueries {
     Entry("q_ann_binary", annBinary, Some(annBinarySql)),
     Entry("q_curate_funnel", curateFunnel, Some(curateFunnelSql)),
     Entry("q_dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
+    Entry("q_bloom_dedup", bloomDedup, Some(bloomDedupSql)),
     Entry("q_embed_coverage", embedCoverage, Some(embedCoverageSql)),
   )
 }

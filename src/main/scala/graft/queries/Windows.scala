@@ -195,9 +195,43 @@ object Windows {
       |FROM y GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** W5 scale twin — grouped top-k via a bounded-heap typed
+    * [[graft.functions.TopKByScore]] aggregator instead of a ranking
+    * window. The window formulation ([[topnPerGroup]]) shuffles EVERY
+    * row to its group and sorts it; this one keeps ≤ k rows of state per
+    * group per map task, so the exchange carries k·groups·tasks rows no
+    * matter how big the input — the shape that survives 100 TB when the
+    * group count is small (here: 5 event types). Same answer as the
+    * window (PlanSpec pins ObjectHashAggregate partial+final, no Window).
+    */
+  private val topkHeap: Q = (s, d) => {
+    import s.implicits._
+    val k = 5
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .as[(String, Double, Long)]
+    ev.groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new graft.functions.TopKByScore(k).toColumn.name("top"))
+      .flatMap { case (tpe, top) =>
+        top.iterator.zipWithIndex.map { case ((v, eid), i) => (tpe, i + 1, eid, v) }
+      }
+      .toDF("event_type", "rn", "event_id", "value")
+      .orderBy("event_type", "rn")
+  }
+
+  private val topkHeapSql =
+    """SELECT event_type, rn, event_id, value
+      |FROM (SELECT event_type, event_id, value,
+      |             row_number() OVER (PARTITION BY event_type
+      |                                ORDER BY value DESC, event_id) AS rn
+      |      FROM events)
+      |WHERE rn <= 5 ORDER BY event_type, rn""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q_topk_global", topkGlobal, Some(topkGlobalSql)),
     Entry("q_topn_per_group", topnPerGroup, Some(topnPerGroupSql)),
+    Entry("q_topk_heap", topkHeap, Some(topkHeapSql)),
     Entry("q_pagination", pagination, Some(paginationSql)),
     Entry("q_rank_decay", rankDecay, Some(rankDecaySql)),
     Entry("q_rolling_avg", rollingAvg, Some(rollingAvgSql)),

@@ -1,0 +1,99 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import graft.functions.{BloomMightContain, TopKByScore}
+import graft.queries.Registry
+import graft.tables.Tables
+
+/** Guarantees behind the two shuffle-avoiding scale twins added this round:
+  * the Bloom-prefiltered incremental dedup (`q_bloom_dedup`) and the
+  * bounded-heap grouped top-k (`q_topk_heap`).
+  */
+class BloomSpec extends SparkSpec {
+
+  test("bloom prefilter has zero false negatives over the full catalog") {
+    // Every fingerprint that was PUT into the sketch must probe true via
+    // the codegen expression — i.e. the expression's mightContainBinary
+    // byte contract matches stat.bloomFilter's putBinary build path. A
+    // single false negative would silently mark a dup as novel.
+    val catalog = Tables.documents(spark, sfDir)
+      .filter(pmod(col("doc_id"), lit(5L)) =!= 0)
+      .select(md5(col("text")).as("fp"))
+    val bf = catalog.stat.bloomFilter("fp", 10000L, 0.03)
+    val misses = catalog.where(!BloomMightContain(col("fp"), bf)).count()
+    assert(misses === 0L, s"$misses catalog fingerprints probed false")
+  }
+
+  test("q_bloom_dedup equals the exact fingerprint join, and the sketch prunes") {
+    val got = Registry.queries("q_bloom_dedup")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    // Exact reference: same snapshot/catalog split, plain left join, no BF.
+    val docs = Tables.documents(spark, sfDir)
+    val catAgg = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0)
+      .select(md5(col("text")).as("fp"), col("doc_id").as("catalog_id"))
+      .groupBy("fp").agg(min("catalog_id").as("catalog_id"))
+    val planted = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0)
+      .filter(col("doc_id") < 50)
+      .select((col("doc_id") + lit(50000L)).as("doc_id"), col("text"))
+    val snap = docs.filter(pmod(col("doc_id"), lit(5L)) === 0)
+      .select("doc_id", "text").unionByName(planted)
+      .withColumn("fp", md5(col("text")))
+    val exact = snap.join(catAgg, Seq("fp"), "left")
+      .select(col("doc_id"), col("catalog_id"),
+        col("catalog_id").isNotNull.cast("int").as("is_dup"))
+      .orderBy("doc_id")
+      .collect().map(_.toString).toSeq
+    assert(got === exact, "BF-prefiltered result diverged from the exact join")
+
+    // The point of the sketch: most novel rows must skip the join. At 3 %
+    // fpp the BF-positive set should be close to the true-dup count, far
+    // below the snapshot size.
+    val bf = catAgg.stat.bloomFilter("fp", 10000L, 0.03)
+    val nSnap = snap.count()
+    val nPos = snap.where(BloomMightContain(col("fp"), bf)).count()
+    val nDup = exact.count(_.endsWith(",1]"))
+    assert(nPos < nSnap / 2,
+      s"sketch pruned nothing: $nPos of $nSnap rows probed positive")
+    assert(nPos >= nDup, "BF-positive set cannot be smaller than the true dups")
+  }
+
+  test("TopKByScore is insertion-order and merge-order invariant") {
+    val agg = new TopKByScore(3)
+    val rows = Seq.tabulate(40)(i => ((i * 7 % 11).toDouble, i.toLong))
+    val expected = rows.sortBy { case (v, id) => (-v, id) }.take(3)
+    val rnd = new Random(42)
+    for (_ <- 1 to 20) {
+      val shuffled = rnd.shuffle(rows)
+      val cut = rnd.nextInt(rows.size)
+      val (l, r) = shuffled.splitAt(cut)
+      val bufL = l.foldLeft(agg.zero)(agg.reduce)
+      val bufR = r.foldLeft(agg.zero)(agg.reduce)
+      assert(agg.finish(agg.merge(bufL, bufR)) === expected)
+      assert(agg.finish(agg.merge(bufR, bufL)) === expected)
+    }
+  }
+
+  test("q_topk_heap matches the ranking-window answer without any Window node") {
+    val got = Registry.queries("q_topk_heap")(spark, sfDir)
+    val viaWindow = Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy(desc("value"), asc("event_id"))))
+      .filter(col("rn") <= 5)
+      .select("event_type", "rn", "event_id", "value")
+      .orderBy("event_type", "rn")
+      .collect().map(_.toString).toSeq
+    assert(got.collect().map(_.toString).toSeq === viaWindow)
+
+    val p = got.queryExecution.executedPlan.toString
+    // "Window [" / "WindowGroupLimit" are the physical window nodes; a bare
+    // "Window" substring also matches the enclosing graft.queries.Windows
+    // object's lambda class names in AppendColumns.
+    assert(!p.contains("Window [") && !p.contains("WindowGroupLimit"),
+      s"heap top-k must not plan a window:\n$p")
+    assert("ObjectHashAggregate".r.findAllMatchIn(p).size >= 2,
+      s"typed top-k must partial-aggregate map-side before the exchange:\n$p")
+  }
+}

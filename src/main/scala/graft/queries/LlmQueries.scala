@@ -247,7 +247,7 @@ object LlmQueries {
     * presents the pairs; `q_dedup_pipeline` closes them into components
     * and picks survivors.
     */
-  private def minhashVerified(s: org.apache.spark.sql.SparkSession, d: String):
+  private[graft] def minhashVerified(s: org.apache.spark.sql.SparkSession, d: String):
       (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val dup = docs.filter(col("doc_id") < 25)
@@ -287,8 +287,15 @@ object LlmQueries {
   private val minhashDedup: Q = (s, d) =>
     minhashVerified(s, d)._2.orderBy("doc_a", "doc_b")
 
-  private val minhashDedupSql =
-    """WITH all_docs AS (
+  /** Shared oracle CTE prefix of the MinHash family (planted-dup corpus →
+    * shingles → 12 minhash signatures → 3 banded buckets → candidate
+    * pairs), spliced under `WITH RECURSIVE` by each consumer — RECURSIVE
+    * is inert for the non-recursive ones. One source of truth keeps the
+    * three twins ([[minhashDedupSql]], [[dedupPipelineSql]],
+    * [[splitLeakfreeSql]]) from drifting apart.
+    */
+  private val minhashCteSql =
+    """all_docs AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 25),
@@ -327,16 +334,41 @@ object LlmQueries {
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bands a JOIN bands b
-      |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
-      |SELECT doc_a, doc_b,
-      |       round(len(list_intersect(sa.sh, sb.sh)) /
-      |             CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 4) AS jac
-      |FROM cand
-      |JOIN sh sa ON sa.doc_id = cand.doc_a
-      |JOIN sh sb ON sb.doc_id = cand.doc_b
-      |WHERE round(len(list_intersect(sa.sh, sb.sh)) /
-      |            CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 4) >= 0.8
-      |ORDER BY doc_a, doc_b""".stripMargin
+      |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Shared closure suffix: exact-Jaccard verification of the LSH
+    * candidates, then the recursive component walk.
+    */
+  private val closureCteSql =
+    """verified AS (
+      |  SELECT doc_a, doc_b
+      |  FROM cand
+      |  JOIN sh sa ON sa.doc_id = cand.doc_a
+      |  JOIN sh sb ON sb.doc_id = cand.doc_b
+      |  WHERE round(len(list_intersect(sa.sh, sb.sh)) /
+      |              CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 4) >= 0.8),
+      |edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM verified
+      |  UNION ALL
+      |  SELECT doc_b AS a, doc_a AS b FROM verified),
+      |walk(doc, lbl) AS (
+      |  SELECT DISTINCT a AS doc, a AS lbl FROM edges
+      |  UNION
+      |  SELECT e.b AS doc, w.lbl FROM walk w JOIN edges e ON e.a = w.doc),
+      |comp AS (SELECT doc AS doc_id, min(lbl) AS component FROM walk GROUP BY doc)""".stripMargin
+
+  private val minhashDedupSql =
+    s"""WITH RECURSIVE
+       |$minhashCteSql
+       |SELECT doc_a, doc_b,
+       |       round(len(list_intersect(sa.sh, sb.sh)) /
+       |             CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 4) AS jac
+       |FROM cand
+       |JOIN sh sa ON sa.doc_id = cand.doc_a
+       |JOIN sh sb ON sb.doc_id = cand.doc_b
+       |WHERE round(len(list_intersect(sa.sh, sb.sh)) /
+       |            CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 4) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** The dedup composition a 100 TB corpus actually runs, end-to-end in
     * one query: sub-quadratic MinHash-LSH discovery → exact Jaccard
@@ -365,73 +397,19 @@ object LlmQueries {
   }
 
   private val dedupPipelineSql =
-    """WITH RECURSIVE all_docs AS (
-      |  SELECT doc_id, text FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 25),
-      |sh AS (
-      |  SELECT doc_id,
-      |         list_distinct(list_transform(range(1, len(ws) - 1),
-      |                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM all_docs)),
-      |ex AS (SELECT doc_id, ('0x' || substr(md5(unnest(sh)), 1, 8))::BIGINT AS h
-      |       FROM sh),
-      |sig AS (
-      |  SELECT doc_id,
-      |         min((h * 1 + 0) % 4294967311) AS h0,
-      |         min((h * 3 + 7919) % 4294967311) AS h1,
-      |         min((h * 5 + 15838) % 4294967311) AS h2,
-      |         min((h * 7 + 23757) % 4294967311) AS h3,
-      |         min((h * 9 + 31676) % 4294967311) AS h4,
-      |         min((h * 11 + 39595) % 4294967311) AS h5,
-      |         min((h * 13 + 47514) % 4294967311) AS h6,
-      |         min((h * 15 + 55433) % 4294967311) AS h7,
-      |         min((h * 17 + 63352) % 4294967311) AS h8,
-      |         min((h * 19 + 71271) % 4294967311) AS h9,
-      |         min((h * 21 + 79190) % 4294967311) AS h10,
-      |         min((h * 23 + 87109) % 4294967311) AS h11
-      |  FROM ex GROUP BY doc_id),
-      |banded AS (
-      |  SELECT doc_id,
-      |         md5(h0 || ',' || h1 || ',' || h2 || ',' || h3) AS b0,
-      |         md5(h4 || ',' || h5 || ',' || h6 || ',' || h7) AS b1,
-      |         md5(h8 || ',' || h9 || ',' || h10 || ',' || h11) AS b2
-      |  FROM sig),
-      |bands AS (
-      |  SELECT doc_id, 0 AS band, b0 AS bkey FROM banded
-      |  UNION ALL SELECT doc_id, 1 AS band, b1 AS bkey FROM banded
-      |  UNION ALL SELECT doc_id, 2 AS band, b2 AS bkey FROM banded),
-      |cand AS (
-      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM bands a JOIN bands b
-      |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-      |verified AS (
-      |  SELECT doc_a, doc_b
-      |  FROM cand
-      |  JOIN sh sa ON sa.doc_id = cand.doc_a
-      |  JOIN sh sb ON sb.doc_id = cand.doc_b
-      |  WHERE round(len(list_intersect(sa.sh, sb.sh)) /
-      |              CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 4) >= 0.8),
-      |edges AS (
-      |  SELECT doc_a AS a, doc_b AS b FROM verified
-      |  UNION ALL
-      |  SELECT doc_b AS a, doc_a AS b FROM verified),
-      |walk(doc, lbl) AS (
-      |  SELECT DISTINCT a AS doc, a AS lbl FROM edges
-      |  UNION
-      |  SELECT e.b AS doc, w.lbl FROM walk w JOIN edges e ON e.a = w.doc),
-      |comp AS (SELECT doc AS doc_id, min(lbl) AS component FROM walk GROUP BY doc),
-      |lens AS (SELECT doc_id, CAST(length(text) AS INT) AS doc_len FROM all_docs)
-      |SELECT doc_id, component, csize, doc_len,
-      |       CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS INT) AS keep
-      |FROM (SELECT c.doc_id, c.component,
-      |             count(*) OVER (PARTITION BY c.component) AS csize,
-      |             l.doc_len,
-      |             row_number() OVER (PARTITION BY c.component
-      |                                ORDER BY l.doc_len DESC, c.doc_id) AS rk
-      |      FROM comp c JOIN lens l ON l.doc_id = c.doc_id)
-      |ORDER BY doc_id""".stripMargin
-
+    s"""WITH RECURSIVE
+       |$minhashCteSql,
+       |$closureCteSql,
+       |lens AS (SELECT doc_id, CAST(length(text) AS INT) AS doc_len FROM all_docs)
+       |SELECT doc_id, component, csize, doc_len,
+       |       CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS INT) AS keep
+       |FROM (SELECT c.doc_id, c.component,
+       |             count(*) OVER (PARTITION BY c.component) AS csize,
+       |             l.doc_len,
+       |             row_number() OVER (PARTITION BY c.component
+       |                                ORDER BY l.doc_len DESC, c.doc_id) AS rk
+       |      FROM comp c JOIN lens l ON l.doc_id = c.doc_id)
+       |ORDER BY doc_id""".stripMargin
   /** Brute-force cosine top-k: small query set broadcast against the full
     * corpus — an embarrassingly parallel map over embeddings partitions, no
     * shuffle until the final per-query top-k. This is the correctness
@@ -2006,6 +1984,118 @@ object LlmQueries {
       |  GROUP BY d.lang)
       |ORDER BY lang""".stripMargin
 
+  /** Leakage-safe train/val split — the split discipline LLM training data
+    * requires: assignment is hashed from the NEAR-DUP COMPONENT id, not the
+    * doc id, so a document and its near-duplicates land in the same split
+    * by construction (doc-level hashing would leak ~80 % of every dup
+    * cluster into train and the rest into val, inflating eval scores).
+    * Components come from the proven scale path — MinHash-LSH discovery →
+    * exact verification → closure ([[minhashVerified]] /
+    * [[componentsFromPairs]]); singletons are their own component. Output
+    * is the per-split audit: component/doc counts, docs in multi-doc
+    * components, largest component. BloomSpec proves the invariant
+    * directly: no component straddles splits.
+    */
+  private val splitLeakfree: Q = (s, d) => {
+    val (corpus, verified) = minhashVerified(s, d)
+    val comps = componentsFromPairs(verified).select("doc_id", "component")
+    val assigned = corpus.select("doc_id").join(comps, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .withColumn("split",
+        when(pmod(Hashing.md5Long(col("component").cast("string")), lit(10L)) < 8,
+          lit("train")).otherwise(lit("val")))
+    val perComp = assigned.groupBy("component", "split")
+      .agg(count(lit(1)).as("sz"))
+    perComp.groupBy("split")
+      .agg(count(lit(1)).as("n_components"),
+        sum("sz").as("n_docs"),
+        sum(when(col("sz") > 1, col("sz")).otherwise(lit(0L))).as("n_linked_docs"),
+        max("sz").as("max_component"))
+      .orderBy("split")
+  }
+
+  private val splitLeakfreeSql =
+    s"""WITH RECURSIVE
+       |$minhashCteSql,
+       |$closureCteSql,
+       |allc AS (
+       |  SELECT a.doc_id, COALESCE(c.component, a.doc_id) AS component
+       |  FROM all_docs a LEFT JOIN comp c ON a.doc_id = c.doc_id),
+       |ws AS (
+       |  SELECT doc_id, component,
+       |         CASE WHEN ('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 8))::BIGINT % 10 < 8
+       |              THEN 'train' ELSE 'val' END AS split
+       |  FROM allc),
+       |perc AS (SELECT component, split, count(*) AS sz FROM ws GROUP BY component, split)
+       |SELECT split, count(*) AS n_components,
+       |       CAST(sum(sz) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN sz > 1 THEN sz ELSE 0 END) AS BIGINT) AS n_linked_docs,
+       |       max(sz) AS max_component
+       |FROM perc GROUP BY split ORDER BY split""".stripMargin
+
+  /** Snapshot drift detection — the monitoring pass between two crawls: has
+    * the language mixture shifted enough to retune the curation mixture?
+    * Baseline = even doc_ids; current = odd doc_ids plus a planted re-crawl
+    * of every German doc (a real shift for the detector to flag). Per
+    * category it emits the chi-square contribution ((observed − expected)²
+    * / expected, expected scaled from the baseline rate) and the total-
+    * variation contribution |p_cur − p_base| — both RATIONAL arithmetic
+    * (no ln as PSI would need: JVM and DuckDB libms may differ in the last
+    * ulp; products/quotients of counts are IEEE-identical, the driver-
+    * constraint discipline of q_vocab_pmi). Two scans and a 5-row
+    * broadcast-total cross join; trivially parallel at any scale.
+    */
+  private val driftChi2: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val base = docs.filter(pmod(col("doc_id"), lit(2L)) === 0)
+      .groupBy("lang").agg(count(lit(1)).as("n_base"))
+    val cur = docs.filter(pmod(col("doc_id"), lit(2L)) === 1).select("lang")
+      .unionByName(docs.filter(col("lang") === "de").select("lang"))
+      .groupBy("lang").agg(count(lit(1)).as("n_cur"))
+    val j = base.join(cur, Seq("lang"), "full")
+      .select(col("lang"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = j.agg(sum("n_base").as("tb"), sum("n_cur").as("tc"))
+    j.crossJoin(tot)
+      .withColumn("e", col("n_base").cast("double") * col("tc") / col("tb"))
+      .select(col("lang"), col("n_base"), col("n_cur"),
+        when(col("n_base") === 0, lit(null).cast("double"))
+          .otherwise(floor((col("n_cur") - col("e")) * (col("n_cur") - col("e"))
+            / col("e") * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+          .as("chi2_c"),
+        (floor(abs(col("n_cur").cast("double") / col("tc")
+          - col("n_base").cast("double") / col("tb")) * lit(1000000.0) + lit(0.5))
+          / lit(1000000.0)).as("tv_c"))
+      .orderBy("lang")
+  }
+
+  private val driftChi2Sql =
+    """WITH base AS (
+      |  SELECT lang, count(*) AS n_base FROM documents
+      |  WHERE doc_id % 2 = 0 GROUP BY lang),
+      |cur AS (
+      |  SELECT lang, count(*) AS n_cur FROM (
+      |    SELECT lang FROM documents WHERE doc_id % 2 = 1
+      |    UNION ALL SELECT lang FROM documents WHERE lang = 'de')
+      |  GROUP BY lang),
+      |j AS (
+      |  SELECT COALESCE(b.lang, c.lang) AS lang,
+      |         COALESCE(n_base, 0) AS n_base, COALESCE(n_cur, 0) AS n_cur
+      |  FROM base b FULL JOIN cur c ON b.lang = c.lang),
+      |t AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc FROM j),
+      |je AS (
+      |  SELECT lang, n_base, n_cur, tb, tc,
+      |         CAST(n_base AS DOUBLE) * tc / tb AS e
+      |  FROM j, t)
+      |SELECT lang, n_base, n_cur,
+      |       CASE WHEN n_base = 0 THEN NULL
+      |            ELSE floor((n_cur - e) * (n_cur - e) / e * 1000000.0 + 0.5)
+      |                 / 1000000.0 END AS chi2_c,
+      |       floor(abs(CAST(n_cur AS DOUBLE) / tc - CAST(n_base AS DOUBLE) / tb)
+      |             * 1000000.0 + 0.5) / 1000000.0 AS tv_c
+      |FROM je ORDER BY lang""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     Entry("q_dedup_jaccard", dedupJaccard, Some(dedupJaccardSql)),
@@ -2045,5 +2135,7 @@ object LlmQueries {
     Entry("q_dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
     Entry("q_bloom_dedup", bloomDedup, Some(bloomDedupSql)),
     Entry("q_embed_coverage", embedCoverage, Some(embedCoverageSql)),
+    Entry("q_split_leakfree", splitLeakfree, Some(splitLeakfreeSql)),
+    Entry("q_drift_chi2", driftChi2, Some(driftChi2Sql)),
   )
 }

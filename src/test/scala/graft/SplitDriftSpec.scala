@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Hashing
+import graft.queries.{LlmQueries, Registry}
+
+/** Guarantees behind the curation-split and drift-detection operators. */
+class SplitDriftSpec extends SparkSpec {
+
+  test("q_split_leakfree: no near-dup component straddles the split boundary") {
+    val (corpus, verified) = LlmQueries.minhashVerified(spark, sfDir)
+    val comps = LlmQueries.componentsFromPairs(verified)
+      .select("doc_id", "component")
+    val assigned = corpus.select("doc_id").join(comps, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .withColumn("split",
+        when(pmod(Hashing.md5Long(col("component").cast("string")), lit(10L)) < 8,
+          lit("train")).otherwise(lit("val")))
+
+    // The invariant the operator exists for: hashing the COMPONENT id means
+    // a component can only ever map to one split.
+    val straddlers = assigned.groupBy("component")
+      .agg(countDistinct("split").as("ns")).filter(col("ns") > 1).count()
+    assert(straddlers === 0L, "a near-dup component was split across train/val")
+
+    // Every planted near-dup (doc i ↔ doc i+10000) must co-locate — the
+    // end-to-end form of the same guarantee, through LSH discovery.
+    val splits = assigned.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (i <- 0L until 25L)
+      assert(splits(i) === splits(i + 10000L),
+        s"doc $i and its planted near-dup landed in different splits")
+
+    // The registry summary accounts for every corpus doc exactly once.
+    val summary = Registry.queries("q_split_leakfree")(spark, sfDir).collect()
+    assert(summary.map(_.getAs[Long]("n_docs")).sum === corpus.count())
+  }
+
+  test("q_drift_chi2: the planted German re-crawl dominates the drift report") {
+    val rows = Registry.queries("q_drift_chi2")(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Double]("chi2_c"), r.getAs[Double]("tv_c"))).toMap
+    val (deChi2, deTv) = rows("de")
+    for ((lang, (chi2, tv)) <- rows if lang != "de") {
+      assert(deChi2 > chi2, s"de chi2 $deChi2 must exceed $lang's $chi2")
+      assert(deTv >= tv, s"de tv $deTv must be >= $lang's $tv")
+    }
+    // Doubling every German doc is a gross shift: its contribution must
+    // dwarf the parity-split noise of the undrifted languages at ANY sf
+    // (chi-square grows linearly with corpus size, so no absolute floor).
+    val runnerUp = rows.collect { case (l, (c, _)) if l != "de" => c }.max
+    assert(deChi2 > 5 * runnerUp,
+      s"planted shift $deChi2 not separated from noise floor $runnerUp")
+  }
+}

@@ -1912,11 +1912,17 @@ object LlmQueries {
     val snap = docs.filter(pmod(col("doc_id"), lit(5L)) === 0)
       .select("doc_id", "text").unionByName(planted)
       .withColumn("fp", md5(col("text")))
+    // The branch split must be EXHAUSTIVE even for a null fingerprint
+    // (null text): the probe is null on null input, and `p` / `!p` both
+    // filter null away — the row would silently vanish where the exact
+    // join keeps it. coalesce routes null-fp rows to the novel branch,
+    // which is also what the exact left join concludes for them.
+    val probe = graft.functions.BloomMightContain(col("fp"), bf)
     val pos = snap
-      .where(graft.functions.BloomMightContain(col("fp"), bf))
+      .where(probe)
       .join(catAgg, Seq("fp"), "left")
     val neg = snap
-      .where(!graft.functions.BloomMightContain(col("fp"), bf))
+      .where(!coalesce(probe, lit(false)))
       .withColumn("catalog_id", lit(null).cast("long"))
     pos.unionByName(neg)
       .select(col("doc_id"), col("catalog_id"),

@@ -59,6 +59,25 @@ class BloomSpec extends SparkSpec {
     assert(nPos >= nDup, "BF-positive set cannot be smaller than the true dups")
   }
 
+  test("bloom pos/neg branch split is exhaustive, including null fingerprints") {
+    // The q_bloom_dedup union must route EVERY row somewhere. A null
+    // fingerprint probes null; `p` and `!p` both drop it — only
+    // `!coalesce(p, false)` keeps the branch split total.
+    import spark.implicits._
+    val bf = Tables.documents(spark, sfDir)
+      .select(md5(col("text")).as("fp")).stat.bloomFilter("fp", 1000L, 0.03)
+    val probeSrc = Seq(Option("known"), Option("novel-xyzzy"), None)
+      .toDF("fp")
+    val probe = BloomMightContain(col("fp"), bf)
+    val pos = probeSrc.where(probe).count()
+    val neg = probeSrc.where(!coalesce(probe, lit(false))).count()
+    assert(pos + neg === 3L,
+      s"branch split lost rows: $pos positive + $neg negative of 3")
+    // And the naive complement really does lose the null row — the trap
+    // the coalesce exists for.
+    assert(probeSrc.where(probe).count() + probeSrc.where(!probe).count() < 3L)
+  }
+
   test("TopKByScore is insertion-order and merge-order invariant") {
     val agg = new TopKByScore(3)
     val rows = Seq.tabulate(40)(i => ((i * 7 % 11).toDouble, i.toLong))

@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -38,6 +39,13 @@ case class BloomMightContain(child: Expression, filter: BloomFilter)
     extends UnaryExpression {
 
   override def dataType: DataType = BooleanType
+
+  // Fail at analysis time with the expression named, not mid-job with a
+  // ClassCastException / Janino error on getBytes().
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"BloomMightContain expects a string fingerprint column, got ${child.dataType}")
 
   override protected def nullSafeEval(input: Any): Any =
     filter.mightContainBinary(input.asInstanceOf[UTF8String].getBytes)

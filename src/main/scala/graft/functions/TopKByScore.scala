@@ -16,7 +16,7 @@ import org.apache.spark.sql.expressions.Aggregator
   * (ObjectHashAggregate Partial → Final) bounds the shuffle at
   * k·groups·partitions rows regardless of input size — at 100 TB with a
   * handful of groups that is the difference between shuffling the corpus
-  * and shuffling kilobytes. PlanSpec pins the shape: ObjectHashAggregate
+  * and shuffling kilobytes. BloomSpec pins the shape: ObjectHashAggregate
   * on both sides of the exchange, no Window node anywhere.
   *
   * Determinism: (score desc, id asc) is a total order whenever ids are
@@ -28,8 +28,20 @@ final class TopKByScore(k: Int)
 
   require(k > 0, s"k must be positive, got $k")
 
+  // Score comparison must be the SAME total order as Spark's `desc`:
+  // NaN sorts greater than every double (and equal to itself), ±0.0 are
+  // equal. A bare `>` makes NaN incomparable — reduce() and merge() would
+  // then disagree on where a NaN row ranks and the result would depend on
+  // partitioning, breaking both the window-equality contract and the hash
+  // gate's partition invariance.
+  private def gtScore(a: Double, b: Double): Boolean = {
+    val an = java.lang.Double.isNaN(a)
+    val bn = java.lang.Double.isNaN(b)
+    if (an || bn) an && !bn else a > b
+  }
+
   private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    gtScore(a._1, b._1) || (!gtScore(b._1, a._1) && a._2 < b._2)
 
   private def insert(l: List[(Double, Long)], x: (Double, Long)): List[(Double, Long)] =
     l match {

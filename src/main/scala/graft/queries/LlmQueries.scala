@@ -1999,18 +1999,23 @@ object LlmQueries {
     * exact verification → closure ([[minhashVerified]] /
     * [[componentsFromPairs]]); singletons are their own component. Output
     * is the per-split audit: component/doc counts, docs in multi-doc
-    * components, largest component. BloomSpec proves the invariant
-    * directly: no component straddles splits.
+    * components, largest component. SplitDriftSpec proves the invariant
+    * directly — against [[splitAssignments]], the SAME production
+    * assignment this query aggregates: no component straddles splits.
     */
-  private val splitLeakfree: Q = (s, d) => {
+  private[graft] def splitAssignments(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     val (corpus, verified) = minhashVerified(s, d)
     val comps = componentsFromPairs(verified).select("doc_id", "component")
-    val assigned = corpus.select("doc_id").join(comps, Seq("doc_id"), "left")
+    corpus.select("doc_id").join(comps, Seq("doc_id"), "left")
       .withColumn("component", coalesce(col("component"), col("doc_id")))
       .withColumn("split",
         when(pmod(Hashing.md5Long(col("component").cast("string")), lit(10L)) < 8,
           lit("train")).otherwise(lit("val")))
-    val perComp = assigned.groupBy("component", "split")
+  }
+
+  private val splitLeakfree: Q = (s, d) => {
+    val perComp = splitAssignments(s, d).groupBy("component", "split")
       .agg(count(lit(1)).as("sz"))
     perComp.groupBy("split")
       .agg(count(lit(1)).as("n_components"),

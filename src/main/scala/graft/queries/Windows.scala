@@ -202,7 +202,7 @@ object Windows {
     * group per map task, so the exchange carries k·groups·tasks rows no
     * matter how big the input — the shape that survives 100 TB when the
     * group count is small (here: 5 event types). Same answer as the
-    * window (PlanSpec pins ObjectHashAggregate partial+final, no Window).
+    * window (BloomSpec pins ObjectHashAggregate partial+final, no Window).
     */
   private val topkHeap: Q = (s, d) => {
     import s.implicits._

@@ -80,17 +80,28 @@ class BloomSpec extends SparkSpec {
 
   test("TopKByScore is insertion-order and merge-order invariant") {
     val agg = new TopKByScore(3)
-    val rows = Seq.tabulate(40)(i => ((i * 7 % 11).toDouble, i.toLong))
-    val expected = rows.sortBy { case (v, id) => (-v, id) }.take(3)
-    val rnd = new Random(42)
-    for (_ <- 1 to 20) {
-      val shuffled = rnd.shuffle(rows)
-      val cut = rnd.nextInt(rows.size)
-      val (l, r) = shuffled.splitAt(cut)
-      val bufL = l.foldLeft(agg.zero)(agg.reduce)
-      val bufR = r.foldLeft(agg.zero)(agg.reduce)
-      assert(agg.finish(agg.merge(bufL, bufR)) === expected)
-      assert(agg.finish(agg.merge(bufR, bufL)) === expected)
+    val plain = Seq.tabulate(40)(i => ((i * 7 % 11).toDouble, i.toLong))
+    // NaN must rank GREATER than every score (Spark's desc order) and tie
+    // with other NaNs on id — the case where a bare `>` comparison makes
+    // the result depend on which partition the NaN arrives from.
+    val withNaN = plain ++ Seq((Double.NaN, 100L), (Double.NaN, 41L))
+    for (rows <- Seq(plain, withNaN)) {
+      val expected = rows.sortWith { case ((va, ia), (vb, ib)) =>
+        val (na, nb) = (va.isNaN, vb.isNaN)
+        if (na != nb) na else if (va != vb && !na) va > vb else ia < ib
+      }.take(3)
+      val rnd = new Random(42)
+      for (_ <- 1 to 20) {
+        val shuffled = rnd.shuffle(rows)
+        val cut = rnd.nextInt(rows.size)
+        val (l, r) = shuffled.splitAt(cut)
+        val bufL = l.foldLeft(agg.zero)(agg.reduce)
+        val bufR = r.foldLeft(agg.zero)(agg.reduce)
+        assert(agg.finish(agg.merge(bufL, bufR)).map(_.toString) ===
+          expected.map(_.toString))
+        assert(agg.finish(agg.merge(bufR, bufL)).map(_.toString) ===
+          expected.map(_.toString))
+      }
     }
   }
 

@@ -1,21 +1,17 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.Hashing
 import graft.queries.{LlmQueries, Registry}
 
 /** Guarantees behind the curation-split and drift-detection operators. */
 class SplitDriftSpec extends SparkSpec {
 
   test("q_split_leakfree: no near-dup component straddles the split boundary") {
-    val (corpus, verified) = LlmQueries.minhashVerified(spark, sfDir)
-    val comps = LlmQueries.componentsFromPairs(verified)
-      .select("doc_id", "component")
-    val assigned = corpus.select("doc_id").join(comps, Seq("doc_id"), "left")
-      .withColumn("component", coalesce(col("component"), col("doc_id")))
-      .withColumn("split",
-        when(pmod(Hashing.md5Long(col("component").cast("string")), lit(10L)) < 8,
-          lit("train")).otherwise(lit("val")))
+    // Assert against the PRODUCTION assignment (the same DataFrame the
+    // registry query aggregates), not a spec-local re-derivation that
+    // could silently stay correct while the query drifts.
+    val assigned = LlmQueries.splitAssignments(spark, sfDir)
+    val corpus = LlmQueries.minhashVerified(spark, sfDir)._1
 
     // The invariant the operator exists for: hashing the COMPONENT id means
     // a component can only ever map to one split.

@@ -70,7 +70,13 @@ object LlmQueries {
     docs.select(col("doc_id"), col("lang"),
       sort_array(array_distinct(
         transform(split(col("text"), " "), w => Hashing.md5Long60(w)))).as("toks"))
-      .withColumn("n", size(col("toks")))
+      // coalesce makes n NON-NULLABLE so the join's null-intolerant prune
+      // filter cannot infer `isnotnull(size(<tokenization>))` back into the
+      // scan-side Filter — that inferred constraint made each side evaluate
+      // the (CodegenFallback, interpreted) tokenization TWICE per row. Rows
+      // with null text still drop: n=-1 fails the ratio prune and a null
+      // toks nulls the jac predicate.
+      .withColumn("n", coalesce(size(col("toks")), lit(-1)))
 
   /** EXACT all-pairs word-set Jaccard within `blockCols` blocks — the
     * verification oracle of the dedup family, NOT the 100 TB discovery
@@ -88,29 +94,37 @@ object LlmQueries {
     */
   def jaccardPairs(docs: org.apache.spark.sql.DataFrame,
       blockCols: Seq[String], threshold: Double,
-      maxBlockRows: Long = 65536L): org.apache.spark.sql.DataFrame = {
+      maxBlockRows: Long = 65536L,
+      broadcastRowCap: Long = 1048576L): org.apache.spark.sql.DataFrame = {
     require(blockCols.nonEmpty,
       "exact Jaccard needs a blocking key; unblocked all-pairs is O(n²) — " +
         "use the MinHash LSH path for global discovery")
     val t = tokenSets(docs)
     // max(count) is NULL on an empty input — treat as a zero-row block.
-    val biggest = Option(t.groupBy(blockCols.map(col).toIndexedSeq: _*)
-      .count().agg(max("count")).first().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val stats = t.groupBy(blockCols.map(col).toIndexedSeq: _*)
+      .count().agg(max("count"), sum("count")).first()
+    val biggest = Option(stats.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val total = Option(stats.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
     require(biggest <= maxBlockRows,
       s"largest ${blockCols.mkString(",")} block has $biggest rows " +
         s"(> $maxBlockRows): the all-pairs space would be ~${biggest * biggest / 2} " +
         "pairs. Use q_minhash_dedup's banded LSH for discovery and " +
         "jaccardVerify on its candidates for exact scores.")
-    // The b-side is block-guarded small, so this equi-join broadcasts and
-    // the per-pair merge-walk runs at SCAN parallelism with zero shuffle.
-    // (Measured: salting the block key to spread a shuffle join was ~40%
-    // SLOWER than the broadcast — don't "fix" the few-distinct-keys skew
-    // here, there is no shuffle to skew.)
+    // The b-side of a guarded verification corpus is EXPLICITLY broadcast
+    // (pinned — the implicit stats-based choice flipping to a shuffle join
+    // would serialize the merge-walk behind a #blocks-wide exchange): the
+    // broadcast keeps the per-pair merge-walk at SCAN parallelism with zero
+    // shuffle. (Measured: salting the block key to spread a shuffle join
+    // was ~40% SLOWER than the broadcast — don't "fix" the
+    // few-distinct-keys skew here, there is no shuffle to skew.) Above
+    // `broadcastRowCap` total rows the b-side no longer fits an executor,
+    // so the hint is withheld and Catalyst may shuffle — at that corpus
+    // size the contract says use LSH discovery + jaccardVerify anyway.
     val a = t.select(blockCols.map(col) ++ Seq(col("doc_id").as("doc_a"),
       col("toks").as("toks_a"), col("n").as("n_a")): _*)
-    val b = t.select(blockCols.map(col) ++ Seq(col("doc_id").as("doc_b"),
+    val b0 = t.select(blockCols.map(col) ++ Seq(col("doc_id").as("doc_b"),
       col("toks").as("toks_b"), col("n").as("n_b")): _*)
+    val b = if (total <= broadcastRowCap) broadcast(b0) else b0
     // Conservatively loose prune (-1e-9): the bound only skips work ahead
     // of the exact jac filter, so a threshold whose double product rounds
     // up must not drop a boundary pair before it is scored.

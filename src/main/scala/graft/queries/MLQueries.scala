@@ -161,7 +161,10 @@ object MLQueries {
     */
   private val alsRmse: Q = (s, d) => {
     import s.implicits._
-    val ratings = interactions(s, d)
+    // cache: the block-sizing count() below materializes the synthesis ONCE;
+    // without it the fit (and the split counts) re-run the whole generation
+    // pass — measured as the dominant non-fit cost of the ALS family.
+    val ratings = interactions(s, d).cache()
     val b = alsBlocks(s, ratings.count())
     val Array(train, test) = ratings.randomSplit(Array(0.8, 0.2), 42)
     val als = new ALS()
@@ -173,7 +176,9 @@ object MLQueries {
     val rmse = new RegressionEvaluator()
       .setMetricName("rmse").setLabelCol("rating").setPredictionCol("prediction")
       .evaluate(model.transform(test))
-    Seq(("als_explicit", math.rint(rmse * 1e4) / 1e4, train.count(), test.count()))
+    val (nTrain, nTest) = (train.count(), test.count())
+    ratings.unpersist() // all actions above are eager; output is local scalars
+    Seq(("als_explicit", math.rint(rmse * 1e4) / 1e4, nTrain, nTest))
       .toDF("model", "rmse", "n_train", "n_test")
   }
 
@@ -181,7 +186,9 @@ object MLQueries {
     * relational rows (reference: src/app.py:214-231; SURVEY.md §7.4 note 6).
     */
   private val alsRecommend: Q = (s, d) => {
-    val ratings = interactions(s, d)
+    // cache: block-sizing count() materializes the synthesis once; the fit
+    // reads the cache instead of regenerating (see alsRmse).
+    val ratings = interactions(s, d).cache()
     val b = alsBlocks(s, ratings.count())
     val als = new ALS()
       .setRank(10).setMaxIter(10).setRegParam(0.1).setSeed(42)
@@ -189,7 +196,12 @@ object MLQueries {
       .setColdStartStrategy("drop")
       .setNumUserBlocks(b).setNumItemBlocks(b)
     val model = als.fit(ratings)
-    val users = ratings.select("user_id").distinct().filter(col("user_id") < 10)
+    ratings.unpersist() // fit materialized+persisted the factor frames
+    // users come from the model's MATERIALIZED userFactors (same id set as
+    // distinct ratings users), so the lazy rec frame below never re-derives
+    // the unpersisted synthesis.
+    val users = model.userFactors.select(col("id").as("user_id"))
+      .filter(col("user_id") < 10)
     model.recommendForUserSubset(users, 5)
       .select(col("user_id"), posexplode(col("recommendations")).as(Seq("pos", "rec")))
       .select(
@@ -203,7 +215,7 @@ object MLQueries {
     * play-count-style confidence from the rating.
     */
   private val nmfImplicit: Q = (s, d) => {
-    val ratings = interactions(s, d)
+    val ratings = interactions(s, d).cache()
     val b = alsBlocks(s, ratings.count())
     val als = new ALS()
       .setRank(8).setMaxIter(8).setRegParam(0.1).setAlpha(1.0).setSeed(42)
@@ -212,7 +224,9 @@ object MLQueries {
       .setColdStartStrategy("drop")
       .setNumUserBlocks(b).setNumItemBlocks(b)
     val model = als.fit(ratings)
-    val users = ratings.select("user_id").distinct().filter(col("user_id") < 10)
+    ratings.unpersist()
+    val users = model.userFactors.select(col("id").as("user_id"))
+      .filter(col("user_id") < 10)
     model.recommendForUserSubset(users, 5)
       .select(col("user_id"), posexplode(col("recommendations")).as(Seq("pos", "rec")))
       .select(col("user_id"), (col("pos") + 1).as("rank"), col("rec.item_id").as("item_id"))
@@ -279,10 +293,10 @@ object MLQueries {
     */
   private val modelMetadata: Q = (s, d) => {
     import s.implicits._
-    val ratings = interactions(s, d)
-    val n = ratings.count()
-    val nUsers = ratings.select("user_id").distinct().count()
-    val nItems = ratings.select("item_id").distinct().count()
+    // one scan for all three counts (was three full synthesis passes)
+    val r = interactions(s, d).agg(
+      count(lit(1)), countDistinct("user_id"), countDistinct("item_id")).first()
+    val (n, nUsers, nItems) = (r.getLong(0), r.getLong(1), r.getLong(2))
     Seq(
       ("n_interactions", n.toDouble),
       ("n_users", nUsers.toDouble),

@@ -60,6 +60,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("exact-Jaccard pins its broadcast AT BENCH SCALE and tokenizes once per side") {
+    // The r6 driver bench showed a 3.4× swing on q_dedup_jaccard; the plan
+    // audit found the broadcast intact but relied on Catalyst's stats-based
+    // choice. Pin both invariants at the scale the bench runs (sf0.1, not
+    // the sf0.001 the other tests use): (a) the b-side is an explicit
+    // broadcast, never a sort-merge/shuffled-hash join; (b) the inferred
+    // `isnotnull(size(<tokenization>))` constraint is gone, so the
+    // interpreted HOF tokenization is evaluated once per row per side, not
+    // twice (n is non-nullable by construction in tokenSets).
+    val benchSf = "/root/testdata/sf0.1"
+    val dir = if (new java.io.File(benchSf).isDirectory) benchSf else sfDir
+    val df = graft.queries.LlmQueries.jaccardPairs(
+      graft.tables.Tables.documents(spark, dir), Seq("lang"), 0.5)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"b-side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the merge-walk must run at scan parallelism, not behind a shuffle:\n$p")
+    assert(!p.contains("isnotnull(size("),
+      s"tokenization re-evaluated in a Filter via an inferred constraint:\n$p")
+  }
+
   test("the dedup pipeline stays candidate-bounded and partitions its survivor rank") {
     // End-to-end composition: discovery must stay LSH-bucketed (no
     // cartesian anywhere), and survivor selection must be a window

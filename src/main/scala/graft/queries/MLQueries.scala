@@ -121,6 +121,44 @@ object MLQueries {
       .orderBy("cluster")
   }
 
+  /** M4's ASSIGNMENT step under pinned centroids, as an exact oracle twin:
+    * `KMeansModel.transform` given a fixed centroid set is pure relational
+    * argmin-Euclidean-distance — the only non-SQL part of KMeans is the
+    * iterative centroid SEARCH (ml_kmeans_clusters keeps covering that,
+    * rows-only + spec-gated). Centroids pin to the feature points of
+    * p_partkey ≤ 8 so both engines derive them from the same table; argmin
+    * compares squared distances (no sqrt needed — monotone), which are
+    * bit-identical IEEE doubles in Spark and DuckDB, with cid as the tie
+    * break. The argmin is a map-side `min(struct(d2, cid))` partial
+    * aggregate, not a window: the shuffle carries ≤ one candidate row per
+    * (part × task), never the k-fold expanded join.
+    */
+  private val kmeansAssign: Q = (s, d) => {
+    val feats = Tables.part(s, d).select(col("p_partkey"),
+      col("p_retailprice").as("x"), col("p_size").cast("double").as("y"))
+    val cents = feats.filter(col("p_partkey") <= 8)
+      .select(col("p_partkey").as("cid"), col("x").as("cx"), col("y").as("cy"))
+    val d2 = (col("x") - col("cx")) * (col("x") - col("cx")) +
+      (col("y") - col("cy")) * (col("y") - col("cy"))
+    feats.crossJoin(broadcast(cents))
+      .withColumn("d2", d2)
+      .groupBy("p_partkey")
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("p_partkey"), col("m.cid").as("cluster"))
+      .orderBy("p_partkey")
+  }
+
+  private val kmeansAssignSql =
+    """WITH f AS (SELECT p_partkey, p_retailprice AS x,
+      |                  CAST(p_size AS DOUBLE) AS y FROM part),
+      |c AS (SELECT p_partkey AS cid, x AS cx, y AS cy FROM f WHERE p_partkey <= 8)
+      |SELECT p_partkey, cid AS cluster
+      |FROM (SELECT f.p_partkey, c.cid,
+      |             row_number() OVER (PARTITION BY f.p_partkey
+      |               ORDER BY (f.x-c.cx)*(f.x-c.cx)+(f.y-c.cy)*(f.y-c.cy), c.cid) AS rn
+      |      FROM f CROSS JOIN c)
+      |WHERE rn = 1 ORDER BY p_partkey""".stripMargin
+
   /** M5/M11 — StringIndexer as a relational mapping: index = rank by
     * frequency desc, ties alphabetical (frequencyDesc, Spark's default) —
     * the one MLlib estimator with an exact SQL twin.
@@ -308,6 +346,7 @@ object MLQueries {
   val entries: Seq[Entry] = Seq(
     Entry("ml_feature_pipeline", featurePipeline, Some(featurePipelineSql)),
     Entry("ml_kmeans_clusters", kmeansClusters, None),
+    Entry("ml_kmeans_assign", kmeansAssign, Some(kmeansAssignSql)),
     Entry("ml_string_indexer", stringIndexer, Some(stringIndexerSql)),
     Entry("ml_als_rmse", alsRmse, None),
     Entry("ml_als_recommend", alsRecommend, None),

@@ -115,8 +115,43 @@ object StreamingQueries {
       |FROM stats JOIN top ON stats.batch_id = top.batch_id
       |ORDER BY stats.batch_id""".stripMargin
 
+  /** Stream-stream interval join, batch twin: a purchase "responds to" a
+    * view by the same user within 2 hours. Calls the SAME definition as the
+    * live path ([[graft.stream.Joins.intervalJoin]] — the watermark node is
+    * eliminated in batch), so the driver's DuckDB hash gate checks the join
+    * semantics that StreamSpec proves under streaming state/watermarks.
+    * Timestamps are emitted as epoch MICROS and the oracle compares in
+    * epoch_us arithmetic: events.parquet carries sub-microsecond parts, so
+    * a `ts + INTERVAL` comparison in DuckDB (ns) could admit/drop boundary
+    * pairs differently than Spark (µs).
+    */
+  private val intervalJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val views = ev.filter(col("event_type") === lit("view"))
+      .select(col("user_id"), col("event_id").as("trigger_id"), col("ts").as("lts"))
+    val purchases = ev.filter(col("event_type") === lit("purchase"))
+      .select(col("user_id"), col("event_id").as("response_id"), col("ts").as("rts"))
+    graft.stream.Joins.intervalJoin(views, "lts", purchases, "rts",
+        "user_id", "1 hour", "2 hours")
+      .select(col("user_id"), col("trigger_id"), col("response_id"),
+        unix_micros(col("lts")).as("trigger_us"),
+        unix_micros(col("rts")).as("response_us"))
+      .orderBy("trigger_id", "response_id")
+  }
+
+  private val intervalJoinSql =
+    """SELECT l.user_id, l.event_id AS trigger_id, r.event_id AS response_id,
+      |       epoch_us(l.ts) AS trigger_us, epoch_us(r.ts) AS response_us
+      |FROM events l JOIN events r
+      |  ON l.user_id = r.user_id
+      | AND epoch_us(r.ts) >= epoch_us(l.ts)
+      | AND epoch_us(r.ts) <= epoch_us(l.ts) + 7200000000
+      |WHERE l.event_type = 'view' AND r.event_type = 'purchase'
+      |ORDER BY trigger_id, response_id""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q_tumbling_window", tumblingWindow, Some(tumblingWindowSql)),
+    Entry("q_interval_join", intervalJoin, Some(intervalJoinSql)),
     Entry("q_sliding_window", slidingWindow, Some(slidingWindowSql)),
     Entry("q_session_window", sessionWindow, Some(sessionWindowSql)),
     Entry("q_stream_batch_summary", batchSummary, Some(batchSummarySql)),

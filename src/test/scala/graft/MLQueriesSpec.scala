@@ -34,6 +34,29 @@ class MLQueriesSpec extends SparkSpec {
     assert(clusters.map(_.getAs[Long]("n_parts")).sum === n)
   }
 
+  test("ml_kmeans_assign is the exact argmin assignment under the pinned centroids") {
+    // Driver-independent reference: the same (x-cx)²+(y-cy)² argmin with
+    // cid tie-break, computed in plain Scala (identical JVM IEEE ops to the
+    // codegen'd expressions) — pins the assignment-step semantics the
+    // DuckDB oracle hashes.
+    val feats = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_retailprice"),
+        col("p_size").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val cents = feats.filter(_._1 <= 8).sortBy(_._1)
+    assert(cents.length === 9, "fixture must contain the pinned centroids (p_partkey 0..8)")
+    val expect = feats.map { case (k, x, y) =>
+      k -> cents.minBy { case (cid, cx, cy) =>
+        ((x - cx) * (x - cx) + (y - cy) * (y - cy), cid)
+      }._1
+    }.toMap
+    val got = run("ml_kmeans_assign").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === feats.length, "every part must receive a cluster")
+    val diff = got.collect { case (k, c) if expect(k) != c => (k, c, expect(k)) }
+    assert(diff.isEmpty, s"argmin disagreements (key, got, want): ${diff.take(5)}")
+  }
+
   test("StringIndexer assigns indices by frequency desc, ties alphabetical") {
     val rows = run("ml_string_indexer").collect()
     assert(rows.map(_.getAs[Int]("idx")).toSeq === rows.indices.toSeq)

@@ -21,10 +21,11 @@ object StreamSpec {
   final case class DocEv(doc_id: Long, text: String, lang: String, ts: Timestamp)
   final case class Trig(user_id: Long, lts: Timestamp)
   final case class Resp(user_id: Long, rts: Timestamp, value: Double)
+  final case class IEv(user_id: Long, event_id: Long, ts: Timestamp)
 }
 
 class StreamSpec extends SparkSpec {
-  import StreamSpec.{Ev, Ev2, DocEv, Trig, Resp}
+  import StreamSpec.{Ev, Ev2, DocEv, Trig, Resp, IEv}
 
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
@@ -328,6 +329,45 @@ class StreamSpec extends SparkSpec {
       assert(out.toSeq === Seq((1L, ts(0), ts(5), 1.5)),
         "exactly the in-interval pair must match; out-of-interval and " +
           s"triggerless responses must not: ${out.toSeq}")
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join: live run equals the q_interval_join batch twin") {
+    // The SAME events, the SAME Joins.intervalJoin definition, once through
+    // real streaming state (MemoryStream, append mode) and once through the
+    // oracle-checked batch twin — the pair sets must be identical, so the
+    // driver's DuckDB hash on q_interval_join transitively checks the
+    // streaming join semantics.
+    import spark.implicits._
+    import graft.stream.Joins
+    val ev = Tables.events(spark, sfDir)
+    def side(t: String): Seq[IEv] = ev.filter(col("event_type") === lit(t))
+      .select(col("user_id"), col("event_id"), col("ts")).collect()
+      .map(r => IEv(r.getLong(0), r.getLong(1), r.getTimestamp(2))).toSeq
+    val lms = MemoryStream[IEv](implicitly[Encoder[IEv]], spark.sqlContext)
+    val rms = MemoryStream[IEv](implicitly[Encoder[IEv]], spark.sqlContext)
+    val joined = Joins.intervalJoin(
+      lms.toDF().select(col("user_id"),
+        col("event_id").as("trigger_id"), col("ts").as("lts")), "lts",
+      rms.toDF().select(col("user_id"),
+        col("event_id").as("response_id"), col("ts").as("rts")), "rts",
+      "user_id", "1 hour", "2 hours")
+    val sink = s"interval_twin_${System.identityHashCode(this)}"
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(sink).start()
+    try {
+      lms.addData(side("view"))
+      rms.addData(side("purchase"))
+      q.processAllAvailable()
+      val streamed = spark.table(sink).select("trigger_id", "response_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.queries.Registry.queries("q_interval_join")(spark, sfDir)
+        .select("trigger_id", "response_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch.nonEmpty, "fixture must produce at least one joined pair")
+      assert(streamed === batch,
+        s"stream/batch divergence: only-stream=${streamed -- batch}, " +
+          s"only-batch=${batch -- streamed}")
     } finally q.stop()
   }
 

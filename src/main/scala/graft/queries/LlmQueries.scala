@@ -267,6 +267,16 @@ object LlmQueries {
     val dup = docs.filter(col("doc_id") < 25)
       .withColumn("doc_id", col("doc_id") + lit(10000L))
     val corpus = docs.unionByName(dup)
+    (corpus, minhashPairs(corpus))
+  }
+
+  /** The LSH discovery + exact-verification stages over ANY (doc_id, text)
+    * corpus — shared by the planted-dup demos above and the composed
+    * incremental pipeline ([[dedupDelta]]), which runs it on the
+    * bloom/fingerprint survivors only.
+    */
+  private[graft] def minhashPairs(corpus: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame = {
     val shingled = corpus
       .withColumn("ws", split(col("text"), " "))
       .withColumn("sh", array_distinct(
@@ -295,7 +305,7 @@ object LlmQueries {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
       .filter(col("jac") >= 0.8)
       .select("doc_a", "doc_b", "jac")
-    (corpus, verified)
+    verified
   }
 
   private val minhashDedup: Q = (s, d) =>
@@ -312,12 +322,19 @@ object LlmQueries {
     """all_docs AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 25),
-      |sh AS (
+      |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 25),""".stripMargin +
+      "\n" + minhashStagesSql("all_docs")
+
+  /** The discovery-stage CTEs (shingle → signatures → bands → candidate
+    * pairs) over an arbitrary (doc_id, text) source CTE — the SQL twin of
+    * [[minhashPairs]], parameterized the same way.
+    */
+  private def minhashStagesSql(src: String) =
+    s"""sh AS (
       |  SELECT doc_id,
       |         list_distinct(list_transform(range(1, len(ws) - 1),
       |                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM all_docs)),
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM $src)),
       |ex AS (SELECT doc_id, ('0x' || substr(md5(unnest(sh)), 1, 8))::BIGINT AS h
       |       FROM sh),
       |sig AS (
@@ -1958,6 +1975,97 @@ object LlmQueries {
       |FROM snapshot s LEFT JOIN catalog c ON md5(s.text) = c.fp
       |ORDER BY s.doc_id""".stripMargin
 
+  /** The PRODUCTION incremental-dedup composition, end-to-end in one query:
+    * bloom gate → exact fingerprint join → MinHash-LSH near-dup discovery
+    * on the survivors. [[bloomDedup]] and [[dedupIncremental]] demo the
+    * stages; this is the shape a 100 TB delta ingest actually runs:
+    *
+    *   1. ONE Bloom filter over the standing catalog's fingerprints
+    *      (treeAggregate; hundreds of MB even at billions of keys) probed
+    *      on the delta scan inside whole-stage codegen — BF-negative rows
+    *      (the vast majority of a typical delta) never shuffle;
+    *   2. BF-positive rows take the exact fingerprint join (3 % false
+    *      positives pay the join, true dups resolve to their catalog id);
+    *   3. only the surviving novel docs enter sub-quadratic LSH discovery
+    *      + exact shingle-Jaccard verification AMONG THEMSELVES — the
+    *      within-delta near-dups a pure fingerprint join cannot see.
+    *
+    * Verdict per doc: exact_dup (catalog hit) / near_dup (verified partner
+    * with a smaller id — the canonical survivor) / novel. Exact dups are
+    * planted from the catalog (ids +50000), near-dups by re-appending
+    * delta docs (ids +60000); the oracle replays stages 2-3 exactly (the
+    * bloom gate is semantically transparent: no false negatives, and false
+    * positives only pay the join — BloomSpec proves both).
+    */
+  private val dedupDelta: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val catalog = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0)
+      .select(md5(col("text")).as("fp"), col("doc_id").as("catalog_id"))
+    val catAgg = catalog.groupBy("fp").agg(min("catalog_id").as("catalog_id"))
+    val nCat = catalog.count()
+    val bf = catalog.stat.bloomFilter("fp", math.max(nCat, 1L), 0.03)
+    val plantedExact = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0)
+      .filter(col("doc_id") < 50)
+      .select((col("doc_id") + lit(50000L)).as("doc_id"), col("text"))
+    val base = docs.filter(pmod(col("doc_id"), lit(5L)) === 0)
+      .select("doc_id", "text")
+    val plantedNear = base.filter(col("doc_id") < 125)
+      .select((col("doc_id") + lit(60000L)).as("doc_id"), col("text"))
+    val delta = base.unionByName(plantedExact).unionByName(plantedNear)
+      .withColumn("fp", md5(col("text")))
+    // Exhaustive pos/neg split incl. null fingerprints — same discipline
+    // (and BloomSpec proof) as q_bloom_dedup.
+    val probe = graft.functions.BloomMightContain(col("fp"), bf)
+    val pos = delta.where(probe).join(catAgg, Seq("fp"), "left")
+    val neg = delta.where(!coalesce(probe, lit(false)))
+      .withColumn("catalog_id", lit(null).cast("long"))
+    val exact = pos.unionByName(neg).select("doc_id", "text", "catalog_id")
+    val survivors = exact.filter(col("catalog_id").isNull).select("doc_id", "text")
+    val near = minhashPairs(survivors)
+      .groupBy(col("doc_b").as("doc_id"))
+      .agg(min("doc_a").as("near_dup_of"))
+    exact.join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("catalog_id"), col("near_dup_of"),
+        when(col("catalog_id").isNotNull, lit("exact_dup"))
+          .when(col("near_dup_of").isNotNull, lit("near_dup"))
+          .otherwise(lit("novel")).as("status"))
+      .orderBy("doc_id")
+  }
+
+  private val dedupDeltaSql =
+    s"""WITH
+       |catalog AS (
+       |  SELECT md5(text) AS fp, min(doc_id) AS catalog_id
+       |  FROM documents WHERE doc_id % 5 <> 0 GROUP BY fp),
+       |delta AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 50000 AS doc_id, text
+       |  FROM documents WHERE doc_id % 5 <> 0 AND doc_id < 50
+       |  UNION ALL
+       |  SELECT doc_id + 60000 AS doc_id, text
+       |  FROM documents WHERE doc_id % 5 = 0 AND doc_id < 125),
+       |exact AS (
+       |  SELECT d.doc_id, d.text, c.catalog_id
+       |  FROM delta d LEFT JOIN catalog c ON md5(d.text) = c.fp),
+       |survivors AS (SELECT doc_id, text FROM exact WHERE catalog_id IS NULL),
+       |${minhashStagesSql("survivors")},
+       |verified AS (
+       |  SELECT doc_a, doc_b
+       |  FROM cand
+       |  JOIN sh sa ON sa.doc_id = cand.doc_a
+       |  JOIN sh sb ON sb.doc_id = cand.doc_b
+       |  WHERE round(len(list_intersect(sa.sh, sb.sh)) /
+       |              CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 4) >= 0.8),
+       |near AS (SELECT doc_b AS doc_id, min(doc_a) AS near_dup_of
+       |         FROM verified GROUP BY doc_b)
+       |SELECT e.doc_id, e.catalog_id, n.near_dup_of,
+       |       CASE WHEN e.catalog_id IS NOT NULL THEN 'exact_dup'
+       |            WHEN n.near_dup_of IS NOT NULL THEN 'near_dup'
+       |            ELSE 'novel' END AS status
+       |FROM exact e LEFT JOIN near n ON e.doc_id = n.doc_id
+       |ORDER BY e.doc_id""".stripMargin
+
   /** Embedding↔document integrity — the referential check a multimodal /
     * embedding pipeline runs before training: which docs lack a vector,
     * which vectors lack a doc (anti-joins both ways), and per-lang
@@ -2159,6 +2267,7 @@ object LlmQueries {
     Entry("q_curate_funnel", curateFunnel, Some(curateFunnelSql)),
     Entry("q_dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
     Entry("q_bloom_dedup", bloomDedup, Some(bloomDedupSql)),
+    Entry("q_dedup_delta", dedupDelta, Some(dedupDeltaSql)),
     Entry("q_embed_coverage", embedCoverage, Some(embedCoverageSql)),
     Entry("q_split_leakfree", splitLeakfree, Some(splitLeakfreeSql)),
     Entry("q_drift_chi2", driftChi2, Some(driftChi2Sql)),

@@ -105,6 +105,49 @@ class BloomSpec extends SparkSpec {
     }
   }
 
+  test("q_dedup_delta composes bloom gate -> exact fp join -> LSH on survivors") {
+    val got = Registry.queries("q_dedup_delta")(spark, sfDir)
+    val rows = got.collect()
+    val byStatus = rows.groupBy(_.getAs[String]("status"))
+      .view.mapValues(_.length).toMap
+    // planted exact dups: catalog ids < 50 with id % 5 != 0 -> 40 copies
+    assert(byStatus.getOrElse("exact_dup", 0) === 40, s"statuses: $byStatus")
+    // the 25 planted copies MUST be flagged; the corpus also contains
+    // natural near-dup pairs (q_minhash_dedup finds them), so >= not ==
+    assert(byStatus.getOrElse("near_dup", 0) >= 25, s"statuses: $byStatus")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      r.getAs[String]("status") match {
+        case "exact_dup" =>
+          // exact stage must resolve the copy to its catalog origin
+          assert(r.getAs[Long]("catalog_id") === id - 50000L)
+        case "near_dup" if id >= 60000L =>
+          // a planted copy's canonical partner is its delta origin or a
+          // natural near-dup of it — either way a smaller surviving id
+          assert(r.getAs[Long]("near_dup_of") <= id - 60000L)
+        case "novel" =>
+          assert(r.isNullAt(r.fieldIndex("catalog_id")) &&
+            r.isNullAt(r.fieldIndex("near_dup_of")))
+        case _ => // natural near-dup among the base delta docs
+      }
+    }
+    // every planted copy must be caught by the LSH stage (jac 1.0 pairs
+    // share every band bucket, so discovery cannot miss them)
+    val planted = rows.filter(_.getAs[Long]("doc_id") >= 60000L)
+    assert(planted.length === 25)
+    assert(planted.forall(_.getAs[String]("status") == "near_dup"),
+      "all planted copies must be flagged near_dup")
+    // plan: the probe must gate the delta SCANS inside codegen (the whole
+    // point — BF-negatives skip the join shuffle), and nothing in the
+    // composition may go cartesian.
+    val p = got.queryExecution.executedPlan.toString
+    val gatedScans = p.linesIterator.count(l =>
+      l.contains("*(") && l.contains("Filter") && l.contains("bloommightcontain"))
+    assert(gatedScans >= 3,
+      s"bloom probe must gate the delta branches in codegen Filters:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_topk_heap matches the ranking-window answer without any Window node") {
     val got = Registry.queries("q_topk_heap")(spark, sfDir)
     val viaWindow = Tables.events(spark, sfDir)

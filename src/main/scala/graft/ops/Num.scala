@@ -25,4 +25,10 @@ object Num {
   /** Deterministic mean with 4-digit scale: sum exact cents, divide once. */
   def avgDollars(centsSum: Column, n: Column): Column =
     round(centsSum / lit(100.0) / n, 4)
+
+  /** Round to 4 decimals as explicit ⌊x·10⁴+½⌋ — half-up on BOTH engines
+    * regardless of their native `round` tie convention.
+    */
+  def round4(c: Column): Column =
+    floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
 }

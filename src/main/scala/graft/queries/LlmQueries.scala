@@ -1329,8 +1329,7 @@ object LlmQueries {
   /** Round to 4 decimals as explicit ⌊x·10⁴+½⌋ — half-up on BOTH engines
     * regardless of their native `round` tie convention.
     */
-  private def r4(c: Column): Column =
-    floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+  private def r4(c: Column): Column = graft.ops.Num.round4(c)
 
   /** Repetition / boilerplate metrics (the Gopher-family quality filters):
     * duplicate word-2-gram and word-3-gram fractions plus the top single
@@ -1823,15 +1822,10 @@ object LlmQueries {
     // unpivots into the funnel. A per-stage re-scan (the naive union of
     // five counts) reads the corpus five times — measured 5× slower here
     // and 5 full scans of 100 TB there.
-    val flagged = Tables.documents(s, d)
-      .withColumn("f1", col("lang").isin("en", "de", "fr", "es"))
-      .withColumn("ws", split(col("text"), " "))
-      .withColumn("n", size(col("ws")))
-      .withColumn("f2", col("f1") && col("n") >= 20)
-      .withColumn("d2", when(col("f2"), expr(
-        "size(array_distinct(transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i+1]))))")))
-      .withColumn("f3", col("f2") &&
-        r4((col("n") - 1 - col("d2")).cast("double") / (col("n") - 1)) <= 0.6)
+    // Flags shared with the live ingest path ([[graft.stream.Curate]]) —
+    // the streaming funnel filters on f3 + watermark dedup; this batch form
+    // conditional-sums the same flags into the per-stage counts.
+    val flagged = graft.stream.Curate.flags(Tables.documents(s, d))
     flagged.agg(
         count(lit(1)).as("n0"),
         sum(col("f1").cast("long")).as("n1"),

@@ -371,6 +371,44 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation equals the batch funnel's final stage; replays add nothing") {
+    // The SAME documents through graft.stream.Curate (filters + watermark
+    // dedup, real streaming state) must emit exactly as many docs as the
+    // oracle-checked batch funnel's 04_exact_dedup stage counts — and a
+    // second delivery of the whole corpus must emit zero more.
+    import spark.implicits._
+    val base = 1704067200000L
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang").collect()
+      .map(r => DocEv(r.getLong(0), r.getString(1), r.getString(2),
+        new Timestamp(base + r.getLong(0) * 1000L))).toSeq
+    val funnel = graft.queries.Registry.queries("q_curate_funnel")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
+    val ms = MemoryStream[DocEv](implicitly[Encoder[DocEv]], spark.sqlContext)
+    val sink = s"curate_stream_${System.identityHashCode(this)}"
+    val q = graft.stream.Curate.stream(ms.toDF(), "ts", "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName(sink).start()
+    try {
+      ms.addData(docs)
+      q.processAllAvailable()
+      assert(spark.table(sink).count() === funnel("04_exact_dedup"),
+        "curated stream must equal the batch funnel's post-dedup count")
+      // full re-delivery (at-least-once source): all fingerprints are in
+      // state within the horizon -> every replay drops
+      ms.addData(docs)
+      q.processAllAvailable()
+      assert(spark.table(sink).count() === funnel("04_exact_dedup"),
+        "re-delivered corpus must add zero curated docs")
+      // a genuinely novel doc passing every filter still flows through
+      ms.addData(Seq(DocEv(999999L,
+        (1 to 25).map(i => s"novel$i").mkString(" "), "en",
+        new Timestamp(base + 300 * 1000L))))
+      q.processAllAvailable()
+      assert(spark.table(sink).count() === funnel("04_exact_dedup") + 1,
+        "novel doc must survive curation")
+    } finally q.stop()
+  }
+
   test("T10: watermark admits append output and drops late data") {
     import spark.implicits._
     val base = 1704067200000L // 2024-01-01T00:00Z

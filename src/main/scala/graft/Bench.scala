@@ -25,15 +25,10 @@ object Bench {
         if (t == "events") graft.tables.Tables.events(spark, sfDir).count()
         else graft.tables.Tables.read(spark, sfDir, t).count()
       } catch { case _: Throwable => () }
-    // Optional comma-separated filter for timing a query subset while
-    // iterating (e.g. SPARK_GRAFT_ONLY=ml_kmeans_clusters,ml_cluster_recs);
-    // the driver leaves it unset and benches the full registry.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = only match {
-      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
-      case None => SparkEntry.queries
-    }
+    // Optional SPARK_GRAFT_ONLY subset for local iteration; unknown names
+    // fail loudly (SparkEntry.selectedQueries) instead of silently
+    // shrinking the run.
+    val selected = SparkEntry.selectedQueries()
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

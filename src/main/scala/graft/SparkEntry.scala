@@ -14,4 +14,24 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Registry.oracleSql
+
+  /** The registry, after the optional SPARK_GRAFT_ONLY comma-separated
+    * subset filter (local iteration aid; the driver leaves it unset).
+    * Unknown names are an ERROR, not a silent no-op — a typo'd filter
+    * would otherwise produce a partial run that still looks like success —
+    * and an active subset announces itself on stderr.
+    */
+  private[graft] def selectedQueries(): Map[String, (SparkSession, String) => DataFrame] =
+    sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet) match {
+      case Some(names) =>
+        val unknown = names.diff(queries.keySet)
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_ONLY names not in the registry: " +
+            unknown.toSeq.sorted.mkString(", "))
+        System.err.println(
+          s"[graft] SPARK_GRAFT_ONLY active: ${names.size} of ${queries.size} queries")
+        queries.filter { case (n, _) => names(n) }
+      case None => queries
+    }
 }

@@ -17,14 +17,10 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.ops.Logs.quietBoundedWindowWarning()
     new java.io.File(outDir).mkdirs()
-    // Optional comma-separated subset for local iteration on one query
-    // (mirrors Bench); the driver leaves it unset and dumps everything.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = only match {
-      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
-      case None => SparkEntry.queries
-    }
+    // Optional SPARK_GRAFT_ONLY subset for local iteration (mirrors Bench);
+    // unknown names fail loudly (SparkEntry.selectedQueries) instead of
+    // silently shrinking the dump.
+    val selected = SparkEntry.selectedQueries()
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -453,7 +453,7 @@ object LlmQueries {
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("v")), 3))
+      .withColumn("cos", r3(cosine(col("qv"), col("v"))))
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))))
       .filter(col("rank") <= 5)
@@ -465,7 +465,8 @@ object LlmQueries {
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
       |scored AS (
-      |  SELECT q_id, vec_id, round(list_cosine_similarity(qv, v), 3) AS cos
+      |  SELECT q_id, vec_id,
+      |         floor(list_cosine_similarity(qv, v) * 1000 + 0.5) / 1000.0 AS cos
       |  FROM q, e WHERE vec_id <> q_id)
       |SELECT q_id, rank, vec_id, cos
       |FROM (SELECT q_id, vec_id, cos,
@@ -498,7 +499,7 @@ object LlmQueries {
     val b = all.select(col("vec_id").as("id_b"), col("v").as("vb"), col("bucket"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .withColumn("cos", r4(cosine(col("va"), col("vb"))))
       .filter(col("cos") >= 0.95)
       .select("id_a", "id_b", "cos")
       .orderBy("id_a", "id_b")
@@ -518,10 +519,10 @@ object LlmQueries {
       |          CASE WHEN v[4] >= 0 THEN 1 ELSE 0 END) AS bucket
       |  FROM e)
       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      |       round(list_cosine_similarity(a.v, b.v), 4) AS cos
+      |       floor(list_cosine_similarity(a.v, b.v) * 10000 + 0.5) / 10000.0 AS cos
       |FROM bucketed a JOIN bucketed b
       |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-      |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.95
+      |WHERE floor(list_cosine_similarity(a.v, b.v) * 10000 + 0.5) / 10000.0 >= 0.95
       |ORDER BY id_a, id_b""".stripMargin
 
   /** IVF-style bucketed ANN: a deterministic coarse quantizer (sign bits of
@@ -543,7 +544,7 @@ object LlmQueries {
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
     e.join(q, Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("v")), 3))
+      .withColumn("cos", r3(cosine(col("qv"), col("v"))))
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))))
       .filter(col("rank") <= 3)
@@ -562,7 +563,7 @@ object LlmQueries {
       |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM e WHERE vec_id < 10),
       |scored AS (
       |  SELECT q.q_id, e.vec_id, e.bucket,
-      |         round(list_cosine_similarity(q.qv, e.v), 3) AS cos
+      |         floor(list_cosine_similarity(q.qv, e.v) * 1000 + 0.5) / 1000.0 AS cos
       |  FROM q JOIN e ON q.bucket = e.bucket AND e.vec_id <> q.q_id)
       |SELECT q_id, rank, vec_id, bucket, cos
       |FROM (SELECT q_id, vec_id, bucket, cos,
@@ -589,7 +590,7 @@ object LlmQueries {
         col("label").as("true_label"))
     val top5 = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("v")), 3))
+      .withColumn("cos", r3(cosine(col("qv"), col("v"))))
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))))
       .filter(col("rank") <= 5)
@@ -611,7 +612,7 @@ object LlmQueries {
       |q AS (SELECT vec_id AS q_id, v AS qv, label AS true_label FROM e WHERE vec_id < 50),
       |scored AS (
       |  SELECT q_id, true_label, e.vec_id, e.label,
-      |         round(list_cosine_similarity(qv, v), 3) AS cos
+      |         floor(list_cosine_similarity(qv, v) * 1000 + 0.5) / 1000.0 AS cos
       |  FROM q, e WHERE e.vec_id <> q_id),
       |top5 AS (
       |  SELECT q_id, true_label, label
@@ -919,9 +920,11 @@ object LlmQueries {
   /** Driver-side union-find over a BOUNDED edge list (the contracted
     * graph only — never raw pairs), node → component-min for every node
     * present. Union always attaches the larger root under the smaller, so
-    * a set's root IS its minimum and no second pass is needed.
+    * a set's root IS its minimum and no second pass is needed. Edges
+    * arrive as two PRIMITIVE long arrays, not boxed tuples — at the 1M-edge
+    * cap that is 16 MB retained instead of hundreds of MB of tuple rows.
     */
-  private def unionFindLocal(edges: Array[(Long, Long)]): Seq[(Long, Long)] = {
+  private def unionFindLocal(as: Array[Long], bs: Array[Long]): Seq[(Long, Long)] = {
     val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x0: Long): Long = {
       var root = x0
@@ -930,13 +933,15 @@ object LlmQueries {
       while (x != root) { val nxt = parent(x); parent.update(x, root); x = nxt }
       root
     }
-    edges.foreach { case (a, b) =>
-      val ra = find(a); val rb = find(b)
+    var i = 0
+    while (i < as.length) {
+      val ra = find(as(i)); val rb = find(bs(i))
       if (ra < rb) parent.update(rb, ra)
       else if (rb < ra) parent.update(ra, rb)
+      i += 1
     }
     val nodes = scala.collection.mutable.SortedSet.empty[Long]
-    edges.foreach { case (a, b) => nodes += a; nodes += b }
+    nodes ++= as; nodes ++= bs
     nodes.toSeq.map(n => n -> find(n))
   }
 
@@ -978,15 +983,24 @@ object LlmQueries {
     // contracted edges). Below a hard cap that is a DRIVER-sized problem:
     // one bounded collect + array union-find replaces the whole
     // propagation loop (each distributed round costs 2+ scheduler
-    // round-trips that dwarf the actual work at this size). Over the cap —
-    // an adversarially deep/huge graph — the distributed loop still runs.
+    // round-trips that dwarf the actual work at this size). The cap is 1M
+    // edges: retained state is two primitive long arrays (16 MB) — the
+    // transient collected row batch, not the union-find, is what actually
+    // bounds driver heap. Over the cap — an adversarially deep/huge
+    // graph — the distributed loop still runs.
     val nContracted = contractedWide.count()
     val compact =
-      if (nContracted <= 4000000L) {
+      if (nContracted <= 1000000L) {
         val spark = pairsIn.sparkSession
         import spark.implicits._
-        unionFindLocal(contractedWide.as[(Long, Long)].collect())
-          .toDF("lbl", "component")
+        val rows = contractedWide.collect()
+        val as = new Array[Long](rows.length)
+        val bs = new Array[Long](rows.length)
+        var i = 0
+        while (i < rows.length) {
+          as(i) = rows(i).getLong(0); bs(i) = rows(i).getLong(1); i += 1
+        }
+        unionFindLocal(as, bs).toDF("lbl", "component")
       } else {
         propagateMinLabels(contractedWide, maxIter)
           .select(col("doc_id").as("lbl"), col("lbl").as("component"))
@@ -1330,6 +1344,13 @@ object LlmQueries {
     * regardless of their native `round` tie convention.
     */
   private def r4(c: Column): Column = graft.ops.Num.round4(c)
+
+  /** 3-decimal sibling of [[r4]] — used on every oracle-checked cosine:
+    * native `round` ties (exact binary .0005) are HALF_UP in Spark but
+    * engine-defined in DuckDB, so both sides use the explicit floor form.
+    */
+  private def r3(c: Column): Column =
+    floor(c * lit(1000.0) + lit(0.5)) / lit(1000.0)
 
   /** Repetition / boilerplate metrics (the Gopher-family quality filters):
     * duplicate word-2-gram and word-3-gram fractions plus the top single
@@ -1731,7 +1752,10 @@ object LlmQueries {
   private val mixRebalanceSql =
     """WITH c AS (SELECT lang, count(*) AS n_before FROM documents GROUP BY lang),
       |t AS (SELECT CAST(SUM(n_before) AS BIGINT) AS n_total FROM c),
-      |r AS (SELECT lang, n_before, least(1.0, 0.2 * n_total / n_before) AS rate FROM c, t),
+      |r AS (SELECT lang, n_before,
+      |             least(CAST(1.0 AS DOUBLE),
+      |                   CAST(0.2 AS DOUBLE) * n_total / n_before) AS rate
+      |      FROM c, t),
       |kept AS (
       |  SELECT d.lang FROM documents d JOIN r USING (lang)
       |  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#mix'), 1, 8))::BIGINT
@@ -1772,7 +1796,7 @@ object LlmQueries {
       .withColumn("crank", row_number().over(
         Window.partitionBy("q_id").orderBy(asc("ham"), asc("vec_id"))))
       .filter(col("crank") <= 32)
-      .withColumn("cos", round(cosine(col("qv"), col("v")), 3))
+      .withColumn("cos", r3(cosine(col("qv"), col("v"))))
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))))
       .filter(col("rank") <= 5)
@@ -1799,7 +1823,8 @@ object LlmQueries {
       |         row_number() OVER (PARTITION BY q_id ORDER BY ham, vec_id) AS crank
       |  FROM cand),
       |rerank AS (
-      |  SELECT q_id, vec_id, ham, round(list_cosine_similarity(qv, v), 3) AS cos
+      |  SELECT q_id, vec_id, ham,
+      |         floor(list_cosine_similarity(qv, v) * 1000 + 0.5) / 1000.0 AS cos
       |  FROM ranked WHERE crank <= 32)
       |SELECT q_id, rank, vec_id, cos, ham
       |FROM (SELECT q_id, vec_id, cos, ham,

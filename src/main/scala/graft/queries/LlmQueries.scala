@@ -1147,6 +1147,92 @@ object LlmQueries {
       |FROM train t JOIN ev ON md5(t.text) = ev.fp
       |GROUP BY t.doc_id ORDER BY train_doc""".stripMargin
 
+  /** Embedding-space decontamination — the third detector of the trio
+    * ([[decontaminate]] catches verbatim copies by fingerprint,
+    * [[contamNgram]] catches embedded spans by 8-gram overlap; this one
+    * catches PARAPHRASED leakage neither can see): corpus vectors scored
+    * against the broadcast benchmark set, flagged at cosine ≥ 0.98.
+    * Same scale shape as the other two — the benchmark set broadcasts,
+    * scoring is map-side over corpus partitions, only flagged rows reach
+    * the per-doc aggregate. Leaks are planted as exact vector copies
+    * (cos = 1; the synthetic corpus has no natural near-identical pairs,
+    * so recovery is deterministic and the oracle replays it bit-for-bit).
+    */
+  private val contamEmbed: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val bench = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("bench_id"), col("v").as("bv"))
+    val planted = bench.filter(col("bench_id") < 10)
+      .select((col("bench_id") + lit(70000L)).as("vec_id"), col("bv").as("v"))
+    val corpus = e.filter(col("vec_id") >= 20).unionByName(planted)
+    corpus.crossJoin(broadcast(bench))
+      .withColumn("cos", r3(cosine(col("bv"), col("v"))))
+      .filter(col("cos") >= 0.98)
+      .groupBy("vec_id")
+      .agg(min("bench_id").as("bench_id"), max("cos").as("max_cos"),
+        count(lit(1)).as("n_hits"))
+      .orderBy("vec_id")
+  }
+
+  private val contamEmbedSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |bench AS (SELECT vec_id AS bench_id, v AS bv FROM e WHERE vec_id < 20),
+      |corpus AS (
+      |  SELECT vec_id, v FROM e WHERE vec_id >= 20
+      |  UNION ALL
+      |  SELECT bench_id + 70000 AS vec_id, bv AS v FROM bench WHERE bench_id < 10),
+      |scored AS (
+      |  SELECT c.vec_id, b.bench_id,
+      |         floor(list_cosine_similarity(b.bv, c.v) * 1000 + 0.5) / 1000.0 AS cos
+      |  FROM corpus c, bench b)
+      |SELECT vec_id, min(bench_id) AS bench_id, max(cos) AS max_cos,
+      |       count(*) AS n_hits
+      |FROM scored WHERE cos >= 0.98
+      |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  /** Temperature-scaled mixture weights (T = 2) — the multilingual
+    * data-balancing pass: raw per-lang shares are flattened by
+    * share^(1/T) so low-resource languages are upsampled relative to
+    * their raw frequency. T = 2 deliberately: the scaling is then a
+    * SQRT — IEEE-correctly-rounded and bit-identical across engines —
+    * where a general pow(share, 1/T) would hit the libm trap the
+    * determinism rules forbid. The scaled values are fixed-pointed to
+    * micro units BEFORE normalization so the denominator is an exact
+    * integer sum (order-independent under any partitioning); one double
+    * division per group emits the weight. Complements [[mixRebalance]]
+    * (hard per-lang caps) with the soft reweighting an actual LM data
+    * mixture uses.
+    */
+  private val mixTemperature: Q = (s, d) => {
+    val counts = Tables.documents(s, d)
+      .groupBy("lang").agg(count(lit(1)).as("n_before"))
+      .withColumn("sq",
+        floor(sqrt(col("n_before").cast("double")) * lit(1000000.0) + lit(0.5))
+          .cast("long"))
+    val tot = counts.agg(sum("sq").as("sq_sum"),
+      sum("n_before").as("n_total"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("weight", r4(col("sq").cast("double") / col("sq_sum")))
+      .withColumn("target_n",
+        floor(col("sq").cast("double") / col("sq_sum") * col("n_total"))
+          .cast("long"))
+      .select("lang", "n_before", "weight", "target_n")
+      .orderBy("lang")
+  }
+
+  private val mixTemperatureSql =
+    """WITH c AS (
+      |  SELECT lang, count(*) AS n_before,
+      |         CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS sq
+      |  FROM documents GROUP BY lang),
+      |t AS (SELECT CAST(SUM(sq) AS BIGINT) AS sq_sum,
+      |             CAST(SUM(n_before) AS BIGINT) AS n_total FROM c)
+      |SELECT lang, n_before,
+      |       floor(CAST(sq AS DOUBLE) / sq_sum * 10000 + 0.5) / 10000.0 AS weight,
+      |       CAST(floor(CAST(sq AS DOUBLE) / sq_sum * n_total) AS BIGINT) AS target_n
+      |FROM c, t ORDER BY lang""".stripMargin
+
   /** Sequence packing — the batching-prep stage of an LLM training
     * pipeline: documents are packed into fixed-token-budget bins (4096
     * here) by running token total in a deterministic order, then each bin
@@ -2278,10 +2364,12 @@ object LlmQueries {
     Entry("mm_frame_sample", mmFrameSample, Some(mmFrameSampleSql)),
     Entry("q_repetition", repetition, Some(repetitionSql)),
     Entry("q_contam_ngram", contamNgram, Some(contamNgramSql)),
+    Entry("q_contam_embed", contamEmbed, Some(contamEmbedSql)),
     Entry("q_shard_assign", shardAssign, Some(shardAssignSql)),
     Entry("q_unigram_lm", unigramLm, Some(unigramLmSql)),
     Entry("q_dup_spans", dupSpans, Some(dupSpansSql)),
     Entry("q_mix_rebalance", mixRebalance, Some(mixRebalanceSql)),
+    Entry("q_mix_temperature", mixTemperature, Some(mixTemperatureSql)),
     Entry("q_ann_binary", annBinary, Some(annBinarySql)),
     Entry("q_curate_funnel", curateFunnel, Some(curateFunnelSql)),
     Entry("q_dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),

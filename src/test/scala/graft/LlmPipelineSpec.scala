@@ -52,6 +52,40 @@ class LlmPipelineSpec extends SparkSpec {
     assert(out.values.forall(_ >= 1L))
   }
 
+  test("q_contam_embed recovers every planted vector leak and nothing else") {
+    // Planted leaks are exact copies of bench vectors 0..9 under +70000
+    // ids (cos = 1); uniform-random synthetic embeddings have no natural
+    // cos >= 0.98 pairs, so the flag set is exactly the planted set.
+    val rows = SparkEntry.queries("q_contam_embed")(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSet === (70000L until 70010L).toSet,
+      "flag set must be exactly the planted copies")
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(0) - 70000L,
+        "leak must resolve to its benchmark source")
+      assert(r.getDouble(2) === 1.0, "exact copy scores cos = 1.0")
+    }
+  }
+
+  test("q_mix_temperature flattens shares toward uniform and conserves the budget") {
+    val rows = SparkEntry.queries("q_mix_temperature")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val nTotal = rows.map(_._2).sum
+    // weights normalize (within the 1e-4 emission rounding x #groups)
+    assert(math.abs(rows.map(_._3).sum - 1.0) <= rows.length * 1e-4)
+    // T=2 flattening: any lang above uniform raw share is DOWN-weighted,
+    // any lang below is UP-weighted (sqrt pulls toward uniform)
+    rows.foreach { case (lang, n, w, _) =>
+      val raw = n.toDouble / nTotal
+      val uniform = 1.0 / rows.length
+      if (raw > uniform) assert(w < raw + 1e-4, s"$lang not down-weighted")
+      if (raw < uniform) assert(w > raw - 1e-4, s"$lang not up-weighted")
+    }
+    // targets conserve the corpus budget up to per-group floor loss
+    val tSum = rows.map(_._4).sum
+    assert(tSum <= nTotal && tSum >= nTotal - rows.length,
+      s"target sum $tSum vs corpus $nTotal")
+  }
+
   test("q_shard_assign partitions the corpus exactly across 16 shards") {
     val rows = SparkEntry.queries("q_shard_assign")(spark, sfDir).collect()
     assert(rows.map(_.getLong(0)).toSet.subsetOf((0L until 16L).toSet))

@@ -128,7 +128,9 @@ class PropertiesSpec extends SparkSpec {
       Seq("q_sample_strat", "q_pack_sequences", "q_count_distinct", "q_session_gap",
           "q_shard_assign", "q_unigram_lm", "q_vocab_pmi", "q_chunk_split",
           "q_dedup_pipeline", "q_salted_agg", "q_topk_heap", "q_bloom_dedup",
-          "q_split_leakfree", "q_drift_chi2")
+          "q_split_leakfree", "q_drift_chi2",
+          "q_dedup_delta", "q_interval_join", "ml_kmeans_assign",
+          "q_contam_embed", "q_mix_temperature")
         .map(q => q -> SparkEntry.queries(q)(spark, sfDir)
           .collect().map(_.toString).toSeq).toMap
     }

@@ -977,7 +977,6 @@ object LlmQueries {
       .filter(col("la") =!= col("lb"))
       .select(col("la").as("doc_a"), col("lb").as("doc_b"))
       .distinct()
-      .localCheckpoint()
     // The contracted graph is a vanishing fraction of the input (near-dup
     // components are near-cliques: sf0.1 collapses 2.29M pairs to ~1.6k
     // contracted edges). Below a hard cap that is a DRIVER-sized problem:
@@ -986,14 +985,17 @@ object LlmQueries {
     // round-trips that dwarf the actual work at this size). The cap is 1M
     // edges: retained state is two primitive long arrays (16 MB) — the
     // transient collected row batch, not the union-find, is what actually
-    // bounds driver heap. Over the cap — an adversarially deep/huge
-    // graph — the distributed loop still runs.
-    val nContracted = contractedWide.count()
+    // bounds driver heap. Cap probe and edge fetch are ONE bounded
+    // `limit(cap+1)` action (a separate count() + collect() evaluated the
+    // join twice or forced a checkpoint). Over the cap — an adversarially
+    // deep/huge graph — the distributed loop still runs, on its own
+    // checkpoint.
+    val cap = 1000000
+    val rows = contractedWide.limit(cap + 1).collect()
     val compact =
-      if (nContracted <= 1000000L) {
+      if (rows.length <= cap) {
         val spark = pairsIn.sparkSession
         import spark.implicits._
-        val rows = contractedWide.collect()
         val as = new Array[Long](rows.length)
         val bs = new Array[Long](rows.length)
         var i = 0
@@ -1002,7 +1004,7 @@ object LlmQueries {
         }
         unionFindLocal(as, bs).toDF("lbl", "component")
       } else {
-        propagateMinLabels(contractedWide, maxIter)
+        propagateMinLabels(contractedWide.localCheckpoint(), maxIter)
           .select(col("doc_id").as("lbl"), col("lbl").as("component"))
       }
     // Expand: level-1 labels that were already component minima have no

@@ -328,6 +328,9 @@ object MLQueries {
 
   /** M16 — model-quality metadata as a small metrics DataFrame
     * (reference: src/spark/training.py:421-431; src/training_service.py:557-566).
+    * The md5 synthesis ([[interactions]]) is SQL-expressible, so unlike the
+    * MLlib fits this carries a FULL oracle; sparsity uses the explicit
+    * ⌊x·10⁴+½⌋ form (JVM `math.rint` is half-even, SQL `round` half-away).
     */
   private val modelMetadata: Q = (s, d) => {
     import s.implicits._
@@ -339,9 +342,26 @@ object MLQueries {
       ("n_interactions", n.toDouble),
       ("n_users", nUsers.toDouble),
       ("n_items", nItems.toDouble),
-      ("sparsity", math.rint((1.0 - n.toDouble / (nUsers * nItems)) * 1e4) / 1e4))
+      ("sparsity",
+        math.floor((1.0 - n.toDouble / (nUsers * nItems)) * 1e4 + 0.5) / 1e4))
       .toDF("metric", "value").orderBy("metric")
   }
+
+  private val modelMetadataSql =
+    """WITH i AS (
+      |  SELECT ('0x' || substr(md5(CAST(p_partkey AS VARCHAR) || 'u' ||
+      |                             CAST(gs.i AS VARCHAR)), 1, 8))::BIGINT % 200 AS user_id,
+      |         p_partkey AS item_id
+      |  FROM part, (SELECT unnest(range(0, 8)) AS i) gs),
+      |c AS (SELECT count(*) AS n, count(DISTINCT user_id) AS nu,
+      |             count(DISTINCT item_id) AS ni FROM i)
+      |SELECT metric, value FROM (
+      |  SELECT 'n_interactions' AS metric, CAST(n AS DOUBLE) AS value FROM c
+      |  UNION ALL SELECT 'n_items', CAST(ni AS DOUBLE) FROM c
+      |  UNION ALL SELECT 'n_users', CAST(nu AS DOUBLE) FROM c
+      |  UNION ALL SELECT 'sparsity',
+      |    floor((1 - CAST(n AS DOUBLE) / (nu * ni)) * 10000 + 0.5) / 10000.0 FROM c)
+      |ORDER BY metric""".stripMargin
 
   val entries: Seq[Entry] = Seq(
     Entry("ml_feature_pipeline", featurePipeline, Some(featurePipelineSql)),
@@ -353,6 +373,6 @@ object MLQueries {
     Entry("ml_nmf_implicit", nmfImplicit, None),
     Entry("ml_tfidf_similar", tfidfSimilar, None),
     Entry("ml_cluster_recs", clusterRecs, None),
-    Entry("ml_model_metadata", modelMetadata, None),
+    Entry("ml_model_metadata", modelMetadata, Some(modelMetadataSql)),
   )
 }

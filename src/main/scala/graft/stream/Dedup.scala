@@ -36,4 +36,37 @@ object Dedup {
     events.withColumn("fp", md5(col(textCol)))
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("fp")
+
+  /** Streaming delta-ingest vs a STANDING catalog — the live twin of the
+    * batch `q_dedup_delta` composition's exact stage, with the same scale
+    * shape per micro-batch:
+    *
+    *   1. the catalog's Bloom sketch (built ONCE, batch-side) gates each
+    *      arriving row map-side inside codegen — BF-negative rows never
+    *      reach the catalog join;
+    *   2. BF-positive rows stream-static join the catalog fingerprints
+    *      (broadcast; at 100 TB a bucketed table on `fp`) to resolve
+    *      `catalog_id`;
+    *   3. within-stream re-deliveries drop via watermark-bounded state
+    *      BEFORE the verdict, so an at-least-once source can't emit the
+    *      same delta doc twice.
+    *
+    * The pos/neg branch split is exhaustive for null fingerprints (same
+    * `!coalesce(probe, false)` discipline, and BloomSpec proof, as the
+    * batch query). Output: the input columns + `fp`, `catalog_id`,
+    * `is_dup` — one verdict row per distinct arriving document.
+    */
+  def againstCatalog(delta: DataFrame, catalogFps: DataFrame,
+      bf: org.apache.spark.util.sketch.BloomFilter,
+      textCol: String, tsCol: String, horizon: String): DataFrame = {
+    val deduped = byContentWithinWatermark(delta, textCol, tsCol, horizon)
+    val probe = graft.functions.BloomMightContain(col("fp"), bf)
+    val pos = deduped.where(probe)
+      .join(broadcast(catalogFps.groupBy("fp")
+        .agg(min("catalog_id").as("catalog_id"))), Seq("fp"), "left")
+    val neg = deduped.where(!coalesce(probe, lit(false)))
+      .withColumn("catalog_id", lit(null).cast("long"))
+    pos.unionByName(neg)
+      .withColumn("is_dup", col("catalog_id").isNotNull.cast("int"))
+  }
 }

@@ -409,6 +409,55 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming delta-dedup vs the standing catalog equals the batch exact stage") {
+    // Live twin of q_dedup_delta's exact stage: the catalog bloom gates
+    // each micro-batch map-side, positives resolve via the broadcast
+    // fingerprint join, re-deliveries drop in watermark state. The
+    // per-doc verdicts must equal the plain batch left join, and a full
+    // re-delivery must add nothing.
+    import spark.implicits._
+    import graft.stream.Dedup
+    val docs = Tables.documents(spark, sfDir)
+    val catalog = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0)
+      .select(md5(col("text")).as("fp"), col("doc_id").as("catalog_id"))
+    val bf = catalog.stat.bloomFilter("fp", 10000L, 0.03)
+    val base = 1704067200000L
+    def evs(df: DataFrame, shift: Long): Seq[DocEv] =
+      df.select("doc_id", "text").collect().map(r => DocEv(r.getLong(0) + shift,
+        r.getString(1), "en", new Timestamp(base + (r.getLong(0) % 600) * 1000L))).toSeq
+    val delta = evs(docs.filter(pmod(col("doc_id"), lit(5L)) === 0), 0L) ++
+      evs(docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0)
+        .filter(col("doc_id") < 50), 50000L)
+    val ms = MemoryStream[DocEv](implicitly[Encoder[DocEv]], spark.sqlContext)
+    val sink = s"delta_dedup_${System.identityHashCode(this)}"
+    val q = Dedup.againstCatalog(ms.toDF(), catalog, bf, "text", "ts", "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName(sink).start()
+    try {
+      ms.addData(delta)
+      q.processAllAvailable()
+      val got = spark.table(sink).select("doc_id", "catalog_id", "is_dup")
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((if (r.isNullAt(1)) None else Some(r.getLong(1))), r.getInt(2))).toMap
+      // batch reference: the same delta through the plain fingerprint join
+      val expect = delta.toDF()
+        .withColumn("fp", md5(col("text")))
+        .join(catalog.groupBy("fp").agg(min("catalog_id").as("catalog_id")),
+          Seq("fp"), "left")
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((Option(r.getAs[java.lang.Long]("catalog_id")).map(_.longValue()),
+            if (r.isNullAt(r.fieldIndex("catalog_id"))) 0 else 1))).toMap
+      assert(got === expect, "streaming verdicts must equal the batch join")
+      assert(got.count(_._2._2 == 1) === 40, "all 40 planted catalog dups flagged")
+      // at-least-once: replay the whole delta — watermark state drops it all
+      ms.addData(delta)
+      q.processAllAvailable()
+      assert(spark.table(sink).count() === delta.size.toLong,
+        "re-delivered delta must add zero verdict rows")
+    } finally q.stop()
+  }
+
   test("T10: watermark admits append output and drops late data") {
     import spark.implicits._
     val base = 1704067200000L // 2024-01-01T00:00Z

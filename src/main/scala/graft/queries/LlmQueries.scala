@@ -277,17 +277,30 @@ object LlmQueries {
     */
   private[graft] def minhashPairs(corpus: org.apache.spark.sql.DataFrame):
       org.apache.spark.sql.DataFrame = {
+    // localCheckpoint: the shingled corpus feeds THREE subtrees (the
+    // signature/band side and both verification sides) — without the
+    // barrier each re-tokenizes the corpus from the scan. One interpreted
+    // shingling pass instead of three.
     val shingled = corpus
       .withColumn("ws", split(col("text"), " "))
       .withColumn("sh", array_distinct(
         expr("transform(sequence(0, size(ws) - 3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")))
       .select("doc_id", "sh")
-    val hashed = shingled.withColumn("hs",
-      transform(col("sh"), g => Hashing.md5Long(g)))
+      .localCheckpoint()
+    // Signatures via explode + one hash aggregate, NOT 12 map-side
+    // `array_min(transform(...))` passes: HOF lambdas are CodegenFallback
+    // (interpreted), so the 12-permutation sweep ran outside codegen per
+    // doc; the exploded form hashes each shingle once and computes all 12
+    // mins inside whole-stage codegen for one extra shuffle of 60-bit
+    // grams (same trade the simhash query measured 9× in favor of).
+    // Values are identical — same md5-32 base hash, same (a·h+b) mod p
+    // family, min is order-independent — so all four dependent oracles
+    // hash the same.
+    val ex = shingled.select(col("doc_id"), explode(col("sh")).as("g"))
+      .select(col("doc_id"), Hashing.md5Long(col("g")).as("h"))
     val sigCols = (0 until 12).map(i =>
-      array_min(transform(col("hs"),
-        h => (h * lit(2L * i + 1) + lit(7919L * i)) % lit(4294967311L))).as(s"h$i"))
-    val sigs = hashed.select(col("doc_id") +: sigCols: _*)
+      min((col("h") * lit(2L * i + 1) + lit(7919L * i)) % lit(4294967311L)).as(s"h$i"))
+    val sigs = ex.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
     def band(b: Int): Column =
       md5(concat_ws(",", (0 until 4).map(r => col(s"h${b * 4 + r}")): _*))
     val bands = sigs.select(col("doc_id"),

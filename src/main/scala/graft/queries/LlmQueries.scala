@@ -99,7 +99,9 @@ object LlmQueries {
     require(blockCols.nonEmpty,
       "exact Jaccard needs a blocking key; unblocked all-pairs is O(n²) — " +
         "use the MinHash LSH path for global discovery")
-    val t = tokenSets(docs)
+    // localCheckpoint: t feeds the block-stats probe and BOTH join sides —
+    // one tokenization pass instead of three re-derivations from the scan.
+    val t = tokenSets(docs).localCheckpoint()
     // max(count) is NULL on an empty input — treat as a zero-row block.
     val stats = t.groupBy(blockCols.map(col).toIndexedSeq: _*)
       .count().agg(max("count"), sum("count")).first()

@@ -1,0 +1,419 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.Hashing
+import graft.tables.Tables
+import Registry.{Entry, Q}
+
+/** Scale-engineering operators rounding out the LLM-pipeline surface
+  * ([[LlmQueries]]): asymmetric containment dedup, C4-style repeated-chunk
+  * removal, product-quantization ANN, and a Z-order layout/data-skipping
+  * audit. Like the rest of the registry, every query is deterministic,
+  * ends in a total ORDER BY, and carries a DuckDB oracle twin built from
+  * the same md5 / fixed-point arithmetic.
+  */
+object ScaleQueries {
+
+  private def r3(c: Column): Column =
+    floor(c * lit(1000.0) + lit(0.5)) / lit(1000.0)
+
+  private def dot(a: Column, b: Column): Column =
+    graft.functions.DotProduct(a, b)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  // ---------------------------------------------------------------- containment
+
+  /** Asymmetric containment detection — the quote/excerpt dedup mode the
+    * SYMMETRIC Jaccard family structurally misses: a 20-token excerpt inside
+    * a 500-token document has Jaccard ≈ 0.04 but containment |Q∩D|/|Q| = 1.
+    * The operational shape is decontamination-like: a SMALL query set (here
+    * 10% of docs contribute a first-20-token excerpt, the "quote list")
+    * broadcasts against the corpus scan, so scoring is map-side with no
+    * shuffle on the corpus — the same 100 TB plan as `q_decontaminate`,
+    * and the reason there is no length-ratio prune here: containment is
+    * one-sided, so the candidate space is bounded by keeping the QUERY side
+    * small, not by pruning pairs. Blocking by lang cuts the pair space 5×.
+    *
+    * Token sets are the dedup family's 60-bit md5 fingerprints; the
+    * intersection size is an exact integer in both engines, so the score is
+    * fully oracle-checkable (no sketch, no tolerance).
+    */
+  private val containmentDup: Q = (s, d) => {
+    def tokset(c: Column): Column =
+      sort_array(array_distinct(transform(c, w => Hashing.md5Long60(w))))
+    val docs = Tables.documents(s, d)
+    val corpus = docs.select(col("doc_id"), col("lang"),
+      tokset(split(col("text"), " ")).as("dtoks"))
+    val quotes = docs.filter(col("doc_id") % 10 === 3)
+      .select((col("doc_id") + lit(20000L)).as("quote_id"), col("lang"),
+        tokset(slice(split(col("text"), " "), 1, 20)).as("qtoks"))
+      .withColumn("n_quote_toks", size(col("qtoks")))
+    corpus.join(broadcast(quotes), "lang")
+      .withColumn("n_inter", size(array_intersect(col("qtoks"), col("dtoks"))))
+      .withColumn("containment",
+        floor(col("n_inter").cast("double") / col("n_quote_toks") * lit(10000.0)
+          + lit(0.5)) / lit(10000.0))
+      .filter(col("containment") >= 0.9)
+      .select(col("quote_id"), col("doc_id"),
+        (col("doc_id") === col("quote_id") - lit(20000L)).cast("int").as("is_source"),
+        col("n_quote_toks"), col("n_inter"), col("containment"))
+      .orderBy("quote_id", "doc_id")
+  }
+
+  private val containmentDupSql =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |         list_sort(list_distinct(list_transform(string_split(text, ' '),
+      |           w -> ('0x' || substr(md5(w), 1, 15))::BIGINT))) AS dtoks
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id + 20000 AS quote_id, lang,
+      |         list_sort(list_distinct(list_transform(string_split(text, ' ')[1:20],
+      |           w -> ('0x' || substr(md5(w), 1, 15))::BIGINT))) AS qtoks
+      |  FROM documents WHERE doc_id % 10 = 3),
+      |p AS (
+      |  SELECT q.quote_id, t.doc_id,
+      |         CAST(len(q.qtoks) AS INT) AS n_quote_toks,
+      |         CAST(len(list_intersect(q.qtoks, t.dtoks)) AS INT) AS n_inter
+      |  FROM q JOIN t ON q.lang = t.lang)
+      |SELECT quote_id, doc_id,
+      |       CAST(doc_id = quote_id - 20000 AS INT) AS is_source,
+      |       n_quote_toks, n_inter,
+      |       floor(CAST(n_inter AS DOUBLE) / n_quote_toks * 10000.0 + 0.5)
+      |         / 10000.0 AS containment
+      |FROM p
+      |WHERE floor(CAST(n_inter AS DOUBLE) / n_quote_toks * 10000.0 + 0.5)
+      |        / 10000.0 >= 0.9
+      |ORDER BY quote_id, doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- chunk dedup
+
+  /** C4-style repeated-chunk removal: every non-overlapping 16-token chunk
+    * is fingerprinted, chunks whose fingerprint occurs ≥2 times anywhere in
+    * the corpus are removed, and each doc reports its retained fraction.
+    * This is the paragraph/line-dedup policy (C4 removed any 3-sentence
+    * span seen before) adapted to the token-stream fixtures — including
+    * C4's known sharp edge, faithfully reproduced: removal guts the
+    * ORIGINAL too, not just the copy (both sides of a planted duplicate
+    * retain 0.0). Trailing partial chunks (< 16 tokens) are never removed
+    * and don't count toward the denominator.
+    *
+    * Scale shape: chunks shuffle once as 60-bit fingerprints (16 bytes a
+    * row, uniform keys) for the corpus-wide frequency count; the verdict
+    * joins back on the same key and re-aggregates by doc. No text ever
+    * shuffles — same contract as `q_dup_spans`, but emitting the REMOVAL
+    * decision rather than the coverage diagnostic.
+    */
+  private val chunkDedup: Q = (s, d) => {
+    val k = 16
+    val docs = Tables.documents(s, d)
+    val all = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") < 40)
+        .select((col("doc_id") + lit(30000L)).as("doc_id"), col("text")))
+    val base = all.withColumn("ws", split(col("text"), " "))
+      .withColumn("n", size(col("ws")))
+    // sequence(0, n div 16 - 1) DESCENDS when n < 16 (Spark generates
+    // start-to-stop in either direction) — guard to an empty array instead.
+    val ch = base
+      .withColumn("chunks", when(col("n") >= k, expr(
+        s"transform(sequence(0, size(ws) div $k - 1), " +
+          s"i -> concat_ws(' ', slice(ws, i * $k + 1, $k)))"))
+        .otherwise(expr("array()").cast("array<string>")))
+      .select(col("doc_id"), explode(col("chunks")).as("chunk"))
+      .select(col("doc_id"), Hashing.md5Long60(col("chunk")).as("h"))
+    val freq = ch.groupBy("h").agg(count(lit(1)).as("c"))
+    val per = ch.join(freq, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum((col("c") >= 2).cast("long")).as("n_dropped"))
+    base.join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        when(col("n_chunks").isNull, lit(1.0))
+          .otherwise(floor((col("n_chunks") - col("n_dropped")).cast("double")
+            / col("n_chunks") * lit(10000.0) + lit(0.5)) / lit(10000.0))
+          .as("retained_frac"))
+      .orderBy("doc_id")
+  }
+
+  private val chunkDedupSql =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 30000 AS doc_id, text FROM documents WHERE doc_id < 40),
+      |base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM all_docs),
+      |ch AS (
+      |  SELECT doc_id,
+      |         ('0x' || substr(md5(array_to_string(ws[i*16+1 : i*16+16], ' ')),
+      |          1, 15))::BIGINT AS h
+      |  FROM (SELECT doc_id, ws, unnest(range(0, len(ws) // 16)) AS i FROM base)),
+      |freq AS (SELECT h, count(*) AS c FROM ch GROUP BY h),
+      |per AS (
+      |  SELECT ch.doc_id, count(*) AS n_chunks,
+      |         CAST(SUM(CASE WHEN freq.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+      |  FROM ch JOIN freq USING (h) GROUP BY ch.doc_id)
+      |SELECT b.doc_id,
+      |       COALESCE(per.n_chunks, 0) AS n_chunks,
+      |       COALESCE(per.n_dropped, 0) AS n_dropped,
+      |       CASE WHEN per.n_chunks IS NULL THEN 1.0
+      |            ELSE floor(CAST(per.n_chunks - per.n_dropped AS DOUBLE)
+      |                 / per.n_chunks * 10000.0 + 0.5) / 10000.0 END AS retained_frac
+      |FROM base b LEFT JOIN per ON b.doc_id = per.doc_id
+      |ORDER BY b.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- PQ ANN
+
+  /** Product-quantization ANN (IVF-PQ's compression half) — completing the
+    * engine's ANN trio: `q_ann_ivf`/`ml_ann_trained` compress the SEARCH
+    * (route to buckets), `q_ann_binary` compresses vectors to 64 sign bits,
+    * and this compresses vectors to subspace CODES scored by asymmetric
+    * distance (ADC), the FAISS-style memory story: 64 doubles (512 B) become
+    * 8 × 3-bit codes, and query-time distance is 8 table lookups + adds.
+    *
+    * The 64-dim vectors split into 8 subspaces of 8 dims; each subspace's
+    * codebook is pinned to the sub-vectors of vec_id 0..7 (a trained
+    * codebook is `ml_ann_trained`'s job — pinning makes the ENCODING and
+    * ADC arithmetic exactly reproducible in SQL, so the quantizer itself
+    * is under the hash gate, not a property test). Distances are
+    * fixed-pointed to micro-units BEFORE the argmin/sum so assignment
+    * ties and the ADC total are bit-identical in both engines.
+    *
+    * Scale shape: the codebook (64 rows) and the per-query lookup table
+    * (queries × 64 entries) broadcast; encoding is one map-side argmin per
+    * (vector, subspace); ADC scoring joins codes to the LUT map-side and
+    * partially aggregates the 8-term sums — the only corpus-sized shuffle
+    * is the final (q_id, vec_id) sum, k·n rows of longs. The top-32 ADC
+    * candidates are exactly reranked by true cosine (the standard
+    * PQ-then-rerank deployment), emitting top-3. Measured recall@3 vs
+    * brute force: 0.60 at sf0.001 and 0.43 at sf0.01 (1.6% candidate
+    * coverage) on the uniform-random fixture — the ScaleQueriesSpec floor
+    * is 0.4; on clustered real embeddings PQ does far better, but like
+    * `ml_ann_trained`'s scaladoc notes, no quantizer beats coverage on
+    * uniform vectors.
+    */
+  private val annPq: Q = (s, d) => {
+    val m = 8 // subspaces
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val sub = e.select(col("vec_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"), col("v"))
+      .withColumn("sv", expr("slice(v, s * 8 + 1, 8)"))
+      .drop("v")
+    val cent = sub.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cid"), col("s"), col("sv").as("cv"))
+    def d2u(a: Column, b: Column): Column =
+      floor((dot(a, a) - lit(2) * dot(a, b) + dot(b, b)) * lit(1000000.0)
+        + lit(0.5)).cast("long")
+    val codes = sub.join(broadcast(cent), "s")
+      .withColumn("d2u", d2u(col("sv"), col("cv")))
+      .groupBy("vec_id", "s")
+      .agg(min(struct(col("d2u"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("s"), col("best.cid").as("cid"))
+    val lut = sub.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("s"), col("sv").as("qsv"))
+      .join(broadcast(cent), "s")
+      .select(col("q_id"), col("s"), col("cid"),
+        d2u(col("qsv"), col("cv")).as("d2u"))
+    val adc = codes.join(broadcast(lut), Seq("s", "cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum("d2u").as("adc_us"))
+    val cand = adc
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(asc("adc_us"), asc("vec_id"))))
+      .filter(col("rn") <= 32)
+    cand
+      .join(e.select(col("vec_id"), col("v")), "vec_id")
+      .join(broadcast(e.select(col("vec_id").as("q_id"), col("v").as("qv"))), "q_id")
+      .withColumn("cos", r3(cosine(col("qv"), col("v"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select("q_id", "rank", "vec_id", "adc_us", "cos")
+      .orderBy("q_id", "rank")
+  }
+
+  private val annPqSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |sub AS (
+      |  SELECT vec_id, s, v[s*8+1 : s*8+8] AS sv
+      |  FROM (SELECT vec_id, v, unnest(range(0, 8)) AS s FROM e)),
+      |cent AS (SELECT CAST(vec_id AS INT) AS cid, s, sv AS cv
+      |         FROM sub WHERE vec_id < 8),
+      |asg AS (
+      |  SELECT sub.vec_id, sub.s, cent.cid,
+      |         CAST(floor((list_dot_product(sv, sv) - 2 * list_dot_product(sv, cv)
+      |              + list_dot_product(cv, cv)) * 1000000.0 + 0.5) AS BIGINT) AS d2u
+      |  FROM sub JOIN cent ON sub.s = cent.s),
+      |code AS (
+      |  SELECT vec_id, s, cid FROM (
+      |    SELECT vec_id, s, cid,
+      |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2u, cid) AS rn
+      |    FROM asg) WHERE rn = 1),
+      |lut AS (
+      |  SELECT q.vec_id AS q_id, c.s, c.cid,
+      |         CAST(floor((list_dot_product(q.sv, q.sv) - 2 * list_dot_product(q.sv, c.cv)
+      |              + list_dot_product(c.cv, c.cv)) * 1000000.0 + 0.5) AS BIGINT) AS d2u
+      |  FROM sub q JOIN cent c ON q.s = c.s WHERE q.vec_id < 10),
+      |adc AS (
+      |  SELECT l.q_id, c.vec_id, CAST(SUM(l.d2u) AS BIGINT) AS adc_us
+      |  FROM code c JOIN lut l ON l.s = c.s AND l.cid = c.cid
+      |  WHERE c.vec_id <> l.q_id
+      |  GROUP BY l.q_id, c.vec_id),
+      |cand AS (
+      |  SELECT q_id, vec_id, adc_us FROM (
+      |    SELECT q_id, vec_id, adc_us,
+      |           row_number() OVER (PARTITION BY q_id ORDER BY adc_us, vec_id) AS rn
+      |    FROM adc) WHERE rn <= 32),
+      |rer AS (
+      |  SELECT cand.q_id, cand.vec_id, cand.adc_us,
+      |         floor(list_cosine_similarity(qe.v, ce.v) * 1000 + 0.5) / 1000.0 AS cos
+      |  FROM cand JOIN e ce ON ce.vec_id = cand.vec_id
+      |            JOIN e qe ON qe.vec_id = cand.q_id)
+      |SELECT q_id, rank, vec_id, adc_us, cos
+      |FROM (SELECT q_id, vec_id, adc_us, cos,
+      |             row_number() OVER (PARTITION BY q_id
+      |                                ORDER BY cos DESC, vec_id) AS rank
+      |      FROM rer)
+      |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- Z-order
+
+  /** Z-order layout vs 1-D sort: the WRITE-side decision that determines
+    * read-side data skipping at 100 TB. Events are mapped to an 8-bit
+    * (user, day) grid; the Z-value interleaves the grid bits (the classic
+    * shift-or spread), and "files" are fixed Z-ranges (z >> 10 — space
+    * decomposition, deliberately NOT a global row_number, so the layout
+    * needs only a shuffle-by-key, exactly like `DataFrameWriter.bucketBy`
+    * or a repartitionByRange write would at scale). The audit replays
+    * Parquet row-group pruning: per file, min/max of both raw dimensions;
+    * a 2-D query box (middle eighth of each dimension, bounds derived from
+    * the data so the query is sf-independent) scans a file iff its
+    * [min,max] envelope overlaps the box.
+    *
+    * The emitted report compares the Z-layout against the user-sorted 1-D
+    * layout on identical file counts: matched rows are equal by
+    * construction; the 1-D layout prunes only on user (scans ~1/8 of
+    * files), while Z-order prunes on both dimensions (~1/64) — the
+    * measured scan_frac gap IS the justification for Z-ordering a table
+    * whose queries constrain two dimensions. Every number is integer
+    * arithmetic on md5-free deterministic grids, so the whole audit is
+    * hash-checked in both engines.
+    */
+  private val zorderSkip: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+    val bounds = ev.agg(min("user_id").as("umin"), max("user_id").as("umax"),
+      min("day").as("dmin"), max("day").as("dmax"))
+    def spread8(c: Column): Column = {
+      val t1 = c.bitwiseOR(shiftleft(c, 4)).bitwiseAND(lit(0x0F0FL))
+      val t2 = t1.bitwiseOR(shiftleft(t1, 2)).bitwiseAND(lit(0x3333L))
+      t2.bitwiseOR(shiftleft(t2, 1)).bitwiseAND(lit(0x5555L))
+    }
+    val g = ev.crossJoin(broadcast(bounds))
+      .withColumn("xg", expr("(user_id - umin) * 256 div (umax - umin + 1)"))
+      .withColumn("yg", expr("(day - dmin) * 256 div (dmax - dmin + 1)"))
+      .withColumn("z", spread8(col("xg")).bitwiseOR(shiftleft(spread8(col("yg")), 1)))
+      .withColumn("f_z", shiftright(col("z"), 10))
+      .withColumn("f_lin", shiftright(col("xg"), 2))
+      .withColumn("lo_u", expr("umin + ((umax - umin + 1) * 2) div 8"))
+      .withColumn("hi_u", expr("umin + ((umax - umin + 1) * 3) div 8 - 1"))
+      .withColumn("lo_d", expr("dmin + ((dmax - dmin + 1) * 2) div 8"))
+      .withColumn("hi_d", expr("dmin + ((dmax - dmin + 1) * 3) div 8 - 1"))
+      .withColumn("in_box",
+        (col("user_id").between(col("lo_u"), col("hi_u")) &&
+          col("day").between(col("lo_d"), col("hi_d"))).cast("long"))
+      .localCheckpoint() // feeds both layout aggregations + the totals probe
+    val totals = g.agg(count(lit(1)).as("total_rows"),
+      sum("in_box").as("rows_matched"))
+    def layout(fileCol: String, name: String) = {
+      val files = g.groupBy(col(fileCol).as("f"))
+        .agg(count(lit(1)).as("rows"),
+          min("user_id").as("fu"), max("user_id").as("xu"),
+          min("day").as("fd"), max("day").as("xd"),
+          first("lo_u").as("lo_u"), first("hi_u").as("hi_u"),
+          first("lo_d").as("lo_d"), first("hi_d").as("hi_d"))
+        .withColumn("hit",
+          (col("fu") <= col("hi_u") && col("xu") >= col("lo_u") &&
+            col("fd") <= col("hi_d") && col("xd") >= col("lo_d")).cast("long"))
+      files.agg(count(lit(1)).as("n_files"),
+        sum("hit").as("files_scanned"),
+        sum(col("hit") * col("rows")).as("rows_scanned"))
+        .withColumn("layout", lit(name))
+    }
+    layout("f_z", "zorder").unionByName(layout("f_lin", "linear_user"))
+      .crossJoin(broadcast(totals))
+      .select(col("layout"), col("n_files"), col("files_scanned"),
+        col("rows_scanned"), col("rows_matched"),
+        (floor(col("rows_scanned").cast("double") / col("total_rows")
+          * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("scan_frac"))
+      .orderBy("layout")
+  }
+
+  private val zorderSkipSql =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |b AS (SELECT min(user_id) AS umin, max(user_id) AS umax,
+      |             min(day) AS dmin, max(day) AS dmax FROM ev),
+      |grid AS (
+      |  SELECT user_id, day,
+      |         ((user_id - umin) * 256) // (umax - umin + 1) AS xg,
+      |         ((day - dmin) * 256) // (dmax - dmin + 1) AS yg,
+      |         umin + ((umax - umin + 1) * 2) // 8 AS lo_u,
+      |         umin + ((umax - umin + 1) * 3) // 8 - 1 AS hi_u,
+      |         dmin + ((dmax - dmin + 1) * 2) // 8 AS lo_d,
+      |         dmin + ((dmax - dmin + 1) * 3) // 8 - 1 AS hi_d
+      |  FROM ev, b),
+      |sx1 AS (SELECT *, (xg | (xg << 4)) & 3855 AS xa, (yg | (yg << 4)) & 3855 AS ya FROM grid),
+      |sx2 AS (SELECT *, (xa | (xa << 2)) & 13107 AS xb, (ya | (ya << 2)) & 13107 AS yb FROM sx1),
+      |sx3 AS (SELECT *, (xb | (xb << 1)) & 21845 AS xc, (yb | (yb << 1)) & 21845 AS yc FROM sx2),
+      |z AS (
+      |  SELECT user_id, day, lo_u, hi_u, lo_d, hi_d,
+      |         (xc | (yc << 1)) >> 10 AS f_z, xg >> 2 AS f_lin,
+      |         CASE WHEN user_id BETWEEN lo_u AND hi_u
+      |               AND day BETWEEN lo_d AND hi_d THEN 1 ELSE 0 END AS in_box
+      |  FROM sx3),
+      |t AS (SELECT count(*) AS total_rows,
+      |             CAST(SUM(in_box) AS BIGINT) AS rows_matched FROM z),
+      |fz AS (
+      |  SELECT f_z AS f, count(*) AS rows, min(user_id) fu, max(user_id) xu,
+      |         min(day) fd, max(day) xd,
+      |         min(lo_u) lo_u, min(hi_u) hi_u, min(lo_d) lo_d, min(hi_d) hi_d
+      |  FROM z GROUP BY f_z),
+      |fl AS (
+      |  SELECT f_lin AS f, count(*) AS rows, min(user_id) fu, max(user_id) xu,
+      |         min(day) fd, max(day) xd,
+      |         min(lo_u) lo_u, min(hi_u) hi_u, min(lo_d) lo_d, min(hi_d) hi_d
+      |  FROM z GROUP BY f_lin),
+      |sz AS (
+      |  SELECT 'zorder' AS layout, count(*) AS n_files,
+      |         CAST(SUM(CASE WHEN fu <= hi_u AND xu >= lo_u AND fd <= hi_d AND xd >= lo_d
+      |              THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+      |         CAST(SUM(CASE WHEN fu <= hi_u AND xu >= lo_u AND fd <= hi_d AND xd >= lo_d
+      |              THEN rows ELSE 0 END) AS BIGINT) AS rows_scanned
+      |  FROM fz),
+      |sl AS (
+      |  SELECT 'linear_user' AS layout, count(*) AS n_files,
+      |         CAST(SUM(CASE WHEN fu <= hi_u AND xu >= lo_u AND fd <= hi_d AND xd >= lo_d
+      |              THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+      |         CAST(SUM(CASE WHEN fu <= hi_u AND xu >= lo_u AND fd <= hi_d AND xd >= lo_d
+      |              THEN rows ELSE 0 END) AS BIGINT) AS rows_scanned
+      |  FROM fl)
+      |SELECT layout, n_files, files_scanned, rows_scanned, rows_matched,
+      |       floor(CAST(rows_scanned AS DOUBLE) / total_rows * 10000.0 + 0.5)
+      |         / 10000.0 AS scan_frac
+      |FROM (SELECT * FROM sz UNION ALL SELECT * FROM sl), t
+      |ORDER BY layout""".stripMargin
+
+  val entries: Seq[Entry] = Seq(
+    Entry("q_containment_dup", containmentDup, Some(containmentDupSql)),
+    Entry("q_chunk_dedup", chunkDedup, Some(chunkDedupSql)),
+    Entry("q_ann_pq", annPq, Some(annPqSql)),
+    Entry("q_zorder_skip", zorderSkip, Some(zorderSkipSql)),
+  )
+}

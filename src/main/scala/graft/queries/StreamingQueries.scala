@@ -149,8 +149,30 @@ object StreamingQueries {
       |WHERE l.event_type = 'view' AND r.event_type = 'purchase'
       |ORDER BY trigger_id, response_id""".stripMargin
 
+  /** Windowed trending top-k, batch twin of [[graft.stream.TopK.dailyTopK]]
+    * (same definition object, like the T10 windows): per day per event
+    * type, the top-3 events by value. The oracle states the SEMANTICS as a
+    * ranking window; the engine computes it with the bounded-heap
+    * aggregator so the same query is streamable with ≤ k rows of state per
+    * open window×key — StreamSpec proves live ≡ this twin.
+    */
+  private val windowTopk: Q = (s, d) =>
+    graft.stream.TopK.dailyTopK(Tables.events(s, d), 3)
+      .orderBy("day", "event_type", "rn")
+
+  private val windowTopkSql =
+    """SELECT day, event_type, rn, event_id, value
+      |FROM (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |             event_type, event_id, value,
+      |             row_number() OVER (
+      |               PARTITION BY CAST(date_trunc('day', ts) AS DATE), event_type
+      |               ORDER BY value DESC, event_id) AS rn
+      |      FROM events)
+      |WHERE rn <= 3 ORDER BY day, event_type, rn""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q_tumbling_window", tumblingWindow, Some(tumblingWindowSql)),
+    Entry("q_window_topk", windowTopk, Some(windowTopkSql)),
     Entry("q_interval_join", intervalJoin, Some(intervalJoinSql)),
     Entry("q_sliding_window", slidingWindow, Some(slidingWindowSql)),
     Entry("q_session_window", sessionWindow, Some(sessionWindowSql)),

@@ -181,6 +181,28 @@ class StreamSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("windowed top-k: live bounded-heap stream equals the q_window_topk batch twin") {
+    import spark.implicits._
+    val rows = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect().toSeq
+    val ms = MemoryStream[Ev](implicitly[Encoder[Ev]], spark.sqlContext)
+    val sink = s"window_topk_${System.identityHashCode(this)}"
+    val q = graft.stream.TopK.dailyTopK(ms.toDF(), 3)
+      .writeStream.outputMode("complete").format("memory").queryName(sink).start()
+    try {
+      // Two deliveries so per-window state merges across micro-batches —
+      // the heap's merge path, not just reduce.
+      val (h, t) = rows.splitAt(rows.size / 2)
+      ms.addData(h); q.processAllAvailable()
+      ms.addData(t); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table(sink)
+      .orderBy("day", "event_type", "rn").collect().toSeq
+    val batch = SparkEntry.queries("q_window_topk")(spark, sfDir).collect().toSeq
+    assert(streamed === batch)
+  }
+
   test("custom state: flatMapGroupsWithState sessionizes with gap and timeout") {
     import spark.implicits._
     import graft.stream.StatefulSessions

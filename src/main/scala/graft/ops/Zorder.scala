@@ -1,0 +1,34 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) bit interleaving on an 8-bit × 8-bit grid — shared by
+  * the layout audit (`q_zorder_skip`) and the physical writer
+  * ([[graft.sources.Layout]]). Two dimensions are normalized to 0..255
+  * against their data min/max and their bits interleaved with the classic
+  * shift-or spread; locality in Z-value then implies locality in BOTH
+  * dimensions, which is what makes per-file min/max envelopes tight enough
+  * to prune 2-D query boxes. Pure integer arithmetic end to end, so every
+  * derived number is exactly reproducible in the DuckDB oracle.
+  */
+object Zorder {
+
+  /** Spread an 8-bit value's bits to the even positions of 16 bits. */
+  def spread8(c: Column): Column = {
+    val t1 = c.bitwiseOR(shiftleft(c, 4)).bitwiseAND(lit(0x0F0FL))
+    val t2 = t1.bitwiseOR(shiftleft(t1, 2)).bitwiseAND(lit(0x3333L))
+    t2.bitwiseOR(shiftleft(t2, 1)).bitwiseAND(lit(0x5555L))
+  }
+
+  /** Normalize `c` in [lo, hi] to the 0..255 grid (integer floor-scaling —
+    * identical to DuckDB's `((c - lo) * 256) // (hi - lo + 1)`; all values
+    * here are non-negative, where `div` truncation = floor).
+    */
+  def grid8(c: Column, lo: Column, hi: Column): Column =
+    call_function("div", (c - lo) * lit(256L), hi - lo + lit(1L))
+
+  /** 16-bit Z-value of two 0..255 grid coordinates. */
+  def zvalue(xg: Column, yg: Column): Column =
+    spread8(xg).bitwiseOR(shiftleft(spread8(yg), 1))
+}

@@ -310,15 +310,10 @@ object ScaleQueries {
       .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
     val bounds = ev.agg(min("user_id").as("umin"), max("user_id").as("umax"),
       min("day").as("dmin"), max("day").as("dmax"))
-    def spread8(c: Column): Column = {
-      val t1 = c.bitwiseOR(shiftleft(c, 4)).bitwiseAND(lit(0x0F0FL))
-      val t2 = t1.bitwiseOR(shiftleft(t1, 2)).bitwiseAND(lit(0x3333L))
-      t2.bitwiseOR(shiftleft(t2, 1)).bitwiseAND(lit(0x5555L))
-    }
     val g = ev.crossJoin(broadcast(bounds))
-      .withColumn("xg", expr("(user_id - umin) * 256 div (umax - umin + 1)"))
-      .withColumn("yg", expr("(day - dmin) * 256 div (dmax - dmin + 1)"))
-      .withColumn("z", spread8(col("xg")).bitwiseOR(shiftleft(spread8(col("yg")), 1)))
+      .withColumn("xg", graft.ops.Zorder.grid8(col("user_id"), col("umin"), col("umax")))
+      .withColumn("yg", graft.ops.Zorder.grid8(col("day"), col("dmin"), col("dmax")))
+      .withColumn("z", graft.ops.Zorder.zvalue(col("xg"), col("yg")))
       .withColumn("f_z", shiftright(col("z"), 10))
       .withColumn("f_lin", shiftright(col("xg"), 2))
       .withColumn("lo_u", expr("umin + ((umax - umin + 1) * 2) div 8"))

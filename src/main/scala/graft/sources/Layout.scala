@@ -1,0 +1,64 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ops.Zorder
+
+/** Physical write layout — the other half of the `q_zorder_skip` audit:
+  * that query MEASURES how much a Z-order layout prunes; this WRITES one.
+  *
+  * `writeZOrdered` materializes a table clustered by the Morton interleave
+  * of two columns: `repartitionByRange` on the Z-value gives each output
+  * file a contiguous Z-range (a range exchange — one shuffle, no global
+  * sort on the driver), and `sortWithinPartitions` lays rows out Z-ordered
+  * inside each file so Parquet row-group min/max envelopes stay tight at
+  * sub-file granularity too. At 100 TB this is exactly the Delta/Iceberg
+  * `OPTIMIZE ZORDER BY` write shape: the cost is one range shuffle at
+  * write time; the payoff is every 2-D-selective read pruning ~√ of what
+  * a 1-D sort prunes.
+  *
+  * The grid bounds are taken as ARGUMENTS (not computed) so an
+  * incremental writer appends files under the same grid — recomputing
+  * bounds per batch would silently re-grid the table and break envelope
+  * comparability across files.
+  */
+object Layout {
+
+  /** Z-value of two dimension columns on a pinned [lo, hi] grid. */
+  def zvalueFor(x: Column, xLo: Long, xHi: Long,
+      y: Column, yLo: Long, yHi: Long): Column =
+    Zorder.zvalue(
+      Zorder.grid8(x, lit(xLo), lit(xHi)),
+      Zorder.grid8(y, lit(yLo), lit(yHi)))
+
+  /** Write `df` as `numFiles` Parquet files clustered by the Z-interleave
+    * of `xCol` and `yCol`. The helper column never reaches the files.
+    */
+  def writeZOrdered(df: DataFrame, xCol: String, xLo: Long, xHi: Long,
+      yCol: String, yLo: Long, yHi: Long, numFiles: Int, path: String): Unit =
+    df.withColumn("__zv",
+        zvalueFor(col(xCol), xLo, xHi, col(yCol), yLo, yHi))
+      .repartitionByRange(numFiles, col("__zv"))
+      .sortWithinPartitions("__zv")
+      .drop("__zv")
+      .write.mode("overwrite").parquet(path)
+
+  /** 1-D comparison layout: same writer, range-clustered on one column. */
+  def writeRangeSorted(df: DataFrame, sortCol: String, numFiles: Int,
+      path: String): Unit =
+    df.repartitionByRange(numFiles, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(path)
+
+  /** Per-file min/max envelopes of `cols` for a written table — the
+    * pruning statistics a lake format's manifest would carry; reads ONLY
+    * file metadata plus the envelope columns.
+    */
+  def fileEnvelopes(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    df.withColumn("__file", input_file_name())
+      .groupBy("__file")
+      .agg(count(lit(1)).as("rows"), aggs: _*)
+  }
+}

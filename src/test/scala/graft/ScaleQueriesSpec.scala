@@ -94,6 +94,51 @@ class ScaleQueriesSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall@3 $recall under the 0.4 floor")
   }
 
+  test("Layout.writeZOrdered: real files carry tighter 2-D envelopes than a 1-D sort") {
+    import graft.sources.Layout
+    // sf0.01, not the usual sf0.001: with ~1000 rows each of 32 files holds
+    // ~31 — at that occupancy envelope tightness is quantile-boundary
+    // noise either way. 10k rows is where layout signal dominates (same
+    // reasoning as PlanSpec's bench-scale broadcast pins).
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+    val b = ev.agg(min("user_id"), max("user_id"), min("day"), max("day")).first()
+    val (uLo, uHi, dLo, dHi) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val zDir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val lDir = java.nio.file.Files.createTempDirectory("linear").toString
+    Layout.writeZOrdered(ev, "user_id", uLo, uHi, "day", dLo, dHi, 32, zDir)
+    Layout.writeRangeSorted(ev, "user_id", 32, lDir)
+    // A quarter-of-each-dimension 2-D box. (An eighth-size box at sf0.001
+    // is smaller than one file's share of the Z-curve, so pruning outcomes
+    // there are quantile-boundary noise, not layout signal.) A file is
+    // scanned iff its [min,max] envelope overlaps the box.
+    def loHi(lo: Long, hi: Long) =
+      (lo + (hi - lo + 1) * 2 / 8, lo + (hi - lo + 1) * 4 / 8 - 1)
+    val (loU, hiU) = loHi(uLo, uHi)
+    val (loD, hiD) = loHi(dLo, dHi)
+    def scanned(dir: String): (Long, Long) = {
+      val env = Layout.fileEnvelopes(
+        spark.read.parquet(dir), Seq("user_id", "day")).collect()
+      // range sampling may leave some of the 32 partitions empty at this
+      // sf — empty partitions write no file
+      assert(env.length >= 12 && env.length <= 32, s"file count off in $dir")
+      val hit = env.filter(r =>
+        r.getAs[Long]("min_user_id") <= hiU && r.getAs[Long]("max_user_id") >= loU &&
+          r.getAs[Long]("min_day") <= hiD && r.getAs[Long]("max_day") >= loD)
+      (hit.length.toLong, hit.map(_.getAs[Long]("rows")).sum)
+    }
+    val (zFiles, zRows) = scanned(zDir)
+    val (lFiles, lRows) = scanned(lDir)
+    // Both layouts must cover every matching row (pruning is sound)...
+    val matching = ev.filter(col("user_id").between(loU, hiU) &&
+      col("day").between(loD, hiD)).count()
+    assert(zRows >= matching && lRows >= matching)
+    // ...and the Z-order write must prune at least as hard as the 1-D one.
+    assert(zRows <= lRows,
+      s"zorder scans $zRows rows ($zFiles files) vs linear $lRows ($lFiles)")
+  }
+
   test("q_zorder_skip: same answers, fewer rows scanned — the layout earns its keep") {
     val byLayout = SparkEntry.queries("q_zorder_skip")(spark, sfDir).collect()
       .map(r => r.getAs[String]("layout") -> r).toMap

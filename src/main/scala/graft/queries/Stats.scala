@@ -364,7 +364,64 @@ object Stats {
       |FROM pb JOIN cells ON pb.depth = cells.depth AND pb.bucket = cells.bucket
       |GROUP BY pb.user_id, pb.exact_cnt ORDER BY pb.user_id""".stripMargin
 
+  /** Robust per-group outlier audit — median + MAD, the numeric-column
+    * health check a training pipeline runs before trusting a feature:
+    * unlike mean/stddev (`q_stats_agg`), the median/MAD pair doesn't let
+    * the outliers it is hunting move the fence. Flag rule is the standard
+    * |x − med| > 3σ-equivalent with σ ≈ 1.4826·MAD (the normal-consistency
+    * constant), folded to one literal multiply so both engines compute the
+    * identical double.
+    *
+    * Three passes by construction (median, MAD's inner median, flagging) —
+    * MAD is two nested order statistics, so two sort-based aggregations is
+    * the exact-arithmetic floor. Each pass is one shuffle by group; the
+    * 5-row stats tables broadcast back for the map-side flag pass. At
+    * extreme group cardinality the swap-in is `percentile_approx`, same
+    * trade as `q_percentiles_approx`.
+    */
+  private val outlierMadQ: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val med = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val mad = ev.join(broadcast(med), "event_type")
+      .groupBy("event_type")
+      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+    ev.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        Num.round4(min("med")).as("med"),
+        Num.round4(min("mad")).as("mad"),
+        sum((abs(col("value") - col("med")) > lit(4.4478) * col("mad"))
+          .cast("long")).as("n_outliers"))
+      .withColumn("outlier_frac",
+        Num.round4(col("n_outliers").cast("double") / col("n")))
+      .orderBy("event_type")
+  }
+
+  private val outlierMadSql =
+    """WITH med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY event_type),
+      |mad AS (
+      |  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      |  FROM events e JOIN med m USING (event_type) GROUP BY e.event_type),
+      |j AS (
+      |  SELECT e.event_type, e.value, m.med, d.mad
+      |  FROM events e JOIN med m USING (event_type)
+      |                JOIN mad d ON e.event_type = d.event_type)
+      |SELECT event_type, count(*) AS n,
+      |       floor(min(med) * 10000.0 + 0.5) / 10000.0 AS med,
+      |       floor(min(mad) * 10000.0 + 0.5) / 10000.0 AS mad,
+      |       CAST(SUM(CASE WHEN abs(value - med) > 4.4478 * mad
+      |            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |       floor(CAST(SUM(CASE WHEN abs(value - med) > 4.4478 * mad
+      |             THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 10000.0 + 0.5)
+      |         / 10000.0 AS outlier_frac
+      |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val entries: Seq[Entry] = Seq(
+    Entry("q_outlier_mad", outlierMadQ, Some(outlierMadSql)),
     Entry("q_asof_join", asofJoinQ, Some(asofJoinSql)),
     Entry("q_profile", profileQ, Some(profileSql)),
     Entry("q_range_join", rangeJoinQ, Some(rangeJoinSql)),

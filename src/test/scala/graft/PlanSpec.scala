@@ -54,7 +54,8 @@ class PlanSpec extends SparkSpec {
     // q_containment_words is a deliberate broadcast-nested-loop theta join
     // (tiny build side, SURVEY §2.3 J5) and is excluded by design.
     for (q <- Seq("q_embed_cosine_topk", "q_dedup_jaccard", "q_minhash_dedup",
-        "q_ann_ivf", "q_simhash", "q_vocab_pmi", "q_knn_label", "q_dedup_delta")) {
+        "q_ann_ivf", "q_simhash", "q_vocab_pmi", "q_knn_label", "q_dedup_delta",
+        "q_ann_pq", "q_containment_dup", "q_chunk_dedup")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q degraded to cartesian:\n$p")
     }

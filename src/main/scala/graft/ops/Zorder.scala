@@ -22,11 +22,21 @@ object Zorder {
   }
 
   /** Normalize `c` in [lo, hi] to the 0..255 grid (integer floor-scaling —
-    * identical to DuckDB's `((c - lo) * 256) // (hi - lo + 1)`; all values
-    * here are non-negative, where `div` truncation = floor).
+    * identical to DuckDB's `((c - lo) * 256) // (hi - lo + 1)`; in-range
+    * values are non-negative, where `div` truncation = floor). The result
+    * is CLAMPED to 0..255: [[graft.sources.Layout]] pins [lo, hi] across
+    * incremental appends, so a later batch may carry out-of-range values —
+    * unclamped, grid ≥ 256 would survive [[spread8]]'s masks with a
+    * SMALLER z-contribution than grid 255 (bit 8 aliases under 0x0F0F)
+    * and negative grids would shift garbage, silently shredding the
+    * file envelopes the layout exists for. Out-of-range rows land in the
+    * edge cells instead, which only widens the two boundary files. For
+    * in-range data (every oracle-checked path derives lo/hi from the
+    * data) the clamp is an exact no-op, so the DuckDB twin needs none.
     */
   def grid8(c: Column, lo: Column, hi: Column): Column =
-    call_function("div", (c - lo) * lit(256L), hi - lo + lit(1L))
+    greatest(lit(0L), least(lit(255L),
+      call_function("div", (c - lo) * lit(256L), hi - lo + lit(1L))))
 
   /** 16-bit Z-value of two 0..255 grid coordinates. */
   def zvalue(xg: Column, yg: Column): Column =

@@ -30,11 +30,9 @@ object LlmQueries {
     * same sequential left fold, so it matches DuckDB's list functions (and
     * the previous HOF results) bit-for-bit.
     */
-  private def dot(a: Column, b: Column): Column =
-    graft.functions.DotProduct(a, b)
+  private def dot(a: Column, b: Column): Column = graft.ops.Vec.dot(a, b)
 
-  private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  private def cosine(a: Column, b: Column): Column = graft.ops.Vec.cosine(a, b)
 
   /** Exact dedup: md5 content fingerprint → hash groupBy. Duplicates are
     * injected deterministically (testdata has none) by re-appending the
@@ -1452,8 +1450,7 @@ object LlmQueries {
     * native `round` ties (exact binary .0005) are HALF_UP in Spark but
     * engine-defined in DuckDB, so both sides use the explicit floor form.
     */
-  private def r3(c: Column): Column =
-    floor(c * lit(1000.0) + lit(0.5)) / lit(1000.0)
+  private def r3(c: Column): Column = graft.ops.Vec.round3(c)
 
   /** Repetition / boilerplate metrics (the Gopher-family quality filters):
     * duplicate word-2-gram and word-3-gram fractions plus the top single

@@ -16,14 +16,7 @@ import Registry.{Entry, Q}
   */
 object ScaleQueries {
 
-  private def r3(c: Column): Column =
-    floor(c * lit(1000.0) + lit(0.5)) / lit(1000.0)
-
-  private def dot(a: Column, b: Column): Column =
-    graft.functions.DotProduct(a, b)
-
-  private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  import graft.ops.Vec.{cosine, dot, round3 => r3}
 
   // ---------------------------------------------------------------- containment
 
@@ -118,6 +111,9 @@ object ScaleQueries {
       .withColumn("n", size(col("ws")))
     // sequence(0, n div 16 - 1) DESCENDS when n < 16 (Spark generates
     // start-to-stop in either direction) — guard to an empty array instead.
+    // localCheckpoint: ch feeds the frequency aggregate AND the verdict
+    // join — one tokenize+chunk+hash pass instead of two (the jaccardPairs
+    // precedent); the final per-doc join below reads only doc_id.
     val ch = base
       .withColumn("chunks", when(col("n") >= k, expr(
         s"transform(sequence(0, size(ws) div $k - 1), " +
@@ -125,12 +121,13 @@ object ScaleQueries {
         .otherwise(expr("array()").cast("array<string>")))
       .select(col("doc_id"), explode(col("chunks")).as("chunk"))
       .select(col("doc_id"), Hashing.md5Long60(col("chunk")).as("h"))
+      .localCheckpoint()
     val freq = ch.groupBy("h").agg(count(lit(1)).as("c"))
     val per = ch.join(freq, "h")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
         sum((col("c") >= 2).cast("long")).as("n_dropped"))
-    base.join(per, Seq("doc_id"), "left")
+    all.select(col("doc_id")).join(per, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),

@@ -107,6 +107,7 @@ class ScaleQueriesSpec extends SparkSpec {
       (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
     val zDir = java.nio.file.Files.createTempDirectory("zorder").toString
     val lDir = java.nio.file.Files.createTempDirectory("linear").toString
+    try {
     Layout.writeZOrdered(ev, "user_id", uLo, uHi, "day", dLo, dHi, 32, zDir)
     Layout.writeRangeSorted(ev, "user_id", 32, lDir)
     // A quarter-of-each-dimension 2-D box. (An eighth-size box at sf0.001
@@ -137,6 +138,12 @@ class ScaleQueriesSpec extends SparkSpec {
     // ...and the Z-order write must prune at least as hard as the 1-D one.
     assert(zRows <= lRows,
       s"zorder scans $zRows rows ($zFiles files) vs linear $lRows ($lFiles)")
+    } finally Seq(zDir, lDir).foreach { d =>
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(d)
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   test("q_zorder_skip: same answers, fewer rows scanned — the layout earns its keep") {

@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-corpus export — the last mile after curation: the shard
+  * assignment `q_shard_assign` computes becomes a physical partition-dir
+  * layout a dataloader fleet can consume, plus the manifest that makes
+  * the export auditable without re-reading it.
+  *
+  * Layout contract: `partitionBy(shardCol)` writes `shard=N/` directories,
+  * so a reader training on shard N opens exactly one directory (partition
+  * pruning, zero planning over the other shards) and the shard→worker map
+  * is static across epochs because the assignment is content-hashed.
+  * One file per shard directory (`repartition(shardCol)` first) keeps the
+  * file count equal to the shard count instead of shards × tasks — at
+  * 100 TB with 1024 shards that is 1024 files, not 1024 × 10k task files
+  * choking the namenode; raise `filesPerShard` when single files would
+  * exceed block-friendly sizes.
+  *
+  * The manifest is computed from the written FILES (FileSystem listing +
+  * one count aggregate over the parquet footers' row groups), not from
+  * the input frame — it audits what landed, not what was intended.
+  */
+object Export {
+
+  def writeSharded(df: DataFrame, shardCol: String, path: String,
+      filesPerShard: Int = 1): Unit =
+    df.repartition(filesPerShard, col(shardCol))
+      .write.mode("overwrite").partitionBy(shardCol).parquet(path)
+
+  /** Per-shard manifest of a sharded export: files, bytes (from the
+    * FileSystem, s3a-addressable like [[ModelRegistry]]), rows (parquet
+    * footer counts — a metadata-only aggregate, no data pages read).
+    */
+  def manifest(spark: SparkSession, path: String, shardCol: String): DataFrame = {
+    import spark.implicits._
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.globStatus(new Path(root, s"$shardCol=*/*.parquet"))
+      .toSeq.map { st =>
+        val shard = st.getPath.getParent.getName.stripPrefix(s"$shardCol=").toLong
+        (shard, st.getLen)
+      }
+    val bytes = files.toDF("shard", "bytes")
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_files"), sum("bytes").as("bytes"))
+    val rows = spark.read.parquet(path)
+      .groupBy(col(shardCol).cast("long").as("shard"))
+      .agg(count(lit(1)).as("rows"))
+    bytes.join(rows, "shard").orderBy("shard")
+  }
+}

@@ -90,6 +90,41 @@ class SourcesSpec extends SparkSpec {
     assert(back.collect().toSeq === out.collect().toSeq)
   }
 
+  test("Export.writeSharded: partition-dir layout matches q_shard_assign; manifest audits the files") {
+    import graft.sources.Export
+    import graft.ops.Hashing
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("shard", pmod(
+        Hashing.md5Long(concat(col("doc_id").cast("string"), lit("#shard"))),
+        lit(16L)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-export").toString
+    try {
+      Export.writeSharded(docs, "shard", dir)
+      val man = Export.manifest(spark, dir, "shard").collect()
+      // The manifest audits what LANDED: per-shard rows equal the
+      // oracle-checked q_shard_assign occupancy report, every shard is
+      // one file, and byte counts are real file lengths.
+      val expected = SparkEntry.queries("q_shard_assign")(spark, sfDir)
+        .collect().map(r => r.getAs[Long]("shard") -> r.getAs[Long]("n_docs")).toMap
+      assert(man.map(r => r.getAs[Long]("shard") -> r.getAs[Long]("rows")).toMap
+        === expected)
+      man.foreach { r =>
+        assert(r.getAs[Long]("n_files") === 1L)
+        assert(r.getAs[Long]("bytes") > 0L)
+      }
+      // A dataloader training on one shard opens ONE directory — and the
+      // shard column itself survives as the partition value.
+      val one = spark.read.parquet(dir).filter(col("shard") === 3)
+      assert(one.count() === expected(3L))
+      assert(one.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("S12/S13: registry publishes, loads, advances BEST, keeps last 5") {
     // file:// URI root: all registry IO must flow through the Hadoop
     // FileSystem API (the S11 s3a-ready contract) — a java.nio regression

@@ -206,11 +206,15 @@ object ScaleQueries {
     def d2u(a: Column, b: Column): Column =
       floor((dot(a, a) - lit(2) * dot(a, b) + dot(b, b)) * lit(1000000.0)
         + lit(0.5)).cast("long")
+    // Argmin as min over (d2u << 4 | cid) packed longs — d2u is
+    // non-negative and cid < 16, so the packed order IS the (d2u, cid)
+    // lexicographic order, and a primitive long min plans as a codegen
+    // HashAggregate where min(struct(...)) falls back to SortAggregate.
     val codes = sub.join(broadcast(cent), "s")
-      .withColumn("d2u", d2u(col("sv"), col("cv")))
+      .withColumn("packed", d2u(col("sv"), col("cv")) * lit(16L) + col("cid"))
       .groupBy("vec_id", "s")
-      .agg(min(struct(col("d2u"), col("cid"))).as("best"))
-      .select(col("vec_id"), col("s"), col("best.cid").as("cid"))
+      .agg(min("packed").as("best"))
+      .select(col("vec_id"), col("s"), (col("best") % 16).cast("int").as("cid"))
     val lut = sub.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("s"), col("sv").as("qsv"))
       .join(broadcast(cent), "s")

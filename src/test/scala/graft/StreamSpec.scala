@@ -509,6 +509,39 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed top-k in APPEND mode: watermark closes a window, emits once, drops late data") {
+    import spark.implicits._
+    val base = 1704067200000L // 2024-01-01T00:00Z
+    def ev(id: Long, hour: Long, tpe: String, v: Double): Ev =
+      Ev(id, new Timestamp(base + hour * 3600000L), 1L, tpe, v)
+    val ms = MemoryStream[Ev](implicitly[Encoder[Ev]], spark.sqlContext)
+    val sink = s"window_topk_append_${System.identityHashCode(this)}"
+    val q = graft.stream.TopK.dailyTopK(ms.toDF(), 2)
+      .writeStream.outputMode("append").format("memory").queryName(sink).start()
+    try {
+      // Day-1 plays, including one beyond k that must never surface.
+      ms.addData(Seq(ev(1, 1, "play", 5.0), ev(2, 2, "play", 9.0),
+        ev(3, 3, "play", 7.0)))
+      q.processAllAvailable()
+      assert(spark.table(sink).count() === 0,
+        "append emits nothing while the window can still receive data")
+      // A sentinel 5 days out pushes the watermark (2-day delay) past
+      // day-1's close: the finished top-2 must appear exactly once.
+      ms.addData(Seq(ev(99, 5 * 24, "view", 1.0)))
+      q.processAllAvailable()
+      val rows = spark.table(sink).filter(col("event_type") === "play")
+        .orderBy("rn").collect()
+      assert(rows.map(r => (r.getAs[Int]("rn"), r.getAs[Long]("event_id"),
+        r.getAs[Double]("value"))).toSeq === Seq((1, 2L, 9.0), (2, 3L, 7.0)))
+      // Late day-1 play with the highest value of all: behind the
+      // watermark, so the CLOSED result must not change or re-emit.
+      ms.addData(Seq(ev(4, 4, "play", 99.0)))
+      q.processAllAvailable()
+      assert(spark.table(sink).filter(col("event_type") === "play").count() === 2,
+        "late event dropped; closed window not re-emitted")
+    } finally q.stop()
+  }
+
   test("Trigger.AvailableNow drains the backlog, stops, then resumes from the checkpoint") {
     // The operational backfill mode: run the streaming pipeline as a bounded
     // job over everything already on disk (exactly-once through the same

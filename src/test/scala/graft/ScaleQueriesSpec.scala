@@ -111,11 +111,14 @@ class ScaleQueriesSpec extends SparkSpec {
 
   test("Layout.writeZOrdered: real files carry tighter 2-D envelopes than a 1-D sort") {
     import graft.sources.Layout
-    // sf0.01, not the usual sf0.001: with ~1000 rows each of 32 files holds
-    // ~31 — at that occupancy envelope tightness is quantile-boundary
-    // noise either way. 10k rows is where layout signal dominates (same
-    // reasoning as PlanSpec's bench-scale broadcast pins).
-    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+    // sf0.1, not the usual sf0.001: repartitionByRange SAMPLES its
+    // boundaries (per-run seed), so at small row counts the two layouts'
+    // scan totals sit within quantile noise of each other and the
+    // comparison flakes — observed once at sf0.01 (2820 vs 2578). At 100k
+    // rows each file holds ~3k rows and the layout signal (measured ~3×)
+    // dominates any boundary wobble. Same reasoning as PlanSpec's
+    // bench-scale broadcast pins.
+    val ev = Tables.events(spark, "/root/testdata/sf0.1")
       .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
     val b = ev.agg(min("user_id"), max("user_id"), min("day"), max("day")).first()
     val (uLo, uHi, dLo, dHi) =

@@ -275,16 +275,28 @@ object ScaleQueries {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val cached = e.cache()
-    val cent = (0 until 8).flatMap { si =>
+    // The eight fits are independent and each is overhead-dominated at
+    // test scale (instance conversion + a handful of Lloyd jobs), so they
+    // submit CONCURRENTLY — Spark's scheduler interleaves the jobs and
+    // wall time is the slowest fit, not the sum. Random init, not
+    // kmeans||: the parallel init alone schedules several extra jobs per
+    // subspace; on 8-dim subvectors with k=16, seeded random init plus
+    // Lloyd iterations reaches the same recall (re-measured).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fits = (0 until 8).map { si => Future {
       val feats = cached
         .select(expr(s"slice(v, ${si * 8 + 1}, 8)").as("sv"))
         .withColumn("features", array_to_vector(col("sv")))
-      val km = new KMeans().setK(16).setSeed(42L + si).setMaxIter(10)
-        .setFeaturesCol("features").fit(feats)
+      val km = new KMeans().setK(16).setSeed(42L + si).setMaxIter(8)
+        .setInitMode("random").setFeaturesCol("features").fit(feats)
       km.clusterCenters.toSeq.zipWithIndex.map { case (c, i) =>
         (i, si, c.toArray.toSeq)
       }
-    }.toDF("cid", "s", "cv")
+    } }
+    val cent = Await.result(Future.sequence(fits), Duration.Inf)
+      .flatten.toDF("cid", "s", "cv")
     try pqSearch(cached, cent, numQueries, shortlist, topK)
     finally cached.unpersist(blocking = false)
   }

@@ -379,14 +379,24 @@ object Stats {
     * extreme group cardinality the swap-in is `percentile_approx`, same
     * trade as `q_percentiles_approx`.
     */
-  private val outlierMadQ: Q = (s, d) => {
-    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+  /** The trained fence (event_type, med, mad) — shared by the batch audit
+    * below and the stream-side flagger ([[graft.stream.Quality]]), so the
+    * "train the fence offline, apply it in flight" pair uses ONE
+    * definition of the robust statistics.
+    */
+  private[graft] def madFence(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val med = ev.groupBy("event_type")
       .agg(expr("percentile(value, 0.5)").as("med"))
-    val mad = ev.join(broadcast(med), "event_type")
+    ev.join(broadcast(med), "event_type")
       .groupBy("event_type")
       .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
-    ev.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+      .join(broadcast(med), "event_type")
+      .select("event_type", "med", "mad")
+  }
+
+  private val outlierMadQ: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    ev.join(broadcast(madFence(ev)), "event_type")
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n"),

@@ -509,6 +509,38 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("live MAD outlier flags equal the batch audit's counts (train offline, apply in flight)") {
+    import spark.implicits._
+    import graft.stream.Quality
+    val ev = Tables.events(spark, sfDir)
+    val fence = Quality.trainFence(ev).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .toSeq.toDF("event_type", "med", "mad") // pin the trained fence
+    val rows = ev.select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect().toSeq
+    val ms = MemoryStream[Ev](implicitly[Encoder[Ev]], spark.sqlContext)
+    val sink = s"mad_stream_${System.identityHashCode(this)}"
+    val q = Quality.flagOutliers(ms.toDF(), fence)
+      .writeStream.outputMode("append").format("memory").queryName(sink).start()
+    try {
+      val (h, t) = rows.splitAt(rows.size / 2)
+      ms.addData(h); q.processAllAvailable()
+      ms.addData(t); q.processAllAvailable()
+    } finally q.stop()
+    val live = spark.table(sink)
+      .groupBy("event_type")
+      .agg(sum("is_outlier").as("n_outliers"), count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_outliers"), r.getAs[Long]("n")))
+      .toMap
+    // The oracle-checked batch audit over the same events must agree
+    // per group on both the outlier count and the row count.
+    val batch = SparkEntry.queries("q_outlier_mad")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_outliers"), r.getAs[Long]("n")))
+      .toMap
+    assert(live === batch)
+    assert(live.values.map(_._1).sum > 0, "fixture should contain outliers")
+  }
+
   test("windowed top-k in APPEND mode: watermark closes a window, emits once, drops late data") {
     import spark.implicits._
     val base = 1704067200000L // 2024-01-01T00:00Z

@@ -30,6 +30,21 @@ object Export {
     df.repartition(filesPerShard, col(shardCol))
       .write.mode("overwrite").partitionBy(shardCol).parquet(path)
 
+  /** Continuous ingestion into the SAME sharded layout: each micro-batch
+    * appends its rows under the shard directories, so the training-shard
+    * table grows in place while readers keep their static shard→worker
+    * map. Exactly-once comes from the streaming checkpoint (a replayed
+    * batch re-runs with the same batchId; idempotence can be layered by
+    * batchId-named files when the sink demands it — the batch-dir sink
+    * `stream.Interactions.writeBatches` demonstrates that discipline).
+    * Returns the DataStreamWriter so the caller owns trigger/checkpoint.
+    */
+  def appendShardedStream(stream: DataFrame, shardCol: String,
+      path: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      batch.write.mode("append").partitionBy(shardCol).parquet(path)
+    }
+
   /** Per-shard manifest of a sharded export: files, bytes (from the
     * FileSystem, s3a-addressable like [[ModelRegistry]]), rows (parquet
     * footer counts — a metadata-only aggregate, no data pages read).

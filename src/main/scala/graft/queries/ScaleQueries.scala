@@ -232,7 +232,10 @@ object ScaleQueries {
       .filter(col("rn") <= shortlist)
     cand
       .join(e.select(col("vec_id"), col("v")), "vec_id")
-      .join(broadcast(e.select(col("vec_id").as("q_id"), col("v").as("qv"))), "q_id")
+      // broadcast ONLY the query rows — broadcasting unfiltered e would
+      // collect the whole corpus to the driver for a numQueries-row join
+      .join(broadcast(e.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))), "q_id")
       .withColumn("cos", r3(cosine(col("qv"), col("v"))))
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))))
@@ -274,31 +277,38 @@ object ScaleQueries {
     import org.apache.spark.ml.functions.array_to_vector
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // The cache serves the EIGHT FITS (each iterates the data several
+    // times) and is released before the search plan is returned —
+    // unpersisting in a finally around the lazy pqSearch frame would
+    // evict it before the caller ever executes, silently un-caching the
+    // very query it was threaded in for; the search itself reads the
+    // parquet scan directly, same as the pinned path.
+    // The fits are independent and overhead-dominated at test scale
+    // (instance conversion + a handful of Lloyd jobs), so they submit
+    // CONCURRENTLY — wall time is the slowest fit, not the sum. Random
+    // init, not kmeans||: the parallel init alone schedules several
+    // extra jobs per subspace; on 8-dim subvectors with k=16, seeded
+    // random init plus Lloyd iterations reaches the same recall
+    // (re-measured).
     val cached = e.cache()
-    // The eight fits are independent and each is overhead-dominated at
-    // test scale (instance conversion + a handful of Lloyd jobs), so they
-    // submit CONCURRENTLY — Spark's scheduler interleaves the jobs and
-    // wall time is the slowest fit, not the sum. Random init, not
-    // kmeans||: the parallel init alone schedules several extra jobs per
-    // subspace; on 8-dim subvectors with k=16, seeded random init plus
-    // Lloyd iterations reaches the same recall (re-measured).
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    val fits = (0 until 8).map { si => Future {
-      val feats = cached
-        .select(expr(s"slice(v, ${si * 8 + 1}, 8)").as("sv"))
-        .withColumn("features", array_to_vector(col("sv")))
-      val km = new KMeans().setK(16).setSeed(42L + si).setMaxIter(8)
-        .setInitMode("random").setFeaturesCol("features").fit(feats)
-      km.clusterCenters.toSeq.zipWithIndex.map { case (c, i) =>
-        (i, si, c.toArray.toSeq)
-      }
-    } }
-    val cent = Await.result(Future.sequence(fits), Duration.Inf)
-      .flatten.toDF("cid", "s", "cv")
-    try pqSearch(cached, cent, numQueries, shortlist, topK)
-    finally cached.unpersist(blocking = false)
+    val cent = try {
+      val fits = (0 until 8).map { si => Future {
+        val feats = cached
+          .select(expr(s"slice(v, ${si * 8 + 1}, 8)").as("sv"))
+          .withColumn("features", array_to_vector(col("sv")))
+        val km = new KMeans().setK(16).setSeed(42L + si).setMaxIter(8)
+          .setInitMode("random").setFeaturesCol("features").fit(feats)
+        km.clusterCenters.toSeq.zipWithIndex.map { case (c, i) =>
+          (i, si, c.toArray.toSeq)
+        }
+      } }
+      Await.result(Future.sequence(fits), Duration.Inf)
+        .flatten.toDF("cid", "s", "cv")
+    } finally cached.unpersist(blocking = false)
+    pqSearch(e, cent, numQueries, shortlist, topK)
   }
 
   private val annPqTrainedQ: Q = (s, d) => annPqTrained(s, d)

@@ -26,18 +26,30 @@ import org.apache.spark.sql.functions._
 object Export {
 
   def writeSharded(df: DataFrame, shardCol: String, path: String,
-      filesPerShard: Int = 1): Unit =
-    df.repartition(filesPerShard, col(shardCol))
+      filesPerShard: Int = 1): Unit = {
+    // Distribution keys, not partition count: repartition(n, shardCol)
+    // would hash every row of a shard into ONE task (and n=1 funnels the
+    // whole dataset through a single task), so a shard can never split.
+    // Hashing on (shard, row-hash salt) caps each shard at filesPerShard
+    // files while keeping write parallelism at the shuffle default.
+    val salt =
+      if (filesPerShard <= 1) Nil
+      else Seq(pmod(hash(df.columns.map(col).toIndexedSeq: _*),
+        lit(filesPerShard)))
+    df.repartition((col(shardCol) +: salt).toIndexedSeq: _*)
       .write.mode("overwrite").partitionBy(shardCol).parquet(path)
+  }
 
   /** Continuous ingestion into the SAME sharded layout: each micro-batch
     * appends its rows under the shard directories, so the training-shard
     * table grows in place while readers keep their static shard→worker
-    * map. Exactly-once comes from the streaming checkpoint (a replayed
-    * batch re-runs with the same batchId; idempotence can be layered by
-    * batchId-named files when the sink demands it — the batch-dir sink
-    * `stream.Interactions.writeBatches` demonstrates that discipline).
-    * Returns the DataStreamWriter so the caller owns trigger/checkpoint.
+    * map. Delivery is AT-LEAST-ONCE: the checkpoint prevents reprocessing
+    * on clean restarts, but a crash between the parquet append and the
+    * commit-log write replays the batch and a blind append would land it
+    * twice — exactly-once needs an idempotent layer on top (batchId-keyed
+    * file names as in `stream.Interactions.writeBatches`, or a
+    * transactional table format). Returns the DataStreamWriter so the
+    * caller owns trigger/checkpoint.
     */
   def appendShardedStream(stream: DataFrame, shardCol: String,
       path: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =

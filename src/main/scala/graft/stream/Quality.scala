@@ -22,11 +22,17 @@ object Quality {
       events.select(col("event_type"), col("value")))
 
   /** Flag each in-flight event against the fence. Works identically on a
-    * streaming or batch frame — the join is stateless either way.
+    * streaming or batch frame — the join is stateless either way. LEFT
+    * join: an event_type the snapshot never saw has no fence yet, and
+    * dropping those rows (an inner join) would silently censor exactly
+    * the novel traffic an audit wants to see — they pass through with
+    * is_outlier = 0 until a retrained fence covers them.
     */
   def flagOutliers(stream: DataFrame, fence: DataFrame): DataFrame =
-    stream.join(broadcast(fence), "event_type")
+    stream.join(broadcast(fence), Seq("event_type"), "left")
       .withColumn("is_outlier",
-        (abs(col("value") - col("med")) > lit(4.4478) * col("mad")).cast("int"))
+        coalesce(
+          (abs(col("value") - col("med")) > lit(4.4478) * col("mad")).cast("int"),
+          lit(0)))
       .drop("med", "mad")
 }

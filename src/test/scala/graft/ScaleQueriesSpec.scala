@@ -156,12 +156,7 @@ class ScaleQueriesSpec extends SparkSpec {
     // ...and the Z-order write must prune at least as hard as the 1-D one.
     assert(zRows <= lRows,
       s"zorder scans $zRows rows ($zFiles files) vs linear $lRows ($lFiles)")
-    } finally Seq(zDir, lDir).foreach { d =>
-      import scala.jdk.CollectionConverters._
-      val root = java.nio.file.Paths.get(d)
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    } finally Seq(zDir, lDir).foreach(deleteRecursively)
   }
 
   test("q_zorder_skip: same answers, fewer rows scanned — the layout earns its keep") {

@@ -117,12 +117,7 @@ class SourcesSpec extends SparkSpec {
       val one = spark.read.parquet(dir).filter(col("shard") === 3)
       assert(one.count() === expected(3L))
       assert(one.queryExecution.executedPlan.toString.contains("PartitionFilters"))
-    } finally {
-      import scala.jdk.CollectionConverters._
-      val root = java.nio.file.Paths.get(dir)
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    } finally deleteRecursively(dir)
   }
 
   test("S12/S13: registry publishes, loads, advances BEST, keeps last 5") {

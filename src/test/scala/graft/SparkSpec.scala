@@ -12,6 +12,16 @@ abstract class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   lazy val spark: SparkSession = SparkSpec.session
 
+  /** Recursive temp-dir cleanup; closes the walk stream (an unclosed
+    * Files.walk leaks directory handles until GC).
+    */
+  def deleteRecursively(dir: String): Unit = {
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally walk.close()
+  }
+
   override def afterAll(): Unit = () // session shared across suites
 }
 

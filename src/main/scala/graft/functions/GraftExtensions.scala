@@ -30,5 +30,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "dot_product(arrayA, arrayB)")
         DotProduct(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("hilbert_index"),
+      new ExpressionInfo(classOf[HilbertIndex].getName, "hilbert_index"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "hilbert_index(xGrid, yGrid)")
+        HilbertIndex(children.head, children(1))
+      }))
   }
 }

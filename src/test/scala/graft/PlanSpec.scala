@@ -129,11 +129,10 @@ class PlanSpec extends SparkSpec {
     val fallback = classOf[CodegenFallback]
     assert(!fallback.isAssignableFrom(classOf[graft.functions.DotProduct]))
     assert(!fallback.isAssignableFrom(classOf[graft.functions.JaccardSorted]))
+    assert(!fallback.isAssignableFrom(classOf[graft.functions.HilbertIndex]))
     assert(fallback.isAssignableFrom(classOf[ArrayAggregate]),
       "the HOF formulation is interpreted — the reason DotProduct exists")
-    for ((q, ex) <- Seq("q_dedup_embed" -> "dotproduct",
-        "q_dedup_jaccard" -> "jaccardsorted")) {
-      val df = Registry.queries(q)(spark, sfDir)
+    def assertStarred(df: org.apache.spark.sql.DataFrame, ex: String, q: String): Unit = {
       df.collect() // finalize the adaptive plan
       val p = df.queryExecution.executedPlan.toString
       // `*(n)` is the whole-stage-codegen marker; the custom expression
@@ -142,6 +141,19 @@ class PlanSpec extends SparkSpec {
         l.contains("*(") && l.toLowerCase.contains(ex))
       assert(inStarredStage, s"$q: $ex not inside a codegen stage:\n$p")
     }
+    for ((q, ex) <- Seq("q_dedup_embed" -> "dotproduct",
+        "q_dedup_jaccard" -> "jaccardsorted"))
+      assertStarred(Registry.queries(q)(spark, sfDir), ex, q)
+    // q_hilbert_skip localCheckpoints its grid stage (the expression's
+    // plan is materialized before the inspected final plan), so pin the
+    // codegen property on a direct projection of the same expression.
+    import org.apache.spark.sql.functions.{pmod, col, lit, sum}
+    assertStarred(
+      graft.tables.Tables.events(spark, sfDir)
+        .select(graft.functions.HilbertIndex(
+          pmod(col("user_id"), lit(256L)), pmod(col("event_id"), lit(256L)))
+        .as("h")).agg(sum("h")),
+      "hilbertindex", "hilbert projection")
   }
 
   test("corpus-vs-model scoring broadcasts the model side, never shuffles for it") {

@@ -131,7 +131,8 @@ class PropertiesSpec extends SparkSpec {
           "q_split_leakfree", "q_drift_chi2",
           "q_dedup_delta", "q_interval_join", "ml_kmeans_assign",
           "q_contam_embed", "q_mix_temperature",
-          "q_containment_dup", "q_chunk_dedup", "q_ann_pq", "q_zorder_skip")
+          "q_containment_dup", "q_chunk_dedup", "q_ann_pq", "q_zorder_skip",
+          "q_hilbert_skip")
         .map(q => q -> SparkEntry.queries(q)(spark, sfDir)
           .collect().map(_.toString).toSeq).toMap
     }

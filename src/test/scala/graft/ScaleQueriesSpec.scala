@@ -159,6 +159,21 @@ class ScaleQueriesSpec extends SparkSpec {
     } finally Seq(zDir, lDir).foreach(deleteRecursively)
   }
 
+  test("q_hilbert_skip: Hilbert prunes at least as hard as Z-order; both beat the 1-D sort") {
+    val byLayout = SparkEntry.queries("q_hilbert_skip")(spark, sfDir).collect()
+      .map(r => r.getAs[String]("layout") -> r).toMap
+    val (h, z, lin) =
+      (byLayout("hilbert"), byLayout("zorder"), byLayout("linear_user"))
+    assert(Seq(h, z, lin).map(_.getAs[Long]("rows_matched")).distinct.size == 1)
+    Seq(h, z, lin).foreach { r =>
+      assert(r.getAs[Long]("rows_scanned") >= r.getAs[Long]("rows_matched"))
+    }
+    // Adjacent-step locality (ZorderSpec proves the curve property) must
+    // show up as envelopes at least as tight as the jumpier Z-curve's.
+    assert(h.getAs[Long]("rows_scanned") <= z.getAs[Long]("rows_scanned"))
+    assert(h.getAs[Long]("rows_scanned") <= lin.getAs[Long]("rows_scanned"))
+  }
+
   test("q_zorder_skip: same answers, fewer rows scanned — the layout earns its keep") {
     val byLayout = SparkEntry.queries("q_zorder_skip")(spark, sfDir).collect()
       .map(r => r.getAs[String]("layout") -> r).toMap

@@ -40,6 +40,47 @@ class ZorderSpec extends SparkSpec {
     }
   }
 
+  test("hilbert_index is a bijection whose consecutive cells are grid-adjacent") {
+    // Plain-Scala reference of the canonical xy→d walk.
+    def ref(x0: Long, y0: Long): Long = {
+      var (x, y, d, s) = (x0, y0, 0L, 128L)
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          val (fx, fy) = if (rx == 1) (255 - x, 255 - y) else (x, y)
+          x = fy; y = fx
+        }
+        s >>= 1
+      }
+      d
+    }
+    // Bijection over the full 256×256 grid…
+    val inv = new Array[(Int, Int)](65536)
+    for (x <- 0 until 256; y <- 0 until 256) {
+      val d = ref(x.toLong, y.toLong).toInt
+      assert(inv(d) == null, s"collision at d=$d")
+      inv(d) = (x, y)
+    }
+    // …whose every step moves to a GRID-ADJACENT cell — the locality
+    // property the Z-curve lacks (it jumps at power-of-two boundaries)
+    // and the reason Hilbert envelopes are at least as tight.
+    for (d <- 1 until 65536) {
+      val (x1, y1) = inv(d - 1)
+      val (x2, y2) = inv(d)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1, s"jump at d=$d")
+    }
+    // The codegen expression computes the same mapping.
+    val pts = (for (x <- 0L until 256L by 17; y <- 0L until 256L by 13)
+      yield (x, y)).toSeq
+    import spark.implicits._
+    val got = pts.toDF("x", "y")
+      .select(graft.functions.HilbertIndex(col("x"), col("y")).as("d"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === pts.map { case (x, y) => ref(x, y) })
+  }
+
   test("grid8 clamps out-of-range appends to the boundary cells") {
     import spark.implicits._
     // Bounds pinned to [100, 199]; a later batch carries 0, 99, 250, -5.

@@ -124,9 +124,11 @@ class ScaleQueriesSpec extends SparkSpec {
     val (uLo, uHi, dLo, dHi) =
       (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
     val zDir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val hDir = java.nio.file.Files.createTempDirectory("hilbert").toString
     val lDir = java.nio.file.Files.createTempDirectory("linear").toString
     try {
     Layout.writeZOrdered(ev, "user_id", uLo, uHi, "day", dLo, dHi, 32, zDir)
+    Layout.writeHilbertOrdered(ev, "user_id", uLo, uHi, "day", dLo, dHi, 32, hDir)
     Layout.writeRangeSorted(ev, "user_id", 32, lDir)
     // A quarter-of-each-dimension 2-D box. (An eighth-size box at sf0.001
     // is smaller than one file's share of the Z-curve, so pruning outcomes
@@ -148,15 +150,20 @@ class ScaleQueriesSpec extends SparkSpec {
       (hit.length.toLong, hit.map(_.getAs[Long]("rows")).sum)
     }
     val (zFiles, zRows) = scanned(zDir)
+    val (hFiles, hRows) = scanned(hDir)
     val (lFiles, lRows) = scanned(lDir)
-    // Both layouts must cover every matching row (pruning is sound)...
+    // All layouts must cover every matching row (pruning is sound)...
     val matching = ev.filter(col("user_id").between(loU, hiU) &&
       col("day").between(loD, hiD)).count()
-    assert(zRows >= matching && lRows >= matching)
-    // ...and the Z-order write must prune at least as hard as the 1-D one.
+    assert(zRows >= matching && hRows >= matching && lRows >= matching)
+    // ...and both curve writes must prune at least as hard as the 1-D
+    // one. (Hilbert vs Z on QUANTILE-cut files can wobble either way —
+    // the aligned-cell comparison is q_hilbert_skip's job.)
     assert(zRows <= lRows,
       s"zorder scans $zRows rows ($zFiles files) vs linear $lRows ($lFiles)")
-    } finally Seq(zDir, lDir).foreach(deleteRecursively)
+    assert(hRows <= lRows,
+      s"hilbert scans $hRows rows ($hFiles files) vs linear $lRows ($lFiles)")
+    } finally Seq(zDir, hDir, lDir).foreach(deleteRecursively)
   }
 
   test("q_hilbert_skip: Hilbert prunes at least as hard as Z-order; both beat the 1-D sort") {

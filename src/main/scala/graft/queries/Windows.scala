@@ -119,6 +119,48 @@ object Windows {
       |      FROM events)
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** Event-time RANGE frame — the value-based sibling of [[rollingAvg]]'s
+    * row-count frame and the missing member of the frame matrix: "activity
+    * in MY trailing 2 hours" is a per-row sliding interval no row count or
+    * tumbling window expresses (rows-frames count events, tumbling windows
+    * share boundaries; this frame is anchored at each row's own time).
+    * Ordering by epoch-µs LONGS keeps the frame arithmetic integral in
+    * both engines, and RANGE frames include all ORDER-BY-value peers, so
+    * same-microsecond ties cannot reorder results — deterministic without
+    * an event_id tiebreak, which a RANGE frame would not allow anyway
+    * (multi-column RANGE ordering is undefined).
+    *
+    * Scale: partitioned by user and evaluated with a sliding accumulator
+    * over the sorted partition (Spark's bounded-range frame is
+    * incremental, not O(frame) per row); the shuffle is the same
+    * one-per-user exchange every per-user analytic here pays.
+    */
+  private val rangeWindow: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(asc("us"))
+      .rangeBetween(-7200000000L, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("n_2h", count(lit(1)).over(w))
+      .withColumn("sum_2h_c", sum(Num.cents(col("value"))).over(w))
+      .select(col("user_id"), col("event_id"), col("us"),
+        col("n_2h"), Num.dollars(col("sum_2h_c")).as("sum_2h"))
+      .orderBy("user_id", "event_id")
+  }
+
+  private val rangeWindowSql =
+    """SELECT user_id, event_id, us, n_2h,
+      |       CAST(sum_2h_c AS DOUBLE) / 100.0 AS sum_2h
+      |FROM (SELECT user_id, event_id, epoch_us(ts) AS us,
+      |             COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |                            RANGE BETWEEN 7200000000 PRECEDING
+      |                            AND CURRENT ROW) AS n_2h,
+      |             SUM(CAST(round(value * 100) AS BIGINT))
+      |               OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |                     RANGE BETWEEN 7200000000 PRECEDING
+      |                     AND CURRENT ROW) AS sum_2h_c
+      |      FROM events)
+      |ORDER BY user_id, event_id""".stripMargin
+
   /** Lag extension — per-user successive-difference series (the analytic
     * twin of the reference's batch-size deltas over time,
     * src/streamlit_app.py:644-655).
@@ -235,6 +277,7 @@ object Windows {
     Entry("q_pagination", pagination, Some(paginationSql)),
     Entry("q_rank_decay", rankDecay, Some(rankDecaySql)),
     Entry("q_rolling_avg", rollingAvg, Some(rollingAvgSql)),
+    Entry("q_range_window", rangeWindow, Some(rangeWindowSql)),
     Entry("q_lag_delta", lagDelta, Some(lagDeltaSql)),
     Entry("q_session_gap", sessionGap, Some(sessionGapSql)),
   )

@@ -161,6 +161,40 @@ object Windows {
       |      FROM events)
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** Positional value functions — first/last/nth/lead over the per-user
+    * time order, completing the window-function matrix (ranking in
+    * `q_rank_funcs`, offsets in `q_lag_delta`, frames in `q_rolling_avg`/
+    * `q_range_window`; these are the value-positional family). last_value
+    * needs the explicit full-partition frame — the default frame stops at
+    * CURRENT ROW, which silently returns the current row's value, a
+    * classic window bug the oracle would catch but better to state.
+    */
+  private val valueFuncs: Q = (s, d) => {
+    val ord = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .withColumn("first_v", first(col("value")).over(ord))
+      .withColumn("last_v", last(col("value")).over(full))
+      .withColumn("second_v", nth_value(col("value"), 2).over(full))
+      .withColumn("next_v", lead(col("value"), 1).over(ord))
+      .select(col("user_id"), col("event_id"), col("first_v"), col("last_v"),
+        coalesce(col("second_v"), lit(-1.0)).as("second_v"),
+        coalesce(col("next_v"), lit(-1.0)).as("next_v"))
+      .orderBy("user_id", "event_id")
+  }
+
+  private val valueFuncsSql =
+    """SELECT user_id, event_id,
+      |       first_value(value) OVER w1 AS first_v,
+      |       last_value(value) OVER w2 AS last_v,
+      |       coalesce(nth_value(value, 2) OVER w2, -1.0) AS second_v,
+      |       coalesce(lead(value, 1) OVER w1, -1.0) AS next_v
+      |FROM events
+      |WINDOW w1 AS (PARTITION BY user_id ORDER BY ts, event_id),
+      |       w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY user_id, event_id""".stripMargin
+
   /** Lag extension — per-user successive-difference series (the analytic
     * twin of the reference's batch-size deltas over time,
     * src/streamlit_app.py:644-655).
@@ -278,6 +312,7 @@ object Windows {
     Entry("q_rank_decay", rankDecay, Some(rankDecaySql)),
     Entry("q_rolling_avg", rollingAvg, Some(rollingAvgSql)),
     Entry("q_range_window", rangeWindow, Some(rangeWindowSql)),
+    Entry("q_value_funcs", valueFuncs, Some(valueFuncsSql)),
     Entry("q_lag_delta", lagDelta, Some(lagDeltaSql)),
     Entry("q_session_gap", sessionGap, Some(sessionGapSql)),
   )

@@ -163,6 +163,58 @@ object ScaleQueries {
       |FROM base b LEFT JOIN per ON b.doc_id = per.doc_id
       |ORDER BY b.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- fuzzy
+
+  /** Fuzzy entity matching by edit distance — the entity-resolution member
+    * of the dedup family (exact/Jaccard/MinHash/SimHash/embedding/
+    * containment handle DOCUMENTS; this handles NAMES, where a dropped
+    * character defeats every token-level mode). Deterministic typo
+    * variants (4th character dropped) of the part-name dictionary are
+    * matched back by `levenshtein ≤ 2`; every variant must rediscover its
+    * source at distance 1 and any additional dictionary entries within
+    * the bound surface as the ambiguity report.
+    *
+    * Scale shape: entity dictionaries are small by nature — the variant
+    * side broadcasts and distance runs map-side (the containment-dedup
+    * contract). A corpus-scale fuzzy JOIN would block first (length
+    * bucket + prefix, since lev ≤ k bounds the length gap by k and
+    * preserves a shared prefix-or-edit window) — the same
+    * discovery-vs-verify split as MinHash→Jaccard.
+    */
+  private val fuzzyMatch: Q = (s, d) => {
+    val names = Tables.part(s, d)
+      .groupBy(col("p_name").as("name"))
+      .agg(min("p_partkey").as("name_id"))
+    val variants = names
+      .select((col("name_id") + lit(50000L)).as("variant_id"),
+        concat(substring(col("name"), 1, 3), substring(col("name"), 5, 1000))
+          .as("variant"),
+        col("name").as("src_name"))
+    names.crossJoin(broadcast(variants))
+      .withColumn("dist", levenshtein(col("variant"), col("name")))
+      .filter(col("dist") <= 2)
+      .select(col("variant_id"), col("variant"), col("name_id"),
+        col("name").as("matched_name"), col("dist"),
+        (col("name") === col("src_name")).cast("int").as("is_source"))
+      .orderBy("variant_id", "name_id")
+  }
+
+  private val fuzzyMatchSql =
+    """WITH names AS (
+      |  SELECT p_name AS name, min(p_partkey) AS name_id
+      |  FROM part GROUP BY p_name),
+      |variants AS (
+      |  SELECT name_id + 50000 AS variant_id,
+      |         substr(name, 1, 3) || substr(name, 5) AS variant,
+      |         name AS src_name
+      |  FROM names)
+      |SELECT v.variant_id, v.variant, n.name_id, n.name AS matched_name,
+      |       levenshtein(v.variant, n.name) AS dist,
+      |       CAST(n.name = v.src_name AS INT) AS is_source
+      |FROM names n CROSS JOIN variants v
+      |WHERE levenshtein(v.variant, n.name) <= 2
+      |ORDER BY variant_id, name_id""".stripMargin
+
   // ---------------------------------------------------------------- PQ ANN
 
   /** Product-quantization ANN (IVF-PQ's compression half) — completing the
@@ -633,6 +685,7 @@ object ScaleQueries {
   val entries: Seq[Entry] = Seq(
     Entry("q_hilbert_skip", hilbertSkip, Some(hilbertSkipSql)),
     Entry("q_containment_dup", containmentDup, Some(containmentDupSql)),
+    Entry("q_fuzzy_match", fuzzyMatch, Some(fuzzyMatchSql)),
     Entry("q_chunk_dedup", chunkDedup, Some(chunkDedupSql)),
     Entry("q_ann_pq", annPq, Some(annPqSql)),
     Entry("ml_ann_pq_trained", annPqTrainedQ, None),

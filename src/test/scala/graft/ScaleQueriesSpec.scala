@@ -37,6 +37,18 @@ class ScaleQueriesSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Int]("is_source") == 0))
   }
 
+  test("q_fuzzy_match: every typo variant rediscovers its source at distance 1") {
+    val rows = SparkEntry.queries("q_fuzzy_match")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val names = Tables.part(spark, sfDir).select("p_name").distinct().count()
+    val sources = rows.filter(_.getAs[Int]("is_source") == 1)
+    // One dropped character = edit distance exactly 1 back to the source,
+    // for every dictionary entry.
+    assert(sources.length.toLong == names)
+    assert(sources.forall(_.getAs[Int]("dist") == 1))
+    rows.foreach(r => assert(r.getAs[Int]("dist") <= 2))
+  }
+
   test("q_chunk_dedup: planted copies gut both sides; short docs pass through untouched") {
     val byId = SparkEntry.queries("q_chunk_dedup")(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap

@@ -32,8 +32,12 @@ case class HilbertIndex(left: Expression, right: Expression)
   override def dataType: DataType = LongType
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
-    var x = a.asInstanceOf[Long] & 255L
-    var y = b.asInstanceOf[Long] & 255L
+    // SQL callers pass INT literals/columns; the generated Java widens
+    // (`v & 255L`) so the interpreted path (constant folding included)
+    // must accept any integral width too — a bare Long cast would throw
+    // ClassCastException on java.lang.Integer.
+    var x = a.asInstanceOf[Number].longValue & 255L
+    var y = b.asInstanceOf[Number].longValue & 255L
     var d = 0L
     var s = 128L
     while (s > 0) {

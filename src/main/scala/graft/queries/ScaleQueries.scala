@@ -409,141 +409,25 @@ object ScaleQueries {
       |      FROM rer)
       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
-  // ---------------------------------------------------------------- Z-order
+  // ------------------------------------------------- space-filling layouts
 
-  /** Z-order layout vs 1-D sort: the WRITE-side decision that determines
-    * read-side data skipping at 100 TB. Events are mapped to an 8-bit
-    * (user, day) grid; the Z-value interleaves the grid bits (the classic
-    * shift-or spread), and "files" are fixed Z-ranges (z >> 10 — space
-    * decomposition, deliberately NOT a global row_number, so the layout
-    * needs only a shuffle-by-key, exactly like `DataFrameWriter.bucketBy`
-    * or a repartitionByRange write would at scale). The audit replays
-    * Parquet row-group pruning: per file, min/max of both raw dimensions;
-    * a 2-D query box (middle eighth of each dimension, bounds derived from
-    * the data so the query is sf-independent) scans a file iff its
-    * [min,max] envelope overlaps the box.
-    *
-    * The emitted report compares the Z-layout against the user-sorted 1-D
-    * layout on identical file counts: matched rows are equal by
-    * construction; the 1-D layout prunes only on user (scans ~1/8 of
-    * files), while Z-order prunes on both dimensions (~1/64) — the
-    * measured scan_frac gap IS the justification for Z-ordering a table
-    * whose queries constrain two dimensions. Every number is integer
-    * arithmetic on md5-free deterministic grids, so the whole audit is
-    * hash-checked in both engines.
+  /** Shared layout-skipping audit — the WRITE-side decision that
+    * determines read-side data skipping at 100 TB. Events are mapped to
+    * an 8-bit (user, day) grid; "files" are fixed ranges of a layout key
+    * (curve >> 10 / xg >> 2 — space decomposition, deliberately NOT a
+    * global row_number, so the layout needs only a shuffle-by-key,
+    * exactly like `DataFrameWriter.bucketBy` or a repartitionByRange
+    * write would at scale). The audit replays Parquet row-group pruning:
+    * per file, min/max of both raw dimensions; a 2-D query box (middle
+    * eighth of each dimension, bounds derived from the data so the query
+    * is sf-independent) scans a file iff its [min,max] envelope overlaps.
+    * Every number is integer arithmetic on md5-free deterministic grids,
+    * so both audits are hash-checked end to end — ONE definition here and
+    * ONE SQL builder below serve both queries, so the hit predicate and
+    * rounding cannot diverge between them.
     */
-  private val zorderSkip: Q = (s, d) => {
-    val ev = Tables.events(s, d)
-      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
-    val bounds = ev.agg(min("user_id").as("umin"), max("user_id").as("umax"),
-      min("day").as("dmin"), max("day").as("dmax"))
-    val g = ev.crossJoin(broadcast(bounds))
-      .withColumn("xg", graft.ops.Zorder.grid8(col("user_id"), col("umin"), col("umax")))
-      .withColumn("yg", graft.ops.Zorder.grid8(col("day"), col("dmin"), col("dmax")))
-      .withColumn("z", graft.ops.Zorder.zvalue(col("xg"), col("yg")))
-      .withColumn("f_z", shiftright(col("z"), 10))
-      .withColumn("f_lin", shiftright(col("xg"), 2))
-      .withColumn("lo_u", expr("umin + ((umax - umin + 1) * 2) div 8"))
-      .withColumn("hi_u", expr("umin + ((umax - umin + 1) * 3) div 8 - 1"))
-      .withColumn("lo_d", expr("dmin + ((dmax - dmin + 1) * 2) div 8"))
-      .withColumn("hi_d", expr("dmin + ((dmax - dmin + 1) * 3) div 8 - 1"))
-      .withColumn("in_box",
-        (col("user_id").between(col("lo_u"), col("hi_u")) &&
-          col("day").between(col("lo_d"), col("hi_d"))).cast("long"))
-      .localCheckpoint() // feeds both layout aggregations + the totals probe
-    val totals = g.agg(count(lit(1)).as("total_rows"),
-      sum("in_box").as("rows_matched"))
-    def layout(fileCol: String, name: String) = {
-      val files = g.groupBy(col(fileCol).as("f"))
-        .agg(count(lit(1)).as("rows"),
-          min("user_id").as("fu"), max("user_id").as("xu"),
-          min("day").as("fd"), max("day").as("xd"),
-          first("lo_u").as("lo_u"), first("hi_u").as("hi_u"),
-          first("lo_d").as("lo_d"), first("hi_d").as("hi_d"))
-        .withColumn("hit",
-          (col("fu") <= col("hi_u") && col("xu") >= col("lo_u") &&
-            col("fd") <= col("hi_d") && col("xd") >= col("lo_d")).cast("long"))
-      files.agg(count(lit(1)).as("n_files"),
-        sum("hit").as("files_scanned"),
-        sum(col("hit") * col("rows")).as("rows_scanned"))
-        .withColumn("layout", lit(name))
-    }
-    layout("f_z", "zorder").unionByName(layout("f_lin", "linear_user"))
-      .crossJoin(broadcast(totals))
-      .select(col("layout"), col("n_files"), col("files_scanned"),
-        col("rows_scanned"), col("rows_matched"),
-        (floor(col("rows_scanned").cast("double") / col("total_rows")
-          * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("scan_frac"))
-      .orderBy("layout")
-  }
-
-  private val zorderSkipSql =
-    """WITH ev AS (
-      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
-      |b AS (SELECT min(user_id) AS umin, max(user_id) AS umax,
-      |             min(day) AS dmin, max(day) AS dmax FROM ev),
-      |grid AS (
-      |  SELECT user_id, day,
-      |         ((user_id - umin) * 256) // (umax - umin + 1) AS xg,
-      |         ((day - dmin) * 256) // (dmax - dmin + 1) AS yg,
-      |         umin + ((umax - umin + 1) * 2) // 8 AS lo_u,
-      |         umin + ((umax - umin + 1) * 3) // 8 - 1 AS hi_u,
-      |         dmin + ((dmax - dmin + 1) * 2) // 8 AS lo_d,
-      |         dmin + ((dmax - dmin + 1) * 3) // 8 - 1 AS hi_d
-      |  FROM ev, b),
-      |sx1 AS (SELECT *, (xg | (xg << 4)) & 3855 AS xa, (yg | (yg << 4)) & 3855 AS ya FROM grid),
-      |sx2 AS (SELECT *, (xa | (xa << 2)) & 13107 AS xb, (ya | (ya << 2)) & 13107 AS yb FROM sx1),
-      |sx3 AS (SELECT *, (xb | (xb << 1)) & 21845 AS xc, (yb | (yb << 1)) & 21845 AS yc FROM sx2),
-      |z AS (
-      |  SELECT user_id, day, lo_u, hi_u, lo_d, hi_d,
-      |         (xc | (yc << 1)) >> 10 AS f_z, xg >> 2 AS f_lin,
-      |         CASE WHEN user_id BETWEEN lo_u AND hi_u
-      |               AND day BETWEEN lo_d AND hi_d THEN 1 ELSE 0 END AS in_box
-      |  FROM sx3),
-      |t AS (SELECT count(*) AS total_rows,
-      |             CAST(SUM(in_box) AS BIGINT) AS rows_matched FROM z),
-      |fz AS (
-      |  SELECT f_z AS f, count(*) AS rows, min(user_id) fu, max(user_id) xu,
-      |         min(day) fd, max(day) xd,
-      |         min(lo_u) lo_u, min(hi_u) hi_u, min(lo_d) lo_d, min(hi_d) hi_d
-      |  FROM z GROUP BY f_z),
-      |fl AS (
-      |  SELECT f_lin AS f, count(*) AS rows, min(user_id) fu, max(user_id) xu,
-      |         min(day) fd, max(day) xd,
-      |         min(lo_u) lo_u, min(hi_u) hi_u, min(lo_d) lo_d, min(hi_d) hi_d
-      |  FROM z GROUP BY f_lin),
-      |sz AS (
-      |  SELECT 'zorder' AS layout, count(*) AS n_files,
-      |         CAST(SUM(CASE WHEN fu <= hi_u AND xu >= lo_u AND fd <= hi_d AND xd >= lo_d
-      |              THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
-      |         CAST(SUM(CASE WHEN fu <= hi_u AND xu >= lo_u AND fd <= hi_d AND xd >= lo_d
-      |              THEN rows ELSE 0 END) AS BIGINT) AS rows_scanned
-      |  FROM fz),
-      |sl AS (
-      |  SELECT 'linear_user' AS layout, count(*) AS n_files,
-      |         CAST(SUM(CASE WHEN fu <= hi_u AND xu >= lo_u AND fd <= hi_d AND xd >= lo_d
-      |              THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
-      |         CAST(SUM(CASE WHEN fu <= hi_u AND xu >= lo_u AND fd <= hi_d AND xd >= lo_d
-      |              THEN rows ELSE 0 END) AS BIGINT) AS rows_scanned
-      |  FROM fl)
-      |SELECT layout, n_files, files_scanned, rows_scanned, rows_matched,
-      |       floor(CAST(rows_scanned AS DOUBLE) / total_rows * 10000.0 + 0.5)
-      |         / 10000.0 AS scan_frac
-      |FROM (SELECT * FROM sz UNION ALL SELECT * FROM sl), t
-      |ORDER BY layout""".stripMargin
-
-  /** Three-way layout shoot-out — Hilbert vs Z-order vs 1-D sort on the
-    * same grid, files, and query box as `q_zorder_skip`. The Hilbert index
-    * comes from the custom codegen expression
-    * ([[graft.functions.HilbertIndex]]): consecutive Hilbert cells are
-    * always grid-adjacent (ZorderSpec walks all 65536 steps) where the
-    * Z-curve jumps at power-of-two boundaries, so contiguous Hilbert
-    * ranges cut files with envelopes at least as tight — the reason
-    * lakehouse clustering moved from ZORDER to Hilbert. The oracle unrolls
-    * the same eight rotation rounds in SQL, so the curve mapping itself is
-    * under the hash gate.
-    */
-  private val hilbertSkip: Q = (s, d) => {
+  private def skipAudit(s: org.apache.spark.sql.SparkSession, d: String,
+      layouts: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
     val ev = Tables.events(s, d)
       .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
     val bounds = ev.agg(min("user_id").as("umin"), max("user_id").as("umax"),
@@ -563,7 +447,7 @@ object ScaleQueries {
       .withColumn("in_box",
         (col("user_id").between(col("lo_u"), col("hi_u")) &&
           col("day").between(col("lo_d"), col("hi_d"))).cast("long"))
-      .localCheckpoint()
+      .localCheckpoint() // feeds every layout aggregation + the totals probe
     val totals = g.agg(count(lit(1)).as("total_rows"),
       sum("in_box").as("rows_matched"))
     def layout(fileCol: String, name: String) = {
@@ -581,9 +465,7 @@ object ScaleQueries {
         sum(col("hit") * col("rows")).as("rows_scanned"))
         .withColumn("layout", lit(name))
     }
-    layout("f_h", "hilbert")
-      .unionByName(layout("f_z", "zorder"))
-      .unionByName(layout("f_lin", "linear_user"))
+    layouts.map { case (c, n) => layout(c, n) }.reduce(_ unionByName _)
       .crossJoin(broadcast(totals))
       .select(col("layout"), col("n_files"), col("files_scanned"),
         col("rows_scanned"), col("rows_matched"),
@@ -591,6 +473,27 @@ object ScaleQueries {
           * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("scan_frac"))
       .orderBy("layout")
   }
+
+  /** Z-order vs 1-D sort: the 1-D layout prunes only on user (~1/8 of
+    * files for an eighth-of-users box), the Z-layout prunes on both
+    * dimensions — the measured scan_frac gap IS the justification for
+    * Z-ordering a table whose queries constrain two dimensions.
+    */
+  private val zorderSkip: Q = (s, d) =>
+    skipAudit(s, d, Seq("f_z" -> "zorder", "f_lin" -> "linear_user"))
+
+  /** Three-way shoot-out adding the Hilbert curve — the custom codegen
+    * expression ([[graft.functions.HilbertIndex]]): consecutive Hilbert
+    * cells are always grid-adjacent (ZorderSpec walks all 65536 steps)
+    * where the Z-curve jumps at power-of-two boundaries, so contiguous
+    * Hilbert ranges cut files with envelopes at least as tight — the
+    * reason lakehouse clustering moved from ZORDER to Hilbert. The oracle
+    * unrolls the same eight rotation rounds in SQL, so the curve mapping
+    * itself is under the hash gate.
+    */
+  private val hilbertSkip: Q = (s, d) =>
+    skipAudit(s, d,
+      Seq("f_h" -> "hilbert", "f_z" -> "zorder", "f_lin" -> "linear_user"))
 
   /** One unrolled Hilbert rotation round at stage size `s` (SQL). */
   private def hilbertStageSql(s: Int): String = {
@@ -611,7 +514,27 @@ object ScaleQueries {
     named.mkString(",\n")
   }
 
-  private val hilbertSkipSql =
+  /** The SQL twin of [[skipAudit]], built once for any layout subset. */
+  private def skipAuditSql(layouts: Seq[(String, String)]): String = {
+    def fileCte(tag: String, fileCol: String) =
+      s"""f$tag AS (
+         |  SELECT $fileCol AS f, count(*) AS rows, min(user_id) fu, max(user_id) xu,
+         |         min(day) fd, max(day) xd,
+         |         min(lo_u) lo_u, min(hi_u) hi_u, min(lo_d) lo_d, min(hi_d) hi_d
+         |  FROM z GROUP BY $fileCol)""".stripMargin
+    def summaryCte(tag: String, name: String) =
+      s"""s$tag AS (
+         |  SELECT '$name' AS layout, count(*) AS n_files,
+         |         CAST(SUM(CASE WHEN fu <= hi_u AND xu >= lo_u AND fd <= hi_d AND xd >= lo_d
+         |              THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+         |         CAST(SUM(CASE WHEN fu <= hi_u AND xu >= lo_u AND fd <= hi_d AND xd >= lo_d
+         |              THEN rows ELSE 0 END) AS BIGINT) AS rows_scanned
+         |  FROM f$tag)""".stripMargin
+    val tagged = layouts.zipWithIndex.map { case ((c, n), i) => (s"$i", c, n) }
+    val body = tagged.map { case (t, c, _) => fileCte(t, c) } ++
+      tagged.map { case (t, _, n) => summaryCte(t, n) }
+    val union = tagged.map { case (t, _, _) => s"SELECT * FROM s$t" }
+      .mkString(" UNION ALL ")
     s"""WITH ev AS (
        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
        |b AS (SELECT min(user_id) AS umin, max(user_id) AS umax,
@@ -640,47 +563,19 @@ object ScaleQueries {
        |             hd >> 10 AS f_h FROM h1),
        |t AS (SELECT count(*) AS total_rows,
        |             CAST(SUM(in_box) AS BIGINT) AS rows_matched FROM z),
-       |fh AS (
-       |  SELECT f_h AS f, count(*) AS rows, min(user_id) fu, max(user_id) xu,
-       |         min(day) fd, max(day) xd,
-       |         min(lo_u) lo_u, min(hi_u) hi_u, min(lo_d) lo_d, min(hi_d) hi_d
-       |  FROM z GROUP BY f_h),
-       |fz AS (
-       |  SELECT f_z AS f, count(*) AS rows, min(user_id) fu, max(user_id) xu,
-       |         min(day) fd, max(day) xd,
-       |         min(lo_u) lo_u, min(hi_u) hi_u, min(lo_d) lo_d, min(hi_d) hi_d
-       |  FROM z GROUP BY f_z),
-       |fl AS (
-       |  SELECT f_lin AS f, count(*) AS rows, min(user_id) fu, max(user_id) xu,
-       |         min(day) fd, max(day) xd,
-       |         min(lo_u) lo_u, min(hi_u) hi_u, min(lo_d) lo_d, min(hi_d) hi_d
-       |  FROM z GROUP BY f_lin),
-       |sh AS (
-       |  SELECT 'hilbert' AS layout, count(*) AS n_files,
-       |         CAST(SUM(CASE WHEN fu <= hi_u AND xu >= lo_u AND fd <= hi_d AND xd >= lo_d
-       |              THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
-       |         CAST(SUM(CASE WHEN fu <= hi_u AND xu >= lo_u AND fd <= hi_d AND xd >= lo_d
-       |              THEN rows ELSE 0 END) AS BIGINT) AS rows_scanned
-       |  FROM fh),
-       |sz AS (
-       |  SELECT 'zorder' AS layout, count(*) AS n_files,
-       |         CAST(SUM(CASE WHEN fu <= hi_u AND xu >= lo_u AND fd <= hi_d AND xd >= lo_d
-       |              THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
-       |         CAST(SUM(CASE WHEN fu <= hi_u AND xu >= lo_u AND fd <= hi_d AND xd >= lo_d
-       |              THEN rows ELSE 0 END) AS BIGINT) AS rows_scanned
-       |  FROM fz),
-       |sl AS (
-       |  SELECT 'linear_user' AS layout, count(*) AS n_files,
-       |         CAST(SUM(CASE WHEN fu <= hi_u AND xu >= lo_u AND fd <= hi_d AND xd >= lo_d
-       |              THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
-       |         CAST(SUM(CASE WHEN fu <= hi_u AND xu >= lo_u AND fd <= hi_d AND xd >= lo_d
-       |              THEN rows ELSE 0 END) AS BIGINT) AS rows_scanned
-       |  FROM fl)
+       |${body.mkString(",\n")}
        |SELECT layout, n_files, files_scanned, rows_scanned, rows_matched,
        |       floor(CAST(rows_scanned AS DOUBLE) / total_rows * 10000.0 + 0.5)
        |         / 10000.0 AS scan_frac
-       |FROM (SELECT * FROM sh UNION ALL SELECT * FROM sz UNION ALL SELECT * FROM sl), t
+       |FROM ($union), t
        |ORDER BY layout""".stripMargin
+  }
+
+  private val zorderSkipSql =
+    skipAuditSql(Seq("f_z" -> "zorder", "f_lin" -> "linear_user"))
+
+  private val hilbertSkipSql = skipAuditSql(
+    Seq("f_h" -> "hilbert", "f_z" -> "zorder", "f_lin" -> "linear_user"))
 
   val entries: Seq[Entry] = Seq(
     Entry("q_hilbert_skip", hilbertSkip, Some(hilbertSkipSql)),

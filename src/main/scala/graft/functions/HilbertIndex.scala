@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.graftbridge.{ColumnBridge, ExpectsIntegralInputs}
 import org.apache.spark.sql.types.{DataType, LongType}
 
 /** Hilbert-curve index of an 8-bit × 8-bit grid cell — the better-locality
@@ -27,7 +27,7 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * corrupt the walk.
   */
 case class HilbertIndex(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsIntegralInputs {
 
   override def dataType: DataType = LongType
 

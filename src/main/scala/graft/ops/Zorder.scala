@@ -33,10 +33,15 @@ object Zorder {
     * edge cells instead, which only widens the two boundary files. For
     * in-range data (every oracle-checked path derives lo/hi from the
     * data) the clamp is an exact no-op, so the DuckDB twin needs none.
+    *
+    * A NULL dimension propagates as NULL (explicit guard — `least`/
+    * `greatest` skip NULLs, so the bare clamp would send a null row to
+    * grid 255 and silently widen the last file's envelope instead).
     */
   def grid8(c: Column, lo: Column, hi: Column): Column =
-    greatest(lit(0L), least(lit(255L),
-      call_function("div", (c - lo) * lit(256L), hi - lo + lit(1L))))
+    when(c.isNull || lo.isNull || hi.isNull, lit(null).cast("long"))
+      .otherwise(greatest(lit(0L), least(lit(255L),
+        call_function("div", (c - lo) * lit(256L), hi - lo + lit(1L)))))
 
   /** 16-bit Z-value of two 0..255 grid coordinates. */
   def zvalue(xg: Column, yg: Column): Column =

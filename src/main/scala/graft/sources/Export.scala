@@ -58,15 +58,22 @@ object Export {
     }
 
   /** Per-shard manifest of a sharded export: files, bytes (from the
-    * FileSystem, s3a-addressable like [[ModelRegistry]]), rows (parquet
-    * footer counts — a metadata-only aggregate, no data pages read).
+    * FileSystem, s3a-addressable like [[ModelRegistry]]), rows (zero data
+    * columns projected — the count aggregate reads only parquet row-group
+    * metadata per column chunk, not the shard payload columns).
     */
   def manifest(spark: SparkSession, path: String, shardCol: String): DataFrame = {
     import spark.implicits._
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.globStatus(new Path(root, s"$shardCol=*/*.parquet"))
-      .toSeq.map { st =>
+    // globStatus returns NULL (not an empty array) when nothing matches —
+    // fail with the actual problem instead of an NPE deep in .toSeq.
+    val statuses = Option(fs.globStatus(new Path(root, s"$shardCol=*/*.parquet")))
+      .map(_.toSeq).getOrElse(Seq.empty)
+    require(statuses.nonEmpty,
+      s"no shard files under $path matching $shardCol=*/*.parquet — " +
+        "nothing exported yet, or wrong shard column?")
+    val files = statuses.map { st =>
         val shard = st.getPath.getParent.getName.stripPrefix(s"$shardCol=").toLong
         (shard, st.getLen)
       }

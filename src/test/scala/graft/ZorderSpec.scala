@@ -81,6 +81,22 @@ class ZorderSpec extends SparkSpec {
     assert(got === pts.map { case (x, y) => ref(x, y) })
   }
 
+  test("hilbert_index rejects non-integral arguments at analysis time") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT hilbert_index('a', 'b')").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("datatype_mismatch") &&
+      e.getMessage.toLowerCase.contains("integral"))
+  }
+
+  test("grid8 propagates NULL instead of clamping it into the last cell") {
+    import spark.implicits._
+    val got = Seq(Some(150L), None).toDF("v")
+      .select(Zorder.grid8(col("v"), lit(100L), lit(199L)).as("g"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    assert(got === Seq(Some(128L), None))
+  }
+
   test("grid8 clamps out-of-range appends to the boundary cells") {
     import spark.implicits._
     // Bounds pinned to [100, 199]; a later batch carries 0, 99, 250, -5.

@@ -168,6 +168,45 @@ object Aggregates {
       |GROUP BY CUBE (lang, source)
       |ORDER BY gid, lang_g, source_g""".stripMargin
 
+  /** GROUPING SETS — the explicit-sets member of the grouping family
+    * (`q_cube_dist` covers cube, `q_rollup` covers rollup): exactly the
+    * three marginal views a reporting layer asks for — (status, priority),
+    * status-only, priority-only — WITHOUT cube's grand total, so the
+    * engine computes 3 of the 4 cube groupings and skips the rest. Same
+    * plan shape as cube (one Expand + one hash aggregate, each input row
+    * expanded only 3×); money summed in exact integer cents ([[Num]]),
+    * grouping_id disambiguates 'ALL' from a literal value.
+    */
+  private val groupingSetsDist: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupingSets(
+        Seq(
+          Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")),
+          Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        Num.dollars(sum(Num.cents(col("o_totalprice")))).as("sum_total"),
+        grouping_id().as("gid"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status_g"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority_g"),
+        col("gid"), col("cnt"), col("sum_total"))
+      .orderBy("gid", "status_g", "priority_g")
+
+  private val groupingSetsDistSql =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status_g,
+      |       coalesce(o_orderpriority, 'ALL') AS priority_g,
+      |       GROUPING(o_orderstatus, o_orderpriority) AS gid,
+      |       count(*) AS cnt,
+      |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+      |         / 100.0 AS sum_total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |                        (o_orderstatus), (o_orderpriority))
+      |ORDER BY gid, status_g, priority_g""".stripMargin
+
   /** A1/A4/A5 in one scan — global scalar stats (the reference's logging
     * probes, src/spark/training.py:98,230,318). One partial+final aggregate,
     * no shuffle of raw rows.
@@ -241,6 +280,7 @@ object Aggregates {
     Entry("q_max_by", maxBy, Some(maxBySql)),
     Entry("q_topk_group", topkGroup, Some(topkGroupSql)),
     Entry("q_cube_dist", cubeDist, Some(cubeDistSql)),
+    Entry("q_grouping_sets", groupingSetsDist, Some(groupingSetsDistSql)),
     Entry("q_global_stats", globalStats, Some(globalStatsSql)),
     Entry("q_clamp_agg", clampAgg, Some(clampAggSql)),
   )

@@ -326,6 +326,111 @@ object MLQueries {
       .orderBy("cluster", "rank")
   }
 
+  /** M15's full SERVING composition under the hash gate: pinned centroids →
+    * nearest-centroid assignment → same-cluster popularity top-k — the
+    * reference's cluster-recommendation semantics end to end
+    * (reference: src/app.py:267-299). [[clusterRecs]] keeps covering the
+    * fitted-KMeans path (rows-only; the iterative centroid SEARCH is the
+    * only non-SQL stage), this twin pins centroids to the embedding vectors
+    * of vec_id < 8 so both engines derive them from the same table.
+    *
+    * Determinism + scale: squared distance uses the dot-product identity
+    * over float→double-exact arrays (same contract as the ANN family —
+    * codegen [[graft.functions.DotProduct]] ≡ DuckDB `list_dot_product`
+    * fold order), micro-unit floored to an exact long; the argmin packs
+    * (d2u, cid) into ONE long so it plans as a codegen HashAggregate min —
+    * map-side partial, never a k-fold expanded shuffle (cid < 16, d2u
+    * non-negative ⇒ packed order = lexicographic order). The 8-row centroid
+    * side is broadcast; the per-cluster top-3 is a rank-limited window
+    * (WindowGroupLimit pushes the heap below the shuffle).
+    */
+  private val clusterServe: Q = (s, d) => {
+    import graft.ops.Vec.dot
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
+    val d2u = floor((dot(col("v"), col("v")) - lit(2) * dot(col("v"), col("cv"))
+      + dot(col("cv"), col("cv"))) * lit(1000000.0) + lit(0.5)).cast("long")
+    e.crossJoin(broadcast(cents))
+      .withColumn("packed", d2u * lit(16L) + col("cid"))
+      .groupBy("vec_id")
+      .agg(min("packed").as("best"))
+      .select(col("vec_id"), (col("best") % 16).cast("int").as("cluster"))
+      .withColumn("pop",
+        pmod(Hashing.md5Long(col("vec_id").cast("string")), lit(1000L)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("cluster").orderBy(desc("pop"), asc("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select("cluster", "rank", "vec_id", "pop")
+      .orderBy("cluster", "rank")
+  }
+
+  private val clusterServeSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < 8),
+      |asg AS (
+      |  SELECT e.vec_id, c.cid,
+      |         CAST(floor((list_dot_product(v, v) - 2 * list_dot_product(v, cv)
+      |              + list_dot_product(cv, cv)) * 1000000.0 + 0.5) AS BIGINT) AS d2u
+      |  FROM e CROSS JOIN c),
+      |best AS (
+      |  SELECT vec_id, cid AS cluster FROM (
+      |    SELECT vec_id, cid,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY d2u, cid) AS rn
+      |    FROM asg) WHERE rn = 1),
+      |p AS (
+      |  SELECT vec_id, cluster,
+      |         ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 1000 AS pop
+      |  FROM best)
+      |SELECT cluster, rank, vec_id, pop
+      |FROM (SELECT cluster, vec_id, pop,
+      |             row_number() OVER (PARTITION BY cluster
+      |                                ORDER BY pop DESC, vec_id) AS rank
+      |      FROM p)
+      |WHERE rank <= 3
+      |ORDER BY cluster, rank""".stripMargin
+
+  /** M12's EXACT intermediates under the hash gate: per-term document
+    * frequency and total term frequency after the same tokenize →
+    * stopword-filter stages [[tfidfSimilar]] runs — the counts IDF is
+    * derived from are exact integers, so they oracle-check even though
+    * IDF's `ln` (a cross-engine libm trap, same reasoning as the PMI
+    * query's rational-ratio output) keeps the full TF-IDF rows-only.
+    * The stopword list is interpolated into the oracle from
+    * `StopWordsRemover.loadDefaultStopWords` so the two engines filter by
+    * construction-identical sets. Top-30 by (df, tf, word) is a total
+    * order; the plan is one explode → hash aggregate → TakeOrdered.
+    */
+  private val tfidfCounts: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val pipe = new Pipeline().setStages(Array(
+      new RegexTokenizer().setInputCol("text").setOutputCol("toks").setPattern("\\s+"),
+      new StopWordsRemover().setInputCol("toks").setOutputCol("words")))
+    pipe.fit(docs).transform(docs)
+      .select(col("doc_id"), explode(col("words")).as("word"))
+      .groupBy("word")
+      .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("tf_total"))
+      .orderBy(desc("df"), desc("tf_total"), asc("word"))
+      .limit(30)
+  }
+
+  private val tfidfCountsSql: String = {
+    val stops = org.apache.spark.ml.feature.StopWordsRemover
+      .loadDefaultStopWords("english")
+      .map(w => "'" + w.replace("'", "''") + "'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+       |  FROM documents),
+       |w AS (SELECT doc_id, word FROM toks
+       |      WHERE length(word) >= 1 AND word NOT IN ($stops))
+       |SELECT word, count(DISTINCT doc_id) AS df, count(*) AS tf_total
+       |FROM w GROUP BY word
+       |ORDER BY df DESC, tf_total DESC, word
+       |LIMIT 30""".stripMargin
+  }
+
   /** M16 — model-quality metadata as a small metrics DataFrame
     * (reference: src/spark/training.py:421-431; src/training_service.py:557-566).
     * The md5 synthesis ([[interactions]]) is SQL-expressible, so unlike the
@@ -372,7 +477,9 @@ object MLQueries {
     Entry("ml_als_recommend", alsRecommend, None),
     Entry("ml_nmf_implicit", nmfImplicit, None),
     Entry("ml_tfidf_similar", tfidfSimilar, None),
+    Entry("ml_tfidf_counts", tfidfCounts, Some(tfidfCountsSql)),
     Entry("ml_cluster_recs", clusterRecs, None),
+    Entry("ml_cluster_serve", clusterServe, Some(clusterServeSql)),
     Entry("ml_model_metadata", modelMetadata, Some(modelMetadataSql)),
   )
 }

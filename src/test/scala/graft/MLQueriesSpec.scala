@@ -115,6 +115,70 @@ class MLQueriesSpec extends SparkSpec {
     }
   }
 
+  test("ml_cluster_serve assignment matches the plain-Scala argmin; top-3 pop-desc per cluster") {
+    // Same driver-independent pinning as ml_kmeans_assign: argmin of
+    // squared Euclidean distance (micro-unit floored, cid tie-break)
+    // against the vec_id<8 centroids, recomputed in plain Scala.
+    val all = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val cents = all.filter(_._1 < 8).sortBy(_._1)
+    assert(cents.length === 8, "fixture must contain centroids vec_id 0..7")
+    def d2u(a: Array[Double], b: Array[Double]): Long = {
+      var aa, ab, bb = 0.0
+      var i = 0
+      while (i < a.length) { aa += a(i)*a(i); ab += a(i)*b(i); bb += b(i)*b(i); i += 1 }
+      math.floor((aa - 2 * ab + bb) * 1e6 + 0.5).toLong
+    }
+    val expectCluster = all.map { case (id, v) =>
+      id -> cents.minBy { case (cid, cv) => (d2u(v, cv), cid) }._1.toInt
+    }.toMap
+    def md5Pop(id: Long): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString, 16) % 1000L
+    val rows = run("ml_cluster_serve").collect()
+    rows.groupBy(_.getAs[Int]("cluster")).foreach { case (c, rs) =>
+      assert(rs.length <= 3, s"cluster $c has ${rs.length} recs")
+      val byRank = rs.sortBy(_.getAs[Int]("rank"))
+      val pops = byRank.map(_.getAs[Long]("pop"))
+      assert(pops.toSeq === pops.sortBy(-_).toSeq, s"cluster $c not pop-desc")
+      byRank.foreach { r =>
+        val id = r.getAs[Long]("vec_id")
+        assert(expectCluster(id) === c, s"vec $id served from wrong cluster")
+        assert(md5Pop(id) === r.getAs[Long]("pop"), s"vec $id pop mismatch")
+      }
+    }
+    // each served doc really is the max-pop representative set of its cluster
+    val topByCluster = all.groupBy { case (id, _) => expectCluster(id) }
+      .view.mapValues(_.map { case (id, _) => (md5Pop(id), id) }
+        .sortBy { case (p, id) => (-p, id) }.take(3).map(_._2).toSeq).toMap
+    rows.groupBy(_.getAs[Int]("cluster")).foreach { case (c, rs) =>
+      assert(rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("vec_id")).toSeq
+        === topByCluster(c), s"cluster $c top-3 set mismatch")
+    }
+  }
+
+  test("ml_tfidf_counts: exact integer df/tf intermediates, stopwords absent, total order") {
+    val rows = run("ml_tfidf_counts").collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    val stops = org.apache.spark.ml.feature.StopWordsRemover
+      .loadDefaultStopWords("english").toSet
+    assert(rows.length <= 30)
+    rows.foreach { r =>
+      val (w, df, tf) = (r.getAs[String]("word"), r.getAs[Long]("df"),
+        r.getAs[Long]("tf_total"))
+      assert(!stops.contains(w), s"stopword '$w' survived the filter")
+      assert(df >= 1 && df <= nDocs, s"'$w' df=$df out of range")
+      assert(tf >= df, s"'$w' tf_total=$tf < df=$df")
+      assert(w === w.toLowerCase, s"'$w' not lowercased by the tokenizer")
+    }
+    val keys = rows.map(r => (-r.getAs[Long]("df"), -r.getAs[Long]("tf_total"),
+      r.getAs[String]("word"))).toSeq
+    assert(keys === keys.sorted, "not ordered by (df desc, tf desc, word)")
+  }
+
   test("trained-IVF ANN reaches recall@5 >= 0.9 at nprobe 2 on clustered data") {
     // IVF's contract presumes locality, so the recall gate runs on a corpus
     // that HAS it: 20 deterministic well-separated centers × 15 members

@@ -46,15 +46,60 @@ object Export {
     * map. Delivery is AT-LEAST-ONCE: the checkpoint prevents reprocessing
     * on clean restarts, but a crash between the parquet append and the
     * commit-log write replays the batch and a blind append would land it
-    * twice — exactly-once needs an idempotent layer on top (batchId-keyed
-    * file names as in `stream.Interactions.writeBatches`, or a
-    * transactional table format). Returns the DataStreamWriter so the
-    * caller owns trigger/checkpoint.
+    * twice — for exactly-once use [[appendShardedStreamExactlyOnce]].
+    * Returns the DataStreamWriter so the caller owns trigger/checkpoint.
     */
   def appendShardedStream(stream: DataFrame, shardCol: String,
       path: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       batch.write.mode("append").partitionBy(shardCol).parquet(path)
+    }
+
+  /** EXACTLY-ONCE sharded streaming append — the idempotent layer
+    * [[appendShardedStream]]'s scaladoc promises: every physical file a
+    * micro-batch lands is keyed by its batchId, so a REPLAYED batch (crash
+    * between the parquet write and the checkpoint commit, at-least-once
+    * redelivery) replaces its own files instead of duplicating them.
+    *
+    * Protocol per batch `b`:
+    *   1. write the batch to `_staging/b<b>/` (`overwrite` — a replay
+    *      first discards any partial staging from the crashed attempt;
+    *      the `_` prefix hides it from Spark/DuckDB/manifest readers),
+    *   2. sweep every `b<b>-*.parquet` under the shard directories —
+    *      files a crashed attempt of THIS batch already moved
+    *      (different batches never collide),
+    *   3. rename staged files to `shard=K/b<b>-<i>.parquet`.
+    * Renames are per-file metadata ops; a crash inside step 3 is healed by
+    * the next replay's steps 1-2. The final state after any number of
+    * replays is byte-identical to one clean delivery, which is the
+    * exactly-once contract (same idea as a commit-manifest table format,
+    * with the file NAME carrying the transaction id). Same layout contract
+    * as [[writeSharded]]; the staging write keeps the upstream partitioning
+    * (repartition by shard upstream to get one file per shard per batch).
+    */
+  def appendShardedStreamExactlyOnce(stream: DataFrame, shardCol: String,
+      path: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val root = new Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val staging = new Path(root, s"_staging/b$batchId")
+      batch.write.mode("overwrite").partitionBy(shardCol)
+        .parquet(staging.toString)
+      def glob(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+        Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+      glob(new Path(root, s"$shardCol=*/b$batchId-*.parquet"))
+        .foreach(st => fs.delete(st.getPath, false))
+      glob(new Path(staging, s"$shardCol=*/*.parquet"))
+        .sortBy(_.getPath.toString).zipWithIndex.foreach { case (st, i) =>
+          val shardDir = new Path(root, st.getPath.getParent.getName)
+          fs.mkdirs(shardDir)
+          require(fs.rename(st.getPath,
+            new Path(shardDir, s"b$batchId-$i.parquet")),
+            s"rename failed for ${st.getPath} (batch $batchId)")
+        }
+      fs.delete(staging, true)
+      ()
     }
 
   /** Per-shard manifest of a sharded export: files, bytes (from the

@@ -568,6 +568,43 @@ class StreamSpec extends SparkSpec {
       === (0L until 4L).map(s => s -> (0L until 150L).count(_ % 4 == s).toLong).toMap)
   }
 
+  test("exactly-once export: a redelivered micro-batch replaces its files, manifest byte-identical") {
+    import spark.implicits._
+    import graft.sources.Export
+    import org.apache.hadoop.fs.Path
+    val dir = tmp("graft-export-eo")
+    val ckpt = tmp("graft-export-eo-ckpt")
+    val ms = MemoryStream[(Long, Long)](
+      implicitly[Encoder[(Long, Long)]], spark.sqlContext)
+    def start() = Export.appendShardedStreamExactlyOnce(
+        ms.toDF().toDF("doc_id", "shard"), "shard", dir)
+      .option("checkpointLocation", ckpt).start()
+    def snapshot() = Export.manifest(spark, dir, "shard").collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_files"),
+        r.getAs[Long]("bytes"), r.getAs[Long]("rows"))).toSeq
+    val q1 = start()
+    try { ms.addData((0L until 100L).map(i => (i, i % 4))); q1.processAllAvailable() }
+    finally q1.stop()
+    val delivered = snapshot()
+    assert(delivered.map(_._4).sum === 100L)
+    // Force the at-least-once failure window: the parquet files landed but
+    // the checkpoint commit record "never made it" — restart REDELIVERS
+    // batch 0 with the same batchId and data.
+    val fs = new Path(ckpt).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new Path(ckpt, "commits/0"), false),
+      "batch-0 commit record must exist before the simulated crash")
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(snapshot() === delivered,
+      "redelivered batch must replace its own files — manifest (files, bytes, rows) identical")
+    // no staging residue, and a later batch still appends alongside
+    assert(!fs.exists(new Path(dir, "_staging/b0")))
+    val q3 = start()
+    try { ms.addData((100L until 150L).map(i => (i, i % 4))); q3.processAllAvailable() }
+    finally q3.stop()
+    assert(snapshot().map(_._4).sum === 150L, "post-replay appends must still land")
+  }
+
   test("live MAD outlier flags equal the batch audit's counts (train offline, apply in flight)") {
     import spark.implicits._
     import graft.stream.Quality

@@ -37,5 +37,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "hilbert_index(xGrid, yGrid)")
         HilbertIndex(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("hilbert3_index"),
+      new ExpressionInfo(classOf[Hilbert3Index].getName, "hilbert3_index"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 3, "hilbert3_index(xGrid, yGrid, zGrid)")
+        Hilbert3Index(children.head, children(1), children(2))
+      }))
   }
 }

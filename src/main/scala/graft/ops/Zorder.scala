@@ -46,4 +46,24 @@ object Zorder {
   /** 16-bit Z-value of two 0..255 grid coordinates. */
   def zvalue(xg: Column, yg: Column): Column =
     spread8(xg).bitwiseOR(shiftleft(spread8(yg), 1))
+
+  /** Spread an 8-bit value's bits to every THIRD position of 24 bits —
+    * the 3-D sibling of [[spread8]] (same shift-or spread, masks for a
+    * stride of 3). DuckDB twin uses the identical integer masks.
+    */
+  def spread3_8(c: Column): Column = {
+    val t1 = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(0x00F00FL))
+    val t2 = t1.bitwiseOR(shiftleft(t1, 4)).bitwiseAND(lit(0x0C30C3L))
+    t2.bitwiseOR(shiftleft(t2, 2)).bitwiseAND(lit(0x249249L))
+  }
+
+  /** 24-bit Morton value of three 0..255 grid coordinates — locality in
+    * the value implies locality in ALL THREE dimensions, which is what a
+    * layout clustered for 3-D-selective queries needs ([[spread8]]'s
+    * 2-D envelope argument, one dimension wider).
+    */
+  def zvalue3(xg: Column, yg: Column, zg: Column): Column =
+    spread3_8(xg)
+      .bitwiseOR(shiftleft(spread3_8(yg), 1))
+      .bitwiseOR(shiftleft(spread3_8(zg), 2))
 }

@@ -571,6 +571,197 @@ object ScaleQueries {
        |ORDER BY layout""".stripMargin
   }
 
+  /** 3-D layout shoot-out — the audit that justifies the THIRD curve
+    * dimension ([[graft.sources.Layout.writeHilbert3Ordered]] /
+    * `writeMorton3Ordered`): events mapped to an 8-bit³ (user, day,
+    * magnitude) grid, "files" are fixed 2¹⁸-cell ranges of each 24-bit
+    * curve (64 files for every layout, so the comparison is file-count
+    * fair), and the query box is the middle eighth of ALL THREE
+    * dimensions. A 2-D layout cannot prune the third dimension — its
+    * per-file magnitude envelope is the full range — so the measured
+    * scan_frac gap between `zorder2d` and the 3-D curves IS the case for
+    * the extra dimension, exactly as `q_zorder_skip` made the 1-D → 2-D
+    * case. The Hilbert-3D mapping (Skilling transform,
+    * [[graft.functions.Hilbert3Index]]) is unrolled round-for-round in
+    * the DuckDB twin, so the full curve math sits under the hash gate;
+    * magnitude enters as an exact integer (`floor(value·1000)`) in both
+    * engines. Same scale shape as the 2-D audit: one scan, grid math
+    * map-side, per-layout hash aggregates over ≤ 64 file keys.
+    */
+  private val curve3Layouts =
+    Seq("f_h3" -> "hilbert3", "f_m3" -> "morton3",
+      "f_z2" -> "zorder2d", "f_lin" -> "linear_user")
+
+  private val curve3Skip: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(
+      col("event_id"), col("user_id"),
+      expr("unix_micros(ts) div 86400000000").as("day"),
+      floor(col("value") * lit(1000.0)).cast("long").as("vmil"))
+    val bounds = ev.agg(
+      min("user_id").as("umin"), max("user_id").as("umax"),
+      min("day").as("dmin"), max("day").as("dmax"),
+      min("vmil").as("vmin"), max("vmil").as("vmax"))
+    def boxLo(lo: String, hi: String) = expr(s"$lo + (($hi - $lo + 1) * 2) div 8")
+    def boxHi(lo: String, hi: String) = expr(s"$lo + (($hi - $lo + 1) * 3) div 8 - 1")
+    val g = ev.crossJoin(broadcast(bounds))
+      .withColumn("xg", graft.ops.Zorder.grid8(col("user_id"), col("umin"), col("umax")))
+      .withColumn("yg", graft.ops.Zorder.grid8(col("day"), col("dmin"), col("dmax")))
+      .withColumn("zg", graft.ops.Zorder.grid8(col("vmil"), col("vmin"), col("vmax")))
+      .withColumn("f_h3",
+        shiftright(graft.functions.Hilbert3Index(col("xg"), col("yg"), col("zg")), 18))
+      .withColumn("f_m3",
+        shiftright(graft.ops.Zorder.zvalue3(col("xg"), col("yg"), col("zg")), 18))
+      .withColumn("f_z2",
+        shiftright(graft.ops.Zorder.zvalue(col("xg"), col("yg")), 10))
+      .withColumn("f_lin", shiftright(col("xg"), 2))
+      .withColumn("lo_u", boxLo("umin", "umax")).withColumn("hi_u", boxHi("umin", "umax"))
+      .withColumn("lo_d", boxLo("dmin", "dmax")).withColumn("hi_d", boxHi("dmin", "dmax"))
+      .withColumn("lo_v", boxLo("vmin", "vmax")).withColumn("hi_v", boxHi("vmin", "vmax"))
+      .withColumn("in_box",
+        (col("user_id").between(col("lo_u"), col("hi_u")) &&
+          col("day").between(col("lo_d"), col("hi_d")) &&
+          col("vmil").between(col("lo_v"), col("hi_v"))).cast("long"))
+      .localCheckpoint() // feeds all four layout aggregations + totals
+    val totals = g.agg(count(lit(1)).as("total_rows"), sum("in_box").as("rows_matched"))
+    def layout(fileCol: String, name: String) = {
+      val files = g.groupBy(col(fileCol).as("f"))
+        .agg(count(lit(1)).as("rows"),
+          min("user_id").as("fu"), max("user_id").as("xu"),
+          min("day").as("fd"), max("day").as("xd"),
+          min("vmil").as("fv"), max("vmil").as("xv"),
+          first("lo_u").as("lo_u"), first("hi_u").as("hi_u"),
+          first("lo_d").as("lo_d"), first("hi_d").as("hi_d"),
+          first("lo_v").as("lo_v"), first("hi_v").as("hi_v"))
+        .withColumn("hit",
+          (col("fu") <= col("hi_u") && col("xu") >= col("lo_u") &&
+            col("fd") <= col("hi_d") && col("xd") >= col("lo_d") &&
+            col("fv") <= col("hi_v") && col("xv") >= col("lo_v")).cast("long"))
+      files.agg(count(lit(1)).as("n_files"), sum("hit").as("files_scanned"),
+        sum(col("hit") * col("rows")).as("rows_scanned"))
+        .withColumn("layout", lit(name))
+    }
+    curve3Layouts.map { case (c, n) => layout(c, n) }.reduce(_ unionByName _)
+      .crossJoin(broadcast(totals))
+      .select(col("layout"), col("n_files"), col("files_scanned"),
+        col("rows_scanned"), col("rows_matched"),
+        (floor(col("rows_scanned").cast("double") / col("total_rows")
+          * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("scan_frac"))
+      .orderBy("layout")
+  }
+
+  /** The SQL twin of [[curve3Skip]]: the Skilling transform unrolled as
+    * one CTE per (stage, axis) step — 7 stages × 3 axes of conditional
+    * invert/exchange — then the Gray encode, the parity correction, and
+    * the stride-3 interleave with the same masks as
+    * [[graft.ops.Zorder.spread3_8]].
+    */
+  private val curve3SkipSql: String = {
+    def step(q: Int, i: Int): String = {
+      val p = q - 1
+      if (i == 0)
+        s"SELECT event_id, CASE WHEN (x0 & $q) <> 0 THEN xor(x0, $p) ELSE x0 END AS x0, x1, x2"
+      else {
+        val xi = s"x$i"
+        val others = Seq("x1", "x2").map { c =>
+          if (c == xi)
+            s"CASE WHEN ($xi & $q) <> 0 THEN $xi ELSE xor($xi, xor(x0, $xi) & $p) END AS $c"
+          else c
+        }.mkString(", ")
+        s"SELECT event_id, CASE WHEN ($xi & $q) <> 0 THEN xor(x0, $p) " +
+          s"ELSE xor(x0, xor(x0, $xi) & $p) END AS x0, " + others
+      }
+    }
+    val stages = Seq(128, 64, 32, 16, 8, 4, 2)
+    var prev = "hb"
+    val chain = (for (q <- stages; i <- 0 to 2) yield {
+      val name = s"s${q}_$i"
+      val cte = s"$name AS (${step(q, i)} FROM $prev)"
+      prev = name
+      cte
+    }).mkString(",\n")
+    val tExpr = stages.foldLeft("0") { (acc, q) =>
+      s"xor($acc, CASE WHEN (x2 & $q) <> 0 THEN ${q - 1} ELSE 0 END)"
+    }
+    def spread3(c: String): String = {
+      val s1 = s"(($c | ($c << 8)) & 61455)"
+      val s2 = s"(($s1 | ($s1 << 4)) & 798915)"
+      s"(($s2 | ($s2 << 2)) & 2396745)"
+    }
+    def spread2(c: String): String = {
+      val s1 = s"(($c | ($c << 4)) & 3855)"
+      val s2 = s"(($s1 | ($s1 << 2)) & 13107)"
+      s"(($s2 | ($s2 << 1)) & 21845)"
+    }
+    def fileCte(tag: String, fileCol: String) =
+      s"""f$tag AS (
+         |  SELECT $fileCol AS f, count(*) AS rows,
+         |         min(user_id) fu, max(user_id) xu, min(day) fd, max(day) xd,
+         |         min(vmil) fv, max(vmil) xv,
+         |         min(lo_u) lo_u, min(hi_u) hi_u, min(lo_d) lo_d, min(hi_d) hi_d,
+         |         min(lo_v) lo_v, min(hi_v) hi_v
+         |  FROM z GROUP BY $fileCol)""".stripMargin
+    def summaryCte(tag: String, name: String) =
+      s"""m$tag AS (
+         |  SELECT '$name' AS layout, count(*) AS n_files,
+         |         CAST(SUM(CASE WHEN fu <= hi_u AND xu >= lo_u AND fd <= hi_d AND xd >= lo_d
+         |              AND fv <= hi_v AND xv >= lo_v THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+         |         CAST(SUM(CASE WHEN fu <= hi_u AND xu >= lo_u AND fd <= hi_d AND xd >= lo_d
+         |              AND fv <= hi_v AND xv >= lo_v THEN rows ELSE 0 END) AS BIGINT) AS rows_scanned
+         |  FROM f$tag)""".stripMargin
+    val tagged = curve3Layouts.zipWithIndex.map { case ((c, n), i) => (s"$i", c, n) }
+    val body = tagged.map { case (t, c, _) => fileCte(t, c) } ++
+      tagged.map { case (t, _, n) => summaryCte(t, n) }
+    val union = tagged.map { case (t, _, _) => s"SELECT * FROM m$t" }
+      .mkString(" UNION ALL ")
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, epoch_us(ts) // 86400000000 AS day,
+       |         CAST(floor(value * 1000) AS BIGINT) AS vmil
+       |  FROM events),
+       |b AS (SELECT min(user_id) AS umin, max(user_id) AS umax,
+       |             min(day) AS dmin, max(day) AS dmax,
+       |             min(vmil) AS vmin, max(vmil) AS vmax FROM ev),
+       |grid AS (
+       |  SELECT event_id, user_id, day, vmil,
+       |         ((user_id - umin) * 256) // (umax - umin + 1) AS xg,
+       |         ((day - dmin) * 256) // (dmax - dmin + 1) AS yg,
+       |         ((vmil - vmin) * 256) // (vmax - vmin + 1) AS zg,
+       |         umin + ((umax - umin + 1) * 2) // 8 AS lo_u,
+       |         umin + ((umax - umin + 1) * 3) // 8 - 1 AS hi_u,
+       |         dmin + ((dmax - dmin + 1) * 2) // 8 AS lo_d,
+       |         dmin + ((dmax - dmin + 1) * 3) // 8 - 1 AS hi_d,
+       |         vmin + ((vmax - vmin + 1) * 2) // 8 AS lo_v,
+       |         vmin + ((vmax - vmin + 1) * 3) // 8 - 1 AS hi_v
+       |  FROM ev, b),
+       |hb AS (SELECT event_id, xg AS x0, yg AS x1, zg AS x2 FROM grid),
+       |$chain,
+       |gray AS (SELECT event_id, x0, xor(x1, x0) AS x1, x2 FROM $prev),
+       |gray2 AS (SELECT event_id, x0, x1, xor(x2, x1) AS x2 FROM gray),
+       |fin AS (SELECT event_id, xor(x0, $tExpr) AS x0, xor(x1, $tExpr) AS x1,
+       |               xor(x2, $tExpr) AS x2 FROM gray2),
+       |h3 AS (SELECT event_id,
+       |              ((${spread3("x0")} << 2) | (${spread3("x1")} << 1) | ${spread3("x2")}) >> 18 AS f_h3
+       |       FROM fin),
+       |z AS (
+       |  SELECT g.user_id, g.day, g.vmil,
+       |         g.lo_u, g.hi_u, g.lo_d, g.hi_d, g.lo_v, g.hi_v,
+       |         h3.f_h3,
+       |         (${spread3("xg")} | (${spread3("yg")} << 1) | (${spread3("zg")} << 2)) >> 18 AS f_m3,
+       |         (${spread2("xg")} | (${spread2("yg")} << 1)) >> 10 AS f_z2,
+       |         xg >> 2 AS f_lin,
+       |         CASE WHEN g.user_id BETWEEN g.lo_u AND g.hi_u
+       |               AND g.day BETWEEN g.lo_d AND g.hi_d
+       |               AND g.vmil BETWEEN g.lo_v AND g.hi_v THEN 1 ELSE 0 END AS in_box
+       |  FROM grid g JOIN h3 USING (event_id)),
+       |t AS (SELECT count(*) AS total_rows,
+       |             CAST(SUM(in_box) AS BIGINT) AS rows_matched FROM z),
+       |${body.mkString(",\n")}
+       |SELECT layout, n_files, files_scanned, rows_scanned, rows_matched,
+       |       floor(CAST(rows_scanned AS DOUBLE) / total_rows * 10000.0 + 0.5)
+       |         / 10000.0 AS scan_frac
+       |FROM ($union), t
+       |ORDER BY layout""".stripMargin
+  }
+
   private val zorderSkipSql =
     skipAuditSql(Seq("f_z" -> "zorder", "f_lin" -> "linear_user"))
 
@@ -578,6 +769,7 @@ object ScaleQueries {
     Seq("f_h" -> "hilbert", "f_z" -> "zorder", "f_lin" -> "linear_user"))
 
   val entries: Seq[Entry] = Seq(
+    Entry("q_curve3_skip", curve3Skip, Some(curve3SkipSql)),
     Entry("q_hilbert_skip", hilbertSkip, Some(hilbertSkipSql)),
     Entry("q_containment_dup", containmentDup, Some(containmentDupSql)),
     Entry("q_fuzzy_match", fuzzyMatch, Some(fuzzyMatchSql)),

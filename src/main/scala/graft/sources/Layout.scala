@@ -50,6 +50,28 @@ object Layout {
         Zorder.grid8(col(xCol), lit(xLo), lit(xHi)),
         Zorder.grid8(col(yCol), lit(yLo), lit(yHi))), numFiles, path)
 
+  /** 3-D variants: the same range-exchange write clustered by a 3-D curve
+    * — for tables whose queries constrain THREE dimensions (user × day ×
+    * magnitude; lang × time × length), where any 2-D layout leaves the
+    * third dimension's per-file envelope at the full range.
+    * `q_curve3_skip` measures what this buys.
+    */
+  def writeMorton3Ordered(df: DataFrame, xCol: String, xLo: Long, xHi: Long,
+      yCol: String, yLo: Long, yHi: Long, zCol: String, zLo: Long, zHi: Long,
+      numFiles: Int, path: String): Unit =
+    writeCurveClustered(df, Zorder.zvalue3(
+      Zorder.grid8(col(xCol), lit(xLo), lit(xHi)),
+      Zorder.grid8(col(yCol), lit(yLo), lit(yHi)),
+      Zorder.grid8(col(zCol), lit(zLo), lit(zHi))), numFiles, path)
+
+  def writeHilbert3Ordered(df: DataFrame, xCol: String, xLo: Long, xHi: Long,
+      yCol: String, yLo: Long, yHi: Long, zCol: String, zLo: Long, zHi: Long,
+      numFiles: Int, path: String): Unit =
+    writeCurveClustered(df, graft.functions.Hilbert3Index(
+      Zorder.grid8(col(xCol), lit(xLo), lit(xHi)),
+      Zorder.grid8(col(yCol), lit(yLo), lit(yHi)),
+      Zorder.grid8(col(zCol), lit(zLo), lit(zHi))), numFiles, path)
+
   private def writeCurveClustered(df: DataFrame, curve: Column,
       numFiles: Int, path: String): Unit =
     df.withColumn("__cv", curve)

@@ -81,6 +81,125 @@ class ZorderSpec extends SparkSpec {
     assert(got === pts.map { case (x, y) => ref(x, y) })
   }
 
+  test("zvalue3 equals the bit-by-bit 3-way interleave reference") {
+    import spark.implicits._
+    def refSpread3(v: Long): Long =
+      (0 until 8).map(i => ((v >> i) & 1L) << (3 * i)).sum
+    val coords = Seq(0L, 1L, 3L, 85L, 128L, 170L, 254L, 255L)
+    val triples = for (x <- coords; y <- coords; z <- coords) yield (x, y, z)
+    val got = triples.toDF("x", "y", "z")
+      .select(Zorder.zvalue3(col("x"), col("y"), col("z")).as("m"))
+      .collect().map(_.getLong(0)).toSeq
+    val want = triples.map { case (x, y, z) =>
+      refSpread3(x) | (refSpread3(y) << 1) | (refSpread3(z) << 2)
+    }
+    assert(got === want)
+    assert(got.distinct.size === triples.size, "3-way interleave must not collide")
+  }
+
+  // Plain-Scala Skilling transform (forward), parameterized by bit width so
+  // the b=4 instance can be walked exhaustively — the algorithm is
+  // width-generic, so b=4 exhaustive + b=8 sampled pins the b=8 expression.
+  private def h3ref(b: Int)(x0in: Long, x1in: Long, x2in: Long): Long = {
+    val mask = (1L << b) - 1L
+    var (x0, x1, x2) = (x0in & mask, x1in & mask, x2in & mask)
+    var q = 1L << (b - 1)
+    while (q > 1L) {
+      val p = q - 1L
+      if ((x0 & q) != 0L) x0 ^= p
+      if ((x1 & q) != 0L) x0 ^= p
+      else { val t = (x0 ^ x1) & p; x0 ^= t; x1 ^= t }
+      if ((x2 & q) != 0L) x0 ^= p
+      else { val t = (x0 ^ x2) & p; x0 ^= t; x2 ^= t }
+      q >>= 1
+    }
+    x1 ^= x0; x2 ^= x1
+    var t = 0L
+    q = 1L << (b - 1)
+    while (q > 1L) { if ((x2 & q) != 0L) t ^= q - 1L; q >>= 1 }
+    x0 ^= t; x1 ^= t; x2 ^= t
+    var h = 0L
+    var bit = b - 1
+    while (bit >= 0) {
+      h = (h << 1) | ((x0 >> bit) & 1L)
+      h = (h << 1) | ((x1 >> bit) & 1L)
+      h = (h << 1) | ((x2 >> bit) & 1L)
+      bit -= 1
+    }
+    h
+  }
+
+  // Skilling inverse (index → axes), for the adjacency walks.
+  private def h3inv(b: Int)(h: Long): (Long, Long, Long) = {
+    val x = Array(0L, 0L, 0L)
+    for (bit <- b - 1 to 0 by -1; i <- 0 to 2)
+      x(i) |= ((h >> (bit * 3 + (2 - i))) & 1L) << bit
+    val m = 1L << (b - 1)
+    var t = x(2) >> 1
+    x(2) ^= x(1); x(1) ^= x(0); x(0) ^= t
+    var q = 2L
+    while (q != (m << 1)) {
+      val p = q - 1L
+      var i = 2
+      while (i >= 0) {
+        if ((x(i) & q) != 0L) x(0) ^= p
+        else { t = (x(0) ^ x(i)) & p; x(0) ^= t; x(i) ^= t }
+        i -= 1
+      }
+      q <<= 1
+    }
+    (x(0), x(1), x(2))
+  }
+
+  test("hilbert3: b=4 instance is an exhaustively-verified adjacent bijection; b=8 sampled") {
+    // b=4: every one of the 4096 cells, bijection + unit-step adjacency +
+    // roundtrip — exhaustive proof of the transform's shape.
+    val n4 = 1 << 12
+    val pts = (0 until n4).map(h => h3inv(4)(h.toLong))
+    assert(pts.distinct.size === n4, "b=4 inverse is not a bijection")
+    for (h <- 1 until n4) {
+      val (a, b_, c) = pts(h - 1); val (d, e, f) = pts(h)
+      assert(math.abs(a - d) + math.abs(b_ - e) + math.abs(c - f) === 1,
+        s"b=4 jump at $h")
+    }
+    pts.zipWithIndex.foreach { case ((x, y, z), h) =>
+      assert(h3ref(4)(x, y, z) === h.toLong, s"b=4 roundtrip fail at $h")
+    }
+    // b=8: sampled contiguous walks (start of curve, middle, end) stay
+    // grid-adjacent, and forward∘inverse is the identity on random cells.
+    for (start <- Seq(0L, 1L << 20, (1L << 24) - 20001L); off <- Seq(0))
+      for (h <- start + 1 until start + 20000) {
+        val (a, b_, c) = h3inv(8)(h - 1); val (d, e, f) = h3inv(8)(h)
+        assert(math.abs(a - d) + math.abs(b_ - e) + math.abs(c - f) === 1,
+          s"b=8 jump at $h")
+      }
+    val rnd = new scala.util.Random(42)
+    (0 until 20000).foreach { _ =>
+      val (x, y, z) = (rnd.nextInt(256).toLong, rnd.nextInt(256).toLong,
+        rnd.nextInt(256).toLong)
+      assert(h3inv(8)(h3ref(8)(x, y, z)) === ((x, y, z)))
+    }
+  }
+
+  test("hilbert3_index expression equals the Scala reference (codegen + SQL registration)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.tabulate(4000)(_ => (rnd.nextInt(256).toLong,
+      rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
+    val got = pts.toDF("x", "y", "z")
+      .select(graft.functions.Hilbert3Index(col("x"), col("y"), col("z")).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === pts.map { case (x, y, z) => h3ref(8)(x, y, z) })
+    // SQL surface: registered function, analysis-time type checking.
+    pts.take(100).toDF("x", "y", "z").createOrReplaceTempView("h3pts")
+    val sqlGot = spark.sql("SELECT hilbert3_index(x, y, z) AS h FROM h3pts")
+      .collect().map(_.getLong(0)).toSeq
+    assert(sqlGot === pts.take(100).map { case (x, y, z) => h3ref(8)(x, y, z) })
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT hilbert3_index('a', 1, 2)").collect()
+    }
+  }
+
   test("hilbert_index rejects non-integral arguments at analysis time") {
     val e = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT hilbert_index('a', 'b')").collect()

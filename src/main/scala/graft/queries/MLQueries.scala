@@ -392,23 +392,31 @@ object MLQueries {
       |ORDER BY cluster, rank""".stripMargin
 
   /** M12's EXACT intermediates under the hash gate: per-term document
-    * frequency and total term frequency after the same tokenize →
-    * stopword-filter stages [[tfidfSimilar]] runs — the counts IDF is
-    * derived from are exact integers, so they oracle-check even though
-    * IDF's `ln` (a cross-engine libm trap, same reasoning as the PMI
-    * query's rational-ratio output) keeps the full TF-IDF rows-only.
-    * The stopword list is interpolated into the oracle from
-    * `StopWordsRemover.loadDefaultStopWords` so the two engines filter by
-    * construction-identical sets. Top-30 by (df, tf, word) is a total
-    * order; the plan is one explode → hash aggregate → TakeOrdered.
+    * frequency and total term frequency with the same semantics as the
+    * tokenize → stopword-filter stages [[tfidfSimilar]] runs — the counts
+    * IDF is derived from are exact integers, so they oracle-check even
+    * though IDF's `ln` (a cross-engine libm trap, same reasoning as the
+    * PMI query's rational-ratio output) keeps the full TF-IDF rows-only.
+    *
+    * Deliberately CODEGEN EXPRESSIONS, not the transformer UDFs: the
+    * RegexTokenizer/StopWordsRemover transform is two ScalaUDFs, and the
+    * explode's inferred scan filter re-evaluates that UDF chain per row
+    * (the q_dedup_jaccard r7 lesson, same Filter shape) — the expression
+    * form stays inside whole-stage codegen with nothing evaluated twice.
+    * Semantic equivalence to the transformer stages (lowercase, split on
+    * `\s+`, drop empties, filter the SAME default english stopword list)
+    * is pinned in MLQueriesSpec by running both over the corpus; the
+    * oracle interpolates the identical `loadDefaultStopWords` list.
+    * Top-30 by (df, tf, word) is a total order; the plan is one explode →
+    * partial+final hash aggregate → TakeOrdered.
     */
   private val tfidfCounts: Q = (s, d) => {
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val pipe = new Pipeline().setStages(Array(
-      new RegexTokenizer().setInputCol("text").setOutputCol("toks").setPattern("\\s+"),
-      new StopWordsRemover().setInputCol("toks").setOutputCol("words")))
-    pipe.fit(docs).transform(docs)
-      .select(col("doc_id"), explode(col("words")).as("word"))
+    val stops = lit(org.apache.spark.ml.feature.StopWordsRemover
+      .loadDefaultStopWords("english"))
+    val words = filter(split(lower(col("text")), "\\s+"),
+      w => length(w) >= 1 && !array_contains(stops, w))
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(words).as("word"))
       .groupBy("word")
       .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("tf_total"))
       .orderBy(desc("df"), desc("tf_total"), asc("word"))

@@ -179,6 +179,31 @@ class MLQueriesSpec extends SparkSpec {
     assert(keys === keys.sorted, "not ordered by (df desc, tf desc, word)")
   }
 
+  test("ml_tfidf_counts expression tokenization equals the transformer stages ml_tfidf_similar runs") {
+    // The counts query tokenizes with codegen expressions (no UDF in the
+    // plan, nothing inferred into the scan filter); this pins that they
+    // compute the SAME df/tf as the RegexTokenizer→StopWordsRemover
+    // transform the MLlib path uses.
+    import org.apache.spark.ml.Pipeline
+    import org.apache.spark.ml.feature.{RegexTokenizer, StopWordsRemover}
+    import org.apache.spark.sql.functions.explode
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val pipe = new Pipeline().setStages(Array(
+      new RegexTokenizer().setInputCol("text").setOutputCol("toks").setPattern("\\s+"),
+      new StopWordsRemover().setInputCol("toks").setOutputCol("words")))
+    val expect = pipe.fit(docs).transform(docs)
+      .select(col("doc_id"), explode(col("words")).as("word"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2)
+      .map { case (w, occ) => (w, occ.map(_._1).distinct.size.toLong, occ.size.toLong) }
+      .toSeq
+      .sortBy { case (w, df, tf) => (-df, -tf, w) }.take(30)
+    val got = run("ml_tfidf_counts").collect()
+      .map(r => (r.getAs[String]("word"), r.getAs[Long]("df"),
+        r.getAs[Long]("tf_total"))).toSeq
+    assert(got === expect, "expression tokenization diverged from the transformer stages")
+  }
+
   test("trained-IVF ANN reaches recall@5 >= 0.9 at nprobe 2 on clustered data") {
     // IVF's contract presumes locality, so the recall gate runs on a corpus
     // that HAS it: 20 deterministic well-separated centers × 15 members

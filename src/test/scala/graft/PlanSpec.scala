@@ -55,7 +55,7 @@ class PlanSpec extends SparkSpec {
     // (tiny build side, SURVEY §2.3 J5) and is excluded by design.
     for (q <- Seq("q_embed_cosine_topk", "q_dedup_jaccard", "q_minhash_dedup",
         "q_ann_ivf", "q_simhash", "q_vocab_pmi", "q_knn_label", "q_dedup_delta",
-        "q_ann_pq", "q_containment_dup", "q_chunk_dedup")) {
+        "q_ann_pq", "q_containment_dup", "q_chunk_dedup", "ml_cluster_serve")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q degraded to cartesian:\n$p")
     }
@@ -91,6 +91,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"pipeline degraded to cartesian:\n$p")
     assert("Window.*component".r.findFirstIn(p).isDefined,
       s"survivor rank must partition by component:\n$p")
+  }
+
+  test("cluster serving: 8-row centroid broadcast, packed-long argmin as hash aggregate") {
+    val p = plan("ml_cluster_serve")
+    // the pinned-centroid side must BUILD (broadcast), never shuffle the corpus
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // the argmin packs (d2u, cid) into one long so it plans as a codegen
+    // HashAggregate min — min(struct) would fall back to SortAggregate
+    // (the q_ann_pq lesson, same contract)
+    assert(!p.contains("SortAggregate"),
+      s"packed-long argmin degraded to SortAggregate:\n$p")
+    // per-cluster top-3 keeps the group-limit pushdown below the shuffle
+    assert(p.contains("WindowGroupLimit"),
+      s"per-cluster top-3 lost WindowGroupLimit:\n$p")
   }
 
   test("semi/anti membership use semi/anti joins, not distinct+inner") {

@@ -29,10 +29,25 @@ object Bench {
     // fail loudly (SparkEntry.selectedQueries) instead of silently
     // shrinking the run.
     val selected = SparkEntry.selectedQueries()
+    // ML-family fits have measured run-to-run variance (ml_als_rmse spanned
+    // 2.6-13.0 s across otherwise-identical driver rounds), so a single
+    // sample is unadjudicable: ml_* queries run 3x and report the MEDIAN,
+    // everything else stays single-shot (relational plans are stable and
+    // 3x-ing 110 queries would triple the bench for no signal). Set
+    // SPARK_GRAFT_SPREAD_OUT=<path> to also dump per-query (min, med, max)
+    // as JSON — the error bars the retro's envelope table quotes.
+    val spreads = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double)]
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      if (name.startsWith("ml_")) {
+        val runs = Seq(once(), once(), once()).sorted
+        spreads(name) = (runs.head, runs(1), runs.last)
+        name -> runs(1)
+      } else name -> once()
     }
     // Centisecond per-query precision with trailing zeros stripped keeps the
     // JSON line well inside the driver's bounded 2000-char tail capture
@@ -61,6 +76,13 @@ object Bench {
     var shown = bySlowest.size
     while (line(shown).length > 1850 && shown > 0) shown -= 1
     println(line(shown))
+    sys.env.get("SPARK_GRAFT_SPREAD_OUT").foreach { p =>
+      val body = spreads.map { case (k, (lo, med, hi)) =>
+        "\"" + k + "\":{\"min\":" + fmt(lo, 2) + ",\"med\":" + fmt(med, 2) +
+          ",\"max\":" + fmt(hi, 2) + "}"
+      }.mkString("{", ",", "}")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), body)
+    }
     spark.stop()
   }
 }

@@ -404,16 +404,21 @@ object MLQueries {
     * (the q_dedup_jaccard r7 lesson, same Filter shape) — the expression
     * form stays inside whole-stage codegen with nothing evaluated twice.
     * Semantic equivalence to the transformer stages (lowercase, split on
-    * `\s+`, drop empties, filter the SAME default english stopword list)
-    * is pinned in MLQueriesSpec by running both over the corpus; the
-    * oracle interpolates the identical `loadDefaultStopWords` list.
+    * whitespace, drop empties, filter the SAME default english stopword
+    * list) is pinned in MLQueriesSpec by running both over the corpus; the
+    * oracle interpolates the identical `loadDefaultStopWords` list. The
+    * split uses the EXPLICIT class `[ \t\n\x0B\f\r]+` in both engines:
+    * Java's `\s` includes vertical tab but RE2's (DuckDB's) does not, so a
+    * bare `\s+` would tokenize a `\x0B`-bearing document differently per
+    * engine — the explicit class IS Java's `\s`, so the transformer
+    * equivalence holds too.
     * Top-30 by (df, tf, word) is a total order; the plan is one explode →
     * partial+final hash aggregate → TakeOrdered.
     */
   private val tfidfCounts: Q = (s, d) => {
     val stops = lit(org.apache.spark.ml.feature.StopWordsRemover
       .loadDefaultStopWords("english"))
-    val words = filter(split(lower(col("text")), "\\s+"),
+    val words = filter(split(lower(col("text")), "[ \\t\\n\\x0B\\f\\r]+"),
       w => length(w) >= 1 && !array_contains(stops, w))
     Tables.documents(s, d)
       .select(col("doc_id"), explode(words).as("word"))
@@ -429,7 +434,7 @@ object MLQueries {
       .map(w => "'" + w.replace("'", "''") + "'").mkString(", ")
     s"""WITH toks AS (
        |  SELECT doc_id,
-       |         unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+       |         unnest(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+')) AS word
        |  FROM documents),
        |w AS (SELECT doc_id, word FROM toks
        |      WHERE length(word) >= 1 AND word NOT IN ($stops))

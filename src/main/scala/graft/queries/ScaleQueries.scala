@@ -411,6 +411,71 @@ object ScaleQueries {
 
   // ------------------------------------------------- space-filling layouts
 
+  /** One layout-audit dimension: the raw value column plus the short tag
+    * naming its bounds (`<tag>min`/`<tag>max`) and box (`lo_<tag>`/
+    * `hi_<tag>`) columns. The 2-D and 3-D audits differ ONLY in this list
+    * and in their curve columns — the box derivation, the envelope/hit
+    * predicate, and the scan_frac rounding live in the shared builders
+    * below (for Spark AND for the SQL twins), so they cannot diverge
+    * between arities; same invariant the 2-D pair already kept between
+    * its two queries.
+    */
+  private final case class AuditDim(valCol: String, tag: String)
+
+  private val dims2 = Seq(AuditDim("user_id", "u"), AuditDim("day", "d"))
+  private val dims3 = dims2 :+ AuditDim("vmil", "v")
+
+  /** Middle-eighth query box per dimension + the row-level `in_box` flag;
+    * expects `<tag>min`/`<tag>max` bounds columns already joined in.
+    */
+  private def withAuditBox(g0: org.apache.spark.sql.DataFrame,
+      dims: Seq[AuditDim]): org.apache.spark.sql.DataFrame = {
+    val g = dims.foldLeft(g0) { case (df, AuditDim(_, t)) =>
+      df.withColumn(s"lo_$t", expr(s"${t}min + ((${t}max - ${t}min + 1) * 2) div 8"))
+        .withColumn(s"hi_$t", expr(s"${t}min + ((${t}max - ${t}min + 1) * 3) div 8 - 1"))
+    }
+    g.withColumn("in_box",
+      dims.map { case AuditDim(c, t) =>
+        col(c).between(col(s"lo_$t"), col(s"hi_$t"))
+      }.reduce(_ && _).cast("long"))
+  }
+
+  /** Totals + per-layout file envelopes + overlap-hit + scan_frac — the
+    * audit's entire aggregation half, shared by every arity. Per file
+    * (= fixed curve range): min/max of each raw dimension; a file is
+    * scanned iff its envelope overlaps the box in EVERY dimension.
+    */
+  private def auditSummary(g: org.apache.spark.sql.DataFrame,
+      dims: Seq[AuditDim],
+      layouts: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    val totals = g.agg(count(lit(1)).as("total_rows"),
+      sum("in_box").as("rows_matched"))
+    def layout(fileCol: String, name: String) = {
+      val aggs = dims.flatMap { case AuditDim(c, t) =>
+        Seq(min(col(c)).as(s"f_$t"), max(col(c)).as(s"x_$t"))
+      } ++ dims.flatMap { case AuditDim(_, t) =>
+        Seq(first(col(s"lo_$t")).as(s"lo_$t"), first(col(s"hi_$t")).as(s"hi_$t"))
+      }
+      val hit = dims.map { case AuditDim(_, t) =>
+        col(s"f_$t") <= col(s"hi_$t") && col(s"x_$t") >= col(s"lo_$t")
+      }.reduce(_ && _)
+      g.groupBy(col(fileCol).as("f"))
+        .agg(count(lit(1)).as("rows"), aggs: _*)
+        .withColumn("hit", hit.cast("long"))
+        .agg(count(lit(1)).as("n_files"),
+          sum("hit").as("files_scanned"),
+          sum(col("hit") * col("rows")).as("rows_scanned"))
+        .withColumn("layout", lit(name))
+    }
+    layouts.map { case (c, n) => layout(c, n) }.reduce(_ unionByName _)
+      .crossJoin(broadcast(totals))
+      .select(col("layout"), col("n_files"), col("files_scanned"),
+        col("rows_scanned"), col("rows_matched"),
+        (floor(col("rows_scanned").cast("double") / col("total_rows")
+          * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("scan_frac"))
+      .orderBy("layout")
+  }
+
   /** Shared layout-skipping audit — the WRITE-side decision that
     * determines read-side data skipping at 100 TB. Events are mapped to
     * an 8-bit (user, day) grid; "files" are fixed ranges of a layout key
@@ -422,9 +487,9 @@ object ScaleQueries {
     * eighth of each dimension, bounds derived from the data so the query
     * is sf-independent) scans a file iff its [min,max] envelope overlaps.
     * Every number is integer arithmetic on md5-free deterministic grids,
-    * so both audits are hash-checked end to end — ONE definition here and
-    * ONE SQL builder below serve both queries, so the hit predicate and
-    * rounding cannot diverge between them.
+    * so the audits are hash-checked end to end — the box/hit/rounding
+    * machinery is ONE definition per engine ([[withAuditBox]] /
+    * [[auditSummary]] / [[auditSqlTail]]) shared with the 3-D audit.
     */
   private def skipAudit(s: org.apache.spark.sql.SparkSession, d: String,
       layouts: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
@@ -432,46 +497,18 @@ object ScaleQueries {
       .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
     val bounds = ev.agg(min("user_id").as("umin"), max("user_id").as("umax"),
       min("day").as("dmin"), max("day").as("dmax"))
-    val g = ev.crossJoin(broadcast(bounds))
-      .withColumn("xg", graft.ops.Zorder.grid8(col("user_id"), col("umin"), col("umax")))
-      .withColumn("yg", graft.ops.Zorder.grid8(col("day"), col("dmin"), col("dmax")))
-      .withColumn("f_h",
-        shiftright(graft.functions.HilbertIndex(col("xg"), col("yg")), 10))
-      .withColumn("f_z",
-        shiftright(graft.ops.Zorder.zvalue(col("xg"), col("yg")), 10))
-      .withColumn("f_lin", shiftright(col("xg"), 2))
-      .withColumn("lo_u", expr("umin + ((umax - umin + 1) * 2) div 8"))
-      .withColumn("hi_u", expr("umin + ((umax - umin + 1) * 3) div 8 - 1"))
-      .withColumn("lo_d", expr("dmin + ((dmax - dmin + 1) * 2) div 8"))
-      .withColumn("hi_d", expr("dmin + ((dmax - dmin + 1) * 3) div 8 - 1"))
-      .withColumn("in_box",
-        (col("user_id").between(col("lo_u"), col("hi_u")) &&
-          col("day").between(col("lo_d"), col("hi_d"))).cast("long"))
+    val g = withAuditBox(
+      ev.crossJoin(broadcast(bounds))
+        .withColumn("xg", graft.ops.Zorder.grid8(col("user_id"), col("umin"), col("umax")))
+        .withColumn("yg", graft.ops.Zorder.grid8(col("day"), col("dmin"), col("dmax")))
+        .withColumn("f_h",
+          shiftright(graft.functions.HilbertIndex(col("xg"), col("yg")), 10))
+        .withColumn("f_z",
+          shiftright(graft.ops.Zorder.zvalue(col("xg"), col("yg")), 10))
+        .withColumn("f_lin", shiftright(col("xg"), 2)),
+      dims2)
       .localCheckpoint() // feeds every layout aggregation + the totals probe
-    val totals = g.agg(count(lit(1)).as("total_rows"),
-      sum("in_box").as("rows_matched"))
-    def layout(fileCol: String, name: String) = {
-      val files = g.groupBy(col(fileCol).as("f"))
-        .agg(count(lit(1)).as("rows"),
-          min("user_id").as("fu"), max("user_id").as("xu"),
-          min("day").as("fd"), max("day").as("xd"),
-          first("lo_u").as("lo_u"), first("hi_u").as("hi_u"),
-          first("lo_d").as("lo_d"), first("hi_d").as("hi_d"))
-        .withColumn("hit",
-          (col("fu") <= col("hi_u") && col("xu") >= col("lo_u") &&
-            col("fd") <= col("hi_d") && col("xd") >= col("lo_d")).cast("long"))
-      files.agg(count(lit(1)).as("n_files"),
-        sum("hit").as("files_scanned"),
-        sum(col("hit") * col("rows")).as("rows_scanned"))
-        .withColumn("layout", lit(name))
-    }
-    layouts.map { case (c, n) => layout(c, n) }.reduce(_ unionByName _)
-      .crossJoin(broadcast(totals))
-      .select(col("layout"), col("n_files"), col("files_scanned"),
-        col("rows_scanned"), col("rows_matched"),
-        (floor(col("rows_scanned").cast("double") / col("total_rows")
-          * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("scan_frac"))
-      .orderBy("layout")
+    auditSummary(g, dims2, layouts)
   }
 
   /** Z-order vs 1-D sort: the 1-D layout prunes only on user (~1/8 of
@@ -495,7 +532,114 @@ object ScaleQueries {
     skipAudit(s, d,
       Seq("f_h" -> "hilbert", "f_z" -> "zorder", "f_lin" -> "linear_user"))
 
-  /** One unrolled Hilbert rotation round at stage size `s` (SQL). */
+  /** 3-D layout shoot-out — the audit that justifies the THIRD curve
+    * dimension ([[graft.sources.Layout.writeHilbert3Ordered]] /
+    * `writeMorton3Ordered`): events mapped to an 8-bit³ (user, day,
+    * magnitude) grid, "files" are fixed 2¹⁸-cell ranges of each 24-bit
+    * curve (64 files for every layout, so the comparison is file-count
+    * fair), and the query box is the middle eighth of ALL THREE
+    * dimensions. A 2-D layout cannot prune the third dimension — its
+    * per-file magnitude envelope is the full range — so the measured
+    * scan_frac gap between `zorder2d` and the 3-D curves IS the case for
+    * the extra dimension, exactly as `q_zorder_skip` made the 1-D → 2-D
+    * case. The Hilbert-3D mapping (Skilling transform,
+    * [[graft.functions.Hilbert3Index]]) is unrolled round-for-round in
+    * the DuckDB twin, so the full curve math sits under the hash gate;
+    * magnitude enters as an exact integer (`floor(value·1000)`) in both
+    * engines. Same scale shape as the 2-D audit — the box/hit/rounding
+    * half IS the 2-D audit's ([[withAuditBox]]/[[auditSummary]], one
+    * extra [[AuditDim]]): one scan, grid math map-side, per-layout hash
+    * aggregates over ≤ 64 file keys.
+    */
+  private val curve3Layouts =
+    Seq("f_h3" -> "hilbert3", "f_m3" -> "morton3",
+      "f_z2" -> "zorder2d", "f_lin" -> "linear_user")
+
+  private val curve3Skip: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(
+      col("event_id"), col("user_id"),
+      expr("unix_micros(ts) div 86400000000").as("day"),
+      floor(col("value") * lit(1000.0)).cast("long").as("vmil"))
+    val bounds = ev.agg(
+      min("user_id").as("umin"), max("user_id").as("umax"),
+      min("day").as("dmin"), max("day").as("dmax"),
+      min("vmil").as("vmin"), max("vmil").as("vmax"))
+    val g = withAuditBox(
+      ev.crossJoin(broadcast(bounds))
+        .withColumn("xg", graft.ops.Zorder.grid8(col("user_id"), col("umin"), col("umax")))
+        .withColumn("yg", graft.ops.Zorder.grid8(col("day"), col("dmin"), col("dmax")))
+        .withColumn("zg", graft.ops.Zorder.grid8(col("vmil"), col("vmin"), col("vmax")))
+        .withColumn("f_h3",
+          shiftright(graft.functions.Hilbert3Index(col("xg"), col("yg"), col("zg")), 18))
+        .withColumn("f_m3",
+          shiftright(graft.ops.Zorder.zvalue3(col("xg"), col("yg"), col("zg")), 18))
+        .withColumn("f_z2",
+          shiftright(graft.ops.Zorder.zvalue(col("xg"), col("yg")), 10))
+        .withColumn("f_lin", shiftright(col("xg"), 2)),
+      dims3)
+      .localCheckpoint() // feeds all four layout aggregations + totals
+    auditSummary(g, dims3, curve3Layouts)
+  }
+
+  // --- the SQL twins' shared text (one builder per shared concern) ---
+
+  /** `lo_<t>`/`hi_<t>` select-list fragment — SQL twin of [[withAuditBox]]'s
+    * box derivation (`//` floors like Spark's `div` on the non-negative
+    * spans here).
+    */
+  private def boxBoundsSql(dims: Seq[AuditDim]): String =
+    dims.map { case AuditDim(_, t) =>
+      s"""${t}min + ((${t}max - ${t}min + 1) * 2) // 8 AS lo_$t,
+         |         ${t}min + ((${t}max - ${t}min + 1) * 3) // 8 - 1 AS hi_$t""".stripMargin
+    }.mkString(",\n         ")
+
+  /** Row-in-box predicate — SQL twin of [[withAuditBox]]'s flag. */
+  private def inBoxSql(dims: Seq[AuditDim]): String =
+    dims.map { case AuditDim(c, t) => s"$c BETWEEN lo_$t AND hi_$t" }
+      .mkString("\n               AND ")
+
+  /** Totals + per-layout file/summary CTEs + scan_frac — SQL twin of
+    * [[auditSummary]], appended after a CTE `z` carrying the dimension
+    * values, `lo_*`/`hi_*`, `in_box`, and one file column per layout.
+    */
+  private def auditSqlTail(dims: Seq[AuditDim],
+      layouts: Seq[(String, String)]): String = {
+    def fileCte(tag: String, fileCol: String) = {
+      val env = dims.map { case AuditDim(c, t) =>
+        s"min($c) f_$t, max($c) x_$t" }.mkString(", ")
+      val box = dims.map { case AuditDim(_, t) =>
+        s"min(lo_$t) lo_$t, min(hi_$t) hi_$t" }.mkString(", ")
+      s"""f$tag AS (
+         |  SELECT $fileCol AS f, count(*) AS rows, $env,
+         |         $box
+         |  FROM z GROUP BY $fileCol)""".stripMargin
+    }
+    val hitPred = dims.map { case AuditDim(_, t) =>
+      s"f_$t <= hi_$t AND x_$t >= lo_$t" }.mkString(" AND ")
+    def summaryCte(tag: String, name: String) =
+      s"""m$tag AS (
+         |  SELECT '$name' AS layout, count(*) AS n_files,
+         |         CAST(SUM(CASE WHEN $hitPred
+         |              THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+         |         CAST(SUM(CASE WHEN $hitPred
+         |              THEN rows ELSE 0 END) AS BIGINT) AS rows_scanned
+         |  FROM f$tag)""".stripMargin
+    val tagged = layouts.zipWithIndex.map { case ((c, n), i) => (s"$i", c, n) }
+    val body = tagged.map { case (t, c, _) => fileCte(t, c) } ++
+      tagged.map { case (t, _, n) => summaryCte(t, n) }
+    val union = tagged.map { case (t, _, _) => s"SELECT * FROM m$t" }
+      .mkString(" UNION ALL ")
+    s"""t AS (SELECT count(*) AS total_rows,
+       |             CAST(SUM(in_box) AS BIGINT) AS rows_matched FROM z),
+       |${body.mkString(",\n")}
+       |SELECT layout, n_files, files_scanned, rows_scanned, rows_matched,
+       |       floor(CAST(rows_scanned AS DOUBLE) / total_rows * 10000.0 + 0.5)
+       |         / 10000.0 AS scan_frac
+       |FROM ($union), t
+       |ORDER BY layout""".stripMargin
+  }
+
+  /** One unrolled 2-D Hilbert rotation round at stage size `s` (SQL). */
   private def hilbertStageSql(s: Int): String = {
     val ss = s * s
     s"""SELECT user_id, day, lo_u, hi_u, lo_d, hi_d, f_z, f_lin, in_box,
@@ -514,27 +658,10 @@ object ScaleQueries {
     named.mkString(",\n")
   }
 
-  /** The SQL twin of [[skipAudit]], built once for any layout subset. */
-  private def skipAuditSql(layouts: Seq[(String, String)]): String = {
-    def fileCte(tag: String, fileCol: String) =
-      s"""f$tag AS (
-         |  SELECT $fileCol AS f, count(*) AS rows, min(user_id) fu, max(user_id) xu,
-         |         min(day) fd, max(day) xd,
-         |         min(lo_u) lo_u, min(hi_u) hi_u, min(lo_d) lo_d, min(hi_d) hi_d
-         |  FROM z GROUP BY $fileCol)""".stripMargin
-    def summaryCte(tag: String, name: String) =
-      s"""s$tag AS (
-         |  SELECT '$name' AS layout, count(*) AS n_files,
-         |         CAST(SUM(CASE WHEN fu <= hi_u AND xu >= lo_u AND fd <= hi_d AND xd >= lo_d
-         |              THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
-         |         CAST(SUM(CASE WHEN fu <= hi_u AND xu >= lo_u AND fd <= hi_d AND xd >= lo_d
-         |              THEN rows ELSE 0 END) AS BIGINT) AS rows_scanned
-         |  FROM f$tag)""".stripMargin
-    val tagged = layouts.zipWithIndex.map { case ((c, n), i) => (s"$i", c, n) }
-    val body = tagged.map { case (t, c, _) => fileCte(t, c) } ++
-      tagged.map { case (t, _, n) => summaryCte(t, n) }
-    val union = tagged.map { case (t, _, _) => s"SELECT * FROM s$t" }
-      .mkString(" UNION ALL ")
+  /** The SQL twin of [[skipAudit]], built once for any layout subset;
+    * box/in-box/summary text from the shared builders.
+    */
+  private def skipAuditSql(layouts: Seq[(String, String)]): String =
     s"""WITH ev AS (
        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
        |b AS (SELECT min(user_id) AS umin, max(user_id) AS umax,
@@ -543,10 +670,7 @@ object ScaleQueries {
        |  SELECT user_id, day,
        |         ((user_id - umin) * 256) // (umax - umin + 1) AS xg,
        |         ((day - dmin) * 256) // (dmax - dmin + 1) AS yg,
-       |         umin + ((umax - umin + 1) * 2) // 8 AS lo_u,
-       |         umin + ((umax - umin + 1) * 3) // 8 - 1 AS hi_u,
-       |         dmin + ((dmax - dmin + 1) * 2) // 8 AS lo_d,
-       |         dmin + ((dmax - dmin + 1) * 3) // 8 - 1 AS hi_d
+       |         ${boxBoundsSql(dims2)}
        |  FROM ev, b),
        |sx1 AS (SELECT *, (xg | (xg << 4)) & 3855 AS xa, (yg | (yg << 4)) & 3855 AS ya FROM grid),
        |sx2 AS (SELECT *, (xa | (xa << 2)) & 13107 AS xb, (ya | (ya << 2)) & 13107 AS yb FROM sx1),
@@ -554,106 +678,20 @@ object ScaleQueries {
        |hbase AS (
        |  SELECT user_id, day, lo_u, hi_u, lo_d, hi_d,
        |         (xc | (yc << 1)) >> 10 AS f_z, xg >> 2 AS f_lin,
-       |         CASE WHEN user_id BETWEEN lo_u AND hi_u
-       |               AND day BETWEEN lo_d AND hi_d THEN 1 ELSE 0 END AS in_box,
+       |         CASE WHEN ${inBoxSql(dims2)} THEN 1 ELSE 0 END AS in_box,
        |         xg AS hx, yg AS hy, CAST(0 AS BIGINT) AS hd
        |  FROM sx3),
        |$hilbertChainSql,
        |z AS (SELECT user_id, day, lo_u, hi_u, lo_d, hi_d, f_z, f_lin, in_box,
        |             hd >> 10 AS f_h FROM h1),
-       |t AS (SELECT count(*) AS total_rows,
-       |             CAST(SUM(in_box) AS BIGINT) AS rows_matched FROM z),
-       |${body.mkString(",\n")}
-       |SELECT layout, n_files, files_scanned, rows_scanned, rows_matched,
-       |       floor(CAST(rows_scanned AS DOUBLE) / total_rows * 10000.0 + 0.5)
-       |         / 10000.0 AS scan_frac
-       |FROM ($union), t
-       |ORDER BY layout""".stripMargin
-  }
-
-  /** 3-D layout shoot-out — the audit that justifies the THIRD curve
-    * dimension ([[graft.sources.Layout.writeHilbert3Ordered]] /
-    * `writeMorton3Ordered`): events mapped to an 8-bit³ (user, day,
-    * magnitude) grid, "files" are fixed 2¹⁸-cell ranges of each 24-bit
-    * curve (64 files for every layout, so the comparison is file-count
-    * fair), and the query box is the middle eighth of ALL THREE
-    * dimensions. A 2-D layout cannot prune the third dimension — its
-    * per-file magnitude envelope is the full range — so the measured
-    * scan_frac gap between `zorder2d` and the 3-D curves IS the case for
-    * the extra dimension, exactly as `q_zorder_skip` made the 1-D → 2-D
-    * case. The Hilbert-3D mapping (Skilling transform,
-    * [[graft.functions.Hilbert3Index]]) is unrolled round-for-round in
-    * the DuckDB twin, so the full curve math sits under the hash gate;
-    * magnitude enters as an exact integer (`floor(value·1000)`) in both
-    * engines. Same scale shape as the 2-D audit: one scan, grid math
-    * map-side, per-layout hash aggregates over ≤ 64 file keys.
-    */
-  private val curve3Layouts =
-    Seq("f_h3" -> "hilbert3", "f_m3" -> "morton3",
-      "f_z2" -> "zorder2d", "f_lin" -> "linear_user")
-
-  private val curve3Skip: Q = (s, d) => {
-    val ev = Tables.events(s, d).select(
-      col("event_id"), col("user_id"),
-      expr("unix_micros(ts) div 86400000000").as("day"),
-      floor(col("value") * lit(1000.0)).cast("long").as("vmil"))
-    val bounds = ev.agg(
-      min("user_id").as("umin"), max("user_id").as("umax"),
-      min("day").as("dmin"), max("day").as("dmax"),
-      min("vmil").as("vmin"), max("vmil").as("vmax"))
-    def boxLo(lo: String, hi: String) = expr(s"$lo + (($hi - $lo + 1) * 2) div 8")
-    def boxHi(lo: String, hi: String) = expr(s"$lo + (($hi - $lo + 1) * 3) div 8 - 1")
-    val g = ev.crossJoin(broadcast(bounds))
-      .withColumn("xg", graft.ops.Zorder.grid8(col("user_id"), col("umin"), col("umax")))
-      .withColumn("yg", graft.ops.Zorder.grid8(col("day"), col("dmin"), col("dmax")))
-      .withColumn("zg", graft.ops.Zorder.grid8(col("vmil"), col("vmin"), col("vmax")))
-      .withColumn("f_h3",
-        shiftright(graft.functions.Hilbert3Index(col("xg"), col("yg"), col("zg")), 18))
-      .withColumn("f_m3",
-        shiftright(graft.ops.Zorder.zvalue3(col("xg"), col("yg"), col("zg")), 18))
-      .withColumn("f_z2",
-        shiftright(graft.ops.Zorder.zvalue(col("xg"), col("yg")), 10))
-      .withColumn("f_lin", shiftright(col("xg"), 2))
-      .withColumn("lo_u", boxLo("umin", "umax")).withColumn("hi_u", boxHi("umin", "umax"))
-      .withColumn("lo_d", boxLo("dmin", "dmax")).withColumn("hi_d", boxHi("dmin", "dmax"))
-      .withColumn("lo_v", boxLo("vmin", "vmax")).withColumn("hi_v", boxHi("vmin", "vmax"))
-      .withColumn("in_box",
-        (col("user_id").between(col("lo_u"), col("hi_u")) &&
-          col("day").between(col("lo_d"), col("hi_d")) &&
-          col("vmil").between(col("lo_v"), col("hi_v"))).cast("long"))
-      .localCheckpoint() // feeds all four layout aggregations + totals
-    val totals = g.agg(count(lit(1)).as("total_rows"), sum("in_box").as("rows_matched"))
-    def layout(fileCol: String, name: String) = {
-      val files = g.groupBy(col(fileCol).as("f"))
-        .agg(count(lit(1)).as("rows"),
-          min("user_id").as("fu"), max("user_id").as("xu"),
-          min("day").as("fd"), max("day").as("xd"),
-          min("vmil").as("fv"), max("vmil").as("xv"),
-          first("lo_u").as("lo_u"), first("hi_u").as("hi_u"),
-          first("lo_d").as("lo_d"), first("hi_d").as("hi_d"),
-          first("lo_v").as("lo_v"), first("hi_v").as("hi_v"))
-        .withColumn("hit",
-          (col("fu") <= col("hi_u") && col("xu") >= col("lo_u") &&
-            col("fd") <= col("hi_d") && col("xd") >= col("lo_d") &&
-            col("fv") <= col("hi_v") && col("xv") >= col("lo_v")).cast("long"))
-      files.agg(count(lit(1)).as("n_files"), sum("hit").as("files_scanned"),
-        sum(col("hit") * col("rows")).as("rows_scanned"))
-        .withColumn("layout", lit(name))
-    }
-    curve3Layouts.map { case (c, n) => layout(c, n) }.reduce(_ unionByName _)
-      .crossJoin(broadcast(totals))
-      .select(col("layout"), col("n_files"), col("files_scanned"),
-        col("rows_scanned"), col("rows_matched"),
-        (floor(col("rows_scanned").cast("double") / col("total_rows")
-          * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("scan_frac"))
-      .orderBy("layout")
-  }
+       |${auditSqlTail(dims2, layouts)}""".stripMargin
 
   /** The SQL twin of [[curve3Skip]]: the Skilling transform unrolled as
     * one CTE per (stage, axis) step — 7 stages × 3 axes of conditional
     * invert/exchange — then the Gray encode, the parity correction, and
     * the stride-3 interleave with the same masks as
-    * [[graft.ops.Zorder.spread3_8]].
+    * [[graft.ops.Zorder.spread3_8]]; box/in-box/summary text from the
+    * same shared builders as the 2-D twin.
     */
   private val curve3SkipSql: String = {
     def step(q: Int, i: Int): String = {
@@ -692,27 +730,6 @@ object ScaleQueries {
       val s2 = s"(($s1 | ($s1 << 2)) & 13107)"
       s"(($s2 | ($s2 << 1)) & 21845)"
     }
-    def fileCte(tag: String, fileCol: String) =
-      s"""f$tag AS (
-         |  SELECT $fileCol AS f, count(*) AS rows,
-         |         min(user_id) fu, max(user_id) xu, min(day) fd, max(day) xd,
-         |         min(vmil) fv, max(vmil) xv,
-         |         min(lo_u) lo_u, min(hi_u) hi_u, min(lo_d) lo_d, min(hi_d) hi_d,
-         |         min(lo_v) lo_v, min(hi_v) hi_v
-         |  FROM z GROUP BY $fileCol)""".stripMargin
-    def summaryCte(tag: String, name: String) =
-      s"""m$tag AS (
-         |  SELECT '$name' AS layout, count(*) AS n_files,
-         |         CAST(SUM(CASE WHEN fu <= hi_u AND xu >= lo_u AND fd <= hi_d AND xd >= lo_d
-         |              AND fv <= hi_v AND xv >= lo_v THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
-         |         CAST(SUM(CASE WHEN fu <= hi_u AND xu >= lo_u AND fd <= hi_d AND xd >= lo_d
-         |              AND fv <= hi_v AND xv >= lo_v THEN rows ELSE 0 END) AS BIGINT) AS rows_scanned
-         |  FROM f$tag)""".stripMargin
-    val tagged = curve3Layouts.zipWithIndex.map { case ((c, n), i) => (s"$i", c, n) }
-    val body = tagged.map { case (t, c, _) => fileCte(t, c) } ++
-      tagged.map { case (t, _, n) => summaryCte(t, n) }
-    val union = tagged.map { case (t, _, _) => s"SELECT * FROM m$t" }
-      .mkString(" UNION ALL ")
     s"""WITH ev AS (
        |  SELECT event_id, user_id, epoch_us(ts) // 86400000000 AS day,
        |         CAST(floor(value * 1000) AS BIGINT) AS vmil
@@ -725,12 +742,7 @@ object ScaleQueries {
        |         ((user_id - umin) * 256) // (umax - umin + 1) AS xg,
        |         ((day - dmin) * 256) // (dmax - dmin + 1) AS yg,
        |         ((vmil - vmin) * 256) // (vmax - vmin + 1) AS zg,
-       |         umin + ((umax - umin + 1) * 2) // 8 AS lo_u,
-       |         umin + ((umax - umin + 1) * 3) // 8 - 1 AS hi_u,
-       |         dmin + ((dmax - dmin + 1) * 2) // 8 AS lo_d,
-       |         dmin + ((dmax - dmin + 1) * 3) // 8 - 1 AS hi_d,
-       |         vmin + ((vmax - vmin + 1) * 2) // 8 AS lo_v,
-       |         vmin + ((vmax - vmin + 1) * 3) // 8 - 1 AS hi_v
+       |         ${boxBoundsSql(dims3)}
        |  FROM ev, b),
        |hb AS (SELECT event_id, xg AS x0, yg AS x1, zg AS x2 FROM grid),
        |$chain,
@@ -748,18 +760,9 @@ object ScaleQueries {
        |         (${spread3("xg")} | (${spread3("yg")} << 1) | (${spread3("zg")} << 2)) >> 18 AS f_m3,
        |         (${spread2("xg")} | (${spread2("yg")} << 1)) >> 10 AS f_z2,
        |         xg >> 2 AS f_lin,
-       |         CASE WHEN g.user_id BETWEEN g.lo_u AND g.hi_u
-       |               AND g.day BETWEEN g.lo_d AND g.hi_d
-       |               AND g.vmil BETWEEN g.lo_v AND g.hi_v THEN 1 ELSE 0 END AS in_box
+       |         CASE WHEN ${inBoxSql(dims3)} THEN 1 ELSE 0 END AS in_box
        |  FROM grid g JOIN h3 USING (event_id)),
-       |t AS (SELECT count(*) AS total_rows,
-       |             CAST(SUM(in_box) AS BIGINT) AS rows_matched FROM z),
-       |${body.mkString(",\n")}
-       |SELECT layout, n_files, files_scanned, rows_scanned, rows_matched,
-       |       floor(CAST(rows_scanned AS DOUBLE) / total_rows * 10000.0 + 0.5)
-       |         / 10000.0 AS scan_frac
-       |FROM ($union), t
-       |ORDER BY layout""".stripMargin
+       |${auditSqlTail(dims3, curve3Layouts)}""".stripMargin
   }
 
   private val zorderSkipSql =

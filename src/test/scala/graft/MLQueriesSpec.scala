@@ -139,6 +139,11 @@ class MLQueriesSpec extends SparkSpec {
           .digest(id.toString.getBytes("UTF-8"))
           .take(4).map("%02x".format(_)).mkString, 16) % 1000L
     val rows = run("ml_cluster_serve").collect()
+    // not vacuous: every non-empty expected cluster must be served (the
+    // per-group checks below iterate only over RETURNED rows)
+    assert(rows.nonEmpty, "serving query returned no rows")
+    assert(rows.map(_.getAs[Int]("cluster")).toSet === expectCluster.values.toSet,
+      "served cluster set must equal the clusters that exist under the pinned centroids")
     rows.groupBy(_.getAs[Int]("cluster")).foreach { case (c, rs) =>
       assert(rs.length <= 3, s"cluster $c has ${rs.length} recs")
       val byRank = rs.sortBy(_.getAs[Int]("rank"))

@@ -167,7 +167,7 @@ class ZorderSpec extends SparkSpec {
     }
     // b=8: sampled contiguous walks (start of curve, middle, end) stay
     // grid-adjacent, and forward∘inverse is the identity on random cells.
-    for (start <- Seq(0L, 1L << 20, (1L << 24) - 20001L); off <- Seq(0))
+    for (start <- Seq(0L, 1L << 20, (1L << 24) - 20001L))
       for (h <- start + 1 until start + 20000) {
         val (a, b_, c) = h3inv(8)(h - 1); val (d, e, f) = h3inv(8)(h)
         assert(math.abs(a - d) + math.abs(b_ - e) + math.abs(c - f) === 1,

@@ -72,13 +72,44 @@ object Layout {
       Zorder.grid8(col(yCol), lit(yLo), lit(yHi)),
       Zorder.grid8(col(zCol), lit(zLo), lit(zHi))), numFiles, path)
 
+  /** Append a batch into an existing Z-ordered table under the SAME
+    * pinned grid — the incremental half of the layout story the
+    * [[graft.ops.Zorder.grid8]] clamp exists for: the batch gets its own
+    * range exchange and lands as `numFiles` NEW curve-clustered files;
+    * existing files are untouched, so append cost is proportional to the
+    * batch, not the table. Out-of-range values (the grid is pinned, the
+    * data moved) clamp into the edge cells — they widen the batch's two
+    * boundary files instead of shredding every envelope. After many
+    * appends the table accumulates small files; [[compactZOrdered]] is
+    * the matching maintenance pass.
+    */
+  def appendZOrdered(df: DataFrame, xCol: String, xLo: Long, xHi: Long,
+      yCol: String, yLo: Long, yHi: Long, numFiles: Int, path: String): Unit =
+    writeCurveClustered(df,
+      zvalueFor(col(xCol), xLo, xHi, col(yCol), yLo, yHi), numFiles, path,
+      mode = "append")
+
+  /** Compaction/OPTIMIZE pass: rewrite a (typically append-fragmented)
+    * table as `numFiles` Z-clustered files into `destPath` — one scan +
+    * one range exchange, the same cost as the original write. The rewrite
+    * lands beside the source (atomic swap/commit is a table-format
+    * concern); readers move to `destPath` when it is complete. Restores
+    * both the file count and the envelope tightness appends eroded.
+    */
+  def compactZOrdered(spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, xCol: String, xLo: Long, xHi: Long,
+      yCol: String, yLo: Long, yHi: Long, numFiles: Int,
+      destPath: String): Unit =
+    writeZOrdered(spark.read.parquet(srcPath), xCol, xLo, xHi,
+      yCol, yLo, yHi, numFiles, destPath)
+
   private def writeCurveClustered(df: DataFrame, curve: Column,
-      numFiles: Int, path: String): Unit =
+      numFiles: Int, path: String, mode: String = "overwrite"): Unit =
     df.withColumn("__cv", curve)
       .repartitionByRange(numFiles, col("__cv"))
       .sortWithinPartitions("__cv")
       .drop("__cv")
-      .write.mode("overwrite").parquet(path)
+      .write.mode(mode).parquet(path)
 
   /** 1-D comparison layout: same writer, range-clustered on one column. */
   def writeRangeSorted(df: DataFrame, sortCol: String, numFiles: Int,

@@ -240,6 +240,67 @@ class ScaleQueriesSpec extends SparkSpec {
     } finally Seq(h3Dir, m3Dir, lDir).foreach(deleteRecursively)
   }
 
+  test("Layout append + compact: pinned-grid appends stay sound; compaction restores tightness") {
+    import graft.sources.Layout
+    val ev = Tables.events(spark, "/root/testdata/sf0.1")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+    val b = ev.agg(min("user_id"), max("user_id"), min("day"), max("day")).first()
+    val (uLo, uHi, dLo, dHi) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val dir = java.nio.file.Files.createTempDirectory("zappend").toString
+    val cDir = java.nio.file.Files.createTempDirectory("zcompact").toString
+    try {
+      // initial write covers the first half of users; the appended batch
+      // carries the second half PLUS out-of-range users (grid stays
+      // pinned to the initial bounds — the clamp contract under test)
+      val mid = (uLo + uHi) / 2
+      val first = ev.filter(col("user_id") <= mid)
+      val later = ev.filter(col("user_id") > mid)
+        .union(first.limit(500).select(col("user_id") + (uHi + 100), col("day")))
+      Layout.writeZOrdered(first, "user_id", uLo, uHi, "day", dLo, dHi, 16, dir)
+      Layout.appendZOrdered(later, "user_id", uLo, uHi, "day", dLo, dHi, 16, dir)
+      val total = ev.count() + 500
+      assert(spark.read.parquet(dir).count() === total, "append must lose nothing")
+      // pruning on the fragmented table is still SOUND for an in-range box
+      def loHi(lo: Long, hi: Long) =
+        (lo + (hi - lo + 1) * 2 / 8, lo + (hi - lo + 1) * 4 / 8 - 1)
+      val (loU, hiU) = loHi(uLo, uHi)
+      val (loD, hiD) = loHi(dLo, dHi)
+      def scanned(path: String): (Long, Long) = {
+        val env = Layout.fileEnvelopes(
+          spark.read.parquet(path), Seq("user_id", "day")).collect()
+        val hit = env.filter(r =>
+          r.getAs[Long]("min_user_id") <= hiU && r.getAs[Long]("max_user_id") >= loU &&
+            r.getAs[Long]("min_day") <= hiD && r.getAs[Long]("max_day") >= loD)
+        (env.length.toLong, hit.map(_.getAs[Long]("rows")).sum)
+      }
+      val matching = spark.read.parquet(dir)
+        .filter(col("user_id").between(loU, hiU) && col("day").between(loD, hiD))
+        .count()
+      val (nFrag, scanFrag) = scanned(dir)
+      assert(nFrag > 16, "append must create new files, not rewrite")
+      assert(scanFrag >= matching, "fragmented pruning must stay sound")
+      // compaction: same rows, the target file count restored, and the
+      // curve-aware rewrite prunes better than a naive 1-D compaction at
+      // the SAME file count (comparing against the fragmented table's
+      // scan would be granularity-unfair: 2x fewer files means coarser
+      // envelopes regardless of layout quality)
+      Layout.compactZOrdered(spark, dir, "user_id", uLo, uHi,
+        "day", dLo, dHi, 16, cDir)
+      assert(spark.read.parquet(cDir).count() === total, "compact must lose nothing")
+      val (nComp, scanComp) = scanned(cDir)
+      assert(nComp <= 16, s"compaction left $nComp files")
+      assert(scanComp >= matching, "compacted pruning must stay sound")
+      val nDir = java.nio.file.Files.createTempDirectory("zcompact-naive").toString
+      try {
+        Layout.writeRangeSorted(spark.read.parquet(dir), "user_id", 16, nDir)
+        val (_, scanNaive) = scanned(nDir)
+        assert(scanComp <= scanNaive,
+          s"curve compaction ($scanComp rows) must beat 1-D compaction ($scanNaive)")
+      } finally deleteRecursively(nDir)
+    } finally Seq(dir, cDir).foreach(deleteRecursively)
+  }
+
   test("q_hilbert_skip: Hilbert prunes at least as hard as Z-order; both beat the 1-D sort") {
     val byLayout = SparkEntry.queries("q_hilbert_skip")(spark, sfDir).collect()
       .map(r => r.getAs[String]("layout") -> r).toMap

@@ -77,14 +77,24 @@ object Export {
     * as [[writeSharded]]; the staging write keeps the upstream partitioning
     * (repartition by shard upstream to get one file per shard per batch).
     */
+  /** `orderWithin`: optionally sort each landed file by these columns
+    * (one file per shard per batch via a shard repartition) — streamed
+    * shards then carry tight parquet row-group min/max on the sort key,
+    * the same skippability [[Layout]]'s batch writes get from the in-file
+    * curve sort. Empty (default) keeps the upstream partitioning.
+    */
   def appendShardedStreamExactlyOnce(stream: DataFrame, shardCol: String,
-      path: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      path: String, orderWithin: Seq[String] = Nil): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       val root = new Path(path)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val staging = new Path(root, s"_staging/b$batchId")
-      batch.write.mode("overwrite").partitionBy(shardCol)
+      val prepared =
+        if (orderWithin.isEmpty) batch
+        else batch.repartition(col(shardCol))
+          .sortWithinPartitions((shardCol +: orderWithin).map(col): _*)
+      prepared.write.mode("overwrite").partitionBy(shardCol)
         .parquet(staging.toString)
       def glob(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
         Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)

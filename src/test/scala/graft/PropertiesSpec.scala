@@ -132,7 +132,8 @@ class PropertiesSpec extends SparkSpec {
           "q_dedup_delta", "q_interval_join", "ml_kmeans_assign",
           "q_contam_embed", "q_mix_temperature",
           "q_containment_dup", "q_chunk_dedup", "q_ann_pq", "q_zorder_skip",
-          "q_hilbert_skip", "q_range_window", "q_fuzzy_match", "q_value_funcs")
+          "q_hilbert_skip", "q_range_window", "q_fuzzy_match", "q_value_funcs",
+          "q_curve3_skip", "q_grouping_sets", "ml_cluster_serve", "ml_tfidf_counts")
         .map(q => q -> SparkEntry.queries(q)(spark, sfDir)
           .collect().map(_.toString).toSeq).toMap
     }

@@ -605,6 +605,31 @@ class StreamSpec extends SparkSpec {
     assert(snapshot().map(_._4).sum === 150L, "post-replay appends must still land")
   }
 
+  test("exactly-once export with in-file ordering: every landed file is sorted on the key") {
+    import spark.implicits._
+    import graft.sources.Export
+    val dir = tmp("graft-export-sorted")
+    val ms = MemoryStream[(Long, Long)](
+      implicitly[Encoder[(Long, Long)]], spark.sqlContext)
+    val q = Export.appendShardedStreamExactlyOnce(
+        ms.toDF().toDF("doc_id", "shard"), "shard", dir,
+        orderWithin = Seq("doc_id"))
+      .option("checkpointLocation", tmp("graft-export-sorted-ckpt")).start()
+    try {
+      // deliberately unsorted input
+      val rows = scala.util.Random.shuffle((0L until 200L).toList).map(i => (i, i % 4))
+      ms.addData(rows); q.processAllAvailable()
+    } finally q.stop()
+    val files = new java.io.File(dir).listFiles
+      .filter(_.getName.startsWith("shard=")).flatMap(_.listFiles)
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length === 4, "one file per shard per batch")
+    files.foreach { f =>
+      val ids = spark.read.parquet(f.getPath).collect().map(_.getLong(0)).toSeq
+      assert(ids === ids.sorted, s"${f.getName} not sorted on doc_id")
+    }
+  }
+
   test("live MAD outlier flags equal the batch audit's counts (train offline, apply in flight)") {
     import spark.implicits._
     import graft.stream.Quality

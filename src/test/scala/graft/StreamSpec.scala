@@ -616,8 +616,9 @@ class StreamSpec extends SparkSpec {
         orderWithin = Seq("doc_id"))
       .option("checkpointLocation", tmp("graft-export-sorted-ckpt")).start()
     try {
-      // deliberately unsorted input
-      val rows = scala.util.Random.shuffle((0L until 200L).toList).map(i => (i, i % 4))
+      // deliberately unsorted input (seeded — every test input is replayable)
+      val rows = new scala.util.Random(42)
+        .shuffle((0L until 200L).toList).map(i => (i, i % 4))
       ms.addData(rows); q.processAllAvailable()
     } finally q.stop()
     val files = new java.io.File(dir).listFiles

@@ -1382,6 +1382,39 @@ object LlmQueries {
       |      < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
       |ORDER BY doc_id""".stripMargin
 
+  /** Exact-k per-stratum sampling — the BUDGET form of [[sampleStrat]]'s
+    * rate form: "exactly 40 docs per language, reproducibly" (eval-set
+    * draws and per-source caps are budgets; a rate delivers binomial
+    * wobble around the target, a budget does not). Rank docs inside each
+    * stratum by the seeded md5 of their id and keep rank ≤ k —
+    * deterministic, cluster-size-invariant, re-runnable. Scale shape: the
+    * rank ≤ k filter compiles to WindowGroupLimit partial+final, so each
+    * task forwards at most k candidates per stratum to the shuffle — the
+    * plan moves ≈ k·strata·tasks rows regardless of corpus size, never a
+    * global sort.
+    */
+  private val sampleExactK: Q = (s, d) => {
+    val key = Hashing.md5Long(concat(col("doc_id").cast("string"), lit("#ksamp")))
+    Tables.documents(s, d)
+      .withColumn("skey", key)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("lang").orderBy(asc("skey"), asc("doc_id"))))
+      .filter(col("rank") <= 40)
+      .select("lang", "rank", "doc_id", "skey")
+      .orderBy("lang", "rank")
+  }
+
+  private val sampleExactKSql =
+    """SELECT lang, rank, doc_id, skey FROM (
+      |  SELECT lang, doc_id,
+      |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#ksamp'), 1, 8))::BIGINT AS skey,
+      |         row_number() OVER (PARTITION BY lang
+      |           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#ksamp'), 1, 8))::BIGINT,
+      |                    doc_id) AS rank
+      |  FROM documents)
+      |WHERE rank <= 40
+      |ORDER BY lang, rank""".stripMargin
+
   /** Multimodal plumbing: text → binary payload → stubbed decode via
     * mapPartitions ([[graft.llm.Multimodal]]). The oracle recomputes the
     * same deterministic features from the text, verifying the binary path
@@ -2354,6 +2387,7 @@ object LlmQueries {
     Entry("q_dup_components", dupComponentsQ, Some(dupComponentsSql)),
     Entry("q_pii_scrub", piiScrub, Some(piiScrubSql)),
     Entry("q_sample_strat", sampleStrat, Some(sampleStratSql)),
+    Entry("q_sample_exact_k", sampleExactK, Some(sampleExactKSql)),
     Entry("q_embed_quantize", embedQuantize, Some(embedQuantizeSql)),
     Entry("q_pack_sequences", packSequences, Some(packSequencesSql)),
     Entry("q_decontaminate", decontaminate, Some(decontaminateSql)),

@@ -133,7 +133,8 @@ class PropertiesSpec extends SparkSpec {
           "q_contam_embed", "q_mix_temperature",
           "q_containment_dup", "q_chunk_dedup", "q_ann_pq", "q_zorder_skip",
           "q_hilbert_skip", "q_range_window", "q_fuzzy_match", "q_value_funcs",
-          "q_curve3_skip", "q_grouping_sets", "ml_cluster_serve", "ml_tfidf_counts")
+          "q_curve3_skip", "q_grouping_sets", "ml_cluster_serve", "ml_tfidf_counts",
+          "q_sample_exact_k")
         .map(q => q -> SparkEntry.queries(q)(spark, sfDir)
           .collect().map(_.toString).toSeq).toMap
     }

@@ -74,17 +74,21 @@ object Export {
     * replays is byte-identical to one clean delivery, which is the
     * exactly-once contract (same idea as a commit-manifest table format,
     * with the file NAME carrying the transaction id). Same layout contract
-    * as [[writeSharded]]; the staging write keeps the upstream partitioning
-    * (repartition by shard upstream to get one file per shard per batch).
-    */
-  /** `orderWithin`: optionally sort each landed file by these columns
-    * (one file per shard per batch via a shard repartition) — streamed
-    * shards then carry tight parquet row-group min/max on the sort key,
-    * the same skippability [[Layout]]'s batch writes get from the in-file
-    * curve sort. Empty (default) keeps the upstream partitioning.
+    * as [[writeSharded]].
+    *
+    * `orderWithin`: optionally sort each landed file by these columns —
+    * streamed shards then carry tight parquet row-group min/max on the
+    * sort key, the same skippability [[Layout]]'s batch writes get from
+    * the in-file curve sort. Like [[writeSharded]], the ordered path
+    * salts the shard repartition when `filesPerShard` > 1 so a hot shard
+    * splits across tasks instead of funneling one micro-batch's largest
+    * shard through a single sort+write (each of its files is still
+    * internally sorted — same-shard rows within one task land in one
+    * file). Empty (default) keeps the upstream partitioning.
     */
   def appendShardedStreamExactlyOnce(stream: DataFrame, shardCol: String,
-      path: String, orderWithin: Seq[String] = Nil): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      path: String, orderWithin: Seq[String] = Nil,
+      filesPerShard: Int = 1): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       val root = new Path(path)
@@ -92,8 +96,14 @@ object Export {
       val staging = new Path(root, s"_staging/b$batchId")
       val prepared =
         if (orderWithin.isEmpty) batch
-        else batch.repartition(col(shardCol))
-          .sortWithinPartitions((shardCol +: orderWithin).map(col): _*)
+        else {
+          val salt =
+            if (filesPerShard <= 1) Nil
+            else Seq(pmod(hash(batch.columns.map(col).toIndexedSeq: _*),
+              lit(filesPerShard)))
+          batch.repartition((col(shardCol) +: salt).toIndexedSeq: _*)
+            .sortWithinPartitions((shardCol +: orderWithin).map(col): _*)
+        }
       prepared.write.mode("overwrite").partitionBy(shardCol)
         .parquet(staging.toString)
       def glob(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =

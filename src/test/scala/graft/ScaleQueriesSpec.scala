@@ -10,6 +10,27 @@ import graft.tables.Tables
   */
 class ScaleQueriesSpec extends SparkSpec {
 
+  /** Quarter-of-dimension query box — ONE definition for every layout
+    * write-path test, so the box sizing cannot drift between the 2-D,
+    * 3-D, and append/compact tests.
+    */
+  private def quarterBox(lo: Long, hi: Long): (Long, Long) =
+    (lo + (hi - lo + 1) * 2 / 8, lo + (hi - lo + 1) * 4 / 8 - 1)
+
+  /** File-envelope overlap scan of a written table:
+    * (files, files scanned, rows scanned) for the given per-column box —
+    * the shared hit predicate of the layout write-path tests.
+    */
+  private def envelopeScan(path: String,
+      box: Seq[(String, (Long, Long))]): (Long, Long, Long) = {
+    val env = graft.sources.Layout.fileEnvelopes(
+      spark.read.parquet(path), box.map(_._1)).collect()
+    val hit = env.filter(r => box.forall { case (c, (lo, hi)) =>
+      r.getAs[Long](s"min_$c") <= hi && r.getAs[Long](s"max_$c") >= lo
+    })
+    (env.length.toLong, hit.length.toLong, hit.map(_.getAs[Long]("rows")).sum)
+  }
+
   test("q_containment_dup: every quote contains itself in its source doc, all rows honor the threshold") {
     val rows = SparkEntry.queries("q_containment_dup")(spark, sfDir).collect()
     assert(rows.nonEmpty)
@@ -146,20 +167,15 @@ class ScaleQueriesSpec extends SparkSpec {
     // is smaller than one file's share of the Z-curve, so pruning outcomes
     // there are quantile-boundary noise, not layout signal.) A file is
     // scanned iff its [min,max] envelope overlaps the box.
-    def loHi(lo: Long, hi: Long) =
-      (lo + (hi - lo + 1) * 2 / 8, lo + (hi - lo + 1) * 4 / 8 - 1)
-    val (loU, hiU) = loHi(uLo, uHi)
-    val (loD, hiD) = loHi(dLo, dHi)
+    val (loU, hiU) = quarterBox(uLo, uHi)
+    val (loD, hiD) = quarterBox(dLo, dHi)
+    val box = Seq("user_id" -> ((loU, hiU)), "day" -> ((loD, hiD)))
     def scanned(dir: String): (Long, Long) = {
-      val env = Layout.fileEnvelopes(
-        spark.read.parquet(dir), Seq("user_id", "day")).collect()
       // range sampling may leave some of the 32 partitions empty at this
       // sf — empty partitions write no file
-      assert(env.length >= 12 && env.length <= 32, s"file count off in $dir")
-      val hit = env.filter(r =>
-        r.getAs[Long]("min_user_id") <= hiU && r.getAs[Long]("max_user_id") >= loU &&
-          r.getAs[Long]("min_day") <= hiD && r.getAs[Long]("max_day") >= loD)
-      (hit.length.toLong, hit.map(_.getAs[Long]("rows")).sum)
+      val (nFiles, hitFiles, hitRows) = envelopeScan(dir, box)
+      assert(nFiles >= 12 && nFiles <= 32, s"file count off in $dir")
+      (hitFiles, hitRows)
     }
     val (zFiles, zRows) = scanned(zDir)
     val (hFiles, hRows) = scanned(hDir)
@@ -216,20 +232,15 @@ class ScaleQueriesSpec extends SparkSpec {
         "vmil", vLo, vHi, 32, m3Dir)
       Layout.writeRangeSorted(ev, "user_id", 32, lDir)
       // quarter-of-each-dimension 3-D box (same sizing rationale as 2-D)
-      def loHi(lo: Long, hi: Long) =
-        (lo + (hi - lo + 1) * 2 / 8, lo + (hi - lo + 1) * 4 / 8 - 1)
-      val (loU, hiU) = loHi(uLo, uHi)
-      val (loD, hiD) = loHi(dLo, dHi)
-      val (loV, hiV) = loHi(vLo, vHi)
+      val (loU, hiU) = quarterBox(uLo, uHi)
+      val (loD, hiD) = quarterBox(dLo, dHi)
+      val (loV, hiV) = quarterBox(vLo, vHi)
+      val box = Seq("user_id" -> ((loU, hiU)), "day" -> ((loD, hiD)),
+        "vmil" -> ((loV, hiV)))
       def scanned(dir: String): Long = {
-        val env = Layout.fileEnvelopes(
-          spark.read.parquet(dir), Seq("user_id", "day", "vmil")).collect()
-        assert(env.length >= 12 && env.length <= 32, s"file count off in $dir")
-        env.filter(r =>
-          r.getAs[Long]("min_user_id") <= hiU && r.getAs[Long]("max_user_id") >= loU &&
-            r.getAs[Long]("min_day") <= hiD && r.getAs[Long]("max_day") >= loD &&
-            r.getAs[Long]("min_vmil") <= hiV && r.getAs[Long]("max_vmil") >= loV)
-          .map(_.getAs[Long]("rows")).sum
+        val (nFiles, _, hitRows) = envelopeScan(dir, box)
+        assert(nFiles >= 12 && nFiles <= 32, s"file count off in $dir")
+        hitRows
       }
       val (h3Rows, m3Rows, lRows) = (scanned(h3Dir), scanned(m3Dir), scanned(lDir))
       val matching = ev.filter(col("user_id").between(loU, hiU) &&
@@ -262,17 +273,12 @@ class ScaleQueriesSpec extends SparkSpec {
       val total = ev.count() + 500
       assert(spark.read.parquet(dir).count() === total, "append must lose nothing")
       // pruning on the fragmented table is still SOUND for an in-range box
-      def loHi(lo: Long, hi: Long) =
-        (lo + (hi - lo + 1) * 2 / 8, lo + (hi - lo + 1) * 4 / 8 - 1)
-      val (loU, hiU) = loHi(uLo, uHi)
-      val (loD, hiD) = loHi(dLo, dHi)
+      val (loU, hiU) = quarterBox(uLo, uHi)
+      val (loD, hiD) = quarterBox(dLo, dHi)
+      val box = Seq("user_id" -> ((loU, hiU)), "day" -> ((loD, hiD)))
       def scanned(path: String): (Long, Long) = {
-        val env = Layout.fileEnvelopes(
-          spark.read.parquet(path), Seq("user_id", "day")).collect()
-        val hit = env.filter(r =>
-          r.getAs[Long]("min_user_id") <= hiU && r.getAs[Long]("max_user_id") >= loU &&
-            r.getAs[Long]("min_day") <= hiD && r.getAs[Long]("max_day") >= loD)
-        (env.length.toLong, hit.map(_.getAs[Long]("rows")).sum)
+        val (nFiles, _, hitRows) = envelopeScan(path, box)
+        (nFiles, hitRows)
       }
       val matching = spark.read.parquet(dir)
         .filter(col("user_id").between(loU, hiU) && col("day").between(loD, hiD))

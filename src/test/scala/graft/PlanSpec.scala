@@ -144,6 +144,8 @@ class PlanSpec extends SparkSpec {
     assert(!fallback.isAssignableFrom(classOf[graft.functions.DotProduct]))
     assert(!fallback.isAssignableFrom(classOf[graft.functions.JaccardSorted]))
     assert(!fallback.isAssignableFrom(classOf[graft.functions.HilbertIndex]))
+    assert(!fallback.isAssignableFrom(classOf[graft.functions.Hilbert3Index]))
+    assert(!fallback.isAssignableFrom(classOf[graft.functions.BloomMightContain]))
     assert(fallback.isAssignableFrom(classOf[ArrayAggregate]),
       "the HOF formulation is interpreted — the reason DotProduct exists")
     def assertStarred(df: org.apache.spark.sql.DataFrame, ex: String, q: String): Unit = {

@@ -425,14 +425,21 @@ object ScaleQueries {
   private val dims2 = Seq(AuditDim("user_id", "u"), AuditDim("day", "d"))
   private val dims3 = dims2 :+ AuditDim("vmil", "v")
 
-  /** Middle-eighth query box per dimension + the row-level `in_box` flag;
-    * expects `<tag>min`/`<tag>max` bounds columns already joined in.
+  /** Query box per dimension (eighths `box._1/8 .. box._2/8` of each span;
+    * default = the middle eighth) + the row-level `in_box` flag; expects
+    * `<tag>min`/`<tag>max` bounds columns already joined in. The box
+    * fraction is a parameter because a LOW-CARDINALITY dimension (5
+    * languages) makes the default eighth empty — the lang audit widens to
+    * a quarter so the box selects exactly one language.
     */
   private def withAuditBox(g0: org.apache.spark.sql.DataFrame,
-      dims: Seq[AuditDim]): org.apache.spark.sql.DataFrame = {
+      dims: Seq[AuditDim],
+      box: (Int, Int) = (2, 3)): org.apache.spark.sql.DataFrame = {
     val g = dims.foldLeft(g0) { case (df, AuditDim(_, t)) =>
-      df.withColumn(s"lo_$t", expr(s"${t}min + ((${t}max - ${t}min + 1) * 2) div 8"))
-        .withColumn(s"hi_$t", expr(s"${t}min + ((${t}max - ${t}min + 1) * 3) div 8 - 1"))
+      df.withColumn(s"lo_$t",
+          expr(s"${t}min + ((${t}max - ${t}min + 1) * ${box._1}) div 8"))
+        .withColumn(s"hi_$t",
+          expr(s"${t}min + ((${t}max - ${t}min + 1) * ${box._2}) div 8 - 1"))
     }
     g.withColumn("in_box",
       dims.map { case AuditDim(c, t) =>
@@ -585,12 +592,12 @@ object ScaleQueries {
 
   /** `lo_<t>`/`hi_<t>` select-list fragment — SQL twin of [[withAuditBox]]'s
     * box derivation (`//` floors like Spark's `div` on the non-negative
-    * spans here).
+    * spans here), same box-fraction parameter.
     */
-  private def boxBoundsSql(dims: Seq[AuditDim]): String =
+  private def boxBoundsSql(dims: Seq[AuditDim], box: (Int, Int) = (2, 3)): String =
     dims.map { case AuditDim(_, t) =>
-      s"""${t}min + ((${t}max - ${t}min + 1) * 2) // 8 AS lo_$t,
-         |         ${t}min + ((${t}max - ${t}min + 1) * 3) // 8 - 1 AS hi_$t""".stripMargin
+      s"""${t}min + ((${t}max - ${t}min + 1) * ${box._1}) // 8 AS lo_$t,
+         |         ${t}min + ((${t}max - ${t}min + 1) * ${box._2}) // 8 - 1 AS hi_$t""".stripMargin
     }.mkString(",\n         ")
 
   /** Row-in-box predicate — SQL twin of [[withAuditBox]]'s flag. */
@@ -693,11 +700,32 @@ object ScaleQueries {
     * [[graft.ops.Zorder.spread3_8]]; box/in-box/summary text from the
     * same shared builders as the 2-D twin.
     */
-  private val curve3SkipSql: String = {
+  // --- 3-D Hilbert (Skilling) SQL machinery, shared by both 3-D audits ---
+
+  private def sqlSpread3(c: String): String = {
+    val s1 = s"(($c | ($c << 8)) & 61455)"
+    val s2 = s"(($s1 | ($s1 << 4)) & 798915)"
+    s"(($s2 | ($s2 << 2)) & 2396745)"
+  }
+
+  private def sqlSpread2(c: String): String = {
+    val s1 = s"(($c | ($c << 4)) & 3855)"
+    val s2 = s"(($s1 | ($s1 << 2)) & 13107)"
+    s"(($s2 | ($s2 << 1)) & 21845)"
+  }
+
+  /** The Skilling transform unrolled as one CTE per (stage, axis) step —
+    * 7 stages x 3 axes of conditional invert/exchange — then the Gray
+    * encode, the parity correction, and the stride-3 interleave with the
+    * same masks as [[graft.ops.Zorder.spread3_8]]. Text runs from an
+    * `hb($pk, x0, x1, x2)` CTE to `h3($pk, f_h3)` (curve index >> 18);
+    * `pk` keys the re-join so ONE chain serves both 3-D audits.
+    */
+  private def skilling3Sql(pk: String): String = {
     def step(q: Int, i: Int): String = {
       val p = q - 1
       if (i == 0)
-        s"SELECT event_id, CASE WHEN (x0 & $q) <> 0 THEN xor(x0, $p) ELSE x0 END AS x0, x1, x2"
+        s"SELECT $pk, CASE WHEN (x0 & $q) <> 0 THEN xor(x0, $p) ELSE x0 END AS x0, x1, x2"
       else {
         val xi = s"x$i"
         val others = Seq("x1", "x2").map { c =>
@@ -705,7 +733,7 @@ object ScaleQueries {
             s"CASE WHEN ($xi & $q) <> 0 THEN $xi ELSE xor($xi, xor(x0, $xi) & $p) END AS $c"
           else c
         }.mkString(", ")
-        s"SELECT event_id, CASE WHEN ($xi & $q) <> 0 THEN xor(x0, $p) " +
+        s"SELECT $pk, CASE WHEN ($xi & $q) <> 0 THEN xor(x0, $p) " +
           s"ELSE xor(x0, xor(x0, $xi) & $p) END AS x0, " + others
       }
     }
@@ -720,16 +748,21 @@ object ScaleQueries {
     val tExpr = stages.foldLeft("0") { (acc, q) =>
       s"xor($acc, CASE WHEN (x2 & $q) <> 0 THEN ${q - 1} ELSE 0 END)"
     }
-    def spread3(c: String): String = {
-      val s1 = s"(($c | ($c << 8)) & 61455)"
-      val s2 = s"(($s1 | ($s1 << 4)) & 798915)"
-      s"(($s2 | ($s2 << 2)) & 2396745)"
-    }
-    def spread2(c: String): String = {
-      val s1 = s"(($c | ($c << 4)) & 3855)"
-      val s2 = s"(($s1 | ($s1 << 2)) & 13107)"
-      s"(($s2 | ($s2 << 1)) & 21845)"
-    }
+    s"""$chain,
+       |gray AS (SELECT $pk, x0, xor(x1, x0) AS x1, x2 FROM $prev),
+       |gray2 AS (SELECT $pk, x0, x1, xor(x2, x1) AS x2 FROM gray),
+       |fin AS (SELECT $pk, xor(x0, $tExpr) AS x0, xor(x1, $tExpr) AS x1,
+       |               xor(x2, $tExpr) AS x2 FROM gray2),
+       |h3 AS (SELECT $pk,
+       |              ((${sqlSpread3("x0")} << 2) | (${sqlSpread3("x1")} << 1) | ${sqlSpread3("x2")}) >> 18 AS f_h3
+       |       FROM fin)""".stripMargin
+  }
+
+  /** The SQL twin of [[curve3Skip]]; grid text is query-specific, the
+    * Skilling chain and box/in-box/summary text come from the shared
+    * builders.
+    */
+  private val curve3SkipSql: String =
     s"""WITH ev AS (
        |  SELECT event_id, user_id, epoch_us(ts) // 86400000000 AS day,
        |         CAST(floor(value * 1000) AS BIGINT) AS vmil
@@ -745,25 +778,92 @@ object ScaleQueries {
        |         ${boxBoundsSql(dims3)}
        |  FROM ev, b),
        |hb AS (SELECT event_id, xg AS x0, yg AS x1, zg AS x2 FROM grid),
-       |$chain,
-       |gray AS (SELECT event_id, x0, xor(x1, x0) AS x1, x2 FROM $prev),
-       |gray2 AS (SELECT event_id, x0, x1, xor(x2, x1) AS x2 FROM gray),
-       |fin AS (SELECT event_id, xor(x0, $tExpr) AS x0, xor(x1, $tExpr) AS x1,
-       |               xor(x2, $tExpr) AS x2 FROM gray2),
-       |h3 AS (SELECT event_id,
-       |              ((${spread3("x0")} << 2) | (${spread3("x1")} << 1) | ${spread3("x2")}) >> 18 AS f_h3
-       |       FROM fin),
+       |${skilling3Sql("event_id")},
        |z AS (
        |  SELECT g.user_id, g.day, g.vmil,
        |         g.lo_u, g.hi_u, g.lo_d, g.hi_d, g.lo_v, g.hi_v,
        |         h3.f_h3,
-       |         (${spread3("xg")} | (${spread3("yg")} << 1) | (${spread3("zg")} << 2)) >> 18 AS f_m3,
-       |         (${spread2("xg")} | (${spread2("yg")} << 1)) >> 10 AS f_z2,
+       |         (${sqlSpread3("xg")} | (${sqlSpread3("yg")} << 1) | (${sqlSpread3("zg")} << 2)) >> 18 AS f_m3,
+       |         (${sqlSpread2("xg")} | (${sqlSpread2("yg")} << 1)) >> 10 AS f_z2,
        |         xg >> 2 AS f_lin,
        |         CASE WHEN ${inBoxSql(dims3)} THEN 1 ELSE 0 END AS in_box
        |  FROM grid g JOIN h3 USING (event_id)),
        |${auditSqlTail(dims3, curve3Layouts)}""".stripMargin
+
+  /** The brief's named layout use case — (lang x time x length) document
+    * clustering — as a second instance of the SAME audit machinery, with
+    * the wrinkle the events audit cannot show: a CATEGORICAL dimension.
+    * lang enters the curve through a dictionary index (alphabetical rank
+    * over the 5-row distinct-lang dim, broadcast back — at 100 TB the
+    * dictionary stays dimension-sized, never a corpus sort). doc_id
+    * stands in for ingestion time, n_chars is the length. Box: the
+    * middle QUARTER of each span (with 5 languages the default eighth is
+    * EMPTY; the quarter selects exactly one language — the per-language
+    * consumer's selective read). Layouts: 3-D Hilbert vs the
+    * "ignore lang" 2-D time x length Z-order vs time-sorted 1-D
+    * (ingestion order — the layout a table has when nobody does layout
+    * work). The 2-D layout cannot prune the language dimension at all,
+    * so every language-selective read scans ~5x the rows it needs.
+    */
+  private val curve3LangDims =
+    Seq(AuditDim("lidx", "l"), AuditDim("doc_id", "t"), AuditDim("n_chars", "c"))
+
+  private val curve3LangLayouts =
+    Seq("f_h3" -> "hilbert3", "f_z2" -> "zorder2d_tc", "f_lin" -> "linear_time")
+
+  private val curve3LangSkip: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val langIdx = docs.select("lang").distinct()
+      .withColumn("lidx",
+        (row_number().over(Window.orderBy("lang")) - 1).cast("long"))
+    val ev = docs.join(broadcast(langIdx), "lang")
+      .select(col("doc_id"), col("lidx"), col("n_chars"))
+    val bounds = ev.agg(
+      min("lidx").as("lmin"), max("lidx").as("lmax"),
+      min("doc_id").as("tmin"), max("doc_id").as("tmax"),
+      min("n_chars").as("cmin"), max("n_chars").as("cmax"))
+    val g = withAuditBox(
+      ev.crossJoin(broadcast(bounds))
+        .withColumn("xg", graft.ops.Zorder.grid8(col("lidx"), col("lmin"), col("lmax")))
+        .withColumn("yg", graft.ops.Zorder.grid8(col("doc_id"), col("tmin"), col("tmax")))
+        .withColumn("zg", graft.ops.Zorder.grid8(col("n_chars"), col("cmin"), col("cmax")))
+        .withColumn("f_h3",
+          shiftright(graft.functions.Hilbert3Index(col("xg"), col("yg"), col("zg")), 18))
+        .withColumn("f_z2",
+          shiftright(graft.ops.Zorder.zvalue(col("yg"), col("zg")), 10))
+        .withColumn("f_lin", shiftright(col("yg"), 2)),
+      curve3LangDims, box = (2, 4))
+      .localCheckpoint()
+    auditSummary(g, curve3LangDims, curve3LangLayouts)
   }
+
+  private val curve3LangSkipSql: String =
+    s"""WITH lx AS (
+       |  SELECT lang, CAST(dense_rank() OVER (ORDER BY lang) - 1 AS BIGINT) AS lidx
+       |  FROM (SELECT DISTINCT lang FROM documents)),
+       |ev AS (SELECT d.doc_id, lx.lidx, d.n_chars
+       |       FROM documents d JOIN lx USING (lang)),
+       |b AS (SELECT min(lidx) AS lmin, max(lidx) AS lmax,
+       |             min(doc_id) AS tmin, max(doc_id) AS tmax,
+       |             min(n_chars) AS cmin, max(n_chars) AS cmax FROM ev),
+       |grid AS (
+       |  SELECT doc_id, lidx, n_chars,
+       |         ((lidx - lmin) * 256) // (lmax - lmin + 1) AS xg,
+       |         ((doc_id - tmin) * 256) // (tmax - tmin + 1) AS yg,
+       |         ((n_chars - cmin) * 256) // (cmax - cmin + 1) AS zg,
+       |         ${boxBoundsSql(curve3LangDims, (2, 4))}
+       |  FROM ev, b),
+       |hb AS (SELECT doc_id, xg AS x0, yg AS x1, zg AS x2 FROM grid),
+       |${skilling3Sql("doc_id")},
+       |z AS (
+       |  SELECT g.lidx, g.doc_id, g.n_chars,
+       |         g.lo_l, g.hi_l, g.lo_t, g.hi_t, g.lo_c, g.hi_c,
+       |         h3.f_h3,
+       |         (${sqlSpread2("yg")} | (${sqlSpread2("zg")} << 1)) >> 10 AS f_z2,
+       |         yg >> 2 AS f_lin,
+       |         CASE WHEN ${inBoxSql(curve3LangDims)} THEN 1 ELSE 0 END AS in_box
+       |  FROM grid g JOIN h3 USING (doc_id)),
+       |${auditSqlTail(curve3LangDims, curve3LangLayouts)}""".stripMargin
 
   private val zorderSkipSql =
     skipAuditSql(Seq("f_z" -> "zorder", "f_lin" -> "linear_user"))
@@ -773,6 +873,7 @@ object ScaleQueries {
 
   val entries: Seq[Entry] = Seq(
     Entry("q_curve3_skip", curve3Skip, Some(curve3SkipSql)),
+    Entry("q_curve3_lang_skip", curve3LangSkip, Some(curve3LangSkipSql)),
     Entry("q_hilbert_skip", hilbertSkip, Some(hilbertSkipSql)),
     Entry("q_containment_dup", containmentDup, Some(containmentDupSql)),
     Entry("q_fuzzy_match", fuzzyMatch, Some(fuzzyMatchSql)),

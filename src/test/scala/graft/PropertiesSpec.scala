@@ -134,7 +134,7 @@ class PropertiesSpec extends SparkSpec {
           "q_containment_dup", "q_chunk_dedup", "q_ann_pq", "q_zorder_skip",
           "q_hilbert_skip", "q_range_window", "q_fuzzy_match", "q_value_funcs",
           "q_curve3_skip", "q_grouping_sets", "ml_cluster_serve", "ml_tfidf_counts",
-          "q_sample_exact_k")
+          "q_sample_exact_k", "q_curve3_lang_skip")
         .map(q => q -> SparkEntry.queries(q)(spark, sfDir)
           .collect().map(_.toString).toSeq).toMap
     }

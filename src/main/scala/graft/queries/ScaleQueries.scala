@@ -600,6 +600,14 @@ object ScaleQueries {
          |         ${t}min + ((${t}max - ${t}min + 1) * ${box._2}) // 8 - 1 AS hi_$t""".stripMargin
     }.mkString(",\n         ")
 
+  /** One grid-normalization fragment — SQL twin of [[graft.ops.Zorder.grid8]]
+    * (`//` floors like `div`; bounds are data-derived so the clamp is an
+    * exact no-op, per grid8's scaladoc) — ONE definition for every twin's
+    * grid CTE.
+    */
+  private def gridSql(valCol: String, tag: String, out: String): String =
+    s"(($valCol - ${tag}min) * 256) // (${tag}max - ${tag}min + 1) AS $out"
+
   /** Row-in-box predicate — SQL twin of [[withAuditBox]]'s flag. */
   private def inBoxSql(dims: Seq[AuditDim]): String =
     dims.map { case AuditDim(c, t) => s"$c BETWEEN lo_$t AND hi_$t" }
@@ -675,8 +683,8 @@ object ScaleQueries {
        |             min(day) AS dmin, max(day) AS dmax FROM ev),
        |grid AS (
        |  SELECT user_id, day,
-       |         ((user_id - umin) * 256) // (umax - umin + 1) AS xg,
-       |         ((day - dmin) * 256) // (dmax - dmin + 1) AS yg,
+       |         ${gridSql("user_id", "u", "xg")},
+       |         ${gridSql("day", "d", "yg")},
        |         ${boxBoundsSql(dims2)}
        |  FROM ev, b),
        |sx1 AS (SELECT *, (xg | (xg << 4)) & 3855 AS xa, (yg | (yg << 4)) & 3855 AS ya FROM grid),
@@ -772,9 +780,9 @@ object ScaleQueries {
        |             min(vmil) AS vmin, max(vmil) AS vmax FROM ev),
        |grid AS (
        |  SELECT event_id, user_id, day, vmil,
-       |         ((user_id - umin) * 256) // (umax - umin + 1) AS xg,
-       |         ((day - dmin) * 256) // (dmax - dmin + 1) AS yg,
-       |         ((vmil - vmin) * 256) // (vmax - vmin + 1) AS zg,
+       |         ${gridSql("user_id", "u", "xg")},
+       |         ${gridSql("day", "d", "yg")},
+       |         ${gridSql("vmil", "v", "zg")},
        |         ${boxBoundsSql(dims3)}
        |  FROM ev, b),
        |hb AS (SELECT event_id, xg AS x0, yg AS x1, zg AS x2 FROM grid),
@@ -813,9 +821,11 @@ object ScaleQueries {
 
   private val curve3LangSkip: Q = (s, d) => {
     val docs = Tables.documents(s, d)
+    // dense_rank like the SQL twin (both rank a DISTINCT projection, so
+    // the functions agree; same function on both sides keeps it that way)
     val langIdx = docs.select("lang").distinct()
       .withColumn("lidx",
-        (row_number().over(Window.orderBy("lang")) - 1).cast("long"))
+        (dense_rank().over(Window.orderBy("lang")) - 1).cast("long"))
     val ev = docs.join(broadcast(langIdx), "lang")
       .select(col("doc_id"), col("lidx"), col("n_chars"))
     val bounds = ev.agg(
@@ -848,9 +858,9 @@ object ScaleQueries {
        |             min(n_chars) AS cmin, max(n_chars) AS cmax FROM ev),
        |grid AS (
        |  SELECT doc_id, lidx, n_chars,
-       |         ((lidx - lmin) * 256) // (lmax - lmin + 1) AS xg,
-       |         ((doc_id - tmin) * 256) // (tmax - tmin + 1) AS yg,
-       |         ((n_chars - cmin) * 256) // (cmax - cmin + 1) AS zg,
+       |         ${gridSql("lidx", "l", "xg")},
+       |         ${gridSql("doc_id", "t", "yg")},
+       |         ${gridSql("n_chars", "c", "zg")},
        |         ${boxBoundsSql(curve3LangDims, (2, 4))}
        |  FROM ev, b),
        |hb AS (SELECT doc_id, xg AS x0, yg AS x1, zg AS x2 FROM grid),

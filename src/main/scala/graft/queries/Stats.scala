@@ -430,7 +430,86 @@ object Stats {
       |         / 10000.0 AS outlier_frac
       |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Two-sample Kolmogorov–Smirnov drift statistic between the `value`
+    * distributions of two event types — the continuous-shape companion to
+    * `q_drift_chi2`'s categorical test (a pipeline runs both before
+    * admitting a new corpus slice: chi-squared catches mix shifts, KS
+    * catches feature-distribution drift the mix test can't see).
+    *
+    * Exact in integer arithmetic: D = max|F₁−F₂| is evaluated as
+    * max|cum₁·n₂ − cum₂·n₁| over the distinct-value grid — every grid
+    * point is one exact long — so the sole float op is the final division
+    * (single correctly-rounded IEEE op, identical cross-engine; the PMI
+    * rational precedent). Grouping by value first also removes tie-order
+    * ambiguity from the cumulative window.
+    *
+    * Scale shape: the heavy pass is the per-value conditional-count hash
+    * aggregate (partial+final, map-side combined); the cumulative window
+    * then runs over the compressed distinct-value domain, not the events.
+    * For a truly continuous 100 TB column the swap-in is a binned ECDF
+    * (floor-bucket the value before grouping), which caps the grid at the
+    * bin count and makes the statistic binned-KS — same query from the
+    * bucket column on. The pair list below drives BOTH engines, so the
+    * tested hypothesis cannot diverge between them.
+    */
+  private val ksPairs = Seq(("click", "view"), ("purchase", "error"))
+
+  private def ksPair(s: org.apache.spark.sql.SparkSession, d: String,
+      a: String, b: String): org.apache.spark.sql.DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val perValue = Tables.events(s, d)
+      .filter(col("event_type").isin(a, b))
+      .groupBy("value")
+      .agg(
+        sum(when(col("event_type") === a, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("event_type") === b, 1L).otherwise(0L)).as("cb"))
+    val cum = W.orderBy(asc("value"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val cums = perValue.select(
+      sum("ca").over(cum).as("cuma"),
+      sum("cb").over(cum).as("cumb"))
+    cums
+      .crossJoin(broadcast(cums.agg(max("cuma").as("n1"), max("cumb").as("n2"))))
+      .groupBy("n1", "n2")
+      .agg(max(abs(col("cuma") * col("n2") - col("cumb") * col("n1"))).as("ks_num"))
+      .select(
+        lit(a).as("side_a"), lit(b).as("side_b"),
+        col("n1"), col("n2"), col("ks_num"),
+        Num.round4(col("ks_num").cast("double") /
+          (col("n1") * col("n2")).cast("double")).as("ks_d"))
+  }
+
+  private val driftKsQ: Q = (s, d) =>
+    ksPairs.map { case (a, b) => ksPair(s, d, a, b) }
+      .reduce(_ unionByName _)
+      .orderBy("side_a")
+
+  private def ksPairSql(a: String, b: String): String =
+    s"""SELECT '$a' AS side_a, '$b' AS side_b, n1, n2,
+       |       CAST(max(abs(cuma*n2 - cumb*n1)) AS BIGINT) AS ks_num,
+       |       floor(CAST(max(abs(cuma*n2 - cumb*n1)) AS DOUBLE)
+       |             / CAST(n1*n2 AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS ks_d
+       |FROM (
+       |  -- CAST: DuckDB window SUM(BIGINT) yields HUGEINT → float64 in the
+       |  -- pandas compare while Spark writes int64 (the r03/r04 dtype trap).
+       |  SELECT CAST(SUM(ca) OVER (ORDER BY value
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cuma,
+       |         CAST(SUM(cb) OVER (ORDER BY value
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumb
+       |  FROM (SELECT value,
+       |               CAST(SUM(CASE WHEN event_type = '$a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+       |               CAST(SUM(CASE WHEN event_type = '$b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+       |        FROM events WHERE event_type IN ('$a', '$b') GROUP BY value)),
+       |     (SELECT CAST(count(*) AS BIGINT) AS n1 FROM events WHERE event_type = '$a'),
+       |     (SELECT CAST(count(*) AS BIGINT) AS n2 FROM events WHERE event_type = '$b')
+       |GROUP BY n1, n2""".stripMargin
+
+  private val driftKsSql =
+    ksPairs.map { case (a, b) => ksPairSql(a, b) }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY side_a")
+
   val entries: Seq[Entry] = Seq(
+    Entry("q_drift_ks", driftKsQ, Some(driftKsSql)),
     Entry("q_outlier_mad", outlierMadQ, Some(outlierMadSql)),
     Entry("q_asof_join", asofJoinQ, Some(asofJoinSql)),
     Entry("q_profile", profileQ, Some(profileSql)),

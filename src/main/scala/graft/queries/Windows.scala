@@ -304,7 +304,81 @@ object Windows {
       |      FROM events)
       |WHERE rn <= 5 ORDER BY event_type, rn""".stripMargin
 
+  /** SCD2 history materialization from an event changelog — the warehouse
+    * operation that turns "every observation of a user's tier" into
+    * versioned validity intervals: consecutive observations of the SAME
+    * tier are compressed away, each surviving change opens an interval
+    * `[valid_from, valid_to)` that the NEXT change closes, and the open
+    * row carries the conventional 9999-12-31 sentinel (no NULLs — a
+    * nullable int64 column decays to float64 in pandas-side compares,
+    * the r03/r04 dtype lesson). A training pipeline uses exactly this to
+    * ask "which tier was this user in when the example was generated"
+    * via an as-of/range join against `valid_from_us ≤ t < valid_to_us`
+    * (the join itself is `q_asof_join`/`q_range_join`).
+    *
+    * Scale shape: ONE shuffle total. All three window passes (change
+    * detection, versioning, interval close) share the same partitioning
+    * and ordering, so Catalyst plans a single Exchange(user_id) + Sort
+    * with the windows and the compression filter stacked on top — the
+    * filter between them preserves partitioning. State per key is one
+    * row of look-back (lag/lead), never the user's history.
+    *
+    * The tier formula and the open-end sentinel are shared constants
+    * driving BOTH engines, so the change predicate cannot diverge.
+    */
+  private val scd2Lo = 20.0
+  private val scd2Hi = 60.0
+  private val scd2OpenEndUs = 253402300799000000L // 9999-12-31T23:59:59Z, micros
+
+  private def scd2Tier = // Column twin of scd2TierSql
+    when(col("value") < scd2Lo, lit("low"))
+      .when(col("value") < scd2Hi, lit("mid"))
+      .otherwise(lit("high"))
+
+  private def scd2TierSql =
+    s"CASE WHEN value < $scd2Lo THEN 'low' WHEN value < $scd2Hi THEN 'mid' ELSE 'high' END"
+
+  private val scd2Q: Q = (s, d) => {
+    val byUser = Window.partitionBy("user_id").orderBy(asc("us"), asc("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), scd2Tier.as("tier"))
+      .withColumn("prev", lag(col("tier"), 1).over(byUser))
+      .filter(col("prev").isNull || col("prev") =!= col("tier"))
+      .drop("prev")
+      .withColumn("version", row_number().over(byUser))
+      .withColumn("valid_to_us",
+        coalesce(lead(col("us"), 1).over(byUser), lit(scd2OpenEndUs)))
+      .select(col("user_id"), col("version"), col("tier"),
+        col("us").as("valid_from_us"), col("valid_to_us"),
+        (col("valid_to_us") === lit(scd2OpenEndUs)).cast("int").as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  private def scd2Sql =
+    s"""WITH t AS (
+       |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
+       |         $scd2TierSql AS tier
+       |  FROM events),
+       |c AS (
+       |  SELECT user_id, event_id, us, tier,
+       |         lag(tier, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+       |  FROM t),
+       |k AS (SELECT user_id, event_id, us, tier FROM c
+       |      WHERE prev IS NULL OR prev <> tier),
+       |h AS (
+       |  SELECT user_id,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS version,
+       |         tier, us AS valid_from_us,
+       |         coalesce(lead(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id),
+       |                  $scd2OpenEndUs) AS valid_to_us
+       |  FROM k)
+       |SELECT user_id, version, tier, valid_from_us, valid_to_us,
+       |       CAST(valid_to_us = $scd2OpenEndUs AS INT) AS is_current
+       |FROM h ORDER BY user_id, version""".stripMargin
+
   val entries: Seq[Entry] = Seq(
+    Entry("q_scd2_history", scd2Q, Some(scd2Sql)),
     Entry("q_topk_global", topkGlobal, Some(topkGlobalSql)),
     Entry("q_topn_per_group", topnPerGroup, Some(topnPerGroupSql)),
     Entry("q_topk_heap", topkHeap, Some(topkHeapSql)),

@@ -134,7 +134,7 @@ class PropertiesSpec extends SparkSpec {
           "q_containment_dup", "q_chunk_dedup", "q_ann_pq", "q_zorder_skip",
           "q_hilbert_skip", "q_range_window", "q_fuzzy_match", "q_value_funcs",
           "q_curve3_skip", "q_grouping_sets", "ml_cluster_serve", "ml_tfidf_counts",
-          "q_sample_exact_k", "q_curve3_lang_skip")
+          "q_sample_exact_k", "q_curve3_lang_skip", "q_drift_ks", "q_scd2_history")
         .map(q => q -> SparkEntry.queries(q)(spark, sfDir)
           .collect().map(_.toString).toSeq).toMap
     }
@@ -144,6 +144,41 @@ class PropertiesSpec extends SparkSpec {
       for (q <- a.keySet)
         assert(a(q) === b(q), s"$q differs across partition counts")
     } finally spark.conf.set(key, before)
+  }
+
+  test("q_scd2_history: versioned intervals match a plain-Scala changelog fold") {
+    val openEnd = 253402300799000000L
+    // Independent reference: replay every user's observations in order,
+    // compress consecutive equal tiers, and tile validity intervals.
+    val obs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def tier(v: Double) = if (v < 20) "low" else if (v < 60) "mid" else "high"
+    val expect = obs.groupBy(_._1).toSeq.flatMap { case (uid, rs) =>
+      val ordered = rs.sortBy(r => (r._3, r._2)).map(r => (r._3, tier(r._4)))
+      val changes = ordered.foldLeft(Vector.empty[(Long, String)]) {
+        case (acc, (us, t)) =>
+          if (acc.nonEmpty && acc.last._2 == t) acc else acc :+ (us -> t)
+      }
+      changes.zipWithIndex.map { case ((us, t), i) =>
+        val to = if (i + 1 < changes.length) changes(i + 1)._1 else openEnd
+        (uid, i + 1, t, us, to, if (to == openEnd) 1 else 0)
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("q_scd2_history")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getInt(5))).toSeq
+    assert(got === expect, "SCD2 history diverges from the reference fold")
+    // Structural invariants a consumer relies on: exactly one open row per
+    // user, contiguous tiling, and no uncompressed (no-op) versions.
+    for ((uid, rows) <- got.groupBy(_._1)) {
+      assert(rows.count(_._6 == 1) === 1, s"user $uid open-row count")
+      for (Seq(a, b) <- rows.sortBy(_._2).sliding(2).toSeq if rows.size > 1) {
+        assert(a._5 === b._4, s"user $uid: interval gap between versions")
+        assert(a._3 !== b._3, s"user $uid: consecutive versions share a tier")
+      }
+    }
   }
 
   test("sketch twins stay within their error bounds vs the exact queries") {

@@ -32,6 +32,28 @@ class SplitDriftSpec extends SparkSpec {
     assert(summary.map(_.getAs[Long]("n_docs")).sum === corpus.count())
   }
 
+  test("q_drift_ks: integer KS statistic matches a brute-force ECDF walk") {
+    val ev = graft.tables.Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    def ks(a: String, b: String): (Long, Long, Long) = {
+      val va = ev.collect { case (t, v) if t == a => v }
+      val vb = ev.collect { case (t, v) if t == b => v }
+      val n1 = va.length.toLong
+      val n2 = vb.length.toLong
+      val d = (va ++ vb).distinct
+        .map(g => math.abs(va.count(_ <= g) * n2 - vb.count(_ <= g) * n1))
+        .max
+      (n1, n2, d)
+    }
+    val rows = Registry.queries("q_drift_ks")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n1"), r.getAs[Long]("n2"), r.getAs[Long]("ks_num"))).toMap
+    assert(rows.keySet === Set("click" -> "view", "purchase" -> "error"))
+    for (((a, b), got) <- rows)
+      assert(got === ks(a, b), s"KS($a,$b) disagrees with the brute-force walk")
+  }
+
   test("q_drift_chi2: the planted German re-crawl dominates the drift report") {
     val rows = Registry.queries("q_drift_chi2")(spark, sfDir).collect()
       .map(r => r.getString(0) ->

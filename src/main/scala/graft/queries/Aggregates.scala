@@ -271,7 +271,41 @@ object Aggregates {
       |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Equi-width numeric histogram of event values — the profiling
+    * primitive behind data-quality dashboards and the binned-ECDF grid
+    * that `q_drift_ks`'s 100 TB swap-in builds on. Bin index is exact
+    * integer arithmetic on both engines (`floor(value/width)` — one IEEE
+    * division + floor, then integer clamp into `[0, nbins-1]`, so the
+    * top bin doubles as the overflow bin; the shared constants below
+    * drive both engines). ONE partial+final hash aggregate on a key of
+    * bounded cardinality; the pct window then runs over ≤ nbins rows —
+    * constant-size state however large the input.
+    */
+  private val histWidth = 25.0
+  private val histMaxBin = 19L // [0, 19]; bin 19 also catches overflow
+
+  private val histogramQ: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(least(lit(histMaxBin),
+        greatest(lit(0L), floor(col("value") / lit(histWidth)))).as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("bin"), (col("bin") * lit(histWidth)).as("bin_lo"),
+        ((col("bin") + lit(1L)) * lit(histWidth)).as("bin_hi"), col("cnt"),
+        round(col("cnt") * lit(100.0) / sum("cnt").over(Window.partitionBy()), 2)
+          .as("pct"))
+      .orderBy("bin")
+
+  private val histogramSql =
+    s"""SELECT bin, bin * $histWidth AS bin_lo, (bin + 1) * $histWidth AS bin_hi,
+       |       count(*) AS cnt,
+       |       round(count(*) * CAST(100.0 AS DOUBLE) / SUM(count(*)) OVER (), 2) AS pct
+       |FROM (SELECT least($histMaxBin, greatest(0, CAST(floor(value / $histWidth) AS BIGINT))) AS bin
+       |      FROM events)
+       |GROUP BY bin ORDER BY bin""".stripMargin
+
   val entries: Seq[Entry] = Seq(
+    Entry("q_histogram", histogramQ, Some(histogramSql)),
     Entry("q1_agg", q1Agg, Some(q1AggSql)),
     Entry("q_salted_agg", saltedAgg, Some(saltedAggSql)),
     Entry("q_count_distinct", countDistinctQ, Some(countDistinctSql)),

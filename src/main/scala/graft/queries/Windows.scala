@@ -338,7 +338,10 @@ object Windows {
   private def scd2TierSql =
     s"CASE WHEN value < $scd2Lo THEN 'low' WHEN value < $scd2Hi THEN 'mid' ELSE 'high' END"
 
-  private val scd2Q: Q = (s, d) => {
+  /** The production history frame — ONE definition consumed by the
+    * registry query below AND the point-in-time join ([[scd2AsofQ]]). */
+  private[graft] def scd2History(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(asc("us"), asc("event_id"))
     Tables.events(s, d)
       .select(col("user_id"), col("event_id"),
@@ -352,11 +355,16 @@ object Windows {
       .select(col("user_id"), col("version"), col("tier"),
         col("us").as("valid_from_us"), col("valid_to_us"),
         (col("valid_to_us") === lit(scd2OpenEndUs)).cast("int").as("is_current"))
-      .orderBy("user_id", "version")
   }
 
-  private def scd2Sql =
-    s"""WITH t AS (
+  private val scd2Q: Q = (s, d) =>
+    scd2History(s, d).orderBy("user_id", "version")
+
+  /** The SQL twin of [[scd2History]] as a WITH-clause body (`scd2` is the
+    * final relation) — shared by both oracles so the two engines' history
+    * definitions cannot diverge from each other either. */
+  private def scd2HistoryCteSql =
+    s"""t AS (
        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
        |         $scd2TierSql AS tier
        |  FROM events),
@@ -366,19 +374,66 @@ object Windows {
        |  FROM t),
        |k AS (SELECT user_id, event_id, us, tier FROM c
        |      WHERE prev IS NULL OR prev <> tier),
-       |h AS (
+       |scd2 AS (
        |  SELECT user_id,
        |         row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS version,
        |         tier, us AS valid_from_us,
        |         coalesce(lead(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id),
        |                  $scd2OpenEndUs) AS valid_to_us
-       |  FROM k)
+       |  FROM k)""".stripMargin
+
+  private def scd2Sql =
+    s"""WITH $scd2HistoryCteSql
        |SELECT user_id, version, tier, valid_from_us, valid_to_us,
        |       CAST(valid_to_us = $scd2OpenEndUs AS INT) AS is_current
-       |FROM h ORDER BY user_id, version""".stripMargin
+       |FROM scd2 ORDER BY user_id, version""".stripMargin
+
+  /** Point-in-time (as-of) consumption of the SCD2 dimension: attribute
+    * every event to the tier its user was in WHEN THE EVENT HAPPENED —
+    * the lookup that makes training features leakage-free (using today's
+    * tier for last month's example is temporal leakage; this join is how
+    * a pipeline avoids it). Semantics: equi-join on user_id plus the
+    * half-open interval predicate `valid_from ≤ t < valid_to`; because
+    * the intervals tile each user's timeline from their first observation,
+    * every event matches EXACTLY one version — asserted in the spec and
+    * visible in the oracle (count equals the events table).
+    *
+    * Scale shape: the equi key carries the join (one shuffle of each side
+    * on user_id — and the compressed history is orders of magnitude
+    * smaller than the fact side at corpus scale, so it broadcasts when it
+    * fits); the interval predicate rides along as a join residual, never
+    * a range-only join. The per-(tier, event_type) rollup is the usual
+    * partial+final hash aggregate with exact cent sums.
+    */
+  private val scd2AsofQ: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), Num.cents(col("value")).as("cents"))
+    val h = scd2History(s, d)
+      .select(col("user_id"), col("tier"), col("valid_from_us"), col("valid_to_us"))
+    ev.join(h,
+        ev("user_id") === h("user_id") &&
+          h("valid_from_us") <= ev("us") && ev("us") < h("valid_to_us"))
+      .groupBy("tier", "event_type")
+      .agg(count(lit(1)).as("n"), Num.dollars(sum(col("cents"))).as("sum_value"))
+      .orderBy("tier", "event_type")
+  }
+
+  private def scd2AsofSql =
+    s"""WITH $scd2HistoryCteSql
+       |SELECT h.tier, e.event_type, count(*) AS n,
+       |       CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+       |FROM (SELECT user_id, epoch_ns(ts) // 1000 AS us, event_type, value
+       |      FROM events) e
+       |JOIN scd2 h
+       |  ON e.user_id = h.user_id
+       | AND h.valid_from_us <= e.us AND e.us < h.valid_to_us
+       |GROUP BY h.tier, e.event_type
+       |ORDER BY h.tier, e.event_type""".stripMargin
 
   val entries: Seq[Entry] = Seq(
     Entry("q_scd2_history", scd2Q, Some(scd2Sql)),
+    Entry("q_scd2_asof", scd2AsofQ, Some(scd2AsofSql)),
     Entry("q_topk_global", topkGlobal, Some(topkGlobalSql)),
     Entry("q_topn_per_group", topnPerGroup, Some(topnPerGroupSql)),
     Entry("q_topk_heap", topkHeap, Some(topkHeapSql)),

@@ -134,7 +134,8 @@ class PropertiesSpec extends SparkSpec {
           "q_containment_dup", "q_chunk_dedup", "q_ann_pq", "q_zorder_skip",
           "q_hilbert_skip", "q_range_window", "q_fuzzy_match", "q_value_funcs",
           "q_curve3_skip", "q_grouping_sets", "ml_cluster_serve", "ml_tfidf_counts",
-          "q_sample_exact_k", "q_curve3_lang_skip", "q_drift_ks", "q_scd2_history")
+          "q_sample_exact_k", "q_curve3_lang_skip", "q_drift_ks", "q_scd2_history",
+          "q_scd2_asof", "q_histogram")
         .map(q => q -> SparkEntry.queries(q)(spark, sfDir)
           .collect().map(_.toString).toSeq).toMap
     }
@@ -179,6 +180,51 @@ class PropertiesSpec extends SparkSpec {
         assert(a._3 !== b._3, s"user $uid: consecutive versions share a tier")
       }
     }
+  }
+
+  test("q_scd2_asof: every event attributed to exactly one interval, correctly") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("value"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))
+    def tier(v: Double) = if (v < 20) "low" else if (v < 60) "mid" else "high"
+    // Reference: per user, the tier AT time t is the tier of the latest
+    // change at-or-before t (interval lookup — robust even if two events
+    // shared a micro-timestamp, which the tier(value)-of-the-row shortcut
+    // would not be).
+    val changes = ev.groupBy(_._1).view.mapValues { rs =>
+      rs.sortBy(r => (r._3, r._2)).map(r => (r._3, r._2, tier(r._4)))
+        .foldLeft(Vector.empty[(Long, Long, String)]) { case (acc, c) =>
+          if (acc.nonEmpty && acc.last._3 == c._3) acc else acc :+ c
+        }
+    }.toMap
+    val expect = ev
+      .map { case (uid, _, us, v, tpe) =>
+        val t = changes(uid).takeWhile(c => c._1 <= us).last._3
+        ((t, tpe), math.round(v * 100))
+      }
+      .groupBy(_._1).view
+      .mapValues(xs => (xs.length.toLong, xs.map(_._2).sum / 100.0)).toMap
+    val got = SparkEntry.queries("q_scd2_asof")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toMap
+    assert(got.values.map(_._1).sum === ev.length.toLong,
+      "as-of join must attribute every event exactly once")
+    assert(got === expect, "point-in-time attribution diverges from the reference")
+  }
+
+  test("q_histogram: bins match a plain-Scala clamp-and-count") {
+    val vals = Tables.events(spark, sfDir).select(col("value")).collect()
+      .map(_.getDouble(0))
+    val expect = vals.map(v => math.min(19L, math.max(0L, math.floor(v / 25.0).toLong)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = SparkEntry.queries("q_histogram")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getAs[Long]("cnt"))).toMap
+    assert(got.view.mapValues(_._3).toMap === expect)
+    for ((bin, (lo, hi, _)) <- got) {
+      assert(lo === bin * 25.0 && hi === (bin + 1) * 25.0, s"bin $bin edges")
+    }
+    assert(got.values.map(_._3).sum === vals.length.toLong)
   }
 
   test("sketch twins stay within their error bounds vs the exact queries") {

@@ -334,7 +334,81 @@ object Relational {
       |       regexp_extract('[''' || p_brand || ''']', '''([^'']+)''', 1) AS artist_id
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  /** MERGE / upsert — the delta-ingest state transition (the Delta
+    * Lake / Iceberg `MERGE INTO` primitive) expressed as a pure relational
+    * query with action accounting: a deterministic delta batch (updates,
+    * tombstones, brand-new rows) is applied to the documents snapshot via
+    * ONE full-outer join on the key, and each row is classified
+    * insert / update / delete / unchanged exactly the way `WHEN [NOT]
+    * MATCHED` clauses decide it — by target-side existence at join time,
+    * not by a flag the delta producer guessed. The output is the audit
+    * a production merge emits: row count and char mass per action
+    * (delete reports the REMOVED rows' mass; the other three report
+    * post-merge state).
+    *
+    * Scale shape: one shuffle of each side on the key — and since a real
+    * ingest delta is orders of magnitude smaller than the snapshot, AQE
+    * broadcasts it and the snapshot never moves. The file-level twin
+    * (rewriting only files whose min/max envelopes intersect the delta —
+    * copy-on-write) is the [[graft.sources.Layout]] domain; this query is
+    * the engine-checked state math that rewrite must reproduce. The delta
+    * recipe constants below drive BOTH engines.
+    */
+  private val mergeUpdEvery = 7
+  private val mergeDelEvery = 13
+  private val mergeInsBelow = 20
+  private val mergeUpdBump = 1000L
+  private val mergeInsBump = 5L
+
+  private val mergeUpsert: Q = (s, d) => {
+    val snap = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    val delta =
+      snap.filter(col("doc_id") % mergeUpdEvery === 0 && col("doc_id") % mergeDelEvery =!= 0)
+        .select(col("doc_id"), (col("n_chars") + mergeUpdBump).as("new_chars"),
+          lit("upsert").as("op"))
+        .unionByName(snap.filter(col("doc_id") % mergeDelEvery === 0)
+          .select(col("doc_id"), lit(null).cast("long").as("new_chars"),
+            lit("delete").as("op")))
+        .unionByName(snap.filter(col("doc_id") < mergeInsBelow)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            (col("n_chars") + mergeInsBump).as("new_chars"), lit("upsert").as("op")))
+    snap.join(delta, Seq("doc_id"), "full_outer")
+      .select(
+        when(col("op") === "delete", lit("delete"))
+          .when(col("op") === "upsert" && col("n_chars").isNotNull, lit("update"))
+          .when(col("op") === "upsert", lit("insert"))
+          .otherwise(lit("unchanged")).as("action"),
+        when(col("op") === "upsert", col("new_chars"))
+          .otherwise(col("n_chars")).as("chars"))
+      .groupBy("action")
+      .agg(count(lit(1)).as("n"), sum("chars").as("sum_chars"))
+      .orderBy("action")
+  }
+
+  private val mergeUpsertSql =
+    s"""WITH delta AS (
+       |  SELECT doc_id, n_chars + $mergeUpdBump AS new_chars, 'upsert' AS op
+       |  FROM documents
+       |  WHERE doc_id % $mergeUpdEvery = 0 AND doc_id % $mergeDelEvery <> 0
+       |  UNION ALL
+       |  SELECT doc_id, CAST(NULL AS BIGINT), 'delete' FROM documents
+       |  WHERE doc_id % $mergeDelEvery = 0
+       |  UNION ALL
+       |  SELECT doc_id + 100000, n_chars + $mergeInsBump, 'upsert' FROM documents
+       |  WHERE doc_id < $mergeInsBelow)
+       |SELECT CASE WHEN op = 'delete' THEN 'delete'
+       |            WHEN op = 'upsert' AND s.n_chars IS NOT NULL THEN 'update'
+       |            WHEN op = 'upsert' THEN 'insert'
+       |            ELSE 'unchanged' END AS action,
+       |       count(*) AS n,
+       |       CAST(SUM(CASE WHEN op = 'upsert' THEN new_chars
+       |                     ELSE s.n_chars END) AS BIGINT) AS sum_chars
+       |FROM (SELECT doc_id, n_chars FROM documents) s
+       |FULL OUTER JOIN delta USING (doc_id)
+       |GROUP BY action ORDER BY action""".stripMargin
+
   val entries: Seq[Entry] = Seq(
+    Entry("q_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
     Entry("q_scan_project", scanProject, Some(scanProjectSql)),
     Entry("q_filter_pred", filterPred, Some(filterPredSql)),
     Entry("q_null_repair", nullRepair, Some(nullRepairSql)),

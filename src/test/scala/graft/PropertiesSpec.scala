@@ -135,7 +135,7 @@ class PropertiesSpec extends SparkSpec {
           "q_hilbert_skip", "q_range_window", "q_fuzzy_match", "q_value_funcs",
           "q_curve3_skip", "q_grouping_sets", "ml_cluster_serve", "ml_tfidf_counts",
           "q_sample_exact_k", "q_curve3_lang_skip", "q_drift_ks", "q_scd2_history",
-          "q_scd2_asof", "q_histogram")
+          "q_scd2_asof", "q_histogram", "q_merge_upsert")
         .map(q => q -> SparkEntry.queries(q)(spark, sfDir)
           .collect().map(_.toString).toSeq).toMap
     }
@@ -225,6 +225,39 @@ class PropertiesSpec extends SparkSpec {
       assert(lo === bin * 25.0 && hi === (bin + 1) * 25.0, s"bin $bin edges")
     }
     assert(got.values.map(_._3).sum === vals.length.toLong)
+  }
+
+  test("q_merge_upsert: action accounting matches a plain-Scala merge replay") {
+    val snap = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Independent replay of the delta recipe + MERGE decision table.
+    val upserts = snap.collect {
+      case (id, c) if id % 7 == 0 && id % 13 != 0 => id -> (c + 1000L)
+    } ++ snap.collect { case (id, c) if id < 20 => (id + 100000L) -> (c + 5L) }
+    val deletes = snap.keySet.filter(_ % 13 == 0)
+    val expect = Map(
+      "delete" -> (deletes.size.toLong, deletes.toSeq.map(snap).sum),
+      "update" -> {
+        val u = upserts.filter { case (id, _) => snap.contains(id) }
+        (u.size.toLong, u.values.sum)
+      },
+      "insert" -> {
+        val i = upserts.filter { case (id, _) => !snap.contains(id) }
+        (i.size.toLong, i.values.sum)
+      },
+      "unchanged" -> {
+        val untouched = snap.view
+          .filterKeys(id => !upserts.contains(id) && !deletes.contains(id))
+        (untouched.size.toLong, untouched.values.sum)
+      })
+    val got = SparkEntry.queries("q_merge_upsert")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n"), r.getAs[Long]("sum_chars"))).toMap
+    assert(got === expect, "merge action accounting diverges from the replay")
+    // Post-merge cardinality identity: |snap| - deletes + inserts.
+    assert(got("unchanged")._1 + got("update")._1 ===
+      snap.size.toLong - got("delete")._1,
+      "surviving snapshot rows must be exactly the non-deleted ones")
   }
 
   test("sketch twins stay within their error bounds vs the exact queries") {

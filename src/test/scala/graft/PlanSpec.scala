@@ -188,6 +188,42 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("SCD2 family: one data shuffle for the history, keyed join for the as-of") {
+    // q_scd2_history's three window passes share partitioning+ordering, so
+    // exactly ONE hashpartitioning exchange may appear — the second
+    // exchange is the presentation ORDER BY (rangepartitioning).
+    val h = plan("q_scd2_history")
+    assert("Exchange hashpartitioning".r.findAllMatchIn(h).size === 1,
+      s"history must stack all window passes on one user_id shuffle:\n$h")
+    assert("Exchange".r.findAllMatchIn(h).size <= 2,
+      s"only the user_id shuffle + presentation sort may exchange:\n$h")
+    // The as-of join must ride the user_id equi key (hash or sort-merge —
+    // AQE's size call), with the interval predicate as a residual — never
+    // a nested-loop/cartesian pair scan.
+    val a = plan("q_scd2_asof")
+    assert(!a.contains("BroadcastNestedLoopJoin") && !a.contains("CartesianProduct"),
+      s"interval predicate must be a residual on the equi join:\n$a")
+    assert(a.contains("HashJoin") || a.contains("SortMergeJoin"),
+      s"as-of must join on the user_id equi key:\n$a")
+  }
+
+  test("drift/profile statistics aggregate before any single-partition pass") {
+    // q_drift_ks: the per-pair type filter reaches the scan, and the
+    // cumulative window's input is the post-aggregation distinct-value
+    // domain (partial+final on value), never the raw events.
+    val k = plan("q_drift_ks")
+    assert(k.contains("PushedFilters: [In(event_type"),
+      s"pair filter must prune the scan:\n$k")
+    assert("partial_sum".r.findAllMatchIn(k).nonEmpty,
+      s"per-value counts must map-side combine before the ECDF window:\n$k")
+    // q_histogram / q_merge_upsert: hash aggregates only, no sort-based
+    // fallback, no cartesian.
+    val hg = plan("q_histogram")
+    assert(!hg.contains("SortAggregate"), s"histogram must hash-aggregate:\n$hg")
+    val m = plan("q_merge_upsert")
+    assert(!m.contains("CartesianProduct"), s"merge must join on the key:\n$m")
+  }
+
   test("tiered-serving synthetic fallback broadcasts the catalog") {
     import org.apache.spark.sql.functions.col
     val reg = new graft.sources.ModelRegistry(

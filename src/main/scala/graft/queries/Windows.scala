@@ -431,9 +431,91 @@ object Windows {
        |GROUP BY h.tier, e.event_type
        |ORDER BY h.tier, e.event_type""".stripMargin
 
+  /** Calendar resampling with gap fill — the dense-grid builder behind
+    * per-entity time-series features: a user×day spine spanning the
+    * corpus's observed day range, daily activity left-joined onto it,
+    * missing days ZERO-filled for additive measures (count, exact cent
+    * sums → running totals stay exact), and the last observed categorical
+    * FORWARD-filled (`last(…, ignoreNulls)` over the day order; 'none'
+    * before first observation). Training pipelines need this shape
+    * because models read fixed-length windows, not sparse logs.
+    *
+    * Scale shape: the spine is |entities| × |days| — generated, never
+    * shuffled raw (day bounds arrive as a 1-row broadcast; `sequence`
+    * explodes map-side). The join is keyed (user_id, day) against the
+    * pre-aggregated daily rollup — the fact table collapses BEFORE the
+    * spine join, so the spine join's big side is |entities|×|days| rows
+    * of integers, not events. Fill windows partition per entity and
+    * carry one value of state. The user_id < 10 subset keeps the
+    * registry output bounded; the operator itself takes any entity set.
+    */
+  private val resampleFfillQ: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(
+      col("user_id"),
+      expr("unix_micros(ts) div 86400000000").as("day"),
+      Num.cents(col("value")).as("cents"),
+      col("event_type"))
+    val daily = ev.filter(col("user_id") < 10)
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n"), sum("cents").as("day_cents"),
+        max("event_type").as("seen_type"))
+    val bounds = ev.agg(min("day").as("lo"), max("day").as("hi"))
+    val spine = ev.select("user_id").filter(col("user_id") < 10).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("day"))
+    val w = Window.partitionBy("user_id").orderBy(asc("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("day_cents"), lit(0L)).as("day_cents"),
+        col("seen_type"))
+      .withColumn("cum_cents", sum("day_cents").over(w))
+      .withColumn("last_seen_type",
+        coalesce(last(col("seen_type"), ignoreNulls = true).over(w), lit("none")))
+      .select(col("user_id"), col("day"), col("n"),
+        Num.dollars(col("day_cents")).as("day_value"),
+        Num.dollars(col("cum_cents")).as("cum_value"),
+        col("last_seen_type"))
+      .orderBy("user_id", "day")
+  }
+
+  private val resampleFfillSql =
+    """WITH ev AS (
+      |  SELECT user_id, (epoch_ns(ts) // 1000) // 86400000000 AS day,
+      |         CAST(round(value * 100) AS BIGINT) AS cents, event_type
+      |  FROM events),
+      |daily AS (
+      |  SELECT user_id, day, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(SUM(cents) AS BIGINT) AS day_cents,
+      |         max(event_type) AS seen_type
+      |  FROM ev WHERE user_id < 10 GROUP BY user_id, day),
+      |days AS (SELECT unnest(generate_series((SELECT min(day) FROM ev),
+      |                                       (SELECT max(day) FROM ev))) AS day),
+      |u AS (SELECT DISTINCT user_id FROM ev WHERE user_id < 10),
+      |j AS (
+      |  SELECT s.user_id, s.day,
+      |         CAST(coalesce(d.n, 0) AS BIGINT) AS n,
+      |         CAST(coalesce(d.day_cents, 0) AS BIGINT) AS day_cents,
+      |         d.seen_type
+      |  FROM (SELECT user_id, day FROM u, days) s
+      |  LEFT JOIN daily d USING (user_id, day)),
+      |f AS (
+      |  SELECT user_id, day, n, day_cents,
+      |         CAST(SUM(day_cents) OVER (PARTITION BY user_id ORDER BY day
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents,
+      |         coalesce(last_value(seen_type IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY day
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 'none') AS last_seen_type
+      |  FROM j)
+      |SELECT user_id, day, n, CAST(day_cents AS DOUBLE) / 100.0 AS day_value,
+      |       CAST(cum_cents AS DOUBLE) / 100.0 AS cum_value, last_seen_type
+      |FROM f ORDER BY user_id, day""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q_scd2_history", scd2Q, Some(scd2Sql)),
     Entry("q_scd2_asof", scd2AsofQ, Some(scd2AsofSql)),
+    Entry("q_resample_ffill", resampleFfillQ, Some(resampleFfillSql)),
     Entry("q_topk_global", topkGlobal, Some(topkGlobalSql)),
     Entry("q_topn_per_group", topnPerGroup, Some(topnPerGroupSql)),
     Entry("q_topk_heap", topkHeap, Some(topkHeapSql)),

@@ -135,7 +135,7 @@ class PropertiesSpec extends SparkSpec {
           "q_hilbert_skip", "q_range_window", "q_fuzzy_match", "q_value_funcs",
           "q_curve3_skip", "q_grouping_sets", "ml_cluster_serve", "ml_tfidf_counts",
           "q_sample_exact_k", "q_curve3_lang_skip", "q_drift_ks", "q_scd2_history",
-          "q_scd2_asof", "q_histogram", "q_merge_upsert")
+          "q_scd2_asof", "q_histogram", "q_merge_upsert", "q_resample_ffill")
         .map(q => q -> SparkEntry.queries(q)(spark, sfDir)
           .collect().map(_.toString).toSeq).toMap
     }
@@ -258,6 +258,31 @@ class PropertiesSpec extends SparkSpec {
     assert(got("unchanged")._1 + got("update")._1 ===
       snap.size.toLong - got("delete")._1,
       "surviving snapshot rows must be exactly the non-deleted ones")
+  }
+
+  test("q_resample_ffill: dense grid matches a plain-Scala resample") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"),
+        col("value"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    val (lo, hi) = (ev.map(_._2).min, ev.map(_._2).max)
+    val sub = ev.filter(_._1 < 10)
+    val expect = sub.map(_._1).distinct.sorted.flatMap { uid =>
+      var cum = 0L
+      var seen = "none"
+      (lo to hi).map { day =>
+        val rows = sub.filter(r => r._1 == uid && r._2 == day)
+        val cents = rows.map(r => math.round(r._3 * 100)).sum
+        cum += cents
+        if (rows.nonEmpty) seen = rows.map(_._4).max
+        (uid, day, rows.length.toLong, cents / 100.0, cum / 100.0, seen)
+      }
+    }.toSeq
+    val got = SparkEntry.queries("q_resample_ffill")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getString(5))).toSeq
+    assert(got.length === expect.length, "grid must be |users| × |days|")
+    assert(got === expect, "resampled grid diverges from the reference replay")
   }
 
   test("sketch twins stay within their error bounds vs the exact queries") {

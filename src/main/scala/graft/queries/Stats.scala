@@ -508,7 +508,53 @@ object Stats {
     ksPairs.map { case (a, b) => ksPairSql(a, b) }
       .mkString("", "\nUNION ALL\n", "\nORDER BY side_a")
 
+  /** Cohort retention — the engagement-decay matrix: customers grouped by
+    * first-activity year (their cohort), counted in each later activity
+    * year, with retention as the fraction of the cohort's size at offset
+    * zero. The canonical "is the corpus/product keeping its contributors"
+    * analysis; over a training corpus the same query tracks source/domain
+    * survival across snapshot epochs.
+    *
+    * Scale shape: raw orders collapse to DISTINCT (customer, year)
+    * map-side first (partial hash aggregate — the only pass that sees
+    * the fact table); the cohort year is a per-customer window `min`, so
+    * no self-join; the final matrix aggregate and the retention window
+    * run over |customers×years| and |cohorts×offsets| rows respectively.
+    * The retention division is one IEEE op, floor-rounded explicitly.
+    */
+  private val cohortQ: Q = (s, d) => {
+    val W = org.apache.spark.sql.expressions.Window
+    val act = Tables.orders(s, d)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("y"))
+      .distinct()
+    val cohSize = W.partitionBy("cy").orderBy(asc("yoff"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    act
+      .withColumn("cy", min("y").over(W.partitionBy("o_custkey")))
+      .groupBy(col("cy"), (col("y") - col("cy")).as("yoff"))
+      .agg(count(lit(1)).as("n_cust"))
+      .withColumn("retention",
+        Num.round4(col("n_cust").cast("double") /
+          first(col("n_cust")).over(cohSize)))
+      .orderBy("cy", "yoff")
+  }
+
+  private val cohortSql =
+    """WITH act AS (
+      |  SELECT DISTINCT o_custkey, CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y
+      |  FROM orders),
+      |c AS (SELECT o_custkey, y, min(y) OVER (PARTITION BY o_custkey) AS cy FROM act),
+      |m AS (SELECT cy, y - cy AS yoff, CAST(count(*) AS BIGINT) AS n_cust
+      |      FROM c GROUP BY cy, y - cy)
+      |SELECT cy, yoff, n_cust,
+      |       floor(CAST(n_cust AS DOUBLE)
+      |             / first_value(n_cust) OVER (PARTITION BY cy ORDER BY yoff
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |             * 10000.0 + 0.5) / 10000.0 AS retention
+      |FROM m ORDER BY cy, yoff""".stripMargin
+
   val entries: Seq[Entry] = Seq(
+    Entry("q_cohort_retention", cohortQ, Some(cohortSql)),
     Entry("q_drift_ks", driftKsQ, Some(driftKsSql)),
     Entry("q_outlier_mad", outlierMadQ, Some(outlierMadSql)),
     Entry("q_asof_join", asofJoinQ, Some(asofJoinSql)),

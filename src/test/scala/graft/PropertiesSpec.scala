@@ -135,7 +135,8 @@ class PropertiesSpec extends SparkSpec {
           "q_hilbert_skip", "q_range_window", "q_fuzzy_match", "q_value_funcs",
           "q_curve3_skip", "q_grouping_sets", "ml_cluster_serve", "ml_tfidf_counts",
           "q_sample_exact_k", "q_curve3_lang_skip", "q_drift_ks", "q_scd2_history",
-          "q_scd2_asof", "q_histogram", "q_merge_upsert", "q_resample_ffill")
+          "q_scd2_asof", "q_histogram", "q_merge_upsert", "q_resample_ffill",
+          "q_cohort_retention")
         .map(q => q -> SparkEntry.queries(q)(spark, sfDir)
           .collect().map(_.toString).toSeq).toMap
     }
@@ -283,6 +284,27 @@ class PropertiesSpec extends SparkSpec {
         r.getDouble(3), r.getDouble(4), r.getString(5))).toSeq
     assert(got.length === expect.length, "grid must be |users| × |days|")
     assert(got === expect, "resampled grid diverges from the reference replay")
+  }
+
+  test("q_cohort_retention: matrix matches a plain-Scala cohort replay") {
+    val act = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("y")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).distinct
+    val cohort = act.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val expect = act.map { case (ck, y) => (cohort(ck), y - cohort(ck)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = SparkEntry.queries("q_cohort_retention")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getAs[Long]("n_cust"), r.getAs[Double]("retention"))).toMap
+    assert(got.view.mapValues(_._1).toMap === expect)
+    for (((cy, yoff), (n, ret)) <- got) {
+      if (yoff == 0) assert(ret === 1.0, s"cohort $cy must open at retention 1.0")
+      val base = got((cy, 0))._1
+      assert(math.abs(ret - math.floor(n.toDouble / base * 1e4 + 0.5) / 1e4) < 1e-12,
+        s"cohort $cy offset $yoff retention")
+    }
+    // Every customer appears in exactly one cohort's offset-0 cell.
+    assert(got.collect { case ((_, 0), (n, _)) => n }.sum === cohort.size.toLong)
   }
 
   test("sketch twins stay within their error bounds vs the exact queries") {

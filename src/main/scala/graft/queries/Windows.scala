@@ -512,7 +512,108 @@ object Windows {
       |       CAST(cum_cents AS DOUBLE) / 100.0 AS cum_value, last_seen_type
       |FROM f ORDER BY user_id, day""".stripMargin
 
+  /** Strictly-ordered conversion funnel — signup → click → purchase where
+    * each step must happen AFTER the previous one (an out-of-order click
+    * does not count), the semantics product-analytics "funnel" tools
+    * implement and a naive per-type min-timestamp join gets wrong.
+    * Steps are chained conditional window minima over ONE user partition:
+    * t1 = min(signup time), t2 = min(click time > t1), t3 = min(purchase
+    * time > t2) — each references the previous column, so Catalyst stacks
+    * all three Window operators on a single Exchange(user_id), and per-user
+    * state is three longs. The output is the funnel report: users entering
+    * each stage plus floor-rounded conversion fractions.
+    */
+  private val funnelStepsQ: Q = (s, d) => {
+    val w = Window.partitionBy("user_id")
+    val stepped = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("t1", min(when(col("event_type") === "signup", col("us"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "click" && col("us") > col("t1"),
+        col("us"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "purchase" && col("us") > col("t2"),
+        col("us"))).over(w))
+      .groupBy("user_id")
+      .agg(min("t1").as("t1"), min("t2").as("t2"), min("t3").as("t3"))
+    stepped.agg(
+        sum(col("t1").isNotNull.cast("long")).as("n_signup"),
+        sum(col("t2").isNotNull.cast("long")).as("n_click_after"),
+        sum(col("t3").isNotNull.cast("long")).as("n_purchase_after"))
+      .select(col("n_signup"), col("n_click_after"), col("n_purchase_after"),
+        Num.round4(col("n_click_after").cast("double") / col("n_signup"))
+          .as("conv_click"),
+        Num.round4(col("n_purchase_after").cast("double") / col("n_click_after"))
+          .as("conv_purchase"))
+  }
+
+  private val funnelStepsSql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+      |s1 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'signup' THEN us END)
+      |              OVER (PARTITION BY user_id) AS t1 FROM e),
+      |s2 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'click' AND us > t1 THEN us END)
+      |              OVER (PARTITION BY user_id) AS t2 FROM s1),
+      |s3 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'purchase' AND us > t2 THEN us END)
+      |              OVER (PARTITION BY user_id) AS t3 FROM s2),
+      |u AS (SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+      |      FROM s3 GROUP BY user_id),
+      |f AS (
+      |  SELECT CAST(SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+      |         CAST(SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click_after,
+      |         CAST(SUM(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_after
+      |  FROM u)
+      |SELECT n_signup, n_click_after, n_purchase_after,
+      |       floor(CAST(n_click_after AS DOUBLE) / n_signup * 10000.0 + 0.5) / 10000.0
+      |         AS conv_click,
+      |       floor(CAST(n_purchase_after AS DOUBLE) / n_click_after * 10000.0 + 0.5) / 10000.0
+      |         AS conv_purchase
+      |FROM f""".stripMargin
+
+  /** Event-transition (Markov) matrix — counts of consecutive event-type
+    * pairs per user timeline, with row-normalized probabilities: the
+    * first-order behavior model (and, over token streams, exactly the
+    * bigram transition table a corpus language model starts from).
+    * `lag` over the per-user time order rides the SAME single
+    * Exchange(user_id) shape as the other sequence operators; the pair
+    * aggregate then runs on |types|² keys.
+    */
+  private val transitionsQ: Q = (s, d) => {
+    val byUser = Window.partitionBy("user_id").orderBy(asc("us"), asc("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        Num.round4(col("n").cast("double") /
+          sum("n").over(Window.partitionBy("from_type"))))
+      .orderBy("from_type", "to_type")
+  }
+
+  private val transitionsSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us
+      |  FROM events),
+      |p AS (
+      |  SELECT event_type AS to_type,
+      |         lag(event_type, 1) OVER (PARTITION BY user_id
+      |                                  ORDER BY us, event_id) AS from_type
+      |  FROM e),
+      |m AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |      FROM p WHERE from_type IS NOT NULL GROUP BY from_type, to_type)
+      |SELECT from_type, to_type, n,
+      |       floor(CAST(n AS DOUBLE)
+      |             / CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+      |             * 10000.0 + 0.5) / 10000.0 AS p
+      |FROM m ORDER BY from_type, to_type""".stripMargin
+
   val entries: Seq[Entry] = Seq(
+    Entry("q_funnel_steps", funnelStepsQ, Some(funnelStepsSql)),
+    Entry("q_transitions", transitionsQ, Some(transitionsSql)),
     Entry("q_scd2_history", scd2Q, Some(scd2Sql)),
     Entry("q_scd2_asof", scd2AsofQ, Some(scd2AsofSql)),
     Entry("q_resample_ffill", resampleFfillQ, Some(resampleFfillSql)),

@@ -136,7 +136,7 @@ class PropertiesSpec extends SparkSpec {
           "q_curve3_skip", "q_grouping_sets", "ml_cluster_serve", "ml_tfidf_counts",
           "q_sample_exact_k", "q_curve3_lang_skip", "q_drift_ks", "q_scd2_history",
           "q_scd2_asof", "q_histogram", "q_merge_upsert", "q_resample_ffill",
-          "q_cohort_retention")
+          "q_cohort_retention", "q_funnel_steps", "q_transitions")
         .map(q => q -> SparkEntry.queries(q)(spark, sfDir)
           .collect().map(_.toString).toSeq).toMap
     }
@@ -305,6 +305,47 @@ class PropertiesSpec extends SparkSpec {
     }
     // Every customer appears in exactly one cohort's offset-0 cell.
     assert(got.collect { case ((_, 0), (n, _)) => n }.sum === cohort.size.toLong)
+  }
+
+  test("q_funnel_steps / q_transitions: sequence analytics match event replays") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // Funnel: strictly-ordered min timestamps per user.
+    val perUser = ev.groupBy(_._1).view.mapValues { rs =>
+      def stepMin(tpe: String, after: Option[Long]): Option[Long] = {
+        val c = rs.collect {
+          case (_, _, t, us) if t == tpe && after.forall(us > _) => us
+        }
+        if (c.isEmpty) None else Some(c.min)
+      }
+      val t1 = stepMin("signup", None)
+      val t2 = if (t1.isEmpty) None else stepMin("click", t1)
+      val t3 = if (t2.isEmpty) None else stepMin("purchase", t2)
+      (t1, t2, t3)
+    }.toMap
+    val f = SparkEntry.queries("q_funnel_steps")(spark, sfDir).collect().head
+    assert(f.getAs[Long]("n_signup") === perUser.values.count(_._1.nonEmpty).toLong)
+    assert(f.getAs[Long]("n_click_after") === perUser.values.count(_._2.nonEmpty).toLong)
+    assert(f.getAs[Long]("n_purchase_after") === perUser.values.count(_._3.nonEmpty).toLong)
+    assert(f.getAs[Long]("n_signup") >= f.getAs[Long]("n_click_after") &&
+      f.getAs[Long]("n_click_after") >= f.getAs[Long]("n_purchase_after"),
+      "funnel stages must be monotone non-increasing")
+    // Transitions: lag-pair counts and row-stochastic probabilities.
+    val pairs = ev.groupBy(_._1).values.flatMap { rs =>
+      val types = rs.sortBy(r => (r._4, r._2)).map(_._3).toSeq
+      types.zip(types.drop(1))
+    }.toSeq.groupBy(x => x).view.mapValues(_.length.toLong).toMap
+    val got = SparkEntry.queries("q_transitions")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("p"))).toMap
+    assert(got.view.mapValues(_._1).toMap === pairs)
+    for ((from, rows) <- got.groupBy(_._1._1)) {
+      val mass = rows.values.map(_._2).sum
+      assert(math.abs(mass - 1.0) < 1e-3 * rows.size,
+        s"transition row $from must be ~stochastic, got $mass")
+    }
   }
 
   test("sketch twins stay within their error bounds vs the exact queries") {

@@ -224,6 +224,22 @@ class PlanSpec extends SparkSpec {
     assert(!m.contains("CartesianProduct"), s"merge must join on the key:\n$m")
   }
 
+  test("sequence analytics stack their window passes on the user shuffle") {
+    // q_funnel_steps: three chained conditional minima + the per-user
+    // collapse all share hashpartitioning(user_id); the only other
+    // exchange is the final single-partition report row.
+    val f = plan("q_funnel_steps")
+    assert("Exchange hashpartitioning".r.findAllMatchIn(f).size === 1,
+      s"funnel steps must share one user_id shuffle:\n$f")
+    // q_transitions: the lag window rides one user shuffle; downstream
+    // exchanges only ever carry the |types|² matrix.
+    val t = plan("q_transitions")
+    assert(t.contains("Exchange hashpartitioning(user_id"),
+      s"transition pairs must form on the user_id partitioning:\n$t")
+    assert(!t.contains("CartesianProduct") && !t.contains("SortMergeJoin"),
+      s"no join belongs in the transition matrix:\n$t")
+  }
+
   test("tiered-serving synthetic fallback broadcasts the catalog") {
     import org.apache.spark.sql.functions.col
     val reg = new graft.sources.ModelRegistry(

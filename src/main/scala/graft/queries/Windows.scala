@@ -448,6 +448,14 @@ object Windows {
     * of integers, not events. Fill windows partition per entity and
     * carry one value of state. The user_id < 10 subset keeps the
     * registry output bounded; the operator itself takes any entity set.
+    *
+    * One honest caveat: `max(event_type)` aggregates a STRING, whose
+    * immutable buffer drops that one rollup from HashAggregate to
+    * SortAggregate. At 100 TB the categorical would be dictionary-coded
+    * (the engine's StringIndexer, `ml_string_indexer`) and the rollup
+    * maxes the integer code inside whole-stage codegen — same query
+    * from the code column on; kept as the string here so the registry
+    * output stays self-describing.
     */
   private val resampleFfillQ: Q = (s, d) => {
     val ev = Tables.events(s, d).select(

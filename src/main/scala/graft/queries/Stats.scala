@@ -454,10 +454,12 @@ object Stats {
     */
   private val ksPairs = Seq(("click", "view"), ("purchase", "error"))
 
-  private def ksPair(s: org.apache.spark.sql.SparkSession, d: String,
+  /** The KS pipeline over ANY (event_type, value) frame — package-visible
+    * so the generative spec drives the PRODUCTION path, not a replica. */
+  private[graft] def ksPairOf(ev: org.apache.spark.sql.DataFrame,
       a: String, b: String): org.apache.spark.sql.DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
-    val perValue = Tables.events(s, d)
+    val perValue = ev
       .filter(col("event_type").isin(a, b))
       .groupBy("value")
       .agg(
@@ -480,7 +482,9 @@ object Stats {
   }
 
   private val driftKsQ: Q = (s, d) =>
-    ksPairs.map { case (a, b) => ksPair(s, d, a, b) }
+    ksPairs.map { case (a, b) =>
+      ksPairOf(Tables.events(s, d).select(col("event_type"), col("value")), a, b)
+    }
       .reduce(_ unionByName _)
       .orderBy("side_a")
 

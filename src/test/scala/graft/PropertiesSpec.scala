@@ -148,6 +148,28 @@ class PropertiesSpec extends SparkSpec {
     } finally spark.conf.set(key, before)
   }
 
+  test("generative: KS pipeline equals brute force on arbitrary samples") {
+    // Drives the PRODUCTION ksPairOf pipeline (not a replica) over random
+    // integer-valued samples — heavy ties and lopsided sizes included,
+    // which the real-data test can't systematically produce.
+    import spark.implicits._
+    val sample = Gen.chooseNum(1, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 8).map(_.toDouble)))
+    check(Prop.forAll(sample, sample) { (xs, ys) =>
+      val ev = (xs.map(("a", _)) ++ ys.map(("b", _)))
+        .toDF("event_type", "value")
+      val r = graft.queries.Stats.ksPairOf(ev, "a", "b").collect().head
+      val grid = (xs ++ ys).distinct
+      val expect = grid
+        .map(g => math.abs(xs.count(_ <= g).toLong * ys.length -
+          ys.count(_ <= g).toLong * xs.length))
+        .max
+      r.getAs[Long]("n1") == xs.length.toLong &&
+        r.getAs[Long]("n2") == ys.length.toLong &&
+        r.getAs[Long]("ks_num") == expect
+    })
+  }
+
   test("q_scd2_history: versioned intervals match a plain-Scala changelog fold") {
     val openEnd = 253402300799000000L
     // Independent reference: replay every user's observations in order,

@@ -631,6 +631,39 @@ class StreamSpec extends SparkSpec {
     }
   }
 
+  test("live transition pairs equal the batch Markov matrix (one-row-per-user state)") {
+    import spark.implicits._
+    import graft.stream.Transitions
+    import graft.stream.Transitions.TEvent
+    // Global (ts, event_id) sort → a split preserves per-user time order
+    // ACROSS batches; each batch is then seeded-shuffled so the spec
+    // also proves the state machine re-sorts WITHIN a batch.
+    val rows = Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "event_type", "ts").as[TEvent]
+      .collect().toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    val (h, t) = rows.splitAt(rows.size / 2)
+    val rnd = new scala.util.Random(7)
+    val ms = MemoryStream[TEvent](implicitly[Encoder[TEvent]], spark.sqlContext)
+    val sink = s"transitions_${System.identityHashCode(this)}"
+    val q = Transitions.pairs(ms.toDS())
+      .writeStream.outputMode("append").format("memory").queryName(sink).start()
+    try {
+      ms.addData(rnd.shuffle(h)); q.processAllAvailable()
+      ms.addData(rnd.shuffle(t)); q.processAllAvailable()
+    } finally q.stop()
+    val live = spark.table(sink)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+    val batch = SparkEntry.queries("q_transitions")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+    assert(live === batch,
+      "streaming transition counts must equal the oracle-checked batch matrix")
+    // Cardinality: every event except each user's first contributes one pair.
+    val nUsers = rows.map(_.user_id).distinct.size.toLong
+    assert(live.values.sum === rows.size.toLong - nUsers,
+      "one pair per event beyond each user's first")
+  }
+
   test("live MAD outlier flags equal the batch audit's counts (train offline, apply in flight)") {
     import spark.implicits._
     import graft.stream.Quality

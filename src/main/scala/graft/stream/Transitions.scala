@@ -1,7 +1,5 @@
 package graft.stream
 
-import java.sql.Timestamp
-
 import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -26,8 +24,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Transitions {
 
+  /** `us` is epoch MICROS (`unix_micros(ts)`), computed by the caller in
+    * the engine's column space — `Timestamp.getTime` is millis, and
+    * ordering by millis would silently diverge from the batch twin's
+    * micro-precision (us, event_id) order whenever two events share a
+    * millisecond (the `\s`-vs-`\x0B` class of latent divergence).
+    */
   final case class TEvent(
-      user_id: Long, event_id: Long, event_type: String, ts: Timestamp)
+      user_id: Long, event_id: Long, event_type: String, us: Long)
   final case class LastSeen(us: Long, event_id: Long, event_type: String)
   final case class Transition(user_id: Long, from_type: String, to_type: String)
 
@@ -43,12 +47,12 @@ object Transitions {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, incoming: Iterator[TEvent], state: GroupState[LastSeen]) =>
-          val batch = incoming.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+          val batch = incoming.toArray.sortBy(e => (e.us, e.event_id))
           var last = state.getOption
           val out = Array.newBuilder[Transition]
           batch.foreach { e =>
             last.foreach(l => out += Transition(uid, l.event_type, e.event_type))
-            last = Some(LastSeen(e.ts.getTime * 1000L, e.event_id, e.event_type))
+            last = Some(LastSeen(e.us, e.event_id, e.event_type))
           }
           last.foreach(state.update)
           out.result().iterator

@@ -639,8 +639,9 @@ class StreamSpec extends SparkSpec {
     // ACROSS batches; each batch is then seeded-shuffled so the spec
     // also proves the state machine re-sorts WITHIN a batch.
     val rows = Tables.events(spark, sfDir)
-      .select("user_id", "event_id", "event_type", "ts").as[TEvent]
-      .collect().toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).as[TEvent]
+      .collect().toSeq.sortBy(e => (e.us, e.event_id))
     val (h, t) = rows.splitAt(rows.size / 2)
     val rnd = new scala.util.Random(7)
     val ms = MemoryStream[TEvent](implicitly[Encoder[TEvent]], spark.sqlContext)

@@ -665,6 +665,37 @@ class StreamSpec extends SparkSpec {
       "one pair per event beyond each user's first")
   }
 
+  test("live funnel milestones equal the batch conditional-minimum funnel") {
+    import spark.implicits._
+    import graft.stream.Funnel
+    import graft.stream.Funnel.FEvent
+    val rows = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).as[FEvent]
+      .collect().toSeq.sortBy(e => (e.us, e.event_id))
+    val (h, t) = rows.splitAt(rows.size / 2)
+    val rnd = new scala.util.Random(11)
+    val ms = MemoryStream[FEvent](implicitly[Encoder[FEvent]], spark.sqlContext)
+    val sink = s"funnel_${System.identityHashCode(this)}"
+    val q = Funnel.milestones(ms.toDS())
+      .writeStream.outputMode("append").format("memory").queryName(sink).start()
+    try {
+      ms.addData(rnd.shuffle(h)); q.processAllAvailable()
+      ms.addData(rnd.shuffle(t)); q.processAllAvailable()
+    } finally q.stop()
+    val live = spark.table(sink).groupBy("stage")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[Int]("stage") -> r.getAs[Long]("n")).toMap
+    val b = SparkEntry.queries("q_funnel_steps")(spark, sfDir).collect().head
+    assert(live.getOrElse(1, 0L) === b.getAs[Long]("n_signup"))
+    assert(live.getOrElse(2, 0L) === b.getAs[Long]("n_click_after"))
+    assert(live.getOrElse(3, 0L) === b.getAs[Long]("n_purchase_after"))
+    // Exactly-once milestones: no (user, stage) pair may be emitted twice.
+    val dup = spark.table(sink).groupBy("user_id", "stage")
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1).count()
+    assert(dup === 0L, "a funnel milestone was emitted more than once")
+  }
+
   test("live MAD outlier flags equal the batch audit's counts (train offline, apply in flight)") {
     import spark.implicits._
     import graft.stream.Quality

@@ -70,4 +70,33 @@ object Ingest {
 
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
+
+  /** Raw text-line corpus scan — one row per line (`value: string`), the
+    * shape web-crawl text dumps arrive in before any schema exists. The
+    * text source is splittable for uncompressed/splittable codecs, so a
+    * 100 TB dump parallelizes by HDFS/object-store block, and the first
+    * engine pass (fingerprint, language-ID, quality score — all row-local
+    * in [[graft.queries.LlmQueries]]) runs directly on it with no staging
+    * hop. `wholetext = true` flips to one row per FILE for corpora whose
+    * document boundary is the file (one task per file — only for
+    * many-small-file layouts, never multi-GB files).
+    */
+  def textLines(spark: SparkSession, path: String,
+      wholeFilePerRow: Boolean = false): DataFrame =
+    spark.read.option("wholetext", wholeFilePerRow.toString).text(path)
+
+  /** Binary-file scan for the multimodal story: `format("binaryFile")`
+    * yields (path, modificationTime, length, content) — how image/audio
+    * blobs enter the engine before [[graft.llm.Multimodal]]'s decode /
+    * resize / frame-sample stages take the `content` column. A
+    * `pathGlobFilter` keeps the listing to the intended modality, and the
+    * per-row payload rides the same opaque-binary contract the multimodal
+    * operators already test. The source is NOT splittable (one file = one
+    * row) — the parallel unit is the file, which is the correct grain for
+    * media objects.
+    */
+  def binaryFiles(spark: SparkSession, path: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
 }

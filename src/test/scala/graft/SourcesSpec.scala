@@ -90,6 +90,40 @@ class SourcesSpec extends SparkSpec {
     assert(back.collect().toSeq === out.collect().toSeq)
   }
 
+  test("text-line and whole-file corpus scans read raw dumps; lines stay splittable") {
+    val dir = tmp("graft-textsrc")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.txt"),
+      "doc one line one\ndoc one line two\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.txt"),
+      "doc two\n".getBytes("UTF-8"))
+    val lines = Ingest.textLines(spark, dir)
+    assert(lines.columns.toSeq === Seq("value"))
+    assert(lines.count() === 3)
+    val whole = Ingest.textLines(spark, dir, wholeFilePerRow = true)
+    assert(whole.count() === 2, "wholetext must yield one row per file")
+    assert(whole.collect().map(_.getString(0)).exists(_.contains("line two")),
+      "file content must arrive intact")
+  }
+
+  test("binary-file scan feeds the multimodal decode stage unchanged") {
+    import org.apache.spark.sql.functions._
+    val dir = tmp("graft-binsrc")
+    val payload = Array.tabulate[Byte](300)(i => (i % 251).toByte)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "img0.bin"), payload)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "skip.txt"),
+      "not media".getBytes("UTF-8"))
+    val bins = graft.sources.Ingest.binaryFiles(spark, dir, glob = "*.bin")
+    assert(bins.count() === 1, "pathGlobFilter must exclude the .txt")
+    val row = bins.select("length", "content").collect().head
+    assert(row.getLong(0) === 300L)
+    // The content column rides straight into the multimodal decode stub.
+    val feats = graft.llm.Multimodal.decodeFeatures(spark,
+      bins.select(lit(0L).as("doc_id"), col("content").as("payload"))).collect().head
+    assert(feats.getAs[Long]("n_bytes") === 300L)
+    assert(feats.getAs[Long]("head_sum") ===
+      payload.take(8).map(b => (b & 0xff).toLong).sum)
+  }
+
   test("Export.writeSharded: partition-dir layout matches q_shard_assign; manifest audits the files") {
     import graft.sources.Export
     import graft.ops.Hashing

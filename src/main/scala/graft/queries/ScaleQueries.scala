@@ -881,7 +881,53 @@ object ScaleQueries {
   private val hilbertSkipSql = skipAuditSql(
     Seq("f_h" -> "hilbert", "f_z" -> "zorder", "f_lin" -> "linear_user"))
 
+  // ------------------------------------------------------------- rolling actives
+
+  /** Rolling 7-day distinct actives (DAU / DAU7) — deliberately NOT the
+    * textbook range join. `spine ⋈ daily ON day BETWEEN d-6 AND d` tests
+    * every (user, day) row against every spine day — O(|daily|·|days|),
+    * a broadcast-nested-loop that dies at a decade of days over billions
+    * of user-days. The linear plan: each DISTINCT (user, day) row
+    * CONTRIBUTES to exactly 7 window days, so explode it into
+    * `sequence(day, day+6)` map-side and hash-aggregate
+    * `count(DISTINCT user)` per window day — O(7·|daily|), no joins on
+    * the big side at all (the semi join that trims phantom trailing days
+    * broadcasts the tiny day spine). At the next scale step the exact
+    * distinct swaps for an HLL sketch union per day — sketches merge, so
+    * the same explode-contributions shape holds (`q_count_distinct_approx`
+    * is the engine's sketch precedent).
+    */
+  private val rollingDau: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val days = daily.select("day").distinct()
+    val dau = daily.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    val dau7 = daily
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("day"))
+      .join(broadcast(days), Seq("day"), "left_semi")
+      .groupBy("day").agg(countDistinct("user_id").as("dau7"))
+    dau.join(dau7, Seq("day")).orderBy("day")
+  }
+
+  private val rollingDauSql =
+    """WITH daily AS (
+      |  SELECT DISTINCT user_id, (epoch_ns(ts) // 1000) // 86400000000 AS day
+      |  FROM events),
+      |days AS (SELECT DISTINCT day FROM daily),
+      |expanded AS (
+      |  SELECT d.user_id, d.day + o.off AS day
+      |  FROM daily d, (SELECT unnest(generate_series(0, 6)) AS off) o),
+      |r AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau7
+      |      FROM expanded WHERE day IN (SELECT day FROM days) GROUP BY day),
+      |s AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      |      FROM daily GROUP BY day)
+      |SELECT s.day, s.dau, r.dau7 FROM s JOIN r USING (day) ORDER BY day""".stripMargin
+
   val entries: Seq[Entry] = Seq(
+    Entry("q_rolling_dau", rollingDau, Some(rollingDauSql)),
     Entry("q_curve3_skip", curve3Skip, Some(curve3SkipSql)),
     Entry("q_curve3_lang_skip", curve3LangSkip, Some(curve3LangSkipSql)),
     Entry("q_hilbert_skip", hilbertSkip, Some(hilbertSkipSql)),

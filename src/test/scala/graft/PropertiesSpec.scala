@@ -136,7 +136,7 @@ class PropertiesSpec extends SparkSpec {
           "q_curve3_skip", "q_grouping_sets", "ml_cluster_serve", "ml_tfidf_counts",
           "q_sample_exact_k", "q_curve3_lang_skip", "q_drift_ks", "q_scd2_history",
           "q_scd2_asof", "q_histogram", "q_merge_upsert", "q_resample_ffill",
-          "q_cohort_retention", "q_funnel_steps", "q_transitions")
+          "q_cohort_retention", "q_funnel_steps", "q_transitions", "q_rolling_dau")
         .map(q => q -> SparkEntry.queries(q)(spark, sfDir)
           .collect().map(_.toString).toSeq).toMap
     }
@@ -368,6 +368,23 @@ class PropertiesSpec extends SparkSpec {
       assert(math.abs(mass - 1.0) < 1e-3 * rows.size,
         s"transition row $from must be ~stochastic, got $mass")
     }
+  }
+
+  test("q_rolling_dau: explode-contributions plan equals a brute-force window scan") {
+    val daily = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val days = daily.map(_._2).distinct.sorted
+    val expect = days.map { d =>
+      d -> (daily.collect { case (u, dd) if dd == d => u }.distinct.length.toLong,
+        daily.collect { case (u, dd) if dd >= d - 6 && dd <= d => u }
+          .distinct.length.toLong)
+    }.toMap
+    val got = SparkEntry.queries("q_rolling_dau")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("dau"), r.getAs[Long]("dau7"))).toMap
+    assert(got === expect, "rolling distinct actives diverge from the window scan")
+    for (d <- days) assert(got(d)._2 >= got(d)._1,
+      s"day $d: the 7-day window can never hold fewer actives than the day")
   }
 
   test("sketch twins stay within their error bounds vs the exact queries") {

@@ -557,7 +557,65 @@ object Stats {
       |             * 10000.0 + 0.5) / 10000.0 AS retention
       |FROM m ORDER BY cy, yoff""".stripMargin
 
+  /** Pareto / concentration deciles — customers ranked by revenue, cut
+    * into ntile(10) deciles, each reporting its head-count, exact-cent
+    * revenue mass, and the cumulative share of total revenue: the
+    * "how much of the mass comes from the top X%" audit. Over a corpus
+    * the identical query on (source, char mass) is the concentration
+    * check a curation policy reads before capping dominant sources.
+    *
+    * Scale shape: the fact collapses to one row per customer first
+    * (partial+final hash aggregate); the ranking window then orders
+    * |customers| aggregate rows — bounded and exact here. At
+    * billions of keys the swap-in is approx-percentile revenue
+    * boundaries (the engine's `q_percentiles_approx` sketch precedent)
+    * with a broadcast-bucket join, trading exact decile edges for a
+    * shuffle-free pass. All mass arithmetic is exact integer cents; the
+    * only division is the final share, floor-rounded in both engines.
+    * Ties rank deterministically (revenue DESC, custkey ASC).
+    */
+  private val paretoQ: Q = (s, d) => {
+    val W = org.apache.spark.sql.expressions.Window
+    val rev = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(sum(Num.cents(col("o_totalprice"))).as("rev_cents"))
+    val byRev = W.orderBy(desc("rev_cents"), asc("o_custkey"))
+    val cum = W.orderBy(asc("decile"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    rev
+      .withColumn("decile", ntile(10).over(byRev))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_cust"), sum("rev_cents").as("dec_cents"))
+      .crossJoin(broadcast(rev.agg(sum("rev_cents").as("tot_cents"))))
+      .select(col("decile"), col("n_cust"),
+        Num.dollars(col("dec_cents")).as("dec_rev"),
+        Num.round4(sum("dec_cents").over(cum).cast("double") /
+          col("tot_cents").cast("double")).as("cum_frac"))
+      .orderBy("decile")
+  }
+
+  private val paretoSql =
+    """WITH rev AS (
+      |  SELECT o_custkey,
+      |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      |  FROM orders GROUP BY o_custkey),
+      |dec AS (
+      |  SELECT rev_cents,
+      |         ntile(10) OVER (ORDER BY rev_cents DESC, o_custkey) AS decile
+      |  FROM rev),
+      |g AS (
+      |  SELECT decile, CAST(count(*) AS BIGINT) AS n_cust,
+      |         CAST(SUM(rev_cents) AS BIGINT) AS dec_cents
+      |  FROM dec GROUP BY decile),
+      |t AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS tot_cents FROM rev)
+      |SELECT decile, n_cust, CAST(dec_cents AS DOUBLE) / 100.0 AS dec_rev,
+      |       floor(CAST(SUM(dec_cents) OVER (ORDER BY decile
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |             / CAST(tot_cents AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS cum_frac
+      |FROM g, t ORDER BY decile""".stripMargin
+
   val entries: Seq[Entry] = Seq(
+    Entry("q_pareto", paretoQ, Some(paretoSql)),
     Entry("q_cohort_retention", cohortQ, Some(cohortSql)),
     Entry("q_drift_ks", driftKsQ, Some(driftKsSql)),
     Entry("q_outlier_mad", outlierMadQ, Some(outlierMadSql)),

@@ -136,7 +136,8 @@ class PropertiesSpec extends SparkSpec {
           "q_curve3_skip", "q_grouping_sets", "ml_cluster_serve", "ml_tfidf_counts",
           "q_sample_exact_k", "q_curve3_lang_skip", "q_drift_ks", "q_scd2_history",
           "q_scd2_asof", "q_histogram", "q_merge_upsert", "q_resample_ffill",
-          "q_cohort_retention", "q_funnel_steps", "q_transitions", "q_rolling_dau")
+          "q_cohort_retention", "q_funnel_steps", "q_transitions", "q_rolling_dau",
+          "q_pareto")
         .map(q => q -> SparkEntry.queries(q)(spark, sfDir)
           .collect().map(_.toString).toSeq).toMap
     }
@@ -385,6 +386,33 @@ class PropertiesSpec extends SparkSpec {
     assert(got === expect, "rolling distinct actives diverge from the window scan")
     for (d <- days) assert(got(d)._2 >= got(d)._1,
       s"day $d: the 7-day window can never hold fewer actives than the day")
+  }
+
+  test("q_pareto: decile masses match a plain-Scala rank-and-cut") {
+    val rev = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy { case (ck, c) => (-c, ck) }
+    // ntile semantics: first (n mod 10) tiles get the extra row.
+    val n = rev.size
+    val base = n / 10
+    val extra = n % 10
+    val sizes = (1 to 10).map(i => base + (if (i <= extra) 1 else 0))
+    val cuts = sizes.scanLeft(0)(_ + _)
+    val expect = (1 to 10).map { i =>
+      val slice = rev.slice(cuts(i - 1), cuts(i))
+      i -> (slice.size.toLong, slice.map(_._2).sum)
+    }.toMap
+    val got = SparkEntry.queries("q_pareto")(spark, sfDir).collect()
+      .map(r => r.getInt(0) ->
+        (r.getAs[Long]("n_cust"), math.round(r.getAs[Double]("dec_rev") * 100),
+          r.getAs[Double]("cum_frac"))).toMap
+    assert(got.view.mapValues(v => (v._1, v._2)).toMap === expect)
+    val fracs = (1 to 10).map(got(_)._3)
+    assert(fracs === fracs.sorted, "cumulative share must be monotone")
+    assert(math.abs(fracs.last - 1.0) < 1e-9, "last decile must close at 1.0")
+    assert(got(1)._3 > 0.1, "top decile must hold more than its uniform share")
   }
 
   test("sketch twins stay within their error bounds vs the exact queries") {

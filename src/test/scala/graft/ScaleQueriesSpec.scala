@@ -318,9 +318,19 @@ class ScaleQueriesSpec extends SparkSpec {
       val nDir = java.nio.file.Files.createTempDirectory("zcompact-naive").toString
       try {
         Layout.writeRangeSorted(spark.read.parquet(dir), "user_id", 16, nDir)
-        val (_, scanNaive) = scanned(nDir)
-        assert(scanComp <= scanNaive,
-          s"curve compaction ($scanComp rows) must beat 1-D compaction ($scanNaive)")
+        // Beat-comparison on a DAY-ONLY box: a user-sorted 1-D layout must
+        // scan every file for it (its day envelopes cover everything),
+        // while the curve keeps day locality — a structural win. (A box
+        // selective on BOTH dims sits near parity: the 1-D sort prunes
+        // its prefix dimension perfectly, and repartitionByRange's
+        // sampled boundaries make the residual margin run-dependent —
+        // the r8 flake this comment is the autopsy of.)
+        val dayBox = Seq("day" -> ((loD, hiD)))
+        val (_, _, compDay) = envelopeScan(cDir, dayBox)
+        val (_, _, naiveDay) = envelopeScan(nDir, dayBox)
+        assert(compDay < naiveDay,
+          s"curve compaction ($compDay rows) must beat 1-D compaction " +
+            s"($naiveDay) on the non-prefix dimension")
       } finally deleteRecursively(nDir)
     } finally Seq(dir, cDir).foreach(deleteRecursively)
   }

@@ -304,7 +304,47 @@ object Aggregates {
        |      FROM events)
        |GROUP BY bin ORDER BY bin""".stripMargin
 
+  /** Key-skew audit — the diagnostic that decides whether a key needs
+    * [[graft.ops.Salt]] before a groupBy/join ships to the cluster: the
+    * per-key row-count distribution (key count, max, mean, p50/p99) and
+    * the skew ratio max/mean. A ratio near 1 means uniform keys; a ratio
+    * of 10³ means one reducer gets the hot key's entire mass and the
+    * stage runs at the speed of that one task — the audit is cheap (one
+    * partial+final count per key, then stats over |keys| rows, not data)
+    * and is what a pipeline runs BEFORE the expensive job, per key
+    * column it plans to shuffle on.
+    */
+  private val skewAuditQ: Q = (s, d) => {
+    val sizes = Tables.events(s, d).groupBy("user_id")
+      .agg(count(lit(1)).as("n"))
+    sizes.agg(
+        count(lit(1)).as("n_keys"),
+        max("n").as("max_n"),
+        sum("n").as("total"),
+        round(expr("percentile(n, 0.5)"), 4).as("p50_n"),
+        round(expr("percentile(n, 0.99)"), 4).as("p99_n"))
+      .select(col("n_keys"), col("max_n"), col("p50_n"), col("p99_n"),
+        Num.round4(col("max_n").cast("double") *
+          col("n_keys").cast("double") / col("total").cast("double"))
+          .as("skew_ratio"))
+  }
+
+  private val skewAuditSql =
+    """WITH sizes AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id),
+      |a AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_keys, max(n) AS max_n,
+      |         CAST(SUM(n) AS BIGINT) AS total,
+      |         round(quantile_cont(n, 0.5), 4) AS p50_n,
+      |         round(quantile_cont(n, 0.99), 4) AS p99_n
+      |  FROM sizes)
+      |SELECT n_keys, max_n, p50_n, p99_n,
+      |       floor(CAST(max_n AS DOUBLE) * CAST(n_keys AS DOUBLE)
+      |             / CAST(total AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS skew_ratio
+      |FROM a""".stripMargin
+
   val entries: Seq[Entry] = Seq(
+    Entry("q_skew_audit", skewAuditQ, Some(skewAuditSql)),
     Entry("q_histogram", histogramQ, Some(histogramSql)),
     Entry("q1_agg", q1Agg, Some(q1AggSql)),
     Entry("q_salted_agg", saltedAgg, Some(saltedAggSql)),

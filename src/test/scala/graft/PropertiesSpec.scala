@@ -137,7 +137,7 @@ class PropertiesSpec extends SparkSpec {
           "q_sample_exact_k", "q_curve3_lang_skip", "q_drift_ks", "q_scd2_history",
           "q_scd2_asof", "q_histogram", "q_merge_upsert", "q_resample_ffill",
           "q_cohort_retention", "q_funnel_steps", "q_transitions", "q_rolling_dau",
-          "q_pareto")
+          "q_pareto", "q_skew_audit")
         .map(q => q -> SparkEntry.queries(q)(spark, sfDir)
           .collect().map(_.toString).toSeq).toMap
     }
@@ -413,6 +413,20 @@ class PropertiesSpec extends SparkSpec {
     assert(fracs === fracs.sorted, "cumulative share must be monotone")
     assert(math.abs(fracs.last - 1.0) < 1e-9, "last decile must close at 1.0")
     assert(got(1)._3 > 0.1, "top decile must hold more than its uniform share")
+  }
+
+  test("q_skew_audit: distribution stats match a plain-Scala key census") {
+    val sizes = Tables.events(spark, sfDir).select(col("user_id")).collect()
+      .groupBy(_.getLong(0)).values.map(_.length.toLong).toSeq.sorted
+    val r = SparkEntry.queries("q_skew_audit")(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_keys") === sizes.size.toLong)
+    assert(r.getAs[Long]("max_n") === sizes.max)
+    val mean = sizes.sum.toDouble / sizes.size
+    assert(math.abs(r.getAs[Double]("skew_ratio") -
+      math.floor(sizes.max / mean * 1e4 + 0.5) / 1e4) < 1e-12)
+    assert(r.getAs[Double]("skew_ratio") >= 1.0 - 1e-9,
+      "max can never sit below the mean")
+    assert(r.getAs[Double]("p50_n") <= r.getAs[Double]("p99_n"))
   }
 
   test("sketch twins stay within their error bounds vs the exact queries") {

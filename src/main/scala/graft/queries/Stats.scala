@@ -564,29 +564,70 @@ object Stats {
     * the identical query on (source, char mass) is the concentration
     * check a curation policy reads before capping dominant sources.
     *
-    * Scale shape: the fact collapses to one row per customer first
-    * (partial+final hash aggregate); the ranking window then orders
-    * |customers| aggregate rows — bounded and exact here. At
-    * billions of keys the swap-in is approx-percentile revenue
-    * boundaries (the engine's `q_percentiles_approx` sketch precedent)
-    * with a broadcast-bucket join, trading exact decile edges for a
-    * shuffle-free pass. All mass arithmetic is exact integer cents; the
-    * only division is the final share, floor-rounded in both engines.
-    * Ties rank deterministically (revenue DESC, custkey ASC).
+    * Scale shape — the DISTRIBUTED global rank (no single-partition
+    * window anywhere near the |keys|-sized input): the fact collapses to
+    * one row per customer (partial+final hash aggregate), then the rank
+    * runs as the classic two-pass decomposition —
+    *   1. every row gets a deterministic ORDER-PRESERVING range bucket
+    *      from the broadcast (lo, hi) revenue bounds: linear-in-value, so
+    *      higher revenue ⇒ never a later bucket and equal revenues share
+    *      a bucket (ties then break inside one partition on custkey);
+    *   2. per-bucket row counts (≤ [[paretoBuckets]] rows) turn into
+    *      exclusive prefix offsets — the only single-partition window in
+    *      the plan, over ≤ 64 rows regardless of input size;
+    *   3. global rank = broadcast offset + `row_number` partitioned BY
+    *      BUCKET — the |keys| rows shuffle once on the bucket key and
+    *      each partition sorts only its own range.
+    * The decile is then computed from the exact global rank with ntile's
+    * own fill rule (first n%10 buckets take ⌈n/10⌉ rows) in pure integer
+    * arithmetic, so the result is row-identical to the oracle's global
+    * `ntile(10)` while the plan survives 10⁹ keys. Value-linear buckets
+    * inherit the value distribution's shape; a pathologically clumped
+    * domain would range-partition on sampled boundaries instead — same
+    * offsets-then-local-rank math from step 2 on. All mass arithmetic is
+    * exact integer cents; the only division is the final share,
+    * floor-rounded in both engines. Ties rank deterministically
+    * (revenue DESC, custkey ASC).
     */
+  private val paretoBuckets = 64L
+
   private val paretoQ: Q = (s, d) => {
     val W = org.apache.spark.sql.expressions.Window
     val rev = Tables.orders(s, d)
       .groupBy("o_custkey")
       .agg(sum(Num.cents(col("o_totalprice"))).as("rev_cents"))
-    val byRev = W.orderBy(desc("rev_cents"), asc("o_custkey"))
+    val bounds = rev.agg(
+      min("rev_cents").as("lo"), max("rev_cents").as("hi"),
+      count(lit(1)).as("n"), sum("rev_cents").as("tot_cents"))
+    // step 1: order-preserving bucket (integer div — no float boundary).
+    val bucketed = rev.crossJoin(broadcast(bounds))
+      .withColumn("b", call_function("div",
+        (col("hi") - col("rev_cents")) * lit(paretoBuckets),
+        col("hi") - col("lo") + lit(1L)))
+    // step 2: exclusive prefix counts over ≤ paretoBuckets rows.
+    val offW = W.orderBy(asc("b")).rowsBetween(W.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("b").agg(count(lit(1)).as("bn"))
+      .select(col("b"), coalesce(sum("bn").over(offW), lit(0L)).as("off"))
+    // step 3: rank locally within each bucket's own partition.
+    val localW = W.partitionBy("b").orderBy(desc("rev_cents"), asc("o_custkey"))
+    val rnk = col("off") + row_number().over(localW)
+    // ntile(10) from the exact rank: base = n/10, the first n%10 deciles
+    // hold base+1 rows (`head` rows in total), the rest hold base.
+    val base = call_function("div", col("n"), lit(10L))
+    val rem = col("n") % lit(10L)
+    val head = (base + lit(1L)) * rem
     val cum = W.orderBy(asc("decile"))
       .rowsBetween(W.unboundedPreceding, W.currentRow)
-    rev
-      .withColumn("decile", ntile(10).over(byRev))
+    bucketed.join(broadcast(offsets), Seq("b"))
+      .withColumn("rnk", rnk)
+      .withColumn("decile",
+        when(col("rnk") <= head,
+          call_function("div", col("rnk") - 1, base + lit(1L)) + lit(1L))
+          .otherwise(rem + call_function("div", col("rnk") - head - 1, base) + lit(1L))
+          .cast("int"))
       .groupBy("decile")
-      .agg(count(lit(1)).as("n_cust"), sum("rev_cents").as("dec_cents"))
-      .crossJoin(broadcast(rev.agg(sum("rev_cents").as("tot_cents"))))
+      .agg(count(lit(1)).as("n_cust"), sum("rev_cents").as("dec_cents"),
+        max("tot_cents").as("tot_cents"))
       .select(col("decile"), col("n_cust"),
         Num.dollars(col("dec_cents")).as("dec_rev"),
         Num.round4(sum("dec_cents").over(cum).cast("double") /

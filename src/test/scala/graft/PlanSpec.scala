@@ -224,6 +224,21 @@ class PlanSpec extends SparkSpec {
     assert(!m.contains("CartesianProduct"), s"merge must join on the key:\n$m")
   }
 
+  test("pareto deciles rank distributed: bucket-partitioned row_number, never a global ntile") {
+    // The global-rank-over-keys template (r8 verdict item 1): the |keys|
+    // ranking window must be PARTITIONED by the range bucket — a global
+    // ntile/row_number would funnel every key through one task at 10⁹
+    // keys. SinglePartition exchanges may only carry bounded aggregates
+    // (bucket counts ≤ 64, the 1-row bounds, the 10 decile rows).
+    val p = plan("q_pareto")
+    assert(!p.contains("ntile"), s"global ntile reappeared:\n$p")
+    val rankWindow = p.linesIterator.find(_.contains("row_number()"))
+    assert(rankWindow.exists(_.matches(""".*Window \[row_number\(\).*\], \[b#.*""")),
+      s"rank window must partition by the range bucket:\n$p")
+    assert(p.contains("Exchange hashpartitioning(b#"),
+      s"the |keys| rows must shuffle on the bucket key:\n$p")
+  }
+
   test("sequence analytics stack their window passes on the user shuffle") {
     // q_funnel_steps: three chained conditional minima + the per-user
     // collapse all share hashpartitioning(user_id); the only other

@@ -273,7 +273,7 @@ object Aggregates {
 
   /** Equi-width numeric histogram of event values — the profiling
     * primitive behind data-quality dashboards and the binned-ECDF grid
-    * that `q_drift_ks`'s 100 TB swap-in builds on. Bin index is exact
+    * the `q_drift_ks_binned` drift twin runs on. Bin index is exact
     * integer arithmetic on both engines (`floor(value/width)` — one IEEE
     * division + floor, then integer clamp into `[0, nbins-1]`, so the
     * top bin doubles as the overflow bin; the shared constants below
@@ -281,13 +281,22 @@ object Aggregates {
     * bounded cardinality; the pct window then runs over ≤ nbins rows —
     * constant-size state however large the input.
     */
-  private val histWidth = 25.0
-  private val histMaxBin = 19L // [0, 19]; bin 19 also catches overflow
+  private[graft] val histWidth = 25.0
+  private[graft] val histMaxBin = 19L // [0, 19]; bin 19 also catches overflow
+
+  /** The bin grid as ONE shared builder per engine — `q_histogram` and the
+    * binned-ECDF drift twin ([[Stats]] `q_drift_ks_binned`) both read these,
+    * so the grid that profiles a column and the grid that tests it for
+    * drift cannot diverge.
+    */
+  private[graft] def binCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    least(lit(histMaxBin), greatest(lit(0L), floor(c / lit(histWidth))))
+  private[graft] def binSql(e: String): String =
+    s"least($histMaxBin, greatest(0, CAST(floor($e / $histWidth) AS BIGINT)))"
 
   private val histogramQ: Q = (s, d) =>
     Tables.events(s, d)
-      .select(least(lit(histMaxBin),
-        greatest(lit(0L), floor(col("value") / lit(histWidth)))).as("bin"))
+      .select(binCol(col("value")).as("bin"))
       .groupBy("bin")
       .agg(count(lit(1)).as("cnt"))
       .select(col("bin"), (col("bin") * lit(histWidth)).as("bin_lo"),
@@ -300,7 +309,7 @@ object Aggregates {
     s"""SELECT bin, bin * $histWidth AS bin_lo, (bin + 1) * $histWidth AS bin_hi,
        |       count(*) AS cnt,
        |       round(count(*) * CAST(100.0 AS DOUBLE) / SUM(count(*)) OVER (), 2) AS pct
-       |FROM (SELECT least($histMaxBin, greatest(0, CAST(floor(value / $histWidth) AS BIGINT))) AS bin
+       |FROM (SELECT ${binSql("value")} AS bin
        |      FROM events)
        |GROUP BY bin ORDER BY bin""".stripMargin
 

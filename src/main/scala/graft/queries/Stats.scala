@@ -446,11 +446,11 @@ object Stats {
     * Scale shape: the heavy pass is the per-value conditional-count hash
     * aggregate (partial+final, map-side combined); the cumulative window
     * then runs over the compressed distinct-value domain, not the events.
-    * For a truly continuous 100 TB column the swap-in is a binned ECDF
-    * (floor-bucket the value before grouping), which caps the grid at the
-    * bin count and makes the statistic binned-KS — same query from the
-    * bucket column on. The pair list below drives BOTH engines, so the
-    * tested hypothesis cannot diverge between them.
+    * For a truly continuous 100 TB column the swap-in is the implemented
+    * binned twin [[driftKsBinnedQ]] (`q_drift_ks_binned`): floor-bucket
+    * the value onto the shared histogram grid before grouping, capping
+    * the ECDF domain at the bin count. The pair list below drives BOTH
+    * engines, so the tested hypothesis cannot diverge between them.
     */
   private val ksPairs = Seq(("click", "view"), ("purchase", "error"))
 
@@ -488,7 +488,32 @@ object Stats {
       .reduce(_ unionByName _)
       .orderBy("side_a")
 
-  private def ksPairSql(a: String, b: String): String =
+  /** Binned-ECDF KS — the 100 TB swap-in `q_drift_ks`'s scaladoc promises:
+    * the value is floor-bucketed onto the SHARED [[Aggregates.binCol]]
+    * histogram grid BEFORE the per-value aggregate, so the cumulative
+    * window runs over ≤ 20 bin rows however continuous (or adversarially
+    * high-cardinality) the column is — the single-partition ECDF pass is
+    * now constant-size by construction, not by the data's grace. From the
+    * bucket column on it is the IDENTICAL [[ksPairOf]] pipeline (exact
+    * integer cross-multiplication on bin counts), and the grid constants
+    * drive both engines through the one shared builder.
+    *
+    * Error contract (pinned by SplitDriftSpec on the fixture): the binned
+    * ECDFs agree with the exact ECDFs at every bin edge, so
+    * D_binned ≤ D_exact — coarsening can only miss a level crossing
+    * inside a bin — and the miss is bounded by a single bin's mass:
+    * D_exact ≤ D_binned + max_b max(p₁(b), p₂(b)). Tighten by adding
+    * bins; the exact statistic is the width→0 limit.
+    */
+  private val driftKsBinnedQ: Q = (s, d) =>
+    ksPairs.map { case (a, b) =>
+      ksPairOf(Tables.events(s, d).select(col("event_type"),
+        Aggregates.binCol(col("value")).as("value")), a, b)
+    }
+      .reduce(_ unionByName _)
+      .orderBy("side_a")
+
+  private def ksPairSql(a: String, b: String, rel: String = "events"): String =
     s"""SELECT '$a' AS side_a, '$b' AS side_b, n1, n2,
        |       CAST(max(abs(cuma*n2 - cumb*n1)) AS BIGINT) AS ks_num,
        |       floor(CAST(max(abs(cuma*n2 - cumb*n1)) AS DOUBLE)
@@ -503,13 +528,21 @@ object Stats {
        |  FROM (SELECT value,
        |               CAST(SUM(CASE WHEN event_type = '$a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
        |               CAST(SUM(CASE WHEN event_type = '$b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
-       |        FROM events WHERE event_type IN ('$a', '$b') GROUP BY value)),
+       |        FROM $rel WHERE event_type IN ('$a', '$b') GROUP BY value)),
        |     (SELECT CAST(count(*) AS BIGINT) AS n1 FROM events WHERE event_type = '$a'),
        |     (SELECT CAST(count(*) AS BIGINT) AS n2 FROM events WHERE event_type = '$b')
        |GROUP BY n1, n2""".stripMargin
 
   private val driftKsSql =
     ksPairs.map { case (a, b) => ksPairSql(a, b) }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY side_a")
+
+  // n1/n2 stay raw-event totals — binning reshapes the domain, not the mass.
+  private val driftKsBinnedSql =
+    ksPairs.map { case (a, b) =>
+      ksPairSql(a, b, rel = s"(SELECT event_type, ${Aggregates.binSql("value")}" +
+        " AS value FROM events)")
+    }
       .mkString("", "\nUNION ALL\n", "\nORDER BY side_a")
 
   /** Cohort retention — the engagement-decay matrix: customers grouped by
@@ -659,6 +692,7 @@ object Stats {
     Entry("q_pareto", paretoQ, Some(paretoSql)),
     Entry("q_cohort_retention", cohortQ, Some(cohortSql)),
     Entry("q_drift_ks", driftKsQ, Some(driftKsSql)),
+    Entry("q_drift_ks_binned", driftKsBinnedQ, Some(driftKsBinnedSql)),
     Entry("q_outlier_mad", outlierMadQ, Some(outlierMadSql)),
     Entry("q_asof_join", asofJoinQ, Some(asofJoinSql)),
     Entry("q_profile", profileQ, Some(profileSql)),

@@ -54,6 +54,34 @@ class SplitDriftSpec extends SparkSpec {
       assert(got === ks(a, b), s"KS($a,$b) disagrees with the brute-force walk")
   }
 
+  test("q_drift_ks_binned: exact at bin edges, off by at most one bin's mass") {
+    // The documented error contract of the 100 TB swap-in: the binned
+    // ECDF equals the exact ECDF at every bin edge, so (in exact integer
+    // cross-multiplied units, no rounding anywhere)
+    //   ks_binned ≤ ks_exact ≤ ks_binned + max_b max(c₁(b)·n₂, c₂(b)·n₁).
+    def collectKs(q: String) = Registry.queries(q)(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n1"), r.getAs[Long]("n2"), r.getAs[Long]("ks_num"))).toMap
+    val exact = collectKs("q_drift_ks")
+    val binned = collectKs("q_drift_ks_binned")
+    assert(binned.keySet === exact.keySet)
+    val binCounts = graft.tables.Tables.events(spark, sfDir)
+      .select(col("event_type"), graft.queries.Aggregates.binCol(col("value")).as("b"))
+      .groupBy("event_type", "b").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getAs[Long]("n")).toMap
+    for (((a, b), (n1e, n2e, kse)) <- exact) {
+      val (n1b, n2b, ksb) = binned((a, b))
+      assert((n1b, n2b) === ((n1e, n2e)), "binning must not change the mass totals")
+      assert(ksb <= kse, s"KS($a,$b): coarsening cannot raise the supremum")
+      val oneBin = (0L to graft.queries.Aggregates.histMaxBin).map { g =>
+        math.max(binCounts.getOrElse((a, g), 0L) * n2e,
+          binCounts.getOrElse((b, g), 0L) * n1e)
+      }.max
+      assert(kse <= ksb + oneBin,
+        s"KS($a,$b): exact $kse exceeds binned $ksb + one-bin bound $oneBin")
+    }
+  }
+
   test("q_drift_chi2: the planted German re-crawl dominates the drift report") {
     val rows = Registry.queries("q_drift_chi2")(spark, sfDir).collect()
       .map(r => r.getString(0) ->

@@ -895,7 +895,10 @@ object ScaleQueries {
     * broadcasts the tiny day spine). At the next scale step the exact
     * distinct swaps for an HLL sketch union per day — sketches merge, so
     * the same explode-contributions shape holds (`q_count_distinct_approx`
-    * is the engine's sketch precedent).
+    * is the engine's sketch precedent), now implemented as
+    * [[rollingDauApprox]] — and with mergeable sketches the rolling pass
+    * improves further: the union runs over per-DAY sketch rows, not
+    * exploded user-days.
     */
   private val rollingDau: Q = (s, d) => {
     val daily = Tables.events(s, d)
@@ -909,6 +912,34 @@ object ScaleQueries {
         explode(sequence(col("day"), col("day") + 6)).as("day"))
       .join(broadcast(days), Seq("day"), "left_semi")
       .groupBy("day").agg(countDistinct("user_id").as("dau7"))
+    dau.join(dau7, Seq("day")).orderBy("day")
+  }
+
+  /** HLL twin of [[rollingDau]] — the constant-memory shape the exact
+    * query's scaladoc promises for the next scale step, and structurally
+    * BETTER than exact-with-explode: DataSketches HLL sketches are
+    * mergeable, so the per-day `hll_sketch_agg(user_id)` (map-side
+    * combined, one bounded sketch per day — dedup happens inside the
+    * sketch, no (user, day) distinct shuffle at all) collapses the stream
+    * to |days| sketch rows FIRST, and the 7-day rolling union then
+    * explodes and re-aggregates |days|×7 sketch rows — independent of
+    * user count, where the exact plan explodes |user-days|×7. Estimates
+    * aren't cross-engine comparable (rows-only driver check); the gate is
+    * PropertiesSpec's relative-error bound against ◆ `q_rolling_dau`
+    * per day, the `q_count_distinct_approx` pattern.
+    */
+  private val rollingDauApprox: Q = (s, d) => {
+    val daySketch = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("day").agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val dau = daySketch.select(col("day"),
+      hll_sketch_estimate(col("sk")).as("dau_approx"))
+    val days = daySketch.select("day")
+    val dau7 = daySketch
+      .select(explode(sequence(col("day"), col("day") + 6)).as("day"), col("sk"))
+      .join(broadcast(days), Seq("day"), "left_semi")
+      .groupBy("day").agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("dau7_approx"))
     dau.join(dau7, Seq("day")).orderBy("day")
   }
 
@@ -928,6 +959,7 @@ object ScaleQueries {
 
   val entries: Seq[Entry] = Seq(
     Entry("q_rolling_dau", rollingDau, Some(rollingDauSql)),
+    Entry("q_rolling_dau_approx", rollingDauApprox, None),
     Entry("q_curve3_skip", curve3Skip, Some(curve3SkipSql)),
     Entry("q_curve3_lang_skip", curve3LangSkip, Some(curve3LangSkipSql)),
     Entry("q_hilbert_skip", hilbertSkip, Some(hilbertSkipSql)),

@@ -467,4 +467,23 @@ class PropertiesSpec extends SparkSpec {
       assert(exactC(k).getAs[Long]("n_orders") === approxC(k).getAs[Long]("n_orders"))
     }
   }
+
+  test("q_rolling_dau_approx tracks the exact rolling DAU within HLL error") {
+    // DataSketches HLL at the default lgConfigK=12 has rsd ≈ 1.6%; assert
+    // 10% per day (>5 sigma — no flake risk, catches a wrong-column or
+    // wrong-window regression immediately). Day alignment must be exact:
+    // the sketch twin may approximate counts, never the calendar.
+    val byDay = (q: String) => SparkEntry.queries(q)(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.get(1).toString.toDouble, r.get(2).toString.toDouble))
+      .toMap
+    val exact = byDay("q_rolling_dau")
+    val approx = byDay("q_rolling_dau_approx")
+    assert(approx.keySet === exact.keySet, "sketch twin dropped/invented days")
+    for ((day, (dau, dau7)) <- exact) {
+      val (da, d7a) = approx(day)
+      assert(math.abs(da - dau) <= dau * 0.10, s"day $day: dau approx=$da exact=$dau")
+      assert(math.abs(d7a - dau7) <= dau7 * 0.10, s"day $day: dau7 approx=$d7a exact=$dau7")
+      assert(d7a >= da * 0.90, s"day $day: a 7-day union cannot fall below its own day")
+    }
+  }
 }

@@ -449,13 +449,17 @@ object Windows {
     * carry one value of state. The user_id < 10 subset keeps the
     * registry output bounded; the operator itself takes any entity set.
     *
-    * One honest caveat: `max(event_type)` aggregates a STRING, whose
-    * immutable buffer drops that one rollup from HashAggregate to
-    * SortAggregate. At 100 TB the categorical would be dictionary-coded
-    * (the engine's StringIndexer, `ml_string_indexer`) and the rollup
-    * maxes the integer code inside whole-stage codegen — same query
-    * from the code column on; kept as the string here so the registry
-    * output stays self-describing.
+    * The categorical rollup is DICTIONARY-CODED (the r8 plan audit's one
+    * SortAggregate, closed): `max(event_type)` over a STRING carries an
+    * immutable aggregation buffer that drops the rollup out of
+    * HashAggregate, so the tiny type domain is first ranked into an
+    * order-preserving integer code (code k ⇔ k-th smallest string — a
+    * window over |types| rows), broadcast onto the fact rows, maxed as a
+    * LONG inside the codegen hash aggregate, and decoded by a second
+    * broadcast join against the same dictionary AFTER the collapse — the
+    * exact `ml_string_indexer` move, applied where the plan needed it.
+    * Result is bit-identical (max over an order-preserving code is the
+    * max string); the oracle keeps the direct string max.
     */
   private val resampleFfillQ: Q = (s, d) => {
     val ev = Tables.events(s, d).select(
@@ -463,10 +467,16 @@ object Windows {
       expr("unix_micros(ts) div 86400000000").as("day"),
       Num.cents(col("value")).as("cents"),
       col("event_type"))
+    val dict = ev.select("event_type").distinct()
+      .withColumn("code", row_number().over(Window.orderBy(asc("event_type"))))
     val daily = ev.filter(col("user_id") < 10)
+      .join(broadcast(dict), Seq("event_type"))
       .groupBy("user_id", "day")
       .agg(count(lit(1)).as("n"), sum("cents").as("day_cents"),
-        max("event_type").as("seen_type"))
+        max("code").as("seen_code"))
+      .join(broadcast(dict.select(col("code").as("seen_code"),
+        col("event_type").as("seen_type"))), Seq("seen_code"))
+      .drop("seen_code")
     val bounds = ev.agg(min("day").as("lo"), max("day").as("hi"))
     val spine = ev.select("user_id").filter(col("user_id") < 10).distinct()
       .crossJoin(broadcast(bounds))

@@ -224,6 +224,19 @@ class PlanSpec extends SparkSpec {
     assert(!m.contains("CartesianProduct"), s"merge must join on the key:\n$m")
   }
 
+  test("resample+ffill dictionary-codes its categorical: zero SortAggregates") {
+    // max(STRING) carries an immutable buffer that drops the daily rollup
+    // out of HashAggregate; the order-preserving integer dictionary keeps
+    // every aggregate in the plan hash-based and codegen'd (r8 verdict
+    // item 7). Both dictionary joins must broadcast — the fact side never
+    // shuffles for the decode.
+    val p = plan("q_resample_ffill")
+    assert(!p.contains("SortAggregate"),
+      s"categorical rollup fell back to SortAggregate:\n$p")
+    assert("BroadcastHashJoin".r.findAllMatchIn(p).size >= 2,
+      s"dictionary encode/decode must broadcast:\n$p")
+  }
+
   test("pareto deciles rank distributed: bucket-partitioned row_number, never a global ntile") {
     // The global-rank-over-keys template (r8 verdict item 1): the |keys|
     // ranking window must be PARTITIONED by the range bucket — a global

@@ -362,6 +362,11 @@ object Relational {
 
   private val mergeUpsert: Q = (s, d) => {
     val snap = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    // Insert keys offset by max(doc_id)+1, DERIVED from the snapshot in
+    // both engines (ADVICE r8): a fixed constant would collide with real
+    // doc_ids at a larger scale factor, silently fanning out the
+    // full-outer join and reclassifying inserts as updates.
+    val insBase = snap.agg((max("doc_id") + lit(1L)).as("ins_base"))
     val delta =
       snap.filter(col("doc_id") % mergeUpdEvery === 0 && col("doc_id") % mergeDelEvery =!= 0)
         .select(col("doc_id"), (col("n_chars") + mergeUpdBump).as("new_chars"),
@@ -370,7 +375,8 @@ object Relational {
           .select(col("doc_id"), lit(null).cast("long").as("new_chars"),
             lit("delete").as("op")))
         .unionByName(snap.filter(col("doc_id") < mergeInsBelow)
-          .select((col("doc_id") + 100000L).as("doc_id"),
+          .crossJoin(broadcast(insBase))
+          .select((col("doc_id") + col("ins_base")).as("doc_id"),
             (col("n_chars") + mergeInsBump).as("new_chars"), lit("upsert").as("op")))
     snap.join(delta, Seq("doc_id"), "full_outer")
       .select(
@@ -394,7 +400,8 @@ object Relational {
        |  SELECT doc_id, CAST(NULL AS BIGINT), 'delete' FROM documents
        |  WHERE doc_id % $mergeDelEvery = 0
        |  UNION ALL
-       |  SELECT doc_id + 100000, n_chars + $mergeInsBump, 'upsert' FROM documents
+       |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
+       |         n_chars + $mergeInsBump, 'upsert' FROM documents
        |  WHERE doc_id < $mergeInsBelow)
        |SELECT CASE WHEN op = 'delete' THEN 'delete'
        |            WHEN op = 'upsert' AND s.n_chars IS NOT NULL THEN 'update'

@@ -79,12 +79,13 @@ object Export {
     * `orderWithin`: optionally sort each landed file by these columns —
     * streamed shards then carry tight parquet row-group min/max on the
     * sort key, the same skippability [[Layout]]'s batch writes get from
-    * the in-file curve sort. Like [[writeSharded]], the ordered path
-    * salts the shard repartition when `filesPerShard` > 1 so a hot shard
+    * the in-file curve sort. Like [[writeSharded]], `filesPerShard` > 1
+    * salts the shard repartition — ordered or not — so a hot shard
     * splits across tasks instead of funneling one micro-batch's largest
-    * shard through a single sort+write (each of its files is still
-    * internally sorted — same-shard rows within one task land in one
-    * file). Empty (default) keeps the upstream partitioning.
+    * shard through a single task (each file is still internally sorted
+    * when ordering is requested — same-shard rows within one task land
+    * in one file). The defaults (no ordering, one file per shard) keep
+    * the upstream partitioning untouched.
     */
   def appendShardedStreamExactlyOnce(stream: DataFrame, shardCol: String,
       path: String, orderWithin: Seq[String] = Nil,
@@ -94,17 +95,8 @@ object Export {
       val root = new Path(path)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val staging = new Path(root, s"_staging/b$batchId")
-      val prepared =
-        if (orderWithin.isEmpty) batch
-        else {
-          val salt =
-            if (filesPerShard <= 1) Nil
-            else Seq(pmod(hash(batch.columns.map(col).toIndexedSeq: _*),
-              lit(filesPerShard)))
-          batch.repartition((col(shardCol) +: salt).toIndexedSeq: _*)
-            .sortWithinPartitions((shardCol +: orderWithin).map(col): _*)
-        }
-      prepared.write.mode("overwrite").partitionBy(shardCol)
+      prepare(batch, shardCol, orderWithin, filesPerShard)
+        .write.mode("overwrite").partitionBy(shardCol)
         .parquet(staging.toString)
       def glob(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
         Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
@@ -121,6 +113,30 @@ object Export {
       fs.delete(staging, true)
       ()
     }
+
+  /** Micro-batch physical preparation for the exactly-once append — the
+    * shard/salt/sort shape, extracted so its PLAN is spec-pinnable. The
+    * hot-shard salt applies whenever `filesPerShard` asks for a split,
+    * ordered or not — dropping it only in the unordered path would
+    * silently funnel each shard through one task (ADVICE r8). Like
+    * [[writeSharded]], `filesPerShard` is a CAP on files per shard per
+    * batch: the salted keys spread across the shuffle's partitions, so
+    * the split's effectiveness rises with `spark.sql.shuffle.partitions`
+    * (at the test's 4 partitions some (shard, salt) pairs share a task;
+    * at a production 200+ they essentially never do).
+    */
+  private[graft] def prepare(batch: DataFrame, shardCol: String,
+      orderWithin: Seq[String], filesPerShard: Int): DataFrame = {
+    val salt =
+      if (filesPerShard <= 1) Nil
+      else Seq(pmod(hash(batch.columns.map(col).toIndexedSeq: _*),
+        lit(filesPerShard)))
+    val split =
+      if (salt.isEmpty && orderWithin.isEmpty) batch
+      else batch.repartition((col(shardCol) +: salt).toIndexedSeq: _*)
+    if (orderWithin.isEmpty) split
+    else split.sortWithinPartitions((shardCol +: orderWithin).map(col): _*)
+  }
 
   /** Per-shard manifest of a sharded export: files, bytes (from the
     * FileSystem, s3a-addressable like [[ModelRegistry]]), rows (zero data

@@ -256,9 +256,12 @@ class PropertiesSpec extends SparkSpec {
       .select(col("doc_id"), col("n_chars")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     // Independent replay of the delta recipe + MERGE decision table.
+    // Insert offset derives from the data (max+1), like both engines —
+    // collision-free at ANY scale factor by construction.
+    val insBase = snap.keys.max + 1L
     val upserts = snap.collect {
       case (id, c) if id % 7 == 0 && id % 13 != 0 => id -> (c + 1000L)
-    } ++ snap.collect { case (id, c) if id < 20 => (id + 100000L) -> (c + 5L) }
+    } ++ snap.collect { case (id, c) if id < 20 => (id + insBase) -> (c + 5L) }
     val deletes = snap.keySet.filter(_ % 13 == 0)
     val expect = Map(
       "delete" -> (deletes.size.toLong, deletes.toSeq.map(snap).sum),

@@ -631,6 +631,43 @@ class StreamSpec extends SparkSpec {
     }
   }
 
+  test("exactly-once export salts the shard split even without in-file ordering") {
+    // ADVICE r8: the hot-shard salt used to live only inside the ordered
+    // branch, so filesPerShard without orderWithin was silently dropped
+    // and each shard funneled through one task. Pin the fixed contract
+    // STRUCTURALLY on the batch-preparation plan (file counts depend on
+    // how (shard, salt) keys land across shuffle partitions — at the
+    // test's 4 partitions that is a hash accident, not the contract):
+    import graft.sources.Export
+    val df = spark.range(200).selectExpr("id AS doc_id", "id % 4 AS shard")
+    val salted = Export.prepare(df, "shard", Nil, 3)
+      .queryExecution.optimizedPlan.toString
+    assert(salted.contains("RepartitionByExpression") && salted.contains("pmod"),
+      s"unordered filesPerShard=3 must still salt the repartition:\n$salted")
+    val untouched = Export.prepare(df, "shard", Nil, 1)
+      .queryExecution.optimizedPlan.toString
+    assert(!untouched.contains("Repartition"),
+      s"defaults must keep the upstream partitioning:\n$untouched")
+    // End-to-end: the streamed unordered salted path still lands every
+    // row exactly once, within the filesPerShard cap.
+    import spark.implicits._
+    val dir = tmp("graft-export-split")
+    val ms = MemoryStream[(Long, Long)](
+      implicitly[Encoder[(Long, Long)]], spark.sqlContext)
+    val q = Export.appendShardedStreamExactlyOnce(
+        ms.toDF().toDF("doc_id", "shard"), "shard", dir, filesPerShard = 3)
+      .option("checkpointLocation", tmp("graft-export-split-ckpt")).start()
+    try { ms.addData((0L until 200L).map(i => (i, i % 4))); q.processAllAvailable() }
+    finally q.stop()
+    val byShard = new java.io.File(dir).listFiles
+      .filter(_.getName.startsWith("shard=")).map(d =>
+        d.getName -> d.listFiles.count(_.getName.endsWith(".parquet"))).toMap
+    assert(byShard.keySet.size === 4)
+    byShard.foreach { case (s, n) =>
+      assert(n >= 1 && n <= 3, s"$s: files per shard must respect the cap, got $n") }
+    assert(spark.read.parquet(dir).count() === 200L, "no rows lost in the split")
+  }
+
   test("live transition pairs equal the batch Markov matrix (one-row-per-user state)") {
     import spark.implicits._
     import graft.stream.Transitions

@@ -30,4 +30,30 @@ object Salt {
       .agg(count(lit(1)).as("pc"), sum(valueCents).as("ps"))
       .groupBy(col("k"))
       .agg(sum("pc").as("cnt"), sum("ps").as("sum_cents"))
+
+  /** Salted INNER equi-join — the JOIN half of the skew story (the
+    * aggregation half is [[saltedCountSum]]; the diagnostic that decides
+    * is ◆ `q_skew_audit`). The big side tags each row with a
+    * deterministic row-hash salt; the small side replicates each row
+    * across all `salts` sub-keys, so a hot key's rows spread over
+    * `salts` reducers instead of stalling one task. Row-for-row
+    * equivalent to `big.join(small, key)`.
+    *
+    * Division of labor with AQE: `spark.sql.adaptive.skewJoin` splits an
+    * oversized shuffle partition at RUNTIME from observed map sizes
+    * (ScaleOpsSpec pins it firing — `skew=true` in the final plan) and
+    * is the default answer for sort-merge join skew. The static salted
+    * rewrite is for when the spread must be GUARANTEED up front: AQE
+    * off, a skew threshold the hot key tiptoes under per-partition, or
+    * a downstream stage that must inherit the salted partitioning — at
+    * the cost of replicating the small side `salts`×.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      salts: Int): DataFrame = {
+    val tagged = big.withColumn("__salt",
+      pmod(hash(struct(big.columns.map(col): _*)), lit(salts)))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    tagged.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -32,6 +32,58 @@ class ScaleOpsSpec extends SparkSpec {
     assert(plan.contains("__salt"), "first phase must shuffle by salted key")
   }
 
+  test("salted join equals the direct join and shuffles the hot key across salts") {
+    val big = spark.range(0, 20000).selectExpr(
+      "CASE WHEN id % 10 < 8 THEN 0 ELSE id % 100 END AS k", "id AS v")
+    val dim = spark.range(0, 100).selectExpr("id AS k", "id * 2 AS w")
+    val direct = big.join(dim, Seq("k")).select("k", "v", "w")
+      .orderBy("k", "v").collect()
+    val salted = Salt.saltedJoin(big, dim, "k", 8).select("k", "v", "w")
+      .orderBy("k", "v").collect()
+    assert(salted.toSeq === direct.toSeq,
+      "salting must be a pure physical rewrite — identical join results")
+    // Structural: with broadcast off, the big side must shuffle on the
+    // COMPOSITE (k, __salt) key — that is the guarantee that no single
+    // reducer owns the hot key.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = Salt.saltedJoin(big, dim, "k", 8)
+        .queryExecution.executedPlan.toString
+      assert("hashpartitioning\\(k#\\d+L?, __salt".r.findFirstIn(p).isDefined,
+        s"big side must partition on (k, __salt):\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("AQE splits a skewed join partition at runtime (the join half of q_skew_audit)") {
+    // The runtime counterpart of Salt.saltedJoin: a key owning 80% of the
+    // big side lands one oversized shuffle partition; with the skew-join
+    // thresholds scaled to the fixture, AQE must split it from observed
+    // map output sizes — pinned by the `skew=true` marker on the join in
+    // the finalized adaptive plan (so the hot key no longer runs as one
+    // task). Thresholds are restored whatever happens.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32768")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val big = spark.range(0, 100000).selectExpr(
+        "CASE WHEN id % 10 < 8 THEN 0 ELSE id % 100 END AS k", "id AS v")
+      val dim = spark.range(0, 100).selectExpr("id AS k", "id * 2 AS w")
+      val j = big.join(dim, Seq("k"))
+      j.collect() // finalize the adaptive plan
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not split the hot key's partition:\n$p")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("bucketed tables join without a shuffle on either side") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     assert(wh.contains("graft-warehouse"), s"test warehouse misconfigured: $wh")

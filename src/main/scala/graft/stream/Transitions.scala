@@ -17,10 +17,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * absorbed. Cross-batch, the pairing assumes per-key event-time-ordered
   * delivery (what a key-partitioned log gives); an arrival older than
   * the stored state is paired in ARRIVAL order rather than re-sorting
-  * history — the honest cost of O(1) state, where the batch twin (or the
-  * watermark-buffered sessionizer's approach, [[StatefulSessions]])
-  * re-orders exactly. StreamSpec proves live ≡ batch counts under
-  * in-order batch splits with intra-batch shuffling.
+  * history — the honest cost of O(1) state (StreamSpec pins that
+  * divergence mode explicitly). StreamSpec proves live ≡ batch counts
+  * under in-order batch splits with intra-batch shuffling.
+  *
+  * [[pairsExact]] is the EXACT-mode variant for unordered feeds: it
+  * buffers each user's not-yet-final events until the watermark passes
+  * them (the [[StatefulSessions]] buffering approach), so cross-batch
+  * out-of-order arrivals are re-sorted into true event-time order and
+  * live ≡ batch holds under ANY admissible split. State is
+  * O(events inside the watermark horizon) per user — the price of
+  * exactness; pick per feed: keyed logs → [[pairs]], unordered
+  * collectors → [[pairsExact]] with the collector's disorder bound as
+  * the watermark delay.
   */
 object Transitions {
 
@@ -55,6 +64,60 @@ object Transitions {
             last = Some(LastSeen(e.us, e.event_id, e.event_type))
           }
           last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Exact-mode input row: `us` is epoch micros (the ordering authority,
+    * same contract as [[TEvent]]); `ts` is the SAME instant as a
+    * timestamp column, present only so the caller can `withWatermark` on
+    * it — Spark's event-time machinery needs a TimestampType column,
+    * and deriving `us` independently of `ts` is exactly the
+    * millis-vs-micros divergence the [[TEvent]] scaladoc warns about, so
+    * both must come from the one source column.
+    */
+  final case class TExact(user_id: Long, event_id: Long, event_type: String,
+      us: Long, ts: java.sql.Timestamp)
+  final case class ExactState(last: Option[LastSeen], buf: Seq[TExact])
+
+  /** Event-time-exact pairing: emit a user's transitions only once the
+    * watermark has passed the event, holding newer events in per-user
+    * state until then. An event is FINAL once the watermark passes it —
+    * Spark drops any later arrival below the watermark before it reaches
+    * this operator — so emitted pairs are in true (us, event_id) order
+    * regardless of arrival order, and live ≡ batch exactly on the
+    * admitted event set. `events` must carry a watermark on `ts` (the
+    * feed's disorder bound); the held suffix flushes via event-time
+    * timeout when the watermark passes its newest event. The ready
+    * boundary is strict at millisecond resolution (the watermark API's
+    * grain), which can only HOLD a boundary event longer, never emit it
+    * early — order is safe under either admit convention.
+    */
+  def pairsExact(events: Dataset[TExact]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, incoming: Iterator[TExact], state: GroupState[ExactState]) =>
+          val st = state.getOption.getOrElse(ExactState(None, Nil))
+          val (ready, hold) =
+            if (state.hasTimedOut) {
+              // the watermark passed everything we armed the timer for
+              (st.buf.sortBy(e => (e.us, e.event_id)), Seq.empty[TExact])
+            } else {
+              val wmMs = state.getCurrentWatermarkMs()
+              (st.buf ++ incoming).sortBy(e => (e.us, e.event_id))
+                .partition(e => e.us / 1000L < wmMs)
+            }
+          var last = st.last
+          val out = Array.newBuilder[Transition]
+          ready.foreach { e =>
+            last.foreach(l => out += Transition(uid, l.event_type, e.event_type))
+            last = Some(LastSeen(e.us, e.event_id, e.event_type))
+          }
+          state.update(ExactState(last, hold))
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(hold.map(_.us).max / 1000L + 1L)
           out.result().iterator
       }
   }

@@ -702,6 +702,76 @@ class StreamSpec extends SparkSpec {
       "one pair per event beyond each user's first")
   }
 
+  test("O(1) transitions pair cross-batch late arrivals in arrival order — the pinned tradeoff") {
+    // ADVICE r8: the documented divergence mode of the one-row-per-user
+    // state machine was never itself exercised. Pin it: user 1 sees A@1s
+    // and C@3s in batch 1, then B@2s arrives LATE in batch 2. Event-time
+    // order would give A→B, B→C; the O(1) machine pairs B in arrival
+    // order: A→C, then C→B. If this assertion ever flips, the O(1)
+    // contract changed — update the scaladoc with it.
+    import spark.implicits._
+    import graft.stream.Transitions
+    import graft.stream.Transitions.TEvent
+    val ms = MemoryStream[TEvent](implicitly[Encoder[TEvent]], spark.sqlContext)
+    val sink = s"transitions_arrival_${System.identityHashCode(this)}"
+    val q = Transitions.pairs(ms.toDS())
+      .writeStream.outputMode("append").format("memory").queryName(sink).start()
+    try {
+      ms.addData(Seq(TEvent(1L, 1L, "A", 1000000L), TEvent(1L, 3L, "C", 3000000L)))
+      q.processAllAvailable()
+      ms.addData(Seq(TEvent(1L, 2L, "B", 2000000L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(sink).collect()
+      .map(r => r.getString(1) -> r.getString(2)).toSeq.sorted
+    assert(got === Seq("A" -> "C", "C" -> "B").sorted,
+      "arrival-order pairing is the documented O(1) contract")
+  }
+
+  test("exact-mode transitions re-sort cross-batch disorder: live equals batch under ANY split") {
+    import spark.implicits._
+    import graft.stream.Transitions
+    import graft.stream.Transitions.TExact
+    val base = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("ts"))
+      .as[TExact].collect().toSeq
+    // Fully adversarial split: a seeded shuffle IGNORING time order, cut
+    // in half — massive cross-batch event-time disorder (the split the
+    // O(1) mode cannot survive). The watermark delay exceeds the data
+    // span, so no event is ever late-dropped and nothing finalizes until
+    // the sentinel pushes the watermark past the whole corpus.
+    val rnd = new scala.util.Random(13)
+    val (h, t) = rnd.shuffle(base).splitAt(base.size / 2)
+    val maxUs = base.map(_.us).max
+    val delayS = (maxUs - base.map(_.us).min) / 1000000L + 3600L
+    def sentinel(id: Long, us: Long) =
+      TExact(999999L, id, "flush", us, new java.sql.Timestamp(us / 1000L))
+    val s1 = sentinel(1L, maxUs + (delayS + 3600L) * 1000000L)
+    val ms = MemoryStream[TExact](implicitly[Encoder[TExact]], spark.sqlContext)
+    val sink = s"transitions_exact_${System.identityHashCode(this)}"
+    val q = Transitions.pairsExact(
+        ms.toDS().withWatermark("ts", s"$delayS seconds"))
+      .writeStream.outputMode("append").format("memory").queryName(sink).start()
+    try {
+      ms.addData(h); q.processAllAvailable()
+      ms.addData(t); q.processAllAvailable()
+      ms.addData(Seq(s1)); q.processAllAvailable() // advances the watermark…
+      ms.addData(Seq(sentinel(2L, s1.us + 1000000L))) // …and this batch SEES it
+      q.processAllAvailable()
+    } finally q.stop()
+    val live = spark.table(sink)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+    val batch = SparkEntry.queries("q_transitions")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+    assert(live === batch,
+      "exact mode must reproduce the batch matrix under arbitrary cross-batch disorder")
+    val nUsers = base.map(_.user_id).distinct.size.toLong
+    assert(live.values.sum === base.size.toLong - nUsers,
+      "one pair per event beyond each user's first; the sentinel user emits none")
+  }
+
   test("live funnel milestones equal the batch conditional-minimum funnel") {
     import spark.implicits._
     import graft.stream.Funnel

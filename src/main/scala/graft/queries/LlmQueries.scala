@@ -1260,18 +1260,23 @@ object LlmQueries {
     * distributed training pipelines actually run, since it preserves
     * locality and shards by bin range.)
     *
-    * Scale note: the unpartitioned cumsum is the one deliberate
-    * single-reducer window in the registry — at 100 TB you shard it as a
-    * distributed prefix-sum (per-partition totals, broadcast offsets,
-    * per-partition local cumsum), the same two-phase shape as
-    * [[graft.ops.Salt]]; the per-bin AGGREGATE already distributes.
+    * Scale shape: the running total is [[graft.ops.Prefix.withCumSum]] —
+    * the distributed prefix-sum (order-preserving doc_id range bucket
+    * from broadcast bounds, exclusive per-bucket offsets over ≤ 64 rows,
+    * local cumsum inside each bucket's own partition), the `q_pareto`
+    * global-rank template with `sum` for `count`. What was the last
+    * deliberate single-reducer window over a data-sized input in the
+    * registry now shuffles once on the bucket key; only the constant-size
+    * offsets pass is single-partition. `text` is pruned to `n_tokens`
+    * BEFORE that shuffle, so the exchange moves two longs per document,
+    * not the corpus. Bit-identical to the single-window form (exact long
+    * arithmetic); the oracle keeps the plain `OVER (ORDER BY doc_id)`.
     */
   private val packSequences: Q = (s, d) => {
-    val w = Window.orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, d)
-      .withColumn("n_tokens", size(split(col("text"), " ")))
-      .withColumn("cum", sum(col("n_tokens").cast("long")).over(w))
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    graft.ops.Prefix.withCumSum(toks, "doc_id", Nil, "n_tokens", "cum")
       .withColumn("bin", ((col("cum") - col("n_tokens")) / lit(4096L)).cast("long"))
       .groupBy("bin")
       .agg(

@@ -252,6 +252,23 @@ class PlanSpec extends SparkSpec {
       s"the |keys| rows must shuffle on the bucket key:\n$p")
   }
 
+  test("sequence packing cumulates distributed: bucket-partitioned prefix sum, text pruned pre-shuffle") {
+    // The last data-sized unpartitioned window in the registry, closed:
+    // the running token total is ops.Prefix's bucket → offsets → local
+    // decomposition (the q_pareto template with sum for count). The
+    // cumsum window must carry the bucket in its partition spec, and the
+    // bucket shuffle must move (doc_id, n_tokens) pairs — never text.
+    val p = plan("q_pack_sequences")
+    assert("Window \\[sum\\(n_tokens[^\\]]*\\], \\[__pfx_b#\\d+L?\\]".r
+      .findFirstIn(p).isDefined,
+      s"token cumsum must partition by the range bucket:\n$p")
+    assert(p.contains("Exchange hashpartitioning(__pfx_b#"),
+      s"documents must shuffle on the bucket key:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("__pfx_b") && l.contains("text#")),
+      s"text must be pruned to n_tokens before the bucket shuffle:\n$p")
+  }
+
   test("sequence analytics stack their window passes on the user shuffle") {
     // q_funnel_steps: three chained conditional minima + the per-user
     // collapse all share hashpartitioning(user_id); the only other

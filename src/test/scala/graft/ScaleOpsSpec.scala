@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Num, Salt}
+import graft.ops.{Num, Prefix, Salt}
 import graft.tables.Tables
 
 /** Scale-mitigation primitives: salted aggregation for key skew and
@@ -82,6 +82,53 @@ class ScaleOpsSpec extends SparkSpec {
         s"AQE did not split the hot key's partition:\n$p")
     } finally prev.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  test("distributed prefix sum equals the single-window cumsum exactly") {
+    import org.apache.spark.sql.expressions.Window
+    // Adversarial fixture: a clumped hot key (20% of rows at k=7),
+    // duplicate keys everywhere (tiebreaker carries the order), and
+    // negative values so partial sums genuinely cancel.
+    val df = spark.range(0, 5000).selectExpr(
+      "CASE WHEN id % 5 = 0 THEN 7L ELSE (id * 37) % 1000 END AS k",
+      "id AS tie", "(id % 13) - 6 AS v")
+    val w = Window.orderBy("k", "tie")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expect = df.withColumn("cum", sum("v").over(w))
+      .orderBy("k", "tie").collect()
+    val got = Prefix.withCumSum(df, "k", Seq("tie"), "v", "cum")
+      .orderBy("k", "tie").collect()
+    assert(got.toSeq === expect.toSeq,
+      "the decomposition must be a pure physical rewrite — identical cumsums")
+    // Degenerate domain: every key equal (lo == hi → one bucket) still
+    // orders by the tiebreaker and cumulates exactly.
+    val flat = spark.range(0, 100).selectExpr("42L AS k", "id AS tie", "id AS v")
+    val flatGot = Prefix.withCumSum(flat, "k", Seq("tie"), "v", "cum")
+      .orderBy("tie").collect()
+    val flatExp = flat.withColumn("cum", sum("v").over(w)).orderBy("tie").collect()
+    assert(flatGot.toSeq === flatExp.toSeq)
+  }
+
+  test("prefix-sum plan: the data-sized window partitions by the range bucket") {
+    val df = spark.range(0, 5000).selectExpr("id AS k", "id AS tie", "id AS v")
+    val p = Prefix.withCumSum(df, "k", Seq("tie"), "v", "cum")
+      .queryExecution.executedPlan.toString
+    // The row-level cumsum window must carry the bucket in its PARTITION
+    // spec (three bracket groups: exprs, partition, order) …
+    assert("Window \\[sum\\(v[^\\]]*\\], \\[__pfx_b#\\d+L?\\]".r
+      .findFirstIn(p).isDefined,
+      s"local cumsum must partition by the range bucket:\n$p")
+    // … the rows shuffle once on the bucket key …
+    assert(p.contains("Exchange hashpartitioning(__pfx_b#"),
+      s"rows must shuffle on the bucket key:\n$p")
+    // … and every single-partition exchange feeds a global aggregate
+    // (the 1-row bounds — duplicated pre-AQE-reuse — or the ≤ buckets
+    // offsets rows), never raw data: each one's child in the plan text
+    // is a HashAggregate, not a Project/Scan.
+    val lines = p.linesIterator.toVector
+    for (i <- lines.indices if lines(i).contains("Exchange SinglePartition"))
+      assert(i + 1 < lines.size && lines(i + 1).contains("HashAggregate"),
+        s"single-partition exchange over non-aggregated data:\n$p")
   }
 
   test("bucketed tables join without a shuffle on either side") {

@@ -620,7 +620,11 @@ object Stats {
     * offsets-then-local-rank math from step 2 on. All mass arithmetic is
     * exact integer cents; the only division is the final share,
     * floor-rounded in both engines. Ties rank deterministically
-    * (revenue DESC, custkey ASC).
+    * (revenue DESC, custkey ASC). The `sum` form of this same
+    * decomposition is the library primitive
+    * [[graft.ops.Prefix.withCumSum]] (used by `q_pack_sequences`);
+    * RegistrySpec's unpartitioned-window sweep pins that no other
+    * registry query re-grows a data-sized global window.
     */
   private val paretoBuckets = 64L
 

@@ -33,9 +33,14 @@ object Bench {
     // 2.6-13.0 s across otherwise-identical driver rounds), so a single
     // sample is unadjudicable: ml_* queries run 3x and report the MEDIAN,
     // everything else stays single-shot (relational plans are stable and
-    // 3x-ing 110 queries would triple the bench for no signal). Set
+    // 3x-ing 110 queries would triple the bench for no signal). The dedup
+    // trio joined the median set after r8/r9: their driver times swung
+    // 50-107% with zero code change twice (r8 up, r9 session back down,
+    // plans byte-identical both times) — single samples of these three
+    // keep triggering adjudications a median settles up front. Set
     // SPARK_GRAFT_SPREAD_OUT=<path> to also dump per-query (min, med, max)
     // as JSON — the error bars the retro's envelope table quotes.
+    val tripled = Set("q_chunk_dedup", "q_dedup_delta", "q_containment_dup")
     val spreads = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double)]
     val results = selected.map { case (name, fn) =>
       def once(): Double = {
@@ -43,7 +48,7 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      if (name.startsWith("ml_")) {
+      if (name.startsWith("ml_") || tripled(name)) {
         val runs = Seq(once(), once(), once()).sorted
         spreads(name) = (runs.head, runs(1), runs.last)
         name -> runs(1)

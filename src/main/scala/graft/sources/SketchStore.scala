@@ -85,6 +85,24 @@ class SketchStore(spark: SparkSession, rootUri: String, lgK: Int = 12) {
       .orderBy("day")
   }
 
+  /** Continuous ingestion — one blind [[append]] per micro-batch.
+    * At-least-once delivery is SUFFICIENT here, no exactly-once staging:
+    * a redelivered batch re-unions identical registers and changes no
+    * estimate (max is idempotent — SketchStoreSpec proves it by full
+    * replay), unlike [[Export]] where duplicate FILES are the artifact
+    * and batchId-keyed staging is required. The checkpoint only bounds
+    * redundant recomputation, not correctness.
+    */
+  def appendStream(events: DataFrame, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch((batch: DataFrame, _: Long) => append(batch))
+      .start()
+
   /** Fold accumulated appends to one row per day. Estimates are
     * identical before and after; only the stored row count changes.
     */

@@ -64,6 +64,31 @@ class SketchStoreSpec extends SparkSpec {
     }
   }
 
+  test("a live stream builds the same store as the batch path") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.Encoder
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir).select("ts", "user_id")
+    val rows = ev.collect().map(r =>
+      (r.getTimestamp(0), r.getLong(1))).toSeq
+    val ms = MemoryStream[(Timestamp, Long)](
+      implicitly[Encoder[(Timestamp, Long)]], spark.sqlContext)
+    val live = freshStore()
+    val q = live.appendStream(
+      ms.toDF().toDF("ts", "user_id"),
+      "file://" + java.nio.file.Files.createTempDirectory("graft-sketch-ckpt"))
+    try {
+      val (a, b) = rows.splitAt(rows.size / 2) // mid-day batch boundary
+      ms.addData(a); q.processAllAvailable()
+      ms.addData(b); q.processAllAvailable()
+    } finally q.stop()
+    val batch = freshStore()
+    batch.append(ev)
+    assert(daily(live) === daily(batch),
+      "streamed micro-batches must estimate exactly like one batch build")
+  }
+
   test("compact folds to one row per day and changes no answer") {
     val ev = Tables.events(spark, sfDir)
     val st = freshStore()

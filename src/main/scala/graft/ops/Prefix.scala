@@ -38,8 +38,10 @@ object Prefix {
   /** Adds `cumName` = running sum of long column `valueCol` over
     * ascending `(orderCol, tieCols…)` order (rows-unbounded-preceding
     * through current row, ties ordered by the tiebreakers). `orderCol`
-    * must be integral and non-null; `df`'s columns must not collide with
-    * the `__pfx_` scratch namespace.
+    * must be integral and non-null with `max − min` representable as a
+    * long (a mixed ±2⁶² domain is fine; a full ±2⁶³ span is not);
+    * `df`'s columns must not collide with the `__pfx_` scratch
+    * namespace.
     */
   def withCumSum(df: DataFrame, orderCol: String, tieCols: Seq[String],
       valueCol: String, cumName: String, buckets: Long = 64L): DataFrame = {
@@ -48,10 +50,17 @@ object Prefix {
       min(orderCol).cast("long").as("__pfx_lo"),
       max(orderCol).cast("long").as("__pfx_hi"))
     // step 1: order-preserving bucket (integer div — no float boundary).
+    // Divide by a precomputed width instead of multiplying by the bucket
+    // count: (c − lo) · buckets overflows a long once the key span
+    // exceeds 2⁶³/buckets (epoch-nanos keys cross that at 64 buckets);
+    // width = (hi − lo) div buckets + 1 keeps every intermediate within
+    // the span itself and still lands b in [0, buckets): monotone in c,
+    // equal keys share a bucket.
+    val width = call_function("div",
+      col("__pfx_hi") - col("__pfx_lo"), lit(buckets)) + lit(1L)
     val bucketed = df.crossJoin(broadcast(bounds))
       .withColumn("__pfx_b", call_function("div",
-        (col(orderCol).cast("long") - col("__pfx_lo")) * lit(buckets),
-        col("__pfx_hi") - col("__pfx_lo") + lit(1L)))
+        col(orderCol).cast("long") - col("__pfx_lo"), width))
       .drop("__pfx_lo", "__pfx_hi")
     // step 2: exclusive per-bucket offsets over ≤ buckets rows.
     val offW = Window.orderBy(asc("__pfx_b"))

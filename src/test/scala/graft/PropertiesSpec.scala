@@ -489,4 +489,33 @@ class PropertiesSpec extends SparkSpec {
       assert(d7a >= da * 0.90, s"day $day: a 7-day union cannot fall below its own day")
     }
   }
+
+  test("Prefix.withCumSum matches the single-window cumsum on generated extreme domains") {
+    // The primitive must hold wherever a caller points it: clumped keys,
+    // a handful of rows, single-bucket degenerate domains, and key spans
+    // wide enough (±2⁶²) that the naive (c−lo)·buckets bucket expression
+    // would overflow a long — the width-division form must not.
+    import spark.implicits._
+    val keyGen = Gen.oneOf(
+      Gen.choose(-100L, 100L),                       // dense duplicates
+      Gen.choose(-(1L << 62), 1L << 62),             // overflow-hostile span
+      Gen.const(7L))                                 // hot key
+    val rowGen = for {
+      n  <- Gen.choose(1, 80)
+      ks <- Gen.listOfN(n, keyGen)
+      vs <- Gen.listOfN(n, Gen.choose(-50L, 50L))
+    } yield ks.zip(vs)
+    check(Prop.forAll(rowGen) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((k, v), i) => (k, i.toLong, v) }.toDF("k", "tie", "v")
+      val w = org.apache.spark.sql.expressions.Window.orderBy("k", "tie")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val expect = df.withColumn("cum", sum("v").over(w))
+        .orderBy("k", "tie").collect().toSeq
+      val got = graft.ops.Prefix.withCumSum(df, "k", Seq("tie"), "v", "cum")
+        .orderBy("k", "tie").collect().toSeq
+      got == expect
+    })
+  }
 }

@@ -636,11 +636,12 @@ object Stats {
     val bounds = rev.agg(
       min("rev_cents").as("lo"), max("rev_cents").as("hi"),
       count(lit(1)).as("n"), sum("rev_cents").as("tot_cents"))
-    // step 1: order-preserving bucket (integer div — no float boundary).
+    // step 1: order-preserving bucket (integer div — no float boundary;
+    // the width-division form of ops.Prefix, overflow-safe for any span).
     val bucketed = rev.crossJoin(broadcast(bounds))
       .withColumn("b", call_function("div",
-        (col("hi") - col("rev_cents")) * lit(paretoBuckets),
-        col("hi") - col("lo") + lit(1L)))
+        col("hi") - col("rev_cents"),
+        call_function("div", col("hi") - col("lo"), lit(paretoBuckets)) + lit(1L)))
     // step 2: exclusive prefix counts over ≤ paretoBuckets rows.
     val offW = W.orderBy(asc("b")).rowsBetween(W.unboundedPreceding, -1)
     val offsets = bucketed.groupBy("b").agg(count(lit(1)).as("bn"))

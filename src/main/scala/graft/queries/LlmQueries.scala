@@ -1,9 +1,9 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.Hashing
+import graft.ops.{Hashing, Num}
 import graft.tables.Tables
 import Registry.{Entry, Q}
 
@@ -720,9 +720,10 @@ object LlmQueries {
 
   /** Language-ID by stopword-hit voting (n-gram heuristic): tokens join a
     * tiny broadcast stopword dim, argmax per doc with deterministic ties,
-    * reported as a lang×prediction confusion matrix.
+    * reported as a lang×prediction confusion matrix. The matrix is ONE
+    * definition ([[langConfusion]]) shared with ◆ `q_eval_langid`.
     */
-  private val langId: Q = (s, d) => {
+  private def langConfusion(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sw = Seq(
       ("en", "the"), ("en", "and"), ("en", "of"), ("en", "to"), ("en", "in"),
@@ -744,10 +745,14 @@ object LlmQueries {
       .withColumn("pred", coalesce(col("cand"), lit("unknown")))
       .groupBy("lang", "pred")
       .agg(count(lit(1)).as("cnt"))
-      .orderBy("lang", "pred")
   }
 
-  private val langIdSql =
+  private val langId: Q = (s, d) => langConfusion(s, d).orderBy("lang", "pred")
+
+  /** The confusion-matrix CTE chain — one text shared by `q_lang_id` and
+    * `q_eval_langid`, mirroring [[langConfusion]].
+    */
+  private val langCmCtes =
     """WITH sw(cand, sw) AS (VALUES
       |  ('en','the'),('en','and'),('en','of'),('en','to'),('en','in'),
       |  ('es','el'),('es','la'),('es','de'),('es','que'),('es','y'),
@@ -761,10 +766,105 @@ object LlmQueries {
       |               row_number() OVER (PARTITION BY doc_id
       |                                  ORDER BY count(*) DESC, cand) AS rn
       |        FROM toks JOIN sw ON w = sw.sw GROUP BY doc_id, cand)
-      |  WHERE rn = 1)
-      |SELECT lang, coalesce(cand, 'unknown') AS pred, count(*) AS cnt
-      |FROM documents LEFT JOIN p USING (doc_id)
-      |GROUP BY lang, coalesce(cand, 'unknown') ORDER BY lang, pred""".stripMargin
+      |  WHERE rn = 1),
+      |cm AS (
+      |  SELECT lang, coalesce(cand, 'unknown') AS pred, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM documents LEFT JOIN p USING (doc_id)
+      |  GROUP BY lang, coalesce(cand, 'unknown'))""".stripMargin
+
+  private val langIdSql =
+    langCmCtes + "\nSELECT lang, pred, cnt FROM cm ORDER BY lang, pred"
+
+  /** Classifier evaluation over the shared confusion matrix — the label-
+    * quality audit a training-data pipeline runs on every heuristic
+    * labeler (here the stopword lang-ID vs the stored `lang`): per-class
+    * tp/fp/fn/support with floor-rounded precision/recall/F1, plus
+    * global accuracy and Cohen's kappa carried on every row. Kappa
+    * follows the PMI/chi² determinism discipline: it is the EXACT
+    * integer rational (N·trace − Σ_c row_c·col_c) / (N² − Σ_c row_c·col_c)
+    * — chance-corrected agreement with both numerator and denominator
+    * emitted as exact longs next to the rounded quotient, so the hash
+    * gate holds on the integers even if a future engine rounds the
+    * division differently. All inputs are partial+final counts over the
+    * |classes|² matrix; every post-matrix frame is ≤ |classes| rows
+    * (broadcast), so the eval costs one pass over predictions however
+    * large the corpus. Long arithmetic holds to ~3·10⁹ docs (N² in a
+    * long); past that the num/den pair moves to DECIMAL(38,0) — same
+    * expressions, wider type.
+    */
+  private val evalLangId: Q = (s, d) => {
+    val cm = langConfusion(s, d)
+    val tot = cm.agg(sum("cnt").as("n"),
+      sum(when(col("lang") === col("pred"), col("cnt")).otherwise(lit(0L)))
+        .as("trace"))
+    val rowT = cm.groupBy("lang").agg(sum("cnt").as("row_n"))
+    val colT = cm.groupBy("pred").agg(sum("cnt").as("col_n"))
+    val peNum = rowT.join(colT, rowT("lang") === colT("pred"))
+      .agg(coalesce(sum(col("row_n") * col("col_n")), lit(0L)).as("pe_num"))
+    val tp = cm.filter(col("lang") === col("pred"))
+      .select(col("lang").as("cls"), col("cnt").as("tp"))
+    val perClass = rowT.select(col("lang").as("cls"), col("row_n"))
+      .join(tp, Seq("cls"), "left")
+      .join(colT.select(col("pred").as("cls"), col("col_n")), Seq("cls"), "left")
+      .na.fill(0L, Seq("tp", "col_n"))
+    val kNum = col("n") * col("trace") - col("pe_num")
+    val kDen = col("n") * col("n") - col("pe_num")
+    val p = when(col("col_n") === 0, lit(null).cast("double"))
+      .otherwise(Num.round4(col("tp").cast("double") / col("col_n")))
+    val r = Num.round4(col("tp").cast("double") / col("row_n"))
+    perClass.crossJoin(broadcast(tot)).crossJoin(broadcast(peNum))
+      .select(col("cls"), col("tp"),
+        (col("col_n") - col("tp")).as("fp"),
+        (col("row_n") - col("tp")).as("fn"),
+        col("row_n").as("support"),
+        p.as("prec"), r.as("rec"),
+        col("n"), col("trace"), kNum.as("kappa_num"), kDen.as("kappa_den"))
+      .withColumn("f1",
+        when(col("prec").isNull || (col("prec") + col("rec")) === 0.0,
+          lit(null).cast("double"))
+          .otherwise(Num.round4(
+            lit(2.0) * col("prec") * col("rec") / (col("prec") + col("rec")))))
+      .withColumn("accuracy",
+        Num.round4(col("trace").cast("double") / col("n")))
+      .withColumn("kappa",
+        when(col("kappa_den") === 0, lit(null).cast("double"))
+          .otherwise(Num.round4(
+            col("kappa_num").cast("double") / col("kappa_den"))))
+      .select("cls", "tp", "fp", "fn", "support", "prec", "rec", "f1",
+        "accuracy", "kappa_num", "kappa_den", "kappa")
+      .orderBy("cls")
+  }
+
+  private val evalLangIdSql =
+    langCmCtes + """,
+      |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+      |               CAST(SUM(CASE WHEN lang = pred THEN cnt ELSE 0 END) AS BIGINT) AS trace
+      |        FROM cm),
+      |rt AS (SELECT lang AS cls, CAST(SUM(cnt) AS BIGINT) AS row_n FROM cm GROUP BY lang),
+      |ct AS (SELECT pred AS cls, CAST(SUM(cnt) AS BIGINT) AS col_n FROM cm GROUP BY pred),
+      |pe AS (SELECT CAST(coalesce(SUM(row_n * col_n), 0) AS BIGINT) AS pe_num
+      |       FROM rt JOIN ct USING (cls)),
+      |tpx AS (SELECT lang AS cls, CAST(SUM(cnt) AS BIGINT) AS tp
+      |        FROM cm WHERE lang = pred GROUP BY lang),
+      |base AS (
+      |  SELECT rt.cls, coalesce(tp, 0) AS tp, coalesce(col_n, 0) AS col_n, row_n,
+      |         n, trace, n * trace - pe_num AS kappa_num, n * n - pe_num AS kappa_den
+      |  FROM rt LEFT JOIN tpx USING (cls) LEFT JOIN ct USING (cls), tot, pe),
+      |rounded AS (
+      |  SELECT cls, tp, col_n - tp AS fp, row_n - tp AS fn, row_n AS support,
+      |         CASE WHEN col_n = 0 THEN NULL
+      |              ELSE floor(CAST(tp AS DOUBLE) / col_n * 10000 + 0.5) / 10000.0 END AS prec,
+      |         floor(CAST(tp AS DOUBLE) / row_n * 10000 + 0.5) / 10000.0 AS rec,
+      |         n, trace, kappa_num, kappa_den
+      |  FROM base)
+      |SELECT cls, tp, fp, fn, support, prec, rec,
+      |       CASE WHEN prec IS NULL OR prec + rec = 0.0 THEN NULL
+      |            ELSE floor(2.0 * prec * rec / (prec + rec) * 10000 + 0.5) / 10000.0 END AS f1,
+      |       floor(CAST(trace AS DOUBLE) / n * 10000 + 0.5) / 10000.0 AS accuracy,
+      |       kappa_num, kappa_den,
+      |       CASE WHEN kappa_den = 0 THEN NULL
+      |            ELSE floor(CAST(kappa_num AS DOUBLE) / kappa_den * 10000 + 0.5) / 10000.0 END AS kappa
+      |FROM rounded ORDER BY cls""".stripMargin
 
   /** Quality scoring: length / word-shape / stopword-ratio heuristics
     * composed into one score — all row-local expressions, fully pushed into
@@ -2404,6 +2504,7 @@ object LlmQueries {
     Entry("q_ann_ivf", annIvf, Some(annIvfSql)),
     Entry("ml_ann_trained", annTrainedQ, None),
     Entry("q_lang_id", langId, Some(langIdSql)),
+    Entry("q_eval_langid", evalLangId, Some(evalLangIdSql)),
     Entry("q_quality_score", qualityScore, Some(qualityScoreSql)),
     Entry("q_token_count", tokenCount, Some(tokenCountSql)),
     Entry("q_fingerprint", fingerprint, Some(fingerprintSql)),

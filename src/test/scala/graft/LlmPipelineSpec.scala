@@ -432,4 +432,43 @@ class LlmPipelineSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     assert(got === expect)
   }
+
+  test("q_eval_langid matches a plain-Scala metrics recomputation from the matrix") {
+    // Replay precision/recall/F1/accuracy/kappa from q_lang_id's own
+    // confusion rows, so the eval can only drift if the shared matrix
+    // definition does — and kappa's exact integer rational is checked
+    // against the textbook (po − pe)/(1 − pe) form.
+    val cm = SparkEntry.queries("q_lang_id")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val n = cm.values.sum
+    val trace = cm.collect { case ((l, p), c) if l == p => c }.sum
+    val rowN = cm.groupBy(_._1._1).map { case (l, m) => l -> m.values.sum }
+    val colN = cm.groupBy(_._1._2).map { case (p, m) => p -> m.values.sum }
+    val peNum = rowN.map { case (c, rn) => rn * colN.getOrElse(c, 0L) }.sum
+    val kNum = n * trace - peNum
+    val kDen = n * n - peNum
+    val got = SparkEntry.queries("q_eval_langid")(spark, sfDir).collect()
+    assert(got.map(_.getString(0)).toSeq === rowN.keys.toSeq.sorted,
+      "one row per label class")
+    for (r <- got) {
+      val cls = r.getString(0)
+      val tp = cm.getOrElse((cls, cls), 0L)
+      assert(r.getLong(1) === tp)
+      assert(r.getLong(2) === colN.getOrElse(cls, 0L) - tp, s"$cls fp")
+      assert(r.getLong(3) === rowN(cls) - tp, s"$cls fn")
+      assert(r.getLong(4) === rowN(cls), s"$cls support")
+      if (colN.getOrElse(cls, 0L) > 0)
+        assert(r.getDouble(5) === r4(tp.toDouble / colN(cls)), s"$cls prec")
+      else assert(r.isNullAt(5), s"$cls prec must be null with no predictions")
+      assert(r.getDouble(6) === r4(tp.toDouble / rowN(cls)), s"$cls rec")
+      assert(r.getDouble(8) === r4(trace.toDouble / n), "accuracy")
+      assert(r.getLong(9) === kNum, "kappa_num")
+      assert(r.getLong(10) === kDen, "kappa_den")
+      // the emitted rational IS the textbook kappa
+      val po = trace.toDouble / n
+      val pe = peNum.toDouble / (n.toDouble * n)
+      assert(math.abs(kNum.toDouble / kDen - (po - pe) / (1 - pe)) < 1e-9)
+      assert(r.getDouble(11) === r4(kNum.toDouble / kDen), "kappa")
+    }
+  }
 }

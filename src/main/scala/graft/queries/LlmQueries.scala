@@ -2423,6 +2423,63 @@ object LlmQueries {
        |       max(sz) AS max_component
        |FROM perc GROUP BY split ORDER BY split""".stripMargin
 
+  /** Temporal train/test split with an embargo gap — the time-series
+    * leakage guard: train strictly BEFORE test with `embargoDays` of
+    * excluded days between them, so features computed with any lookback
+    * ≤ embargo cannot leak future information into training (the purged
+    * split of financial-ML practice). The boundary is derived from the
+    * data in exact integer day arithmetic — train = first 80% of the
+    * observed day span, embargo = the next [[embargoDays]], test = the
+    * rest — so both engines compute identical assignments with no
+    * configuration to drift. Reported per split: event count, distinct
+    * users, and the day range actually occupied (the audit columns a
+    * split consumer checks before trusting it: train day_hi + embargo
+    * < test day_lo by construction).
+    *
+    * Orthogonal to ◆ `q_split_leakfree`: this guards TIME leakage,
+    * that guards DUPLICATE-GROUP leakage (same user may legitimately
+    * appear on both sides here — compose the two when both risks
+    * apply). Scale shape: 1-row bounds broadcast, assignment is a
+    * map-side expression on the scan, one partial+final aggregate to
+    * 3 rows; no shuffle ever carries data.
+    */
+  private val embargoDays = 2L
+
+  private val splitTemporal: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(
+      expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+    val bounds = ev.agg(min("day").as("lo"), max("day").as("hi"))
+    ev.crossJoin(broadcast(bounds))
+      .withColumn("train_end",
+        col("lo") + call_function("div",
+          (col("hi") - col("lo") + lit(1L)) * lit(8L), lit(10L)) - lit(1L))
+      .withColumn("split",
+        when(col("day") <= col("train_end"), lit("1_train"))
+          .when(col("day") > col("train_end") + lit(embargoDays), lit("3_test"))
+          .otherwise(lit("2_embargo")))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"),
+        min("day").as("day_lo"), max("day").as("day_hi"))
+      .orderBy("split")
+  }
+
+  private val splitTemporalSql =
+    s"""WITH ev AS (
+       |  SELECT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+       |b AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+       |t AS (SELECT lo + (hi - lo + 1) * 8 // 10 - 1 AS train_end FROM b),
+       |tagged AS (
+       |  SELECT day, user_id,
+       |         CASE WHEN day <= train_end THEN '1_train'
+       |              WHEN day > train_end + $embargoDays THEN '3_test'
+       |              ELSE '2_embargo' END AS split
+       |  FROM ev, t)
+       |SELECT split, CAST(count(*) AS BIGINT) AS n_events,
+       |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       |       min(day) AS day_lo, max(day) AS day_hi
+       |FROM tagged GROUP BY split ORDER BY split""".stripMargin
+
   /** Snapshot drift detection — the monitoring pass between two crawls: has
     * the language mixture shifted enough to retune the curation mixture?
     * Baseline = even doc_ids; current = odd doc_ids plus a planted re-crawl
@@ -2531,6 +2588,7 @@ object LlmQueries {
     Entry("q_dedup_delta", dedupDelta, Some(dedupDeltaSql)),
     Entry("q_embed_coverage", embedCoverage, Some(embedCoverageSql)),
     Entry("q_split_leakfree", splitLeakfree, Some(splitLeakfreeSql)),
+    Entry("q_split_temporal", splitTemporal, Some(splitTemporalSql)),
     Entry("q_drift_chi2", driftChi2, Some(driftChi2Sql)),
   )
 }

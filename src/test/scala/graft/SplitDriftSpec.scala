@@ -98,4 +98,30 @@ class SplitDriftSpec extends SparkSpec {
     assert(deChi2 > 5 * runnerUp,
       s"planted shift $deChi2 not separated from noise floor $runnerUp")
   }
+
+  test("q_split_temporal: train strictly precedes test with the full embargo between") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.SparkEntry.queries("q_split_temporal")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows.keySet === Set("1_train", "2_embargo", "3_test"))
+    val (_, _, _, trainHi) = rows("1_train")
+    val (_, _, embLo, embHi) = rows("2_embargo")
+    val (_, _, testLo, _) = rows("3_test")
+    // The leakage contract: a strict gap of exactly embargoDays days.
+    assert(trainHi < embLo && embHi < testLo, s"split ranges overlap: $rows")
+    assert(testLo - trainHi > 2, "the embargo gap must separate train from test")
+    // Conservation: every event lands in exactly one split.
+    val ev = graft.tables.Tables.events(spark, sfDir)
+    assert(rows.values.map(_._1).sum === ev.count())
+    // The 80% day boundary is derived from the data, not hard-coded: the
+    // train range must cover ~8/10 of the observed span.
+    val b = ev.agg(min(expr("unix_micros(ts) div 86400000000")),
+      max(expr("unix_micros(ts) div 86400000000"))).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val expectedTrainEnd = lo + (hi - lo + 1) * 8 / 10 - 1
+    assert(trainHi <= expectedTrainEnd, "train may not cross the 80% boundary")
+    assert(testLo === expectedTrainEnd + 3,
+      "test must start exactly embargoDays+1 after the boundary (dense days)")
+  }
 }

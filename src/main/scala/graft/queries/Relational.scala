@@ -414,7 +414,83 @@ object Relational {
        |FULL OUTER JOIN delta USING (doc_id)
        |GROUP BY action ORDER BY action""".stripMargin
 
+  /** Declarative data-validation suite — the Deequ-shaped constraint
+    * gate a 100 TB table passes before anyone trains on it: not-null,
+    * uniqueness, referential integrity, range and enum-domain checks,
+    * each reported as (check, rows checked, violations, passed). The
+    * whole orders battery collapses into ONE single-scan aggregate
+    * (conditional sums + a count-distinct) stacked into per-check rows;
+    * the FK check is a broadcast anti-join counted, restricted to
+    * non-null keys so null-ness is charged to the not-null check, not
+    * double-counted (and so Spark's null-never-matches anti-join and
+    * SQL's three-valued NOT IN agree); lineitem adds one more scan for
+    * its own range check. No shuffle ever carries data — every exchange
+    * moves 1-row aggregates.
+    */
+  private val constraintsQ: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val oAgg = o.agg(
+      count(lit(1)).as("n"),
+      sum(col("o_custkey").isNull.cast("long")).as("v_nn"),
+      (count(lit(1)) - countDistinct("o_orderkey")).as("v_uq"),
+      sum((col("o_totalprice").isNull || col("o_totalprice") <= 0)
+        .cast("long")).as("v_rng"),
+      sum((!col("o_orderstatus").isin("F", "O", "P")).cast("long")).as("v_enum"))
+    val fk = o.filter(col("o_custkey").isNotNull)
+      .join(broadcast(Tables.customer(s, d).select("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("v_fk"))
+    val li = Tables.lineitem(s, d).agg(
+      count(lit(1)).as("n_li"),
+      sum((col("l_quantity").isNull || col("l_quantity") <= 0)
+        .cast("long")).as("v_qty"))
+    // the FK row checks exactly the non-null keys: n − v_nn, no re-scan
+    oAgg.crossJoin(fk).crossJoin(li)
+      .selectExpr(
+        """stack(6,
+          |  '01_not_null_o_custkey', n, v_nn,
+          |  '02_unique_o_orderkey', n, v_uq,
+          |  '03_fk_orders_customer', n - v_nn, v_fk,
+          |  '04_range_o_totalprice_pos', n, v_rng,
+          |  '05_enum_o_orderstatus', n, v_enum,
+          |  '06_range_l_quantity_pos', n_li, v_qty)
+          |  AS (check_name, n_checked, n_violations)""".stripMargin)
+      .withColumn("passed", (col("n_violations") === 0).cast("long"))
+      .orderBy("check_name")
+  }
+
+  private val constraintsSql =
+    """WITH o AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_nn,
+      |         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v_uq,
+      |         CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS v_rng,
+      |         CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS v_enum
+      |  FROM orders),
+      |fk AS (SELECT CAST(count(*) AS BIGINT) AS n_fk,
+      |              CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_fk
+      |       FROM (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL) o2
+      |       LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      |         ON o2.o_custkey = c.c_custkey),
+      |li AS (SELECT CAST(count(*) AS BIGINT) AS n_li,
+      |              CAST(SUM(CASE WHEN l_quantity IS NULL OR l_quantity <= 0
+      |                            THEN 1 ELSE 0 END) AS BIGINT) AS v_qty
+      |       FROM lineitem),
+      |stacked AS (
+      |  SELECT '01_not_null_o_custkey' AS check_name, n AS n_checked, v_nn AS n_violations FROM o
+      |  UNION ALL SELECT '02_unique_o_orderkey', n, v_uq FROM o
+      |  UNION ALL SELECT '03_fk_orders_customer', n_fk, v_fk FROM fk
+      |  UNION ALL SELECT '04_range_o_totalprice_pos', n, v_rng FROM o
+      |  UNION ALL SELECT '05_enum_o_orderstatus', n, v_enum FROM o
+      |  UNION ALL SELECT '06_range_l_quantity_pos', n_li, v_qty FROM li)
+      |SELECT check_name, n_checked, n_violations,
+      |       CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+      |FROM stacked ORDER BY check_name""".stripMargin
+
   val entries: Seq[Entry] = Seq(
+    Entry("q_constraints", constraintsQ, Some(constraintsSql)),
     Entry("q_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
     Entry("q_scan_project", scanProject, Some(scanProjectSql)),
     Entry("q_filter_pred", filterPred, Some(filterPredSql)),

@@ -252,6 +252,17 @@ class PlanSpec extends SparkSpec {
       s"the |keys| rows must shuffle on the bucket key:\n$p")
   }
 
+  test("the constraint suite broadcasts its FK anti-join and scans each table once per battery") {
+    val p = plan("q_constraints")
+    assert(p.contains("LeftAnti"), s"FK check must be an anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the customer key dim must broadcast — a shuffled FK check drags the fact:\n$p")
+    // orders twice (aggregate battery + FK probe), customer, lineitem —
+    // a fifth scan means a constraint re-reads a table it already has.
+    assert("FileScan parquet".r.findAllMatchIn(p).size <= 4,
+      s"constraint batteries must share scans:\n$p")
+  }
+
   test("sequence packing cumulates distributed: bucket-partitioned prefix sum, text pruned pre-shuffle") {
     // The last data-sized unpartitioned window in the registry, closed:
     // the running token total is ops.Prefix's bucket → offsets → local

@@ -545,6 +545,91 @@ object Stats {
     }
       .mkString("", "\nUNION ALL\n", "\nORDER BY side_a")
 
+  /** Windowed categorical drift — the MONITOR form of ◆ `q_drift_chi2`:
+    * the event-type mixture of each tumbling day window in the second
+    * half of the observed span, scored against the first half as the
+    * baseline, per (window, category): chi² contribution
+    * (n_cur − e)²/e with e = n_base·tc/tb, and total-variation
+    * contribution |n_cur/tc − n_base/tb| — the identical rational
+    * arithmetic (floor-rounded at 10⁻⁶, no ln — the libm discipline).
+    * A category absent from a window still scores ((0 − e)²/e) and a
+    * category new to a window scores chi² = null (e = 0) with TV still
+    * defined — both engines build the same (window × category) grid so
+    * the row sets cannot diverge.
+    *
+    * The live twin is [[graft.stream.Drift.windowedChi2]]: identical
+    * per-window rows emitted as the watermark closes each window —
+    * StreamSpec proves live ≡ this query on the shared fixture.
+    *
+    * Scale shape: baseline and per-window counts are partial+final hash
+    * aggregates over the scan; the grid is |windows|·|categories| rows
+    * (days × event types — never data) with the |categories| baseline
+    * and the 1-row total broadcast; per-window totals collapse from the
+    * grid itself.
+    */
+  private val driftWindowedQ: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(
+      expr("unix_micros(ts) div 86400000000").as("day"), col("event_type"))
+    val bounds = ev.agg(min("day").as("lo"), max("day").as("hi"))
+    val blEnd = col("lo") +
+      call_function("div", col("hi") - col("lo") + lit(1L), lit(2L)) - lit(1L)
+    val tagged = ev.crossJoin(broadcast(bounds))
+      .withColumn("bl_end", blEnd)
+    val base = tagged.filter(col("day") <= col("bl_end"))
+      .groupBy("event_type").agg(count(lit(1)).as("n_base"))
+    val cur = tagged.filter(col("day") > col("bl_end"))
+      .groupBy("day", "event_type").agg(count(lit(1)).as("n_cur"))
+    val cats = ev.select("event_type").distinct()
+    val days = cur.select("day").distinct()
+    val grid = days.crossJoin(broadcast(cats))
+      .join(broadcast(base), Seq("event_type"), "left")
+      .join(cur, Seq("day", "event_type"), "left")
+      .na.fill(0L, Seq("n_base", "n_cur"))
+    val tb = base.agg(sum("n_base").as("tb"))
+    val tw = grid.groupBy("day").agg(sum("n_cur").as("tc"))
+    val e = col("n_base").cast("double") * col("tc") / col("tb")
+    grid.join(broadcast(tw), Seq("day")).crossJoin(broadcast(tb))
+      .select(col("day"), col("event_type"), col("n_base"), col("n_cur"),
+        when(col("n_base") === 0, lit(null).cast("double"))
+          .otherwise(floor((col("n_cur") - e) * (col("n_cur") - e) / e
+            * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+          .as("chi2_c"),
+        (floor(abs(col("n_cur").cast("double") / col("tc")
+          - col("n_base").cast("double") / col("tb")) * lit(1000000.0)
+          + lit(0.5)) / lit(1000000.0)).as("tv_c"))
+      .orderBy("day", "event_type")
+  }
+
+  private val driftWindowedSql =
+    """WITH ev AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day, event_type FROM events),
+      |b AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+      |t AS (SELECT lo + (hi - lo + 1) // 2 - 1 AS bl_end FROM b),
+      |base AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_base
+      |         FROM ev, t WHERE day <= bl_end GROUP BY event_type),
+      |cur AS (SELECT day, event_type, CAST(count(*) AS BIGINT) AS n_cur
+      |        FROM ev, t WHERE day > bl_end GROUP BY day, event_type),
+      |grid AS (
+      |  SELECT d.day, c.event_type,
+      |         coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
+      |  FROM (SELECT DISTINCT day FROM cur) d
+      |  CROSS JOIN (SELECT DISTINCT event_type FROM ev) c
+      |  LEFT JOIN base USING (event_type)
+      |  LEFT JOIN cur USING (day, event_type)),
+      |tb AS (SELECT CAST(SUM(n_base) AS BIGINT) AS tb FROM base),
+      |tw AS (SELECT day, CAST(SUM(n_cur) AS BIGINT) AS tc FROM grid GROUP BY day),
+      |je AS (
+      |  SELECT day, event_type, n_base, n_cur, tb, tc,
+      |         CAST(n_base AS DOUBLE) * tc / tb AS e
+      |  FROM grid JOIN tw USING (day), tb)
+      |SELECT day, event_type, n_base, n_cur,
+      |       CASE WHEN n_base = 0 THEN NULL
+      |            ELSE floor((n_cur - e) * (n_cur - e) / e * 1000000.0 + 0.5)
+      |                 / 1000000.0 END AS chi2_c,
+      |       floor(abs(CAST(n_cur AS DOUBLE) / tc - CAST(n_base AS DOUBLE) / tb)
+      |             * 1000000.0 + 0.5) / 1000000.0 AS tv_c
+      |FROM je ORDER BY day, event_type""".stripMargin
+
   /** Cohort retention — the engagement-decay matrix: customers grouped by
     * first-activity year (their cohort), counted in each later activity
     * year, with retention as the fraction of the cohort's size at offset
@@ -698,6 +783,7 @@ object Stats {
     Entry("q_cohort_retention", cohortQ, Some(cohortSql)),
     Entry("q_drift_ks", driftKsQ, Some(driftKsSql)),
     Entry("q_drift_ks_binned", driftKsBinnedQ, Some(driftKsBinnedSql)),
+    Entry("q_drift_windowed", driftWindowedQ, Some(driftWindowedSql)),
     Entry("q_outlier_mad", outlierMadQ, Some(outlierMadSql)),
     Entry("q_asof_join", asofJoinQ, Some(asofJoinSql)),
     Entry("q_profile", profileQ, Some(profileSql)),

@@ -772,6 +772,104 @@ class StreamSpec extends SparkSpec {
       "one pair per event beyond each user's first; the sentinel user emits none")
   }
 
+  test("live windowed drift equals the batch monitor under arbitrary cross-batch disorder") {
+    import spark.implicits._
+    import graft.stream.Drift
+    val dayUs = 86400000000L
+    val ev = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        col("event_type"), col("ts"))
+    val b = ev.agg(min("day"), max("day")).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val blEnd = lo + (hi - lo + 1) / 2 - 1
+    val baseline = ev.filter(col("day") <= blEnd)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val allCats = ev.select("event_type").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val cur = ev.filter(col("day") > blEnd)
+      .select(col("ts"), col("event_type")).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1))).toSeq
+    // Seeded shuffle cut in thirds: cross-batch event-time disorder that
+    // only the big watermark delay makes admissible; the double sentinel
+    // then closes every real window (first advances the watermark, the
+    // second batch fires the timers).
+    val rnd = new scala.util.Random(29)
+    val shuffled = rnd.shuffle(cur)
+    val (b1, rest) = shuffled.splitAt(cur.size / 3)
+    val (b2, b3) = rest.splitAt(rest.size / 2)
+    val maxUs = cur.map(_._1.getTime).max * 1000L
+    val delayS = (hi - lo + 2) * 86400L
+    def sent(off: Long) =
+      (new java.sql.Timestamp((maxUs + (delayS + off) * 1000000L) / 1000L), "zzz_flush")
+    val ms = MemoryStream[(java.sql.Timestamp, String)](
+      implicitly[Encoder[(java.sql.Timestamp, String)]], spark.sqlContext)
+    val sink = s"drift_live_${System.identityHashCode(this)}"
+    val q = Drift.windowedChi2(
+        ms.toDF().toDF("ts", "cat").withWatermark("ts", s"$delayS seconds")
+          .select(col("cat"), unix_micros(col("ts")).as("us"), col("ts"))
+          .as[Drift.DEvent],
+        baseline, dayUs, allCats)
+      .writeStream.outputMode("append").format("memory").queryName(sink).start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      ms.addData(b3); q.processAllAvailable()
+      ms.addData(Seq(sent(3600L))); q.processAllAvailable()
+      ms.addData(Seq(sent(7200L))); q.processAllAvailable()
+    } finally q.stop()
+    def key(day: Long, cat: String) = s"$day/$cat"
+    val live = spark.table(sink).collect().map { r =>
+      key(r.getLong(0) / dayUs, r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)), r.getDouble(5)))
+    }.toMap
+    val batch = SparkEntry.queries("q_drift_windowed")(spark, sfDir).collect().map { r =>
+      key(r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)), r.getDouble(5)))
+    }.toMap
+    assert(live === batch,
+      "every closed window's drift rows must be bit-identical to the batch monitor")
+  }
+
+  test("windowed drift drops stragglers into closed windows — no second emission") {
+    import spark.implicits._
+    import graft.stream.Drift
+    val winUs = 60000000L // 1-minute windows
+    val t0 = 1704067200000L
+    def ev(offSec: Long, cat: String) =
+      (new java.sql.Timestamp(t0 + offSec * 1000L), cat)
+    val ms = MemoryStream[(java.sql.Timestamp, String)](
+      implicitly[Encoder[(java.sql.Timestamp, String)]], spark.sqlContext)
+    val sink = s"drift_late_${System.identityHashCode(this)}"
+    val q = Drift.windowedChi2(
+        ms.toDF().toDF("ts", "cat").withWatermark("ts", "0 seconds")
+          .select(col("cat"), unix_micros(col("ts")).as("us"), col("ts"))
+          .as[Drift.DEvent],
+        Map("a" -> 3L, "b" -> 1L), winUs, Seq("a", "b"))
+      .writeStream.outputMode("append").format("memory").queryName(sink).start()
+    try {
+      // window 0: two 'a'; the +10 min event pushes the watermark far past
+      // its end on the NEXT batch's timers
+      ms.addData(Seq(ev(1, "a"), ev(2, "a"), ev(600, "a")))
+      q.processAllAvailable()
+      ms.addData(Seq(ev(601, "a"))); q.processAllAvailable() // fires window-0 close
+      val afterClose = spark.table(sink)
+        .filter(col("win_start_us") === t0 * 1000L).collect()
+      assert(afterClose.map(_.getString(1)).sorted.toSeq === Seq("a", "b"),
+        "window 0 must emit its full category grid exactly once")
+      assert(afterClose.find(_.getString(1) == "a").get.getLong(3) === 2L)
+      // a straggler into the CLOSED window 0 must be dropped, not resurrect it
+      ms.addData(Seq(ev(3, "a"))); q.processAllAvailable()
+      ms.addData(Seq(ev(660, "a"))); q.processAllAvailable()
+      val after = spark.table(sink)
+        .filter(col("win_start_us") === t0 * 1000L).collect()
+      assert(after.length === 2,
+        s"closed window re-emitted: ${after.mkString(", ")}")
+    } finally q.stop()
+  }
+
   test("live funnel milestones equal the batch conditional-minimum funnel") {
     import spark.implicits._
     import graft.stream.Funnel

@@ -23,7 +23,8 @@ object Registry {
   def all: Seq[Entry] =
     Relational.entries ++ Aggregates.entries ++ Stats.entries ++
       Windows.entries ++ Scalars.entries ++ MLQueries.entries ++
-      LlmQueries.entries ++ ScaleQueries.entries ++ StreamingQueries.entries
+      LlmQueries.entries ++ ScaleQueries.entries ++
+      StreamingQueries.entries ++ RecQueries.entries
 
   def queries: Map[String, Q] = all.map(e => e.name -> e.q).toMap
   def oracleSql: Map[String, String] =

@@ -2543,6 +2543,52 @@ object LlmQueries {
       |             * 1000000.0 + 0.5) / 1000000.0 AS tv_c
       |FROM je ORDER BY lang""".stripMargin
 
+  /** BPE tokenizer training, iteration 1 — the top-20 adjacent-symbol
+    * pair candidates over the corpus vocabulary (weighted by word
+    * occurrences; [[graft.llm.Bpe]] holds the full iterative trainer).
+    * The hash gate pins the exact pair statistics the trainer's first
+    * argmax reads, over the same `[a-z]+` token class as q_token_count.
+    *
+    * Scale: corpus collapses to (word, freq) once (one shuffle on the
+    * word key), pair counts are a map-side-combined sum over a narrow
+    * explode, and the top-20 is sort+limit (TakeOrderedAndProject) with
+    * positions numbered on the ≤ 20 surviving rows ([[graft.ops.Rank]]).
+    */
+  private val bpePairs: Q = (s, d) => {
+    val vocab = graft.llm.Bpe.withSymbols(
+      graft.llm.Bpe.wordFreq(Tables.documents(s, d)))
+    graft.ops.Rank.firstK(graft.llm.Bpe.pairCounts(vocab), 20,
+        desc("cnt"), asc("l"), asc("r"))
+      .select(col("rn").cast("int").as("rn"), col("l"), col("r"), col("cnt"))
+      .orderBy("rn")
+  }
+
+  private val bpePairsSql =
+    """WITH w AS (SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS word FROM documents),
+      |w2 AS (SELECT word FROM w WHERE len(word) >= 2),
+      |mx AS (SELECT max(len(word)) - 1 AS m FROM w2),
+      |ii AS (SELECT unnest(generate_series(1, (SELECT m FROM mx))) AS i),
+      |p AS (SELECT substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r
+      |      FROM w2 CROSS JOIN ii WHERE i <= len(word) - 1),
+      |g AS (SELECT l, r, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY l, r),
+      |rk AS (SELECT l, r, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, l, r) AS INT) AS rn FROM g)
+      |SELECT rn, l, r, cnt FROM rk WHERE rn <= 20 ORDER BY rn""".stripMargin
+
+  /** The full BPE merge table: 30 trained merges in application order
+    * ([[graft.llm.Bpe.train]]). Rows-only for the driver — the iterative
+    * argmax fixpoint (each round's counts depend on every previous
+    * round's rewrite) is not ANSI-SQL-expressible; BpeSpec instead proves
+    * the whole table equal to an independent plain-Scala reference
+    * trainer, plus the greedy-overlap rule and encoder round-trip.
+    */
+  private val bpeVocab: Q = (s, d) => {
+    val merges = graft.llm.Bpe.train(Tables.documents(s, d), 30)
+    s.createDataFrame(merges)
+      .select(col("rank").as("merge_rank"), col("lhs"), col("rhs"),
+        col("merged"), col("pairFreq").as("pair_freq"))
+      .orderBy("merge_rank")
+  }
+
   val entries: Seq[Entry] = Seq(
     Entry("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     Entry("q_dedup_jaccard", dedupJaccard, Some(dedupJaccardSql)),
@@ -2590,5 +2636,8 @@ object LlmQueries {
     Entry("q_split_leakfree", splitLeakfree, Some(splitLeakfreeSql)),
     Entry("q_split_temporal", splitTemporal, Some(splitTemporalSql)),
     Entry("q_drift_chi2", driftChi2, Some(driftChi2Sql)),
+    Entry("q_bpe_pairs", bpePairs, Some(bpePairsSql)),
+    Entry("ml_bpe_vocab", bpeVocab, None),
   )
+
 }

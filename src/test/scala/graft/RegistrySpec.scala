@@ -56,6 +56,7 @@ class RegistrySpec extends SparkSpec {
       // ≤ k rows by construction (TakeOrderedAndProject first).
       "q_eval_ranking" -> "≤ 64 bucket-offset rows (Prefix.withCumSum)",
       "q_rec_coverage" -> "≤ 64 bucket-offset rows ×2 (Prefix.withCumSum)",
+      "q_bpe_pairs" -> "≤ 20 rows (Rank.firstK)",
       "q_pagination" -> "≤ 70 rows (Rank.firstK)",
       "q_rank_decay" -> "≤ 20 rows (Rank.firstK)",
       "q_union_hybrid" -> "≤ 7 + ≤ 3 rows (Rank.firstK per arm)")

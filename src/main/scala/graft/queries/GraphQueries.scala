@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+import Registry.{Entry, Q}
+
+/** Graph-analytics surface over the co-purchase graph — the link-structure
+  * quality signal a recommendation corpus (or a web-scale training corpus)
+  * ranks its items by. The reference ranks tracks only by raw popularity
+  * (reference: src/spark/training.py:180-195 counts interactions); item
+  * PageRank is the principled upgrade: an item is important if important
+  * items co-occur with it, which damps the head-of-catalog feedback loop
+  * raw counts suffer.
+  *
+  * All rank arithmetic is EXACT INTEGER: ranks live in units of 10⁻¹²
+  * of total mass, per-edge contributions are integer division
+  * (`r div deg` — associative however partitions sum), and the damping
+  * update is `base + (85·contrib) div 100`. Floating-point PageRank sums
+  * doubles in partition order and can never hash-match a sequential
+  * oracle; integer PageRank is bit-identical on any plan — the
+  * `q_vocab_pmi` libm discipline applied to an iterative algorithm. The
+  * floor in each division leaks ≤1 unit of mass per (edge, iteration):
+  * at 10⁻¹² granularity the leaked mass is irrelevant to ranking and the
+  * determinism it buys is the whole point.
+  */
+object GraphQueries {
+
+  /** Total rank mass: 10¹² integer units. */
+  private val U = 1000000000000L
+  /** (1−d)·U with d = 0.85, exact: 0.15·10¹² = 1.5·10¹¹. */
+  private val B = 150000000000L
+  private val iterations = 5
+
+  /** Undirected co-purchase edges: parts appearing in the same order,
+    * emitted in both directions, deduplicated. Self-join of the distinct
+    * (order, part) incidence list on the order key — at 100 TB the
+    * per-basket width bounds the blow-up (TPC-H baskets are ≤ a few
+    * dozen lines; a retail-scale pipeline caps pathological baskets with
+    * a per-order top-k guard before pairing, the `q_topn_per_group`
+    * heap). Every node of this graph has degree ≥ 1 by construction
+    * (an edge implies both endpoints), so the rank update needs no
+    * dangling-mass term and no left-join backfill.
+    */
+  private def coPurchaseEdges(li: DataFrame): DataFrame = {
+    val inc = li.select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("pid")).distinct()
+    inc.as("a").join(inc.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pid") =!= col("b.pid"))
+      .select(col("a.pid").as("src"), col("b.pid").as("dst"))
+      .distinct()
+  }
+
+  /** Integer PageRank over the co-purchase graph, [[iterations]] fixed
+    * rounds, top-50 items. r₀ = U div N; each round
+    * r'(v) = B div N + (85 · Σ_{(u,v)∈E} (r(u) div deg(u))) div 100.
+    * The ◆ oracle unrolls the same five rounds as chained CTEs with
+    * DuckDB's flooring `//` (all operands non-negative, so Spark's
+    * truncating `div` agrees) — the full fixed point sits under the hash
+    * gate, not just the final ordering.
+    *
+    * Scale shape: the |E|-row edge list is the loop INVARIANT — built,
+    * partitioned, and materialized once (localCheckpoint; at 100 TB,
+    * written once bucketed on src — [[graft.sources.Bucketed]]) — while
+    * the per-round state is only the |nodes|-row rank vector. Each round
+    * BROADCASTS the per-node contribution (nodes ≪ edges: the catalog,
+    * not the basket log) onto the stationary edge list — a map-side hash
+    * join, no edge shuffle ever — and hash-aggregates onto dst with
+    * map-side partials that collapse each partition to ≤ |nodes| rows
+    * before the |nodes|-sized exchange. Five rounds cost five broadcast
+    * joins + five |nodes| exchanges; the |E| shuffle happens exactly
+    * once, at graph construction. Catalogs too big to broadcast fall
+    * back to the bucketed-edge join, same loop. The driver never sees a
+    * collect: the loop composes one lazy plan.
+    */
+  private val itemRank: Q = (s, d) => {
+    val edges = coPurchaseEdges(Tables.lineitem(s, d)).localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val nC = deg.agg(count(lit(1)).as("n"))
+    var ranks = deg.crossJoin(broadcast(nC))
+      .select(col("src").as("node"), expr(s"${U}L div n").as("r"))
+    for (_ <- 1 to iterations) {
+      val contrib = ranks.join(deg, ranks("node") === deg("src"))
+        .select(col("node"), expr("r div deg").as("c"))
+      ranks = edges.join(broadcast(contrib),
+          edges("src") === contrib("node"))
+        .groupBy("dst").agg(sum("c").as("cin"))
+        .crossJoin(broadcast(nC))
+        .select(col("dst").as("node"),
+          expr(s"${B}L div n + (85L * cin) div 100L").as("r"))
+        .localCheckpoint(false)
+    }
+    ranks.orderBy(desc("r"), asc("node")).limit(50)
+      .select(col("node").as("part_id"), col("r").as("rank_units"))
+      .orderBy(desc("rank_units"), asc("part_id"))
+  }
+
+  private val itemRankSql = {
+    val rounds = (1 to iterations).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS node,
+         |         CAST(SUM(r${i - 1}.r // d.deg) AS BIGINT) AS c
+         |  FROM edges e
+         |  JOIN r${i - 1} ON e.src = r${i - 1}.node
+         |  JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst),
+         |r$i AS (SELECT node, $B // n + (85 * c) // 100 AS r FROM c$i, n)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pid FROM lineitem),
+       |edges AS (
+       |  SELECT DISTINCT a.pid AS src, b.pid AS dst
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pid <> b.pid),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+       |        FROM edges GROUP BY src),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+       |r0 AS (SELECT src AS node, $U // n AS r FROM deg, n),
+       |$rounds
+       |SELECT node AS part_id, r AS rank_units FROM r$iterations
+       |ORDER BY rank_units DESC, part_id LIMIT 50""".stripMargin
+  }
+
+  val entries: Seq[Entry] = Seq(
+    Entry("q_item_rank", itemRank, Some(itemRankSql)),
+  )
+}

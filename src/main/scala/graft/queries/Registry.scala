@@ -24,7 +24,8 @@ object Registry {
     Relational.entries ++ Aggregates.entries ++ Stats.entries ++
       Windows.entries ++ Scalars.entries ++ MLQueries.entries ++
       LlmQueries.entries ++ ScaleQueries.entries ++
-      StreamingQueries.entries ++ RecQueries.entries
+      StreamingQueries.entries ++ RecQueries.entries ++
+      Warehouse.entries ++ GraphQueries.entries
 
   def queries: Map[String, Q] = all.map(e => e.name -> e.q).toMap
   def oracleSql: Map[String, String] =

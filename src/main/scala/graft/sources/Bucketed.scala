@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bucketed (hash-clustered) table layout — the co-located-join half of the
+  * layout story that [[Layout]]'s space-filling curves tell for range scans.
+  *
+  * The reference re-shuffles interactions on every join against the track/user
+  * dimensions (reference: src/spark/training.py:113-145 re-reads and re-joins
+  * the raw CSVs per run); at 100 TB the join shuffle — not the scan — is the
+  * dominant cost of every repeated fact⋈fact or fact⋈big-dim query. Bucketing
+  * amortizes it: both sides are written ONCE pre-hashed into the same number
+  * of buckets on the join key, so every later equi-join on that key is
+  * exchange-free — each task zips bucket i of A with bucket i of B. Spark's
+  * V1 bucketing uses `pmod(murmur3, n)` — the SAME function as shuffle
+  * `HashPartitioning` — which is what makes the write-side `repartition(n,
+  * key)` line up one-task-one-bucket and the read-side scan satisfy the
+  * join's required distribution without an Exchange (BucketedSpec pins both:
+  * zero exchanges in the join plan, and `SelectedBucketsCount 1 out of N` on
+  * a key-equality probe — bucket pruning turns point lookups into
+  * one-bucket scans).
+  *
+  * Scale shape: the one-off write shuffles each side once (that cost was
+  * going to be paid by the FIRST join anyway); every subsequent join, GROUP
+  * BY on the key, or key probe rides the layout for free. Bucket count is a
+  * layout-time constant — pick it for target file sizes at the production
+  * scale (100 TB / n buckets ≈ executor-memory-sized splits), not for the
+  * cluster size; Spark can coalesce buckets at read time but never split
+  * them.
+  */
+object Bucketed {
+
+  /** Write `df` as an external parquet table hash-clustered into `buckets`
+    * buckets on `key`, one file per bucket (the pre-`repartition` on the
+    * same (n, key) hash makes task i hold exactly bucket i, so `sortBy`
+    * order survives — multi-file buckets lose read-side ordering).
+    * Overwrites both the catalog entry and the files — re-runs converge.
+    */
+  def writeBucketed(df: DataFrame, table: String, dir: String,
+                    key: String, buckets: Int): Unit = {
+    val s = df.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    df.repartition(buckets, col(key))
+      .write.mode("overwrite")
+      .format("parquet")
+      .option("path", dir)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+  }
+
+  /** Root for this session's bucketed layouts, keyed by the source dir so
+    * sf0.001 spec runs and sf0.01/0.1 driver runs never collide.
+    */
+  def layoutDir(sfDir: String, table: String): String = {
+    val tag = java.lang.Integer.toHexString(sfDir.hashCode)
+    s"${System.getProperty("java.io.tmpdir")}/graft-bucketed-$tag/$table"
+  }
+
+  /** Ensure orders + customer exist as co-bucketed tables on the customer
+    * key (8 buckets), returning (orders, customer) as catalog scans that
+    * carry the bucket metadata. Idempotent per (session, sfDir).
+    */
+  def coBucketedOrdersCustomer(s: SparkSession, sfDir: String,
+                               buckets: Int = 8): (DataFrame, DataFrame) = {
+    val tag = java.lang.Integer.toHexString(sfDir.hashCode)
+    val (ot, ct) = (s"graft_b_orders_$tag", s"graft_b_customer_$tag")
+    if (!s.catalog.tableExists(ot) || !s.catalog.tableExists(ct)) {
+      writeBucketed(graft.tables.Tables.orders(s, sfDir), ot,
+        layoutDir(sfDir, "orders"), "o_custkey", buckets)
+      writeBucketed(graft.tables.Tables.customer(s, sfDir), ct,
+        layoutDir(sfDir, "customer"), "c_custkey", buckets)
+    }
+    (s.table(ot), s.table(ct))
+  }
+}

@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Bucketed
+import graft.tables.Tables
+
+/** Gates for the warehouse-maintenance surface (Warehouse.scala +
+  * sources/Bucketed.scala) and the graph surface (GraphQueries.scala).
+  * The DuckDB oracle checks result exactness; these check the PLAN and
+  * ALGEBRA claims the scaladocs make: the bucketed join really is
+  * exchange-free, bucket pruning really fires on a point probe, the
+  * incremental merge really equals a full recompute at ANY refresh
+  * boundary, and integer PageRank really is the fixed point a sequential
+  * replay computes.
+  */
+class WarehouseSpec extends SparkSpec {
+
+  private def withConf[A](k: String, v: String)(body: => A): A = {
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, v)
+    try body
+    finally prev match {
+      case Some(p) => spark.conf.set(k, p)
+      case None => spark.conf.unset(k)
+    }
+  }
+
+  test("bucketed orders⋈customer joins with ZERO exchanges; plain join needs them") {
+    val (o, c) = Bucketed.coBucketedOrdersCustomer(spark, sfDir)
+    withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      val joined = o.join(c, col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed equi-join must not shuffle either side:\n$plan")
+      assert(plan.contains("SortMergeJoin"))
+      assert(plan.contains("Bucketed: true"))
+      // The same join over the raw parquet MUST shuffle — the layout, not
+      // the optimizer, is what removed the exchanges above.
+      val raw = Tables.orders(spark, sfDir)
+        .join(Tables.customer(spark, sfDir),
+          col("o_custkey") === col("c_custkey"))
+      assert(raw.queryExecution.executedPlan.toString.contains("Exchange"))
+    }
+  }
+
+  test("bucket pruning: a key point-probe scans 1 bucket out of 8") {
+    val (o, _) = Bucketed.coBucketedOrdersCustomer(spark, sfDir)
+    val probeKey = o.select(min("o_custkey")).collect()(0).getLong(0)
+    // A bare filter triggers DisableUnnecessaryBucketedScan (no operator
+    // needs the hash distribution); force the bucketed scan so the
+    // pruning half of the layout story is observable in the plan.
+    withConf("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+      "false") {
+      val plan = o.filter(col("o_custkey") === probeKey)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"point probe must prune to one bucket:\n$plan")
+    }
+  }
+
+  test("bucketing changes the plan, never the answer") {
+    val viaBuckets = SparkEntry.queries("q_bucketed_join")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val direct = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct("c_custkey").as("n_buyers"),
+        sum(graft.ops.Num.cents(col("o_totalprice"))).as("revenue_cents"))
+      .orderBy("c_nationkey")
+      .collect().map(_.toSeq).toSeq
+    assert(viaBuckets == direct)
+  }
+
+  /** Merge-algebra replay: fold every order into per-customer state twice —
+    * once as one pass (full recompute), once as history+delta states merged
+    * at boundary `frac` — and require identical serving rows. The registry
+    * query fixes frac=0.8; the algebra must hold at ANY cut for the
+    * standing-state story to be sound.
+    */
+  private case class St(n: Long, sum: Long, mn: Long, mx: Long, day: Long) {
+    def +(c: Long, d: Long): St =
+      St(n + 1, sum + c, math.min(mn, c), math.max(mx, c), math.max(day, d))
+    def merge(o: St): St =
+      St(n + o.n, sum + o.sum, math.min(mn, o.mn), math.max(mx, o.mx),
+        math.max(day, o.day))
+  }
+  private val zero = St(0, 0, Long.MaxValue, Long.MinValue, Long.MinValue)
+
+  test("incremental merge ≡ full recompute at every refresh boundary") {
+    val rows = Tables.orders(spark, sfDir).select(col("o_custkey"),
+        expr("unix_micros(o_orderdate) div 86400000000").as("day"),
+        graft.ops.Num.cents(col("o_totalprice")).as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val (lo, hi) = (rows.map(_._2).min, rows.map(_._2).max)
+    val full = rows.groupBy(_._1).view.mapValues(
+      _.foldLeft(zero) { case (s, (_, d, c)) => s + (c, d) }).toMap
+    for (num <- Seq(0L, 2L, 5L, 8L, 10L)) {
+      val cut = lo + (hi - lo + 1) * num / 10
+      val merged = rows.groupBy(_._1).view.mapValues { rs =>
+        val (h, del) = rs.partition(_._2 < cut)
+        val hs = h.foldLeft(zero) { case (s, (_, d, c)) => s + (c, d) }
+        val ds = del.foldLeft(zero) { case (s, (_, d, c)) => s + (c, d) }
+        hs.merge(ds)
+      }.toMap
+      assert(merged == full, s"merge at cut=$num/10 must equal full recompute")
+    }
+  }
+
+  test("q_incr_agg rows equal the Scala full-recompute replay") {
+    val got = SparkEntry.queries("q_incr_agg")(spark, sfDir).collect()
+    val rows = Tables.orders(spark, sfDir).select(col("o_custkey"),
+        expr("unix_micros(o_orderdate) div 86400000000").as("day"),
+        graft.ops.Num.cents(col("o_totalprice")).as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val full = rows.groupBy(_._1).view.mapValues(
+      _.foldLeft(zero) { case (s, (_, d, c)) => s + (c, d) }).toMap
+    assert(got.length == full.size)
+    got.foreach { r =>
+      val s = full(r.getAs[Long]("o_custkey"))
+      assert(r.getAs[Long]("n_orders") == s.n)
+      assert(r.getAs[Long]("revenue_cents") == s.sum)
+      assert(r.getAs[Long]("min_cents") == s.mn)
+      assert(r.getAs[Long]("max_cents") == s.mx)
+      assert(r.getAs[Long]("last_day") == s.day)
+      assert(r.getAs[Long]("avg_cents") == s.sum / s.n)
+    }
+  }
+
+  test("q_item_rank equals a sequential integer-PageRank replay, top-50") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.toSeq.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).distinct
+      for (a <- ps; b <- ps if a != b) yield (a, b)
+    }.toSet
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n = deg.size.toLong
+    val U = 1000000000000L
+    var r = deg.keys.map(k => k -> U / n).toMap
+    for (_ <- 1 to 5) {
+      val contrib = r.map { case (k, v) => k -> v / deg(k) }
+      val in = edges.toSeq.groupBy(_._2).view
+        .mapValues(_.map(e => contrib(e._1)).sum).toMap
+      r = in.map { case (k, c) => k -> (150000000000L / n + 85L * c / 100L) }
+    }
+    val expect = r.toSeq.sortBy { case (k, v) => (-v, k) }.take(50)
+    val got = SparkEntry.queries("q_item_rank")(spark, sfDir).collect()
+      .map(x => (x.getAs[Long]("part_id"), x.getAs[Long]("rank_units"))).toSeq
+    assert(got == expect)
+  }
+
+  test("item rank mass: total leaks only downward and ranks stay positive") {
+    val got = SparkEntry.queries("q_item_rank")(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.getAs[Long]("rank_units") > 0))
+    // top-50 can't hold more than all the mass
+    assert(got.map(_.getAs[Long]("rank_units")).sum <= 1000000000000L)
+  }
+}

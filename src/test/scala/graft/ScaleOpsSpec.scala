@@ -161,4 +161,34 @@ class ScaleOpsSpec extends SparkSpec {
       assert(joined.count() === expect)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("Catalyst injects a runtime bloom filter from the selective dim side") {
+    // The optimizer-grown cousin of functions.BloomMightContain: when a
+    // shuffle join's build side is filtered selectively, InjectRuntimeFilter
+    // plants bloom_filter_might_contain on the probe side's scan, trimming
+    // shuffle traffic before the join — semi-join reduction without any
+    // query rewrite. Thresholds here only make the fixture big enough to
+    // qualify; at 100 TB the defaults fire on their own. Pinned so a future
+    // conf regression (the feature is config-gated) is caught.
+    withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      withConf("spark.sql.optimizer.runtime.bloomFilter.enabled", "true") {
+        withConf("spark.sql.optimizer.runtime.bloomFilter." +
+          "applicationSideScanSizeThreshold", "0") {
+          val li = Tables.lineitem(spark, sfDir)
+            .select("l_partkey", "l_extendedprice")
+          val dim = Tables.part(spark, sfDir).filter(col("p_size") === 1)
+          val j = li.join(dim, col("l_partkey") === col("p_partkey"))
+            .select("l_partkey", "p_size", "l_extendedprice")
+          val plan = j.queryExecution.executedPlan.toString
+          assert(plan.contains("might_contain"),
+            s"runtime bloom filter must reach the probe side:\n$plan")
+          val expect = Tables.lineitem(spark, sfDir)
+            .join(Tables.part(spark, sfDir).filter(col("p_size") === 1),
+              col("l_partkey") === col("p_partkey")).count()
+          assert(j.count() === expect,
+            "the injected filter is advisory — result must be unchanged")
+        }
+      }
+    }
+  }
 }

@@ -12,6 +12,20 @@ abstract class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   lazy val spark: SparkSession = SparkSpec.session
 
+  /** Run `body` with a session conf pinned, restoring the prior value
+    * (or unsetting) afterwards — specs share one session, so a leaked
+    * conf would bleed into every later suite.
+    */
+  def withConf[A](k: String, v: String)(body: => A): A = {
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, v)
+    try body
+    finally prev match {
+      case Some(p) => spark.conf.set(k, p)
+      case None => spark.conf.unset(k)
+    }
+  }
+
   /** Recursive temp-dir cleanup; closes the walk stream (an unclosed
     * Files.walk leaks directory handles until GC).
     */

@@ -15,16 +15,6 @@ import graft.tables.Tables
   */
 class WarehouseSpec extends SparkSpec {
 
-  private def withConf[A](k: String, v: String)(body: => A): A = {
-    val prev = spark.conf.getOption(k)
-    spark.conf.set(k, v)
-    try body
-    finally prev match {
-      case Some(p) => spark.conf.set(k, p)
-      case None => spark.conf.unset(k)
-    }
-  }
-
   test("bucketed orders⋈customer joins with ZERO exchanges; plain join needs them") {
     val (o, c) = Bucketed.coBucketedOrdersCustomer(spark, sfDir)
     withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {

@@ -778,7 +778,82 @@ object Stats {
       |             / CAST(tot_cents AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS cum_frac
       |FROM g, t ORDER BY decile""".stripMargin
 
+  /** Exact GLOBAL order statistics by distributed selection — the
+    * `q_pareto` / [[graft.ops.Prefix]] rank template applied to the
+    * remaining "global sort" temptation: percentiles over the whole
+    * table. `percentile(c, p)` (and the ◆ `q_percentiles` per-group
+    * form) sorts each group inside one task — fine when groups are
+    * bounded, fatal for ONE group of 10⁹ rows. The selection plan never
+    * sorts the data globally:
+    *
+    *  1. order-preserving value bucket from broadcast (lo, hi) bounds
+    *     (integer width division — the overflow-safe Prefix form);
+    *  2. per-bucket counts collapse to ≤ 64 rows; their exclusive
+    *     prefix (the ONLY unpartitioned window, constant-size) gives
+    *     each bucket's global-rank offset, and their total gives n;
+    *  3. each requested p maps to global rank ⌈p·n⌉ (type-1 lower
+    *     order statistic — explicit rank math, identical in both
+    *     engines), which lands in exactly one bucket: a 5×64 broadcast
+    *     theta-join;
+    *  4. ONLY the hit buckets (≤ 5 of 64) rank locally
+    *     (`row_number` partitioned by bucket) and the row whose local
+    *     rank matches is the answer — ties in `c` make the row choice
+    *     arbitrary but the VALUE at a fixed rank deterministic.
+    *
+    * The oracle is the straight `row_number() OVER (ORDER BY c)` pick —
+    * hash equality proves the selection is exact, not approximate. A
+    * pathological bucket (all mass on one value) bounds step 4 by the
+    * bucket, not n; the production refinement recurses the same
+    * decomposition inside the hit bucket.
+    */
+  private val quantilePs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+
+  private val quantileGlobalQ: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables.lineitem(s, d)
+      .select(Num.cents(col("l_extendedprice")).as("c"))
+    val bounds = v.agg(min("c").as("lo"), max("c").as("hi"))
+    val width = call_function("div", col("hi") - col("lo"), lit(64L)) + lit(1L)
+    val bucketed = v.crossJoin(broadcast(bounds))
+      .withColumn("b", call_function("div", col("c") - col("lo"), width))
+      .select("c", "b")
+    val counts = bucketed.groupBy("b").agg(count(lit(1)).as("bc"))
+    val offW = Window.orderBy(asc("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts.select(col("b"), col("bc"),
+      coalesce(sum("bc").over(offW), lit(0L)).as("off"))
+    val nDf = counts.agg(sum("bc").as("n"))
+    val ranks = quantilePs.toDF("p").crossJoin(broadcast(nDf))
+      .select(col("p"), ceil(col("p") * col("n")).cast("long").as("rnk"))
+    val target = ranks.join(broadcast(offsets),
+        col("rnk") > col("off") && col("rnk") <= col("off") + col("bc"))
+      .select(col("p"), col("rnk"), col("b"),
+        (col("rnk") - col("off")).as("lr"))
+    val localW = Window.partitionBy("b").orderBy(asc("c"))
+    bucketed
+      .join(broadcast(target.select("b").distinct()), Seq("b"), "left_semi")
+      .withColumn("lr", row_number().over(localW))
+      .join(broadcast(target), Seq("b", "lr"))
+      .select(col("p"), col("rnk"), col("c").as("value_cents"))
+      .orderBy("p")
+  }
+
+  private val quantileGlobalSql =
+    s"""WITH v AS (
+       |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+       |  FROM lineitem),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+       |ranks AS (
+       |  SELECT CAST(p AS DOUBLE) AS p,
+       |         CAST(ceil(CAST(p AS DOUBLE) * n) AS BIGINT) AS rnk
+       |  FROM (VALUES ${quantilePs.map(p => s"($p)").mkString(",")}) t(p), n),
+       |ord AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v)
+       |SELECT p, rnk, c AS value_cents
+       |FROM ranks JOIN ord ON rn = rnk ORDER BY p""".stripMargin
+
   val entries: Seq[Entry] = Seq(
+    Entry("q_quantile_global", quantileGlobalQ, Some(quantileGlobalSql)),
     Entry("q_pareto", paretoQ, Some(paretoSql)),
     Entry("q_cohort_retention", cohortQ, Some(cohortSql)),
     Entry("q_drift_ks", driftKsQ, Some(driftKsSql)),

@@ -54,6 +54,7 @@ class RegistrySpec extends SparkSpec {
       // Rank.firstK numbers a sort+limit prefix; its lit(0) partition
       // key is constant-folded out of partitionSpec, but the input is
       // ≤ k rows by construction (TakeOrderedAndProject first).
+      "q_quantile_global" -> "≤ 64 bucket-offset rows (selection template)",
       "q_eval_ranking" -> "≤ 64 bucket-offset rows (Prefix.withCumSum)",
       "q_rec_coverage" -> "≤ 64 bucket-offset rows ×2 (Prefix.withCumSum)",
       "q_bpe_pairs" -> "≤ 20 rows (Rank.firstK)",

@@ -143,6 +143,31 @@ class WarehouseSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("q_quantile_global equals a sequential sorted-pick replay; no global sort in the plan") {
+    val cents = Tables.lineitem(spark, sfDir)
+      .select(graft.ops.Num.cents(col("l_extendedprice")).as("c"))
+      .collect().map(_.getLong(0)).sorted
+    val n = cents.length
+    val expect = Seq(0.25, 0.5, 0.75, 0.9, 0.99).map { p =>
+      val r = math.ceil(p * n).toLong
+      (p, r, cents(r.toInt - 1))
+    }
+    val df = SparkEntry.queries("q_quantile_global")(spark, sfDir)
+    val got = df.collect().map(x => (x.getAs[Double]("p"),
+      x.getAs[Long]("rnk"), x.getAs[Long]("value_cents"))).toSeq
+    assert(got === expect)
+    // The data-sized row_number window must partition by the bucket —
+    // the whole point is never sorting the table through one task.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val dataWindows = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.windowExpressions.exists(
+        _.toString.contains("row_number")) => w
+    }
+    assert(dataWindows.nonEmpty &&
+      dataWindows.forall(_.partitionSpec.nonEmpty),
+      "local rank must be bucket-partitioned")
+  }
+
   test("item rank mass: total leaks only downward and ranks stay positive") {
     val got = SparkEntry.queries("q_item_rank")(spark, sfDir).collect()
     assert(got.nonEmpty)

@@ -20,7 +20,7 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     for (t <- graft.tables.Tables.names)
       try {
-        // events needs the nanos-as-long reader; everything else is a
+        // events needs the NTZ-normalizing reader; everything else is a
         // plain scan.
         if (t == "events") graft.tables.Tables.events(spark, sfDir).count()
         else graft.tables.Tables.read(spark, sfDir, t).count()

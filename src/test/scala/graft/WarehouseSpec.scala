@@ -33,6 +33,25 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("aggregation on the bucket key needs no exchange either") {
+    // The layout pays off beyond joins: a groupBy on the bucket key is
+    // already hash-distributed, so the aggregate runs in one pass with
+    // no shuffle — the per-key state rollups (q_incr_agg's serving
+    // GROUP BY at 100 TB) ride the same written layout.
+    val (o, _) = Bucketed.coBucketedOrdersCustomer(spark, sfDir)
+    val agg = o.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"),
+        sum(graft.ops.Num.cents(col("o_totalprice"))).as("cents"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucket-key aggregation must not shuffle:\n$plan")
+    val direct = Tables.orders(spark, sfDir).groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"),
+        sum(graft.ops.Num.cents(col("o_totalprice"))).as("cents"))
+    assert(agg.orderBy("o_custkey").collect().toSeq ===
+      direct.orderBy("o_custkey").collect().toSeq)
+  }
+
   test("bucket pruning: a key point-probe scans 1 bucket out of 8") {
     val (o, _) = Bucketed.coBucketedOrdersCustomer(spark, sfDir)
     val probeKey = o.select(min("o_custkey")).collect()(0).getLong(0)

@@ -629,7 +629,81 @@ object Windows {
       |             * 10000.0 + 0.5) / 10000.0 AS p
       |FROM m ORDER BY from_type, to_type""".stripMargin
 
+  /** First/last-touch conversion attribution — which entry event and
+    * which final nudge precede a user's FIRST purchase. The reference's
+    * domain (interaction logs feeding a recommender) asks exactly this
+    * of its playlists/sessions; the pattern completes the behavioral
+    * suite (funnel = does the path complete; transitions = local
+    * dynamics; attribution = credit assignment at the endpoints).
+    *
+    * Deterministic by total tiebreak: "first purchase" and both touches
+    * order by (event-time, event_id), so same-microsecond events
+    * resolve identically in both engines. Users whose first purchase
+    * has no prior events attribute to ('none', 'none') — the LEFT join
+    * keeps them, the (first, last) grid cannot silently drop converts.
+    *
+    * Scale shape: ONE hashpartitioning(user_id) exchange feeds all
+    * three per-user passes (first-purchase argmin, the prior-event
+    * filter join, and the touch argmin/argmax — each a packed-struct
+    * min/max hash aggregate, the `ml_cluster_serve` argmin discipline,
+    * never a SortAggregate); the final (first, last) rollup is a
+    * |types|²-row grid. No windows at all — attribution is pure
+    * aggregation, so nothing here is partition-bound.
+    */
+  private val attributionQ: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("user_id"),
+      unix_micros(col("ts")).as("us"), col("event_id").as("eid"),
+      col("event_type"))
+    val fp = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(min(struct(col("us"), col("eid"))).as("p"))
+      .select(col("user_id"), col("p.us").as("pus"), col("p.eid").as("peid"))
+    val pre = ev.join(fp, Seq("user_id"))
+      .filter(col("us") < col("pus") ||
+        (col("us") === col("pus") && col("eid") < col("peid")))
+    val touches = pre.groupBy("user_id").agg(
+      min(struct(col("us"), col("eid"), col("event_type"))).as("ft"),
+      max(struct(col("us"), col("eid"), col("event_type"))).as("lt"))
+    fp.join(touches, Seq("user_id"), "left")
+      .select(
+        coalesce(col("ft.event_type"), lit("none")).as("first_touch"),
+        coalesce(col("lt.event_type"), lit("none")).as("last_touch"))
+      .groupBy("first_touch", "last_touch")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("first_touch", "last_touch")
+  }
+
+  private val attributionSql =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id AS eid, event_type
+      |  FROM events),
+      |fp AS (
+      |  SELECT user_id, us AS pus, eid AS peid FROM (
+      |    SELECT user_id, us, eid,
+      |           row_number() OVER (PARTITION BY user_id
+      |                              ORDER BY us, eid) AS rn
+      |    FROM ev WHERE event_type = 'purchase') WHERE rn = 1),
+      |pre AS (
+      |  SELECT e.user_id, e.us, e.eid, e.event_type
+      |  FROM ev e JOIN fp ON e.user_id = fp.user_id
+      |  WHERE e.us < fp.pus OR (e.us = fp.pus AND e.eid < fp.peid)),
+      |t AS (
+      |  SELECT user_id, event_type,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY us, eid) AS rn_a,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY us DESC, eid DESC) AS rn_d
+      |  FROM pre),
+      |ft AS (SELECT user_id, event_type AS first_touch FROM t WHERE rn_a = 1),
+      |lt AS (SELECT user_id, event_type AS last_touch FROM t WHERE rn_d = 1)
+      |SELECT coalesce(first_touch, 'none') AS first_touch,
+      |       coalesce(last_touch, 'none') AS last_touch,
+      |       CAST(count(*) AS BIGINT) AS n_users
+      |FROM fp LEFT JOIN ft USING (user_id) LEFT JOIN lt USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val entries: Seq[Entry] = Seq(
+    Entry("q_attribution", attributionQ, Some(attributionSql)),
     Entry("q_funnel_steps", funnelStepsQ, Some(funnelStepsSql)),
     Entry("q_transitions", transitionsQ, Some(transitionsSql)),
     Entry("q_scd2_history", scd2Q, Some(scd2Sql)),

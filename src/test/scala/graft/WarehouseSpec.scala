@@ -187,6 +187,30 @@ class WarehouseSpec extends SparkSpec {
       "local rank must be bucket-partitioned")
   }
 
+  test("q_attribution equals a sequential first/last-touch replay") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expect = ev.toSeq.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val purchases = es.filter(_._4 == "purchase")
+      if (purchases.isEmpty) None
+      else {
+        val p = purchases.minBy(e => (e._2, e._3))
+        import scala.math.Ordering.Implicits._
+        val pre = es.filter(e =>
+          implicitly[Ordering[(Long, Long)]].lt((e._2, e._3), (p._2, p._3)))
+        if (pre.isEmpty) Some(("none", "none"))
+        else Some((pre.minBy(e => (e._2, e._3))._4,
+          pre.maxBy(e => (e._2, e._3))._4))
+      }
+    }.groupBy(x => x).view.mapValues(_.size.toLong).toMap
+    val got = SparkEntry.queries("q_attribution")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === expect)
+  }
+
   test("item rank mass: total leaks only downward and ranks stay positive") {
     val got = SparkEntry.queries("q_item_rank")(spark, sfDir).collect()
     assert(got.nonEmpty)

@@ -642,36 +642,72 @@ object Windows {
     * has no prior events attribute to ('none', 'none') — the LEFT join
     * keeps them, the (first, last) grid cannot silently drop converts.
     *
-    * Scale shape: ONE hashpartitioning(user_id) exchange feeds all
-    * three per-user passes (first-purchase argmin, the prior-event
-    * filter join, and the touch argmin/argmax — each a packed-struct
-    * min/max hash aggregate, the `ml_cluster_serve` argmin discipline,
-    * never a SortAggregate); the final (first, last) rollup is a
-    * |types|²-row grid. No windows at all — attribution is pure
-    * aggregation, so nothing here is partition-bound.
+    * Scale shape: every pass keys on user_id, so over the STANDING
+    * LAYOUT — events bucketed on user_id ([[graft.sources.Bucketed]]) —
+    * the whole composition runs with ZERO data exchanges
+    * (WarehouseSpec pins exactly that, running [[attributionFrom]] over
+    * a user-bucketed table); over raw fixture parquet each filtered
+    * pass shuffles its own pruned subset, which AQE then broadcasts at
+    * aggregate-output sizes. Every argmin/argmax runs as a CODEGEN
+    * HASH aggregate — `min(struct(us, eid, type))` would be the obvious
+    * one-liner, but struct buffers are immutable and force
+    * SortAggregate (the exact shape `ml_cluster_serve` converted away);
+    * its packed-long trick doesn't apply either, because (epoch-micros,
+    * event-id) exceeds 63 bits at production spans. The struct-free
+    * general form: CHAIN the tiebreak — min/max the time first, then
+    * min/max the id among time-ties (conditional aggregate over the
+    * same user-keyed exchange), then resolve the winning row's payload
+    * with a co-partitioned self-join. Long-only buffers end to end; the
+    * final (first, last) rollup is a |types|²-row grid. No windows at
+    * all — attribution is pure aggregation, nothing is partition-bound.
     */
-  private val attributionQ: Q = (s, d) => {
-    val ev = Tables.events(s, d).select(col("user_id"),
-      unix_micros(col("ts")).as("us"), col("event_id").as("eid"),
-      col("event_type"))
+  /** The attribution composition over any (user_id, us, eid,
+    * event_type) change set — shared by the registry query (fixture
+    * parquet) and WarehouseSpec's zero-exchange run over a
+    * user-bucketed table.
+    */
+  private[graft] def attributionFrom(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    // first-purchase key: argmin over (us, eid) as two chained long aggs
     val fp = ev.filter(col("event_type") === "purchase")
-      .groupBy("user_id")
-      .agg(min(struct(col("us"), col("eid"))).as("p"))
-      .select(col("user_id"), col("p.us").as("pus"), col("p.eid").as("peid"))
-    val pre = ev.join(fp, Seq("user_id"))
+      .groupBy("user_id").agg(min("us").as("pus"))
+    val fpk = ev.filter(col("event_type") === "purchase")
+      .join(fp, Seq("user_id")).filter(col("us") === col("pus"))
+      .groupBy("user_id").agg(min("us").as("pus"), min("eid").as("peid"))
+    val pre = ev.join(fpk, Seq("user_id"))
       .filter(col("us") < col("pus") ||
         (col("us") === col("pus") && col("eid") < col("peid")))
-    val touches = pre.groupBy("user_id").agg(
-      min(struct(col("us"), col("eid"), col("event_type"))).as("ft"),
-      max(struct(col("us"), col("eid"), col("event_type"))).as("lt"))
-    fp.join(touches, Seq("user_id"), "left")
-      .select(
-        coalesce(col("ft.event_type"), lit("none")).as("first_touch"),
-        coalesce(col("lt.event_type"), lit("none")).as("last_touch"))
+      .select("user_id", "us", "eid", "event_type")
+    // touch keys: endpoint times, then ids among time-ties, one pass each
+    val times = pre.groupBy("user_id")
+      .agg(min("us").as("fus"), max("us").as("lus"))
+    val keys = pre.join(times, Seq("user_id"))
+      .groupBy("user_id").agg(
+        min("fus").as("fus"), max("lus").as("lus"),
+        min(when(col("us") === col("fus"), col("eid"))).as("feid"),
+        max(when(col("us") === col("lus"), col("eid"))).as("leid"))
+    // resolve payloads by key — co-partitioned equi-joins, no aggregate
+    // ever buffers a string
+    val ft = pre.join(keys.select(col("user_id"),
+        col("fus").as("us"), col("feid").as("eid")),
+      Seq("user_id", "us", "eid"))
+      .select(col("user_id"), col("event_type").as("first_touch"))
+    val lt = pre.join(keys.select(col("user_id"),
+        col("lus").as("us"), col("leid").as("eid")),
+      Seq("user_id", "us", "eid"))
+      .select(col("user_id"), col("event_type").as("last_touch"))
+    fpk.join(ft, Seq("user_id"), "left").join(lt, Seq("user_id"), "left")
+      .select(coalesce(col("first_touch"), lit("none")).as("first_touch"),
+        coalesce(col("last_touch"), lit("none")).as("last_touch"))
       .groupBy("first_touch", "last_touch")
       .agg(count(lit(1)).as("n_users"))
       .orderBy("first_touch", "last_touch")
   }
+
+  private val attributionQ: Q = (s, d) =>
+    attributionFrom(Tables.events(s, d).select(col("user_id"),
+      unix_micros(col("ts")).as("us"), col("event_id").as("eid"),
+      col("event_type")))
 
   private val attributionSql =
     """WITH ev AS (

@@ -211,6 +211,45 @@ class WarehouseSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("attribution over the user-bucketed layout runs with zero data exchanges") {
+    // The registry query's scale claim, made concrete: bucket events on
+    // user_id once and the whole six-pass attribution composition — two
+    // chained argmins, the prior-event filter join, the touch keys, two
+    // payload-resolve joins — rides the layout with NO exchange before
+    // the |types|²-row rollup.
+    val ev = Tables.events(spark, sfDir).select(col("user_id"),
+      unix_micros(col("ts")).as("us"), col("event_id").as("eid"),
+      col("event_type"))
+    // bucket count must match the downstream aggregates' partition count:
+    // a join between an (user_id, 8)-bucketed scan and a (user_id, 4)
+    // aggregate output is NOT co-partitioned and re-shuffles both sides —
+    // at production scale, bucket counts and spark.sql.shuffle.partitions
+    // are provisioned together for exactly this reason.
+    Bucketed.writeBucketed(ev, "graft_b_events_attr",
+      Bucketed.layoutDir(sfDir, "events_attr"), "user_id",
+      spark.sessionState.conf.numShufflePartitions)
+    withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+     // By default Spark only treats join sides as co-partitioned when the
+     // partitioning covers ALL join keys; the payload-resolve joins here
+     // key on (user_id, us, eid) while the layout hashes user_id alone —
+     // a strict SUBSET, which is sufficient for correctness (equal
+     // user_ids co-locate) and is exactly what this conf unlocks.
+     withConf("spark.sql.requireAllClusterKeysForCoPartition", "false") {
+      val df = graft.queries.Windows.attributionFrom(
+        spark.table("graft_b_events_attr"))
+      val plan = df.queryExecution.executedPlan.toString
+      val dataExchanges = "Exchange hashpartitioning\\(user_id".r
+        .findAllMatchIn(plan).size
+      assert(dataExchanges === 0,
+        s"user-keyed passes must ride the bucketed layout:\n$plan")
+      // and the layout changes no answer vs the raw-parquet registry query
+      assert(df.collect().map(_.toSeq).toSeq ===
+        SparkEntry.queries("q_attribution")(spark, sfDir)
+          .collect().map(_.toSeq).toSeq)
+     }
+    }
+  }
+
   test("item rank mass: total leaks only downward and ranks stay positive") {
     val got = SparkEntry.queries("q_item_rank")(spark, sfDir).collect()
     assert(got.nonEmpty)

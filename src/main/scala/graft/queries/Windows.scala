@@ -738,7 +738,105 @@ object Windows {
       |FROM fp LEFT JOIN ft USING (user_id) LEFT JOIN lt USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Calendar resample with LINEAR interpolation — the numeric
+    * companion to ◆ `q_resample_ffill`'s categorical forward-fill: each
+    * user's daily spend on missing spine days is interpolated between
+    * the neighboring observed days. The interpolation is EXACT integer
+    * arithmetic in the symmetric form
+    * `(vp·(dn−d) + vn·(d−dp)) div (dn−dp)` — every term non-negative
+    * (cents ≥ 0, dp < d < dn), so Spark's truncating `div` and the
+    * oracle's flooring `//` agree; the naive `vp + Δv·…` form would put
+    * a possibly-negative product under the division and the two
+    * engines' rounding conventions apart. Rows outside a user's
+    * observed range have no second anchor and stay null (`kind =
+    * 'edge'`), distinguished from observed (`'obs'`) and interpolated
+    * (`'interp'`) rows so the grid never silently invents data.
+    *
+    * Scale shape: the spine is |users|·|days| grid rows (never events);
+    * both anchor passes are frame-bounded windows PARTITIONED BY the
+    * user key — nothing here funnels through one task at any
+    * cardinality, unlike a global as-of join against the observation
+    * set.
+    */
+  private val resampleInterpQ: Q = (s, d) => {
+    val evAll = Tables.events(s, d).select(
+      expr("unix_micros(ts) div 86400000000").as("day"),
+      col("user_id"), Num.cents(col("value")).as("cents"))
+    val bounds = evAll.agg(min("day").as("lo"), max("day").as("hi"))
+    val daily = evAll.filter(col("user_id") < 10)
+      .groupBy("user_id", "day").agg(sum("cents").as("vc"))
+    val spine = daily.select("user_id").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"))).as("day"))
+    val wPrev = Window.partitionBy("user_id").orderBy(asc("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("user_id").orderBy(asc("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("dp",
+        last(when(col("vc").isNotNull, col("day")), ignoreNulls = true)
+          .over(wPrev))
+      .withColumn("vp", last(col("vc"), ignoreNulls = true).over(wPrev))
+      .withColumn("dn",
+        first(when(col("vc").isNotNull, col("day")), ignoreNulls = true)
+          .over(wNext))
+      .withColumn("vn", first(col("vc"), ignoreNulls = true).over(wNext))
+      .select(col("user_id"), col("day"),
+        when(col("vc").isNotNull, lit("obs"))
+          .when(col("dp").isNull || col("dn").isNull, lit("edge"))
+          .otherwise(lit("interp")).as("kind"),
+        coalesce(col("vc"),
+          when(col("dp").isNotNull && col("dn").isNotNull,
+            call_function("div",
+              col("vp") * (col("dn") - col("day")) +
+                col("vn") * (col("day") - col("dp")),
+              col("dn") - col("dp")))).as("cents_filled"))
+      .orderBy("user_id", "day")
+  }
+
+  private val resampleInterpSql =
+    """WITH ev AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day, user_id,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |b AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+      |daily AS (
+      |  SELECT user_id, day, CAST(SUM(cents) AS BIGINT) AS vc
+      |  FROM ev WHERE user_id < 10 GROUP BY user_id, day),
+      |spine AS (
+      |  SELECT u.user_id, d.day
+      |  FROM (SELECT DISTINCT user_id FROM daily) u,
+      |       (SELECT unnest(generate_series(lo, hi)) AS day FROM b) d),
+      |j AS (
+      |  SELECT s.user_id, s.day, vc
+      |  FROM spine s LEFT JOIN daily USING (user_id, day)),
+      |w AS (
+      |  SELECT user_id, day, vc,
+      |    last_value(CASE WHEN vc IS NOT NULL THEN day END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY day
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dp,
+      |    last_value(vc IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY day
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vp,
+      |    first_value(CASE WHEN vc IS NOT NULL THEN day END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY day
+      |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS dn,
+      |    first_value(vc IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY day
+      |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn
+      |  FROM j)
+      |SELECT user_id, day,
+      |       CASE WHEN vc IS NOT NULL THEN 'obs'
+      |            WHEN dp IS NULL OR dn IS NULL THEN 'edge'
+      |            ELSE 'interp' END AS kind,
+      |       coalesce(vc, CASE WHEN dp IS NOT NULL AND dn IS NOT NULL
+      |         THEN (vp * (dn - day) + vn * (day - dp)) // (dn - dp)
+      |         END) AS cents_filled
+      |FROM w ORDER BY user_id, day""".stripMargin
+
   val entries: Seq[Entry] = Seq(
+    Entry("q_resample_interp", resampleInterpQ, Some(resampleInterpSql)),
     Entry("q_attribution", attributionQ, Some(attributionSql)),
     Entry("q_funnel_steps", funnelStepsQ, Some(funnelStepsSql)),
     Entry("q_transitions", transitionsQ, Some(transitionsSql)),

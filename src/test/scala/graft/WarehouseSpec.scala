@@ -250,6 +250,40 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("q_resample_interp equals a sequential interpolation replay over the full grid") {
+    val got = SparkEntry.queries("q_resample_interp")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    val ev = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        col("user_id"), graft.ops.Num.cents(col("value")).as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val (lo, hi) = (ev.map(_._1).min, ev.map(_._1).max)
+    val daily = ev.filter(_._2 < 10).groupBy(e => (e._2, e._1)).view
+      .mapValues(_.map(_._3).sum).toMap
+    val users = daily.keySet.map(_._1)
+    var n = 0
+    for (u <- users; day <- lo to hi) {
+      val expect: (String, Option[Long]) = daily.get((u, day)) match {
+        case Some(v) => ("obs", Some(v))
+        case None =>
+          val prev = (lo until day).reverse.find(d => daily.contains((u, d)))
+          val next = (day + 1 to hi).find(d => daily.contains((u, d)))
+          (prev, next) match {
+            case (Some(dp), Some(dn)) =>
+              val (vp, vn) = (daily((u, dp)), daily((u, dn)))
+              ("interp",
+                Some((vp * (dn - day) + vn * (day - dp)) / (dn - dp)))
+            case _ => ("edge", None)
+          }
+      }
+      assert(got((u, day)) === expect, s"user $u day $day")
+      n += 1
+    }
+    assert(got.size === n, "grid must cover exactly |users|×|days|")
+  }
+
   test("item rank mass: total leaks only downward and ranks stay positive") {
     val got = SparkEntry.queries("q_item_rank")(spark, sfDir).collect()
     assert(got.nonEmpty)

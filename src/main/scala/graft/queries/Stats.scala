@@ -852,7 +852,70 @@ object Stats {
        |SELECT p, rnk, c AS value_cents
        |FROM ranks JOIN ord ON rn = rnk ORDER BY p""".stripMargin
 
+  /** Per-GROUP exact order statistics by the same selection template,
+    * fully partitioned — what replaces ◆ `q_percentiles`' per-group
+    * `percentile()` sort when a single group is itself data-sized (one
+    * language = 40% of a 100 TB corpus): every stage of
+    * [[quantileGlobalQ]] gains the group as a leading key, so the
+    * offsets window is PARTITIONED BY group over ≤ 64 rows each, the
+    * rank⇒bucket map is |groups|·5×64 broadcast rows, and only hit
+    * (group, bucket) cells rank locally. Nothing anywhere depends on
+    * the largest group's size — the unpartitioned-window sweep stays
+    * clean because even the offset pass is group-keyed.
+    */
+  private val quantileGroupQ: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables.events(s, d).select(col("event_type").as("g"),
+      Num.cents(col("value")).as("c"))
+    val bounds = v.groupBy("g").agg(min("c").as("lo"), max("c").as("hi"))
+    val width = call_function("div", col("hi") - col("lo"), lit(64L)) + lit(1L)
+    val bucketed = v.join(broadcast(bounds), Seq("g"))
+      .withColumn("b", call_function("div", col("c") - col("lo"), width))
+      .select("g", "c", "b")
+    val counts = bucketed.groupBy("g", "b").agg(count(lit(1)).as("bc"))
+    val offW = Window.partitionBy("g").orderBy(asc("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts.select(col("g"), col("b"), col("bc"),
+      coalesce(sum("bc").over(offW), lit(0L)).as("off"))
+    val nDf = counts.groupBy("g").agg(sum("bc").as("n"))
+    val ranks = quantilePs.toDF("p").crossJoin(broadcast(nDf))
+      .select(col("g"), col("p"),
+        ceil(col("p") * col("n")).cast("long").as("rnk"))
+    val target = ranks.join(broadcast(offsets),
+        ranks("g") === offsets("g") &&
+          col("rnk") > col("off") && col("rnk") <= col("off") + col("bc"))
+      .select(ranks("g"), col("p"), col("rnk"), col("b"),
+        (col("rnk") - col("off")).as("lr"))
+    val localW = Window.partitionBy("g", "b").orderBy(asc("c"))
+    bucketed
+      .join(broadcast(target.select("g", "b").distinct()),
+        Seq("g", "b"), "left_semi")
+      .withColumn("lr", row_number().over(localW))
+      .join(broadcast(target), Seq("g", "b", "lr"))
+      .select(col("g").as("event_type"), col("p"), col("rnk"),
+        col("c").as("value_cents"))
+      .orderBy("event_type", "p")
+  }
+
+  private val quantileGroupSql =
+    s"""WITH v AS (
+       |  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS c
+       |  FROM events),
+       |n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY g),
+       |ranks AS (
+       |  SELECT g, CAST(p AS DOUBLE) AS p,
+       |         CAST(ceil(CAST(p AS DOUBLE) * n) AS BIGINT) AS rnk
+       |  FROM (VALUES ${quantilePs.map(p => s"($p)").mkString(",")}) t(p), n),
+       |ord AS (SELECT g, c,
+       |          row_number() OVER (PARTITION BY g ORDER BY c) AS rn
+       |        FROM v)
+       |SELECT ranks.g AS event_type, p, rnk, c AS value_cents
+       |FROM ranks JOIN ord ON ord.g = ranks.g AND rn = rnk
+       |ORDER BY event_type, p""".stripMargin
+
   val entries: Seq[Entry] = Seq(
+    Entry("q_quantile_group", quantileGroupQ, Some(quantileGroupSql)),
     Entry("q_quantile_global", quantileGlobalQ, Some(quantileGlobalSql)),
     Entry("q_pareto", paretoQ, Some(paretoSql)),
     Entry("q_cohort_retention", cohortQ, Some(cohortSql)),

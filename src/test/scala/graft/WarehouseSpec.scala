@@ -284,6 +284,29 @@ class WarehouseSpec extends SparkSpec {
     assert(got.size === n, "grid must cover exactly |users|×|days|")
   }
 
+  test("q_quantile_group equals per-group sorted picks; every window is partitioned") {
+    val byGroup = Tables.events(spark, sfDir)
+      .select(col("event_type"), graft.ops.Num.cents(col("value")).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSeq.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val expect = byGroup.toSeq.flatMap { case (g, cs) =>
+      Seq(0.25, 0.5, 0.75, 0.9, 0.99).map { p =>
+        val r = math.ceil(p * cs.length).toLong
+        (g, p, r, cs(r.toInt - 1))
+      }
+    }.sortBy(x => (x._1, x._2))
+    val df = SparkEntry.queries("q_quantile_group")(spark, sfDir)
+    val got = df.collect().map(x => (x.getString(0), x.getDouble(1),
+      x.getAs[Long]("rnk"), x.getAs[Long]("value_cents"))).toSeq
+    assert(got === expect)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "even the offsets pass must be group-partitioned")
+  }
+
   test("item rank mass: total leaks only downward and ranks stay positive") {
     val got = SparkEntry.queries("q_item_rank")(spark, sfDir).collect()
     assert(got.nonEmpty)

@@ -2589,9 +2589,103 @@ object LlmQueries {
       .orderBy("merge_rank")
   }
 
+  /** Prefix-filtered exact set-similarity join (the All-Pairs/PPJoin
+    * candidate rule, Chaudhuri/Xiao et al.) — the GLOBAL exact-answer
+    * alternative in the dedup family: [[jaccardPairs]] is exact but needs
+    * a blocking key, [[minhashPairs]] scales globally but its banded LSH
+    * can miss pairs; prefix filtering is global AND provably lossless.
+    * Rank each doc's distinct 3-word shingles by ascending corpus df
+    * (rarest first); with threshold τ a qualifying pair's FIRST common
+    * shingle in that order must sit inside both docs' first
+    * n − ⌈τ·n⌉ + 1 shingles (if it sat later, fewer than ⌈τ·n⌉ common
+    * shingles could follow, contradicting jac ≥ τ ⟹ overlap ≥ τ·n), so
+    * joining only the short prefixes generates every qualifying pair.
+    * The size filter (5·min(n) ≥ 4·max(n) for τ=0.8, exact rational
+    * arithmetic) prunes candidates the length bound already rejects.
+    * Same planted-dup corpus and τ=0.8 as `q_minhash_dedup`, so the two
+    * discovery strategies are directly diffable; the ◆ oracle generates
+    * candidates from ANY shared shingle — a strictly larger candidate set
+    * whose post-verification answer must be identical, which is exactly
+    * the losslessness claim under the hash gate.
+    *
+    * Scale shape: df is a shingle-keyed count aggregate (never broadcast —
+    * the shingle vocabulary is data-sized at 100 TB); the prefix rank is a
+    * window partitioned by doc; the candidate join shuffles only the
+    * ~20%-of-postings prefix rows on the shingle key; verification joins
+    * candidates back to the shingle arrays by doc key. Every stage is
+    * key-partitioned — no block-size precondition, no all-pairs fallback.
+    */
+  private val simjoinPrefix: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val dup = docs.filter(col("doc_id") < 25)
+      .withColumn("doc_id", col("doc_id") + lit(10000L))
+    val corpus = docs.unionByName(dup)
+    // localCheckpoint: the shingled corpus feeds the posting side and both
+    // verification sides — one interpreted shingling pass instead of three.
+    val shingled = corpus
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("sh", array_distinct(
+        expr("transform(sequence(0, size(ws) - 3), " +
+          "i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")))
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
+      .localCheckpoint()
+    val postings = shingled.select(col("doc_id"), col("n"),
+      explode(col("sh")).as("g"))
+    val dfTab = postings.groupBy("g").agg(count(lit(1)).as("df"))
+    val prefix = postings.join(dfTab, "g")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("g"))))
+      // prefix length n − ⌈4n/5⌉ + 1, with ⌈4n/5⌉ = (4n+4) div 5
+      .filter(col("pos") <=
+        col("n") - call_function("div", col("n") * 4 + lit(4), lit(5)) + 1)
+      .select(col("doc_id"), col("n"), col("g"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n"), col("b.n")) * lit(5) >=
+            greatest(col("a.n"), col("b.n")) * lit(4))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = shingled.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val sb = shingled.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .withColumn("jac",
+        round(size(array_intersect(col("sh_a"), col("sh_b"))) /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
+      .filter(col("jac") >= 0.8)
+      .select("doc_a", "doc_b", "jac")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val simjoinPrefixSql =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 25),
+      |sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(1, len(ws) - 1),
+      |                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM all_docs)),
+      |ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b,
+      |       round(len(list_intersect(sa.sh, sb.sh)) /
+      |             CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE),
+      |             4) AS jac
+      |FROM cand
+      |JOIN sh sa ON sa.doc_id = cand.doc_a
+      |JOIN sh sb ON sb.doc_id = cand.doc_b
+      |WHERE round(len(list_intersect(sa.sh, sb.sh)) /
+      |            CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE),
+      |            4) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     Entry("q_dedup_jaccard", dedupJaccard, Some(dedupJaccardSql)),
+    Entry("q_simjoin_prefix", simjoinPrefix, Some(simjoinPrefixSql)),
     Entry("q_dup_components", dupComponentsQ, Some(dupComponentsSql)),
     Entry("q_pii_scrub", piiScrub, Some(piiScrubSql)),
     Entry("q_sample_strat", sampleStrat, Some(sampleStratSql)),

@@ -12,7 +12,7 @@ import org.apache.spark.ml.recommendation.ALS
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.Hashing
+import graft.ops.{Hashing, Num}
 import graft.tables.Tables
 import Registry.{Entry, Q}
 
@@ -481,6 +481,81 @@ object MLQueries {
       |    floor((1 - CAST(n AS DOUBLE) / (nu * ni)) * 10000 + 0.5) / 10000.0 FROM c)
       |ORDER BY metric""".stripMargin
 
+  /** Out-of-fold target encoding — the leakage-free categorical feature a
+    * training pipeline derives from its own label (here: order priority
+    * encoded by mean order value). Each fold's encoding is computed from
+    * the OTHER folds only, so a row never sees its own target — the
+    * standard k-fold trick (reference has no feature engineering beyond
+    * raw joins: src/spark/training.py:113-145); the m-estimate smoothing
+    * (m=20) shrinks thin cells toward the fold's global out-of-fold prior.
+    *
+    * Everything after the first aggregate runs on the |cats|×|folds| CELL
+    * table (25 rows here, and still tiny at 100 TB — cells, not rows):
+    * one partial+final hash aggregate collapses the facts, the per-cat /
+    * per-fold rollups are windows PARTITIONED over the cell table, and the
+    * grand totals arrive by broadcast — no unpartitioned window, no second
+    * scan. The output IS the artifact you'd broadcast back onto the fact
+    * table to materialize the feature map-side.
+    *
+    * All arithmetic is exact integer cents with non-negative operands, so
+    * Spark's truncating `div` and DuckDB's flooring `//` agree and the
+    * cross-engine hash gate is exact.
+    */
+  private val targetEncode: Q = (s, d) => {
+    val o = Tables.orders(s, d).select(
+      col("o_orderpriority").as("cat"),
+      pmod(col("o_orderkey"), lit(5L)).as("fold"),
+      Num.cents(col("o_totalprice")).as("cents"))
+    val cells = o.groupBy("cat", "fold")
+      .agg(count(lit(1)).as("n_cf"), sum("cents").as("sum_cf"))
+    val wCat = Window.partitionBy("cat")
+    val wFold = Window.partitionBy("fold")
+    val totals = cells.agg(sum("n_cf").as("n_all"), sum("sum_cf").as("sum_all"))
+    cells
+      .withColumn("n_c", sum("n_cf").over(wCat))
+      .withColumn("sum_c", sum("sum_cf").over(wCat))
+      .withColumn("n_f", sum("n_cf").over(wFold))
+      .withColumn("sum_f", sum("sum_cf").over(wFold))
+      .crossJoin(broadcast(totals))
+      .withColumn("n_oof", col("n_c") - col("n_cf"))
+      .withColumn("sum_oof", col("sum_c") - col("sum_cf"))
+      .withColumn("prior_cents", call_function("div",
+        col("sum_all") - col("sum_f"), col("n_all") - col("n_f")))
+      .withColumn("enc_cents",
+        when(col("n_oof") > 0,
+          call_function("div", col("sum_oof"), col("n_oof"))))
+      .withColumn("enc_smooth_cents", call_function("div",
+        col("sum_oof") + lit(20L) * col("prior_cents"),
+        col("n_oof") + lit(20L)))
+      .select("cat", "fold", "n_oof", "enc_cents", "prior_cents",
+        "enc_smooth_cents")
+      .orderBy("cat", "fold")
+  }
+
+  private val targetEncodeSql =
+    """WITH cells AS (
+      |  SELECT o_orderpriority AS cat, o_orderkey % 5 AS fold,
+      |         CAST(count(*) AS BIGINT) AS n_cf,
+      |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |           AS sum_cf
+      |  FROM orders GROUP BY 1, 2),
+      |x AS (
+      |  SELECT cat, fold, n_cf, sum_cf,
+      |         CAST(SUM(n_cf) OVER (PARTITION BY cat) AS BIGINT) AS n_c,
+      |         CAST(SUM(sum_cf) OVER (PARTITION BY cat) AS BIGINT) AS sum_c,
+      |         CAST(SUM(n_cf) OVER (PARTITION BY fold) AS BIGINT) AS n_f,
+      |         CAST(SUM(sum_cf) OVER (PARTITION BY fold) AS BIGINT) AS sum_f,
+      |         CAST(SUM(n_cf) OVER () AS BIGINT) AS n_all,
+      |         CAST(SUM(sum_cf) OVER () AS BIGINT) AS sum_all
+      |  FROM cells)
+      |SELECT cat, fold, n_c - n_cf AS n_oof,
+      |       CASE WHEN n_c - n_cf > 0
+      |            THEN (sum_c - sum_cf) // (n_c - n_cf) END AS enc_cents,
+      |       (sum_all - sum_f) // (n_all - n_f) AS prior_cents,
+      |       ((sum_c - sum_cf) + 20 * ((sum_all - sum_f) // (n_all - n_f)))
+      |         // ((n_c - n_cf) + 20) AS enc_smooth_cents
+      |FROM x ORDER BY cat, fold""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("ml_feature_pipeline", featurePipeline, Some(featurePipelineSql)),
     Entry("ml_kmeans_clusters", kmeansClusters, None),
@@ -494,5 +569,6 @@ object MLQueries {
     Entry("ml_cluster_recs", clusterRecs, None),
     Entry("ml_cluster_serve", clusterServe, Some(clusterServeSql)),
     Entry("ml_model_metadata", modelMetadata, Some(modelMetadataSql)),
+    Entry("ml_target_encode", targetEncode, Some(targetEncodeSql)),
   )
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.ops.Num
-import graft.sources.Bucketed
+import graft.sources.{Bucketed, Partitioned}
 import graft.tables.Tables
 import Registry.{Entry, Q}
 
@@ -133,8 +133,121 @@ object Warehouse {
       |         AS avg_cents
       |FROM o GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  // ------------------------------------------- dynamic partition pruning
+
+  /** Quarterly revenue through the month-partitioned orders layout
+    * ([[graft.sources.Partitioned.ordersByMonth]]) with the quarter filter
+    * on a JOINED month dimension — the shape where static pruning is
+    * impossible (the fact's scan predicate mentions no partition column)
+    * and dynamic partition pruning is the difference between reading 3
+    * months and reading all of them. Catalyst plants a runtime
+    * `dynamicpruning` subquery on the fact scan's PartitionFilters that
+    * reuses the dim's broadcast, so the directories outside the selected
+    * quarter are never opened (WarehouseSpec pins the dynamicpruning
+    * expression in the executed plan AND that the pruned scan reads only
+    * the Q1 partitions; the ◆ oracle reads the RAW table — the layout
+    * changes the scan, never the answer).
+    *
+    * Scale shape: at 100 TB the fact side is the whole corpus and the dim
+    * broadcast is |months| rows; DPP turns "join then discard 75% of the
+    * scan" into "scan 25%". The dim here derives from the raw orders table
+    * (a date dimension in production) — NOT from the partitioned scan, so
+    * the pruning subquery and the pruned scan are genuinely different
+    * subtrees.
+    */
+  private val dppPrune: Q = (s, d) => {
+    val fact = Partitioned.ordersByMonth(s, d)
+    val dim = Tables.orders(s, d)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("o_month"))
+      .distinct()
+      .withColumn("mm", substring(col("o_month"), 6, 2).cast("int"))
+    val sel = dim.filter(col("mm") <= 3).select("o_month")
+    fact.join(broadcast(sel), "o_month")
+      .groupBy("o_month")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(Num.cents(col("o_totalprice"))).as("revenue_cents"))
+      .orderBy("o_month")
+  }
+
+  private val dppPruneSql =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |         AS revenue_cents
+      |FROM orders WHERE month(o_orderdate) <= 3
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------- join cardinality audit
+
+  /** Pre-join cardinality + skew audit — the planner-aid that decides a
+    * fact⋈fact join's physical strategy BEFORE paying for it. For an
+    * equi-join the exact output size is Σ_k n_a(k)·n_b(k), computable from
+    * two per-key count aggregates and a |keys|-row join of the count
+    * tables — never the data itself (the join-side companion of
+    * [[Aggregates]]' `q_skew_audit`, which makes the same argument for
+    * aggregations). The verdict column applies the real decision rules:
+    * broadcast when the build side is small, salt ([[graft.ops.Salt]])
+    * when one key would dominate the output, plain shuffle otherwise.
+    *
+    * Scale shape: each side collapses map-side to |keys| count rows; the
+    * matched-key join and both follow-ups run on count tables; the 1-row
+    * summary/hot-key/side-total frames meet by broadcast. At 100 TB this
+    * audit costs two scans and shuffles only key counts — the join it
+    * sizes would shuffle the data. hot_key ties break to the smallest key
+    * so the row is deterministic.
+    */
+  private val joinCardEst: Q = (s, d) => {
+    val a = Tables.orders(s, d).groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("n_a"))
+    val b = Tables.events(s, d).groupBy(col("user_id").as("k"))
+      .agg(count(lit(1)).as("n_b"))
+    val matched = a.join(b, "k")
+      .select(col("k"), (col("n_a") * col("n_b")).as("pairs"))
+    val summary = matched.agg(
+      count(lit(1)).as("n_keys_both"),
+      sum("pairs").as("est_join_rows"),
+      max("pairs").as("max_key_pairs"))
+    val hot = matched
+      .crossJoin(broadcast(summary.select("max_key_pairs")))
+      .filter(col("pairs") === col("max_key_pairs"))
+      .agg(min("k").as("hot_key"))
+    val sides = a.agg(count(lit(1)).as("n_keys_a"), sum("n_a").as("rows_a"))
+      .crossJoin(b.agg(count(lit(1)).as("n_keys_b"), sum("n_b").as("rows_b")))
+    summary.crossJoin(broadcast(hot)).crossJoin(broadcast(sides))
+      .withColumn("strategy",
+        when(col("rows_b") <= 100000L, lit("broadcast"))
+          .when(col("max_key_pairs") * lit(20L) > col("est_join_rows"),
+            lit("salt"))
+          .otherwise(lit("shuffle")))
+      .select("n_keys_a", "n_keys_b", "n_keys_both", "rows_a", "rows_b",
+        "est_join_rows", "max_key_pairs", "hot_key", "strategy")
+  }
+
+  private val joinCardEstSql =
+    """WITH a AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n_a
+      |           FROM orders GROUP BY 1),
+      |b AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS n_b
+      |      FROM events GROUP BY 1),
+      |m AS (SELECT a.k, n_a * n_b AS pairs FROM a JOIN b ON a.k = b.k),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS n_keys_both,
+      |             CAST(SUM(pairs) AS BIGINT) AS est_join_rows,
+      |             MAX(pairs) AS max_key_pairs FROM m),
+      |h AS (SELECT MIN(k) AS hot_key FROM m, s WHERE pairs = max_key_pairs),
+      |sa AS (SELECT CAST(count(*) AS BIGINT) AS n_keys_a,
+      |              CAST(SUM(n_a) AS BIGINT) AS rows_a FROM a),
+      |sb AS (SELECT CAST(count(*) AS BIGINT) AS n_keys_b,
+      |              CAST(SUM(n_b) AS BIGINT) AS rows_b FROM b)
+      |SELECT n_keys_a, n_keys_b, n_keys_both, rows_a, rows_b,
+      |       est_join_rows, max_key_pairs, hot_key,
+      |       CASE WHEN rows_b <= 100000 THEN 'broadcast'
+      |            WHEN max_key_pairs * 20 > est_join_rows THEN 'salt'
+      |            ELSE 'shuffle' END AS strategy
+      |FROM s, h, sa, sb""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
     Entry("q_incr_agg", incrAgg, Some(incrAggSql)),
+    Entry("q_join_card_est", joinCardEst, Some(joinCardEstSql)),
+    Entry("q_dpp_prune", dppPrune, Some(dppPruneSql)),
   )
 }

@@ -471,4 +471,36 @@ class LlmPipelineSpec extends SparkSpec {
       assert(r.getDouble(11) === r4(kNum.toDouble / kDen), "kappa")
     }
   }
+
+  test("q_simjoin_prefix equals the brute-force all-pairs exact answer") {
+    // Planted corpus exactly as the query builds it: docs + copies of
+    // doc_id < 25 shifted by 10000.
+    val corpus = docs ++ docs.collect {
+      case (id, text) if id < 25 => (id + 10000L) -> text
+    }
+    def shingles(text: String): Set[String] =
+      text.split(" ", -1).sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    val sh = corpus.view.mapValues(shingles).toMap
+    val ids = sh.keys.toSeq.sorted
+    // O(n²) brute force — the definitionally-complete answer the prefix
+    // filter must reproduce with zero false negatives.
+    val expect = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1) until ids.length
+      (a, b) = (ids(i), ids(j))
+      inter = (sh(a) & sh(b)).size
+      uni = (sh(a) | sh(b)).size
+      jac = r4(inter.toDouble / uni)
+      if jac >= 0.8
+    } yield (a, b, jac)).toSet
+    val got = SparkEntry.queries("q_simjoin_prefix")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expect)
+    assert(got.nonEmpty, "planted dups must produce pairs")
+    // The planted exact copies must all be found (jac = 1.0 pairs).
+    val planted = expect.filter { case (a, b, _) => b == a + 10000L }
+    assert(planted.forall { case (_, _, j) => j == 1.0 })
+    assert(planted.subsetOf(got))
+  }
 }

@@ -269,6 +269,40 @@ class MLQueriesSpec extends SparkSpec {
     assert(rAll >= truth.size - 1, s"full probe recovered only $rAll/${truth.size}")
   }
 
+  test("target encoding is leakage-free: each fold's encoding excludes its own rows") {
+    // Sequential replay over the raw fixture: fold = key % 5, encoding for
+    // (cat, fold) = mean cents of cat's rows in the OTHER folds.
+    val rows = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        graft.ops.Num.cents(col("o_totalprice")).as("cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1) % 5, r.getAs[Long]("cents")))
+    val byCat = rows.groupBy(_._1)
+    val byFold = rows.groupBy(_._2)
+    val (nAll, sumAll) = (rows.length.toLong, rows.map(_._3).sum)
+    val got = run("ml_target_encode").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (cat, fold) = (r.getAs[String]("cat"), r.getAs[Long]("fold"))
+      val catRows = byCat(cat)
+      val oof = catRows.filter(_._2 != fold)
+      assert(r.getAs[Long]("n_oof") === oof.length.toLong)
+      val enc = if (oof.nonEmpty) oof.map(_._3).sum / oof.length else -1L
+      if (oof.nonEmpty) assert(r.getAs[Long]("enc_cents") === enc)
+      val foldRows = byFold.getOrElse(fold, Array.empty[(String, Long, Long)])
+      val prior = (sumAll - foldRows.map(_._3).sum) /
+        (nAll - foldRows.length)
+      assert(r.getAs[Long]("prior_cents") === prior)
+      assert(r.getAs[Long]("enc_smooth_cents") ===
+        (oof.map(_._3).sum + 20L * prior) / (oof.length + 20L))
+    }
+    // The exclusion is real: at least one cell's encoding differs from the
+    // full-data category mean (otherwise the fold split did nothing).
+    val leaky = byCat.view.mapValues(rs => rs.map(_._3).sum / rs.length).toMap
+    assert(got.exists(r => r.getAs[Any]("enc_cents") != null &&
+      r.getAs[Long]("enc_cents") != leaky(r.getAs[String]("cat"))))
+  }
+
   test("model metadata reports the declared metrics with consistent values") {
     val m = run("ml_model_metadata").collect()
       .map(r => r.getAs[String]("metric") -> r.getAs[Double]("value")).toMap

@@ -314,4 +314,43 @@ class WarehouseSpec extends SparkSpec {
     // top-50 can't hold more than all the mass
     assert(got.map(_.getAs[Long]("rank_units")).sum <= 1000000000000L)
   }
+
+  test("dpp: dynamic partition pruning fires and reads only the Q1 partitions") {
+    val df = SparkEntry.queries("q_dpp_prune")(spark, sfDir)
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"the fact scan must carry a runtime partition-pruning subquery:\n$plan")
+    // The pruned scan's answer equals the raw-table direct filter — the
+    // layout changes the scan, never the answer.
+    val direct = Tables.orders(spark, sfDir)
+      .filter(month(col("o_orderdate")) <= 3)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("o_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(graft.ops.Num.cents(col("o_totalprice"))).as("revenue_cents"))
+      .orderBy("o_month").collect()
+    assert(rows.toSeq === direct.toSeq)
+    // Every surviving month really is in Q1 — the pruning subquery's
+    // selected set, observed through the results.
+    assert(rows.forall(_.getString(0).substring(5).toInt <= 3))
+  }
+
+  test("join cardinality estimate equals the real join's row count") {
+    val got = SparkEntry.queries("q_join_card_est")(spark, sfDir).collect()
+    assert(got.length === 1)
+    val r = got(0)
+    // The audit's whole claim: Σ n_a(k)·n_b(k) over matched keys IS the
+    // equi-join's output size — verified against the actual join, which
+    // the audit exists to avoid running.
+    val actual = Tables.orders(spark, sfDir)
+      .join(Tables.events(spark, sfDir),
+        col("o_custkey") === col("user_id")).count()
+    assert(r.getAs[Long]("est_join_rows") === actual)
+    // Internal consistency: the hot key's contribution is part of the
+    // estimate, and matched keys can't exceed either side's key count.
+    assert(r.getAs[Long]("max_key_pairs") <= r.getAs[Long]("est_join_rows"))
+    assert(r.getAs[Long]("n_keys_both") <=
+      math.min(r.getAs[Long]("n_keys_a"), r.getAs[Long]("n_keys_b")))
+    assert(Set("broadcast", "salt", "shuffle")(r.getAs[String]("strategy")))
+  }
 }

@@ -275,27 +275,35 @@ object LlmQueries {
     * incremental pipeline ([[dedupDelta]]), which runs it on the
     * bloom/fingerprint survivors only.
     */
-  private[graft] def minhashPairs(corpus: org.apache.spark.sql.DataFrame):
-      org.apache.spark.sql.DataFrame = {
-    // localCheckpoint: the shingled corpus feeds THREE subtrees (the
-    // signature/band side and both verification sides) — without the
-    // barrier each re-tokenizes the corpus from the scan. One interpreted
-    // shingling pass instead of three.
-    val shingled = corpus
+  /** Distinct 3-word shingles per doc — the shared discovery vocabulary of
+    * the MinHash family and the persisted [[graft.sources.LshStore]].
+    */
+  private[graft] def shingleDocs(corpus: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame =
+    corpus
       .withColumn("ws", split(col("text"), " "))
       .withColumn("sh", array_distinct(
         expr("transform(sequence(0, size(ws) - 3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")))
       .select("doc_id", "sh")
-      .localCheckpoint()
-    // Signatures via explode + one hash aggregate, NOT 12 map-side
-    // `array_min(transform(...))` passes: HOF lambdas are CodegenFallback
-    // (interpreted), so the 12-permutation sweep ran outside codegen per
-    // doc; the exploded form hashes each shingle once and computes all 12
-    // mins inside whole-stage codegen for one extra shuffle of 60-bit
-    // grams (same trade the simhash query measured 9× in favor of).
-    // Values are identical — same md5-32 base hash, same (a·h+b) mod p
-    // family, min is order-independent — so all four dependent oracles
-    // hash the same.
+
+  /** (doc_id, band, bkey) LSH bucket rows from a shingled corpus — the
+    * banded 12-signature/3-band construction shared verbatim by
+    * [[minhashPairs]] and the persisted index ([[graft.sources.LshStore]]),
+    * so an incrementally-built index and a from-scratch rebuild bucket
+    * identically by construction.
+    *
+    * Signatures via explode + one hash aggregate, NOT 12 map-side
+    * `array_min(transform(...))` passes: HOF lambdas are CodegenFallback
+    * (interpreted), so the 12-permutation sweep ran outside codegen per
+    * doc; the exploded form hashes each shingle once and computes all 12
+    * mins inside whole-stage codegen for one extra shuffle of 60-bit
+    * grams (same trade the simhash query measured 9× in favor of).
+    * Values are identical — same md5-32 base hash, same (a·h+b) mod p
+    * family, min is order-independent — so all four dependent oracles
+    * hash the same.
+    */
+  private[graft] def bandRows(shingled: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame = {
     val ex = shingled.select(col("doc_id"), explode(col("sh")).as("g"))
       .select(col("doc_id"), Hashing.md5Long(col("g")).as("h"))
     val sigCols = (0 until 12).map(i =>
@@ -303,8 +311,18 @@ object LlmQueries {
     val sigs = ex.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
     def band(b: Int): Column =
       md5(concat_ws(",", (0 until 4).map(r => col(s"h${b * 4 + r}")): _*))
-    val bands = sigs.select(col("doc_id"),
+    sigs.select(col("doc_id"),
       explode(map(lit(0), band(0), lit(1), band(1), lit(2), band(2))).as(Seq("band", "bkey")))
+  }
+
+  private[graft] def minhashPairs(corpus: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame = {
+    // localCheckpoint: the shingled corpus feeds THREE subtrees (the
+    // signature/band side and both verification sides) — without the
+    // barrier each re-tokenizes the corpus from the scan. One interpreted
+    // shingling pass instead of three.
+    val shingled = shingleDocs(corpus).localCheckpoint()
+    val bands = bandRows(shingled)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))

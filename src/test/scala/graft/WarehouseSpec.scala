@@ -335,6 +335,42 @@ class WarehouseSpec extends SparkSpec {
     assert(rows.forall(_.getString(0).substring(5).toInt <= 3))
   }
 
+  test("dynamic partition overwrite backfills one month, leaves the rest untouched, replays idempotently") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-backfill-test"
+    if (new java.io.File(dir).exists()) deleteRecursively(dir)
+    val o = Tables.orders(spark, sfDir)
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+    graft.sources.Partitioned.writeByMonth(o, dir)
+    def files(): Map[String, Set[(String, Long)]] =
+      new java.io.File(dir).listFiles().filter(_.getName.startsWith("o_month="))
+        .map(d => d.getName ->
+          d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => (f.getName, f.length())).toSet).toMap
+    val before = files()
+    val months = before.keys.toSeq.sorted
+    val target = months.head.stripPrefix("o_month=")
+    val corrected = o.filter(col("o_month") === target)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+    graft.sources.Partitioned.backfillMonths(corrected, dir)
+    val after = files()
+    // Only the backfilled month's files changed — every other partition is
+    // byte-identical by (name, length): dynamic overwrite never listed it.
+    months.tail.foreach(m => assert(after(m) === before(m), s"$m was touched"))
+    assert(after(months.head) !== before(months.head))
+    def monthSum(): Long = spark.read.parquet(dir)
+      .filter(col("o_month") === target)
+      .agg(sum(graft.ops.Num.cents(col("o_totalprice")))).collect()(0).getLong(0)
+    val expect = corrected
+      .agg(sum(graft.ops.Num.cents(col("o_totalprice")))).collect()(0).getLong(0)
+    assert(monthSum() === expect)
+    // Replay the same backfill: converges — same content, others untouched.
+    graft.sources.Partitioned.backfillMonths(corrected, dir)
+    assert(monthSum() === expect)
+    months.tail.foreach(m => assert(files()(m) === before(m)))
+    assert(spark.read.parquet(dir).count() === o.count())
+    deleteRecursively(dir)
+  }
+
   test("join cardinality estimate equals the real join's row count") {
     val got = SparkEntry.queries("q_join_card_est")(spark, sfDir).collect()
     assert(got.length === 1)

@@ -177,6 +177,95 @@ object Warehouse {
       |FROM orders WHERE month(o_orderdate) <= 3
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------ anti-entropy table diff
+
+  /** Merkle-style snapshot diff — find WHAT changed between two table
+    * snapshots by comparing per-range fingerprints first and re-reading
+    * only the ranges that disagree, the anti-entropy pattern replication
+    * and backup-audit systems use when "full-outer-join the two 100 TB
+    * snapshots" is not an option. The synthetic second snapshot derives
+    * deterministically from orders with a data-derived modulus m =
+    * max(key) div 20 (no fixture-size assumption — the `q_merge_upsert`
+    * ADVICE lesson): keys ≡1 (mod m) get +5.00, keys ≡2 are deleted,
+    * keys ≡3 are re-inserted above the key space.
+    *
+    * Pass 1 collapses both snapshots to 64 (range, count, hash-sum)
+    * fingerprint rows — row hash = md5-60 of the (key, cents) pair,
+    * folded mod 2⁴⁰ so a 64-way range sum can never overflow a long; a
+    * range whose count AND order-independent hash-sum both match holds no
+    * change (deterministic here: fixed data, fixed hash). Pass 2 re-reads
+    * ONLY the mismatched ranges — the ≤64 range ids collect to the driver
+    * (bounded by construction, the [[graft.ops.Rank]] discipline) and
+    * return as key-interval predicates the parquet scan can push down —
+    * and full-outer-joins just those slices into modified/deleted/inserted
+    * verdict rows. The ◆ oracle is the DEFINITIONAL unrestricted
+    * full-outer diff: hash equality proves the fingerprint shortcut
+    * dropped nothing (same claim shape as `q_simjoin_prefix`).
+    *
+    * Scale shape: pass 1 is two scans collapsing map-side to 64 rows each;
+    * pass 2's cost is proportional to the CHANGED fraction of the table,
+    * not the table (WarehouseSpec pins the pushed key-interval filters and
+    * that clean ranges exist to skip at the fixture).
+    */
+  private val tableDiff: Q = (s, d) => {
+    import graft.ops.Hashing
+    val base = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      Num.cents(col("o_totalprice")).as("cents"))
+    val Row0 = base.agg(max("k")).collect()(0)
+    val mx = Row0.getLong(0)
+    val m = math.max(mx / 20L, 1L)
+    val newT = base.filter(pmod(col("k"), lit(m)) =!= 2)
+      .withColumn("cents", when(pmod(col("k"), lit(m)) === 1,
+        col("cents") + lit(500L)).otherwise(col("cents")))
+      .unionByName(base.filter(pmod(col("k"), lit(m)) === 3)
+        .select((col("k") + lit(mx + 1L)).as("k"), col("cents")))
+    // 64 key ranges covering both snapshots (inserted keys ≤ 2·mx+1)
+    val rw = (2L * mx + 2L) / 64L + 1L
+    def fp(df: org.apache.spark.sql.DataFrame, tag: String) =
+      df.withColumn("range", call_function("div", col("k"), lit(rw)))
+        .withColumn("h", pmod(Hashing.md5Long60(
+          concat(col("k").cast("string"), lit("|"), col("cents").cast("string"))),
+          lit(1L << 40)))
+        .groupBy("range")
+        .agg(count(lit(1)).as(s"n_$tag"), sum("h").as(s"fp_$tag"))
+    val mismatched = fp(base, "b").join(fp(newT, "n"), Seq("range"), "full_outer")
+      .filter(!(col("n_b") <=> col("n_n")) || !(col("fp_b") <=> col("fp_n")))
+      .select("range").collect().map(_.getLong(0)).sorted
+    val inRanges = mismatched.map(r =>
+        col("k") >= lit(r * rw) && col("k") < lit((r + 1) * rw))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    base.filter(inRanges).as("b")
+      .join(newT.filter(inRanges).as("n"), col("b.k") === col("n.k"),
+        "full_outer")
+      .filter(col("b.k").isNull || col("n.k").isNull ||
+        col("b.cents") =!= col("n.cents"))
+      .select(coalesce(col("b.k"), col("n.k")).as("k"),
+        when(col("b.k").isNull, lit("inserted"))
+          .when(col("n.k").isNull, lit("deleted"))
+          .otherwise(lit("modified")).as("status"),
+        col("b.cents").as("base_cents"), col("n.cents").as("new_cents"))
+      .orderBy("k")
+  }
+
+  private val tableDiffSql =
+    """WITH base AS (SELECT o_orderkey AS k,
+      |                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |              FROM orders),
+      |mx AS (SELECT MAX(k) AS mx, greatest(MAX(k) // 20, 1) AS m FROM base),
+      |newt AS (
+      |  SELECT k, CASE WHEN k % m = 1 THEN cents + 500 ELSE cents END AS cents
+      |  FROM base, mx WHERE k % m <> 2
+      |  UNION ALL
+      |  SELECT k + mx + 1 AS k, cents FROM base, mx WHERE k % m = 3)
+      |SELECT COALESCE(b.k, n.k) AS k,
+      |       CASE WHEN b.k IS NULL THEN 'inserted'
+      |            WHEN n.k IS NULL THEN 'deleted'
+      |            ELSE 'modified' END AS status,
+      |       b.cents AS base_cents, n.cents AS new_cents
+      |FROM base b FULL OUTER JOIN newt n ON b.k = n.k
+      |WHERE b.k IS NULL OR n.k IS NULL OR b.cents <> n.cents
+      |ORDER BY k""".stripMargin
+
   // ------------------------------------------------- join cardinality audit
 
   /** Pre-join cardinality + skew audit — the planner-aid that decides a
@@ -249,5 +338,6 @@ object Warehouse {
     Entry("q_incr_agg", incrAgg, Some(incrAggSql)),
     Entry("q_join_card_est", joinCardEst, Some(joinCardEstSql)),
     Entry("q_dpp_prune", dppPrune, Some(dppPruneSql)),
+    Entry("q_table_diff", tableDiff, Some(tableDiffSql)),
   )
 }

@@ -60,6 +60,23 @@ object LshStore {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** Continuous index ingest: each micro-batch of (doc_id, text) docs
+    * blind-appends its bucket rows — the at-least-once delivery the
+    * foreachBatch sink provides is sufficient because appends are
+    * idempotent under the distinct-read contract (same argument as
+    * [[SketchStore.appendStream]]; contrast [[Export]]'s staged renames,
+    * which exist because file output is NOT idempotent).
+    */
+  def appendStream(docs: DataFrame, path: String, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch((batch: DataFrame, _: Long) => append(batch, path))
+      .start()
+
   /** Rewrite the index as its distinct row set — answer-invariant
     * compaction for a store that only ever grows by blind appends.
     */

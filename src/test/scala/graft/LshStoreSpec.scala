@@ -73,4 +73,31 @@ class LshStoreSpec extends SparkSpec {
     assert(candSet() === before)
     deleteRecursively(path)
   }
+
+  test("streamed index ingest equals one batch build") {
+    import org.apache.spark.sql.Encoder
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val livePath = path + "-live"
+    val batchPath = path + "-batch"
+    Seq(livePath, batchPath).foreach(p =>
+      if (new java.io.File(p).exists()) deleteRecursively(p))
+    val corpus = standing.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val ms = MemoryStream[(Long, String)](
+      implicitly[Encoder[(Long, String)]], spark.sqlContext)
+    val q = LshStore.appendStream(ms.toDF().toDF("doc_id", "text"), livePath,
+      "file://" + java.nio.file.Files.createTempDirectory("graft-lsh-ckpt"))
+    try {
+      val (a, b) = corpus.splitAt(corpus.size / 2)
+      ms.addData(a); q.processAllAvailable()
+      ms.addData(b); q.processAllAvailable()
+    } finally q.stop()
+    LshStore.build(standing, batchPath)
+    def probeAll(p: String) =
+      LshStore.candidates(spark, delta, p).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probeAll(livePath) === probeAll(batchPath),
+      "a streamed index must answer every probe like the batch build")
+    Seq(livePath, batchPath).foreach(deleteRecursively)
+  }
 }

@@ -371,6 +371,47 @@ class WarehouseSpec extends SparkSpec {
     deleteRecursively(dir)
   }
 
+  test("table diff: fingerprint shortcut equals the definitional full diff and pushes range filters") {
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), graft.ops.Num.cents(col("o_totalprice")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("c")).toMap
+    val mx = base.keys.max
+    val m = math.max(mx / 20L, 1L)
+    val newT = base.collect {
+      case (k, c) if k % m != 2 => k -> (if (k % m == 1) c + 500L else c)
+    } ++ base.collect { case (k, c) if k % m == 3 => (k + mx + 1L) -> c }
+    val expect = (base.keySet ++ newT.keySet).flatMap { k =>
+      (base.get(k), newT.get(k)) match {
+        case (Some(b), None) => Some((k, "deleted", Some(b), None))
+        case (None, Some(n)) => Some((k, "inserted", None, Some(n)))
+        case (Some(b), Some(n)) if b != n => Some((k, "modified", Some(b), Some(n)))
+        case _ => None
+      }
+    }
+    val df = SparkEntry.queries("q_table_diff")(spark, sfDir)
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)),
+      if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(got === expect)
+    assert(got.nonEmpty && Set("modified", "deleted", "inserted")
+      .subsetOf(got.map(_._2)))
+    // The pass-2 scan must carry the key-interval predicates down to
+    // parquet — the "re-read only changed ranges" claim, visible as
+    // pushed o_orderkey bounds.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [Or(") &&
+      "o_orderkey#\\d+L >= \\d+\\) AND \\(o_orderkey#\\d+L < \\d+".r
+        .findFirstIn(plan).isDefined,
+      s"range predicates must reach the scan:\n$plan")
+    // And the pruning is real at this fixture: changed keys occupy only a
+    // strict subset of the 64 ranges, so clean ranges were skipped.
+    val rw = (2L * mx + 2L) / 64L + 1L
+    val changedRanges = expect.map(_._1 / rw)
+    val allRanges = (base.keySet ++ newT.keySet).map(_ / rw)
+    assert(changedRanges.size < allRanges.size,
+      "fixture left no clean range to skip")
+  }
+
   test("join cardinality estimate equals the real join's row count") {
     val got = SparkEntry.queries("q_join_card_est")(spark, sfDir).collect()
     assert(got.length === 1)

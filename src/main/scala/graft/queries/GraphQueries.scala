@@ -122,7 +122,94 @@ object GraphQueries {
        |ORDER BY rank_units DESC, part_id LIMIT 50""".stripMargin
   }
 
+  /** Per-node triangle counts over the co-purchase graph by DEGREE-ORDERED
+    * orientation — the published fix for "the curse of the last reducer"
+    * (Suri & Vassilvitskii, WWW'11; Schank's thesis): orient every
+    * undirected edge toward its (degree, id)-larger endpoint, enumerate
+    * wedges only from each node's ORIENTED out-neighbors, and close each
+    * wedge with one oriented-edge probe. Every triangle is counted exactly
+    * once (at its (degree, id)-smallest corner), and the wedge space is
+    * Σ outdeg² with outdeg ≤ O(√|E|) — a hub with a million neighbors
+    * contributes almost no wedges because its edges all point AWAY from
+    * smaller-degree nodes, which is exactly what kills the hot-reducer
+    * cliff a naive neighbor-pair expansion hits at 100 TB. Triangle
+    * support is the link-structure quality signal (an item whose
+    * co-purchase neighbors are ALSO co-purchased sits in a coherent
+    * basket community; the reference's popularity counts —
+    * src/spark/training.py:180-195 — see none of this structure).
+    *
+    * Scale shape: orientation needs two |E|⋈|V| degree joins; wedges and
+    * closings are equi-joins on node keys — every stage key-partitioned,
+    * no all-pairs anywhere. All counts integer; ties in the degree order
+    * break by node id, so the orientation (and thus the plan-independent
+    * count) is total.
+    */
+  private val triangles: Q = (s, d) => {
+    val und = coPurchaseEdges(Tables.lineitem(s, d))
+      .filter(col("src") < col("dst"))
+      .localCheckpoint()
+    val deg = und.select(explode(array(col("src"), col("dst"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("node").as("src"), col("deg").as("ds")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("dd")), "dst")
+    val fwd = col("ds") < col("dd") ||
+      (col("ds") === col("dd") && col("src") < col("dst"))
+    val e = withDeg.select(
+      when(fwd, col("src")).otherwise(col("dst")).as("u"),
+      when(fwd, col("dst")).otherwise(col("src")).as("v"),
+      when(fwd, col("dd")).otherwise(col("ds")).as("dv"))
+    val wedges = e.as("e1").join(e.as("e2"),
+        col("e1.u") === col("e2.u") &&
+          (col("e1.dv") < col("e2.dv") ||
+            (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v"))))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    val tri = wedges.join(
+      e.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+      .join(deg, "node")
+      .select(col("node").as("part_id"), col("deg"), col("triangles"))
+      .orderBy("part_id")
+  }
+
+  private val trianglesSql =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pid FROM lineitem),
+      |und AS (
+      |  SELECT DISTINCT a.pid AS src, b.pid AS dst
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pid < b.pid),
+      |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+      |          SELECT src AS node FROM und
+      |          UNION ALL SELECT dst AS node FROM und)
+      |        GROUP BY node),
+      |e AS (
+      |  SELECT CASE WHEN ds.deg < dd.deg OR (ds.deg = dd.deg AND u.src < u.dst)
+      |              THEN u.src ELSE u.dst END AS u,
+      |         CASE WHEN ds.deg < dd.deg OR (ds.deg = dd.deg AND u.src < u.dst)
+      |              THEN u.dst ELSE u.src END AS v,
+      |         CASE WHEN ds.deg < dd.deg OR (ds.deg = dd.deg AND u.src < u.dst)
+      |              THEN dd.deg ELSE ds.deg END AS dv
+      |  FROM und u
+      |  JOIN deg ds ON ds.node = u.src
+      |  JOIN deg dd ON dd.node = u.dst),
+      |tri AS (
+      |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM e e1
+      |  JOIN e e2 ON e1.u = e2.u
+      |           AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
+      |  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+      |SELECT t.node AS part_id, deg.deg, t.triangles FROM (
+      |  SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+      |    SELECT a AS node FROM tri
+      |    UNION ALL SELECT b AS node FROM tri
+      |    UNION ALL SELECT c AS node FROM tri)
+      |  GROUP BY node) t
+      |JOIN deg ON deg.node = t.node
+      |ORDER BY part_id""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q_item_rank", itemRank, Some(itemRankSql)),
+    Entry("q_triangles", triangles, Some(trianglesSql)),
   )
 }

@@ -2700,10 +2700,60 @@ object LlmQueries {
       |            4) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Inverted index build — the retrieval-side artifact of the text
+    * pipeline: per token its document frequency, total term frequency,
+    * and a rank-limited postings sample (top-3 docs by tf, doc_id
+    * tie-break). The reference materializes TF-IDF VECTORS per document
+    * (reference: src/app.py:318-349 fits HashingTF/IDF to serve
+    * similarity); the inverted orientation — token → ranked docs — is
+    * what keyword retrieval, contamination lookups, and index-backed
+    * quality audits read.
+    *
+    * Scale shape: one explode + (token, doc) hash aggregate collapses the
+    * corpus to postings; df/tf_total/rank all ride ONE token-keyed
+    * exchange (three window functions, same partition key), and the
+    * rank ≤ 3 filter becomes a WindowGroupLimit so no task buffers a hot
+    * token's full postings for the sample (the df/tf_total aggregates
+    * still see every posting — they are windows, not the limit). Hot
+    * tokens (stopwords) are the classic skew key: at 100 TB the df
+    * aggregate is a per-token count — |vocab| rows — never a sort.
+    */
+  private val invertedIndex: Q = (s, d) => {
+    val posting = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy("token")
+    val wr = Window.partitionBy("token").orderBy(desc("tf"), asc("doc_id"))
+    posting
+      .withColumn("df", count(lit(1)).over(w))
+      .withColumn("tf_total", sum("tf").over(w))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= 3)
+      .select("token", "df", "tf_total", "rnk", "doc_id", "tf")
+      .orderBy("token", "rnk")
+  }
+
+  private val invertedIndexSql =
+    """WITH posting AS (
+      |  SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |    FROM documents)
+      |  GROUP BY token, doc_id),
+      |x AS (
+      |  SELECT token, doc_id, tf,
+      |         CAST(count(*) OVER (PARTITION BY token) AS BIGINT) AS df,
+      |         CAST(SUM(tf) OVER (PARTITION BY token) AS BIGINT) AS tf_total,
+      |         row_number() OVER (PARTITION BY token ORDER BY tf DESC, doc_id)
+      |           AS rnk
+      |  FROM posting)
+      |SELECT token, df, tf_total, CAST(rnk AS BIGINT) AS rnk, doc_id, tf
+      |FROM x WHERE rnk <= 3 ORDER BY token, rnk""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     Entry("q_dedup_jaccard", dedupJaccard, Some(dedupJaccardSql)),
     Entry("q_simjoin_prefix", simjoinPrefix, Some(simjoinPrefixSql)),
+    Entry("q_inverted_index", invertedIndex, Some(invertedIndexSql)),
     Entry("q_dup_components", dupComponentsQ, Some(dupComponentsSql)),
     Entry("q_pii_scrub", piiScrub, Some(piiScrubSql)),
     Entry("q_sample_strat", sampleStrat, Some(sampleStratSql)),

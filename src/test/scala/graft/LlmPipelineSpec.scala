@@ -472,6 +472,29 @@ class LlmPipelineSpec extends SparkSpec {
     }
   }
 
+  test("q_inverted_index matches a plain-Scala build and group-limits the postings sample") {
+    val postings = docs.toSeq.flatMap { case (id, text) =>
+      text.split(" ", -1).map(t => (t, id))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .map { case ((t, id), tf) => (t, id, tf) }
+    val byTok = postings.groupBy(_._1)
+    val expect = byTok.toSeq.flatMap { case (tok, ps) =>
+      val df = ps.size.toLong
+      val total = ps.map(_._3).sum
+      ps.toSeq.sortBy(p => (-p._3, p._2)).take(3).zipWithIndex.map {
+        case ((_, id, tf), i) => (tok, df, total, (i + 1).toLong, id, tf)
+      }
+    }.sortBy(x => (x._1, x._4))
+    val qdf = SparkEntry.queries("q_inverted_index")(spark, sfDir)
+    val got = qdf.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getInt(3).toLong, r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expect)
+    // The rank≤3 filter must become a group limit so no task buffers a hot
+    // token's full postings for the sample.
+    assert(qdf.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      qdf.queryExecution.executedPlan.toString)
+  }
+
   test("q_simjoin_prefix equals the brute-force all-pairs exact answer") {
     // Planted corpus exactly as the query builds it: docs + copies of
     // doc_id < 25 shifted by 10000.

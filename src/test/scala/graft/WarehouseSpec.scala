@@ -315,6 +315,30 @@ class WarehouseSpec extends SparkSpec {
     assert(got.map(_.getAs[Long]("rank_units")).sum <= 1000000000000L)
   }
 
+  test("q_triangles equals a brute-force neighbor-intersection count; no cartesian") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val und = li.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val nbrs = (und.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) })
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expect = nbrs.map { case (n, ns) =>
+      // triangles at n = edges among n's neighbors (each counted once)
+      n -> (ns.size.toLong, und.count { case (a, b) => ns(a) && ns(b) }.toLong)
+    }.filter(_._2._2 > 0)
+    val df = SparkEntry.queries("q_triangles")(spark, sfDir)
+    val got = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expect)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    // sanity: the global count is consistent with per-node credit ×3
+    assert(got.values.map(_._2).sum % 3 === 0)
+  }
+
   test("dpp: dynamic partition pruning fires and reads only the Q1 partitions") {
     val df = SparkEntry.queries("q_dpp_prune")(spark, sfDir)
     val rows = df.collect()

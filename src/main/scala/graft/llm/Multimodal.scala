@@ -77,6 +77,45 @@ object Multimodal {
       .toDF()
   }
 
+  /** A 60-bit perceptual hash of one payload. */
+  final case class PHash(doc_id: Long, phash: Long)
+
+  /** Perceptual hash over a binary payload — the media twin of the text
+    * path's SimHash: 60 equal byte-blocks, bit j set iff block j's byte
+    * sum exceeds the payload mean (the aHash structure real image dedup
+    * uses over downscaled luma blocks). STUB decode like the rest of this
+    * module: a production build decodes to luma first and hashes that;
+    * the banding/matching machinery downstream is unchanged. 60 bits, not
+    * 64, so the hash never sets the sign bit and band extraction works in
+    * plain positive arithmetic on every engine.
+    */
+  def pHash(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val nb = bytes.length
+          val sums = new Array[Long](60)
+          var p = 0
+          while (p < nb) {
+            sums((p.toLong * 60 / nb).toInt) += bytes(p) & 0xff
+            p += 1
+          }
+          val total = sums.sum
+          var h = 0L
+          var j = 0
+          while (j < 60) {
+            if (sums(j) * 60 > total) h |= 1L << j
+            j += 1
+          }
+          PHash(id, h)
+        }
+      }
+      .toDF()
+  }
+
   /** One sampled "video frame" with its position and a content feature. */
   final case class Frame(doc_id: Long, frame_idx: Long, head_byte: Long)
 

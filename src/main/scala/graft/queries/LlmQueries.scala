@@ -2749,6 +2749,76 @@ object LlmQueries {
       |SELECT token, df, tf_total, CAST(rnk AS BIGINT) AS rnk, doc_id, tf
       |FROM x WHERE rnk <= 3 ORDER BY token, rnk""".stripMargin
 
+  /** Perceptual-hash near-dup over the BINARY payload path — media dedup:
+    * [[graft.llm.Multimodal.pHash]] computes a 60-bit aHash-style
+    * signature inside the partition-parallel codec stage (stub decode,
+    * real plumbing — same contract as the other mm_ stages), then the
+    * text pipeline's banding discipline takes over unchanged: 4 × 15-bit
+    * bands block the pair space, band-collisions verify by full Hamming
+    * distance ≤ 6. Identical payloads hash identically and collide in
+    * every band, so the planted copies are discovered with zero
+    * probabilistic slack — same corpus as `q_minhash_dedup`/
+    * `q_simjoin_prefix`, completing the dedup family across the modality
+    * boundary (image dedup at 100 TB is exactly this: pHash per image at
+    * ingest, band join, Hamming verify — no pixel ever crosses the
+    * shuffle, only 8-byte signatures).
+    */
+  private val mmPhashDedup: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val dup = docs.filter(col("doc_id") < 25)
+      .withColumn("doc_id", col("doc_id") + lit(10000L))
+    val payloads = docs.unionByName(dup)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    // 1 row/doc; checkpointed so the codec stage runs once, not per subtree
+    val ph = graft.llm.Multimodal.pHash(s, payloads).localCheckpoint()
+    val bands = ph.select(col("doc_id"), col("phash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bv", expr("shiftright(phash, band * 15) % 32768"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.phash").as("ha"), col("b.phash").as("hb"))
+      .distinct()
+    cand.withColumn("dist", expr("bit_count(ha ^ hb)"))
+      .filter(col("dist") <= 6)
+      .select("doc_a", "doc_b", "dist")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val mmPhashDedupSql =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 25),
+      |pos AS (
+      |  SELECT doc_id, unnest(range(1, strlen(text) + 1)) AS p, text
+      |  FROM all_docs),
+      |blk AS (
+      |  SELECT doc_id, ((p - 1) * 60) // strlen(text) AS j,
+      |         CAST(SUM(ascii(substr(text, CAST(p AS INT), 1))) AS BIGINT) AS bs
+      |  FROM pos GROUP BY doc_id, ((p - 1) * 60) // strlen(text)),
+      |tot AS (SELECT doc_id, CAST(SUM(bs) AS BIGINT) AS total
+      |        FROM blk GROUP BY doc_id),
+      |ph AS (
+      |  SELECT blk.doc_id,
+      |         CAST(SUM(CASE WHEN bs * 60 > total
+      |                       THEN CAST(1 AS BIGINT) << CAST(j AS INT)
+      |                       ELSE 0 END) AS BIGINT) AS phash
+      |  FROM blk JOIN tot ON blk.doc_id = tot.doc_id
+      |  GROUP BY blk.doc_id),
+      |bands AS (
+      |  SELECT doc_id, phash, band, (phash >> (band * 15)) % 32768 AS bv
+      |  FROM ph, (SELECT unnest(range(0, 4)) AS band) g),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         a.phash AS ha, b.phash AS hb
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, bit_count(xor(ha, hb)) AS dist
+      |FROM cand WHERE bit_count(xor(ha, hb)) <= 6
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     Entry("q_dedup_jaccard", dedupJaccard, Some(dedupJaccardSql)),
@@ -2781,6 +2851,7 @@ object LlmQueries {
     Entry("mm_binary_features", mmBinaryFeatures, Some(mmBinaryFeaturesSql)),
     Entry("mm_resize", mmResize, Some(mmResizeSql)),
     Entry("mm_frame_sample", mmFrameSample, Some(mmFrameSampleSql)),
+    Entry("mm_phash_dedup", mmPhashDedup, Some(mmPhashDedupSql)),
     Entry("q_repetition", repetition, Some(repetitionSql)),
     Entry("q_contam_ngram", contamNgram, Some(contamNgramSql)),
     Entry("q_contam_embed", contamEmbed, Some(contamEmbedSql)),

@@ -914,7 +914,72 @@ object Stats {
        |FROM ranks JOIN ord ON ord.g = ranks.g AND rn = rnk
        |ORDER BY event_type, p""".stripMargin
 
+  /** Equi-depth (quantile) feature binning — the numeric companion of
+    * `ml_target_encode`'s categorical encoding: order value cut into 10
+    * equal-count bins with per-bin (count, value bounds, target count,
+    * target rate in integer basis points), the monotone-risk prep every
+    * scorecard / calibration pipeline runs before fitting. Equal-COUNT
+    * bins (not `q_histogram`'s equal-width) need each row's exact global
+    * rank, which is the distributed-selection template's job: an
+    * order-preserving ≤64-way value bucket from broadcast bounds, an
+    * exclusive-prefix offsets pass over the ≤64 bucket counts (the only
+    * unpartitioned window, bounded by construction — RegistrySpec), a
+    * bucket-partitioned local rank, and ntile's fill rule applied to the
+    * exact rank in pure integer arithmetic — so the ◆ oracle's literal
+    * `ntile(10)` matches bit-for-bit with no global sort anywhere in the
+    * plan (fourth instantiation of the template after `q_pareto`,
+    * `q_quantile_global`, `q_quantile_group`).
+    */
+  private val featureBinsQ: Q = (s, d) => {
+    val W = org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      Num.cents(col("o_totalprice")).as("cents"),
+      (col("o_orderstatus") === "F").cast("long").as("is_f"))
+    val bounds = o.agg(min("cents").as("lo"), max("cents").as("hi"),
+      count(lit(1)).as("n"))
+    val bucketed = o.crossJoin(broadcast(bounds))
+      .withColumn("b", call_function("div", col("cents") - col("lo"),
+        call_function("div", col("hi") - col("lo"), lit(64L)) + lit(1L)))
+    val offW = W.orderBy(asc("b")).rowsBetween(W.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("b").agg(count(lit(1)).as("bn"))
+      .select(col("b"), coalesce(sum("bn").over(offW), lit(0L)).as("off"))
+    val localW = W.partitionBy("b").orderBy(asc("cents"), asc("k"))
+    val base = call_function("div", col("n"), lit(10L))
+    val rem = col("n") % lit(10L)
+    val head = (base + lit(1L)) * rem
+    bucketed.join(broadcast(offsets), Seq("b"))
+      .withColumn("rnk", col("off") + row_number().over(localW))
+      .withColumn("bin",
+        when(col("rnk") <= head,
+          call_function("div", col("rnk") - 1, base + lit(1L)) + lit(1L))
+          .otherwise(rem +
+            call_function("div", col("rnk") - head - 1, base) + lit(1L))
+          .cast("int"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), min("cents").as("lo_cents"),
+        max("cents").as("hi_cents"), sum("is_f").as("n_f"))
+      .withColumn("rate_bp",
+        call_function("div", lit(10000L) * col("n_f"), col("n")))
+      .orderBy("bin")
+  }
+
+  private val featureBinsSql =
+    """WITH o AS (
+      |  SELECT o_orderkey AS k,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |         CAST(o_orderstatus = 'F' AS BIGINT) AS is_f
+      |  FROM orders),
+      |dec AS (
+      |  SELECT cents, is_f, ntile(10) OVER (ORDER BY cents, k) AS bin FROM o)
+      |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+      |       MIN(cents) AS lo_cents, MAX(cents) AS hi_cents,
+      |       CAST(SUM(is_f) AS BIGINT) AS n_f,
+      |       (10000 * CAST(SUM(is_f) AS BIGINT)) // CAST(count(*) AS BIGINT)
+      |         AS rate_bp
+      |FROM dec GROUP BY bin ORDER BY bin""".stripMargin
+
   val entries: Seq[Entry] = Seq(
+    Entry("q_feature_bins", featureBinsQ, Some(featureBinsSql)),
     Entry("q_quantile_group", quantileGroupQ, Some(quantileGroupSql)),
     Entry("q_quantile_global", quantileGlobalQ, Some(quantileGlobalSql)),
     Entry("q_pareto", paretoQ, Some(paretoSql)),

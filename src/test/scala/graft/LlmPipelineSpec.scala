@@ -495,6 +495,37 @@ class LlmPipelineSpec extends SparkSpec {
       qdf.queryExecution.executedPlan.toString)
   }
 
+  test("mm_phash_dedup: full banded-pHash replay matches; planted copies at distance 0") {
+    val corpus = docs ++ docs.collect {
+      case (id, t) if id < 25 => (id + 10000L) -> t
+    }
+    def phash(text: String): Long = {
+      val bytes = text.getBytes("UTF-8")
+      val nb = bytes.length
+      val sums = new Array[Long](60)
+      for (p <- 0 until nb) sums((p.toLong * 60 / nb).toInt) += bytes(p) & 0xff
+      val total = sums.sum
+      (0 until 60).foldLeft(0L)((h, j) =>
+        if (sums(j) * 60 > total) h | (1L << j) else h)
+    }
+    val ph = corpus.view.mapValues(phash).toMap
+    val ids = ph.keys.toSeq.sorted
+    val expect = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1) until ids.length
+      (a, b) = (ids(i), ids(j))
+      if (0 until 4).exists(k =>
+        ((ph(a) >> (k * 15)) & 32767L) == ((ph(b) >> (k * 15)) & 32767L))
+      dist = java.lang.Long.bitCount(ph(a) ^ ph(b))
+      if dist <= 6
+    } yield (a, b, dist)).toSet
+    val got = SparkEntry.queries("mm_phash_dedup")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === expect)
+    val planted = (0L until 25L).map(i => (i, i + 10000L, 0)).toSet
+    assert(planted.subsetOf(got), "identical payloads must collide at 0")
+  }
+
   test("q_simjoin_prefix equals the brute-force all-pairs exact answer") {
     // Planted corpus exactly as the query builds it: docs + copies of
     // doc_id < 25 shifted by 10000.

@@ -315,6 +315,33 @@ class WarehouseSpec extends SparkSpec {
     assert(got.map(_.getAs[Long]("rank_units")).sum <= 1000000000000L)
   }
 
+  test("q_feature_bins equals a sequential ntile replay") {
+    val rows = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), graft.ops.Num.cents(col("o_totalprice")),
+        (col("o_orderstatus") === "F").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._2, t._1))
+    val n = rows.length
+    val (base, rem) = (n / 10, n % 10)
+    val head = (base + 1) * rem
+    val binned = rows.zipWithIndex.map { case ((_, cents, isF), i) =>
+      val r = i + 1
+      val bin = if (r <= head) (r - 1) / (base + 1) + 1
+                else rem + (r - head - 1) / base + 1
+      (bin, cents, isF)
+    }
+    val expect = binned.groupBy(_._1).toSeq.sortBy(_._1).map { case (b, xs) =>
+      val nf = xs.map(_._3).sum
+      (b, xs.length.toLong, xs.map(_._2).min, xs.map(_._2).max, nf,
+        10000L * nf / xs.length)
+    }
+    val got = SparkEntry.queries("q_feature_bins")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expect)
+    assert(got.map(_._2).sum === n.toLong)
+  }
+
   test("q_triangles equals a brute-force neighbor-intersection count; no cartesian") {
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()

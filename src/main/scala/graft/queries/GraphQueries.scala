@@ -155,10 +155,14 @@ object GraphQueries {
       .join(deg.select(col("node").as("dst"), col("deg").as("dd")), "dst")
     val fwd = col("ds") < col("dd") ||
       (col("ds") === col("dd") && col("src") < col("dst"))
+    // localCheckpoint: the oriented list feeds BOTH wedge sides and the
+    // closing-edge probe — materialized once (|E| rows of 3 longs), the
+    // three subtrees reuse it instead of re-running the degree joins.
     val e = withDeg.select(
       when(fwd, col("src")).otherwise(col("dst")).as("u"),
       when(fwd, col("dst")).otherwise(col("src")).as("v"),
       when(fwd, col("dd")).otherwise(col("ds")).as("dv"))
+      .localCheckpoint()
     val wedges = e.as("e1").join(e.as("e2"),
         col("e1.u") === col("e2.u") &&
           (col("e1.dv") < col("e2.dv") ||

@@ -40,7 +40,11 @@ object Bench {
     // keep triggering adjudications a median settles up front. Set
     // SPARK_GRAFT_SPREAD_OUT=<path> to also dump per-query (min, med, max)
     // as JSON — the error bars the retro's envelope table quotes.
-    val tripled = Set("q_chunk_dedup", "q_dedup_delta", "q_containment_dup")
+    // q_quantile_group joined after its first bench sample read 37.6 s in
+    // an ambient-steal burst vs 3.7 s isolated minutes later (10×, plan
+    // identical) — the same single-sample-unadjudicable shape as the trio.
+    val tripled = Set("q_chunk_dedup", "q_dedup_delta", "q_containment_dup",
+      "q_quantile_group")
     val spreads = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double)]
     val results = selected.map { case (name, fn) =>
       def once(): Double = {

@@ -77,4 +77,47 @@ object Prefix {
       .withColumn(cumName, col("__pfx_off") + sum(valueCol).over(localW))
       .drop("__pfx_b", "__pfx_off")
   }
+
+  /** Adds `cumName` = running MIN of long column `valueCol` over ascending
+    * `(orderCol, tieCols…)` order — the min-monoid twin of [[withCumSum]]
+    * (same bucket → tiny-offsets → local-pass decomposition; min is
+    * associative and idempotent, so the split is exact). With
+    * `inclusive = false` the frame is rows-unbounded-preceding through the
+    * PREVIOUS row — the "best value strictly before me" shape dominance /
+    * skyline scans need — and rows with no predecessor get NULL (min has
+    * no identity element in long; callers fold the null as "nothing
+    * before me"). Same domain contract as [[withCumSum]].
+    */
+  def withCumMin(df: DataFrame, orderCol: String, tieCols: Seq[String],
+      valueCol: String, cumName: String, buckets: Long = 64L,
+      inclusive: Boolean = true): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val bounds = df.agg(
+      min(orderCol).cast("long").as("__pfx_lo"),
+      max(orderCol).cast("long").as("__pfx_hi"))
+    val width = call_function("div",
+      col("__pfx_hi") - col("__pfx_lo"), lit(buckets)) + lit(1L)
+    val bucketed = df.crossJoin(broadcast(bounds))
+      .withColumn("__pfx_b", call_function("div",
+        col(orderCol).cast("long") - col("__pfx_lo"), width))
+      .drop("__pfx_lo", "__pfx_hi")
+    // exclusive per-bucket offsets: min over STRICTLY EARLIER buckets —
+    // NULL for the first bucket (no identity), folded null-safely below.
+    val offW = Window.orderBy(asc("__pfx_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("__pfx_b")
+      .agg(min(valueCol).as("__pfx_bm"))
+      .select(col("__pfx_b"), min("__pfx_bm").over(offW).as("__pfx_off"))
+    val localEnd = if (inclusive) Window.currentRow else -1L
+    val localW = Window.partitionBy("__pfx_b")
+      .orderBy((orderCol +: tieCols).map(asc): _*)
+      .rowsBetween(Window.unboundedPreceding, localEnd)
+    val localMin = min(valueCol).over(localW)
+    bucketed.join(broadcast(offsets), Seq("__pfx_b"))
+      .withColumn(cumName,
+        when(col("__pfx_off").isNull, localMin)
+          .when(localMin.isNull, col("__pfx_off"))
+          .otherwise(least(localMin, col("__pfx_off"))))
+      .drop("__pfx_b", "__pfx_off")
+  }
 }

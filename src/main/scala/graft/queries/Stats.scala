@@ -978,7 +978,57 @@ object Stats {
       |         AS rate_bp
       |FROM dec GROUP BY bin ORDER BY bin""".stripMargin
 
+  /** Skyline (Pareto-dominance) query — the parts no other part beats on
+    * BOTH demand and price: b dominates a iff qty_b ≥ qty_a ∧ price_b ≤
+    * price_a with at least one strict. The ◆ oracle is the definitional
+    * O(n²) `NOT EXISTS` dominance scan; the engine computes the same set
+    * in O(n log n) via the 2-D sweep — a part is dominated exactly when
+    * `min(price) over strictly-higher qty ≤ price` or `min(price) within
+    * its own qty < price` — with the strictly-before running min supplied
+    * by [[graft.ops.Prefix.withCumMin]]'s exclusive mode over the
+    * per-qty collapsed table (min is idempotent, so the bucket
+    * decomposition is exact; the ≤64-row offsets pass is the only
+    * unpartitioned window — RegistrySpec). Same claim shape as
+    * `q_simjoin_prefix`/`q_table_diff`: oracle definitional, engine
+    * shortcut, hash equality proves the shortcut lossless.
+    *
+    * Scale shape: the fact collapses to per-part aggregates, those to
+    * per-qty rows; the sweep never sorts globally (bucket-partitioned
+    * local passes), and the verdict join is per-qty equi-keyed. Skyline
+    * membership at 100 TB costs two hash aggregates + the prefix-min
+    * machinery over \|distinct qty\| rows.
+    */
+  private val skylineQ: Q = (s, d) => {
+    val parts = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("part_id"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty"),
+        min(Num.cents(col("l_extendedprice"))).as("price_cents"))
+    val perQ = parts.groupBy("qty").agg(min("price_cents").as("minp"))
+      .withColumn("negq", -col("qty"))
+    val strict = graft.ops.Prefix.withCumMin(
+      perQ, "negq", Nil, "minp", "hi_min", inclusive = false)
+    parts.join(strict.select("qty", "minp", "hi_min"), "qty")
+      .filter(!(coalesce(col("hi_min") <= col("price_cents"), lit(false)) ||
+        col("minp") < col("price_cents")))
+      .select("part_id", "qty", "price_cents")
+      .orderBy("part_id")
+  }
+
+  private val skylineSql =
+    """WITH s AS (
+      |  SELECT l_partkey AS part_id,
+      |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+      |         MIN(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents
+      |  FROM lineitem GROUP BY 1)
+      |SELECT part_id, qty, price_cents FROM s a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM s b
+      |  WHERE b.qty >= a.qty AND b.price_cents <= a.price_cents
+      |    AND (b.qty > a.qty OR b.price_cents < a.price_cents))
+      |ORDER BY part_id""".stripMargin
+
   val entries: Seq[Entry] = Seq(
+    Entry("q_skyline", skylineQ, Some(skylineSql)),
     Entry("q_feature_bins", featureBinsQ, Some(featureBinsSql)),
     Entry("q_quantile_group", quantileGroupQ, Some(quantileGroupSql)),
     Entry("q_quantile_global", quantileGlobalQ, Some(quantileGlobalSql)),

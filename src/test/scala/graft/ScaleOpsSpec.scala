@@ -109,6 +109,30 @@ class ScaleOpsSpec extends SparkSpec {
     assert(flatGot.toSeq === flatExp.toSeq)
   }
 
+  test("distributed prefix min equals the single-window form, inclusive and exclusive") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(0, 5000).selectExpr(
+      "CASE WHEN id % 5 = 0 THEN 7L ELSE (id * 37) % 1000 END AS k",
+      "id AS tie", "(id * 101) % 997 - 300 AS v")
+    val wIncl = Window.orderBy("k", "tie")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wExcl = Window.orderBy("k", "tie")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val expIncl = df.withColumn("m", min("v").over(wIncl))
+      .orderBy("k", "tie").collect()
+    val gotIncl = Prefix.withCumMin(df, "k", Seq("tie"), "v", "m")
+      .orderBy("k", "tie").collect()
+    assert(gotIncl.toSeq === expIncl.toSeq)
+    // Exclusive mode: first row's NULL (no predecessor) must survive.
+    val expExcl = df.withColumn("m", min("v").over(wExcl))
+      .orderBy("k", "tie").collect()
+    val gotExcl = Prefix.withCumMin(df, "k", Seq("tie"), "v", "m",
+        inclusive = false)
+      .orderBy("k", "tie").collect()
+    assert(gotExcl.toSeq === expExcl.toSeq)
+    assert(gotExcl.head.isNullAt(3), "first row has nothing before it")
+  }
+
   test("prefix-sum plan: the data-sized window partitions by the range bucket") {
     val df = spark.range(0, 5000).selectExpr("id AS k", "id AS tie", "id AS v")
     val p = Prefix.withCumSum(df, "k", Seq("tie"), "v", "cum")

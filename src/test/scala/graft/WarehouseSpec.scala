@@ -315,6 +315,32 @@ class WarehouseSpec extends SparkSpec {
     assert(got.map(_.getAs[Long]("rank_units")).sum <= 1000000000000L)
   }
 
+  test("q_skyline equals a brute-force dominance scan") {
+    val parts = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty"),
+        min(graft.ops.Num.cents(col("l_extendedprice"))).as("p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = parts.filter { case (_, qa, pa) =>
+      !parts.exists { case (_, qb, pb) =>
+        qb >= qa && pb <= pa && (qb > qa || pb < pa)
+      }
+    }.map(t => (t._1, t._2, t._3)).sortBy(_._1).toSeq
+    val got = SparkEntry.queries("q_skyline")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expect)
+    assert(got.nonEmpty)
+    // Skyline sanity: along increasing qty, price strictly increases
+    // (a cheaper-or-equal higher-qty part would dominate); equal-qty
+    // members can only be exact (qty, price) duplicates.
+    val sky = got.sortBy(_._2)
+    sky.sliding(2).foreach {
+      case Seq((_, q1, p1), (_, q2, p2)) =>
+        if (q1 == q2) assert(p1 === p2) else assert(q1 < q2 && p1 < p2)
+      case _ =>
+    }
+  }
+
   test("q_feature_bins equals a sequential ntile replay") {
     val rows = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), graft.ops.Num.cents(col("o_totalprice")),

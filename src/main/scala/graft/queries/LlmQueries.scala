@@ -2819,6 +2819,65 @@ object LlmQueries {
       |FROM cand WHERE bit_count(xor(ha, hb)) <= 6
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** K-anonymity + l-diversity governance audit — the re-identification
+    * gate a training-data release runs after [[piiScrub]]'s direct
+    * identifiers are gone (Sweeney's k-anonymity; Machanavajjhala's
+    * l-diversity): per quasi-identifier combination (nation × market
+    * segment), the member count (k-risk: a group smaller than k = 5 can
+    * be singled out by joining public attributes) and the number of
+    * distinct sensitive values (l-risk: a group where the sensitive
+    * attribute is HOMOGENEOUS leaks it to anyone who can place a person
+    * in the group, however large the group is). Output is the
+    * suppression/generalization worklist, one row per QI cell.
+    *
+    * Scale shape: one partial+final hash aggregate to \|QI combinations\|
+    * rows — the audit never shuffles people, only cells; the
+    * distinct-count is over a 2-value sensitive bucket, map-side compact.
+    */
+  private val kAnonymity: Q = (s, d) =>
+    Tables.customer(s, d)
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        countDistinct((col("c_acctbal") > 0).cast("int")).as("l_div"))
+      .withColumn("k_risk", (col("n") < 5).cast("int"))
+      .withColumn("l_risk", (col("l_div") < 2).cast("int"))
+      .orderBy("c_nationkey", "c_mktsegment")
+
+  private val kAnonymitySql =
+    """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(count(DISTINCT CAST(c_acctbal > 0 AS INT)) AS BIGINT)
+      |         AS l_div,
+      |       CAST(count(*) < 5 AS INT) AS k_risk,
+      |       CAST(count(DISTINCT CAST(c_acctbal > 0 AS INT)) < 2 AS INT)
+      |         AS l_risk
+      |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** BPE ENCODE — applying the trained tokenizer, completing the
+    * train→apply loop `ml_bpe_vocab` opens (the artifact a 100 TB corpus
+    * tokenization job broadcasts to every executor): the 30-merge table
+    * chains one greedy left-to-right fold per merge over each word's
+    * symbol array (codegen higher-order expressions, zero UDFs — see
+    * [[graft.llm.Bpe.encode]]), reported for the top-50 words by corpus
+    * frequency. Rows-only at the driver (an iterative fold is not
+    * ANSI-SQL-expressible); BpeSpec gates the encoding against a
+    * sequential plain-Scala replay of the same merge table.
+    *
+    * Scale shape: training touches only the collapsed \|distinct words\|
+    * vocabulary; encoding is embarrassingly parallel per word with the
+    * merge table folded into the PLAN (literals, not a join) — at 100 TB
+    * the encode stage is a map over the corpus with zero shuffle.
+    */
+  private val bpeEncode: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val merges = graft.llm.Bpe.train(docs, 30)
+    val vocab = graft.llm.Bpe.wordFreq(docs)
+    graft.llm.Bpe.encode(vocab, merges)
+      .select(col("word"), col("freq"), size(col("syms")).as("n_tokens"),
+        concat_ws(" ", col("syms")).as("encoding"))
+      .orderBy(desc("freq"), asc("word"))
+      .limit(50)
+  }
+
   val entries: Seq[Entry] = Seq(
     Entry("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     Entry("q_dedup_jaccard", dedupJaccard, Some(dedupJaccardSql)),
@@ -2871,6 +2930,8 @@ object LlmQueries {
     Entry("q_drift_chi2", driftChi2, Some(driftChi2Sql)),
     Entry("q_bpe_pairs", bpePairs, Some(bpePairsSql)),
     Entry("ml_bpe_vocab", bpeVocab, None),
+    Entry("ml_bpe_encode", bpeEncode, None),
+    Entry("q_k_anonymity", kAnonymity, Some(kAnonymitySql)),
   )
 
 }

@@ -79,6 +79,22 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("ml_bpe_encode equals a sequential train+encode replay of the top-50 words") {
+    val wf = refWordFreq
+    val merges = refTrain(wf, 30)
+    val encoded = wf.map { case (w, f) =>
+      val syms = merges.foldLeft(w.split("").filter(_.nonEmpty).toVector) {
+        case (s, (l, r, _, _)) => mergeWord(s, l, r)
+      }
+      (w, f, syms.length.toLong, syms.mkString(" "))
+    }
+    val expect = encoded.sortBy { case (w, f, _, _) => (-f, w) }.take(50)
+    val got = Registry.queries("ml_bpe_encode")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2).toLong,
+        r.getString(3))).toSeq
+    assert(got === expect)
+  }
+
   test("q_bpe_pairs rank 1 is the trainer's first argmax") {
     val first = Registry.queries("q_bpe_pairs")(spark, sfDir)
       .orderBy("rn").limit(1).collect()(0)

@@ -2633,11 +2633,12 @@ object LlmQueries {
     * candidates back to the shingle arrays by doc key. Every stage is
     * key-partitioned — no block-size precondition, no all-pairs fallback.
     */
-  private val simjoinPrefix: Q = (s, d) => {
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val dup = docs.filter(col("doc_id") < 25)
-      .withColumn("doc_id", col("doc_id") + lit(10000L))
-    val corpus = docs.unionByName(dup)
+  /** The full prefix-filtered exact pipeline over ANY (doc_id, text)
+    * corpus at τ = 0.8 — shared by `q_simjoin_prefix` and the recall
+    * evaluation `q_dedup_eval` (whose "ground truth" side this is).
+    */
+  private[graft] def prefixExactPairs(corpus: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame = {
     // localCheckpoint: the shingled corpus feeds the posting side and both
     // verification sides — one interpreted shingling pass instead of three.
     val shingled = corpus
@@ -2671,7 +2672,70 @@ object LlmQueries {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
       .filter(col("jac") >= 0.8)
       .select("doc_a", "doc_b", "jac")
-      .orderBy("doc_a", "doc_b")
+  }
+
+  private val simjoinPrefix: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val dup = docs.filter(col("doc_id") < 25)
+      .withColumn("doc_id", col("doc_id") + lit(10000L))
+    prefixExactPairs(docs.unionByName(dup)).orderBy("doc_a", "doc_b")
+  }
+
+  /** LSH recall, measured exactly and UNDER THE HASH GATE — the number a
+    * 100 TB dedup deployment needs before trusting banded MinHash as its
+    * discovery path: ground truth from the lossless prefix-filtered join
+    * ([[prefixExactPairs]]), the probe from the banded-LSH + verify
+    * pipeline ([[minhashPairs]]) on the same planted corpus, compared as
+    * sets. Verification filters both sides at the same τ on the same
+    * shingle sets, so LSH ⊆ exact by construction (precision 1.0; the
+    * driver-checked n_lsh = n_exact − n_missed is the cross-check) and
+    * the one free variable is recall — reported in integer basis points,
+    * so the banding design's measured quality is itself a hash-gated
+    * result, not a spec-only assertion. The spec-level recall floors
+    * (LlmPipelineSpec) remain the regression guard; this query is the
+    * measurement artifact.
+    *
+    * Scale shape: both pipelines are the already-audited sub-quadratic
+    * machinery; the comparison is a pair-keyed anti-join + three 1-row
+    * counts met by broadcast.
+    */
+  private val dedupEval: Q = (s, d) => {
+    val (corpus, lshPairs) = minhashVerified(s, d)
+    val lsh = lshPairs.select("doc_a", "doc_b")
+    val exact = prefixExactPairs(corpus).select("doc_a", "doc_b")
+    val missed = exact.join(lsh, Seq("doc_a", "doc_b"), "left_anti")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(lsh.agg(count(lit(1)).as("n_lsh"))))
+      .crossJoin(broadcast(missed.agg(count(lit(1)).as("n_missed"))))
+      .withColumn("recall_bp", call_function("div",
+        lit(10000L) * (col("n_exact") - col("n_missed")), col("n_exact")))
+  }
+
+  private val dedupEvalSql = {
+    val verify = (cand: String, out: String) =>
+      s"""$out AS (
+         |  SELECT doc_a, doc_b FROM $cand
+         |  JOIN sh sa ON sa.doc_id = $cand.doc_a
+         |  JOIN sh sb ON sb.doc_id = $cand.doc_b
+         |  WHERE round(len(list_intersect(sa.sh, sb.sh)) /
+         |              CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE),
+         |              4) >= 0.8)""".stripMargin
+    s"""WITH RECURSIVE
+       |$minhashCteSql,
+       |${verify("cand", "lsh")},
+       |exc AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+       |ecand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM exc a JOIN exc b ON a.g = b.g AND a.doc_id < b.doc_id),
+       |${verify("ecand", "exact")},
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS n_missed FROM exact e
+       |      WHERE NOT EXISTS (SELECT 1 FROM lsh l
+       |                        WHERE l.doc_a = e.doc_a AND l.doc_b = e.doc_b)),
+       |ce AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact),
+       |cl AS (SELECT CAST(count(*) AS BIGINT) AS n_lsh FROM lsh)
+       |SELECT n_exact, n_lsh, n_missed,
+       |       (10000 * (n_exact - n_missed)) // n_exact AS recall_bp
+       |FROM ce, cl, m""".stripMargin
   }
 
   private val simjoinPrefixSql =
@@ -2882,6 +2946,7 @@ object LlmQueries {
     Entry("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     Entry("q_dedup_jaccard", dedupJaccard, Some(dedupJaccardSql)),
     Entry("q_simjoin_prefix", simjoinPrefix, Some(simjoinPrefixSql)),
+    Entry("q_dedup_eval", dedupEval, Some(dedupEvalSql)),
     Entry("q_inverted_index", invertedIndex, Some(invertedIndexSql)),
     Entry("q_dup_components", dupComponentsQ, Some(dupComponentsSql)),
     Entry("q_pii_scrub", piiScrub, Some(piiScrubSql)),

@@ -177,6 +177,68 @@ object Warehouse {
       |FROM orders WHERE month(o_orderdate) <= 3
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------- incremental join views
+
+  /** Incremental JOIN-view maintenance — the delta algebra for a
+    * materialized fact⋈fact join, completing what `q_incr_agg` proves for
+    * aggregates: with each side split into standing history and delta
+    * (data-derived 80% day cuts, one per table), the view refresh is
+    *   ΔV = ΔO⋈E_old ∪ O_old⋈ΔE ∪ ΔO⋈ΔE
+    * and V_new = V_old ∪ ΔV — four pairwise-disjoint terms whose union
+    * covers O⋈E exactly (old/new × old/new partitions the pair space).
+    * The ◆ oracle is the FULL recompute of the join rollup: hash equality
+    * proves the decomposition is complete and non-overlapping — no pair
+    * lost, no pair double-counted.
+    *
+    * Scale shape: at refresh time V_old is READ (here recomputed for the
+    * oracle's sake), so the three computed terms each carry a delta on at
+    * least one side — cost ∝ delta, not history; every term is the same
+    * customer-keyed equi-join, so a co-bucketed layout
+    * ([[graft.sources.Bucketed]]) makes all three exchange-free on their
+    * big side. The rollup after the union is a partial+final hash
+    * aggregate on the join key.
+    */
+  private val incrJoin: Q = (s, d) => {
+    val o = Tables.orders(s, d).select(col("o_custkey").as("k"),
+      expr("unix_micros(o_orderdate) div 86400000000").as("od"),
+      Num.cents(col("o_totalprice")).as("oc"))
+    val e = Tables.events(s, d).select(col("user_id").as("k"),
+      expr("unix_micros(ts) div 86400000000").as("ed"),
+      Num.cents(col("value")).as("ec"))
+    def withCut(df: org.apache.spark.sql.DataFrame, dayCol: String,
+        cutName: String) =
+      df.crossJoin(broadcast(df.agg((min(col(dayCol)) + call_function("div",
+        (max(col(dayCol)) - min(col(dayCol)) + lit(1L)) * lit(8L), lit(10L)))
+        .as(cutName))))
+    val oc_ = withCut(o, "od", "ocut")
+    val ec_ = withCut(e, "ed", "ecut")
+    val oOld = oc_.filter(col("od") < col("ocut"))
+    val oNew = oc_.filter(col("od") >= col("ocut"))
+    val eOld = ec_.filter(col("ed") < col("ecut"))
+    val eNew = ec_.filter(col("ed") >= col("ecut"))
+    def term(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame) =
+      a.select(col("k"), col("oc")).join(b.select(col("k"), col("ec")), "k")
+    val vOld = term(oOld, eOld)
+    val delta = term(oNew, eOld)
+      .unionByName(term(oOld, eNew))
+      .unionByName(term(oNew, eNew))
+    vOld.unionByName(delta)
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_pairs"), sum("oc").as("o_cents"),
+        sum("ec").as("e_cents"))
+      .orderBy("k")
+  }
+
+  private val incrJoinSql =
+    """SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n_pairs,
+      |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |         AS o_cents,
+      |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |         AS e_cents
+      |FROM orders JOIN events ON o_custkey = user_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------ anti-entropy table diff
 
   /** Merkle-style snapshot diff — find WHAT changed between two table
@@ -339,5 +401,6 @@ object Warehouse {
     Entry("q_join_card_est", joinCardEst, Some(joinCardEstSql)),
     Entry("q_dpp_prune", dppPrune, Some(dppPruneSql)),
     Entry("q_table_diff", tableDiff, Some(tableDiffSql)),
+    Entry("q_incr_join", incrJoin, Some(incrJoinSql)),
   )
 }

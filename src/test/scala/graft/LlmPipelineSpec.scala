@@ -495,6 +495,19 @@ class LlmPipelineSpec extends SparkSpec {
       qdf.queryExecution.executedPlan.toString)
   }
 
+  test("q_dedup_eval: LSH ⊆ exact, counts consistent, recall above the banding floor") {
+    val r = SparkEntry.queries("q_dedup_eval")(spark, sfDir).collect()(0)
+    val (ne, nl, nm, bp) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))
+    assert(ne > 0)
+    assert(nl === ne - nm, "verification at the same τ must make LSH ⊆ exact")
+    assert(bp === 10000L * nl / ne)
+    // 25 planted identical copies collide in every band — they alone put
+    // recall above 25/|exact|; the measured floor on this corpus is far
+    // higher (banding catches near-dups too). Gate conservatively.
+    assert(bp >= 5000L, s"banded recall collapsed: $bp bp ($nl/$ne)")
+  }
+
   test("mm_phash_dedup: full banded-pHash replay matches; planted copies at distance 0") {
     val corpus = docs ++ docs.collect {
       case (id, t) if id < 25 => (id + 10000L) -> t

@@ -1027,8 +1027,78 @@ object Stats {
       |    AND (b.qty > a.qty OR b.price_cents < a.price_cents))
       |ORDER BY part_id""".stripMargin
 
+  /** RFM segmentation — the composite the selection template exists for:
+    * recency / frequency / monetary quintiles per customer, each an exact
+    * global rank through [[graft.ops.Rank.withGlobalRank]] (the template
+    * as a LIBRARY primitive — three chained instantiations, each a
+    * bucket-partitioned rank with a ≤64-row offsets pass) fed through
+    * [[graft.ops.Rank.ntileFromRank]]'s integer fill rule, so the
+    * ◆ oracle's three literal `ntile(5)` windows match bit-for-bit.
+    * Quintile 1 = best (most recent / most frequent / highest spend);
+    * the segment rule is the standard champion / at-risk / new split.
+    *
+    * Scale shape: orders collapse once to \|customers\| state rows
+    * (localCheckpoint — three rank passes + their bounds probes read the
+    * materialization, not the scan); each rank pass shuffles the state
+    * rows once on its own bucket key. Nothing anywhere depends on a
+    * global sort.
+    */
+  private val rfmQ: Q = (s, d) => {
+    import graft.ops.Rank
+    val cust = Tables.orders(s, d).groupBy(col("o_custkey"))
+      .agg(max(expr("unix_micros(o_orderdate) div 86400000000"))
+        .as("recency_day"),
+        count(lit(1)).as("frequency"),
+        sum(Num.cents(col("o_totalprice"))).as("monetary_cents"))
+      .localCheckpoint()
+    val withN = cust.crossJoin(
+      broadcast(cust.agg(count(lit(1)).as("n_total"))))
+    val ranked = Seq(
+      ("recency_day", "r_rank"), ("frequency", "f_rank"),
+      ("monetary_cents", "m_rank"))
+      .foldLeft(withN) { case (df, (c, r)) =>
+        Rank.withGlobalRank(df, c, Seq("o_custkey"), r, descending = true)
+      }
+    ranked.select(col("o_custkey"),
+        Rank.ntileFromRank(col("r_rank"), col("n_total"), 5).as("r_q"),
+        Rank.ntileFromRank(col("f_rank"), col("n_total"), 5).as("f_q"),
+        Rank.ntileFromRank(col("m_rank"), col("n_total"), 5).as("m_q"))
+      .withColumn("rfm",
+        col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
+      .withColumn("segment",
+        when(col("r_q") <= 2 && col("f_q") <= 2 && col("m_q") <= 2,
+          lit("champion"))
+          .when(col("r_q") >= 4 && col("f_q") <= 2, lit("at_risk"))
+          .when(col("f_q") >= 4 && col("r_q") <= 2, lit("new"))
+          .otherwise(lit("regular")))
+      .orderBy("o_custkey")
+  }
+
+  private val rfmSql =
+    """WITH c AS (
+      |  SELECT o_custkey,
+      |         MAX(epoch_us(o_orderdate) // 86400000000) AS recency_day,
+      |         CAST(count(*) AS BIGINT) AS frequency,
+      |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |           AS monetary_cents
+      |  FROM orders GROUP BY 1),
+      |q AS (
+      |  SELECT o_custkey,
+      |         ntile(5) OVER (ORDER BY recency_day DESC, o_custkey) AS r_q,
+      |         ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_q,
+      |         ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey) AS m_q
+      |  FROM c)
+      |SELECT o_custkey, r_q, f_q, m_q,
+      |       r_q * 100 + f_q * 10 + m_q AS rfm,
+      |       CASE WHEN r_q <= 2 AND f_q <= 2 AND m_q <= 2 THEN 'champion'
+      |            WHEN r_q >= 4 AND f_q <= 2 THEN 'at_risk'
+      |            WHEN f_q >= 4 AND r_q <= 2 THEN 'new'
+      |            ELSE 'regular' END AS segment
+      |FROM q ORDER BY o_custkey""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q_skyline", skylineQ, Some(skylineSql)),
+    Entry("q_rfm_segments", rfmQ, Some(rfmSql)),
     Entry("q_feature_bins", featureBinsQ, Some(featureBinsSql)),
     Entry("q_quantile_group", quantileGroupQ, Some(quantileGroupSql)),
     Entry("q_quantile_global", quantileGlobalQ, Some(quantileGlobalSql)),

@@ -48,6 +48,7 @@ class RegistrySpec extends SparkSpec {
       "q_pareto" -> "≤ 64 bucket-offset rows + 10 decile rows",
       "q_feature_bins" -> "≤ 64 bucket-offset rows (selection template)",
       "q_skyline" -> "≤ 64 bucket-offset rows (Prefix.withCumMin)",
+      "q_rfm_segments" -> "≤ 64 bucket-offset rows ×3 (Rank.withGlobalRank)",
       "q_pack_sequences" -> "≤ 64 bucket-offset rows",
       "q_resample_ffill" -> "|event types| dictionary rows",
       "q_curate_funnel" -> "5 pipeline-stage rows",

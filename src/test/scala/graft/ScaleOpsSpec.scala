@@ -133,6 +133,27 @@ class ScaleOpsSpec extends SparkSpec {
     assert(gotExcl.head.isNullAt(3), "first row has nothing before it")
   }
 
+  test("distributed global rank equals the single-window row_number, asc and desc") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.Rank
+    val df = spark.range(0, 5000).selectExpr(
+      "CASE WHEN id % 5 = 0 THEN 7L ELSE (id * 37) % 1000 END AS k",
+      "id AS tie")
+    val wAsc = Window.orderBy(asc("k"), asc("tie"))
+    val expAsc = df.withColumn("r", row_number().over(wAsc).cast("long"))
+      .orderBy("k", "tie").collect()
+    val gotAsc = Rank.withGlobalRank(df, "k", Seq("tie"), "r")
+      .orderBy("k", "tie").collect()
+    assert(gotAsc.toSeq === expAsc.toSeq)
+    val wDesc = Window.orderBy(desc("k"), asc("tie"))
+    val expDesc = df.withColumn("r", row_number().over(wDesc).cast("long"))
+      .orderBy("k", "tie").collect()
+    val gotDesc = Rank.withGlobalRank(df, "k", Seq("tie"), "r",
+        descending = true)
+      .orderBy("k", "tie").collect()
+    assert(gotDesc.toSeq === expDesc.toSeq)
+  }
+
   test("prefix-sum plan: the data-sized window partitions by the range bucket") {
     val df = spark.range(0, 5000).selectExpr("id AS k", "id AS tie", "id AS v")
     val p = Prefix.withCumSum(df, "k", Seq("tie"), "v", "cum")

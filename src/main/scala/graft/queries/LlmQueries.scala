@@ -2942,6 +2942,50 @@ object LlmQueries {
       .limit(50)
   }
 
+  /** Vocabulary coverage curve — the tokenizer-sizing artifact: what share
+    * of all token OCCURRENCES do the top-k vocabulary entries cover, at
+    * k = 1, 2, 4, … (powers of two — log-many report rows at any corpus
+    * size)? This is the Zipf head/tail question every vocab-size decision
+    * (BPE merge budget, `ml_bpe_vocab`; stopword cutoffs) reads off. Two
+    * library-template passes over the \|vocab\| table: an exact global
+    * rank by (freq DESC, word) via [[graft.ops.Rank.withGlobalRank]] and
+    * a running occurrence total along that rank via
+    * [[graft.ops.Prefix.withCumSum]] — no global sort, no data-sized
+    * window; shares in integer basis points.
+    */
+  private val vocabCoverage: Q = (s, d) => {
+    val vocab = graft.llm.Bpe.wordFreq(Tables.documents(s, d))
+      .localCheckpoint()
+    val ranked = graft.ops.Rank.withGlobalRank(
+      vocab, "freq", Seq("word"), "k", descending = true)
+    val cum = graft.ops.Prefix.withCumSum(
+      ranked, "k", Nil, "freq", "cum_tokens")
+    cum.crossJoin(broadcast(vocab.agg(sum("freq").as("total_tokens"))))
+      .filter(expr("(k & (k - 1)) = 0"))
+      .withColumn("share_bp", call_function("div",
+        lit(10000L) * col("cum_tokens"), col("total_tokens")))
+      .select("k", "cum_tokens", "total_tokens", "share_bp")
+      .orderBy("k")
+  }
+
+  private val vocabCoverageSql =
+    """WITH v AS (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+      |    SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS word
+      |    FROM documents)
+      |  GROUP BY 1),
+      |r AS (SELECT word, freq,
+      |             CAST(row_number() OVER (ORDER BY freq DESC, word) AS BIGINT)
+      |               AS k
+      |      FROM v),
+      |c AS (SELECT k, CAST(SUM(freq) OVER (ORDER BY k) AS BIGINT)
+      |               AS cum_tokens
+      |      FROM r),
+      |t AS (SELECT CAST(SUM(freq) AS BIGINT) AS total_tokens FROM v)
+      |SELECT k, cum_tokens, total_tokens,
+      |       (10000 * cum_tokens) // total_tokens AS share_bp
+      |FROM c, t WHERE (k & (k - 1)) = 0 ORDER BY k""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     Entry("q_dedup_jaccard", dedupJaccard, Some(dedupJaccardSql)),
@@ -2997,6 +3041,7 @@ object LlmQueries {
     Entry("ml_bpe_vocab", bpeVocab, None),
     Entry("ml_bpe_encode", bpeEncode, None),
     Entry("q_k_anonymity", kAnonymity, Some(kAnonymitySql)),
+    Entry("q_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
   )
 
 }

@@ -99,4 +99,19 @@ object Ingest {
     spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
       .load(path)
+
+  /** Schema-evolution read: a long-lived parquet directory accumulates
+    * files written under DIFFERENT schema versions (columns added over
+    * time); `mergeSchema` unions every footer's schema so old files
+    * surface the new columns as NULL — additive evolution, the only kind
+    * parquet supports in place (a RENAME is a drop+add: the old column's
+    * data does NOT follow the new name — document the migration, don't
+    * `mergeSchema` through it). The default single-footer read is kept
+    * for schema-stable tables because footer-merging lists and reads
+    * every footer up front — at 100 TB that is a real planning cost, paid
+    * only where evolution actually happened (SourcesSpec proves the
+    * union-with-nulls semantics on a two-generation directory).
+    */
+  def parquetEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
 }

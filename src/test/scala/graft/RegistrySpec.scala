@@ -50,6 +50,7 @@ class RegistrySpec extends SparkSpec {
       "q_skyline" -> "≤ 64 bucket-offset rows (Prefix.withCumMin)",
       "q_rfm_segments" -> "≤ 64 bucket-offset rows ×3 (Rank.withGlobalRank)",
       "q_vocab_coverage" -> "≤ 64 bucket-offset rows ×2 (rank + cumsum)",
+      "q_gini" -> "≤ 64 bucket-offset rows (Rank.withGlobalRank)",
       "q_pack_sequences" -> "≤ 64 bucket-offset rows",
       "q_resample_ffill" -> "|event types| dictionary rows",
       "q_curate_funnel" -> "5 pipeline-stage rows",

@@ -154,6 +154,29 @@ class SourcesSpec extends SparkSpec {
     } finally deleteRecursively(dir)
   }
 
+  test("schema evolution: mergeSchema unions generations, old files null-fill new columns") {
+    import org.apache.spark.sql.functions._
+    val dir = tmp("graft-evolve")
+    // generation 1: (doc_id, text); generation 2 adds lang
+    Tables.documents(spark, sfDir).filter(col("doc_id") < 100)
+      .select("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    Tables.documents(spark, sfDir).filter(col("doc_id") >= 100)
+      .select("doc_id", "text", "lang")
+      .write.mode("append").parquet(dir)
+    val df = graft.sources.Ingest.parquetEvolved(spark, dir)
+    assert(df.columns.toSet === Set("doc_id", "text", "lang"))
+    val total = Tables.documents(spark, sfDir).count()
+    assert(df.count() === total)
+    // old-generation rows surface the new column as NULL, new rows keep it
+    assert(df.filter(col("doc_id") < 100 && col("lang").isNull).count() ===
+      Tables.documents(spark, sfDir).filter(col("doc_id") < 100).count())
+    assert(df.filter(col("doc_id") >= 100).filter(col("lang").isNull).count() === 0)
+    // the schema-stable single-footer read would NOT see the late column
+    // when it samples an old footer — the evolved reader is the contract
+    deleteRecursively(dir)
+  }
+
   test("S12/S13: registry publishes, loads, advances BEST, keeps last 5") {
     // file:// URI root: all registry IO must flow through the Hadoop
     // FileSystem API (the S11 s3a-ready contract) — a java.nio regression

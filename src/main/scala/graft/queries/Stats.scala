@@ -1174,8 +1174,57 @@ object Stats {
       |       (10000 * CAST(count(*) AS BIGINT)) // total AS share_bp
       |FROM d, t GROUP BY digit, total ORDER BY digit""".stripMargin
 
+  /** CUSUM changepoint localization — WHERE the level shift happened,
+    * completing the drift family (`q_drift_chi2`/`q_drift_ks` decide IF
+    * two snapshots differ; `q_drift_windowed` watches WHEN; this finds
+    * the day). Over the daily revenue series x₁..xₙ the centered
+    * cumulative sum at day k is n·(Σᵢ≤ₖ xᵢ) − k·(Σx) — integer cents-days
+    * (the exact-rational discipline: no mean division, the n·/k· cross
+    * multiplication keeps everything in ℤ) — and its extremum is the
+    * classic CUSUM changepoint estimate. The prefix rides
+    * [[graft.ops.Prefix.withCumSum]], the day index
+    * [[graft.ops.Rank.withGlobalRank]]; the extremum is one aggregate +
+    * a min-day tiebreak filter (chained hash aggregates, not a
+    * min-struct SortAggregate). \|days\| state rows end to end.
+    */
+  private val changepointQ: Q = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .groupBy(expr("unix_micros(o_orderdate) div 86400000000").as("day"))
+      .agg(sum(Num.cents(col("o_totalprice"))).as("x"))
+    val ranked = graft.ops.Rank.withGlobalRank(daily, "day", Nil, "k")
+    val cum = graft.ops.Prefix.withCumSum(ranked, "day", Nil, "x", "cx")
+    val tot = daily.agg(count(lit(1)).as("n"), sum("x").as("sx"))
+    val curve = cum.crossJoin(broadcast(tot))
+      .withColumn("cusum", col("n") * col("cx") - col("k") * col("sx"))
+      .localCheckpoint()
+    val mx = curve.agg(max(abs(col("cusum"))).as("mx"))
+    val cpDay = curve.crossJoin(broadcast(mx))
+      .filter(abs(col("cusum")) === col("mx"))
+      .agg(min("day").as("cp_day"))
+    curve.join(broadcast(cpDay), col("day") === col("cp_day"))
+      .select(col("cp_day"), col("cusum"), col("n").as("n_days"),
+        col("sx").as("total_cents"))
+  }
+
+  private val changepointSql =
+    """WITH daily AS (
+      |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+      |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |           AS x
+      |  FROM orders GROUP BY 1),
+      |r AS (SELECT day, x,
+      |             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k,
+      |             CAST(SUM(x) OVER (ORDER BY day) AS BIGINT) AS cx
+      |      FROM daily),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |             CAST(SUM(x) AS BIGINT) AS sx FROM daily),
+      |c AS (SELECT day, n * cx - k * sx AS cusum, n, sx FROM r, t)
+      |SELECT day AS cp_day, cusum, n AS n_days, sx AS total_cents
+      |FROM c ORDER BY abs(cusum) DESC, day LIMIT 1""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q_skyline", skylineQ, Some(skylineSql)),
+    Entry("q_changepoint", changepointQ, Some(changepointSql)),
     Entry("q_gini", giniQ, Some(giniSql)),
     Entry("q_benford", benfordQ, Some(benfordSql)),
     Entry("q_rfm_segments", rfmQ, Some(rfmSql)),

@@ -51,6 +51,9 @@ class RegistrySpec extends SparkSpec {
       "q_rfm_segments" -> "≤ 64 bucket-offset rows ×3 (Rank.withGlobalRank)",
       "q_vocab_coverage" -> "≤ 64 bucket-offset rows ×2 (rank + cumsum)",
       "q_gini" -> "≤ 64 bucket-offset rows (Rank.withGlobalRank)",
+      // q_changepoint's rank+cumsum offsets windows sit BEHIND its eager
+      // localCheckpoint, so the sweep can't see them here; the primitives'
+      // own ScaleOpsSpec pins their bucket-partitioned shape.
       "q_pack_sequences" -> "≤ 64 bucket-offset rows",
       "q_resample_ffill" -> "|event types| dictionary rows",
       "q_curate_funnel" -> "5 pipeline-stage rows",

@@ -25,7 +25,7 @@ object Registry {
       Windows.entries ++ Scalars.entries ++ MLQueries.entries ++
       LlmQueries.entries ++ ScaleQueries.entries ++
       StreamingQueries.entries ++ RecQueries.entries ++
-      Warehouse.entries ++ GraphQueries.entries
+      Warehouse.entries ++ GraphQueries.entries ++ Analytics.entries
 
   def queries: Map[String, Q] = all.map(e => e.name -> e.q).toMap
   def oracleSql: Map[String, String] =

@@ -1,0 +1,179 @@
+package graft
+
+import graft.queries.Registry
+
+/** Sequential plain-Scala replays + plan pins for the exact-analytics
+  * wave (Analytics.scala). Each query's statistic is recomputed from
+  * collected raw rows with driver-side arithmetic and compared
+  * row-for-row — the same discipline the DuckDB oracle applies at
+  * sf0.01, here independent of any SQL engine.
+  */
+class AnalyticsSpec extends SparkSpec {
+
+  private def q(name: String) = Registry.queries(name)(spark, sfDir)
+
+  test("q_linreg_trend matches a sequential OLS replay per nation") {
+    import org.apache.spark.sql.functions._
+    import graft.tables.Tables
+    val monthly = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").cast("long").as("nk"),
+        ((year(col("o_orderdate")) - 1995) * 12 +
+          month(col("o_orderdate")) - 1).cast("long").as("mi"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .collect()
+      .groupBy(r => (r.getLong(0), r.getLong(1)))
+      .map { case ((nk, mi), rs) => (nk, mi, rs.map(_.getLong(2)).sum) }
+      .toSeq
+    val expected = monthly.groupBy(_._1).map { case (nk, cells) =>
+      val n = cells.size.toLong
+      val sx = cells.map(_._2).sum
+      val sy = cells.map(_._3).sum
+      val sxy = cells.map(c => c._2 * c._3).sum
+      val sxx = cells.map(c => c._2 * c._2).sum
+      nk -> (n, n * sxy - sx * sy, n * sxx - sx * sx)
+    }
+    val names = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").cast("long"), col("n_name")).collect()
+      .map(r => r.getString(1) -> r.getLong(0)).toMap
+    val got = q("q_linreg_trend").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (n, num, den) = expected(names(r.getString(0)))
+      assert(r.getLong(1) === n, s"n_months ${r.getString(0)}")
+      assert(r.getLong(2) === num, s"slope_num ${r.getString(0)}")
+      assert(r.getLong(3) === den, s"den ${r.getString(0)}")
+    }
+  }
+
+  test("q_moment_matrix: one lineitem scan; corr replay for (qty, price)") {
+    // Single-pass contract: the whole 15-statistic matrix reads the fact
+    // exactly once (the inline() reshape runs over the one aggregate row,
+    // never re-expands the scan).
+    val plan = q("q_moment_matrix").queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans === 1, s"expected 1 lineitem scan, got $scans:\n$plan")
+
+    import graft.tables.Tables
+    import org.apache.spark.sql.functions._
+    val rows = Tables.lineitem(spark, sfDir)
+      .select(round(col("l_quantity")).cast("long"),
+        round(col("l_extendedprice")).cast("long")).collect()
+    val n = BigInt(rows.length)
+    val sq = rows.map(r => BigInt(r.getLong(0))).sum
+    val sp = rows.map(r => BigInt(r.getLong(1))).sum
+    val sqp = rows.map(r => BigInt(r.getLong(0)) * r.getLong(1)).sum
+    val sqq = rows.map(r => BigInt(r.getLong(0)) * r.getLong(0)).sum
+    val spp = rows.map(r => BigInt(r.getLong(1)) * r.getLong(1)).sum
+    val num = n * sqp - sq * sp
+    val corr = num.toDouble /
+      (math.sqrt((n * sqq - sq * sq).toDouble) *
+        math.sqrt((n * spp - sp * sp).toDouble))
+    val got = q("q_moment_matrix").collect()
+      .find(r => r.getString(0) == "qty" && r.getString(1) == "price").get
+    assert(got.getLong(5) === sqp.toLong)
+    assert(got.getDouble(6) === math.floor(corr * 10000.0 + 0.5) / 10000.0)
+  }
+
+  test("q_acf matches a sequential replay at every lag") {
+    import graft.tables.Tables
+    import org.apache.spark.sql.functions._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("y"))
+      .orderBy("day").collect().map(_.getLong(1))
+    val n = daily.length.toLong
+    val sTot = daily.sum
+    val dv = daily.map(y => n * y - sTot)
+    val den = dv.map(d => d * d).sum
+    val got = q("q_acf").collect()
+    assert(got.length === 7)
+    got.foreach { r =>
+      val k = r.getLong(0).toInt
+      val num = (k until dv.length).map(t => dv(t) * dv(t - k)).sum
+      assert(r.getLong(1) === num, s"num lag $k")
+      assert(r.getLong(2) === den, s"den lag $k")
+    }
+  }
+
+  test("q_interval_merge matches a sequential island merge") {
+    import graft.tables.Tables
+    import org.apache.spark.sql.functions._
+    val epoch = java.time.LocalDate.of(1995, 1, 1).toEpochDay
+    val ivs = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        to_date(col("o_orderdate")).cast("date"), col("o_orderkey"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay - epoch,
+        r.getLong(2)))
+      .groupBy(_._1)
+    val expected = ivs.map { case (ck, rs) =>
+      val sorted = rs.sortBy(r => (r._2, r._3)).map(r => (r._2, r._2 + 30))
+      var periods = List.empty[(Long, Long)]
+      sorted.foreach { case (sd, ed) =>
+        periods match {
+          case (ps, pe) :: tail if sd <= pe =>
+            periods = (ps, math.max(pe, ed)) :: tail
+          case _ => periods = (sd, ed) :: periods
+        }
+      }
+      ck -> (periods.size.toLong, periods.map(p => p._2 - p._1).sum)
+    }
+    val got = q("q_interval_merge").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (np, days) = expected(r.getLong(0))
+      assert(r.getLong(1) === np, s"n_periods ck=${r.getLong(0)}")
+      assert(r.getLong(2) === days, s"active_days ck=${r.getLong(0)}")
+    }
+  }
+
+  test("q_assoc_rules matches a brute-force basket replay") {
+    import graft.tables.Tables
+    val items = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val itemCnt = items.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val baskets = items.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val pairCnt = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    baskets.values.foreach { ps =>
+      val f = ps.filter(itemCnt(_) >= 2L)
+      for (i <- f.indices; j <- i + 1 until f.size)
+        pairCnt((f(i), f(j))) = pairCnt.getOrElse((f(i), f(j)), 0L) + 1
+    }
+    val top = pairCnt.toSeq.filter(_._2 >= 2L)
+      .sortBy { case ((a, b), c) => (-c, a, b) }.take(20)
+    val got = q("q_assoc_rules").collect()
+    assert(got.length === top.length.min(20))
+    got.zip(top).foreach { case (r, ((pa, pb), c)) =>
+      assert((r.getLong(0), r.getLong(1)) === ((pa, pb)))
+      assert(r.getLong(2) === c)
+      assert(r.getLong(3) === itemCnt(pa))
+      assert(r.getLong(4) === itemCnt(pb))
+    }
+  }
+
+  test("q_overlap_approx estimates within 10% of q_overlap_exact") {
+    val exact = q("q_overlap_exact").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val approx = q("q_overlap_approx").collect()
+    assert(approx.length === exact.size)
+    approx.foreach { r =>
+      val (na, nb, nBoth) = exact((r.getString(0), r.getString(1)))
+      def within(est: Long, ex: Long, what: String): Unit =
+        assert(math.abs(est - ex) <= math.max(1L, (ex * 0.10).toLong),
+          s"$what est=$est exact=$ex for ${r.getString(0)}/${r.getString(1)}")
+      within(r.getLong(2), na, "est_a")
+      within(r.getLong(3), nb, "est_b")
+      within(r.getLong(5), nBoth, "est_both")
+    }
+  }
+
+  test("q_overlap_exact pair counts are symmetric-consistent (n_both <= min)") {
+    q("q_overlap_exact").collect().foreach { r =>
+      assert(r.getLong(4) <= math.min(r.getLong(2), r.getLong(3)))
+      assert(r.getLong(5) >= math.max(r.getLong(2), r.getLong(3)))
+    }
+  }
+}

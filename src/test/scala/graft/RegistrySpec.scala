@@ -56,6 +56,7 @@ class RegistrySpec extends SparkSpec {
       // own ScaleOpsSpec pins their bucket-partitioned shape.
       "q_pack_sequences" -> "≤ 64 bucket-offset rows",
       "q_resample_ffill" -> "|event types| dictionary rows",
+      "q_acf" -> "|days| daily rollup rows (calendar-bounded)",
       "q_curate_funnel" -> "5 pipeline-stage rows",
       "q_distribution" -> "|event types| share-of-total over aggregate rows",
       "q_histogram" -> "≤ histogram-grid bins (share-of-total)",

@@ -485,6 +485,335 @@ object Analytics {
       .orderBy("ta", "tb")
   }
 
+  // ---------------------------------------------------------------------
+  // q_ols_fit — multi-feature OLS by normal equations (exact Cramer solve)
+  // ---------------------------------------------------------------------
+
+  /** Two-feature OLS with intercept — price ~ qty + disc — solved by the
+    * normal equations: the 3×3 Gram matrix XᵀX and XᵀY aggregate in ONE
+    * scan (9 integer sums, the [[momentMatrixQ]] shape), then Cramer's
+    * rule runs as exact cofactor arithmetic on the single aggregate row,
+    * widened to decimal(38,0) ↔ HUGEINT (determinant values reach ~1e27
+    * here; the unit choices — qty, pct points, whole dollars — keep them
+    * inside 38 digits at any tested SF). No driver-side solve, no
+    * iteration, no float until the final β = det_k/det division of
+    * identical exact integers. This is the closed-form template that
+    * scales: p features = p² sums in one pass + constant-size algebra.
+    */
+  private val olsFitQ: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select(
+      round(col("l_quantity")).cast("long").as("x1"),
+      round(col("l_discount") * 100).cast("long").as("x2"),
+      round(col("l_extendedprice")).cast("long").as("y"))
+    val g = li.agg(
+      count(lit(1)).as("n"),
+      sum("x1").as("s1"), sum("x2").as("s2"), sum("y").as("sy"),
+      sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum(col("x1") * col("y")).as("s1y"),
+      sum(col("x2") * col("y")).as("s2y"),
+      sum(col("y") * col("y")).as("syy"))
+    val dec = "decimal(38,0)"
+    def w(name: String) = col(name).cast(dec)
+    def det3(a0: Column, a1: Column, a2: Column,
+        b0: Column, b1: Column, b2: Column,
+        c0: Column, c1: Column, c2: Column): Column =
+      a0 * (b1 * c2 - b2 * c1) - a1 * (b0 * c2 - b2 * c0) +
+        a2 * (b0 * c1 - b1 * c0)
+    // G = [[n s1 s2][s1 s11 s12][s2 s12 s22]], b = [sy s1y s2y]
+    val det = det3(w("n"), w("s1"), w("s2"),
+      w("s1"), w("s11"), w("s12"), w("s2"), w("s12"), w("s22"))
+    val det0 = det3(w("sy"), w("s1"), w("s2"),
+      w("s1y"), w("s11"), w("s12"), w("s2y"), w("s12"), w("s22"))
+    val det1 = det3(w("n"), w("sy"), w("s2"),
+      w("s1"), w("s1y"), w("s12"), w("s2"), w("s2y"), w("s22"))
+    val det2 = det3(w("n"), w("s1"), w("sy"),
+      w("s1"), w("s11"), w("s1y"), w("s2"), w("s12"), w("s2y"))
+    // The determinants exceed 2^53, and decimal→double vs int128→double
+    // rounding differs by one ulp across engines — ship the EXACT values
+    // as decimal strings (hash-identical); the doubles feed only round4
+    // ratios, where a 1-ulp input (rel 1e−16) cannot move a 1e−4 floor.
+    val withDets = g.select(col("n"), col("sy"), col("s1y"), col("s2y"),
+      col("syy"),
+      det.cast("string").as("det_s"), det0.cast("string").as("det0_s"),
+      det1.cast("string").as("det1_s"), det2.cast("string").as("det2_s"),
+      det.cast("double").as("det_d"), det0.cast("double").as("det0_d"),
+      det1.cast("double").as("det1_d"), det2.cast("double").as("det2_d"))
+    // R² = 1 − SSE/SST with SSE = Σy² − βᵀXᵀy, SST = Σy² − (Σy)²/n —
+    // doubles formed once from the exact integers.
+    val bty = (col("det0_d") * col("sy") + col("det1_d") * col("s1y") +
+      col("det2_d") * col("s2y")) / col("det_d")
+    val sst = col("syy") - col("sy").cast("double") * col("sy") / col("n")
+    val r2 = Num.round4((lit(1.0) - (col("syy") - bty) / sst))
+    withDets.select(inline(array(
+        struct(lit("intercept").as("coef"), col("det0_s").as("det_num"),
+          col("det_s").as("det_den"), col("det0_d").as("num_d"),
+          col("det_d").as("den_d"), r2.as("r2")),
+        struct(lit("qty").as("coef"), col("det1_s").as("det_num"),
+          col("det_s").as("det_den"), col("det1_d").as("num_d"),
+          col("det_d").as("den_d"), r2.as("r2")),
+        struct(lit("disc_pct").as("coef"), col("det2_s").as("det_num"),
+          col("det_s").as("det_den"), col("det2_d").as("num_d"),
+          col("det_d").as("den_d"), r2.as("r2")))))
+      .select(col("coef"), col("det_num"), col("det_den"),
+        Num.round4(col("num_d") / col("den_d")).as("beta"), col("r2"))
+      .orderBy("coef")
+  }
+
+  private val olsFitSql =
+    """WITH m AS (
+      |  SELECT CAST(round(l_quantity) AS BIGINT) AS x1,
+      |         CAST(round(l_discount * 100) AS BIGINT) AS x2,
+      |         CAST(round(l_extendedprice) AS BIGINT) AS y
+      |  FROM lineitem),
+      |g AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |         CAST(SUM(x1) AS HUGEINT) AS s1, CAST(SUM(x2) AS HUGEINT) AS s2,
+      |         CAST(SUM(y) AS HUGEINT) AS sy,
+      |         CAST(SUM(x1*x1) AS HUGEINT) AS s11,
+      |         CAST(SUM(x1*x2) AS HUGEINT) AS s12,
+      |         CAST(SUM(x2*x2) AS HUGEINT) AS s22,
+      |         CAST(SUM(x1*y) AS HUGEINT) AS s1y,
+      |         CAST(SUM(x2*y) AS HUGEINT) AS s2y,
+      |         CAST(SUM(y*y) AS HUGEINT) AS syy
+      |  FROM m),
+      |dets0 AS (
+      |  SELECT n, sy, s1y, s2y, syy,
+      |         n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+      |              + s2*(s1*s12 - s11*s2) AS det_h,
+      |         sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+      |              + s2*(s1y*s12 - s11*s2y) AS det0_h,
+      |         n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+      |              + s2*(s1*s2y - s1y*s2) AS det1_h,
+      |         n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+      |              + sy*(s1*s12 - s11*s2) AS det2_h
+      |  FROM g),
+      |dets AS (
+      |  SELECT n, sy, s1y, s2y, syy,
+      |         CAST(det_h AS VARCHAR) AS det_s,
+      |         CAST(det0_h AS VARCHAR) AS det0_s,
+      |         CAST(det1_h AS VARCHAR) AS det1_s,
+      |         CAST(det2_h AS VARCHAR) AS det2_s,
+      |         CAST(det_h AS DOUBLE) AS det_d,
+      |         CAST(det0_h AS DOUBLE) AS det0_d,
+      |         CAST(det1_h AS DOUBLE) AS det1_d,
+      |         CAST(det2_h AS DOUBLE) AS det2_d
+      |  FROM dets0),
+      |r AS (
+      |  SELECT det_s, det0_s, det1_s, det2_s, det_d, det0_d, det1_d, det2_d,
+      |         floor((1.0 - (CAST(syy AS DOUBLE)
+      |                 - (det0_d * CAST(sy AS DOUBLE)
+      |                    + det1_d * CAST(s1y AS DOUBLE)
+      |                    + det2_d * CAST(s2y AS DOUBLE)) / det_d)
+      |               / (CAST(syy AS DOUBLE)
+      |                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+      |                    / CAST(n AS DOUBLE)))
+      |               * 10000.0 + 0.5) / 10000.0 AS r2
+      |  FROM dets),
+      |coefs AS (
+      |  SELECT 'intercept' AS coef, det0_s AS det_num, det_s AS det_den,
+      |         det0_d AS num_d, det_d AS den_d, r2 FROM r
+      |  UNION ALL SELECT 'qty', det1_s, det_s, det1_d, det_d, r2 FROM r
+      |  UNION ALL SELECT 'disc_pct', det2_s, det_s, det2_d, det_d, r2 FROM r)
+      |SELECT coef, det_num, det_den,
+      |       floor(num_d / den_d * 10000.0 + 0.5) / 10000.0 AS beta, r2
+      |FROM coefs ORDER BY coef""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_forecast_eval — seasonal-naive forecast + exact MAE/MASE backtest
+  // ---------------------------------------------------------------------
+
+  /** Seasonal-naive backtest per event type: forecast each day's count
+    * with the count 7 days earlier, score MAE and MASE — MASE's
+    * denominator is the in-sample naive-1 MAE, so the ratio is scale-free
+    * and the whole statistic is the exact rational
+    * (Σ|e_seasonal| · (n−1)) / (Σ|naive diff| · m) on integer counts,
+    * both sides hash-gated. All windows partition by event type over the
+    * |days|-bounded daily rollup; the raw events shuffle once.
+    */
+  private val forecastEvalQ: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type").as("t"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val w = Window.partitionBy("t").orderBy("day")
+    val lagged = daily.select(col("t"), col("y"),
+      lag("y", 7).over(w).as("f7"), lag("y", 1).over(w).as("f1"))
+    lagged.groupBy("t").agg(
+        count(lit(1)).as("n_days"),
+        count(col("f7")).as("n_eval"),
+        sum(abs(col("y") - col("f7"))).as("sae"),
+        sum(abs(col("y") - col("f1"))).as("snd"))
+      .select(col("t"), col("n_days"), col("n_eval"), col("sae"), col("snd"),
+        Num.round4(col("sae").cast("double") / col("n_eval")).as("mae"),
+        Num.round4((col("sae") * (col("n_days") - 1)).cast("double") /
+          (col("snd") * col("n_eval"))).as("mase"))
+      .orderBy("t")
+  }
+
+  private val forecastEvalSql =
+    """WITH daily AS (
+      |  SELECT event_type AS t, CAST(ts AS DATE) AS day,
+      |         CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |lagged AS (
+      |  SELECT t, y,
+      |         lag(y, 7) OVER (PARTITION BY t ORDER BY day) AS f7,
+      |         lag(y, 1) OVER (PARTITION BY t ORDER BY day) AS f1
+      |  FROM daily),
+      |g AS (
+      |  SELECT t, CAST(count(*) AS BIGINT) AS n_days,
+      |         CAST(count(f7) AS BIGINT) AS n_eval,
+      |         CAST(SUM(abs(y - f7)) AS BIGINT) AS sae,
+      |         CAST(SUM(abs(y - f1)) AS BIGINT) AS snd
+      |  FROM lagged GROUP BY 1)
+      |SELECT t, n_days, n_eval, sae, snd,
+      |       floor(CAST(sae AS DOUBLE) / n_eval * 10000.0 + 0.5) / 10000.0
+      |         AS mae,
+      |       floor(CAST(sae * (n_days - 1) AS DOUBLE) / (snd * n_eval)
+      |             * 10000.0 + 0.5) / 10000.0 AS mase
+      |FROM g ORDER BY t""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_ab_lift — A/B experiment analysis with exact χ² and Wilson CI
+  // ---------------------------------------------------------------------
+
+  /** Experiment readout: users split into arms by key parity (the
+    * deterministic stand-in for an assignment column), conversion = ≥1
+    * high-value purchase (value ≥ 145, the fixture's median per-user
+    * purchase maximum — a plain "any purchase" is degenerate here: every
+    * user has ~660 events, so everyone converts). Absolute counts, conversion rates, relative lift,
+    * the 2×2 χ² statistic N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) — every
+    * factor an exact int64 — and the Wilson 95% interval per arm (the
+    * sqrt happens once, on identical exact integers). One distinct-user
+    * collapse, one aggregate; output is a single row per arm pair.
+    */
+  private val abLiftQ: Q = (s, d) => {
+    val users = Tables.events(s, d)
+      .groupBy(col("user_id").as("u"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") >= 145.0,
+        1L).otherwise(0L)).as("conv"))
+      .select((col("u") % 2).as("arm"), col("conv"))
+    val g = users.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("conv").as("k"))
+    val a = g.filter(col("arm") === 0)
+      .select(col("n").as("n_a"), col("k").as("k_a"))
+    val b = g.filter(col("arm") === 1)
+      .select(col("n").as("n_b"), col("k").as("k_b"))
+    val z2 = lit(1.959963984540054 * 1.959963984540054)
+    def wilson(k: Column, n: Column, up: Boolean): Column = {
+      val p = k.cast("double") / n
+      val center = p + z2 / (n * 2)
+      val half = sqrt(p * (lit(1.0) - p) / n + z2 / (n * n * 4)) * lit(1.959963984540054)
+      Num.round4((if (up) center + half else center - half) / (lit(1.0) + z2 / n))
+    }
+    a.crossJoin(b).select(
+        col("n_a"), col("k_a"), col("n_b"), col("k_b"),
+        Num.round4(col("k_a").cast("double") / col("n_a")).as("rate_a"),
+        Num.round4(col("k_b").cast("double") / col("n_b")).as("rate_b"),
+        Num.round4((col("k_b") * col("n_a") - col("k_a") * col("n_b"))
+          .cast("double") / (col("k_a") * col("n_b"))).as("lift"),
+        Num.round4(((col("n_a") + col("n_b")) *
+          pow((col("k_a") * (col("n_b") - col("k_b")) -
+            col("k_b") * (col("n_a") - col("k_a"))).cast("double"), 2)) /
+          (col("n_a").cast("double") * col("n_b") *
+            (col("k_a") + col("k_b")) *
+            (col("n_a") + col("n_b") - col("k_a") - col("k_b")))).as("chi2"),
+        wilson(col("k_b"), col("n_b"), up = false).as("ci_lo_b"),
+        wilson(col("k_b"), col("n_b"), up = true).as("ci_hi_b"))
+  }
+
+  private val abLiftSql =
+    """WITH users AS (
+      |  SELECT user_id % 2 AS arm,
+      |         CAST(MAX(CASE WHEN event_type = 'purchase' AND value >= 145.0
+      |                       THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS conv
+      |  FROM events GROUP BY user_id),
+      |g AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+      |             CAST(SUM(conv) AS BIGINT) AS k
+      |      FROM users GROUP BY 1),
+      |ab AS (
+      |  SELECT a.n AS n_a, a.k AS k_a, b.n AS n_b, b.k AS k_b
+      |  FROM (SELECT n, k FROM g WHERE arm = 0) a,
+      |       (SELECT n, k FROM g WHERE arm = 1) b)
+      |SELECT n_a, k_a, n_b, k_b,
+      |       floor(CAST(k_a AS DOUBLE) / n_a * 10000.0 + 0.5) / 10000.0
+      |         AS rate_a,
+      |       floor(CAST(k_b AS DOUBLE) / n_b * 10000.0 + 0.5) / 10000.0
+      |         AS rate_b,
+      |       floor(CAST(k_b * n_a - k_a * n_b AS DOUBLE) / (k_a * n_b)
+      |             * 10000.0 + 0.5) / 10000.0 AS lift,
+      |       floor((n_a + n_b)
+      |             * pow(CAST(k_a * (n_b - k_b) - k_b * (n_a - k_a)
+      |                        AS DOUBLE), 2)
+      |             / (CAST(n_a AS DOUBLE) * n_b * (k_a + k_b)
+      |                * (n_a + n_b - k_a - k_b))
+      |             * 10000.0 + 0.5) / 10000.0 AS chi2,
+      |       floor((CAST(k_b AS DOUBLE) / n_b
+      |                + 3.8414588206941254 / (2 * n_b)
+      |              - 1.959963984540054
+      |                * sqrt(CAST(k_b AS DOUBLE) / n_b
+      |                       * (1.0 - CAST(k_b AS DOUBLE) / n_b) / n_b
+      |                       + 3.8414588206941254 / (4.0 * n_b * n_b)))
+      |             / (1.0 + 3.8414588206941254 / n_b)
+      |             * 10000.0 + 0.5) / 10000.0 AS ci_lo_b,
+      |       floor((CAST(k_b AS DOUBLE) / n_b
+      |                + 3.8414588206941254 / (2 * n_b)
+      |              + 1.959963984540054
+      |                * sqrt(CAST(k_b AS DOUBLE) / n_b
+      |                       * (1.0 - CAST(k_b AS DOUBLE) / n_b) / n_b
+      |                       + 3.8414588206941254 / (4.0 * n_b * n_b)))
+      |             / (1.0 + 3.8414588206941254 / n_b)
+      |             * 10000.0 + 0.5) / 10000.0 AS ci_hi_b
+      |FROM ab""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_activity_bitmap — per-user day-mask set algebra
+  // ---------------------------------------------------------------------
+
+  /** Per-user activity as a 30-bit day mask: `bit_or(1 << day_index)`
+    * collapses any number of events to ONE long per user inside the hash
+    * aggregate (the roaring-bitmap idea at its smallest — set membership,
+    * cardinality and intersections become integer ops on 8 bytes of
+    * state, so "active weekend days" costs a bitwise AND, not a second
+    * scan or join). The weekend mask is a compile-time constant shared
+    * with the oracle.
+    */
+  private val activityBitmapQ: Q = (s, d) => {
+    // Jan 2024: the 1st is a Monday; weekend day-indices 5,6,12,13,20,...
+    val weekendMask = 202911840L
+    val e = Tables.events(s, d)
+      .select(col("user_id").as("u"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("di"))
+      .select(col("u"),
+        expr("shiftleft(CAST(1 AS BIGINT), di)").as("daybit"))
+    e.groupBy("u").agg(bit_or(col("daybit")).as("mask"))
+      .select(col("u"), col("mask"),
+        bit_count(col("mask")).cast("long").as("n_active_days"),
+        bit_count(col("mask").bitwiseAND(lit(weekendMask))).cast("long")
+          .as("n_weekend_days"),
+        (bit_count(col("mask").bitwiseAND(lit(~weekendMask))) === 0)
+          .cast("long").as("weekend_only"))
+      .orderBy("u")
+  }
+
+  private val activityBitmapSql =
+    """WITH e AS (
+      |  SELECT user_id AS u,
+      |         CAST(1 AS BIGINT)
+      |           << date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+      |           AS daybit
+      |  FROM events),
+      |m AS (SELECT u, CAST(bit_or(daybit) AS BIGINT) AS mask
+      |      FROM e GROUP BY 1)
+      |SELECT u, mask,
+      |       CAST(bit_count(mask) AS BIGINT) AS n_active_days,
+      |       CAST(bit_count(mask & 202911840) AS BIGINT) AS n_weekend_days,
+      |       CAST(CASE WHEN bit_count(mask & ~202911840) = 0 THEN 1 ELSE 0 END
+      |            AS BIGINT) AS weekend_only
+      |FROM m ORDER BY u""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q_linreg_trend", linregTrendQ, Some(linregTrendSql)),
     Entry("q_moment_matrix", momentMatrixQ, Some(momentMatrixSql)),
@@ -493,5 +822,9 @@ object Analytics {
     Entry("q_assoc_rules", assocRulesQ, Some(assocRulesSql)),
     Entry("q_overlap_exact", overlapExactQ, Some(overlapExactSql)),
     Entry("q_overlap_approx", overlapApproxQ, None),
+    Entry("q_ols_fit", olsFitQ, Some(olsFitSql)),
+    Entry("q_forecast_eval", forecastEvalQ, Some(forecastEvalSql)),
+    Entry("q_ab_lift", abLiftQ, Some(abLiftSql)),
+    Entry("q_activity_bitmap", activityBitmapQ, Some(activityBitmapSql)),
   )
 }

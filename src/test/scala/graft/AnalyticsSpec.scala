@@ -170,6 +170,100 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_ols_fit solves the normal equations exactly (BigInt Cramer replay)") {
+    import graft.tables.Tables
+    import org.apache.spark.sql.functions._
+    val rows = Tables.lineitem(spark, sfDir)
+      .select(round(col("l_quantity")).cast("long"),
+        round(col("l_discount") * 100).cast("long"),
+        round(col("l_extendedprice")).cast("long")).collect()
+      .map(r => (BigInt(r.getLong(0)), BigInt(r.getLong(1)), BigInt(r.getLong(2))))
+    val n = BigInt(rows.length)
+    val s1 = rows.map(_._1).sum; val s2 = rows.map(_._2).sum
+    val sy = rows.map(_._3).sum
+    val s11 = rows.map(r => r._1 * r._1).sum
+    val s12 = rows.map(r => r._1 * r._2).sum
+    val s22 = rows.map(r => r._2 * r._2).sum
+    val s1y = rows.map(r => r._1 * r._3).sum
+    val s2y = rows.map(r => r._2 * r._3).sum
+    def det3(m: Array[Array[BigInt]]): BigInt =
+      m(0)(0) * (m(1)(1) * m(2)(2) - m(1)(2) * m(2)(1)) -
+        m(0)(1) * (m(1)(0) * m(2)(2) - m(1)(2) * m(2)(0)) +
+        m(0)(2) * (m(1)(0) * m(2)(1) - m(1)(1) * m(2)(0))
+    val g = Array(Array(n, s1, s2), Array(s1, s11, s12), Array(s2, s12, s22))
+    val det = det3(g)
+    val det1 = det3(Array(Array(n, sy, s2), Array(s1, s1y, s12),
+      Array(s2, s2y, s22)))
+    val got = q("q_ols_fit").collect()
+    assert(got.length === 3)
+    val qtyRow = got.find(_.getString(0) == "qty").get
+    assert(qtyRow.getString(2) === det.toString, "shared denominator det(G)")
+    assert(qtyRow.getString(1) === det1.toString, "qty numerator det")
+    assert(qtyRow.getDouble(3) ===
+      math.floor(det1.toDouble / det.toDouble * 10000.0 + 0.5) / 10000.0)
+    got.foreach(r => assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0))
+  }
+
+  test("q_forecast_eval matches a sequential seasonal-naive backtest") {
+    import graft.tables.Tables
+    import org.apache.spark.sql.functions._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.sortBy(_.getDate(1).toString).map(_.getLong(2)).toArray)
+      .toMap
+    val got = q("q_forecast_eval").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val ys = daily(r.getString(0))
+      val sae = (7 until ys.length).map(t => math.abs(ys(t) - ys(t - 7))).sum
+      val snd = (1 until ys.length).map(t => math.abs(ys(t) - ys(t - 1))).sum
+      assert(r.getLong(1) === ys.length.toLong, s"n_days ${r.getString(0)}")
+      assert(r.getLong(2) === (ys.length - 7).toLong, s"n_eval ${r.getString(0)}")
+      assert(r.getLong(3) === sae.toLong, s"sae ${r.getString(0)}")
+      assert(r.getLong(4) === snd.toLong, s"snd ${r.getString(0)}")
+    }
+  }
+
+  test("q_ab_lift counts match a sequential replay; CI brackets the rate") {
+    import graft.tables.Tables
+    val convByUser = Tables.events(spark, sfDir)
+      .select("user_id", "event_type", "value").collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.exists(r =>
+        r.getString(1) == "purchase" && r.getDouble(2) >= 145.0)).toMap
+    val armOf = convByUser.keys.groupBy(_ % 2)
+    val r = q("q_ab_lift").collect().head
+    assert(r.getLong(0) === armOf(0L).size.toLong)
+    assert(r.getLong(1) === armOf(0L).count(convByUser).toLong)
+    assert(r.getLong(2) === armOf(1L).size.toLong)
+    assert(r.getLong(3) === armOf(1L).count(convByUser).toLong)
+    val rateB = r.getDouble(5)
+    assert(r.getDouble(8) <= rateB && rateB <= r.getDouble(9),
+      "Wilson interval must bracket the observed rate")
+  }
+
+  test("q_activity_bitmap mask reproduces per-user active-day sets") {
+    import graft.tables.Tables
+    import org.apache.spark.sql.functions._
+    val expected = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("di"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getInt(1)).toSet).toMap
+    val got = q("q_activity_bitmap").collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val days = expected(r.getLong(0))
+      val mask = days.map(1L << _).foldLeft(0L)(_ | _)
+      assert(r.getLong(1) === mask, s"mask u=${r.getLong(0)}")
+      assert(r.getLong(2) === days.size.toLong)
+    }
+  }
+
   test("q_overlap_exact pair counts are symmetric-consistent (n_both <= min)") {
     q("q_overlap_exact").collect().foreach { r =>
       assert(r.getLong(4) <= math.min(r.getLong(2), r.getLong(3)))

@@ -365,7 +365,13 @@ object Analytics {
     */
   private val assocRulesQ: Q = (s, d) => {
     val minSup = 2L
+    // The explicit not-null filter keeps every consumer's subtree
+    // byte-identical, so the (bk, item) distinct's exchange is computed
+    // once and ReusedExchange-d by the pair sides, the item counts, and
+    // the order count — without it the join-side isnotnull inference
+    // splits them into three separate scans + distincts of the fact.
     val items = Tables.lineitem(s, d)
+      .where(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
       .select(col("l_orderkey").as("bk"), col("l_partkey").as("item"))
       .distinct()
     val itemCnt = items.groupBy("item").agg(count(lit(1)).as("c_item"))
@@ -374,7 +380,8 @@ object Analytics {
     val a = fi.select(col("bk"), col("item").as("pa"), col("c_item").as("c_a"))
     val b = fi.select(col("bk"), col("item").as("pb"), col("c_item").as("c_b"))
     val pairs = a.join(b, Seq("bk")).filter(col("pa") < col("pb"))
-    val nOrders = items.select("bk").distinct().agg(count(lit(1)).as("n_orders"))
+    val nOrders = items.groupBy("bk").agg(count(lit(1)))
+      .agg(count(lit(1)).as("n_orders"))
     pairs.groupBy("pa", "pb", "c_a", "c_b")
       .agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= minSup)
@@ -423,7 +430,11 @@ object Analytics {
     * Sketch twin: [[overlapApproxQ]].
     */
   private val overlapExactQ: Q = (s, d) => {
+    // Not-null filter for the same exchange-reuse reason as q_assoc_rules:
+    // the self-join sides and the per-type counts all share ONE (u, t)
+    // distinct shuffle only when their subtrees match exactly.
     val ut = Tables.events(s, d)
+      .where(col("user_id").isNotNull && col("event_type").isNotNull)
       .select(col("user_id").as("u"), col("event_type").as("t"))
       .distinct()
     val perType = ut.groupBy("t").agg(count(lit(1)).as("n_users"))
@@ -694,12 +705,14 @@ object Analytics {
       .agg(max(when(col("event_type") === "purchase" && col("value") >= 145.0,
         1L).otherwise(0L)).as("conv"))
       .select((col("u") % 2).as("arm"), col("conv"))
-    val g = users.groupBy("arm")
-      .agg(count(lit(1)).as("n"), sum("conv").as("k"))
-    val a = g.filter(col("arm") === 0)
-      .select(col("n").as("n_a"), col("k").as("k_a"))
-    val b = g.filter(col("arm") === 1)
-      .select(col("n").as("n_b"), col("k").as("k_b"))
+    // One conditional aggregate, not groupBy(arm)+two filters: a filter
+    // on the group key pushes below the aggregate and splits the plan
+    // into two scans of the fact; the FILTER-style form keeps it one.
+    val ab = users.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("k_a"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("k_b"))
     val z2 = lit(1.959963984540054 * 1.959963984540054)
     def wilson(k: Column, n: Column, up: Boolean): Column = {
       val p = k.cast("double") / n
@@ -707,7 +720,7 @@ object Analytics {
       val half = sqrt(p * (lit(1.0) - p) / n + z2 / (n * n * 4)) * lit(1.959963984540054)
       Num.round4((if (up) center + half else center - half) / (lit(1.0) + z2 / n))
     }
-    a.crossJoin(b).select(
+    ab.select(
         col("n_a"), col("k_a"), col("n_b"), col("k_b"),
         Num.round4(col("k_a").cast("double") / col("n_a")).as("rate_a"),
         Num.round4(col("k_b").cast("double") / col("n_b")).as("rate_b"),

@@ -827,6 +827,277 @@ object Analytics {
       |            AS BIGINT) AS weekend_only
       |FROM m ORDER BY u""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_pca_axes — closed-form 2-D PCA from the moment matrix
+  // ---------------------------------------------------------------------
+
+  /** Principal axes of the (qty, price) and (disc, tax) covariance pairs,
+    * closed form: the 2×2 eigenproblem needs only trace and discriminant,
+    * so from the [[momentMatrixQ]] sufficient statistics (ONE scan, the
+    * same n·Σab − Σa·Σb integer widening) the leading eigenvalue share
+    * evr = λ₁/(λ₁+λ₂) and axis angle ½·atan2(2v_ab, v_aa−v_bb) come out
+    * as two double expressions — no iteration, no matrix library. The
+    * exact integer moments ship as decimal↔HUGEINT strings (the
+    * [[olsFitQ]] >2^53 lesson); round4 absorbs cross-engine libm ulp in
+    * sqrt/atan2.
+    */
+  private val pcaAxesQ: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select(
+      round(col("l_quantity")).cast("long").as("q"),
+      round(col("l_extendedprice")).cast("long").as("p"),
+      round(col("l_discount") * 100).cast("long").as("dc"),
+      round(col("l_tax") * 100).cast("long").as("tx"))
+    val g = li.agg(
+      count(lit(1)).as("n"),
+      sum("q").as("s_q"), sum("p").as("s_p"),
+      sum("dc").as("s_d"), sum("tx").as("s_t"),
+      sum(col("q") * col("q")).as("s_qq"),
+      sum(col("p") * col("p")).as("s_pp"),
+      sum(col("q") * col("p")).as("s_qp"),
+      sum(col("dc") * col("dc")).as("s_dd"),
+      sum(col("tx") * col("tx")).as("s_tt"),
+      sum(col("dc") * col("tx")).as("s_dt"))
+    val dec = "decimal(38,0)"
+    def v(sa: String, sb: String, sab: String) =
+      (col("n").cast(dec) * col(sab).cast(dec) -
+        col(sa).cast(dec) * col(sb).cast(dec))
+    def pairRow(name: String, sa: String, sb: String, saa: String,
+        sbb: String, sab: String) =
+      struct(lit(name).as("pair"),
+        v(sa, sa, saa).cast("string").as("v_aa"),
+        v(sa, sb, sab).cast("string").as("v_ab"),
+        v(sb, sb, sbb).cast("string").as("v_bb"),
+        v(sa, sa, saa).cast("double").as("vaa_d"),
+        v(sa, sb, sab).cast("double").as("vab_d"),
+        v(sb, sb, sbb).cast("double").as("vbb_d"))
+    g.select(inline(array(
+        pairRow("disc_tax", "s_d", "s_t", "s_dd", "s_tt", "s_dt"),
+        pairRow("qty_price", "s_q", "s_p", "s_qq", "s_pp", "s_qp"))))
+      .select(col("pair"), col("v_aa"), col("v_ab"), col("v_bb"),
+        Num.round4(
+          (col("vaa_d") + col("vbb_d") +
+            sqrt(pow(col("vaa_d") - col("vbb_d"), 2) +
+              lit(4.0) * col("vab_d") * col("vab_d"))) /
+            (lit(2.0) * (col("vaa_d") + col("vbb_d")))).as("evr"),
+        Num.round4(atan2(lit(2.0) * col("vab_d"),
+          col("vaa_d") - col("vbb_d")) / 2).as("axis_rad"))
+      .orderBy("pair")
+  }
+
+  private val pcaAxesSql =
+    """WITH m AS (
+      |  SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+      |         CAST(round(l_extendedprice) AS BIGINT) AS p,
+      |         CAST(round(l_discount * 100) AS BIGINT) AS dc,
+      |         CAST(round(l_tax * 100) AS BIGINT) AS tx
+      |  FROM lineitem),
+      |g AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |         CAST(SUM(q) AS HUGEINT) AS s_q, CAST(SUM(p) AS HUGEINT) AS s_p,
+      |         CAST(SUM(dc) AS HUGEINT) AS s_d, CAST(SUM(tx) AS HUGEINT) AS s_t,
+      |         CAST(SUM(q*q) AS HUGEINT) AS s_qq,
+      |         CAST(SUM(p*p) AS HUGEINT) AS s_pp,
+      |         CAST(SUM(q*p) AS HUGEINT) AS s_qp,
+      |         CAST(SUM(dc*dc) AS HUGEINT) AS s_dd,
+      |         CAST(SUM(tx*tx) AS HUGEINT) AS s_tt,
+      |         CAST(SUM(dc*tx) AS HUGEINT) AS s_dt
+      |  FROM m),
+      |pairs AS (
+      |  SELECT 'disc_tax' AS pair,
+      |         n*s_dd - s_d*s_d AS vaa, n*s_dt - s_d*s_t AS vab,
+      |         n*s_tt - s_t*s_t AS vbb FROM g
+      |  UNION ALL
+      |  SELECT 'qty_price',
+      |         n*s_qq - s_q*s_q, n*s_qp - s_q*s_p, n*s_pp - s_p*s_p FROM g)
+      |SELECT pair,
+      |       CAST(vaa AS VARCHAR) AS v_aa, CAST(vab AS VARCHAR) AS v_ab,
+      |       CAST(vbb AS VARCHAR) AS v_bb,
+      |       floor((CAST(vaa AS DOUBLE) + CAST(vbb AS DOUBLE)
+      |              + sqrt(pow(CAST(vaa AS DOUBLE) - CAST(vbb AS DOUBLE), 2)
+      |                     + 4.0 * CAST(vab AS DOUBLE) * CAST(vab AS DOUBLE)))
+      |             / (2.0 * (CAST(vaa AS DOUBLE) + CAST(vbb AS DOUBLE)))
+      |             * 10000.0 + 0.5) / 10000.0 AS evr,
+      |       floor(atan2(2.0 * CAST(vab AS DOUBLE),
+      |                   CAST(vaa AS DOUBLE) - CAST(vbb AS DOUBLE)) / 2
+      |             * 10000.0 + 0.5) / 10000.0 AS axis_rad
+      |FROM pairs ORDER BY pair""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_diversity_profile — exact Simpson/Gini-impurity categorical profile
+  // ---------------------------------------------------------------------
+
+  /** Categorical-column diversity profile across four columns of three
+    * tables: value-count collapse per column, then n, |distinct|, Σc² —
+    * from which Gini impurity (n²−Σc²)/n² and effective cardinality
+    * n²/Σc² (inverse Simpson) derive as exact rationals. The log-free
+    * diversity measure is deliberate: Shannon entropy would need a
+    * cross-row float sum (partition-order-dependent) or a per-engine
+    * libm; Σc² stays in int64 and hash-gates. Each column costs one
+    * value-count aggregate over its own table; the union rows are
+    * |columns|-sized.
+    */
+  private val diversityProfileQ: Q = (s, d) => {
+    def prof(df: DataFrame, colName: String, outName: String) = {
+      val vc = df.where(col(colName).isNotNull)
+        .groupBy(col(colName).as("v")).agg(count(lit(1)).as("c"))
+      vc.agg(
+        sum("c").as("n"), count(lit(1)).as("n_distinct"),
+        sum(col("c") * col("c")).as("sum_c2"))
+        .select(lit(outName).as("col_name"), col("n"), col("n_distinct"),
+          col("sum_c2"))
+    }
+    prof(Tables.events(s, d), "event_type", "events.event_type")
+      .unionAll(prof(Tables.documents(s, d), "lang", "documents.lang"))
+      .unionAll(prof(Tables.documents(s, d), "source", "documents.source"))
+      .unionAll(prof(Tables.customer(s, d), "c_mktsegment",
+        "customer.c_mktsegment"))
+      .select(col("col_name"), col("n"), col("n_distinct"), col("sum_c2"),
+        Num.round4((col("n") * col("n") - col("sum_c2")).cast("double") /
+          (col("n") * col("n"))).as("gini_impurity"),
+        Num.round4((col("n") * col("n")).cast("double") / col("sum_c2"))
+          .as("eff_cardinality"))
+      .orderBy("col_name")
+  }
+
+  private val diversityProfileSql =
+    """WITH vc AS (
+      |  SELECT 'events.event_type' AS col_name, event_type AS v,
+      |         CAST(count(*) AS BIGINT) AS c
+      |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT 'documents.lang', lang, CAST(count(*) AS BIGINT)
+      |  FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT 'documents.source', source, CAST(count(*) AS BIGINT)
+      |  FROM documents WHERE source IS NOT NULL GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT 'customer.c_mktsegment', c_mktsegment, CAST(count(*) AS BIGINT)
+      |  FROM customer WHERE c_mktsegment IS NOT NULL GROUP BY 1, 2),
+      |g AS (
+      |  SELECT col_name, CAST(SUM(c) AS BIGINT) AS n,
+      |         CAST(count(*) AS BIGINT) AS n_distinct,
+      |         CAST(SUM(c*c) AS BIGINT) AS sum_c2
+      |  FROM vc GROUP BY 1)
+      |SELECT col_name, n, n_distinct, sum_c2,
+      |       floor(CAST(n*n - sum_c2 AS DOUBLE) / (n*n) * 10000.0 + 0.5)
+      |         / 10000.0 AS gini_impurity,
+      |       floor(CAST(n*n AS DOUBLE) / sum_c2 * 10000.0 + 0.5) / 10000.0
+      |         AS eff_cardinality
+      |FROM g ORDER BY col_name""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_ewma — bit-exact exponential smoothing of the daily series
+  // ---------------------------------------------------------------------
+
+  private val EwmaLags = 20
+
+  /** Exponentially weighted moving average (α = ½) of daily event counts
+    * per type, bit-exact: weights 2^(19−i) over the last 20 days make
+    * numerator and denominator exact int64 (the truncation past lag 19
+    * is ≤ 2⁻²⁰ of the mass — below round4 resolution by construction).
+    * Early days renormalize over the lags that exist, matching pandas'
+    * `ewm(adjust=True)` convention. One window pass partitioned by type
+    * over the |days|-bounded rollup carries all 20 lags.
+    */
+  private val ewmaQ: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type").as("t"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val w = Window.partitionBy("t").orderBy("day")
+    val lagged = daily.select(
+      col("t") +: col("day") +:
+        (0 until EwmaLags).map(i =>
+          lag("y", i).over(w).as(s"l$i")): _*)
+    val num = (0 until EwmaLags).map(i =>
+      when(col(s"l$i").isNotNull,
+        col(s"l$i") * lit(1L << (EwmaLags - 1 - i))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val den = (0 until EwmaLags).map(i =>
+      when(col(s"l$i").isNotNull, lit(1L << (EwmaLags - 1 - i)))
+        .otherwise(lit(0L)))
+      .reduce(_ + _)
+    lagged.select(col("t"), col("day"), num.as("num"), den.as("den"),
+        Num.round4(num.cast("double") / den).as("ewma"))
+      .orderBy("t", "day")
+  }
+
+  private val ewmaSql = {
+    val lagDefs = (0 until EwmaLags).map(i =>
+      s"lag(y, $i) OVER (PARTITION BY t ORDER BY day) AS l$i").mkString(",\n         ")
+    val numTerms = (0 until EwmaLags).map(i =>
+      s"CASE WHEN l$i IS NOT NULL THEN l$i * ${1L << (EwmaLags - 1 - i)} ELSE 0 END")
+      .mkString(" + ")
+    val denTerms = (0 until EwmaLags).map(i =>
+      s"CASE WHEN l$i IS NOT NULL THEN ${1L << (EwmaLags - 1 - i)} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH daily AS (
+       |  SELECT event_type AS t, CAST(ts AS DATE) AS day,
+       |         CAST(count(*) AS BIGINT) AS y
+       |  FROM events GROUP BY 1, 2),
+       |lagged AS (
+       |  SELECT t, day,
+       |         $lagDefs
+       |  FROM daily),
+       |g AS (
+       |  SELECT t, day,
+       |         CAST($numTerms AS BIGINT) AS num,
+       |         CAST($denTerms AS BIGINT) AS den
+       |  FROM lagged)
+       |SELECT t, day, num, den,
+       |       floor(CAST(num AS DOUBLE) / den * 10000.0 + 0.5) / 10000.0
+       |         AS ewma
+       |FROM g ORDER BY t, day""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q_seasonal_effect — weekday seasonality decomposition
+  // ---------------------------------------------------------------------
+
+  /** Weekday effect per event type: mean daily count per (type, weekday)
+    * minus the type's overall mean daily count, as the exact rational
+    * c_w/d_w − n_t/d_t (all four integers gated; the round4 difference is
+    * formed once). The daily rollup is computed ONCE and shared by both
+    * the weekday and the per-type aggregate — the decomposition costs one
+    * data shuffle plus |days|-sized passes. Spark `dayofweek` is
+    * 1=Sunday; the DuckDB twin shifts its 0=Sunday `dow` by +1 (the
+    * q_ts_extract convention).
+    */
+  private val seasonalEffectQ: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type").as("t"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val byDow = daily
+      .groupBy(col("t"), dayofweek(col("day")).as("dow"))
+      .agg(sum("y").as("c_w"), count(lit(1)).as("d_w"))
+    val byType = daily.groupBy("t")
+      .agg(sum("y").as("n_t"), count(lit(1)).as("d_t"))
+    byDow.join(broadcast(byType), "t")
+      .select(col("t"), col("dow"), col("c_w"), col("d_w"), col("n_t"),
+        col("d_t"),
+        Num.round4(col("c_w").cast("double") / col("d_w") -
+          col("n_t").cast("double") / col("d_t")).as("effect"))
+      .orderBy("t", "dow")
+  }
+
+  private val seasonalEffectSql =
+    """WITH daily AS (
+      |  SELECT event_type AS t, CAST(ts AS DATE) AS day,
+      |         CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |by_dow AS (
+      |  SELECT t, CAST(EXTRACT(dow FROM day) + 1 AS INT) AS dow,
+      |         CAST(SUM(y) AS BIGINT) AS c_w, CAST(count(*) AS BIGINT) AS d_w
+      |  FROM daily GROUP BY 1, 2),
+      |by_type AS (
+      |  SELECT t, CAST(SUM(y) AS BIGINT) AS n_t,
+      |         CAST(count(*) AS BIGINT) AS d_t
+      |  FROM daily GROUP BY 1)
+      |SELECT b.t, dow, c_w, d_w, n_t, d_t,
+      |       floor((CAST(c_w AS DOUBLE) / d_w - CAST(n_t AS DOUBLE) / d_t)
+      |             * 10000.0 + 0.5) / 10000.0 AS effect
+      |FROM by_dow b JOIN by_type g ON b.t = g.t
+      |ORDER BY b.t, dow""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q_linreg_trend", linregTrendQ, Some(linregTrendSql)),
     Entry("q_moment_matrix", momentMatrixQ, Some(momentMatrixSql)),
@@ -839,5 +1110,9 @@ object Analytics {
     Entry("q_forecast_eval", forecastEvalQ, Some(forecastEvalSql)),
     Entry("q_ab_lift", abLiftQ, Some(abLiftSql)),
     Entry("q_activity_bitmap", activityBitmapQ, Some(activityBitmapSql)),
+    Entry("q_pca_axes", pcaAxesQ, Some(pcaAxesSql)),
+    Entry("q_diversity_profile", diversityProfileQ, Some(diversityProfileSql)),
+    Entry("q_ewma", ewmaQ, Some(ewmaSql)),
+    Entry("q_seasonal_effect", seasonalEffectQ, Some(seasonalEffectSql)),
   )
 }

@@ -264,6 +264,90 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_pca_axes matches a BigInt + closed-form eigen replay") {
+    import graft.tables.Tables
+    import org.apache.spark.sql.functions._
+    val rows = Tables.lineitem(spark, sfDir)
+      .select(round(col("l_quantity")).cast("long"),
+        round(col("l_extendedprice")).cast("long")).collect()
+      .map(r => (BigInt(r.getLong(0)), BigInt(r.getLong(1))))
+    val n = BigInt(rows.length)
+    val sq = rows.map(_._1).sum; val sp = rows.map(_._2).sum
+    val sqq = rows.map(r => r._1 * r._1).sum
+    val spp = rows.map(r => r._2 * r._2).sum
+    val sqp = rows.map(r => r._1 * r._2).sum
+    val vaa = n * sqq - sq * sq
+    val vab = n * sqp - sq * sp
+    val vbb = n * spp - sp * sp
+    val r = q("q_pca_axes").collect().find(_.getString(0) == "qty_price").get
+    assert(r.getString(1) === vaa.toString)
+    assert(r.getString(2) === vab.toString)
+    assert(r.getString(3) === vbb.toString)
+    val tr = vaa.toDouble + vbb.toDouble
+    val disc = math.sqrt(math.pow(vaa.toDouble - vbb.toDouble, 2) +
+      4.0 * vab.toDouble * vab.toDouble)
+    val evr = (tr + disc) / (2.0 * tr)
+    assert(r.getDouble(4) === math.floor(evr * 10000.0 + 0.5) / 10000.0)
+    assert(r.getDouble(4) >= 0.5 && r.getDouble(4) <= 1.0,
+      "leading eigenvalue carries at least half the variance")
+  }
+
+  test("q_diversity_profile matches exact Simpson arithmetic per column") {
+    import graft.tables.Tables
+    val types = Tables.events(spark, sfDir).select("event_type").collect()
+      .map(_.getString(0))
+    val counts = types.groupBy(identity).view.mapValues(_.length.toLong)
+    val n = types.length.toLong
+    val sumC2 = counts.values.map(c => c * c).sum
+    val r = q("q_diversity_profile").collect()
+      .find(_.getString(0) == "events.event_type").get
+    assert(r.getLong(1) === n)
+    assert(r.getLong(2) === counts.size.toLong)
+    assert(r.getLong(3) === sumC2)
+    assert(r.getDouble(4) ===
+      math.floor((n * n - sumC2).toDouble / (n * n) * 10000.0 + 0.5) / 10000.0)
+  }
+
+  test("q_ewma matches a sequential exponentially-weighted replay") {
+    import graft.tables.Tables
+    import org.apache.spark.sql.functions._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y")).collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.sortBy(_.getDate(1).toString).map(_.getLong(2)).toArray)
+      .toMap
+    val got = q("q_ewma").collect().groupBy(_.getString(0))
+    assert(got.keySet === daily.keySet)
+    got.foreach { case (t, rows) =>
+      val ys = daily(t)
+      val sorted = rows.sortBy(_.getDate(1).toString)
+      assert(sorted.length === ys.length)
+      sorted.zipWithIndex.foreach { case (r, ti) =>
+        val lags = (0 until 20).filter(_ <= ti)
+        val num = lags.map(i => ys(ti - i) * (1L << (19 - i))).sum
+        val den = lags.map(i => 1L << (19 - i)).sum
+        assert(r.getLong(2) === num, s"num $t day#$ti")
+        assert(r.getLong(3) === den, s"den $t day#$ti")
+      }
+    }
+  }
+
+  test("q_seasonal_effect effects sum to ~zero when day-weighted") {
+    // Σ_w d_w·effect_w = Σ_w (c_w − d_w·n_t/d_t) = n_t − n_t = 0 exactly —
+    // check the integer identity per type (the round4 effect is the
+    // presentation layer; the gated integers carry the contract).
+    q("q_seasonal_effect").collect().groupBy(_.getString(0)).foreach {
+      case (t, rows) =>
+        val nT = rows.head.getLong(4)
+        val dT = rows.head.getLong(5)
+        assert(rows.map(_.getLong(2)).sum === nT, s"Σc_w = n_t for $t")
+        assert(rows.map(_.getLong(3)).sum === dT, s"Σd_w = d_t for $t")
+        // weighted effect numerators cancel: Σ(c_w·d_t − d_w·n_t) = 0
+        assert(rows.map(r => r.getLong(2) * dT - r.getLong(3) * nT).sum === 0L)
+    }
+  }
+
   test("q_overlap_exact pair counts are symmetric-consistent (n_both <= min)") {
     q("q_overlap_exact").collect().foreach { r =>
       assert(r.getLong(4) <= math.min(r.getLong(2), r.getLong(3)))

@@ -1003,4 +1003,43 @@ class StreamSpec extends SparkSpec {
     assert(drain() === 150L,
       "restart must append exactly the 30-row delta, not re-read the backlog")
   }
+
+  test("live experiment deltas equal q_ab_lift under disorder AND a replayed batch") {
+    import spark.implicits._
+    import graft.stream.Experiment
+    import graft.stream.Experiment.XEvent
+    val rows = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("value")).collect()
+      .map(r => XEvent(r.getLong(0), (r.getLong(0) % 2).toInt,
+        r.getString(1) == "purchase" && r.getDouble(2) >= 145.0)).toSeq
+    val rnd = new scala.util.Random(31)
+    val shuffled = rnd.shuffle(rows)
+    val (b1, rest) = shuffled.splitAt(rows.size / 3)
+    val (b2, b3) = rest.splitAt(rest.size / 2)
+    val ms = MemoryStream[XEvent](implicitly[Encoder[XEvent]], spark.sqlContext)
+    val sink = s"experiment_${System.identityHashCode(this)}"
+    val q = Experiment.deltas(ms.toDS())
+      .writeStream.outputMode("update").format("memory").queryName(sink).start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable() // at-least-once redelivery
+      ms.addData(b3); q.processAllAvailable()
+    } finally q.stop()
+    val live = spark.table(sink).groupBy("arm")
+      .agg(sum("d_users").as("n"), sum("d_conv").as("k")).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val batch = SparkEntry.queries("q_ab_lift")(spark, sfDir).collect().head
+    assert(live(0) === ((batch.getLong(0), batch.getLong(1))),
+      "arm-0 running totals must equal the batch (n_a, k_a)")
+    assert(live(1) === ((batch.getLong(2), batch.getLong(3))),
+      "arm-1 running totals must equal the batch (n_b, k_b)")
+    // The derived readout is the batch expression tree on those longs —
+    // recompose rate/lift with the same ⌊x·10⁴+½⌋ rounding and compare.
+    def round4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val (na, ka) = live(0); val (nb, kb) = live(1)
+    assert(round4(ka.toDouble / na) === batch.getDouble(4))
+    assert(round4(kb.toDouble / nb) === batch.getDouble(5))
+    assert(round4((kb * na - ka * nb).toDouble / (ka * nb)) === batch.getDouble(6))
+  }
 }

@@ -212,8 +212,65 @@ object GraphQueries {
       |JOIN deg ON deg.node = t.node
       |ORDER BY part_id""".stripMargin
 
+  private val bfsDepth = 3
+
+  /** Bounded-depth BFS distances from a deterministic 3-item seed set
+    * (the lowest part ids in the graph): min-hop distance ≤ 3 to every
+    * reachable item — the k-hop neighborhood primitive behind "related
+    * items" expansion and graph-feature extraction. Each unrolled round
+    * is the relaxation d_k(v) = min(d_{k−1}(v), min_{u→v} d_{k−1}(u)+1)
+    * — a join on the edge key plus a min-aggregate, both shuffling on
+    * the node key only; rounds are localCheckpoint-ed so round k's plan
+    * doesn't re-expand rounds 1..k−1 (the unrolled tree is otherwise
+    * exponential in depth). The ◆ oracle unrolls the same three
+    * relaxations as chained CTEs — the whole frontier algebra sits under
+    * the hash gate. At 100 TB the loop invariant is the once-partitioned
+    * edge list ([[graft.sources.Bucketed]] on src), per-round state the
+    * |reached|-row distance vector — the `q_item_rank` shape with min
+    * instead of sum.
+    */
+  private val bfsHops: Q = (s, d) => {
+    val edges = coPurchaseEdges(Tables.lineitem(s, d)).localCheckpoint()
+    val seeds = edges.select(col("src").as("node")).distinct()
+      .orderBy("node").limit(3)
+      .select(col("node"), lit(0L).as("dist"))
+    var dist = seeds.localCheckpoint()
+    for (_ <- 1 to bfsDepth) {
+      val relaxed = edges
+        .join(dist.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
+      dist = dist.union(relaxed)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint()
+    }
+    dist.orderBy("node")
+  }
+
+  private val bfsHopsSql = {
+    val rounds = (1 to bfsDepth).map { i =>
+      s"""d$i AS (
+         |  SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, p.dist + 1 AS dist
+         |    FROM edges e JOIN d${i - 1} p ON e.src = p.node)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pid FROM lineitem),
+       |edges AS (
+       |  SELECT DISTINCT a.pid AS src, b.pid AS dst
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pid <> b.pid),
+       |d0 AS (
+       |  SELECT node, CAST(0 AS BIGINT) AS dist FROM (
+       |    SELECT DISTINCT src AS node FROM edges ORDER BY node LIMIT 3)),
+       |$rounds
+       |SELECT node, dist FROM d$bfsDepth ORDER BY node""".stripMargin
+  }
+
   val entries: Seq[Entry] = Seq(
     Entry("q_item_rank", itemRank, Some(itemRankSql)),
     Entry("q_triangles", triangles, Some(trianglesSql)),
+    Entry("q_bfs_hops", bfsHops, Some(bfsHopsSql)),
   )
 }

@@ -507,4 +507,26 @@ class WarehouseSpec extends SparkSpec {
       math.min(r.getAs[Long]("n_keys_a"), r.getAs[Long]("n_keys_b")))
     assert(Set("broadcast", "salt", "shuffle")(r.getAs[String]("strategy")))
   }
+
+  test("q_bfs_hops equals a sequential BFS from the same seed set") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = li.groupBy(_._1).values.toSeq.flatMap { basket =>
+      val ps = basket.map(_._2).distinct.toList
+      for (a <- ps; b <- ps if a != b) yield a -> b
+    }.distinct.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val seeds = adj.keys.toSeq.sorted.take(3)
+    val dist = scala.collection.mutable.Map(seeds.map(_ -> 0L): _*)
+    var frontier = seeds
+    for (k <- 1 to 3) {
+      frontier = frontier.flatMap(adj.getOrElse(_, Nil)).distinct
+        .filterNot(dist.contains)
+      frontier.foreach(dist(_) = k.toLong)
+    }
+    val got = SparkEntry.queries("q_bfs_hops")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === dist.toMap)
+    assert(got.values.exists(_ > 0L), "some node beyond the seeds is reached")
+  }
 }

@@ -1098,6 +1098,213 @@ object Analytics {
       |FROM by_dow b JOIN by_type g ON b.t = g.t
       |ORDER BY b.t, dow""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_rank_test — Mann-Whitney U with exact midranks and tie correction
+  // ---------------------------------------------------------------------
+
+  /** Two-sample Mann-Whitney U test of purchase value between the two
+    * experiment arms — the nonparametric companion of ◆ `q_ab_lift`'s
+    * proportion test. Midranks never materialize per row: collapsing to
+    * per-distinct-VALUE counts (c₀, c₁) first, 2·midrank(v) =
+    * 2·cntLess(v) + cntEq(v) + 1 is integer-exact, the running cntLess
+    * rides [[graft.ops.Prefix.withCumSum]]'s bucket decomposition (no
+    * data-sized global window), and 2·R₁ = Σ c₁(v)·(2·cntLess + cntEq + 1)
+    * plus the tie term Σ(t³−t) aggregate exactly in int64. The normal
+    * z with tie-corrected variance is formed once from the gated
+    * integers. Per-row work is one value-collapse aggregate; everything
+    * after runs on |distinct values| rows.
+    */
+  private val rankTestQ: Q = (s, d) => {
+    val pv = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select((col("user_id") % 2).as("arm"),
+        Num.cents(col("value")).as("v"))
+    val byVal = pv.groupBy("v").agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("c0"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("c1"))
+    val withCum = graft.ops.Prefix.withCumSum(
+      byVal.withColumn("ct", col("c0") + col("c1")),
+      "v", Nil, "ct", "cum")
+    val g = withCum.agg(
+      sum("c0").as("n0"), sum("c1").as("n1"),
+      sum(col("c1") * (lit(2L) * (col("cum") - col("ct")) + col("ct") + 1L))
+        .as("two_r1"),
+      sum(col("ct") * col("ct") * col("ct") - col("ct")).as("tie_sum"))
+    g.select(col("n0"), col("n1"), col("two_r1"),
+        (col("two_r1") - col("n1") * (col("n1") + 1L)).as("two_u1"),
+        col("tie_sum"))
+      .select(col("n0"), col("n1"), col("two_r1"), col("two_u1"),
+        col("tie_sum"),
+        Num.round4({
+          val n = col("n0") + col("n1")
+          val u1 = col("two_u1").cast("double") / 2
+          val mu = col("n0").cast("double") * col("n1") / 2
+          val variance = (col("n0").cast("double") * col("n1") / 12) *
+            ((n + 1).cast("double") -
+              col("tie_sum").cast("double") / (n * (n - 1)))
+          (u1 - mu) / sqrt(variance)
+        }).as("z"))
+  }
+
+  private val rankTestSql =
+    """WITH pv AS (
+      |  SELECT user_id % 2 AS arm, CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events WHERE event_type = 'purchase'),
+      |by_val AS (
+      |  SELECT v,
+      |         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+      |         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      |  FROM pv GROUP BY 1),
+      |cumd AS (
+      |  SELECT v, c0, c1, c0 + c1 AS ct,
+      |         CAST(SUM(c0 + c1) OVER (ORDER BY v
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |              AS BIGINT) AS cum
+      |  FROM by_val),
+      |g AS (
+      |  SELECT CAST(SUM(c0) AS BIGINT) AS n0, CAST(SUM(c1) AS BIGINT) AS n1,
+      |         CAST(SUM(c1 * (2 * (cum - ct) + ct + 1)) AS BIGINT) AS two_r1,
+      |         CAST(SUM(ct * ct * ct - ct) AS BIGINT) AS tie_sum
+      |  FROM cumd)
+      |SELECT n0, n1, two_r1, two_r1 - n1 * (n1 + 1) AS two_u1, tie_sum,
+      |       floor(((CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE) / 2
+      |               - CAST(n0 AS DOUBLE) * n1 / 2)
+      |              / sqrt((CAST(n0 AS DOUBLE) * n1 / 12)
+      |                     * (CAST(n0 + n1 + 1 AS DOUBLE)
+      |                        - CAST(tie_sum AS DOUBLE)
+      |                          / (CAST(n0 + n1 AS DOUBLE) * (n0 + n1 - 1)))))
+      |             * 10000.0 + 0.5) / 10000.0 AS z
+      |FROM g""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_cramers_v — categorical association on the contingency table
+  // ---------------------------------------------------------------------
+
+  /** Cramér's V between event type and weekday: the (type × dow)
+    * contingency table collapses in one aggregate, each cell's χ²
+    * contribution is the exact rational (o·N − r·c)²/(N·r·c) floored to
+    * micro units BEFORE the final sum (the `q_drift_chi2` discipline —
+    * summing longs is partition-order-independent where summing doubles
+    * is not), and V = √(χ²/(N·min(r−1, c−1))). Row/column margins meet
+    * the |cells| rows by broadcast.
+    */
+  private val cramersVQ: Q = (s, d) => {
+    val cells = Tables.events(s, d)
+      .groupBy(col("event_type").as("t"),
+        dayofweek(to_date(col("ts"))).as("dow"))
+      .agg(count(lit(1)).as("o"))
+    val rowM = cells.groupBy("t").agg(sum("o").as("r"))
+    val colM = cells.groupBy("dow").agg(sum("o").as("c"))
+    val tot = cells.agg(sum("o").as("n"),
+      countDistinct("t").as("nr"), countDistinct("dow").as("nc"))
+    val contrib = cells
+      .join(broadcast(rowM), "t").join(broadcast(colM), "dow")
+      .crossJoin(broadcast(tot))
+      .select(col("n"), col("nr"), col("nc"),
+        floor(pow((col("o") * col("n") - col("r") * col("c")).cast("double"), 2)
+          / (col("n").cast("double") * col("r") * col("c")) * 1000000.0)
+          .cast("long").as("chi2_micro"))
+    contrib.groupBy("n", "nr", "nc")
+      .agg(sum("chi2_micro").as("chi2_micro"))
+      .select(col("n"), col("nr"), col("nc"), col("chi2_micro"),
+        Num.round4(sqrt((col("chi2_micro").cast("double") / 1000000.0) /
+          (col("n") * least(col("nr") - 1, col("nc") - 1)).cast("double")))
+          .as("cramers_v"))
+  }
+
+  private val cramersVSql =
+    """WITH cells AS (
+      |  SELECT event_type AS t,
+      |         CAST(EXTRACT(dow FROM CAST(ts AS DATE)) + 1 AS INT) AS dow,
+      |         CAST(count(*) AS BIGINT) AS o
+      |  FROM events GROUP BY 1, 2),
+      |rm AS (SELECT t, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+      |cm AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+      |               CAST(count(DISTINCT t) AS BIGINT) AS nr,
+      |               CAST(count(DISTINCT dow) AS BIGINT) AS nc
+      |        FROM cells),
+      |contrib AS (
+      |  SELECT n, nr, nc,
+      |         CAST(floor(pow(CAST(o * n - r * c AS DOUBLE), 2)
+      |                    / (CAST(n AS DOUBLE) * r * c) * 1000000.0)
+      |              AS BIGINT) AS chi2_micro
+      |  FROM cells JOIN rm USING (t) JOIN cm USING (dow), tot)
+      |SELECT n, nr, nc,
+      |       CAST(SUM(chi2_micro) AS BIGINT) AS chi2_micro,
+      |       floor(sqrt((CAST(SUM(chi2_micro) AS DOUBLE) / 1000000.0)
+      |                  / (n * least(nr - 1, nc - 1)))
+      |             * 10000.0 + 0.5) / 10000.0 AS cramers_v
+      |FROM contrib GROUP BY n, nr, nc""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_growth_accounting — weekly new / retained / resurrected / churned
+  // ---------------------------------------------------------------------
+
+  /** Weekly growth accounting: every active (user, week) classifies as
+    * new (first week ever), retained (active the week before) or
+    * resurrected (returning after a gap), and each week also reports the
+    * churn out of the PREVIOUS week (active then, not now — the identity
+    * churned(w) = active(w−1) − retained(w), which the spec pins). One
+    * distinct collapse to (user, week), lag over the user-partitioned
+    * window, one aggregate per week — the user axis never leaves its
+    * exchange. Weeks are epoch-day div 7 (calendar-stable across SFs).
+    */
+  private val growthAccountingQ: Q = (s, d) => {
+    val uw = Tables.events(s, d)
+      .select(col("user_id").as("u"),
+        call_function("div", expr("unix_micros(ts)"), lit(86400000000L) * 7)
+          .as("wk"))
+      .distinct()
+    val w = Window.partitionBy("u").orderBy("wk")
+    val classified = uw
+      .withColumn("prev", lag("wk", 1).over(w))
+      .select(col("u"), col("wk"),
+        when(col("prev").isNull, "new")
+          .when(col("prev") === col("wk") - 1, "retained")
+          .otherwise("resurrected").as("kind"))
+    val byWeek = classified.groupBy("wk").agg(
+      count(lit(1)).as("n_active"),
+      sum(when(col("kind") === "new", 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("kind") === "retained", 1L).otherwise(0L)).as("n_retained"),
+      sum(when(col("kind") === "resurrected", 1L).otherwise(0L))
+        .as("n_resurrected"))
+    val wWk = Window.orderBy("wk")
+    byWeek
+      .withColumn("prev_active", lag("n_active", 1).over(wWk))
+      .select(col("wk"), col("n_active"), col("n_new"), col("n_retained"),
+        col("n_resurrected"),
+        coalesce(col("prev_active") - col("n_retained"), lit(0L))
+          .as("n_churned_from_prev"))
+      .orderBy("wk")
+  }
+
+  private val growthAccountingSql =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id AS u, epoch_us(ts) // 604800000000 AS wk
+      |  FROM events),
+      |cl AS (
+      |  SELECT u, wk,
+      |         CASE WHEN lag(wk, 1) OVER (PARTITION BY u ORDER BY wk) IS NULL
+      |              THEN 'new'
+      |              WHEN lag(wk, 1) OVER (PARTITION BY u ORDER BY wk) = wk - 1
+      |              THEN 'retained'
+      |              ELSE 'resurrected' END AS kind
+      |  FROM uw),
+      |bw AS (
+      |  SELECT wk, CAST(count(*) AS BIGINT) AS n_active,
+      |         CAST(SUM(CASE WHEN kind = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_new,
+      |         CAST(SUM(CASE WHEN kind = 'retained' THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS n_retained,
+      |         CAST(SUM(CASE WHEN kind = 'resurrected' THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS n_resurrected
+      |  FROM cl GROUP BY 1)
+      |SELECT wk, n_active, n_new, n_retained, n_resurrected,
+      |       COALESCE(lag(n_active, 1) OVER (ORDER BY wk) - n_retained,
+      |                CAST(0 AS BIGINT)) AS n_churned_from_prev
+      |FROM bw ORDER BY wk""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q_linreg_trend", linregTrendQ, Some(linregTrendSql)),
     Entry("q_moment_matrix", momentMatrixQ, Some(momentMatrixSql)),
@@ -1114,5 +1321,8 @@ object Analytics {
     Entry("q_diversity_profile", diversityProfileQ, Some(diversityProfileSql)),
     Entry("q_ewma", ewmaQ, Some(ewmaSql)),
     Entry("q_seasonal_effect", seasonalEffectQ, Some(seasonalEffectSql)),
+    Entry("q_rank_test", rankTestQ, Some(rankTestSql)),
+    Entry("q_cramers_v", cramersVQ, Some(cramersVSql)),
+    Entry("q_growth_accounting", growthAccountingQ, Some(growthAccountingSql)),
   )
 }

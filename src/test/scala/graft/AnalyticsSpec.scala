@@ -348,6 +348,74 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_rank_test matches a sequential midrank replay") {
+    import graft.tables.Tables
+    import org.apache.spark.sql.functions._
+    val pv = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select((col("user_id") % 2), round(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byVal = pv.groupBy(_._2).view.mapValues { rs =>
+      (rs.count(_._1 == 0L).toLong, rs.count(_._1 == 1L).toLong)
+    }.toMap
+    val sortedVals = byVal.keys.toSeq.sorted
+    var cntLess = 0L
+    var twoR1 = BigInt(0)
+    var tieSum = 0L
+    sortedVals.foreach { v =>
+      val (c0, c1) = byVal(v)
+      val ct = c0 + c1
+      twoR1 += BigInt(c1) * (2 * cntLess + ct + 1)
+      tieSum += ct * ct * ct - ct
+      cntLess += ct
+    }
+    val r = q("q_rank_test").collect().head
+    assert(r.getLong(0) === pv.count(_._1 == 0L).toLong)
+    assert(r.getLong(1) === pv.count(_._1 == 1L).toLong)
+    assert(r.getLong(2) === twoR1.toLong, "2·R1")
+    assert(r.getLong(4) === tieSum, "tie term")
+    // z should be modest: arms are a random split of the same population
+    assert(math.abs(r.getDouble(5)) < 5.0)
+  }
+
+  test("q_cramers_v matches a sequential contingency replay") {
+    import graft.tables.Tables
+    import org.apache.spark.sql.functions._
+    val cells = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), dayofweek(to_date(col("ts"))))
+      .agg(count(lit(1))).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val n = cells.map(_._3).sum
+    val rowM = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val colM = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val chi2Micro = cells.map { case (t, dw, o) =>
+      val num = math.pow((o * n - rowM(t) * colM(dw)).toDouble, 2)
+      math.floor(num / (n.toDouble * rowM(t) * colM(dw)) * 1e6).toLong
+    }.sum
+    val r = q("q_cramers_v").collect().head
+    assert(r.getLong(0) === n)
+    assert(r.getLong(3) === chi2Micro, "chi2 micro-units")
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+  }
+
+  test("q_growth_accounting conserves users and pins the churn identity") {
+    val got = q("q_growth_accounting").collect().sortBy(_.getLong(0))
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getLong(1) ===
+        r.getLong(2) + r.getLong(3) + r.getLong(4),
+        s"active = new + retained + resurrected in wk ${r.getLong(0)}")
+    }
+    got.sliding(2).foreach {
+      case Array(prev, cur) =>
+        assert(cur.getLong(5) === prev.getLong(1) - cur.getLong(3),
+          s"churned(w) = active(w−1) − retained(w) at wk ${cur.getLong(0)}")
+      case _ =>
+    }
+    assert(got.head.getLong(2) === got.head.getLong(1),
+      "everyone is new in the first observed week")
+  }
+
   test("q_overlap_exact pair counts are symmetric-consistent (n_both <= min)") {
     q("q_overlap_exact").collect().foreach { r =>
       assert(r.getLong(4) <= math.min(r.getLong(2), r.getLong(3)))

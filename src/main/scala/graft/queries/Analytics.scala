@@ -1305,6 +1305,167 @@ object Analytics {
       |                CAST(0 AS BIGINT)) AS n_churned_from_prev
       |FROM bw ORDER BY wk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_decile_lift — gains/lift table over an activity score
+  // ---------------------------------------------------------------------
+
+  /** Decile lift table — the model-evaluation gains chart, here scoring
+    * users by raw activity against the shared high-value-purchase
+    * conversion ([[abLiftQ]]'s definition): users rank by (events DESC,
+    * id) through [[graft.ops.Rank.withGlobalRank]] (no global sort),
+    * deciles by [[graft.ops.Rank.ntileFromRank]]'s integer fill rule —
+    * bit-identical to the oracle's `ntile(10)` — and per-decile
+    * conversion, lift k_d·N/(n_d·K), and cumulative capture in integer
+    * basis points all derive from gated counts. The cumulative pass runs
+    * over 10 decile rows (whitelisted).
+    */
+  private val decileLiftQ: Q = (s, d) => {
+    val users = Tables.events(s, d)
+      .groupBy(col("user_id").as("u"))
+      .agg(count(lit(1)).as("activity"),
+        max(when(col("event_type") === "purchase" && col("value") >= 145.0,
+          1L).otherwise(0L)).as("conv"))
+    val tot = users.agg(count(lit(1)).as("n_total"), sum("conv").as("k_total"))
+    val ranked = graft.ops.Rank.withGlobalRank(
+      users, "activity", Seq("u"), "rnk", descending = true)
+      .crossJoin(broadcast(tot))
+      .withColumn("decile",
+        graft.ops.Rank.ntileFromRank(col("rnk"), col("n_total"), 10L)
+          .cast("long"))
+    val byDecile = ranked.groupBy("decile", "n_total", "k_total")
+      .agg(count(lit(1)).as("n_u"), sum("conv").as("k_u"))
+    val wCum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byDecile
+      .withColumn("cum_k", sum("k_u").over(wCum))
+      .select(col("decile"), col("n_u"), col("k_u"),
+        Num.round4(col("k_u").cast("double") / col("n_u")).as("rate"),
+        Num.round4((col("k_u") * col("n_total")).cast("double") /
+          (col("n_u") * col("k_total"))).as("lift"),
+        call_function("div", col("cum_k") * lit(10000L), col("k_total"))
+          .as("cum_capture_bp"))
+      .orderBy("decile")
+  }
+
+  private val decileLiftSql =
+    """WITH users AS (
+      |  SELECT user_id AS u, CAST(count(*) AS BIGINT) AS activity,
+      |         CAST(MAX(CASE WHEN event_type = 'purchase' AND value >= 145.0
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS conv
+      |  FROM events GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+      |               CAST(SUM(conv) AS BIGINT) AS k_total FROM users),
+      |ranked AS (
+      |  SELECT u, conv, n_total, k_total,
+      |         ntile(10) OVER (ORDER BY activity DESC, u) AS decile
+      |  FROM users, tot),
+      |bd AS (
+      |  SELECT decile, n_total, k_total, CAST(count(*) AS BIGINT) AS n_u,
+      |         CAST(SUM(conv) AS BIGINT) AS k_u
+      |  FROM ranked GROUP BY 1, 2, 3),
+      |cum AS (
+      |  SELECT *, CAST(SUM(k_u) OVER (ORDER BY decile
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |            AS BIGINT) AS cum_k
+      |  FROM bd)
+      |SELECT CAST(decile AS BIGINT) AS decile, n_u, k_u,
+      |       floor(CAST(k_u AS DOUBLE) / n_u * 10000.0 + 0.5) / 10000.0
+      |         AS rate,
+      |       floor(CAST(k_u * n_total AS DOUBLE) / (n_u * k_total)
+      |             * 10000.0 + 0.5) / 10000.0 AS lift,
+      |       cum_k * 10000 // k_total AS cum_capture_bp
+      |FROM cum ORDER BY decile""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_funnel_time — time-to-convert between ordered funnel steps
+  // ---------------------------------------------------------------------
+
+  /** Time-to-convert between the strict funnel's steps (signup→click,
+    * click→purchase — ◆ `q_funnel_steps`' chained conditional minima
+    * reused verbatim): per-user step gaps in whole seconds (integer
+    * micros div 10⁶), then per step-pair count, exact rational mean
+    * (sum + n gated), and p50/p90 via the continuous-interpolation
+    * percentile both engines share (`q_percentiles` precedent; the
+    * distributed-selection swap-in for a data-sized pair is
+    * ◆ `q_quantile_group`). All three step minima stack on ONE
+    * user-keyed exchange.
+    */
+  private val funnelTimeQ: Q = (s, d) => {
+    val w = Window.partitionBy("user_id")
+    val stepped = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("t1",
+        min(when(col("event_type") === "signup", col("us"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("us") > col("t1"),
+          col("us"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("us") > col("t2"),
+          col("us"))).over(w))
+      .groupBy("user_id")
+      .agg(min("t1").as("t1"), min("t2").as("t2"), min("t3").as("t3"))
+    val gaps = stepped.select(
+        col("user_id"),
+        call_function("div", col("t2") - col("t1"), lit(1000000L)).as("s12"),
+        call_function("div", col("t3") - col("t2"), lit(1000000L)).as("s23"))
+    // ONE aggregate for both pairs (percentile/count/sum all skip nulls);
+    // a per-pair filter+agg would re-run the window pipeline twice.
+    val g = gaps.agg(
+      count(col("s12")).as("n12"), sum("s12").as("sum12"),
+      round(expr("percentile(s12, 0.5)"), 4).as("p50_12"),
+      round(expr("percentile(s12, 0.9)"), 4).as("p90_12"),
+      count(col("s23")).as("n23"), sum("s23").as("sum23"),
+      round(expr("percentile(s23, 0.5)"), 4).as("p50_23"),
+      round(expr("percentile(s23, 0.9)"), 4).as("p90_23"))
+    g.select(inline(array(
+        struct(lit("click_purchase").as("step_pair"), col("n23").as("n"),
+          col("sum23").as("sum_s"), col("p50_23").as("p50_s"),
+          col("p90_23").as("p90_s")),
+        struct(lit("signup_click").as("step_pair"), col("n12").as("n"),
+          col("sum12").as("sum_s"), col("p50_12").as("p50_s"),
+          col("p90_12").as("p90_s")))))
+      .select(col("step_pair"), col("n"), col("sum_s"),
+        Num.round4(col("sum_s").cast("double") / col("n")).as("mean_s"),
+        col("p50_s"), col("p90_s"))
+      .orderBy("step_pair")
+  }
+
+  private val funnelTimeSql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+      |s1 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'signup' THEN us END)
+      |              OVER (PARTITION BY user_id) AS t1 FROM e),
+      |s2 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'click' AND us > t1 THEN us END)
+      |              OVER (PARTITION BY user_id) AS t2 FROM s1),
+      |s3 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'purchase' AND us > t2 THEN us END)
+      |              OVER (PARTITION BY user_id) AS t3 FROM s2),
+      |u AS (SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+      |      FROM s3 GROUP BY user_id),
+      |gaps AS (
+      |  SELECT user_id, (t2 - t1) // 1000000 AS s12,
+      |         (t3 - t2) // 1000000 AS s23
+      |  FROM u),
+      |p AS (
+      |  SELECT 'signup_click' AS step_pair, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(SUM(s12) AS BIGINT) AS sum_s,
+      |         round(quantile_cont(s12, 0.5), 4) AS p50_s,
+      |         round(quantile_cont(s12, 0.9), 4) AS p90_s
+      |  FROM gaps WHERE s12 IS NOT NULL
+      |  UNION ALL
+      |  SELECT 'click_purchase', CAST(count(*) AS BIGINT),
+      |         CAST(SUM(s23) AS BIGINT),
+      |         round(quantile_cont(s23, 0.5), 4),
+      |         round(quantile_cont(s23, 0.9), 4)
+      |  FROM gaps WHERE s23 IS NOT NULL)
+      |SELECT step_pair, n, sum_s,
+      |       floor(CAST(sum_s AS DOUBLE) / n * 10000.0 + 0.5) / 10000.0
+      |         AS mean_s,
+      |       p50_s, p90_s
+      |FROM p ORDER BY step_pair""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q_linreg_trend", linregTrendQ, Some(linregTrendSql)),
     Entry("q_moment_matrix", momentMatrixQ, Some(momentMatrixSql)),
@@ -1324,5 +1485,7 @@ object Analytics {
     Entry("q_rank_test", rankTestQ, Some(rankTestSql)),
     Entry("q_cramers_v", cramersVQ, Some(cramersVSql)),
     Entry("q_growth_accounting", growthAccountingQ, Some(growthAccountingSql)),
+    Entry("q_decile_lift", decileLiftQ, Some(decileLiftSql)),
+    Entry("q_funnel_time", funnelTimeQ, Some(funnelTimeSql)),
   )
 }

@@ -416,6 +416,60 @@ class AnalyticsSpec extends SparkSpec {
       "everyone is new in the first observed week")
   }
 
+  test("q_decile_lift matches a sequential ntile + lift replay") {
+    import graft.tables.Tables
+    val evs = Tables.events(spark, sfDir)
+      .select("user_id", "event_type", "value").collect()
+    val users = evs.groupBy(_.getLong(0)).map { case (u, rs) =>
+      (u, rs.length.toLong,
+        if (rs.exists(r => r.getString(1) == "purchase" &&
+          r.getDouble(2) >= 145.0)) 1L else 0L)
+    }.toSeq
+    val n = users.size.toLong
+    val k = users.map(_._3).sum
+    val ranked = users.sortBy { case (u, a, _) => (-a, u) }.zipWithIndex
+    def ntile(rank: Long): Long = {
+      val base = n / 10; val rem = n % 10; val head = (base + 1) * rem
+      if (rank <= head) (rank - 1) / (base + 1) + 1
+      else rem + (rank - 1 - head) / base + 1
+    }
+    val byDecile = ranked.groupBy { case (_, i) => ntile(i + 1L) }
+      .view.mapValues(rs => (rs.size.toLong, rs.map(_._1._3).sum)).toMap
+    val got = q("q_decile_lift").collect()
+    assert(got.length === byDecile.size)
+    var cum = 0L
+    got.sortBy(_.getLong(0)).foreach { r =>
+      val (nu, ku) = byDecile(r.getLong(0))
+      assert(r.getLong(1) === nu, s"n_u decile ${r.getLong(0)}")
+      assert(r.getLong(2) === ku, s"k_u decile ${r.getLong(0)}")
+      cum += ku
+      assert(r.getLong(5) === cum * 10000L / k, "cumulative capture bp")
+    }
+  }
+
+  test("q_funnel_time matches a sequential step-gap replay") {
+    import graft.tables.Tables
+    import org.apache.spark.sql.functions._
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val gaps12 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val gaps23 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    evs.groupBy(_._1).values.foreach { rs =>
+      val t1 = rs.filter(_._2 == "signup").map(_._3).minOption
+      val t2 = t1.flatMap(a =>
+        rs.filter(r => r._2 == "click" && r._3 > a).map(_._3).minOption)
+      val t3 = t2.flatMap(b =>
+        rs.filter(r => r._2 == "purchase" && r._3 > b).map(_._3).minOption)
+      for (a <- t1; b <- t2) gaps12 += (b - a) / 1000000L
+      for (b <- t2; c <- t3) gaps23 += (c - b) / 1000000L
+    }
+    val got = q("q_funnel_time").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("signup_click") === ((gaps12.size.toLong, gaps12.sum)))
+    assert(got("click_purchase") === ((gaps23.size.toLong, gaps23.sum)))
+  }
+
   test("q_overlap_exact pair counts are symmetric-consistent (n_both <= min)") {
     q("q_overlap_exact").collect().foreach { r =>
       assert(r.getLong(4) <= math.min(r.getLong(2), r.getLong(3)))

@@ -1119,9 +1119,15 @@ object Analytics {
       .filter(col("event_type") === "purchase")
       .select((col("user_id") % 2).as("arm"),
         Num.cents(col("value")).as("v"))
+    // Materialize the value-collapse once: its consumers (Prefix bounds,
+    // bucket pass, final sums) prune different columns, so without the
+    // checkpoint each would re-expand to its own scan + aggregate of the
+    // fact (the same reuse blocker the assoc-rules audit hit; |distinct
+    // cents| rows is domain-bounded at any SF).
     val byVal = pv.groupBy("v").agg(
       sum(when(col("arm") === 0, 1L).otherwise(0L)).as("c0"),
       sum(when(col("arm") === 1, 1L).otherwise(0L)).as("c1"))
+      .localCheckpoint()
     val withCum = graft.ops.Prefix.withCumSum(
       byVal.withColumn("ct", col("c0") + col("c1")),
       "v", Nil, "ct", "cum")
@@ -1189,10 +1195,14 @@ object Analytics {
     * the |cells| rows by broadcast.
     */
   private val cramersVQ: Q = (s, d) => {
+    // One scan: the |cells| contingency table (≤ |types|·7 rows) feeds
+    // four consumers — checkpoint it rather than re-aggregate the fact
+    // per margin.
     val cells = Tables.events(s, d)
       .groupBy(col("event_type").as("t"),
         dayofweek(to_date(col("ts"))).as("dow"))
       .agg(count(lit(1)).as("o"))
+      .localCheckpoint()
     val rowM = cells.groupBy("t").agg(sum("o").as("r"))
     val colM = cells.groupBy("dow").agg(sum("o").as("c"))
     val tot = cells.agg(sum("o").as("n"),
@@ -1320,11 +1330,15 @@ object Analytics {
     * over 10 decile rows (whitelisted).
     */
   private val decileLiftQ: Q = (s, d) => {
+    // Checkpoint the per-user collapse: totals, rank bounds, and the
+    // bucket pass prune different columns and would otherwise each
+    // re-scan and re-aggregate the fact.
     val users = Tables.events(s, d)
       .groupBy(col("user_id").as("u"))
       .agg(count(lit(1)).as("activity"),
         max(when(col("event_type") === "purchase" && col("value") >= 145.0,
           1L).otherwise(0L)).as("conv"))
+      .localCheckpoint()
     val tot = users.agg(count(lit(1)).as("n_total"), sum("conv").as("k_total"))
     val ranked = graft.ops.Rank.withGlobalRank(
       users, "activity", Seq("u"), "rnk", descending = true)

@@ -1480,6 +1480,141 @@ object Analytics {
       |       p50_s, p90_s
       |FROM p ORDER BY step_pair""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_cohort_ltv — cumulative revenue curves per signup cohort
+  // ---------------------------------------------------------------------
+
+  /** LTV curves: users cohort by their FIRST active week, purchase
+    * revenue accumulates per (cohort, weeks-since-first) cell, and the
+    * running total divided by the cohort's size gives cumulative revenue
+    * per cohort member at every age — the revenue companion of
+    * ◆ `q_cohort_retention`'s activity counts. Exact integer cents
+    * throughout; the cumulative pass is PARTITIONED by cohort; cohort
+    * sizes meet the |cohorts|·|ages| cells by broadcast. Two passes over
+    * the (user, week) rollup — first-week extraction and cell revenue —
+    * share its one user-keyed exchange.
+    */
+  private val cohortLtvQ: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(
+      col("user_id").as("u"),
+      call_function("div", expr("unix_micros(ts)"), lit(86400000000L) * 7)
+        .as("wk"),
+      when(col("event_type") === "purchase", Num.cents(col("value")))
+        .otherwise(0L).as("cents"))
+    val perUserWeek = ev.groupBy("u", "wk").agg(sum("cents").as("wc"))
+      .localCheckpoint()
+    val firstWeek = perUserWeek.groupBy("u").agg(min("wk").as("w0"))
+    val cohortSize = firstWeek.groupBy(col("w0").as("cohort"))
+      .agg(count(lit(1)).as("cohort_users"))
+    val cells = perUserWeek.join(firstWeek, "u")
+      .groupBy(col("w0").as("cohort"), (col("wk") - col("w0")).as("age"))
+      .agg(sum("wc").as("cents"), count(lit(1)).as("n_active"))
+    val wCum = Window.partitionBy("cohort").orderBy("age")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cells
+      .withColumn("cum_cents", sum("cents").over(wCum))
+      .join(broadcast(cohortSize), "cohort")
+      .select(col("cohort"), col("age"), col("n_active"), col("cents"),
+        col("cum_cents"), col("cohort_users"),
+        Num.round4(col("cum_cents").cast("double") / 100.0 /
+          col("cohort_users")).as("ltv_per_user"))
+      .orderBy("cohort", "age")
+  }
+
+  private val cohortLtvSql =
+    """WITH ev AS (
+      |  SELECT user_id AS u, epoch_us(ts) // 604800000000 AS wk,
+      |         CASE WHEN event_type = 'purchase'
+      |              THEN CAST(round(value * 100) AS BIGINT)
+      |              ELSE CAST(0 AS BIGINT) END AS cents
+      |  FROM events),
+      |puw AS (
+      |  SELECT u, wk, CAST(SUM(cents) AS BIGINT) AS wc
+      |  FROM ev GROUP BY 1, 2),
+      |fw AS (SELECT u, MIN(wk) AS w0 FROM puw GROUP BY 1),
+      |cs AS (SELECT w0 AS cohort, CAST(count(*) AS BIGINT) AS cohort_users
+      |       FROM fw GROUP BY 1),
+      |cells AS (
+      |  SELECT w0 AS cohort, wk - w0 AS age,
+      |         CAST(SUM(wc) AS BIGINT) AS cents,
+      |         CAST(count(*) AS BIGINT) AS n_active
+      |  FROM puw JOIN fw USING (u) GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT *, CAST(SUM(cents) OVER (PARTITION BY cohort ORDER BY age
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |            AS BIGINT) AS cum_cents
+      |  FROM cells)
+      |SELECT cohort, age, n_active, cents, cum_cents, cohort_users,
+      |       floor(CAST(cum_cents AS DOUBLE) / 100.0 / cohort_users
+      |             * 10000.0 + 0.5) / 10000.0 AS ltv_per_user
+      |FROM cum JOIN cs USING (cohort)
+      |ORDER BY cohort, age""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_rolling_corr — 7-day rolling exact correlation of two daily series
+  // ---------------------------------------------------------------------
+
+  /** Rolling 7-day Pearson correlation between daily revenue and daily
+    * event count — the co-movement monitor between a business metric and
+    * an activity metric. Both series collapse in ONE daily aggregate
+    * (revenue in whole dollars so every windowed product stays int64);
+    * all five windowed sums (Σx, Σy, Σxy, Σx², Σy², count) ride a single
+    * |days|-bounded rolling frame (whitelisted), and the correlation is
+    * formed once per day from exact integers — null when a window's
+    * variance vanishes.
+    */
+  private val rollingCorrQ: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        sum(when(col("event_type") === "purchase",
+          round(col("value")).cast("long")).otherwise(0L)).as("x"),
+        count(lit(1)).as("y"))
+    val w7 = Window.orderBy("day").rowsBetween(-6, 0)
+    val rolled = daily.select(col("day"),
+      count(lit(1)).over(w7).as("n"),
+      sum("x").over(w7).as("sx"), sum("y").over(w7).as("sy"),
+      sum(col("x") * col("y")).over(w7).as("sxy"),
+      sum(col("x") * col("x")).over(w7).as("sxx"),
+      sum(col("y") * col("y")).over(w7).as("syy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val da = col("n") * col("sxx") - col("sx") * col("sx")
+    val db = col("n") * col("syy") - col("sy") * col("sy")
+    rolled.select(col("day"), col("n"), col("sx"), col("sy"), col("sxy"),
+        when(da > 0 && db > 0,
+          Num.round4(num.cast("double") /
+            (sqrt(da.cast("double")) * sqrt(db.cast("double")))))
+          .as("corr7"))
+      .orderBy("day")
+  }
+
+  private val rollingCorrSql =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |         CAST(SUM(CASE WHEN event_type = 'purchase'
+      |                       THEN CAST(round(value) AS BIGINT)
+      |                       ELSE 0 END) AS BIGINT) AS x,
+      |         CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |rolled AS (
+      |  SELECT day,
+      |         CAST(count(*) OVER w AS BIGINT) AS n,
+      |         CAST(SUM(x) OVER w AS BIGINT) AS sx,
+      |         CAST(SUM(y) OVER w AS BIGINT) AS sy,
+      |         CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
+      |         CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+      |         CAST(SUM(y * y) OVER w AS BIGINT) AS syy
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+      |SELECT day, n, sx, sy, sxy,
+      |       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+      |            THEN floor(CAST(n * sxy - sx * sy AS DOUBLE)
+      |                       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+      |                       * 10000.0 + 0.5) / 10000.0
+      |       END AS corr7
+      |FROM rolled ORDER BY day""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q_linreg_trend", linregTrendQ, Some(linregTrendSql)),
     Entry("q_moment_matrix", momentMatrixQ, Some(momentMatrixSql)),
@@ -1501,5 +1636,7 @@ object Analytics {
     Entry("q_growth_accounting", growthAccountingQ, Some(growthAccountingSql)),
     Entry("q_decile_lift", decileLiftQ, Some(decileLiftSql)),
     Entry("q_funnel_time", funnelTimeQ, Some(funnelTimeSql)),
+    Entry("q_cohort_ltv", cohortLtvQ, Some(cohortLtvSql)),
+    Entry("q_rolling_corr", rollingCorrQ, Some(rollingCorrSql)),
   )
 }

@@ -470,6 +470,58 @@ class AnalyticsSpec extends SparkSpec {
     assert(got("click_purchase") === ((gaps23.size.toLong, gaps23.sum)))
   }
 
+  test("q_cohort_ltv matches a sequential cohort replay") {
+    import graft.tables.Tables
+    import org.apache.spark.sql.functions._
+    val rows = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts) div 604800000000"),
+        col("event_type"), round(col("value") * 100).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.getString(2) == "purchase") r.getLong(3) else 0L))
+    val firstWeek = rows.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val cells = rows.groupBy(r => (firstWeek(r._1), r._2 - firstWeek(r._1)))
+      .view.mapValues { rs =>
+        (rs.map(_._3).sum, rs.map(r => (r._1, r._2)).distinct.size.toLong)
+      }.toMap
+    val got = q("q_cohort_ltv").collect()
+    assert(got.length === cells.size)
+    got.foreach { r =>
+      val (cents, nActive) = cells((r.getLong(0), r.getLong(1)))
+      assert(r.getLong(2) === nActive, s"n_active ${r.getLong(0)}/${r.getLong(1)}")
+      assert(r.getLong(3) === cents, s"cents ${r.getLong(0)}/${r.getLong(1)}")
+    }
+    // cumulative consistency within one cohort
+    val c0 = got.filter(_.getLong(0) == got.map(_.getLong(0)).min)
+      .sortBy(_.getLong(1))
+    assert(c0.map(_.getLong(3)).sum === c0.last.getLong(4),
+      "cum_cents at max age = Σ cell cents")
+  }
+
+  test("q_rolling_corr matches a sequential 7-day window replay") {
+    import graft.tables.Tables
+    import org.apache.spark.sql.functions._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "purchase",
+        round(col("value")).cast("long")).otherwise(0L)).as("x"),
+        count(lit(1)).as("y"))
+      .orderBy("day").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    val got = q("q_rolling_corr").collect().sortBy(_.getDate(0).toString)
+    assert(got.length === daily.length)
+    got.zipWithIndex.foreach { case (r, i) =>
+      val win = daily.slice(math.max(0, i - 6), i + 1)
+      val n = win.length.toLong
+      val sx = win.map(_._1).sum; val sy = win.map(_._2).sum
+      val sxy = win.map(w => w._1 * w._2).sum
+      assert(r.getLong(1) === n); assert(r.getLong(2) === sx)
+      assert(r.getLong(3) === sy); assert(r.getLong(4) === sxy)
+      if (!r.isNullAt(5))
+        assert(r.getDouble(5) >= -1.0001 && r.getDouble(5) <= 1.0001)
+    }
+  }
+
   test("q_overlap_exact pair counts are symmetric-consistent (n_both <= min)") {
     q("q_overlap_exact").collect().foreach { r =>
       assert(r.getLong(4) <= math.min(r.getLong(2), r.getLong(3)))

@@ -1042,4 +1042,53 @@ class StreamSpec extends SparkSpec {
     assert(round4(kb.toDouble / nb) === batch.getDouble(5))
     assert(round4((kb * na - ka * nb).toDouble / (ka * nb)) === batch.getDouble(6))
   }
+
+  test("live growth accounting equals the batch rollup under disorder and redelivery") {
+    import spark.implicits._
+    import graft.stream.GrowthAccounting
+    import graft.stream.GrowthAccounting.GEvent
+    val rows = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")), col("ts")).collect()
+      .map(r => GEvent(r.getLong(0), r.getLong(1), r.getTimestamp(2))).toSeq
+    val rnd = new scala.util.Random(37)
+    val shuffled = rnd.shuffle(rows)
+    val (b1, rest) = shuffled.splitAt(rows.size / 3)
+    val (b2, b3) = rest.splitAt(rest.size / 2)
+    val maxUs = rows.map(_.us).max
+    val delayS = 60L * 86400L // admits full-corpus disorder
+    def sent(off: Long) = {
+      val us = maxUs + (delayS + off) * 1000000L
+      GEvent(-1L, us, new Timestamp(us / 1000L))
+    }
+    val ms = MemoryStream[GEvent](implicitly[Encoder[GEvent]], spark.sqlContext)
+    val sink = s"growth_${System.identityHashCode(this)}"
+    val q = GrowthAccounting.weekClasses(
+        ms.toDS().withWatermark("ts", s"$delayS seconds"))
+      .writeStream.outputMode("append").format("memory").queryName(sink).start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable() // at-least-once redelivery
+      ms.addData(b3); q.processAllAvailable()
+      // the final fixture week is PARTIAL: the watermark must pass its
+      // calendar END (up to 7 days past the last event), not just maxUs
+      ms.addData(Seq(sent(8L * 86400L))); q.processAllAvailable()
+      ms.addData(Seq(sent(9L * 86400L))); q.processAllAvailable()
+    } finally q.stop()
+    val live = spark.table(sink).filter(col("user") =!= -1L)
+      .groupBy("wk").agg(
+        count(lit(1)).as("n_active"),
+        sum(when(col("kind") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("kind") === "retained", 1L).otherwise(0L)).as("n_ret"),
+        sum(when(col("kind") === "resurrected", 1L).otherwise(0L)).as("n_res"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val batch = SparkEntry.queries("q_growth_accounting")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(live === batch,
+      "per-week class counts must equal the batch growth accounting")
+  }
 }

@@ -2813,6 +2813,119 @@ object LlmQueries {
       |SELECT token, df, tf_total, CAST(rnk AS BIGINT) AS rnk, doc_id, tf
       |FROM x WHERE rnk <= 3 ORDER BY token, rnk""".stripMargin
 
+  /** BM25 keyword retrieval over the inverted orientation — top-10
+    * documents for the corpus's three highest-df terms (data-derived,
+    * deterministic), scored with k₁ = 1.2, b = 0.75. The length
+    * normalization is cleared of floats entirely: multiplying through by
+    * 10·totdl turns the per-term factor into the exact integer rational
+    * 22·tf·totdl / (10·tf·totdl + 3·totdl + 9·dl·N); the single libm
+    * term (idf = ln((N−df+½)/(df+½)+1)) is floored to micro units per
+    * QUERY TERM (3 values) before any multiplication, and per-document
+    * term contributions sum as LONGS — partition-order-independent, the
+    * `q_unigram_lm` fixed-point discipline. Plan: postings checkpoint
+    * once; the 3 query terms' postings broadcast onto the |docs| length
+    * table; one doc-keyed aggregate; TakeOrderedAndProject top-10.
+    * int64 bounds hold to ~10⁹ total tokens; past that the contribution
+    * product widens to decimal(38,0) exactly like [[graft.queries.Analytics]]'
+    * moment widenings.
+    */
+  private val bm25TopK: Q = (s, d) => {
+    val post = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dl = post.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("totdl"))
+    val df = post.groupBy("token").agg(count(lit(1)).as("df"))
+    val qterms = df.orderBy(desc("df"), asc("token")).limit(3)
+      .crossJoin(broadcast(stats))
+      .select(col("token"),
+        floor(log((col("n_docs").cast("double") - col("df") + 0.5) /
+          (col("df").cast("double") + 0.5) + 1.0) * 1000000.0)
+          .cast("long").as("idf_micro"),
+        col("n_docs"), col("totdl"))
+    val contrib = post.join(broadcast(qterms), "token")
+      .join(dl, "doc_id")
+      .select(col("doc_id"), col("dl"),
+        call_function("div",
+          col("idf_micro") * (lit(22L) * col("tf") * col("totdl")),
+          lit(10L) * col("tf") * col("totdl") + lit(3L) * col("totdl") +
+            lit(9L) * col("dl") * col("n_docs")).as("c_micro"))
+    contrib.groupBy("doc_id", "dl")
+      .agg(sum("c_micro").as("score_micro"), count(lit(1)).as("n_terms"))
+      .orderBy(desc("score_micro"), asc("doc_id")).limit(10)
+      .select(col("doc_id"), col("dl"), col("n_terms"), col("score_micro"),
+        (col("score_micro") / lit(1000000.0)).as("score"))
+  }
+
+  private val bm25TopKSql =
+    """WITH post AS (
+      |  SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |    FROM documents)
+      |  GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+      |       FROM post GROUP BY 1),
+      |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |                 CAST(SUM(dl) AS BIGINT) AS totdl FROM dl),
+      |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+      |       FROM post GROUP BY 1),
+      |qterms AS (
+      |  SELECT token,
+      |         CAST(floor(ln((CAST(n_docs AS DOUBLE) - df + 0.5)
+      |                       / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+      |                    * 1000000.0) AS BIGINT) AS idf_micro,
+      |         n_docs, totdl
+      |  FROM df, stats ORDER BY df DESC, token LIMIT 3),
+      |contrib AS (
+      |  SELECT p.doc_id, d.dl,
+      |         (q.idf_micro * (22 * p.tf * q.totdl))
+      |           // (10 * p.tf * q.totdl + 3 * q.totdl + 9 * d.dl * q.n_docs)
+      |           AS c_micro
+      |  FROM post p JOIN qterms q ON p.token = q.token
+      |  JOIN dl d ON p.doc_id = d.doc_id)
+      |SELECT doc_id, dl, CAST(count(*) AS BIGINT) AS n_terms,
+      |       CAST(SUM(c_micro) AS BIGINT) AS score_micro,
+      |       CAST(SUM(c_micro) AS DOUBLE) / 1000000.0 AS score
+      |FROM contrib GROUP BY doc_id, dl
+      |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin
+
+  /** Per-label embedding centroids as (label, slot) rows: vectors
+    * posexplode into slots, per-slot sums run in exact fixed-point micro
+    * units (the `q_embed_coverage` order-independence rule — float sums
+    * would be partition-order-dependent), means round4 once. The
+    * slot-keyed aggregate shape is the distributed centroid/Gram column
+    * story: width scales by adding slots, never passes. DuckDB twin
+    * unnests WITH ORDINALITY.
+    */
+  private val embedCentroid: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("label"), col("pos").cast("long").as("pos"),
+        round(col("v").cast("double") * 1000000.0).cast("long").as("micro"))
+    e.groupBy("label", "pos")
+      .agg(count(lit(1)).as("n"), sum("micro").as("sum_micro"))
+      .select(col("label").cast("long").as("label"), col("pos"), col("n"),
+        col("sum_micro"),
+        graft.ops.Num.round4(col("sum_micro").cast("double") / 1000000.0 /
+          col("n")).as("mean"))
+      .orderBy("label", "pos")
+  }
+
+  private val embedCentroidSql =
+    """WITH e AS (
+      |  SELECT label,
+      |         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+      |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+      |              AS BIGINT) AS micro
+      |  FROM embeddings)
+      |SELECT CAST(label AS BIGINT) AS label, pos,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(SUM(micro) AS BIGINT) AS sum_micro,
+      |       floor(CAST(SUM(micro) AS DOUBLE) / 1000000.0 / count(*)
+      |             * 10000.0 + 0.5) / 10000.0 AS mean
+      |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin
+
   /** Perceptual-hash near-dup over the BINARY payload path — media dedup:
     * [[graft.llm.Multimodal.pHash]] computes a 60-bit aHash-style
     * signature inside the partition-parallel codec stage (stub decode,
@@ -2992,6 +3105,8 @@ object LlmQueries {
     Entry("q_simjoin_prefix", simjoinPrefix, Some(simjoinPrefixSql)),
     Entry("q_dedup_eval", dedupEval, Some(dedupEvalSql)),
     Entry("q_inverted_index", invertedIndex, Some(invertedIndexSql)),
+    Entry("q_bm25_topk", bm25TopK, Some(bm25TopKSql)),
+    Entry("q_embed_centroid", embedCentroid, Some(embedCentroidSql)),
     Entry("q_dup_components", dupComponentsQ, Some(dupComponentsSql)),
     Entry("q_pii_scrub", piiScrub, Some(piiScrubSql)),
     Entry("q_sample_strat", sampleStrat, Some(sampleStratSql)),

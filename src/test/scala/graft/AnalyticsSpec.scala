@@ -522,6 +522,59 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_bm25_topk matches a sequential BM25 replay") {
+    import graft.tables.Tables
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val post = docs.flatMap { case (id, ts) =>
+      ts.groupBy(identity).map { case (t, g) => (t, id, g.size.toLong) }
+    }
+    val dl = docs.map { case (id, ts) => id -> ts.size.toLong }.toMap
+    val nDocs = docs.length.toLong
+    val totdl = dl.values.sum
+    val df = post.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val qterms = df.toSeq.sortBy { case (t, c) => (-c, t) }.take(3).map(_._1)
+    val idf = qterms.map { t =>
+      t -> math.floor(math.log((nDocs - df(t) + 0.5) / (df(t) + 0.5) + 1.0)
+        * 1e6).toLong
+    }.toMap
+    val scores = post.filter(p => qterms.contains(p._1))
+      .groupBy(_._2).view.mapValues { ps =>
+        ps.map { case (t, id, tf) =>
+          idf(t) * (22L * tf * totdl) /
+            (10L * tf * totdl + 3L * totdl + 9L * dl(id) * nDocs)
+        }.sum
+      }.toMap
+    val expect = scores.toSeq.sortBy { case (id, sc) => (-sc, id) }.take(10)
+    val got = q("q_bm25_topk").collect()
+    assert(got.length === expect.length)
+    got.zip(expect).foreach { case (r, (id, sc)) =>
+      assert(r.getLong(0) === id)
+      assert(r.getLong(3) === sc, s"score_micro doc $id")
+    }
+  }
+
+  test("q_embed_centroid matches an exact fixed-point replay") {
+    import graft.tables.Tables
+    val rows = Tables.embeddings(spark, sfDir)
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val cells = rows.flatMap { case (l, vec) =>
+      vec.zipWithIndex.map { case (v, p) =>
+        ((l.toLong, p.toLong), math.round(v.toDouble * 1e6))
+      }
+    }.groupBy(_._1).view
+      .mapValues(vs => (vs.length.toLong, vs.map(_._2).sum)).toMap
+    val got = q("q_embed_centroid").collect()
+    assert(got.length === cells.size)
+    got.foreach { r =>
+      val (n, sm) = cells((r.getLong(0), r.getLong(1)))
+      assert(r.getLong(2) === n)
+      assert(r.getLong(3) === sm, s"sum_micro ${r.getLong(0)}/${r.getLong(1)}")
+    }
+  }
+
   test("q_overlap_exact pair counts are symmetric-consistent (n_both <= min)") {
     q("q_overlap_exact").collect().foreach { r =>
       assert(r.getLong(4) <= math.min(r.getLong(2), r.getLong(3)))

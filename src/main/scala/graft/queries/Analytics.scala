@@ -1615,6 +1615,65 @@ object Analytics {
       |       END AS corr7
       |FROM rolled ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_zscore_anomaly — trailing z-score anomaly flags on the daily metric
+  // ---------------------------------------------------------------------
+
+  /** Metric anomaly detection: each day's event count scored against the
+    * TRAILING 7-day window (current day excluded — the day under test
+    * must not contaminate its own baseline): z² = (n·y − Σ)² / (n·Σy² −
+    * Σ²) · n / n... kept as the exact integer comparison
+    * (n·y_t − Σ)² · (n−1) vs k²·n·(n·Σy² − Σ²) so the |z| > 2 flag needs
+    * NO square root or division — pure int64 arithmetic on windowed sums
+    * (the drift-family discipline applied to ops monitoring). The round4
+    * z itself ships for the dashboard. |days|-bounded frame, whitelisted.
+    */
+  private val zscoreAnomalyQ: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val w7 = Window.orderBy("day").rowsBetween(-7, -1)
+    val rolled = daily.select(col("day"), col("y"),
+      count(lit(1)).over(w7).as("n"),
+      sum("y").over(w7).as("sy"),
+      sum(col("y") * col("y")).over(w7).as("syy"))
+    // variance numerator n·Σy² − Σ², deviation numerator n·y − Σ
+    val dev = col("n") * col("y") - col("sy")
+    val varN = col("n") * col("syy") - col("sy") * col("sy")
+    rolled.filter(col("n") === 7)
+      .select(col("day"), col("y"), col("sy"), col("syy"),
+        // |z| > 2 ⇔ dev²·(n−1) > 4·n·varN, exact integers
+        (dev * dev * (col("n") - 1) > lit(4L) * col("n") * varN)
+          .cast("long").as("is_anomaly"),
+        when(varN > 0, Num.round4(dev.cast("double") /
+          sqrt(varN.cast("double") * col("n") / (col("n") - 1))))
+          .as("z"))
+      .orderBy("day")
+  }
+
+  private val zscoreAnomalySql =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |rolled AS (
+      |  SELECT day, y,
+      |         CAST(count(*) OVER w AS BIGINT) AS n,
+      |         CAST(SUM(y) OVER w AS BIGINT) AS sy,
+      |         CAST(SUM(y * y) OVER w AS BIGINT) AS syy
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      |SELECT day, y, sy, syy,
+      |       CAST(CASE WHEN (n * y - sy) * (n * y - sy) * (n - 1)
+      |                      > 4 * n * (n * syy - sy * sy)
+      |                 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly,
+      |       CASE WHEN n * syy - sy * sy > 0
+      |            THEN floor(CAST(n * y - sy AS DOUBLE)
+      |                       / sqrt(CAST(n * syy - sy * sy AS DOUBLE)
+      |                              * n / (n - 1))
+      |                       * 10000.0 + 0.5) / 10000.0
+      |       END AS z
+      |FROM rolled WHERE n = 7 ORDER BY day""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q_linreg_trend", linregTrendQ, Some(linregTrendSql)),
     Entry("q_moment_matrix", momentMatrixQ, Some(momentMatrixSql)),
@@ -1638,5 +1697,6 @@ object Analytics {
     Entry("q_funnel_time", funnelTimeQ, Some(funnelTimeSql)),
     Entry("q_cohort_ltv", cohortLtvQ, Some(cohortLtvSql)),
     Entry("q_rolling_corr", rollingCorrQ, Some(rollingCorrSql)),
+    Entry("q_zscore_anomaly", zscoreAnomalyQ, Some(zscoreAnomalySql)),
   )
 }

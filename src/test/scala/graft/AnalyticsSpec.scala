@@ -575,6 +575,27 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_zscore_anomaly matches a sequential trailing-window replay") {
+    import graft.tables.Tables
+    import org.apache.spark.sql.functions._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("y"))
+      .orderBy("day").collect().map(_.getLong(1))
+    val got = q("q_zscore_anomaly").collect().sortBy(_.getDate(0).toString)
+    assert(got.length === daily.length - 7)
+    got.zipWithIndex.foreach { case (r, k) =>
+      val i = k + 7
+      val win = daily.slice(i - 7, i)
+      val n = 7L
+      val sy = win.sum; val syy = win.map(v => v * v).sum
+      assert(r.getLong(1) === daily(i))
+      assert(r.getLong(2) === sy); assert(r.getLong(3) === syy)
+      val dev = n * daily(i) - sy
+      val varN = n * syy - sy * sy
+      assert(r.getLong(4) === (if (dev * dev * (n - 1) > 4 * n * varN) 1L else 0L))
+    }
+  }
+
   test("q_overlap_exact pair counts are symmetric-consistent (n_both <= min)") {
     q("q_overlap_exact").collect().foreach { r =>
       assert(r.getLong(4) <= math.min(r.getLong(2), r.getLong(3)))

@@ -60,6 +60,7 @@ class RegistrySpec extends SparkSpec {
       "q_rank_test" -> "≤ 64 bucket-offset rows (Prefix.withCumSum)",
       "q_decile_lift" -> "≤ 64 bucket-offset rows + 10 decile rows",
       "q_rolling_corr" -> "|days| daily rollup rows (calendar-bounded)",
+      "q_zscore_anomaly" -> "|days| daily rollup rows (calendar-bounded)",
       "q_growth_accounting" -> "|weeks| rollup rows (calendar-bounded)",
       "q_curate_funnel" -> "5 pipeline-stage rows",
       "q_distribution" -> "|event types| share-of-total over aggregate rows",

@@ -272,9 +272,75 @@ object GraphQueries {
        |SELECT node, dist FROM d$bfsDepth ORDER BY node""".stripMargin
   }
 
+  private val lpaRounds = 3
+
+  /** Community detection by SYNCHRONOUS label propagation, made fully
+    * deterministic: from singleton labels, each round every node adopts
+    * its neighbors' most frequent label with ties broken by MINIMUM
+    * label — argmax-by-(count, −label) packed into ONE long
+    * (c·2⁴⁰ + (2⁴⁰−1−label), the `ml_cluster_serve` packed-argmin trick)
+    * so the per-node choice is a codegen hash aggregate, never a
+    * min-struct SortAggregate. Three unrolled rounds; labels
+    * localCheckpoint per round (like [[bfsHops]]); the ◆ oracle unrolls
+    * the identical rounds as CTEs with a window argmax — the whole
+    * propagation sits under the hash gate. Asynchronous/randomized LPA
+    * variants trade determinism for speed; the synchronous min-tiebreak
+    * form is the one a cross-engine-reproducible pipeline can ship.
+    */
+  private val labelProp: Q = (s, d) => {
+    val pack = 1L << 40
+    val edges = coPurchaseEdges(Tables.lineitem(s, d)).localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint()
+    for (_ <- 1 to lpaRounds) {
+      labels = edges
+        .join(broadcast(labels.withColumnRenamed("node", "src")), "src")
+        .groupBy(col("dst").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("node")
+        .agg(max(col("c") * pack + (lit(pack - 1) - col("lbl"))).as("packed"))
+        .select(col("node"),
+          (lit(pack - 1) - pmod(col("packed"), lit(pack))).as("lbl"))
+        .localCheckpoint()
+    }
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("csize"))
+    labels.join(broadcast(sizes), "lbl")
+      .select(col("node"), col("lbl").as("community"), col("csize"))
+      .orderBy("node")
+  }
+
+  private val labelPropSql = {
+    val pack = 1L << 40
+    val rounds = (1 to lpaRounds).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS node, l.lbl, CAST(count(*) AS BIGINT) AS c
+         |  FROM edges e JOIN l${i - 1} l ON e.src = l.node
+         |  GROUP BY 1, 2),
+         |l$i AS (
+         |  SELECT node,
+         |         $pack - 1 - (MAX(c * $pack + ($pack - 1 - lbl)) % $pack)
+         |           AS lbl
+         |  FROM c$i GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pid FROM lineitem),
+       |edges AS (
+       |  SELECT DISTINCT a.pid AS src, b.pid AS dst
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pid <> b.pid),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+       |$rounds,
+       |sizes AS (SELECT lbl, CAST(count(*) AS BIGINT) AS csize
+       |          FROM l$lpaRounds GROUP BY 1)
+       |SELECT node, l.lbl AS community, csize
+       |FROM l$lpaRounds l JOIN sizes s ON l.lbl = s.lbl
+       |ORDER BY node""".stripMargin
+  }
+
   val entries: Seq[Entry] = Seq(
     Entry("q_item_rank", itemRank, Some(itemRankSql)),
     Entry("q_triangles", triangles, Some(trianglesSql)),
     Entry("q_bfs_hops", bfsHops, Some(bfsHopsSql)),
+    Entry("q_label_prop", labelProp, Some(labelPropSql)),
   )
 }

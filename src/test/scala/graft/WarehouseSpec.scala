@@ -529,4 +529,31 @@ class WarehouseSpec extends SparkSpec {
     assert(got === dist.toMap)
     assert(got.values.exists(_ > 0L), "some node beyond the seeds is reached")
   }
+
+  test("q_label_prop equals a sequential synchronous-LPA replay") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = li.groupBy(_._1).values.toSeq.flatMap { basket =>
+      val ps = basket.map(_._2).distinct.toList
+      for (a <- ps; b <- ps if a != b) yield a -> b
+    }.distinct.groupBy(_._2).view
+      .mapValues(_.map(_._1)).toMap // incoming neighbors per dst
+    var lbl = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      lbl = adj.map { case (node, nbrs) =>
+        val counts = nbrs.map(lbl).groupBy(identity)
+          .view.mapValues(_.size).toSeq
+        val maxC = counts.map(_._2).max
+        node -> counts.filter(_._2 == maxC).map(_._1).min
+      }
+    }
+    val got = SparkEntry.queries("q_label_prop")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === lbl)
+    val sizes = lbl.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    SparkEntry.queries("q_label_prop")(spark, sfDir).collect().foreach { r =>
+      assert(r.getLong(2) === sizes(r.getLong(1)), s"csize of ${r.getLong(1)}")
+    }
+  }
 }

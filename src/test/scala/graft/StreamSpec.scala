@@ -1091,4 +1091,51 @@ class StreamSpec extends SparkSpec {
     assert(live === batch,
       "per-week class counts must equal the batch growth accounting")
   }
+
+  test("live z-score anomaly rows are bit-identical to the batch monitor") {
+    import spark.implicits._
+    import graft.stream.Anomaly
+    import graft.stream.Anomaly.MEvent
+    val rows = Tables.events(spark, sfDir)
+      .select(unix_micros(col("ts")), col("ts")).collect()
+      .map(r => MEvent("events", r.getLong(0), r.getTimestamp(1))).toSeq
+    val rnd = new scala.util.Random(41)
+    val shuffled = rnd.shuffle(rows)
+    val (b1, rest) = shuffled.splitAt(rows.size / 3)
+    val (b2, b3) = rest.splitAt(rest.size / 2)
+    val maxUs = rows.map(_.us).max
+    val delayS = 60L * 86400L
+    def sent(off: Long) = {
+      val us = maxUs + (delayS + off) * 1000000L
+      MEvent("zzz_flush", us, new Timestamp(us / 1000L))
+    }
+    val ms = MemoryStream[MEvent](implicitly[Encoder[MEvent]], spark.sqlContext)
+    val sink = s"anomaly_${System.identityHashCode(this)}"
+    val q = Anomaly.dailyZ(
+        ms.toDS().withWatermark("ts", s"$delayS seconds"))
+      .writeStream.outputMode("append").format("memory").queryName(sink).start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      ms.addData(b3); q.processAllAvailable()
+      ms.addData(Seq(sent(2L * 86400L))); q.processAllAvailable()
+      ms.addData(Seq(sent(3L * 86400L))); q.processAllAvailable()
+    } finally q.stop()
+    val live = spark.table(sink).filter(col("metric") === "events")
+      .collect()
+      .map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6))))).toMap
+    val epoch = java.time.LocalDate.of(1970, 1, 1)
+    val batch = SparkEntry.queries("q_zscore_anomaly")(spark, sfDir)
+      .collect()
+      .map { r =>
+        val day = java.time.temporal.ChronoUnit.DAYS.between(
+          epoch, r.getDate(0).toLocalDate)
+        day -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+      }.toMap
+    assert(live === batch,
+      "every closed day's anomaly row must equal the batch monitor")
+  }
 }

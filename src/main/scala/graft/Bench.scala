@@ -43,8 +43,12 @@ object Bench {
     // q_quantile_group joined after its first bench sample read 37.6 s in
     // an ambient-steal burst vs 3.7 s isolated minutes later (10×, plan
     // identical) — the same single-sample-unadjudicable shape as the trio.
+    // The iterative graph queries joined for the same reason: q_bfs_hops
+    // read 10.5 s in-suite vs 5.4 s isolated on the same binaries (their
+    // per-round localCheckpoint jobs amplify session contention).
     val tripled = Set("q_chunk_dedup", "q_dedup_delta", "q_containment_dup",
-      "q_quantile_group")
+      "q_quantile_group", "q_bfs_hops", "q_triangles", "q_item_rank",
+      "q_label_prop")
     val spreads = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double)]
     val results = selected.map { case (name, fn) =>
       def once(): Double = {

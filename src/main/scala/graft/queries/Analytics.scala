@@ -1674,6 +1674,72 @@ object Analytics {
       |       END AS z
       |FROM rolled WHERE n = 7 ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_seq_pairs — ordered-containment support matrix (sequence mining lite)
+  // ---------------------------------------------------------------------
+
+  /** Support of every ordered behavior pair "A … then B" (not-necessarily
+    * adjacent — the subsequence question [[Windows]]' adjacent-transition
+    * matrix cannot answer): a user supports (A, B) iff some B follows
+    * their FIRST A, i.e. first_A < last_B. One conditional aggregate
+    * collapses each user to 10 timestamps (first/last per type); the 20
+    * ordered pairs `inline()` out of per-user rows, aggregate to counts,
+    * support in integer basis points. The per-row state is 2·|types|
+    * longs — sequence mining without materializing a single subsequence.
+    */
+  private def firstLastAggs(types: Seq[String]): Seq[Column] =
+    types.flatMap(t => Seq(
+      min(when(col("t") === t, col("us"))).as(s"f_$t"),
+      max(when(col("t") === t, col("us"))).as(s"l_$t")))
+
+  private val seqPairsQ: Q = (s, d) => {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val perUser = Tables.events(s, d)
+      .select(col("user_id").as("u"), col("event_type").as("t"),
+        unix_micros(col("ts")).as("us"))
+      .groupBy("u")
+      .agg(firstLastAggs(types).head, firstLastAggs(types).tail: _*)
+    val nUsers = perUser.agg(count(lit(1)).as("n_users"))
+    val pairRows = perUser.select(inline(array(
+      (for (a <- types; b <- types if a != b) yield
+        struct(lit(a).as("t_a"), lit(b).as("t_b"),
+          (col(s"f_$a").isNotNull && col(s"l_$b").isNotNull &&
+            col(s"f_$a") < col(s"l_$b")).cast("long").as("supp"))): _*)))
+    pairRows.groupBy("t_a", "t_b").agg(sum("supp").as("n_supporting"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("t_a"), col("t_b"), col("n_supporting"), col("n_users"),
+        call_function("div", col("n_supporting") * lit(10000L),
+          col("n_users")).as("support_bp"))
+      .orderBy("t_a", "t_b")
+  }
+
+  private val seqPairsSql = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val aggCols = types.map(t =>
+      s"""MIN(CASE WHEN event_type = '$t' THEN us END) AS f_$t,
+         |         MAX(CASE WHEN event_type = '$t' THEN us END) AS l_$t"""
+        .stripMargin).mkString(",\n         ")
+    val pairSelects = (for (a <- types; b <- types if a != b) yield
+      s"""SELECT '$a' AS t_a, '$b' AS t_b,
+         |       CAST(CASE WHEN f_$a IS NOT NULL AND l_$b IS NOT NULL
+         |                      AND f_$a < l_$b THEN 1 ELSE 0 END AS BIGINT)
+         |         AS supp FROM pu""".stripMargin).mkString("\n  UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT user_id AS u, event_type, epoch_ns(ts) // 1000 AS us
+       |  FROM events),
+       |pu AS (
+       |  SELECT u,
+       |         $aggCols
+       |  FROM e GROUP BY u),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM pu),
+       |pairs AS (
+       |  $pairSelects)
+       |SELECT t_a, t_b, CAST(SUM(supp) AS BIGINT) AS n_supporting, n_users,
+       |       CAST(SUM(supp) AS BIGINT) * 10000 // n_users AS support_bp
+       |FROM pairs, n GROUP BY t_a, t_b, n_users
+       |ORDER BY t_a, t_b""".stripMargin
+  }
+
   val entries: Seq[Entry] = Seq(
     Entry("q_linreg_trend", linregTrendQ, Some(linregTrendSql)),
     Entry("q_moment_matrix", momentMatrixQ, Some(momentMatrixSql)),
@@ -1698,5 +1764,6 @@ object Analytics {
     Entry("q_cohort_ltv", cohortLtvQ, Some(cohortLtvSql)),
     Entry("q_rolling_corr", rollingCorrQ, Some(rollingCorrSql)),
     Entry("q_zscore_anomaly", zscoreAnomalyQ, Some(zscoreAnomalySql)),
+    Entry("q_seq_pairs", seqPairsQ, Some(seqPairsSql)),
   )
 }

@@ -596,6 +596,36 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_seq_pairs matches a sequential subsequence-support replay") {
+    import graft.tables.Tables
+    import org.apache.spark.sql.functions._
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val perUser = evs.groupBy(_._1).view.mapValues { rs =>
+      types.map { t =>
+        val ts = rs.filter(_._2 == t).map(_._3)
+        t -> (ts.minOption, ts.maxOption)
+      }.toMap
+    }.toMap
+    val nUsers = perUser.size.toLong
+    val got = q("q_seq_pairs").collect()
+    assert(got.length === 20)
+    got.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val expect = perUser.values.count { m =>
+        (m(a)._1, m(b)._2) match {
+          case (Some(fa), Some(lb)) => fa < lb
+          case _ => false
+        }
+      }.toLong
+      assert(r.getLong(2) === expect, s"support $a->$b")
+      assert(r.getLong(3) === nUsers)
+      assert(r.getLong(4) === expect * 10000L / nUsers)
+    }
+  }
+
   test("q_overlap_exact pair counts are symmetric-consistent (n_both <= min)") {
     q("q_overlap_exact").collect().foreach { r =>
       assert(r.getLong(4) <= math.min(r.getLong(2), r.getLong(3)))

@@ -1740,6 +1740,181 @@ object Analytics {
        |ORDER BY t_a, t_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q_trending — period-over-period rank movers
+  // ---------------------------------------------------------------------
+
+  /** Top rank climbers between the two halves of the shipping-date span —
+    * the "trending items" report (and the rank-shift drift signal for a
+    * corpus's source mix): per-part demand counts in each half, each half
+    * ranked GLOBALLY by (count desc, part asc), top-20 by rank improvement.
+    * Both ranks come from [[graft.ops.Rank.withGlobalRank]] — two
+    * bucket-partitioned rank passes, no global sort anywhere — and the
+    * ◆ oracle's two `row_number() OVER (ORDER BY n DESC, pid)` windows
+    * match bit-for-bit. The per-(part, half) count table is
+    * localCheckpoint-ed: the two half branches (and each rank's bounds
+    * pass) would otherwise re-expand the fact aggregate per consumer
+    * (the `q_rank_test` reuse-blocker class). Parts absent from either
+    * half have no rank there and drop (inner join) — a rank DELTA needs
+    * both endpoints.
+    */
+  private val trendingQ: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("pid"),
+        expr("unix_micros(l_shipdate) div 86400000000").as("day"))
+    val bounds = li.agg(min("day").as("lo"), max("day").as("hi"))
+    val counts = li.crossJoin(broadcast(bounds))
+      .withColumn("half",
+        when(col("day") <= call_function("div", col("lo") + col("hi"),
+          lit(2L)), lit(1L)).otherwise(lit(2L)))
+      .groupBy("pid", "half").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val h1 = graft.ops.Rank.withGlobalRank(
+        counts.filter(col("half") === 1L).select("pid", "n"),
+        "n", Seq("pid"), "r1", descending = true)
+      .select(col("pid"), col("n").as("n_old"), col("r1"))
+    val h2 = graft.ops.Rank.withGlobalRank(
+        counts.filter(col("half") === 2L).select("pid", "n"),
+        "n", Seq("pid"), "r2", descending = true)
+      .select(col("pid"), col("n").as("n_new"), col("r2"))
+    h1.join(h2, "pid")
+      .withColumn("rank_delta", col("r1") - col("r2"))
+      .select(col("pid").as("part_id"), col("n_old"), col("n_new"),
+        col("r1"), col("r2"), col("rank_delta"))
+      .orderBy(desc("rank_delta"), asc("part_id")).limit(20)
+  }
+
+  private val trendingSql =
+    """WITH li AS (
+      |  SELECT l_partkey AS pid,
+      |         epoch_us(l_shipdate) // 86400000000 AS day
+      |  FROM lineitem),
+      |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM li),
+      |counts AS (
+      |  SELECT pid,
+      |         CASE WHEN day <= (lo + hi) // 2 THEN 1 ELSE 2 END AS half,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM li, b GROUP BY 1, 2),
+      |h1 AS (SELECT pid, n AS n_old,
+      |              CAST(row_number() OVER (ORDER BY n DESC, pid) AS BIGINT)
+      |                AS r1
+      |       FROM counts WHERE half = 1),
+      |h2 AS (SELECT pid, n AS n_new,
+      |              CAST(row_number() OVER (ORDER BY n DESC, pid) AS BIGINT)
+      |                AS r2
+      |       FROM counts WHERE half = 2)
+      |SELECT h1.pid AS part_id, n_old, n_new, r1, r2, r1 - r2 AS rank_delta
+      |FROM h1 JOIN h2 ON h1.pid = h2.pid
+      |ORDER BY rank_delta DESC, part_id LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_churn_hazard — discrete-time survival/hazard table
+  // ---------------------------------------------------------------------
+
+  /** Discrete-time churn hazard by tenure week — the life-table form of
+    * the retention question (`q_cohort_retention` asks "how many came
+    * back at offset k"; the hazard asks "of those who REACHED week t,
+    * what fraction ended there"). Each user collapses to
+    * (tenure = last − first active week, churned flag); a user whose
+    * last activity is within 2 weeks of the observation horizon is
+    * CENSORED (still alive at cutoff — they ended observation at tenure
+    * t without churning, exactly Kaplan–Meier's right-censoring).
+    * at_risk(t) = Σ_{t'≥t} ended(t') is a reverse running sum over the
+    * |months|-bounded tenure table (calendar-bounded unpartitioned
+    * window, RegistrySpec-declared); hazard_bp = ⌊10⁴·churned/at_risk⌋
+    * exact. The survival curve is Π(1−h) — a float product the engine
+    * deliberately leaves to the reader of the exact hazard column (the
+    * Benford rule: report measured integers, not libm compositions).
+    * Tenure runs on the ORDER history at calendar-month granularity
+    * (the events fixture spans days, so every user would share one
+    * tenure; order dates span years) — month index year·12+month is
+    * identical integer arithmetic on both engines.
+    */
+  private val churnHazardQ: Q = (s, d) => {
+    val mo = Tables.orders(s, d).select(col("o_custkey").as("u"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("mo"))
+    val pu = mo.groupBy("u").agg(min("mo").as("fm"), max("mo").as("lm"))
+    val hz = mo.agg(max("mo").as("h"))
+    val byT = pu.crossJoin(broadcast(hz))
+      .select((col("lm") - col("fm")).as("tenure_months"),
+        (col("lm") <= col("h") - 2).cast("long").as("churned"))
+      .groupBy("tenure_months").agg(count(lit(1)).as("n_ended"),
+        sum("churned").as("n_churned"))
+    val w = Window.orderBy(desc("tenure_months"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT.withColumn("at_risk", sum("n_ended").over(w))
+      .withColumn("hazard_bp", call_function("div",
+        lit(10000L) * col("n_churned"), col("at_risk")))
+      .select("tenure_months", "at_risk", "n_churned", "hazard_bp")
+      .orderBy("tenure_months")
+  }
+
+  private val churnHazardSql =
+    """WITH o AS (
+      |  SELECT o_custkey AS u,
+      |         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+      |           AS mo
+      |  FROM orders),
+      |pu AS (SELECT u, MIN(mo) AS fm, MAX(mo) AS lm FROM o GROUP BY u),
+      |h AS (SELECT MAX(mo) AS h FROM o),
+      |t AS (
+      |  SELECT lm - fm AS tenure_months,
+      |         CAST(count(*) AS BIGINT) AS n_ended,
+      |         CAST(SUM(CASE WHEN lm <= h - 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_churned
+      |  FROM pu, h GROUP BY 1),
+      |r AS (
+      |  SELECT tenure_months, n_churned,
+      |         CAST(SUM(n_ended) OVER (ORDER BY tenure_months DESC
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |              AS BIGINT) AS at_risk
+      |  FROM t)
+      |SELECT tenure_months, at_risk, n_churned,
+      |       (10000 * n_churned) // at_risk AS hazard_bp
+      |FROM r ORDER BY tenure_months""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_streaks — gaps-and-islands longest consecutive-day runs
+  // ---------------------------------------------------------------------
+
+  /** Longest consecutive-active-day streak per user — the classic
+    * gaps-and-islands idiom (day − row_number is constant exactly on a
+    * consecutive run), which neither the gap sessionizer (no calendar
+    * grid) nor the interval merge (no unit steps) expresses: engagement
+    * streaks, SLA uptime runs, consecutive-day data-completeness checks
+    * are all this query. One distinct (user, day) collapse, both windows
+    * and both rollups on the SAME user-keyed exchange; output |users|
+    * rows with streak/island/active-day counts.
+    */
+  private val streaksQ: Q = (s, d) => {
+    val ud = Tables.events(s, d).select(col("user_id").as("u"),
+      expr("unix_micros(ts) div 86400000000").as("day")).distinct()
+    val w = Window.partitionBy("u").orderBy("day")
+    ud.withColumn("grp", col("day") - row_number().over(w))
+      .groupBy("u", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("u").agg(max("len").as("longest_streak"),
+        count(lit(1)).as("n_streaks"), sum("len").as("n_active_days"))
+      .select(col("u").as("user_id"), col("longest_streak"),
+        col("n_streaks"), col("n_active_days"))
+      .orderBy("user_id")
+  }
+
+  private val streaksSql =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id AS u, epoch_ns(ts) // 1000 // 86400000000 AS day
+      |  FROM events),
+      |isl AS (
+      |  SELECT u, day - row_number() OVER (PARTITION BY u ORDER BY day) AS grp
+      |  FROM ud),
+      |st AS (SELECT u, CAST(count(*) AS BIGINT) AS len
+      |       FROM isl GROUP BY u, grp)
+      |SELECT u AS user_id,
+      |       CAST(MAX(len) AS BIGINT) AS longest_streak,
+      |       CAST(count(*) AS BIGINT) AS n_streaks,
+      |       CAST(SUM(len) AS BIGINT) AS n_active_days
+      |FROM st GROUP BY u ORDER BY user_id""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q_linreg_trend", linregTrendQ, Some(linregTrendSql)),
     Entry("q_moment_matrix", momentMatrixQ, Some(momentMatrixSql)),
@@ -1765,5 +1940,8 @@ object Analytics {
     Entry("q_rolling_corr", rollingCorrQ, Some(rollingCorrSql)),
     Entry("q_zscore_anomaly", zscoreAnomalyQ, Some(zscoreAnomalySql)),
     Entry("q_seq_pairs", seqPairsQ, Some(seqPairsSql)),
+    Entry("q_trending", trendingQ, Some(trendingSql)),
+    Entry("q_churn_hazard", churnHazardQ, Some(churnHazardSql)),
+    Entry("q_streaks", streaksQ, Some(streaksSql)),
   )
 }

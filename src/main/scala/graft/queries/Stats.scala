@@ -852,6 +852,77 @@ object Stats {
        |SELECT p, rnk, c AS value_cents
        |FROM ranks JOIN ord ON rn = rnk ORDER BY p""".stripMargin
 
+  /** Exact WEIGHTED global quantiles — the fifth instantiation of the
+    * distributed-selection template, over the weight monoid instead of
+    * the count monoid: the weighted p-quantile is the smallest value
+    * whose cumulative WEIGHT reaches ⌈p·W⌉ (here weight = quantity, so
+    * "the price below which p of all shipped units sell" — and over a
+    * corpus, weight = token count turns the same query into "the
+    * quality score below which p of the TOKENS sit", the number a
+    * mixture rebalance actually needs; row quantiles answer a different,
+    * row-centric question). Same plan as [[quantileGlobalQ]] with
+    * per-bucket weight masses in place of counts: ≤ 64-row offsets pass,
+    * target rank ⌈p_bp·W/10⁴⌉ in exact integer arithmetic
+    * ((p·W + 9999) div 10⁴), per-VALUE weight collapse inside the ≤ 4
+    * hit buckets, local cumulative weight window, smallest qualifying
+    * value per target. No global sort; the ◆ oracle is the definitional
+    * cumulative-weight window pick.
+    */
+  private val weightedPsBp = Seq(2500L, 5000L, 9000L, 9900L)
+
+  private val weightedQuantileQ: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables.lineitem(s, d)
+      .select(Num.cents(col("l_extendedprice")).as("c"),
+        col("l_quantity").cast("long").as("w"))
+    val bounds = v.agg(min("c").as("lo"), max("c").as("hi"))
+    val width = call_function("div", col("hi") - col("lo"), lit(64L)) + lit(1L)
+    val bucketed = v.crossJoin(broadcast(bounds))
+      .withColumn("b", call_function("div", col("c") - col("lo"), width))
+      .select("c", "w", "b")
+    val bw = bucketed.groupBy("b").agg(sum("w").as("bw"))
+    val offW = Window.orderBy(asc("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bw.select(col("b"), col("bw"),
+      coalesce(sum("bw").over(offW), lit(0L)).as("off"))
+    val totW = bw.agg(sum("bw").as("tw"))
+    val targets = weightedPsBp.toDF("p_bp").crossJoin(broadcast(totW))
+      .select(col("p_bp"), call_function("div",
+        col("p_bp") * col("tw") + lit(9999L), lit(10000L)).as("t"))
+    val hit = targets.join(broadcast(offsets),
+        col("t") > col("off") && col("t") <= col("off") + col("bw"))
+      .select(col("p_bp"), col("t"), col("b"), (col("t") - col("off")).as("lt"))
+    val localW = Window.partitionBy("b").orderBy(asc("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perVal = bucketed
+      .join(broadcast(hit.select("b").distinct()), Seq("b"), "left_semi")
+      .groupBy("b", "c").agg(sum("w").as("vw"))
+      .withColumn("cum", sum("vw").over(localW))
+    perVal.join(broadcast(hit), Seq("b"))
+      .filter(col("cum") >= col("lt"))
+      .groupBy("p_bp", "t").agg(min("c").as("value_cents"))
+      .orderBy("p_bp")
+  }
+
+  private val weightedQuantileSql =
+    s"""WITH v AS (
+       |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+       |         CAST(l_quantity AS BIGINT) AS w
+       |  FROM lineitem),
+       |tw AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM v),
+       |targets AS (
+       |  SELECT CAST(pb AS BIGINT) AS p_bp,
+       |         (pb * tw + 9999) // 10000 AS t
+       |  FROM (VALUES ${weightedPsBp.map(p => s"($p)").mkString(",")}) x(pb),
+       |       tw),
+       |vw AS (SELECT c, CAST(SUM(w) AS BIGINT) AS w FROM v GROUP BY c),
+       |cw AS (SELECT c, CAST(SUM(w) OVER (ORDER BY c) AS BIGINT) AS cum
+       |       FROM vw)
+       |SELECT p_bp, t, CAST(MIN(c) AS BIGINT) AS value_cents
+       |FROM cw, targets WHERE cum >= t
+       |GROUP BY p_bp, t ORDER BY p_bp""".stripMargin
+
   /** Per-GROUP exact order statistics by the same selection template,
     * fully partitioned — what replaces ◆ `q_percentiles`' per-group
     * `percentile()` sort when a single group is itself data-sized (one
@@ -1231,6 +1302,7 @@ object Stats {
     Entry("q_feature_bins", featureBinsQ, Some(featureBinsSql)),
     Entry("q_quantile_group", quantileGroupQ, Some(quantileGroupSql)),
     Entry("q_quantile_global", quantileGlobalQ, Some(quantileGlobalSql)),
+    Entry("q_weighted_quantile", weightedQuantileQ, Some(weightedQuantileSql)),
     Entry("q_pareto", paretoQ, Some(paretoSql)),
     Entry("q_cohort_retention", cohortQ, Some(cohortSql)),
     Entry("q_drift_ks", driftKsQ, Some(driftKsSql)),

@@ -1,0 +1,139 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Version-addressable upsert store — TIME TRAVEL for key state, the
+  * fourth corner of the store family. [[LatestStore]] answers "what is
+  * the state NOW"; this store answers "what was the state AS OF commit
+  * v" for every v inside the retention horizon — the reproducibility
+  * primitive a training pipeline needs to re-materialize the exact
+  * feature snapshot a model was trained against (the reference keeps no
+  * history at all: src/streaming_service.py:322-340 folds updates into
+  * a mutable dict, so yesterday's state is unrecoverable).
+  *
+  * Mechanics — modeled on the public Delta/Iceberg contract but in
+  * plain parquet + directories, like the rest of the store family:
+  *
+  *  - each [[commit]] writes its change batch (one upsert row per key)
+  *    under a hive-style `v=N` directory — the commit IS the version;
+  *  - [[readAsOf]] unions the `v ≤ N` directories (directory pruning:
+  *    later commits are never listed, let alone read) and resolves
+  *    latest-wins per key with one `max(struct(v, payload))` hash
+  *    aggregate — merge-on-read, no rewrite at commit time;
+  *  - [[compactTo]] folds every directory `≤ v` into a single base
+  *    snapshot AT `v` and advances the `_horizon` marker: reads at or
+  *    after the horizon are byte-identical before and after (the spec
+  *    proves it), reads BEFORE it fail loudly — the retention contract
+  *    every production time-travel table has, stated instead of
+  *    implied.
+  *
+  * Delivery contract: a commit is assigned the next version by listing
+  * the directory (single-writer, like [[ModelRegistry]]'s version
+  * counter); re-running a FAILED commit before its directory landed is
+  * safe (same data, next number), but this store intentionally does NOT
+  * absorb at-least-once REDELIVERY of an already-landed batch — version
+  * assignment is not idempotent. Streaming ingestion therefore routes
+  * through batchId-keyed [[commitAs]] (redelivered micro-batch
+  * overwrites its own version directory — the [[AggStateStore]]
+  * discipline, proven in the spec by double-committing a batch).
+  *
+  * Scale shape: commits are O(batch) appends; `readAsOf` aggregates
+  * |keys| + |changes since compaction| rows, and the version column it
+  * maxes over is the DIRECTORY name (partition pruning serves the
+  * time-travel predicate — no file content is touched for excluded
+  * versions); at 100 TB each version directory is itself bucketed on
+  * the key ([[Bucketed]]) so the merge aggregate rides the layout.
+  */
+class SnapshotStore(spark: SparkSession, rootUri: String) {
+
+  private val root = rootUri.stripSuffix("/") + "/snapshots"
+  private val rootPath = new Path(root)
+  private def fs = rootPath.getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def readString(p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  private def writeString(p: Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Landed commit versions, ascending (directory listing is the log). */
+  def versions: Seq[Long] =
+    if (!fs.exists(rootPath)) Seq.empty
+    else fs.listStatus(rootPath).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).sorted
+
+  /** Newest readable version (0 when the store is empty). */
+  def latestVersion: Long = versions.lastOption.getOrElse(0L)
+
+  /** Oldest readable version — advanced by [[compactTo]]. */
+  def horizon: Long = {
+    val p = new Path(rootPath, "_horizon")
+    if (fs.exists(p)) readString(p).trim.toLong
+    else versions.headOption.getOrElse(1L)
+  }
+
+  /** Commit one upsert batch (user_id key, event_type payload, one row
+    * per key) as the next version; returns the assigned version.
+    */
+  def commit(changes: DataFrame): Long = {
+    val v = latestVersion + 1
+    commitAs(changes, v)
+    v
+  }
+
+  /** Commit under an EXPLICIT version — the streaming entry point:
+    * keyed by batchId, a redelivered micro-batch replaces its own
+    * directory instead of appending a duplicate version.
+    */
+  def commitAs(changes: DataFrame, v: Long): Unit =
+    changes.select("user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$root/v=$v")
+
+  /** The key state as of commit `v`: latest-wins per key across every
+    * commit `≤ v`. Fails loudly outside [horizon, latestVersion].
+    */
+  def readAsOf(v: Long): DataFrame = {
+    require(v >= horizon,
+      s"version $v is before the compaction horizon ${horizon} — " +
+        "history below the horizon has been folded and cannot be read")
+    require(v <= latestVersion,
+      s"version $v has not been committed (latest: $latestVersion)")
+    val dirs = versions.filter(_ <= v).map(n => s"$root/v=$n")
+    spark.read.option("basePath", root).parquet(dirs: _*)
+      .groupBy("user_id")
+      .agg(max(struct(col("v"), col("event_type"))).as("__last"))
+      .select(col("user_id"), col("__last.event_type").as("event_type"))
+      .orderBy("user_id")
+  }
+
+  /** The current snapshot. */
+  def readLatest(): DataFrame = readAsOf(latestVersion)
+
+  /** Fold all commits `≤ v` into a single base snapshot at `v` and
+    * advance the horizon: `readAsOf(w)` for any `w ≥ v` is invariant
+    * (latest-wins is associative — folding a prefix changes nothing a
+    * later delta could not overwrite), versions below `v` become
+    * unreadable. Staged write + rename swap, then the old directories
+    * drop — a crash before the marker leaves every read answerable.
+    */
+  def compactTo(v: Long): Unit = {
+    require(v >= horizon && v <= latestVersion,
+      s"compaction point $v outside [$horizon, $latestVersion]")
+    val staging = new Path(s"$root/.compacting")
+    fs.delete(staging, true)
+    readAsOf(v).write.mode("overwrite").parquet(staging.toString)
+    versions.filter(_ <= v).foreach(n =>
+      fs.delete(new Path(s"$root/v=$n"), true))
+    fs.rename(staging, new Path(s"$root/v=$v"))
+    writeString(new Path(rootPath, "_horizon"), v.toString)
+  }
+}

@@ -632,4 +632,118 @@ class AnalyticsSpec extends SparkSpec {
       assert(r.getLong(5) >= math.max(r.getLong(2), r.getLong(3)))
     }
   }
+
+  test("q_trending matches a sequential two-half rank replay") {
+    import graft.tables.Tables
+    import org.apache.spark.sql.functions._
+    val rows = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), expr("unix_micros(l_shipdate) div 86400000000"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val lo = rows.map(_._2).min
+    val hi = rows.map(_._2).max
+    val mid = Math.floorDiv(lo + hi, 2L)
+    def ranks(half: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+      val counts = half.groupBy(_._1).view.mapValues(_.size.toLong).toSeq
+      counts.sortBy { case (pid, n) => (-n, pid) }.zipWithIndex
+        .map { case ((pid, n), i) => pid -> (n, i + 1L) }.toMap
+    }
+    val r1 = ranks(rows.filter(_._2 <= mid).toSeq)
+    val r2 = ranks(rows.filter(_._2 > mid).toSeq)
+    val expect = r1.keySet.intersect(r2.keySet).toSeq
+      .map { pid =>
+        (pid, r1(pid)._1, r2(pid)._1, r1(pid)._2, r2(pid)._2,
+          r1(pid)._2 - r2(pid)._2)
+      }
+      .sortBy { case (pid, _, _, _, _, dl) => (-dl, pid) }.take(20)
+    val got = q("q_trending").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expect)
+  }
+
+  test("q_churn_hazard matches a sequential life-table replay") {
+    import graft.tables.Tables
+    import org.apache.spark.sql.functions._
+    val wks = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val h = wks.map(_._2).max
+    val perUser = wks.groupBy(_._1).values.map { rs =>
+      val ws = rs.map(_._2)
+      (ws.max - ws.min, if (ws.max <= h - 2) 1L else 0L)
+    }.toSeq
+    val byT = perUser.groupBy(_._1).view
+      .mapValues(v => (v.size.toLong, v.map(_._2).sum)).toMap
+    val got = q("q_churn_hazard").collect()
+    assert(got.map(_.getLong(0)).toSeq === byT.keySet.toSeq.sorted)
+    got.foreach { r =>
+      val t = r.getLong(0)
+      val atRisk = byT.filter(_._1 >= t).values.map(_._1).sum
+      assert(r.getLong(1) === atRisk, s"at_risk t=$t")
+      assert(r.getLong(2) === byT(t)._2, s"churned t=$t")
+      assert(r.getLong(3) === 10000L * byT(t)._2 / atRisk, s"hazard t=$t")
+    }
+    // censoring is real on the fixture: the terminal tenures carry
+    // censored (non-churned) users, so hazard < 1 somewhere near the tail
+    assert(got.exists(r => r.getLong(2) < r.getLong(1)))
+  }
+
+  test("q_streaks matches a sequential gaps-and-islands replay") {
+    import graft.tables.Tables
+    import org.apache.spark.sql.functions._
+    val days = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = days.groupBy(_._1).view.mapValues { rs =>
+      val ds = rs.map(_._2).sorted
+      // explicit run-length fold over the sorted distinct days
+      val lens = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var run = 0L
+      var prev = Long.MinValue
+      ds.foreach { d =>
+        if (prev != Long.MinValue && d == prev + 1) run += 1
+        else { if (run > 0) lens += run; run = 1 }
+        prev = d
+      }
+      if (run > 0) lens += run
+      (lens.max, lens.size.toLong, ds.size.toLong)
+    }.toMap
+    val got = q("q_streaks").collect()
+    assert(got.length === expect.size)
+    got.foreach { r =>
+      val (mx, ni, na) = expect(r.getLong(0))
+      assert(r.getLong(1) === mx, s"longest user=${r.getLong(0)}")
+      assert(r.getLong(2) === ni, s"islands user=${r.getLong(0)}")
+      assert(r.getLong(3) === na, s"active user=${r.getLong(0)}")
+    }
+  }
+
+  test("q_weighted_quantile matches a sequential cumulative-weight pick") {
+    import graft.tables.Tables
+    import org.apache.spark.sql.functions._
+    val vw = Tables.lineitem(spark, sfDir)
+      .select(round(col("l_extendedprice") * 100).cast("long"),
+        col("l_quantity").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val totW = vw.map(_._2).sum
+    val sorted = vw.sortBy(_._1)
+    val got = q("q_weighted_quantile").collect()
+    assert(got.length === 4)
+    got.foreach { r =>
+      val pBp = r.getLong(0)
+      val t = (pBp * totW + 9999L) / 10000L
+      assert(r.getLong(1) === t, s"target p=$pBp")
+      var cum = 0L
+      var ans = Long.MinValue
+      val it = sorted.iterator
+      while (ans == Long.MinValue && it.hasNext) {
+        val (c, w) = it.next()
+        cum += w
+        if (cum >= t) ans = c
+      }
+      assert(r.getLong(2) === ans, s"value p=$pBp")
+    }
+  }
 }

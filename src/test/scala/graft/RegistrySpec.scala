@@ -69,6 +69,9 @@ class RegistrySpec extends SparkSpec {
       // key is constant-folded out of partitionSpec, but the input is
       // ≤ k rows by construction (TakeOrderedAndProject first).
       "q_quantile_global" -> "≤ 64 bucket-offset rows (selection template)",
+      "q_weighted_quantile" -> "≤ 64 bucket-offset rows (selection template)",
+      "q_trending" -> "≤ 64 bucket-offset rows ×2 (Rank.withGlobalRank)",
+      "q_churn_hazard" -> "|months| tenure rows (calendar-bounded)",
       "q_eval_ranking" -> "≤ 64 bucket-offset rows (Prefix.withCumSum)",
       "q_rec_coverage" -> "≤ 64 bucket-offset rows ×2 (Prefix.withCumSum)",
       "q_bpe_pairs" -> "≤ 20 rows (Rank.firstK)",

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotStore
+import graft.tables.Tables
+
+/** Gates for the time-travel store: every readable version equals the
+  * sequential replay of its commit prefix; compaction leaves reads at or
+  * after the fold point byte-identical and rejects reads below the
+  * horizon; an explicitly-versioned (batchId-keyed) re-commit replaces
+  * rather than duplicates.
+  */
+class SnapshotStoreSpec extends SparkSpec {
+
+  /** Four deterministic upsert batches from the events fixture: batch i
+    * holds the per-user LATEST event among events with event_id ≡ i
+    * (mod 4) — one row per key per commit, overlapping key sets.
+    */
+  private def batch(i: Int): DataFrame =
+    Tables.events(spark, sfDir)
+      .filter(pmod(col("event_id"), lit(4)) === i)
+      .groupBy("user_id")
+      .agg(max(struct(unix_micros(col("ts")), col("event_id"),
+        col("event_type"))).as("m"))
+      .select(col("user_id"), col("m.event_type").as("event_type"))
+
+  private def freshStore(): SnapshotStore =
+    new SnapshotStore(spark, "file://" + java.nio.file.Files
+      .createTempDirectory("graft-snap").toString)
+
+  private def rows(df: DataFrame): Seq[(Long, String)] =
+    df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+  /** Sequential upsert replay of batches 0..k. */
+  private def replay(k: Int): Seq[(Long, String)] =
+    (0 to k).foldLeft(Map.empty[Long, String]) { (m, i) =>
+      m ++ rows(batch(i)).toMap
+    }.toSeq.sortBy(_._1)
+
+  test("readAsOf(v) equals the sequential replay of the first v commits") {
+    val store = freshStore()
+    assert(store.versions.isEmpty && store.latestVersion === 0L)
+    (0 to 3).foreach(i => assert(store.commit(batch(i)) === i + 1L))
+    assert(store.versions === Seq(1L, 2L, 3L, 4L))
+    (1 to 4).foreach { v =>
+      assert(rows(store.readAsOf(v)) === replay(v - 1), s"asOf $v")
+    }
+    assert(rows(store.readLatest()) === replay(3))
+    // history is real: at least one key's payload differs across versions
+    assert(rows(store.readAsOf(1)) !== rows(store.readAsOf(4)))
+  }
+
+  test("reads outside [horizon, latest] fail loudly") {
+    val store = freshStore()
+    store.commit(batch(0))
+    intercept[IllegalArgumentException](store.readAsOf(2))
+    intercept[IllegalArgumentException](store.readAsOf(0))
+  }
+
+  test("compactTo folds history: reads >= horizon invariant, < horizon rejected") {
+    val store = freshStore()
+    (0 to 3).foreach(i => store.commit(batch(i)))
+    val before = (2 to 4).map(v => rows(store.readAsOf(v)))
+    store.compactTo(2)
+    assert(store.horizon === 2L)
+    assert(store.versions === Seq(2L, 3L, 4L))
+    assert((2 to 4).map(v => rows(store.readAsOf(v))) === before)
+    intercept[IllegalArgumentException](store.readAsOf(1))
+    // compaction is re-entrant up the chain
+    store.compactTo(4)
+    assert(rows(store.readAsOf(4)) === before.last)
+    assert(store.versions === Seq(4L))
+  }
+
+  test("commitAs replaces its own version on redelivery (batchId keying)") {
+    val store = freshStore()
+    store.commit(batch(0))
+    store.commitAs(batch(1), 2L)
+    store.commitAs(batch(1), 2L) // redelivered micro-batch
+    assert(store.versions === Seq(1L, 2L))
+    assert(rows(store.readAsOf(2)) === replay(1))
+  }
+}

@@ -556,4 +556,69 @@ class WarehouseSpec extends SparkSpec {
       assert(r.getLong(2) === sizes(r.getLong(1)), s"csize of ${r.getLong(1)}")
     }
   }
+
+  private def coPurchaseAdj(): Map[Long, Set[Long]] = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    li.groupBy(_._1).values.toSeq.flatMap { basket =>
+      val ps = basket.map(_._2).distinct.toList
+      for (a <- ps; b <- ps if a != b) yield a -> b
+    }.distinct.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+  }
+
+  test("q_kcore equals a sequential peel replay and reaches the fixed point") {
+    val adj = coPurchaseAdj()
+    var alive = adj.keySet
+    def degrees(a: Set[Long]): Map[Long, Long] =
+      a.iterator.map(n => n -> adj(n).count(a).toLong).toMap
+    for (_ <- 1 to 4)
+      alive = degrees(alive).filter(_._2 >= 3L).keySet
+    val expect = degrees(alive).filter(_._2 > 0L)
+    val got = SparkEntry.queries("q_kcore")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expect)
+    assert(got.nonEmpty)
+    // fixed point at fixture scale: one further peel round removes nobody
+    assert(expect.values.forall(_ >= 3L),
+      "4 peel rounds converge on the fixture — every survivor has core degree >= k")
+  }
+
+  test("q_tie_strength equals a brute-force common-neighbor replay, top-50") {
+    val adj = coPurchaseAdj()
+    val edges = adj.toSeq.flatMap { case (a, ns) =>
+      ns.filter(_ > a).map(b => (a, b))
+    }
+    val rows = edges.map { case (a, b) =>
+      val common = adj(a).intersect(adj(b)).size.toLong
+      val da = adj(a).size.toLong
+      val db = adj(b).size.toLong
+      val den = da + db - 2L - common
+      val jac = if (den > 0) 10000L * common / den else 0L
+      (a, b, common, da, db, jac)
+    }.sortBy { case (a, b, _, _, _, j) => (-j, a, b) }.take(50)
+    val got = SparkEntry.queries("q_tie_strength")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === rows)
+    assert(got.head._6 > 0L, "the strongest tie has positive embeddedness")
+  }
+
+  test("q_degree_dist equals a sequential log2-bucket replay") {
+    val adj = coPurchaseAdj()
+    val expect = adj.view.mapValues(_.size.toLong).values
+      .groupBy(d => (63 - java.lang.Long.numberOfLeadingZeros(d)).toLong)
+      .view.mapValues { ds =>
+        (ds.size.toLong, ds.min, ds.max, ds.sum)
+      }.toMap
+    val got = SparkEntry.queries("q_degree_dist")(spark, sfDir).collect()
+    assert(got.map(_.getLong(0)).toSet === expect.keySet)
+    got.foreach { r =>
+      val (n, mn, mx, sm) = expect(r.getLong(0))
+      assert(r.getLong(1) === n)
+      assert(r.getLong(2) === mn)
+      assert(r.getLong(3) === mx)
+      assert(r.getLong(4) === sm)
+    }
+  }
 }

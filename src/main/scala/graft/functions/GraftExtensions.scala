@@ -16,6 +16,10 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Optimizer half of the extension story: every `jaccard_sorted >= τ`
+    // predicate — ad-hoc SQL included — gets the implied length-ratio
+    // prefilter planted ahead of the merge-walk (see JaccardLengthPrune).
+    ext.injectOptimizerRule(_ => graft.plans.JaccardLengthPrune)
     ext.injectFunction((
       new FunctionIdentifier("jaccard_sorted"),
       new ExpressionInfo(classOf[JaccardSorted].getName, "jaccard_sorted"),

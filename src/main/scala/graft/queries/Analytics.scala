@@ -1915,6 +1915,50 @@ object Analytics {
       |       CAST(SUM(len) AS BIGINT) AS n_active_days
       |FROM st GROUP BY u ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_top_paths — most common 3-step behavior paths
+  // ---------------------------------------------------------------------
+
+  /** Top-10 most frequent CONSECUTIVE 3-step event paths across all user
+    * timelines — the n-gram extension of the bigram questions
+    * (◆ `q_transitions` = adjacent pairs, ◆ `q_seq_pairs` = ordered
+    * containment): "view → click → purchase" vs "view → click → view"
+    * is the distinction a UX or curriculum designer reads. Two `lead`s
+    * on ONE user-keyed exchange materialize each position's trigram
+    * (windows never buffer beyond the frame), a hash aggregate counts
+    * the ≤ |types|³ distinct paths, TakeOrderedAndProject keeps 10.
+    * Cross-user adjacency never pairs (the window partition is the
+    * user), and the (time, event_id) order is total so the path set is
+    * deterministic.
+    */
+  private val topPathsQ: Q = (s, d) => {
+    val w = Window.partitionBy("u").orderBy("us", "eid")
+    Tables.events(s, d)
+      .select(col("user_id").as("u"), col("event_type").as("t"),
+        expr("unix_micros(ts)").as("us"), col("event_id").as("eid"))
+      .select(col("t").as("e1"), lead("t", 1).over(w).as("e2"),
+        lead("t", 2).over(w).as("e3"))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("n_paths"))
+      .orderBy(desc("n_paths"), asc("e1"), asc("e2"), asc("e3"))
+      .limit(10)
+  }
+
+  private val topPathsSql =
+    """WITH e AS (
+      |  SELECT user_id AS u, event_type AS t, epoch_ns(ts) // 1000 AS us,
+      |         event_id AS eid
+      |  FROM events),
+      |tri AS (
+      |  SELECT t AS e1,
+      |         lead(t, 1) OVER (PARTITION BY u ORDER BY us, eid) AS e2,
+      |         lead(t, 2) OVER (PARTITION BY u ORDER BY us, eid) AS e3
+      |  FROM e)
+      |SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n_paths
+      |FROM tri WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      |GROUP BY e1, e2, e3
+      |ORDER BY n_paths DESC, e1, e2, e3 LIMIT 10""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q_linreg_trend", linregTrendQ, Some(linregTrendSql)),
     Entry("q_moment_matrix", momentMatrixQ, Some(momentMatrixSql)),
@@ -1943,5 +1987,6 @@ object Analytics {
     Entry("q_trending", trendingQ, Some(trendingSql)),
     Entry("q_churn_hazard", churnHazardQ, Some(churnHazardSql)),
     Entry("q_streaks", streaksQ, Some(streaksSql)),
+    Entry("q_top_paths", topPathsQ, Some(topPathsSql)),
   )
 }

@@ -808,11 +808,16 @@ object Stats {
     */
   private val quantilePs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
 
-  private val quantileGlobalQ: Q = (s, d) => {
+  /** The distributed-selection core shared by `q_quantile_global` and
+    * `q_winsorize`: exact order statistics of long column `c` in `v` at
+    * ranks ⌈p·n⌉ for each `p`, returned as (p, rnk, c) — bucket counts,
+    * ≤64-row offsets, local rank in hit buckets only (see the
+    * `q_quantile_global` scaladoc for the full plan argument).
+    */
+  private def selectQuantiles(s: org.apache.spark.sql.SparkSession,
+      v: org.apache.spark.sql.DataFrame, ps: Seq[Double]): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val v = Tables.lineitem(s, d)
-      .select(Num.cents(col("l_extendedprice")).as("c"))
     val bounds = v.agg(min("c").as("lo"), max("c").as("hi"))
     val width = call_function("div", col("hi") - col("lo"), lit(64L)) + lit(1L)
     val bucketed = v.crossJoin(broadcast(bounds))
@@ -824,7 +829,7 @@ object Stats {
     val offsets = counts.select(col("b"), col("bc"),
       coalesce(sum("bc").over(offW), lit(0L)).as("off"))
     val nDf = counts.agg(sum("bc").as("n"))
-    val ranks = quantilePs.toDF("p").crossJoin(broadcast(nDf))
+    val ranks = ps.toDF("p").crossJoin(broadcast(nDf))
       .select(col("p"), ceil(col("p") * col("n")).cast("long").as("rnk"))
     val target = ranks.join(broadcast(offsets),
         col("rnk") > col("off") && col("rnk") <= col("off") + col("bc"))
@@ -835,6 +840,13 @@ object Stats {
       .join(broadcast(target.select("b").distinct()), Seq("b"), "left_semi")
       .withColumn("lr", row_number().over(localW))
       .join(broadcast(target), Seq("b", "lr"))
+      .select(col("p"), col("rnk"), col("c"))
+  }
+
+  private val quantileGlobalQ: Q = (s, d) => {
+    val v = Tables.lineitem(s, d)
+      .select(Num.cents(col("l_extendedprice")).as("c"))
+    selectQuantiles(s, v, quantilePs)
       .select(col("p"), col("rnk"), col("c").as("value_cents"))
       .orderBy("p")
   }
@@ -922,6 +934,69 @@ object Stats {
        |SELECT p_bp, t, CAST(MIN(c) AS BIGINT) AS value_cents
        |FROM cw, targets WHERE cum >= t
        |GROUP BY p_bp, t ORDER BY p_bp""".stripMargin
+
+  /** Winsorized + trimmed means — ROBUST central tendency the plain mean
+    * lacks (one fat-fingered 10⁹-cent order moves `avg()`; it moves a
+    * 5%-winsorized mean by at most the clamp), computed exactly: the
+    * p05/p95 cutoffs come from the shared [[selectQuantiles]] selection
+    * core (no global sort), broadcast as a 1-row frame onto a second
+    * scan whose single hash aggregate derives both estimators —
+    * winsorized (outliers CLAMPED to the cutoffs) and trimmed (outliers
+    * DROPPED) — as exact integer cent sums with floor-div means. The ◆
+    * oracle recomputes the same ⌈p·n⌉ cutoffs from the definitional
+    * `row_number` pick. Robust-mean reporting is the partner of the MAD
+    * outlier audit (◆ `q_outlier_mad` flags rows; this reports metrics
+    * that stay sane without flagging anything).
+    */
+  private val winsorizeQ: Q = (s, d) => {
+    val v = Tables.lineitem(s, d)
+      .select(Num.cents(col("l_extendedprice")).as("c"))
+    val cuts = selectQuantiles(s, v, Seq(0.05, 0.95))
+      .agg(min(when(col("p") === 0.05, col("c"))).as("lo_cut"),
+        min(when(col("p") === 0.95, col("c"))).as("hi_cut"))
+    val inRange = col("c") >= col("lo_cut") && col("c") <= col("hi_cut")
+    v.crossJoin(broadcast(cuts))
+      .groupBy("lo_cut", "hi_cut")
+      .agg(count(lit(1)).as("n"),
+        sum(least(greatest(col("c"), col("lo_cut")), col("hi_cut")))
+          .as("win_sum_cents"),
+        sum(inRange.cast("long")).as("trim_n"),
+        sum(when(inRange, col("c")).otherwise(lit(0L)))
+          .as("trim_sum_cents"))
+      .select(col("lo_cut"), col("hi_cut"), col("n"), col("win_sum_cents"),
+        call_function("div", col("win_sum_cents"), col("n"))
+          .as("win_mean_cents"),
+        col("trim_n"), col("trim_sum_cents"),
+        call_function("div", col("trim_sum_cents"), col("trim_n"))
+          .as("trim_mean_cents"))
+  }
+
+  private val winsorizeSql =
+    """WITH v AS (
+      |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+      |  FROM lineitem),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+      |ord AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v),
+      |cuts AS (
+      |  SELECT
+      |    (SELECT c FROM ord, n WHERE rn = CAST(ceil(0.05 * n) AS BIGINT))
+      |      AS lo_cut,
+      |    (SELECT c FROM ord, n WHERE rn = CAST(ceil(0.95 * n) AS BIGINT))
+      |      AS hi_cut)
+      |SELECT lo_cut, hi_cut, n,
+      |       CAST(SUM(LEAST(GREATEST(c, lo_cut), hi_cut)) AS BIGINT)
+      |         AS win_sum_cents,
+      |       CAST(SUM(LEAST(GREATEST(c, lo_cut), hi_cut)) AS BIGINT) // n
+      |         AS win_mean_cents,
+      |       CAST(SUM(CASE WHEN c BETWEEN lo_cut AND hi_cut THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS trim_n,
+      |       CAST(SUM(CASE WHEN c BETWEEN lo_cut AND hi_cut THEN c ELSE 0 END)
+      |            AS BIGINT) AS trim_sum_cents,
+      |       CAST(SUM(CASE WHEN c BETWEEN lo_cut AND hi_cut THEN c ELSE 0 END)
+      |            AS BIGINT) //
+      |       CAST(SUM(CASE WHEN c BETWEEN lo_cut AND hi_cut THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS trim_mean_cents
+      |FROM v, cuts, n GROUP BY lo_cut, hi_cut, n""".stripMargin
 
   /** Per-GROUP exact order statistics by the same selection template,
     * fully partitioned — what replaces ◆ `q_percentiles`' per-group
@@ -1303,6 +1378,7 @@ object Stats {
     Entry("q_quantile_group", quantileGroupQ, Some(quantileGroupSql)),
     Entry("q_quantile_global", quantileGlobalQ, Some(quantileGlobalSql)),
     Entry("q_weighted_quantile", weightedQuantileQ, Some(weightedQuantileSql)),
+    Entry("q_winsorize", winsorizeQ, Some(winsorizeSql)),
     Entry("q_pareto", paretoQ, Some(paretoSql)),
     Entry("q_cohort_retention", cohortQ, Some(cohortSql)),
     Entry("q_drift_ks", driftKsQ, Some(driftKsSql)),

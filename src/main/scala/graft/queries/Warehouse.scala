@@ -395,6 +395,59 @@ object Warehouse {
       |            ELSE 'shuffle' END AS strategy
       |FROM s, h, sa, sb""".stripMargin
 
+  // ------------------------------------------------------------- time travel
+
+  /** TIME TRAVEL under the hash gate: the [[graft.sources.SnapshotStore]]
+    * composition end-to-end — four per-customer status upsert batches
+    * (batch i = each customer's latest order among o_orderkey ≡ i mod 4,
+    * argmax by (order date, order key)) commit as versions 1..4 into a
+    * fresh store, and the query reports the status census `readAsOf(2)`
+    * vs `readAsOf(4)`. The ◆ oracle recomputes the SAME versioned
+    * latest-wins from the raw orders table definitionally (two window
+    * argmaxes) — hash equality proves the store's commit/read path
+    * reconstructs exactly the state each commit prefix defines, the
+    * claim that makes "re-materialize the snapshot a model trained on"
+    * trustworthy. (SnapshotStoreSpec proves the mechanics — replay,
+    * horizon, compaction; this query puts the read RESULT itself under
+    * the driver's cross-engine gate.)
+    */
+  private val timeTravel: Q = (s, d) => {
+    val store = new graft.sources.SnapshotStore(s, "file://" +
+      java.nio.file.Files.createTempDirectory("graft-tt").toString)
+    def batch(i: Int) = Tables.orders(s, d)
+      .filter(pmod(col("o_orderkey"), lit(4)) === i)
+      .groupBy("o_custkey")
+      .agg(max(struct(expr("unix_micros(o_orderdate)").as("dus"),
+        col("o_orderkey").as("ok"), col("o_orderstatus").as("st"))).as("m"))
+      .select(col("o_custkey").as("user_id"), col("m.st").as("event_type"))
+    (0 to 3).foreach(i => store.commit(batch(i)))
+    Seq(2L, 4L).map { v =>
+      store.readAsOf(v).groupBy("event_type")
+        .agg(count(lit(1)).as("n_users")).withColumn("version", lit(v))
+    }.reduce(_.unionByName(_))
+      .select("version", "event_type", "n_users")
+      .orderBy("version", "event_type")
+  }
+
+  private val timeTravelSql =
+    """WITH b AS (
+      |  SELECT o_custkey AS u, (o_orderkey % 4) + 1 AS v,
+      |         o_orderstatus AS st,
+      |         row_number() OVER (PARTITION BY o_custkey, o_orderkey % 4
+      |                            ORDER BY o_orderdate DESC, o_orderkey DESC)
+      |           AS rn
+      |  FROM orders),
+      |c AS (SELECT u, v, st FROM b WHERE rn = 1),
+      |ao AS (
+      |  SELECT vv.version, u, st,
+      |         row_number() OVER (PARTITION BY vv.version, u ORDER BY v DESC)
+      |           AS rn
+      |  FROM c JOIN (VALUES (2), (4)) vv(version) ON c.v <= vv.version)
+      |SELECT CAST(version AS BIGINT) AS version, st AS event_type,
+      |       CAST(count(*) AS BIGINT) AS n_users
+      |FROM ao WHERE rn = 1
+      |GROUP BY version, st ORDER BY version, event_type""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
     Entry("q_incr_agg", incrAgg, Some(incrAggSql)),
@@ -402,5 +455,6 @@ object Warehouse {
     Entry("q_dpp_prune", dppPrune, Some(dppPruneSql)),
     Entry("q_table_diff", tableDiff, Some(tableDiffSql)),
     Entry("q_incr_join", incrJoin, Some(incrJoinSql)),
+    Entry("q_time_travel", timeTravel, Some(timeTravelSql)),
   )
 }

@@ -720,6 +720,26 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_top_paths matches a sequential trigram replay") {
+    import graft.tables.Tables
+    import org.apache.spark.sql.functions._
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")),
+        col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val expect = evs.groupBy(_._1).values.flatMap { rs =>
+      val seq = rs.sortBy(r => (r._3, r._4)).map(_._2).toSeq
+      seq.sliding(3).filter(_.size == 3).map(t => (t(0), t(1), t(2)))
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case ((a, b, c), n) => (-n, a, b, c) }.take(10)
+      .map { case ((a, b, c), n) => (a, b, c, n) }
+    val got = q("q_top_paths").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(got === expect)
+  }
+
   test("q_weighted_quantile matches a sequential cumulative-weight pick") {
     import graft.tables.Tables
     import org.apache.spark.sql.functions._

@@ -604,6 +604,53 @@ class WarehouseSpec extends SparkSpec {
     assert(got.head._6 > 0L, "the strongest tie has positive embeddedness")
   }
 
+  test("q_winsorize equals a sequential clamp/trim replay") {
+    val cents = Tables.lineitem(spark, sfDir)
+      .select(graft.ops.Num.cents(col("l_extendedprice")).as("c"))
+      .collect().map(_.getLong(0))
+    val sorted = cents.sorted
+    val n = sorted.length
+    val lo = sorted(math.ceil(0.05 * n).toInt - 1)
+    val hi = sorted(math.ceil(0.95 * n).toInt - 1)
+    val winSum = cents.map(c => math.min(math.max(c, lo), hi)).sum
+    val kept = cents.filter(c => c >= lo && c <= hi)
+    val r = SparkEntry.queries("q_winsorize")(spark, sfDir).collect().head
+    assert(r.getAs[Long]("lo_cut") === lo)
+    assert(r.getAs[Long]("hi_cut") === hi)
+    assert(r.getAs[Long]("n") === n.toLong)
+    assert(r.getAs[Long]("win_sum_cents") === winSum)
+    assert(r.getAs[Long]("win_mean_cents") === winSum / n)
+    assert(r.getAs[Long]("trim_n") === kept.length.toLong)
+    assert(r.getAs[Long]("trim_sum_cents") === kept.sum)
+    assert(r.getAs[Long]("trim_mean_cents") === kept.sum / kept.length)
+    // robustness is real on the fixture: the trimmed mean differs from
+    // the plain mean (there is mass outside the cut range)
+    assert(kept.length < n)
+  }
+
+  test("q_time_travel equals a sequential versioned-upsert replay") {
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("unix_micros(o_orderdate)"), col("o_orderstatus"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // batch v (1..4): per customer the (date, key)-max order among
+    // o_orderkey % 4 == v-1; state asOf V = latest batch <= V per customer
+    def batchState(v: Int): Map[Long, String] =
+      orders.filter(_._2 % 4 == v - 1).groupBy(_._1).view
+        .mapValues(rs => rs.maxBy(r => (r._3, r._2))._4).toMap
+    def asOf(v: Int): Map[Long, String] =
+      (1 to v).foldLeft(Map.empty[Long, String])(_ ++ batchState(_))
+    val expect = Seq(2, 4).flatMap { v =>
+      asOf(v).values.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        .map { case (st, cnt) => (v.toLong, st, cnt) }
+    }.sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("q_time_travel")(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("version"),
+        r.getAs[String]("event_type"), r.getAs[Long]("n_users"))).toSeq
+    assert(got === expect)
+  }
+
   test("q_degree_dist equals a sequential log2-bucket replay") {
     val adj = coPurchaseAdj()
     val expect = adj.view.mapValues(_.size.toLong).values

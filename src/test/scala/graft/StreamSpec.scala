@@ -1138,4 +1138,96 @@ class StreamSpec extends SparkSpec {
     assert(live === batch,
       "every closed day's anomaly row must equal the batch monitor")
   }
+
+  test("live trigram paths equal the batch 3-step path counts") {
+    import spark.implicits._
+    import graft.stream.Paths
+    import graft.stream.Paths.PEvent
+    // Global (us, event_id) sort → the split preserves per-user time
+    // order ACROSS batches; each batch is seeded-shuffled so the spec
+    // also proves the two-slot state machine re-sorts WITHIN a batch
+    // (the Transitions.pairs discipline, one slot wider).
+    val rows = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).as[PEvent]
+      .collect().toSeq.sortBy(e => (e.us, e.event_id))
+    val (h, t) = rows.splitAt(rows.size / 2)
+    val rnd = new scala.util.Random(11)
+    val ms = MemoryStream[PEvent](implicitly[Encoder[PEvent]], spark.sqlContext)
+    val sink = s"paths_${System.identityHashCode(this)}"
+    val q = Paths.trigrams(ms.toDS())
+      .writeStream.outputMode("append").format("memory").queryName(sink).start()
+    try {
+      ms.addData(rnd.shuffle(h)); q.processAllAvailable()
+      ms.addData(rnd.shuffle(t)); q.processAllAvailable()
+    } finally q.stop()
+    val live = spark.table(sink)
+      .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getAs[Long]("n")).toMap
+    // full batch trigram table (q_top_paths truncates to 10 — recompute
+    // the whole table with the same lag logic for a total comparison)
+    val batch = rows.groupBy(_.user_id).values.flatMap { es =>
+      es.sortBy(e => (e.us, e.event_id)).map(_.event_type)
+        .sliding(3).filter(_.size == 3).map(t3 => (t3(0), t3(1), t3(2)))
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(live === batch,
+      "streaming trigram counts must equal the batch path table")
+    // and the top-10 of the live table equals the oracle-checked query
+    val liveTop = live.toSeq
+      .sortBy { case ((a, b, c), n) => (-n, a, b, c) }.take(10)
+      .map { case ((a, b, c), n) => (a, b, c, n) }
+    val topBatch = SparkEntry.queries("q_top_paths")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(liveTop === topBatch)
+  }
+
+  test("live streak summaries equal the batch gaps-and-islands rollup") {
+    import spark.implicits._
+    import graft.stream.Streaks
+    import graft.stream.Streaks.SEvent
+    val rows = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")), col("ts")).collect()
+      .map(r => SEvent(r.getLong(0), r.getLong(1), r.getTimestamp(2))).toSeq
+    val rnd = new scala.util.Random(23)
+    val shuffled = rnd.shuffle(rows)
+    val (b1, rest) = shuffled.splitAt(rows.size / 3)
+    val (b2, b3) = rest.splitAt(rest.size / 2)
+    val maxUs = rows.map(_.us).max
+    val delayS = 60L * 86400L // admits full-corpus disorder
+    def sent(off: Long) = {
+      val us = maxUs + (delayS + off) * 1000000L
+      SEvent(-1L, us, new Timestamp(us / 1000L))
+    }
+    val ms = MemoryStream[SEvent](implicitly[Encoder[SEvent]], spark.sqlContext)
+    val sink = s"streaks_${System.identityHashCode(this)}"
+    val q = Streaks.summaries(
+        ms.toDS().withWatermark("ts", s"$delayS seconds"))
+      .writeStream.outputMode("append").format("memory").queryName(sink).start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable() // at-least-once redelivery
+      ms.addData(b3); q.processAllAvailable()
+      // flush: the watermark must pass the END of the last active day
+      ms.addData(Seq(sent(2L * 86400L))); q.processAllAvailable()
+      ms.addData(Seq(sent(3L * 86400L))); q.processAllAvailable()
+    } finally q.stop()
+    // a user's emissions carry strictly increasing n_active_days: the
+    // max row per user IS the current summary
+    val live = spark.table(sink).filter(col("user") =!= -1L)
+      .groupBy("user").agg(max(struct(col("n_active_days"),
+        col("longest_streak"), col("n_streaks"))).as("m"))
+      .select(col("user"), col("m.longest_streak"), col("m.n_streaks"),
+        col("m.n_active_days"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val batch = SparkEntry.queries("q_streaks")(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(live === batch,
+      "final live summaries must equal the batch streaks query")
+  }
 }

@@ -1959,6 +1959,86 @@ object Analytics {
       |GROUP BY e1, e2, e3
       |ORDER BY n_paths DESC, e1, e2, e3 LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_did — difference-in-differences readout
+  // ---------------------------------------------------------------------
+
+  /** Difference-in-differences over the parity experiment — the causal
+    * companion of ◆ `q_ab_lift` (which reads a post-only 2×2; DiD
+    * subtracts each arm's OWN baseline, removing any fixed between-arm
+    * level difference): purchase value means per (arm × before/after the
+    * day-span midpoint), estimate
+    * ΔΔ = (μ̄₁₁ − μ̄₁₀) − (μ̄₀₁ − μ̄₀₀). The four cells aggregate in ONE
+    * conditional pass (the `q_ab_lift` single-scan discipline); the
+    * estimate is the exact rational with denominator n₁₁·n₁₀·n₀₁·n₀₀ —
+    * the cross-multiplied numerator exceeds 2⁶³, so both ship as
+    * decimal(38,0) ↔ HUGEINT STRINGS (the `q_ols_fit` widening rule) and
+    * the dollars figure is a round4 double formed once from them.
+    */
+  private val didQ: Q = (s, d) => {
+    val e = Tables.events(s, d).filter(col("event_type") === "purchase")
+      .select(pmod(col("user_id"), lit(2L)).as("arm"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        Num.cents(col("value")).as("cents"))
+    val bounds = e.agg(min("day").as("lo"), max("day").as("hi"))
+    def cell(arm: Int, post: Int, agg: Column): Column = {
+      val inPost = col("day") > call_function("div",
+        col("lo") + col("hi"), lit(2L))
+      sum(when(col("arm") === arm &&
+        (if (post == 1) inPost else !inPost), agg).otherwise(lit(0L)))
+    }
+    val g = e.crossJoin(broadcast(bounds)).agg(
+      cell(0, 0, lit(1L)).as("n00"), cell(0, 0, col("cents")).as("s00"),
+      cell(0, 1, lit(1L)).as("n01"), cell(0, 1, col("cents")).as("s01"),
+      cell(1, 0, lit(1L)).as("n10"), cell(1, 0, col("cents")).as("s10"),
+      cell(1, 1, lit(1L)).as("n11"), cell(1, 1, col("cents")).as("s11"))
+    val dec = "decimal(38,0)"
+    def w(n: String) = col(n).cast(dec)
+    val num = (w("s11") * w("n10") - w("s10") * w("n11")) *
+      (w("n01") * w("n00")) -
+      (w("s01") * w("n00") - w("s00") * w("n01")) * (w("n11") * w("n10"))
+    val den = w("n11") * w("n10") * w("n01") * w("n00")
+    g.select(col("n00"), col("s00"), col("n01"), col("s01"),
+        col("n10"), col("s10"), col("n11"), col("s11"),
+        num.cast("string").as("did_num_s"),
+        den.cast("string").as("did_den_s"),
+        Num.round4(num.cast("double") / den.cast("double") / lit(100.0))
+          .as("did_dollars"))
+  }
+
+  private val didSql =
+    """WITH e AS (
+      |  SELECT user_id % 2 AS arm,
+      |         epoch_ns(ts) // 1000 // 86400000000 AS day,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM e),
+      |g AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN arm = 0 AND day <= (lo+hi)//2 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+      |    CAST(SUM(CASE WHEN arm = 0 AND day <= (lo+hi)//2 THEN cents ELSE 0 END) AS BIGINT) AS s00,
+      |    CAST(SUM(CASE WHEN arm = 0 AND day >  (lo+hi)//2 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+      |    CAST(SUM(CASE WHEN arm = 0 AND day >  (lo+hi)//2 THEN cents ELSE 0 END) AS BIGINT) AS s01,
+      |    CAST(SUM(CASE WHEN arm = 1 AND day <= (lo+hi)//2 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+      |    CAST(SUM(CASE WHEN arm = 1 AND day <= (lo+hi)//2 THEN cents ELSE 0 END) AS BIGINT) AS s10,
+      |    CAST(SUM(CASE WHEN arm = 1 AND day >  (lo+hi)//2 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+      |    CAST(SUM(CASE WHEN arm = 1 AND day >  (lo+hi)//2 THEN cents ELSE 0 END) AS BIGINT) AS s11
+      |  FROM e, b),
+      |w AS (
+      |  SELECT n00, s00, n01, s01, n10, s10, n11, s11,
+      |         (CAST(s11 AS HUGEINT) * n10 - CAST(s10 AS HUGEINT) * n11) *
+      |           (CAST(n01 AS HUGEINT) * n00) -
+      |         (CAST(s01 AS HUGEINT) * n00 - CAST(s00 AS HUGEINT) * n01) *
+      |           (CAST(n11 AS HUGEINT) * n10) AS num,
+      |         CAST(n11 AS HUGEINT) * n10 * n01 * n00 AS den
+      |  FROM g)
+      |SELECT n00, s00, n01, s01, n10, s10, n11, s11,
+      |       CAST(num AS VARCHAR) AS did_num_s,
+      |       CAST(den AS VARCHAR) AS did_den_s,
+      |       floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 100.0
+      |             * 10000.0 + 0.5) / 10000.0 AS did_dollars
+      |FROM w""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q_linreg_trend", linregTrendQ, Some(linregTrendSql)),
     Entry("q_moment_matrix", momentMatrixQ, Some(momentMatrixSql)),
@@ -1988,5 +2068,6 @@ object Analytics {
     Entry("q_churn_hazard", churnHazardQ, Some(churnHazardSql)),
     Entry("q_streaks", streaksQ, Some(streaksSql)),
     Entry("q_top_paths", topPathsQ, Some(topPathsSql)),
+    Entry("q_did", didQ, Some(didSql)),
   )
 }

@@ -3029,6 +3029,119 @@ object LlmQueries {
       |         AS l_risk
       |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** The generalization LADDER — the FIX half of the ◆ `q_k_anonymity`
+    * audit: when a quasi-identifier combination is too fine (cells below
+    * k = 5 members re-identify), the remedies are generalize (coarsen a
+    * QI column) or suppress (drop the risky cells); this query measures
+    * the whole trade-off curve in one report. Four nested generalization
+    * levels of the customer QI — (nation, segment, $1000 balance band) →
+    * drop the band → nation coarsened to REGION (the domain hierarchy,
+    * via the broadcast dim) → segment only — each summarized to
+    * (cells, risky cells, people at risk, suppression cost in basis
+    * points): the release manager picks the first level whose residual
+    * risk clears policy. Each level is one hash aggregate collapsing to
+    * |cells| rows then one row — people shuffle once per level, never
+    * row-wise across levels; the levels union at 4 rows.
+    */
+  private val kAnonGeneralize: Q = (s, d) => {
+    val k = 5L
+    val cust = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_nationkey").cast("long").as("nat"),
+        col("n_regionkey").cast("long").as("reg"),
+        col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("band"))
+    def level(lvl: Long, keys: Seq[String]): org.apache.spark.sql.DataFrame =
+      cust.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum((col("n") < k).cast("long")).as("risky_cells"),
+          sum(when(col("n") < k, col("n")).otherwise(lit(0L)))
+            .as("people_at_risk"),
+          sum("n").as("n_people"))
+        .select(lit(lvl).as("level"), col("n_cells"), col("risky_cells"),
+          col("people_at_risk"),
+          call_function("div", lit(10000L) * col("people_at_risk"),
+            col("n_people")).as("suppress_bp"))
+    level(0L, Seq("nat", "seg", "band"))
+      .unionByName(level(1L, Seq("nat", "seg")))
+      .unionByName(level(2L, Seq("reg", "seg")))
+      .unionByName(level(3L, Seq("seg")))
+      .orderBy("level")
+  }
+
+  private val kAnonGeneralizeSql = {
+    def lvl(l: Int, keys: String) =
+      s"""SELECT CAST($l AS BIGINT) AS level,
+         |       CAST(count(*) AS BIGINT) AS n_cells,
+         |       CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS risky_cells,
+         |       CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+         |         AS people_at_risk,
+         |       (10000 * CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END)
+         |                     AS BIGINT)) // CAST(SUM(n) AS BIGINT)
+         |         AS suppress_bp
+         |FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM cust
+         |      GROUP BY $keys)""".stripMargin
+    s"""WITH cust AS (
+       |  SELECT CAST(c_nationkey AS BIGINT) AS nat,
+       |         CAST(n_regionkey AS BIGINT) AS reg,
+       |         c_mktsegment AS seg,
+       |         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band
+       |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+       |${lvl(0, "nat, seg, band")}
+       |UNION ALL ${lvl(1, "nat, seg")}
+       |UNION ALL ${lvl(2, "reg, seg")}
+       |UNION ALL ${lvl(3, "seg")}
+       |ORDER BY level""".stripMargin
+  }
+
+  /** Per-document keywords WITHOUT libm: top-3 tokens per document ranked
+    * by (tf DESC, df ASC, token) — locally frequent, globally rare — the
+    * integer-exact surrogate for tf·idf's argmax (log is monotone in
+    * 1/df, so for a FIXED tf the idf order IS the ascending-df order;
+    * the lexicographic rank is the hash-gateable form of "most
+    * distinctive term", and `ml_tfidf_similar` holds the float scoring
+    * path). The (doc, token) tf table is localCheckpoint-ed — it feeds
+    * both the corpus df aggregate and the ranked branch, and
+    * re-tokenizing the fact per consumer is the `q_rank_test`
+    * reuse-blocker class. Rank ≤ 3 plans as a WindowGroupLimit under the
+    * doc-keyed window, so a long document never buffers its full
+    * vocabulary. Reported for doc_id < 100 (the report cap; df is still
+    * computed over the WHOLE corpus).
+    */
+  private val docKeywords: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dfT = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    tf.filter(col("doc_id") < 100)
+      .join(dfT, "w")
+      .withColumn("rnk", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(desc("tf"), asc("df"), asc("w"))))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
+        col("w").as("token"), col("tf"), col("df"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  private val docKeywordsSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+      |       FROM toks WHERE length(w) > 0 GROUP BY doc_id, w),
+      |dft AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+      |r AS (
+      |  SELECT tf.doc_id, tf.w, tf.tf, dft.df,
+      |         row_number() OVER (PARTITION BY tf.doc_id
+      |                            ORDER BY tf.tf DESC, dft.df, tf.w) AS rn
+      |  FROM tf JOIN dft ON tf.w = dft.w WHERE tf.doc_id < 100)
+      |SELECT doc_id, CAST(rn AS BIGINT) AS rnk, w AS token, tf, df
+      |FROM r WHERE rn <= 3 ORDER BY doc_id, rnk""".stripMargin
+
   /** BPE ENCODE — applying the trained tokenizer, completing the
     * train→apply loop `ml_bpe_vocab` opens (the artifact a 100 TB corpus
     * tokenization job broadcasts to every executor): the 30-merge table
@@ -3156,6 +3269,8 @@ object LlmQueries {
     Entry("ml_bpe_vocab", bpeVocab, None),
     Entry("ml_bpe_encode", bpeEncode, None),
     Entry("q_k_anonymity", kAnonymity, Some(kAnonymitySql)),
+    Entry("q_k_anon_generalize", kAnonGeneralize, Some(kAnonGeneralizeSql)),
+    Entry("q_doc_keywords", docKeywords, Some(docKeywordsSql)),
     Entry("q_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
   )
 

@@ -740,6 +740,40 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("q_did matches a sequential exact-rational replay") {
+    import graft.tables.Tables
+    import org.apache.spark.sql.functions._
+    val rows = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(pmod(col("user_id"), lit(2L)),
+        expr("unix_micros(ts) div 86400000000"),
+        round(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lo = rows.map(_._2).min
+    val hi = rows.map(_._2).max
+    val mid = Math.floorDiv(lo + hi, 2L)
+    def cellOf(arm: Long, post: Boolean) = {
+      val c = rows.filter(r => r._1 == arm && ((r._2 > mid) == post))
+      (c.size.toLong, c.map(_._3).sum)
+    }
+    val (n00, s00) = cellOf(0, post = false)
+    val (n01, s01) = cellOf(0, post = true)
+    val (n10, s10) = cellOf(1, post = false)
+    val (n11, s11) = cellOf(1, post = true)
+    val num = (BigInt(s11) * n10 - BigInt(s10) * n11) *
+      (BigInt(n01) * n00) -
+      (BigInt(s01) * n00 - BigInt(s00) * n01) * (BigInt(n11) * n10)
+    val den = BigInt(n11) * n10 * n01 * n00
+    val r = q("q_did").collect().head
+    assert(Seq("n00", "s00", "n01", "s01", "n10", "s10", "n11", "s11")
+      .map(r.getAs[Long]) === Seq(n00, s00, n01, s01, n10, s10, n11, s11))
+    assert(r.getAs[String]("did_num_s") === num.toString)
+    assert(r.getAs[String]("did_den_s") === den.toString)
+    val did = num.toDouble / den.toDouble / 100.0
+    assert(r.getAs[Double]("did_dollars") ===
+      math.floor(did * 10000.0 + 0.5) / 10000.0)
+  }
+
   test("q_weighted_quantile matches a sequential cumulative-weight pick") {
     import graft.tables.Tables
     import org.apache.spark.sql.functions._

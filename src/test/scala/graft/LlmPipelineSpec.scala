@@ -570,4 +570,40 @@ class LlmPipelineSpec extends SparkSpec {
     assert(planted.forall { case (_, _, j) => j == 1.0 })
     assert(planted.subsetOf(got))
   }
+
+  test("q_doc_keywords matches a plain-Scala tf/df rank on every reported doc") {
+    val tf = docs.toSeq.flatMap { case (id, text) =>
+      text.split(" ", -1).filter(_.nonEmpty).groupBy(identity)
+        .map { case (w, ws) => (id, w, ws.length.toLong) }
+    }
+    val df = tf.groupBy(_._2).view.mapValues(_.map(_._1).distinct.size.toLong)
+    val expect = tf.filter(_._1 < 100).groupBy(_._1).toSeq.flatMap {
+      case (id, rows) =>
+        rows.map(r => (r._2, r._3, df(r._2)))
+          .sortBy { case (w, t, d) => (-t, d, w) }.take(3).zipWithIndex
+          .map { case ((w, t, d), i) => (id, i + 1L, w, t, d) }
+    }.sortBy(r => (r._1, r._2))
+    val got = graft.queries.Registry.queries("q_doc_keywords")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === expect)
+  }
+
+  test("q_k_anon_generalize: coarser levels never increase residual risk on a laddered hierarchy") {
+    val rows = graft.queries.Registry.queries("q_k_anon_generalize")(
+      spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L, 3L))
+    val people = rows.map(r => r.getLong(3))
+    // dropping a QI column merges cells — level 1 risk ≤ level 0; the
+    // region/segment steps coarsen further along the same hierarchy
+    assert(people(1) <= people(0))
+    assert(people(2) <= people(1))
+    assert(people(3) <= people(2))
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "risky cells <= cells")
+      assert(r.getLong(4) >= 0L && r.getLong(4) <= 10000L)
+    }
+    // the ladder is non-trivial on the fixture: level 0 carries real risk
+    assert(people(0) > 0L)
+  }
 }

@@ -998,6 +998,78 @@ object Stats {
       |            AS BIGINT) AS trim_mean_cents
       |FROM v, cuts, n GROUP BY lo_cut, hi_cut, n""".stripMargin
 
+  /** Estimator-stability audit by DETERMINISTIC half-sampling — the
+    * engine's libm-free stand-in for a bootstrap CI: 16 seeded
+    * half-samples (row ∈ sample b iff md5(key#b) is even — the
+    * [[graft.ops.Hashing]] oracle-reproducible uniform), each sample's
+    * mean order value in exact cents, and the lo / lower-median / hi of
+    * the 16 means next to the full mean. A wide spread says the mean is
+    * resampling-unstable (heavy tail, small n) BEFORE anyone ships it —
+    * the uncertainty signal a proper bootstrap gives, with none of its
+    * RNG or float-quantile machinery (half-sampling is the B = 2 case
+    * of the n-out-of-n-without-replacement subsampling estimator).
+    * ALL 16 samples aggregate in ONE conditional pass over one scan
+    * (32 CASE sums — no 16× row explosion); the order statistics of the
+    * 16 means are an `array_sort` over one 16-element array in the
+    * single result row. Everything integer; the ◆ oracle replicates the
+    * md5 parity and sorts the same list.
+    */
+  private val subsampleB = 16
+
+  private val subsampleStabilityQ: Q = (s, d) => {
+    val keyed = Tables.orders(s, d).select(
+      col("o_orderkey").cast("string").as("k"),
+      Num.cents(col("o_totalprice")).as("cents"))
+    def in(b: Int) =
+      pmod(graft.ops.Hashing.md5Long(concat(col("k"), lit(s"#$b"))),
+        lit(2L)) === 0L
+    val aggs = (0 until subsampleB).flatMap { b =>
+      Seq(sum(when(in(b), lit(1L)).otherwise(lit(0L))).as(s"n$b"),
+        sum(when(in(b), col("cents")).otherwise(lit(0L))).as(s"s$b"))
+    } ++ Seq(count(lit(1)).as("n"), sum("cents").as("s"))
+    val g = keyed.agg(aggs.head, aggs.tail: _*)
+    val means = array((0 until subsampleB).map(b =>
+      call_function("div", col(s"s$b"), col(s"n$b"))): _*)
+    g.select(col("n"),
+        call_function("div", col("s"), col("n")).as("full_mean_cents"),
+        array_sort(means).as("ms"))
+      .select(col("n"), col("full_mean_cents"),
+        element_at(col("ms"), 1).as("sub_mean_lo"),
+        element_at(col("ms"), subsampleB / 2).as("sub_mean_med"),
+        element_at(col("ms"), subsampleB).as("sub_mean_hi"),
+        (element_at(col("ms"), subsampleB) - element_at(col("ms"), 1))
+          .as("sub_spread"))
+  }
+
+  private val subsampleStabilitySql = {
+    val cases = (0 until subsampleB).map { b =>
+      s"""CAST(SUM(CASE WHEN ('0x' || substr(md5(k || '#$b'), 1, 8))::BIGINT
+         |              % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n$b,
+         |  CAST(SUM(CASE WHEN ('0x' || substr(md5(k || '#$b'), 1, 8))::BIGINT
+         |              % 2 = 0 THEN cents ELSE 0 END) AS BIGINT) AS s$b"""
+        .stripMargin
+    }.mkString(",\n  ")
+    val meanList = (0 until subsampleB).map(b => s"s$b // n$b").mkString(", ")
+    s"""WITH v AS (
+       |  SELECT CAST(o_orderkey AS VARCHAR) AS k,
+       |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+       |  FROM orders),
+       |g AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         CAST(SUM(cents) AS BIGINT) AS s,
+       |  $cases
+       |  FROM v),
+       |m AS (SELECT n, s // n AS full_mean_cents,
+       |             list_sort([$meanList]) AS ms
+       |      FROM g)
+       |SELECT n, full_mean_cents,
+       |       CAST(ms[1] AS BIGINT) AS sub_mean_lo,
+       |       CAST(ms[${subsampleB / 2}] AS BIGINT) AS sub_mean_med,
+       |       CAST(ms[$subsampleB] AS BIGINT) AS sub_mean_hi,
+       |       CAST(ms[$subsampleB] - ms[1] AS BIGINT) AS sub_spread
+       |FROM m""".stripMargin
+  }
+
   /** Per-GROUP exact order statistics by the same selection template,
     * fully partitioned — what replaces ◆ `q_percentiles`' per-group
     * `percentile()` sort when a single group is itself data-sized (one
@@ -1379,6 +1451,8 @@ object Stats {
     Entry("q_quantile_global", quantileGlobalQ, Some(quantileGlobalSql)),
     Entry("q_weighted_quantile", weightedQuantileQ, Some(weightedQuantileSql)),
     Entry("q_winsorize", winsorizeQ, Some(winsorizeSql)),
+    Entry("q_subsample_stability", subsampleStabilityQ,
+      Some(subsampleStabilitySql)),
     Entry("q_pareto", paretoQ, Some(paretoSql)),
     Entry("q_cohort_retention", cohortQ, Some(cohortSql)),
     Entry("q_drift_ks", driftKsQ, Some(driftKsSql)),

@@ -98,6 +98,22 @@ class SnapshotStore(spark: SparkSession, rootUri: String) {
     changes.select("user_id", "event_type")
       .write.mode("overwrite").parquet(s"$root/v=$v")
 
+  /** Continuous versioned ingestion: micro-batch N commits as version
+    * N+1 via [[commitAs]], so a redelivered micro-batch REPLACES its own
+    * version directory instead of appending a duplicate (the
+    * exactly-once-by-overwrite discipline; the spec forces a redelivery
+    * and proves version history + every readAsOf unchanged). A store has
+    * ONE writer — the batchId IS the version counter, so mixing stream
+    * and ad-hoc [[commit]] writers on the same root is a caller error.
+    */
+  def appendStream(changes: DataFrame, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .foreachBatch((batch: DataFrame, id: Long) => commitAs(batch, id + 1L))
+      .start()
+
   /** The key state as of commit `v`: latest-wins per key across every
     * commit `≤ v`. Fails loudly outside [horizon, latestVersion].
     */

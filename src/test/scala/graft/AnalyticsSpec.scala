@@ -774,6 +774,34 @@ class AnalyticsSpec extends SparkSpec {
       math.floor(did * 10000.0 + 0.5) / 10000.0)
   }
 
+  test("q_subsample_stability matches a sequential md5 half-sample replay") {
+    import graft.tables.Tables
+    import org.apache.spark.sql.functions._
+    def md5hex8(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val rows = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").cast("string"),
+        round(col("o_totalprice") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val means = (0 until 16).map { b =>
+      val in = rows.filter { case (k, _) => md5hex8(s"$k#$b") % 2 == 0 }
+      in.map(_._2).sum / in.size
+    }.sorted
+    val r = q("q_subsample_stability").collect().head
+    assert(r.getAs[Long]("n") === rows.length.toLong)
+    assert(r.getAs[Long]("full_mean_cents") ===
+      rows.map(_._2).sum / rows.length)
+    assert(r.getAs[Long]("sub_mean_lo") === means.head)
+    assert(r.getAs[Long]("sub_mean_med") === means(7))
+    assert(r.getAs[Long]("sub_mean_hi") === means.last)
+    assert(r.getAs[Long]("sub_spread") === means.last - means.head)
+    // the audit is non-degenerate: half-samples actually differ
+    assert(means.distinct.size > 1)
+  }
+
   test("q_weighted_quantile matches a sequential cumulative-weight pick") {
     import graft.tables.Tables
     import org.apache.spark.sql.functions._

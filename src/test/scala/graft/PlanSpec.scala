@@ -55,7 +55,8 @@ class PlanSpec extends SparkSpec {
     // (tiny build side, SURVEY §2.3 J5) and is excluded by design.
     for (q <- Seq("q_embed_cosine_topk", "q_dedup_jaccard", "q_minhash_dedup",
         "q_ann_ivf", "q_simhash", "q_vocab_pmi", "q_knn_label", "q_dedup_delta",
-        "q_ann_pq", "q_containment_dup", "q_chunk_dedup", "ml_cluster_serve")) {
+        "q_ann_pq", "q_containment_dup", "q_chunk_dedup", "ml_cluster_serve",
+        "q_simjoin_prefix", "q_tie_strength", "q_kcore", "q_trending")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q degraded to cartesian:\n$p")
     }

@@ -81,4 +81,25 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(store.versions === Seq(1L, 2L))
     assert(rows(store.readAsOf(2)) === replay(1))
   }
+
+  test("a live versioned stream builds the same readAsOf history as batch commits") {
+    import spark.implicits._
+    import org.apache.spark.sql.Encoder
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val store = freshStore()
+    val batches = (0 to 2).map(i => rows(batch(i)))
+    val ms = MemoryStream[(Long, String)](
+      implicitly[Encoder[(Long, String)]], spark.sqlContext)
+    val q = store.appendStream(
+      ms.toDF().toDF("user_id", "event_type"),
+      "file://" + java.nio.file.Files
+        .createTempDirectory("graft-snap-ckpt"))
+    try {
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    assert(store.versions === Seq(1L, 2L, 3L))
+    (1 to 3).foreach { v =>
+      assert(rows(store.readAsOf(v)) === replay(v - 1), s"stream asOf $v")
+    }
+  }
 }

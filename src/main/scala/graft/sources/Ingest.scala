@@ -53,6 +53,37 @@ object Ingest {
       maxRows: Int): DataFrame =
     csv(spark, path, schema).limit(maxRows)
 
+  /** Malformed-row QUARANTINE read — what a production crawl/partner-feed
+    * ingest actually needs (a single bad line must neither kill the job
+    * nor silently vanish): PERMISSIVE mode parses what it can and lands
+    * each unparseable line VERBATIM in the `_corrupt` column, so the
+    * good rows flow on (`_corrupt IS NULL`) while the quarantine
+    * (`_corrupt IS NOT NULL`) is preserved byte-for-byte for triage and
+    * replay — conservation is the contract: good + quarantined = input
+    * lines (spec-pinned). `dropMalformed` is the lossy alternative for
+    * feeds where bad lines are noise, and FAILFAST (Spark's default
+    * surface, nothing to wrap) is the strict gate for feeds where a bad
+    * line means upstream breakage. Scale: PERMISSIVE is a row-local
+    * parse decision — splittable, no second pass, no driver involvement.
+    * Consumption contract: Spark refuses a plan pruned down to ONLY the
+    * corrupt column of a raw-file read (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    * — split-and-persist the parse once (write the good rows and the
+    * quarantine to their sinks in one pass), which is the production
+    * shape anyway.
+    */
+  def jsonQuarantine(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .schema(schema.add("_corrupt", "string"))
+      .json(path)
+
+  /** Lossy variant: malformed rows silently dropped (noise feeds). */
+  def jsonDropMalformed(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read.option("mode", "DROPMALFORMED").schema(schema).json(path)
+
   /** S7 — CSV sink (integrated-dataset export shape). */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)

@@ -39,4 +39,31 @@ object Joins {
         s"r.$rightTs <= l.$leftTs + interval $within"))
       .drop(r(key))
   }
+
+  /** LEFT OUTER interval join — the "did a response EVER follow the
+    * trigger" form the inner join cannot answer: a trigger with no
+    * response inside its interval must still come out, null-completed.
+    * Structured Streaming can only emit that null row once it is SURE no
+    * match can still arrive — i.e. when the watermark passes the END of
+    * the trigger's interval — so unmatched rows surface with watermark
+    * latency, not batch latency (the spec pins exactly this: no null
+    * row before the closing watermark, the null row after). Same state
+    * bound as [[intervalJoin]]: both sides watermarked, the time-range
+    * conjunct lets Spark evict buffered rows as the watermark advances.
+    * The match semantics on admitted events equal the BATCH left-outer
+    * join with the same predicate (spec-proven), which is what makes
+    * the live no-response alert trustworthy.
+    */
+  def leftOuterIntervalJoin(left: DataFrame, leftTs: String,
+      right: DataFrame, rightTs: String,
+      key: String, horizon: String, within: String): DataFrame = {
+    val l = left.withWatermark(leftTs, horizon).alias("l")
+    val r = right.withWatermark(rightTs, horizon).alias("r")
+    l.join(r,
+      expr(s"l.$key = r.$key AND " +
+        s"r.$rightTs >= l.$leftTs AND " +
+        s"r.$rightTs <= l.$leftTs + interval $within"),
+      "left_outer")
+      .drop(r(key))
+  }
 }

@@ -177,6 +177,39 @@ class SourcesSpec extends SparkSpec {
     deleteRecursively(dir)
   }
 
+  test("malformed-JSON quarantine: good rows flow, bad lines preserved verbatim, nothing lost") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val dir = tmp("graft-quarantine")
+    val lines = Seq(
+      """{"id": 1, "name": "a"}""",
+      "not json at all",
+      """{"id": 2, "name": "b"}""",
+      """{"id": broken""")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "feed.json"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType)))
+    // Spark disallows pruning a raw-file read down to ONLY the corrupt
+    // column (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — materialize the parse
+    // once, as the scaladoc's split-and-persist pattern prescribes.
+    val rows = graft.sources.Ingest.jsonQuarantine(spark, dir, schema)
+      .collect()
+    val good = rows.filter(_.isNullAt(2))
+    val bad = rows.filterNot(_.isNullAt(2))
+    assert(good.length === 2 && bad.length === 2,
+      "conservation: good + quarantined = input lines")
+    assert(good.map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set((1L, "a"), (2L, "b")))
+    assert(bad.map(_.getString(2)).toSet ===
+      Set("not json at all", """{"id": broken"""),
+      "quarantined lines must be byte-for-byte the offending input")
+    assert(graft.sources.Ingest.jsonDropMalformed(spark, dir, schema)
+      .count() === 2L, "DROPMALFORMED keeps only parseable rows")
+    deleteRecursively(dir)
+  }
+
   test("S12/S13: registry publishes, loads, advances BEST, keeps last 5") {
     // file:// URI root: all registry IO must flow through the Hadoop
     // FileSystem API (the S11 s3a-ready contract) — a java.nio regression

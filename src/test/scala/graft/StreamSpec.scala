@@ -354,6 +354,42 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join null-completes unmatched triggers only after the watermark closes their interval") {
+    import spark.implicits._
+    import graft.stream.Joins
+    val base = 1704067200000L
+    def ts(min: Long): Timestamp = new Timestamp(base + min * 60000L)
+    val lms = MemoryStream[Trig](implicitly[Encoder[Trig]], spark.sqlContext)
+    val rms = MemoryStream[Resp](implicitly[Encoder[Resp]], spark.sqlContext)
+    val joined = Joins.leftOuterIntervalJoin(
+      lms.toDF(), "lts", rms.toDF(), "rts", "user_id", "10 minutes", "10 minutes")
+    val sink = s"stream_ojoins_${System.identityHashCode(this)}"
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(sink).start()
+    try {
+      // user 1 gets an in-interval response; user 2 never gets one
+      lms.addData(Trig(1, ts(0)), Trig(2, ts(0)))
+      rms.addData(Resp(1, ts(5), 1.5))
+      q.processAllAvailable()
+      val early = spark.table(sink).collect()
+      assert(early.map(_.getLong(0)).toSet === Set(1L),
+        "the unmatched trigger must NOT surface before its interval closes")
+      // advance BOTH watermarks (the query watermark is the min across
+      // inputs) far past user 2's interval end
+      lms.addData(Trig(9, ts(120))); rms.addData(Resp(9, ts(120), 0.0))
+      q.processAllAvailable()
+      val out = spark.table(sink).filter(col("user_id") < 9)
+        .select("user_id", "lts", "rts", "value").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1),
+          Option(r.getTimestamp(2)), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+        .toSet
+      assert(out === Set(
+        (1L, ts(0), Some(ts(5)), Some(1.5)),
+        (2L, ts(0), None, None)),
+        s"matched row + watermark-closed null completion expected: $out")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: live run equals the q_interval_join batch twin") {
     // The SAME events, the SAME Joins.intervalJoin definition, once through
     // real streaming state (MemoryStream, append mode) and once through the

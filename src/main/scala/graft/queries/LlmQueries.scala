@@ -3096,6 +3096,54 @@ object LlmQueries {
        |ORDER BY level""".stripMargin
   }
 
+  /** EXACT distributed heavy hitters in two bounded passes — the
+    * frequent-items question ("which tokens exceed 1/64 of the corpus")
+    * answered with a guarantee, at any scale: pass 1 runs the
+    * [[graft.functions.MisraGries]] bounded-memory summary (k = 63
+    * counters per map task, partial-aggregated — the exchange moves
+    * k·tasks map entries, never tokens), whose mergeable-summaries
+    * guarantee says every item with true frequency > n/64 SURVIVES
+    * whatever the partitioning; pass 2 recounts ONLY the ≤ 63 surviving
+    * candidates exactly (broadcast semi-join, key-partitioned count) and
+    * keeps those over the true threshold. The sketch is merge-order-
+    * dependent; the final answer is not — which is why the ◆ oracle can
+    * be the definitional GROUP BY ... HAVING over the whole corpus and
+    * hash equality PROVES the superset guarantee held on this run.
+    * `q_countmin` estimates any key's count with error; this finds the
+    * heavy keys with none — the two ends of the frequent-items
+    * trade-off. Threshold arithmetic stays integer (cnt·64 > n).
+    */
+  private val heavyHitters: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .localCheckpoint()
+    val mg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.MisraGries(63),
+      org.apache.spark.sql.Encoders.STRING)
+    val cands = toks.agg(mg(col("w")).as("cands"))
+      .select(explode(col("cands")).as("w"))
+    val nDf = toks.agg(count(lit(1)).as("n"))
+    toks.join(broadcast(cands), Seq("w"), "left_semi")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(nDf))
+      .filter(col("cnt") * 64 > col("n"))
+      .select(col("w").as("token"), col("cnt"), col("n"),
+        call_function("div", lit(10000L) * col("cnt"), col("n"))
+          .as("share_bp"))
+      .orderBy(desc("cnt"), asc("token"))
+  }
+
+  private val heavyHittersSql =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |t2 AS (SELECT w FROM toks WHERE length(w) > 0),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t2),
+      |c AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM t2 GROUP BY w)
+      |SELECT w AS token, cnt, n, (10000 * cnt) // n AS share_bp
+      |FROM c, n WHERE cnt * 64 > n
+      |ORDER BY cnt DESC, token""".stripMargin
+
   /** Per-document keywords WITHOUT libm: top-3 tokens per document ranked
     * by (tf DESC, df ASC, token) — locally frequent, globally rare — the
     * integer-exact surrogate for tf·idf's argmax (log is monotone in
@@ -3271,6 +3319,7 @@ object LlmQueries {
     Entry("q_k_anonymity", kAnonymity, Some(kAnonymitySql)),
     Entry("q_k_anon_generalize", kAnonGeneralize, Some(kAnonGeneralizeSql)),
     Entry("q_doc_keywords", docKeywords, Some(docKeywordsSql)),
+    Entry("q_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     Entry("q_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
   )
 

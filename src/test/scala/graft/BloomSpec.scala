@@ -169,4 +169,32 @@ class BloomSpec extends SparkSpec {
     assert("ObjectHashAggregate".r.findAllMatchIn(p).size >= 2,
       s"typed top-k must partial-aggregate map-side before the exchange:\n$p")
   }
+
+  test("MisraGries summary: bounded size, superset of true heavy hitters, partial-aggregated") {
+    import org.apache.spark.sql.functions._
+    import graft.tables.Tables
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val k = 63
+    val mg = udaf(new graft.functions.MisraGries(k),
+      org.apache.spark.sql.Encoders.STRING)
+    val sketchDf = toks.repartition(7).agg(mg(col("w")).as("cands"))
+    val p = sketchDf.queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllMatchIn(p).size >= 2,
+      s"the summary must partial-aggregate map-side:\n$p")
+    val cands = sketchDf.collect().head.getSeq[String](0).toSet
+    assert(cands.size <= k, s"summary holds at most $k items, got ${cands.size}")
+    val counts = toks.groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum
+    val trueHH = counts.filter { case (_, c) => c * (k + 1) > n }.keySet
+    assert(trueHH.nonEmpty, "the token corpus must have real heavy hitters")
+    assert(trueHH.subsetOf(cands),
+      s"every item above n/(k+1) must survive: missing ${trueHH -- cands}")
+    // the registry composition returns EXACTLY the true heavy hitters
+    val got = graft.queries.Registry.queries("q_heavy_hitters")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === counts.filter { case (_, c) => c * 64 > n })
+  }
 }

@@ -2039,6 +2039,93 @@ object Analytics {
       |             * 10000.0 + 0.5) / 10000.0 AS did_dollars
       |FROM w""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_mom_growth — month-over-month growth per nation
+  // ---------------------------------------------------------------------
+
+  /** Month-over-month revenue deltas per nation — the period-comparison
+    * report every finance dashboard opens with, exact: monthly cents
+    * rollup (customer dim broadcast onto the fact), lag over the
+    * nation-partitioned |months| calendar rows, delta in cents and
+    * growth in floor basis points (null on a missing previous month —
+    * no fabricated 0% growth). One fact shuffle into the rollup;
+    * everything after is |nations|·|months| rows.
+    */
+  private val momGrowthQ: Q = (s, d) => {
+    val monthly = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").cast("long").as("nk"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("mi"))
+      .agg(sum(Num.cents(col("o_totalprice"))).as("cents"))
+    val w = Window.partitionBy("nk").orderBy("mi")
+    monthly.withColumn("prev", lag("cents", 1).over(w))
+      .select(col("nk"), col("mi"), col("cents"),
+        (col("cents") - col("prev")).as("delta_cents"),
+        when(col("prev").isNotNull, call_function("div",
+          lit(10000L) * (col("cents") - col("prev")), col("prev")))
+          .as("growth_bp"))
+      .orderBy("nk", "mi")
+  }
+
+  private val momGrowthSql =
+    """WITH m AS (
+      |  SELECT CAST(c_nationkey AS BIGINT) AS nk,
+      |         CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+      |           AS mi,
+      |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |           AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |l AS (
+      |  SELECT nk, mi, cents,
+      |         lag(cents) OVER (PARTITION BY nk ORDER BY mi) AS prev
+      |  FROM m)
+      |SELECT nk, mi, cents,
+      |       cents - prev AS delta_cents,
+      |       CASE WHEN prev IS NOT NULL
+      |            THEN (10000 * (cents - prev)) // prev END AS growth_bp
+      |FROM l ORDER BY nk, mi""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_sql_shared — ONE dialect-portable SQL text runs on both engines
+  // ---------------------------------------------------------------------
+
+  /** The engine's SQL surface, demonstrated at its strongest: ONE
+    * ANSI-portable SQL text (joins, conditional aggregation, exact cents
+    * arithmetic — no engine-specific functions) registered over the
+    * engine's temp views and executed by `spark.sql`, while the ◆ oracle
+    * is the IDENTICAL STRING executed by DuckDB — write once, hash-match
+    * everywhere. This is the dialect-compatibility contract a user
+    * migrating warehouse SQL onto the engine cares about, stated as an
+    * executable artifact rather than a claim. (The DataFrame queries
+    * elsewhere deliberately use Spark-native idioms; this one pins the
+    * pure-SQL path end-to-end, Catalyst planning included.)
+    */
+  private val sqlSharedText =
+    """SELECT r_name,
+      |       o_orderpriority,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |         AS revenue_cents,
+      |       CAST(SUM(CASE WHEN o_orderstatus = 'F'
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_finished
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE o_totalprice > 1000
+      |GROUP BY r_name, o_orderpriority
+      |ORDER BY r_name, o_orderpriority""".stripMargin
+
+  private val sqlSharedQ: Q = (s, d) => {
+    Seq("orders", "customer", "nation", "region").foreach { t =>
+      Tables.read(s, d, t).createOrReplaceTempView(t)
+    }
+    s.sql(sqlSharedText)
+  }
+
   val entries: Seq[Entry] = Seq(
     Entry("q_linreg_trend", linregTrendQ, Some(linregTrendSql)),
     Entry("q_moment_matrix", momentMatrixQ, Some(momentMatrixSql)),
@@ -2069,5 +2156,7 @@ object Analytics {
     Entry("q_streaks", streaksQ, Some(streaksSql)),
     Entry("q_top_paths", topPathsQ, Some(topPathsSql)),
     Entry("q_did", didQ, Some(didSql)),
+    Entry("q_mom_growth", momGrowthQ, Some(momGrowthSql)),
+    Entry("q_sql_shared", sqlSharedQ, Some(sqlSharedText)),
   )
 }

@@ -774,6 +774,37 @@ class AnalyticsSpec extends SparkSpec {
       math.floor(did * 10000.0 + 0.5) / 10000.0)
   }
 
+  test("q_mom_growth matches a sequential lag replay") {
+    import graft.tables.Tables
+    import org.apache.spark.sql.functions._
+    val monthly = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").cast("long"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long"),
+        round(col("o_totalprice") * 100).cast("long"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val expect = monthly.keys.groupBy(_._1).toSeq.flatMap { case (nk, ks) =>
+      val mis = ks.map(_._2).toSeq.sorted
+      mis.zip(None +: mis.init.map(Some(_))).map { case (mi, prevMi) =>
+        val c = monthly((nk, mi))
+        val prev = prevMi.map(p => monthly((nk, p)))
+        (nk, mi, c, prev.map(c - _),
+          // Spark `div` and DuckDB `//` both TRUNCATE toward zero on
+          // negatives (probed) — Scala `/` matches; floorDiv would not
+          prev.map(p => 10000L * (c - p) / p))
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = q("q_mom_growth").collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))
+    }.toSeq
+    assert(got === expect)
+  }
+
   test("q_subsample_stability matches a sequential md5 half-sample replay") {
     import graft.tables.Tables
     import org.apache.spark.sql.functions._

@@ -448,6 +448,66 @@ object Warehouse {
       |FROM ao WHERE rn = 1
       |GROUP BY version, st ORDER BY version, event_type""".stripMargin
 
+  // ------------------------------------------------------------ table health
+
+  /** One-report warehouse vitals — the sweep an on-call engineer reads
+    * before anything else: per audited table, row count, distinct key
+    * count, duplicate-key mass (n − distinct: the silent fanout source
+    * every join downstream inherits), and the latest data day (the
+    * freshness column a stalled pipeline shows first; NULL for tables
+    * with no time axis). Four independent single-scan aggregates
+    * unioned at 4 rows — each table is scanned once, keys collapse in
+    * the count-distinct pyramid, nothing row-sized crosses the union.
+    * Complements ◆ `q_reconcile` (cross-table key coverage) and
+    * ◆ `q_constraints` (declarative per-rule gates): this is the
+    * always-on dashboard row, those are the deep checks.
+    */
+  private val tableHealth: Q = (s, d) => {
+    def vitals(name: String, df: org.apache.spark.sql.DataFrame,
+        key: String, dayExpr: Option[String]) =
+      df.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col(key)).as("distinct_keys"),
+          dayExpr.map(e => max(expr(e)))
+            .getOrElse(max(lit(null).cast("long"))).as("latest_day"))
+        .select(lit(name).as("tbl"), col("n_rows"), col("distinct_keys"),
+          (col("n_rows") - col("distinct_keys")).as("dup_keys"),
+          col("latest_day"))
+    vitals("documents", Tables.documents(s, d), "doc_id", None)
+      .unionByName(vitals("events", Tables.events(s, d), "event_id",
+        Some("unix_micros(ts) div 86400000000")))
+      .unionByName(vitals("lineitem", Tables.lineitem(s, d), "l_orderkey",
+        Some("unix_micros(l_shipdate) div 86400000000")))
+      .unionByName(vitals("orders", Tables.orders(s, d), "o_orderkey",
+        Some("unix_micros(o_orderdate) div 86400000000")))
+      .orderBy("tbl")
+  }
+
+  private val tableHealthSql =
+    """SELECT 'documents' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(count(DISTINCT doc_id) AS BIGINT) AS distinct_keys,
+      |       CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS dup_keys,
+      |       CAST(NULL AS BIGINT) AS latest_day
+      |FROM documents
+      |UNION ALL
+      |SELECT 'events', CAST(count(*) AS BIGINT),
+      |       CAST(count(DISTINCT event_id) AS BIGINT),
+      |       CAST(count(*) - count(DISTINCT event_id) AS BIGINT),
+      |       CAST(MAX(epoch_ns(ts) // 1000 // 86400000000) AS BIGINT)
+      |FROM events
+      |UNION ALL
+      |SELECT 'lineitem', CAST(count(*) AS BIGINT),
+      |       CAST(count(DISTINCT l_orderkey) AS BIGINT),
+      |       CAST(count(*) - count(DISTINCT l_orderkey) AS BIGINT),
+      |       CAST(MAX(epoch_us(l_shipdate) // 86400000000) AS BIGINT)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'orders', CAST(count(*) AS BIGINT),
+      |       CAST(count(DISTINCT o_orderkey) AS BIGINT),
+      |       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+      |       CAST(MAX(epoch_us(o_orderdate) // 86400000000) AS BIGINT)
+      |FROM orders
+      |ORDER BY tbl""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
     Entry("q_incr_agg", incrAgg, Some(incrAggSql)),
@@ -456,5 +516,6 @@ object Warehouse {
     Entry("q_table_diff", tableDiff, Some(tableDiffSql)),
     Entry("q_incr_join", incrJoin, Some(incrJoinSql)),
     Entry("q_time_travel", timeTravel, Some(timeTravelSql)),
+    Entry("q_table_health", tableHealth, Some(tableHealthSql)),
   )
 }

@@ -159,6 +159,68 @@ object Stats {
       |       round(avg(CAST(props->>'k' AS INT)), 4) AS avg_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Semi-structured extraction through Spark 4's VARIANT type — the
+    * binary-encoded sibling of ◆ `q_json_extract`'s per-path
+    * `get_json_object`: `parse_json` decodes the string ONCE into a
+    * traversal-friendly binary value, after which every `variant_get`
+    * path access is a lookup, not a re-parse — the difference that
+    * matters when a 100 TB event stream carries wide payloads read along
+    * many paths (the engine's ingest answer to "schema-on-read without
+    * rescanning strings"). Values and aggregation are identical to the
+    * string-path twin, so the same DuckDB JSON oracle hash-gates the
+    * whole VARIANT decode→access→aggregate path; VariantSpec-style
+    * behavior (missing-path null via `try_variant_get`, inferred
+    * `schema_of_variant`) is pinned in AnalyticsSpec.
+    */
+  private val variantExtractQ: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+        parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+        try_variant_get(col("v"), "$.k", "bigint").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
+  private val variantExtractSql =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |       CAST(MIN(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+      |       CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Pivot → unpivot round trip with Spark's NATIVE `unpivot` (melt):
+    * per-nation revenue pivoted wide over order status, melted back to
+    * long — and the ◆ oracle is the DIRECT long-form GROUP BY, so hash
+    * equality proves the reshape algebra is lossless (pivot's
+    * null-filled absent cells drop on the way back, restoring exactly
+    * the sparse long form). Wide↔long is the report-vs-model impedance
+    * every BI export crosses; doing it with the engine's native
+    * operators (one Expand for the melt — no UNION-per-column rescan)
+    * keeps it one-pass at any width.
+    */
+  private val unpivotRoundtripQ: Q = (s, d) => {
+    val statuses = Seq("F", "O", "P")
+    val wide = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").cast("long").as("nk"))
+      .pivot("o_orderstatus", statuses)
+      .agg(sum(Num.cents(col("o_totalprice"))))
+    wide.unpivot(Array(col("nk")),
+        statuses.map(col).toArray, "status", "cents")
+      .filter(col("cents").isNotNull)
+      .orderBy("nk", "status")
+  }
+
+  private val unpivotRoundtripSql =
+    """SELECT CAST(c_nationkey AS BIGINT) AS nk, o_orderstatus AS status,
+      |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |         AS cents
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1, 2 ORDER BY nk, status""".stripMargin
+
   /** Ranking-distribution window functions: percent_rank / cume_dist /
     * ntile(4) of value within each event type, sampled to a deterministic
     * row subset so the output stays bounded.
@@ -1469,6 +1531,8 @@ object Stats {
     Entry("q_percentiles_approx", percentilesApproxQ, None),
     Entry("q_stats_agg", statsAggQ, Some(statsAggSql)),
     Entry("q_json_extract", jsonExtractQ, Some(jsonExtractSql)),
+    Entry("q_variant_extract", variantExtractQ, Some(variantExtractSql)),
+    Entry("q_unpivot_roundtrip", unpivotRoundtripQ, Some(unpivotRoundtripSql)),
     Entry("q_rank_funcs", rankFuncsQ, Some(rankFuncsSql)),
     Entry("q_set_ops", setOpsQ, Some(setOpsSql)),
   )

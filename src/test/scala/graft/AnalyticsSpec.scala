@@ -774,6 +774,27 @@ class AnalyticsSpec extends SparkSpec {
       math.floor(did * 10000.0 + 0.5) / 10000.0)
   }
 
+  test("variant semantics: typed access equals string-path parse; missing paths null; schema inferred") {
+    import graft.tables.Tables
+    import org.apache.spark.sql.functions._
+    val v = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("props"), parse_json(col("props")).as("v"))
+    val rows = v.select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("str_k"),
+        try_variant_get(col("v"), "$.k", "bigint").as("var_k"),
+        try_variant_get(col("v"), "$.missing", "bigint").as("gone"),
+        schema_of_variant(col("v")).as("sch"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2),
+        s"variant and string-path extraction must agree for ${r.getLong(0)}")
+      assert(r.isNullAt(3), "a missing path must be null, not an error")
+      assert(r.getString(4).contains("k"),
+        s"inferred variant schema must mention the field: ${r.getString(4)}")
+    }
+  }
+
   test("q_mom_growth matches a sequential lag replay") {
     import graft.tables.Tables
     import org.apache.spark.sql.functions._

@@ -541,6 +541,86 @@ object Windows {
     * state is three longs. The output is the funnel report: users entering
     * each stage plus floor-rounded conversion fractions.
     */
+  /** TIMED funnel — the product-analytics standard the strict-order
+    * funnel (◆ `q_funnel_steps`) doesn't ask: each step must land
+    * within [[funnelWindowUs]] of the previous one ("click within 48 h of
+    * signup, purchase within 48 h of that click"), so a conversion that
+    * straggles past the window stops counting — the funnel measures the
+    * FLOW, not eventual reachability. Same plan discipline as the
+    * untimed form: chained conditional window minima on ONE
+    * user-keyed exchange, the deadline as an extra integral conjunct
+    * (us ≤ t_prev + W) in each step's CASE — no extra pass, no join.
+    * Reported next to the untimed counts so the gap IS the
+    * slow-conversion mass (spec pins timed ≤ untimed per step).
+    */
+  private val funnelWindowUs = 48L * 3600L * 1000000L
+
+  private val funnelWindowQ: Q = (s, d) => {
+    val w = Window.partitionBy("user_id")
+    val W = funnelWindowUs
+    val stepped = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("t1", min(when(col("event_type") === "signup", col("us"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "click" &&
+        col("us") > col("t1") && col("us") <= col("t1") + W,
+        col("us"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "purchase" &&
+        col("us") > col("t2") && col("us") <= col("t2") + W,
+        col("us"))).over(w))
+      .withColumn("a2", min(when(col("event_type") === "click" && col("us") > col("t1"),
+        col("us"))).over(w))
+      .groupBy("user_id")
+      .agg(min("t1").as("t1"), min("t2").as("t2"), min("t3").as("t3"),
+        min("a2").as("a2"))
+    stepped.agg(
+        sum(col("t1").isNotNull.cast("long")).as("n_signup"),
+        sum(col("t2").isNotNull.cast("long")).as("n_click_w"),
+        sum(col("t3").isNotNull.cast("long")).as("n_purchase_w"),
+        sum(col("a2").isNotNull.cast("long")).as("n_click_any"))
+      .select(col("n_signup"), col("n_click_w"), col("n_purchase_w"),
+        col("n_click_any"),
+        (col("n_click_any") - col("n_click_w")).as("n_click_slow"),
+        Num.round4(col("n_click_w").cast("double") / col("n_signup"))
+          .as("conv_click_w"),
+        Num.round4(col("n_purchase_w").cast("double") / col("n_click_w"))
+          .as("conv_purchase_w"))
+  }
+
+  private val funnelWindowSql = {
+    val W = funnelWindowUs
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+       |s1 AS (
+       |  SELECT *, min(CASE WHEN event_type = 'signup' THEN us END)
+       |              OVER (PARTITION BY user_id) AS t1 FROM e),
+       |s2 AS (
+       |  SELECT *, min(CASE WHEN event_type = 'click' AND us > t1
+       |                      AND us <= t1 + $W THEN us END)
+       |              OVER (PARTITION BY user_id) AS t2,
+       |            min(CASE WHEN event_type = 'click' AND us > t1 THEN us END)
+       |              OVER (PARTITION BY user_id) AS a2 FROM s1),
+       |s3 AS (
+       |  SELECT *, min(CASE WHEN event_type = 'purchase' AND us > t2
+       |                      AND us <= t2 + $W THEN us END)
+       |              OVER (PARTITION BY user_id) AS t3 FROM s2),
+       |u AS (SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3,
+       |             min(a2) AS a2
+       |      FROM s3 GROUP BY user_id),
+       |f AS (
+       |  SELECT CAST(SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       |         CAST(SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click_w,
+       |         CAST(SUM(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_w,
+       |         CAST(SUM(CASE WHEN a2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click_any
+       |  FROM u)
+       |SELECT n_signup, n_click_w, n_purchase_w, n_click_any,
+       |       n_click_any - n_click_w AS n_click_slow,
+       |       floor(CAST(n_click_w AS DOUBLE) / n_signup * 10000.0 + 0.5) / 10000.0
+       |         AS conv_click_w,
+       |       floor(CAST(n_purchase_w AS DOUBLE) / n_click_w * 10000.0 + 0.5) / 10000.0
+       |         AS conv_purchase_w
+       |FROM f""".stripMargin
+  }
+
   private val funnelStepsQ: Q = (s, d) => {
     val w = Window.partitionBy("user_id")
     val stepped = Tables.events(s, d)
@@ -839,6 +919,7 @@ object Windows {
     Entry("q_resample_interp", resampleInterpQ, Some(resampleInterpSql)),
     Entry("q_attribution", attributionQ, Some(attributionSql)),
     Entry("q_funnel_steps", funnelStepsQ, Some(funnelStepsSql)),
+    Entry("q_funnel_window", funnelWindowQ, Some(funnelWindowSql)),
     Entry("q_transitions", transitionsQ, Some(transitionsSql)),
     Entry("q_scd2_history", scd2Q, Some(scd2Sql)),
     Entry("q_scd2_asof", scd2AsofQ, Some(scd2AsofSql)),

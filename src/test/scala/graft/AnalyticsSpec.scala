@@ -795,6 +795,21 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_funnel_window: timed conversions are a subset of untimed, and the gap is real") {
+    val timed = q("q_funnel_window").collect().head
+    val untimed = q("q_funnel_steps").collect().head
+    assert(timed.getAs[Long]("n_signup") === untimed.getAs[Long]("n_signup"))
+    assert(timed.getAs[Long]("n_click_w") <=
+      untimed.getAs[Long]("n_click_after"))
+    assert(timed.getAs[Long]("n_purchase_w") <=
+      untimed.getAs[Long]("n_purchase_after"))
+    // the deadline bites on the fixture — the timed funnel is not a
+    // renamed copy of the untimed one
+    assert(timed.getAs[Long]("n_click_slow") > 0L)
+    assert(timed.getAs[Long]("n_click_any") ===
+      untimed.getAs[Long]("n_click_after"))
+  }
+
   test("q_mom_growth matches a sequential lag replay") {
     import graft.tables.Tables
     import org.apache.spark.sql.functions._

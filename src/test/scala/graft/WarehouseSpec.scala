@@ -33,6 +33,51 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("measured: the bucketed join moves ZERO shuffle bytes; the raw join moves real ones") {
+    // The structural pin above reads the plan; this reads the RUNTIME
+    // task metrics — the number the 100 TB cost argument is actually
+    // about. Counting goes through toRdd (a plain count() appends its
+    // own SinglePartition aggregate exchange, which would charge bytes
+    // to BOTH sides and drown the signal).
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        bytes.addAndGet(e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    def measure(body: => Unit): Long = {
+      bytes.set(0L)
+      spark.sparkContext.addSparkListener(listener)
+      try body
+      finally {
+        // stage events post asynchronously — settle before detaching
+        var prev = -1L
+        var tries = 0
+        while (bytes.get != prev && tries < 40) {
+          prev = bytes.get; Thread.sleep(250); tries += 1
+        }
+        spark.sparkContext.removeSparkListener(listener)
+      }
+      bytes.get
+    }
+    val (o, c) = Bucketed.coBucketedOrdersCustomer(spark, sfDir)
+    withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      val bucketed = measure {
+        o.join(c, col("o_custkey") === col("c_custkey"))
+          .queryExecution.toRdd.count()
+      }
+      val raw = measure {
+        Tables.orders(spark, sfDir)
+          .join(Tables.customer(spark, sfDir),
+            col("o_custkey") === col("c_custkey"))
+          .queryExecution.toRdd.count()
+      }
+      assert(bucketed === 0L,
+        s"co-bucketed join must write no shuffle bytes, wrote $bucketed")
+      assert(raw > 0L, "the raw join must actually shuffle")
+    }
+  }
+
   test("aggregation on the bucket key needs no exchange either") {
     // The layout pays off beyond joins: a groupBy on the bucket key is
     // already hash-distributed, so the aggregate runs in one pass with

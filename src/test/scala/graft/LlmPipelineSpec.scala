@@ -571,6 +571,42 @@ class LlmPipelineSpec extends SparkSpec {
     assert(planted.subsetOf(got))
   }
 
+  test("CorpusPipeline ships the funnel: monotone stages, every gate bites, manifest audits the export, reruns reproduce") {
+    import org.apache.spark.sql.functions._
+    val all = Tables.documents(spark, sfDir)
+    // eval set = a slice of the corpus itself: its 8-grams are guaranteed
+    // to collide with the matching train docs, so decontamination is
+    // exercised for real
+    val eval = all.filter(pmod(col("doc_id"), lit(13)) === 0)
+    val out = java.nio.file.Files.createTempDirectory("graft-corpus").toString
+    val (stagesDf, manifest) = graft.llm.CorpusPipeline.run(all, eval, out)
+    val stages = stagesDf.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val order = Seq("00_ingest", "10_exact_dedup", "20_quality",
+      "30_near_dedup", "40_decontaminated")
+    assert(stages.keySet === order.toSet)
+    assert(stages("00_ingest") === all.count())
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(stages(b) <= stages(a), s"$b must not exceed $a")
+    }
+    // decontamination really bites (the eval slice plants collisions),
+    // and something survives to ship
+    assert(stages("40_decontaminated") < stages("30_near_dedup"))
+    assert(stages("40_decontaminated") > 0L)
+    // the manifest audits exactly what landed
+    val m = manifest.collect()
+    assert(m.map(_.getAs[Long]("rows")).sum === stages("40_decontaminated"))
+    assert(spark.read.parquet(out).count() === stages("40_decontaminated"))
+    // reproducibility: a second run ships the identical funnel and shards
+    val out2 = java.nio.file.Files.createTempDirectory("graft-corpus2").toString
+    val (stages2, manifest2) = graft.llm.CorpusPipeline.run(all, eval, out2)
+    assert(stages2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      === stages)
+    assert(manifest2.select("shard", "rows").collect().map(_.toSeq).toSeq
+      === manifest.select("shard", "rows").collect().map(_.toSeq).toSeq)
+    deleteRecursively(out); deleteRecursively(out2)
+  }
+
   test("q_doc_keywords matches a plain-Scala tf/df rank on every reported doc") {
     val tf = docs.toSeq.flatMap { case (id, text) =>
       text.split(" ", -1).filter(_.nonEmpty).groupBy(identity)

@@ -1185,6 +1185,64 @@ object LlmQueries {
       |       count(*) OVER (PARTITION BY component) AS csize
       |FROM comp ORDER BY doc_id""".stripMargin
 
+  /** Survivorship POLICY over dup components — the practice gap between
+    * "find the duplicates" and "ship one of them": the canonical pick in
+    * the rest of the dedup family is min-doc_id (stable, arbitrary);
+    * production survivorship keeps the BEST member — here the longest
+    * (max n_chars, doc_id tiebreak), the common keep-the-fullest-copy
+    * rule for near-dup crawl snapshots. The per-component argmax packs
+    * (n_chars, ¬doc_id) into ONE long (n_chars·2⁴⁰ + (2⁴⁰−1−doc_id) —
+    * the `ml_cluster_serve` codegen-hash-aggregate trick; a
+    * max-of-struct would SortAggregate), so choosing survivors costs
+    * one hash aggregate over \|members\| rows. ◆ oracle: the recursive
+    * closure + a window argmax.
+    */
+  private val dedupSurvivorshipQ: Q = (s, d) => {
+    val pack = 1L << 40
+    val docs = Tables.documents(s, d)
+    dupComponents(docs, Seq("lang"), 0.5)
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .groupBy("component")
+      .agg(count(lit(1)).as("csize"),
+        max(col("n_chars") * pack + (lit(pack - 1) - col("doc_id")))
+          .as("packed"))
+      .select(col("component"), col("csize"),
+        (lit(pack - 1) - pmod(col("packed"), lit(pack))).as("survivor_id"),
+        call_function("div", col("packed"), lit(pack)).as("survivor_chars"))
+      .orderBy("component")
+  }
+
+  private val dedupSurvivorshipSql =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, lang,
+      |         list_distinct(list_transform(string_split(text, ' '),
+      |           w -> ('0x' || substr(md5(w), 1, 15))::BIGINT)) AS toks
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |  WHERE round(len(list_intersect(a.toks, b.toks)) /
+      |              CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 4) >= 0.5),
+      |edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION ALL
+      |  SELECT doc_b AS a, doc_a AS b FROM pairs),
+      |walk(doc, lbl) AS (
+      |  SELECT DISTINCT a AS doc, a AS lbl FROM edges
+      |  UNION
+      |  SELECT e.b AS doc, w.lbl FROM walk w JOIN edges e ON e.a = w.doc),
+      |comp AS (SELECT doc AS doc_id, min(lbl) AS component FROM walk GROUP BY doc),
+      |m AS (
+      |  SELECT comp.component, comp.doc_id, d.n_chars,
+      |         row_number() OVER (PARTITION BY comp.component
+      |                            ORDER BY d.n_chars DESC, comp.doc_id)
+      |           AS rn,
+      |         count(*) OVER (PARTITION BY comp.component) AS csize
+      |  FROM comp JOIN documents d ON comp.doc_id = d.doc_id)
+      |SELECT component, csize, doc_id AS survivor_id,
+      |       n_chars AS survivor_chars
+      |FROM m WHERE rn = 1 ORDER BY component""".stripMargin
+
   /** PII scrubbing — the redaction pass a training-data pipeline runs
     * before anything else sees the text: emails, URLs, then long digit
     * runs, replaced in that order so address-embedded digits don't leak
@@ -3320,6 +3378,8 @@ object LlmQueries {
     Entry("q_k_anon_generalize", kAnonGeneralize, Some(kAnonGeneralizeSql)),
     Entry("q_doc_keywords", docKeywords, Some(docKeywordsSql)),
     Entry("q_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
+    Entry("q_dedup_survivorship", dedupSurvivorshipQ,
+      Some(dedupSurvivorshipSql)),
     Entry("q_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
   )
 

@@ -508,6 +508,65 @@ object Warehouse {
       |FROM orders
       |ORDER BY tbl""".stripMargin
 
+  /** What changed between two snapshot versions — the question TIME
+    * TRAVEL exists to answer ("what moved under the model since it
+    * trained"): states as-of v2 and v4 from the same [[timeTravel]]
+    * store build, full-outer joined on the key, classified
+    * added / changed / unchanged (this store has no deletes; the
+    * category algebra covers `removed` when a tombstone payload is
+    * modeled as an upsert). |keys|-sized on both sides; the ◆ oracle
+    * recomputes both versioned states definitionally and diffs them the
+    * same way — hash equality proves readAsOf's HISTORY is consistent,
+    * not just each version in isolation.
+    */
+  private val versionDiff: Q = (s, d) => {
+    val store = new graft.sources.SnapshotStore(s, "file://" +
+      java.nio.file.Files.createTempDirectory("graft-vdiff").toString)
+    def batch(i: Int) = Tables.orders(s, d)
+      .filter(pmod(col("o_orderkey"), lit(4)) === i)
+      .groupBy("o_custkey")
+      .agg(max(struct(expr("unix_micros(o_orderdate)").as("dus"),
+        col("o_orderkey").as("ok"), col("o_orderstatus").as("st"))).as("m"))
+      .select(col("o_custkey").as("user_id"), col("m.st").as("event_type"))
+    (0 to 3).foreach(i => store.commit(batch(i)))
+    val a = store.readAsOf(2).select(col("user_id"),
+      col("event_type").as("st_old"))
+    val b = store.readAsOf(4).select(col("user_id"),
+      col("event_type").as("st_new"))
+    a.join(b, Seq("user_id"), "full_outer")
+      .select(when(col("st_old").isNull, lit("added"))
+        .when(col("st_new").isNull, lit("removed"))
+        .when(col("st_old") =!= col("st_new"), lit("changed"))
+        .otherwise(lit("unchanged")).as("category"))
+      .groupBy("category").agg(count(lit(1)).as("n_keys"))
+      .orderBy("category")
+  }
+
+  private val versionDiffSql =
+    """WITH b AS (
+      |  SELECT o_custkey AS u, (o_orderkey % 4) + 1 AS v,
+      |         o_orderstatus AS st,
+      |         row_number() OVER (PARTITION BY o_custkey, o_orderkey % 4
+      |                            ORDER BY o_orderdate DESC, o_orderkey DESC)
+      |           AS rn
+      |  FROM orders),
+      |c AS (SELECT u, v, st FROM b WHERE rn = 1),
+      |v2 AS (SELECT u, st FROM (
+      |         SELECT u, st, row_number() OVER (PARTITION BY u ORDER BY v DESC)
+      |                  AS rn
+      |         FROM c WHERE v <= 2) WHERE rn = 1),
+      |v4 AS (SELECT u, st FROM (
+      |         SELECT u, st, row_number() OVER (PARTITION BY u ORDER BY v DESC)
+      |                  AS rn
+      |         FROM c WHERE v <= 4) WHERE rn = 1)
+      |SELECT CASE WHEN v2.u IS NULL THEN 'added'
+      |            WHEN v4.u IS NULL THEN 'removed'
+      |            WHEN v2.st <> v4.st THEN 'changed'
+      |            ELSE 'unchanged' END AS category,
+      |       CAST(count(*) AS BIGINT) AS n_keys
+      |FROM v2 FULL OUTER JOIN v4 ON v2.u = v4.u
+      |GROUP BY 1 ORDER BY category""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
     Entry("q_incr_agg", incrAgg, Some(incrAggSql)),
@@ -517,5 +576,6 @@ object Warehouse {
     Entry("q_incr_join", incrJoin, Some(incrJoinSql)),
     Entry("q_time_travel", timeTravel, Some(timeTravelSql)),
     Entry("q_table_health", tableHealth, Some(tableHealthSql)),
+    Entry("q_version_diff", versionDiff, Some(versionDiffSql)),
   )
 }

@@ -607,6 +607,26 @@ class LlmPipelineSpec extends SparkSpec {
     deleteRecursively(out); deleteRecursively(out2)
   }
 
+  test("q_dedup_survivorship picks each component's longest member (doc_id tiebreak)") {
+    val comp = graft.queries.Registry.queries("q_dup_components")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)) // doc_id -> component
+    val chars = Tables.documents(spark, sfDir)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = comp.groupBy(_._2).map { case (c, members) =>
+      val ids = members.map(_._1)
+      val survivor = ids.maxBy(id => (chars(id), -id))
+      c -> (ids.length.toLong, survivor, chars(survivor))
+    }
+    val got = graft.queries.Registry.queries("q_dedup_survivorship")(
+      spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expect)
+    // the policy differs from min-id canonical somewhere on the fixture
+    assert(got.exists { case (c, (_, survivor, _)) => survivor != c })
+  }
+
   test("q_doc_keywords matches a plain-Scala tf/df rank on every reported doc") {
     val tf = docs.toSeq.flatMap { case (id, text) =>
       text.split(" ", -1).filter(_.nonEmpty).groupBy(identity)

@@ -696,6 +696,31 @@ class WarehouseSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("q_version_diff conserves keys and agrees with the time-travel replay") {
+    val rows = SparkEntry.queries("q_version_diff")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // upsert-only store: nothing can be 'removed'
+    assert(!rows.contains("removed"))
+    // conservation: every key as-of v4 lands in exactly one category
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("unix_micros(o_orderdate)"), col("o_orderstatus"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    def asOf(v: Int): Map[Long, String] =
+      (1 to v).foldLeft(Map.empty[Long, String]) { (m, i) =>
+        m ++ orders.filter(_._2 % 4 == i - 1).groupBy(_._1).view
+          .mapValues(rs => rs.maxBy(r => (r._3, r._2))._4).toMap
+      }
+    val (a, b) = (asOf(2), asOf(4))
+    val expect = Map(
+      "added" -> (b.keySet -- a.keySet).size.toLong,
+      "changed" -> b.count { case (k, s) => a.get(k).exists(_ != s) }.toLong,
+      "unchanged" -> b.count { case (k, s) => a.get(k).contains(s) }.toLong)
+      .filter(_._2 > 0)
+    assert(rows === expect)
+  }
+
   test("q_degree_dist equals a sequential log2-bucket replay") {
     val adj = coPurchaseAdj()
     val expect = adj.view.mapValues(_.size.toLong).values

@@ -32,9 +32,24 @@ object Funnel {
   final case class Milestone(user_id: Long, stage: Int, us: Long)
 
   def milestones(events: Dataset[FEvent],
+      steps: (String, String, String) = ("signup", "click", "purchase")): Dataset[Milestone] =
+    milestonesTimed(events, Long.MaxValue, steps)
+
+  /** TIMED variant — the live twin of ◆ `q_funnel_window`: a stage only
+    * completes if it lands within `windowUs` of the previous one. Under
+    * per-key in-order delivery this is still exactly the batch
+    * conditional minimum: the first qualifying in-window event IS the
+    * min, and an event past the deadline can never be undercut by a
+    * later (even later) one — so a missed window is missed forever, in
+    * both engines, for the same reason. `windowUs = Long.MaxValue`
+    * degenerates to the untimed funnel (how [[milestones]] is defined).
+    */
+  def milestonesTimed(events: Dataset[FEvent], windowUs: Long,
       steps: (String, String, String) = ("signup", "click", "purchase")): Dataset[Milestone] = {
     import events.sparkSession.implicits._
     val (s1, s2, s3) = steps
+    def within(prev: Long, us: Long): Boolean =
+      us > prev && us - prev <= windowUs
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -44,9 +59,11 @@ object Funnel {
           incoming.toArray.sortBy(e => (e.us, e.event_id)).foreach { e =>
             if (st.t1 < 0 && e.event_type == s1) {
               st = st.copy(t1 = e.us); out += Milestone(uid, 1, e.us)
-            } else if (st.t1 >= 0 && st.t2 < 0 && e.event_type == s2 && e.us > st.t1) {
+            } else if (st.t1 >= 0 && st.t2 < 0 && e.event_type == s2 &&
+                within(st.t1, e.us)) {
               st = st.copy(t2 = e.us); out += Milestone(uid, 2, e.us)
-            } else if (st.t2 >= 0 && st.t3 < 0 && e.event_type == s3 && e.us > st.t2) {
+            } else if (st.t2 >= 0 && st.t3 < 0 && e.event_type == s3 &&
+                within(st.t2, e.us)) {
               st = st.copy(t3 = e.us); out += Milestone(uid, 3, e.us)
             }
           }

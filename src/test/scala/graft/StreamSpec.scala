@@ -1175,6 +1175,62 @@ class StreamSpec extends SparkSpec {
       "every closed day's anomaly row must equal the batch monitor")
   }
 
+  test("timed funnel milestones equal the q_funnel_window batch counts") {
+    import spark.implicits._
+    import graft.stream.Funnel
+    import graft.stream.Funnel.FEvent
+    val rows = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).as[FEvent]
+      .collect().toSeq.sortBy(e => (e.us, e.event_id))
+    val (h, t) = rows.splitAt(rows.size / 2)
+    val rnd = new scala.util.Random(29)
+    val ms = MemoryStream[FEvent](implicitly[Encoder[FEvent]], spark.sqlContext)
+    val sink = s"funnelw_${System.identityHashCode(this)}"
+    val W = 48L * 3600L * 1000000L
+    val q = Funnel.milestonesTimed(ms.toDS(), W)
+      .writeStream.outputMode("append").format("memory").queryName(sink).start()
+    try {
+      ms.addData(rnd.shuffle(h)); q.processAllAvailable()
+      ms.addData(rnd.shuffle(t)); q.processAllAvailable()
+    } finally q.stop()
+    val live = spark.table(sink).groupBy("stage").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val batch = SparkEntry.queries("q_funnel_window")(spark, sfDir)
+      .collect().head
+    assert(live.getOrElse(1, 0L) === batch.getAs[Long]("n_signup"))
+    assert(live.getOrElse(2, 0L) === batch.getAs[Long]("n_click_w"))
+    assert(live.getOrElse(3, 0L) === batch.getAs[Long]("n_purchase_w"))
+  }
+
+  test("foreachBatch enrichment re-resolves the dim store: CDC updates land next batch") {
+    import spark.implicits._
+    import graft.stream.Enrich
+    val store = new graft.sources.LatestStore(spark,
+      "file://" + java.nio.file.Files.createTempDirectory("graft-enrich-dim"))
+    def dimBatch(seq: Long, label: String) =
+      Seq((7L, seq * 1000L, seq, label))
+        .toDF("user_id", "us", "seq", "event_type")
+    store.append(dimBatch(1L, "bronze"))
+    val sink = java.nio.file.Files.createTempDirectory("graft-enrich-out").toString
+    val ms = MemoryStream[(Long, Long)](
+      implicitly[Encoder[(Long, Long)]], spark.sqlContext)
+    val q = Enrich.withLatestDim(
+      ms.toDF().toDF("user_id", "event_id"), store, sink,
+      "file://" + java.nio.file.Files.createTempDirectory("graft-enrich-ckpt"))
+    try {
+      ms.addData((7L, 1L)); q.processAllAvailable()
+      store.append(dimBatch(2L, "gold")) // CDC update between batches
+      ms.addData((7L, 2L)); q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(sink)
+      .select("event_id", "dim_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "bronze", 2L -> "gold"),
+      "the second batch must see the refreshed dimension")
+    deleteRecursively(sink)
+  }
+
   test("live trigram paths equal the batch 3-step path counts") {
     import spark.implicits._
     import graft.stream.Paths

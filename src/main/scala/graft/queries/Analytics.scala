@@ -2126,6 +2126,76 @@ object Analytics {
     s.sql(sqlSharedText)
   }
 
+  // ---------------------------------------------------------------------
+  // q_lag_features — the supervised-learning feature matrix in one pass
+  // ---------------------------------------------------------------------
+
+  /** Per-(user, calendar day) lag/rolling feature matrix — the table a
+    * churn/LTV model trains on, built in ONE pass: the dense day spine
+    * (the ◆ `q_resample_ffill` discipline — lag-1 must mean YESTERDAY,
+    * not "previous active day", so gaps zero-fill before any lag),
+    * then lag-1 / lag-7 counts and trailing-7-day count+revenue sums,
+    * all exact integers, all windows partitioned by user on one
+    * exchange. Spine heads carry null lags (no fabricated zeros — a
+    * model's missing-indicator is the modeler's choice, not the
+    * engine's). Reported for the user_id < 10 panel; the spine bounds
+    * come from the WHOLE stream so every panel shares one calendar.
+    */
+  private val lagFeaturesQ: Q = (s, d) => {
+    val allDays = Tables.events(s, d)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+    val bounds = allDays.agg(min("day").as("lo"), max("day").as("hi"))
+    val ev = Tables.events(s, d).filter(col("user_id") < 10)
+      .select(col("user_id").as("u"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        Num.cents(col("value")).as("cents"))
+    val spine = ev.select("u").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("u"), explode(expr("sequence(lo, hi)")).as("day"))
+    val daily = ev.groupBy("u", "day")
+      .agg(count(lit(1)).as("n"), sum("cents").as("c"))
+    val w = Window.partitionBy("u").orderBy("day")
+    val wr = w.rowsBetween(-6, Window.currentRow)
+    spine.join(daily, Seq("u", "day"), "left")
+      .na.fill(0L, Seq("n", "c"))
+      .withColumn("lag1_n", lag("n", 1).over(w))
+      .withColumn("lag7_n", lag("n", 7).over(w))
+      .withColumn("roll7_n", sum("n").over(wr))
+      .withColumn("roll7_cents", sum("c").over(wr))
+      .select(col("u").as("user_id"), col("day"), col("n"),
+        col("c").as("cents"), col("lag1_n"), col("lag7_n"),
+        col("roll7_n"), col("roll7_cents"))
+      .orderBy("user_id", "day")
+  }
+
+  private val lagFeaturesSql =
+    """WITH ev AS (
+      |  SELECT user_id AS u, (epoch_ns(ts) // 1000) // 86400000000 AS day,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |days AS (SELECT unnest(generate_series((SELECT min(day) FROM ev),
+      |                                       (SELECT max(day) FROM ev))) AS day),
+      |u AS (SELECT DISTINCT u FROM ev WHERE u < 10),
+      |daily AS (
+      |  SELECT u, day, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(SUM(cents) AS BIGINT) AS c
+      |  FROM ev WHERE u < 10 GROUP BY u, day),
+      |j AS (
+      |  SELECT s.u, s.day,
+      |         CAST(coalesce(d.n, 0) AS BIGINT) AS n,
+      |         CAST(coalesce(d.c, 0) AS BIGINT) AS c
+      |  FROM (SELECT u, day FROM u, days) s
+      |  LEFT JOIN daily d USING (u, day))
+      |SELECT u AS user_id, day, n, c AS cents,
+      |       lag(n, 1) OVER (PARTITION BY u ORDER BY day) AS lag1_n,
+      |       lag(n, 7) OVER (PARTITION BY u ORDER BY day) AS lag7_n,
+      |       CAST(SUM(n) OVER (PARTITION BY u ORDER BY day
+      |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll7_n,
+      |       CAST(SUM(c) OVER (PARTITION BY u ORDER BY day
+      |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+      |         AS roll7_cents
+      |FROM j ORDER BY user_id, day""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q_linreg_trend", linregTrendQ, Some(linregTrendSql)),
     Entry("q_moment_matrix", momentMatrixQ, Some(momentMatrixSql)),
@@ -2158,5 +2228,6 @@ object Analytics {
     Entry("q_did", didQ, Some(didSql)),
     Entry("q_mom_growth", momGrowthQ, Some(momGrowthSql)),
     Entry("q_sql_shared", sqlSharedQ, Some(sqlSharedText)),
+    Entry("q_lag_features", lagFeaturesQ, Some(lagFeaturesSql)),
   )
 }

@@ -87,6 +87,13 @@ class PruneRuleSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("thresholds at or below 0.05 are left alone (no useful prune, no rewrite)") {
+    val df = pairs(0.05)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("4294967296"),
+      s"a vacuous threshold must not grow guards:\n$plan")
+  }
+
   test("null token arrays behave as without the rule (conjunct null drops the row)") {
     val withNull = docs.union(
       spark.createDataFrame(Seq((99L, null: Seq[String])))

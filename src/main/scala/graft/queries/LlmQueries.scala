@@ -1185,6 +1185,61 @@ object LlmQueries {
       |       count(*) OVER (PARTITION BY component) AS csize
       |FROM comp ORDER BY doc_id""".stripMargin
 
+  /** Dedup observability by SOURCE — which feed is dirtiest: per corpus
+    * source, document count, documents sitting in an exact-duplicate
+    * group (same md5 fingerprint as ≥ 1 other doc ANYWHERE — cross-source
+    * duplication charges both sources, which is the point: a mirror site
+    * shows up in both its own and its victim's rate), the would-drop
+    * count under min-id survivorship, and the dup rate in basis points.
+    * The routing signal for crawl triage — `q_dedup_exact` finds the
+    * duplicates, this says where they come from. One fingerprint
+    * aggregate (|fp| rows) joined back, one source rollup. The fixture
+    * corpus is duplicate-free, so the family's planted-copy convention
+    * applies with the story made literal: the doc_id < 50 copies land
+    * under a synthetic 'zmirror' source — the mirror site — and the
+    * report charges BOTH the mirror (100% dup) and each victimized
+    * original source.
+    */
+  private val dupRateBySourceQ: Q = (s, d) => {
+    val base = Tables.documents(s, d)
+    val mirrored = base.unionByName(
+      base.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + lit(10000L))
+        .withColumn("source", lit("zmirror")))
+    val docs = mirrored
+      .select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
+    val groups = docs.groupBy("fp").agg(count(lit(1)).as("gsize"),
+      min("doc_id").as("canonical"))
+    docs.join(groups, "fp")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("gsize") > 1).cast("long")).as("n_in_dup_groups"),
+        sum((col("doc_id") =!= col("canonical")).cast("long")).as("n_drop"))
+      .withColumn("dup_bp", call_function("div",
+        lit(10000L) * col("n_in_dup_groups"), col("n_docs")))
+      .orderBy("source")
+  }
+
+  private val dupRateBySourceSql =
+    """WITH all_docs AS (
+      |  SELECT doc_id, source, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id, 'zmirror' AS source, text
+      |  FROM documents WHERE doc_id < 50),
+      |f AS (SELECT doc_id, source, md5(text) AS fp FROM all_docs),
+      |g AS (SELECT fp, CAST(count(*) AS BIGINT) AS gsize,
+      |             CAST(min(doc_id) AS BIGINT) AS canonical
+      |      FROM f GROUP BY fp)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(CASE WHEN gsize > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_in_dup_groups,
+      |       CAST(SUM(CASE WHEN doc_id <> canonical THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_drop,
+      |       (10000 * CAST(SUM(CASE WHEN gsize > 1 THEN 1 ELSE 0 END)
+      |                     AS BIGINT)) // CAST(count(*) AS BIGINT) AS dup_bp
+      |FROM f JOIN g USING (fp)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   /** Survivorship POLICY over dup components — the practice gap between
     * "find the duplicates" and "ship one of them": the canonical pick in
     * the rest of the dedup family is min-doc_id (stable, arbitrary);
@@ -3380,6 +3435,7 @@ object LlmQueries {
     Entry("q_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     Entry("q_dedup_survivorship", dedupSurvivorshipQ,
       Some(dedupSurvivorshipSql)),
+    Entry("q_dup_rate_by_source", dupRateBySourceQ, Some(dupRateBySourceSql)),
     Entry("q_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
   )
 

@@ -337,19 +337,23 @@ object GraphQueries {
        |ORDER BY node""".stripMargin
   }
 
-  private val kcoreK = 3
   private val kcoreRounds = 4
 
-  /** k-core peel toward the [[kcoreK]]-core, [[kcoreRounds]] unrolled
-    * rounds: each round drops every node whose degree WITHIN the
-    * surviving subgraph is < k, then recomputes degrees over the edges
-    * both of whose endpoints survive. The k-core is the standard
-    * "dense-enough neighborhood" filter a graph-feature pipeline runs
-    * before expensive community/embedding passes (peripheral
-    * one-basket items carry no co-purchase signal); the peel count is
-    * bounded and unrolled, so the query is deterministic whether or not
-    * the fixed point is reached — at the fixture scales it is, and the
-    * spec asserts it (every survivor has core degree ≥ k).
+  /** k-core peel, [[kcoreRounds]] unrolled rounds: each round drops
+    * every node whose degree WITHIN the surviving subgraph is < k, then
+    * recomputes degrees over the edges both of whose endpoints survive.
+    * The k-core is the standard "dense-enough neighborhood" filter a
+    * graph-feature pipeline runs before expensive community/embedding
+    * passes. k is DATA-DERIVED — ⌊avg_degree·5/8⌋ from one broadcast
+    * 1-row aggregate, identical integer arithmetic in both engines —
+    * because the co-purchase graph is dense (fixture min degree 49
+    * already exceeds any small fixed k, which would make the peel a
+    * no-op at every scale; the dup-rate lesson applied to graphs:
+    * measure, then plant a threshold that bites). At ⌊avg·5/8⌋ the peel
+    * removes real nodes AND reaches its fixed point within the 4 rounds
+    * at both fixture scales (probed; the spec asserts the fixpoint at
+    * sf0.001). The peel count stays bounded and unrolled, so the query
+    * is deterministic whether or not a different corpus converges.
     *
     * Loop shape — the [[itemRank]] invariant again: the |E| edge list is
     * checkpointed once and never re-shuffled; per-round state is the
@@ -359,6 +363,9 @@ object GraphQueries {
     */
   private val kcore: Q = (s, d) => {
     val edges = coPurchaseEdges(Tables.lineitem(s, d)).localCheckpoint()
+    val kDf = edges.agg(call_function("div",
+      call_function("div", count(lit(1)), countDistinct(col("src"))) * 5L,
+      lit(8L)).as("k"))
     var alive = edges.select(col("src").as("node")).distinct()
       .localCheckpoint()
     for (_ <- 1 to kcoreRounds) {
@@ -366,7 +373,8 @@ object GraphQueries {
         .join(broadcast(alive.withColumnRenamed("node", "src")), "src")
         .join(broadcast(alive.withColumnRenamed("node", "dst")), "dst")
         .groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= kcoreK)
+        .crossJoin(broadcast(kDf))
+        .filter(col("deg") >= col("k"))
         .select(col("src").as("node"))
         .localCheckpoint()
     }
@@ -386,13 +394,16 @@ object GraphQueries {
          |  JOIN a${i - 1} x ON e.src = x.node
          |  JOIN a${i - 1} y ON e.dst = y.node
          |  GROUP BY e.src),
-         |a$i AS (SELECT node FROM d$i WHERE deg >= $kcoreK)""".stripMargin
+         |a$i AS (SELECT node FROM d$i, k WHERE deg >= k)""".stripMargin
     }.mkString(",\n")
     s"""WITH li AS (
        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pid FROM lineitem),
        |edges AS (
        |  SELECT DISTINCT a.pid AS src, b.pid AS dst
        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pid <> b.pid),
+       |k AS (SELECT ((count(*) // (SELECT count(DISTINCT src) FROM edges))
+       |              * 5) // 8 AS k
+       |      FROM edges),
        |a0 AS (SELECT DISTINCT src AS node FROM edges),
        |$rounds
        |SELECT e.src AS part_id, CAST(count(*) AS BIGINT) AS core_deg

@@ -612,21 +612,26 @@ class WarehouseSpec extends SparkSpec {
     }.distinct.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
   }
 
-  test("q_kcore equals a sequential peel replay and reaches the fixed point") {
+  test("q_kcore equals a sequential peel replay, really peels, and reaches the fixed point") {
     val adj = coPurchaseAdj()
+    val nEdges = adj.values.map(_.size.toLong).sum
+    val k = nEdges / adj.size * 5L / 8L
     var alive = adj.keySet
     def degrees(a: Set[Long]): Map[Long, Long] =
       a.iterator.map(n => n -> adj(n).count(a).toLong).toMap
     for (_ <- 1 to 4)
-      alive = degrees(alive).filter(_._2 >= 3L).keySet
+      alive = degrees(alive).filter(_._2 >= k).keySet
     val expect = degrees(alive).filter(_._2 > 0L)
     val got = SparkEntry.queries("q_kcore")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === expect)
     assert(got.nonEmpty)
-    // fixed point at fixture scale: one further peel round removes nobody
-    assert(expect.values.forall(_ >= 3L),
-      "4 peel rounds converge on the fixture — every survivor has core degree >= k")
+    // the data-derived k actually bites (the fixed-k first cut peeled
+    // NOBODY — fixture min degree 49)
+    assert(alive.size < adj.size, "the peel must remove real nodes")
+    // fixed point at fixture scale: one further round removes nobody
+    assert(expect.values.forall(_ >= k),
+      "4 peel rounds converge — every survivor holds core degree >= k")
   }
 
   test("q_tie_strength equals a brute-force common-neighbor replay, top-50") {

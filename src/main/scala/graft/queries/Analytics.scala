@@ -2196,6 +2196,114 @@ object Analytics {
       |         AS roll7_cents
       |FROM j ORDER BY user_id, day""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_cuped — variance-reduced experiment readout
+  // ---------------------------------------------------------------------
+
+  /** CUPED-adjusted treatment effect — the variance-reduction standard of
+    * modern experimentation (Deng et al., WSDM'13): each user's POST
+    * metric is adjusted by θ·PRE (their own pre-period baseline), which
+    * cancels the between-user variance the raw difference carries;
+    * θ = cov(pre, post)/var(pre) is the pooled OLS slope. Everything is
+    * exact: per-user (pre, post) purchase cents collapse in one
+    * conditional aggregate (the day-span midpoint splits periods — the
+    * `q_did` discipline); θ's numerator/denominator are the n-scaled
+    * moments in decimal(38,0) ↔ HUGEINT (per-user products stay int64,
+    * the widening happens on the single aggregate row — the
+    * `q_moment_matrix` rule); the adjusted difference is the exact
+    * rational [(Σy₁n₀ − Σy₀n₁)·θ_den − θ_num·(Σx₁n₀ − Σx₀n₁)] over
+    * n₁·n₀·θ_den, shipped as strings with round4 dollar doubles formed
+    * once. The raw difference rides along — the spread between the two
+    * IS the variance the adjustment removed.
+    */
+  private val cupedQ: Q = (s, d) => {
+    val e = Tables.events(s, d).filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        Num.cents(col("value")).as("cents"))
+    val bounds = e.agg(min("day").as("lo"), max("day").as("hi"))
+    val perUser = e.crossJoin(broadcast(bounds))
+      .withColumn("post", (col("day") > call_function("div",
+        col("lo") + col("hi"), lit(2L))).cast("long"))
+      .groupBy("u")
+      .agg(sum(when(col("post") === 0L, col("cents")).otherwise(lit(0L)))
+        .as("x"),
+        sum(when(col("post") === 1L, col("cents")).otherwise(lit(0L)))
+          .as("y"))
+      .withColumn("arm", pmod(col("u"), lit(2L)))
+    val g = perUser.agg(
+      count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(when(col("arm") === 0L, lit(1L)).otherwise(lit(0L))).as("n0"),
+      sum(when(col("arm") === 0L, col("x")).otherwise(lit(0L))).as("sx0"),
+      sum(when(col("arm") === 0L, col("y")).otherwise(lit(0L))).as("sy0"),
+      sum(when(col("arm") === 1L, lit(1L)).otherwise(lit(0L))).as("n1"),
+      sum(when(col("arm") === 1L, col("x")).otherwise(lit(0L))).as("sx1"),
+      sum(when(col("arm") === 1L, col("y")).otherwise(lit(0L))).as("sy1"))
+    val dec = "decimal(38,0)"
+    def w(n: String) = col(n).cast(dec)
+    val thetaNum = w("n") * w("sxy") - w("sx") * w("sy")
+    val thetaDen = w("n") * w("sxx") - w("sx") * w("sx")
+    val dyNum = w("sy1") * w("n0") - w("sy0") * w("n1")
+    val dxNum = w("sx1") * w("n0") - w("sx0") * w("n1")
+    val adjNum = dyNum * thetaDen - thetaNum * dxNum
+    val adjDen = w("n1") * w("n0") * thetaDen
+    g.select(col("n0"), col("n1"),
+      thetaNum.cast("string").as("theta_num_s"),
+      thetaDen.cast("string").as("theta_den_s"),
+      Num.round4(dyNum.cast("double") /
+        (w("n1") * w("n0")).cast("double") / lit(100.0))
+        .as("raw_diff_dollars"),
+      Num.round4(adjNum.cast("double") / adjDen.cast("double") / lit(100.0))
+        .as("cuped_diff_dollars"))
+  }
+
+  private val cupedSql =
+    """WITH e AS (
+      |  SELECT user_id AS u,
+      |         epoch_ns(ts) // 1000 // 86400000000 AS day,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM e),
+      |pu AS (
+      |  SELECT u,
+      |         CAST(SUM(CASE WHEN day <= (lo+hi)//2 THEN cents ELSE 0 END)
+      |              AS BIGINT) AS x,
+      |         CAST(SUM(CASE WHEN day >  (lo+hi)//2 THEN cents ELSE 0 END)
+      |              AS BIGINT) AS y,
+      |         u % 2 AS arm
+      |  FROM e, b GROUP BY u),
+      |g AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |         CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |         CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      |         CAST(SUM(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS sx0,
+      |         CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sy0,
+      |         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |         CAST(SUM(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sx1,
+      |         CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1
+      |  FROM pu),
+      |wdn AS (
+      |  SELECT n0, n1,
+      |         CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS tnum,
+      |         CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS tden,
+      |         CAST(sy1 AS HUGEINT) * n0 - CAST(sy0 AS HUGEINT) * n1 AS dy,
+      |         CAST(sx1 AS HUGEINT) * n0 - CAST(sx0 AS HUGEINT) * n1 AS dx
+      |  FROM g)
+      |SELECT n0, n1,
+      |       CAST(tnum AS VARCHAR) AS theta_num_s,
+      |       CAST(tden AS VARCHAR) AS theta_den_s,
+      |       floor(CAST(dy AS DOUBLE) /
+      |             (CAST(n1 AS DOUBLE) * n0) / 100.0 * 10000.0 + 0.5)
+      |         / 10000.0 AS raw_diff_dollars,
+      |       floor(CAST(dy * tden - tnum * dx AS DOUBLE) /
+      |             CAST(CAST(n1 AS HUGEINT) * n0 * tden AS DOUBLE)
+      |             / 100.0 * 10000.0 + 0.5) / 10000.0 AS cuped_diff_dollars
+      |FROM wdn""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q_linreg_trend", linregTrendQ, Some(linregTrendSql)),
     Entry("q_moment_matrix", momentMatrixQ, Some(momentMatrixSql)),
@@ -2229,5 +2337,6 @@ object Analytics {
     Entry("q_mom_growth", momGrowthQ, Some(momGrowthSql)),
     Entry("q_sql_shared", sqlSharedQ, Some(sqlSharedText)),
     Entry("q_lag_features", lagFeaturesQ, Some(lagFeaturesSql)),
+    Entry("q_cuped", cupedQ, Some(cupedSql)),
   )
 }

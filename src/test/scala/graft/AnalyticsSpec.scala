@@ -740,6 +740,51 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("q_cuped matches a sequential exact-rational replay") {
+    import graft.tables.Tables
+    import org.apache.spark.sql.functions._
+    val rows = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000"),
+        round(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lo = rows.map(_._2).min
+    val hi = rows.map(_._2).max
+    val mid = Math.floorDiv(lo + hi, 2L)
+    val perUser = rows.groupBy(_._1).map { case (u, rs) =>
+      (u % 2, rs.filter(_._2 <= mid).map(_._3).sum,
+        rs.filter(_._2 > mid).map(_._3).sum)
+    }.toSeq
+    val n = perUser.size.toLong
+    val sx = perUser.map(_._2).sum
+    val sy = perUser.map(_._3).sum
+    val sxx = perUser.map(r => r._2 * r._2).sum
+    val sxy = perUser.map(r => r._2 * r._3).sum
+    val tNum = BigInt(n) * sxy - BigInt(sx) * sy
+    val tDen = BigInt(n) * sxx - BigInt(sx) * sx
+    def arm(a: Long) = perUser.filter(_._1 == a)
+    val (n0, sx0, sy0) =
+      (arm(0).size.toLong, arm(0).map(_._2).sum, arm(0).map(_._3).sum)
+    val (n1, sx1, sy1) =
+      (arm(1).size.toLong, arm(1).map(_._2).sum, arm(1).map(_._3).sum)
+    val dy = BigInt(sy1) * n0 - BigInt(sy0) * n1
+    val dx = BigInt(sx1) * n0 - BigInt(sx0) * n1
+    val r = q("q_cuped").collect().head
+    assert(r.getAs[Long]("n0") === n0 && r.getAs[Long]("n1") === n1)
+    assert(r.getAs[String]("theta_num_s") === tNum.toString)
+    assert(r.getAs[String]("theta_den_s") === tDen.toString)
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    assert(r.getAs[Double]("raw_diff_dollars") ===
+      r4(dy.toDouble / (n1.toDouble * n0) / 100.0))
+    assert(r.getAs[Double]("cuped_diff_dollars") ===
+      r4((dy * tDen - tNum * dx).toDouble /
+        (BigInt(n1) * n0 * tDen).toDouble / 100.0))
+    // the adjustment is real on the fixture: θ ≠ 0, adjusted ≠ raw
+    assert(tNum != BigInt(0))
+    assert(r.getAs[Double]("cuped_diff_dollars") !==
+      r.getAs[Double]("raw_diff_dollars"))
+  }
+
   test("q_did matches a sequential exact-rational replay") {
     import graft.tables.Tables
     import org.apache.spark.sql.functions._

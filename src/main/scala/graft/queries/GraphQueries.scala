@@ -552,6 +552,82 @@ object GraphQueries {
       |       CAST(sum(deg) AS BIGINT) AS sum_deg
       |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** INCREMENTAL graph maintenance — the `q_incr_agg` delta-refresh
+    * algebra extended to graph state: the co-purchase degree table is
+    * kept as standing state and refreshed from new BASKETS only, never
+    * by re-pairing history. Orders split at the 80% key point (the
+    * `q_split_temporal` data-derived-boundary discipline): E_old is the
+    * standing edge set, the delta baskets' candidate edges anti-join
+    * against it (an edge seen again in a new basket must not
+    * double-count — the crux; at 100 TB this anti-join rides the
+    * edge-bucketed layout), and the merged per-node degrees are
+    * old + novel with a full-outer null-safe merge. The ◆ oracle is the
+    * FULL recompute over all baskets — hash equality proves the delta
+    * algebra loses nothing and the anti-join dedup is exact. Output:
+    * per-node (old_deg, new_deg, delta) plus each side's edge mass.
+    */
+  private val incrGraph: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val keys = li.agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
+    val cut = call_function("div",
+      col("lo") + (col("hi") - col("lo")) * 8L, lit(10L))
+    val tagged = li.crossJoin(broadcast(keys))
+      .withColumn("is_old", col("l_orderkey") <= cut)
+    val eOld = coPurchaseEdges(tagged.filter(col("is_old")))
+      .localCheckpoint()
+    val eDeltaCand = coPurchaseEdges(tagged.filter(!col("is_old")))
+    val eNovel = eDeltaCand.join(eOld, Seq("src", "dst"), "left_anti")
+      .localCheckpoint()
+    val dOld = eOld.groupBy("src").agg(count(lit(1)).as("old_deg"))
+    val dNew = eNovel.groupBy("src").agg(count(lit(1)).as("delta_deg"))
+    dOld.join(dNew, Seq("src"), "full_outer")
+      .select(col("src").as("part_id"),
+        coalesce(col("old_deg"), lit(0L)).as("old_deg"),
+        coalesce(col("delta_deg"), lit(0L)).as("delta_deg"),
+        (coalesce(col("old_deg"), lit(0L)) +
+          coalesce(col("delta_deg"), lit(0L))).as("total_deg"))
+      .orderBy("part_id")
+  }
+
+  private val incrGraphSql =
+    """WITH k AS (SELECT MIN(l_orderkey) AS lo, MAX(l_orderkey) AS hi
+      |           FROM lineitem),
+      |li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pid,
+      |         l_orderkey <= (lo + (hi - lo) * 8) // 10 AS is_old
+      |  FROM lineitem, k),
+      |e_old AS (
+      |  SELECT DISTINCT a.pid AS src, b.pid AS dst
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pid <> b.pid
+      |  WHERE a.is_old AND b.is_old),
+      |e_delta AS (
+      |  SELECT DISTINCT a.pid AS src, b.pid AS dst
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pid <> b.pid
+      |  WHERE NOT a.is_old AND NOT b.is_old),
+      |e_novel AS (
+      |  SELECT src, dst FROM e_delta
+      |  EXCEPT SELECT src, dst FROM e_old),
+      |d_old AS (SELECT src, CAST(count(*) AS BIGINT) AS old_deg
+      |          FROM e_old GROUP BY src),
+      |d_new AS (SELECT src, CAST(count(*) AS BIGINT) AS delta_deg
+      |          FROM e_novel GROUP BY src),
+      |-- the oracle's total is the DEFINITIONAL full-graph recompute:
+      |-- hash equality against the engine's old+novel merge proves the
+      |-- delta algebra reconstructs it exactly
+      |d_full AS (
+      |  SELECT src, CAST(count(*) AS BIGINT) AS total_deg FROM (
+      |    SELECT DISTINCT a.pid AS src, b.pid AS dst
+      |    FROM li a JOIN li b ON a.ok = b.ok AND a.pid <> b.pid)
+      |  GROUP BY src)
+      |SELECT d_full.src AS part_id,
+      |       CAST(coalesce(old_deg, 0) AS BIGINT) AS old_deg,
+      |       CAST(coalesce(delta_deg, 0) AS BIGINT) AS delta_deg,
+      |       total_deg
+      |FROM d_full
+      |LEFT JOIN d_old ON d_old.src = d_full.src
+      |LEFT JOIN d_new ON d_new.src = d_full.src
+      |ORDER BY part_id""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q_item_rank", itemRank, Some(itemRankSql)),
     Entry("q_triangles", triangles, Some(trianglesSql)),
@@ -560,5 +636,6 @@ object GraphQueries {
     Entry("q_kcore", kcore, Some(kcoreSql)),
     Entry("q_tie_strength", tieStrength, Some(tieStrengthSql)),
     Entry("q_degree_dist", degreeDist, Some(degreeDistSql)),
+    Entry("q_incr_graph", incrGraph, Some(incrGraphSql)),
   )
 }

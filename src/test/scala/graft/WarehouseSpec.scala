@@ -726,6 +726,36 @@ class WarehouseSpec extends SparkSpec {
     assert(rows === expect)
   }
 
+  test("q_incr_graph: old + novel degree merge equals the full-graph recompute") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val lo = li.map(_._1).min
+    val hi = li.map(_._1).max
+    val cut = lo + (hi - lo) * 8 / 10
+    def edges(rows: Seq[(Long, Long)]): Set[(Long, Long)] =
+      rows.groupBy(_._1).values.flatMap { basket =>
+        val ps = basket.map(_._2).distinct
+        for (a <- ps; b <- ps if a != b) yield (a, b)
+      }.toSet
+    val eOld = edges(li.filter(_._1 <= cut).toSeq)
+    val eNovel = edges(li.filter(_._1 > cut).toSeq) -- eOld
+    val full = edges(li.toSeq)
+    assert(eOld ++ eNovel === full, "old ⊎ novel must reconstruct the graph")
+    val got = SparkEntry.queries("q_incr_graph")(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val fullDeg = full.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(got.keySet === fullDeg.keySet)
+    got.foreach { case (n, (o, dl, t)) =>
+      assert(o === eOld.count(_._1 == n).toLong, s"old deg of $n")
+      assert(dl === eNovel.count(_._1 == n).toLong, s"delta deg of $n")
+      assert(t === fullDeg(n), s"total deg of $n")
+      assert(o + dl === t, s"merge must conserve for $n")
+    }
+    assert(got.values.exists(_._2 > 0L), "the delta really adds edges")
+  }
+
   test("q_degree_dist equals a sequential log2-bucket replay") {
     val adj = coPurchaseAdj()
     val expect = adj.view.mapValues(_.size.toLong).values

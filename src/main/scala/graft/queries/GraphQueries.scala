@@ -144,10 +144,16 @@ object GraphQueries {
     * break by node id, so the orientation (and thus the plan-independent
     * count) is total.
     */
-  private val triangles: Q = (s, d) => {
-    val und = coPurchaseEdges(Tables.lineitem(s, d))
-      .filter(col("src") < col("dst"))
-      .localCheckpoint()
+  /** Per-node triangle counts of a canonical (src < dst) undirected edge
+    * list by the degree-ordered orientation (see [[triangles]] for the
+    * full argument). Returns (node, triangles) for triangle-participating
+    * nodes. Shared by [[triangles]] and the incremental-maintenance
+    * [[incrTriangles]] (which runs it on the OLD subgraph only).
+    * `und` must already be MATERIALIZED (localCheckpoint) by the caller —
+    * it feeds the degree join, both wedge sides, and the closing probe.
+    */
+  private def cornerCounts(und: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val deg = und.select(explode(array(col("src"), col("dst"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     val withDeg = und
@@ -172,6 +178,15 @@ object GraphQueries {
       e.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
+  }
+
+  private val triangles: Q = (s, d) => {
+    val und = coPurchaseEdges(Tables.lineitem(s, d))
+      .filter(col("src") < col("dst"))
+      .localCheckpoint()
+    val deg = und.select(explode(array(col("src"), col("dst"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    cornerCounts(und)
       .join(deg, "node")
       .select(col("node").as("part_id"), col("deg"), col("triangles"))
       .orderBy("part_id")
@@ -628,6 +643,142 @@ object GraphQueries {
       |LEFT JOIN d_new ON d_new.src = d_full.src
       |ORDER BY part_id""".stripMargin
 
+  /** INCREMENTAL per-node TRIANGLE maintenance — graph-view refresh one
+    * level up from [[incrGraph]]'s degrees: when new baskets add the
+    * novel edge set N to standing edges O, each node's triangle count
+    * updates by the inclusion–exclusion delta
+    *
+    *   Δ = A1 − A2 + A3,   where per triangle with k ≥ 1 novel edges
+    *   A1 counts it k times      (once per contained novel edge),
+    *   A2 counts it C(k,2) times (once per novel-edge pair — the pair
+    *                              shares exactly one vertex, so it is
+    *                              one novel-novel wedge + any closer),
+    *   A3 counts it C(k,3) times (all-novel, min-vertex enumeration),
+    *   and k − C(k,2) + C(k,3) = 1 for k = 1, 2, 3.
+    *
+    * Every term's cost is DELTA-DRIVEN (novel edges joined against the
+    * adjacency — never a full re-enumeration; triangles only ever
+    * appear, never vanish, under edge insertion, so Δ ≥ 0); the old
+    * counts come from [[cornerCounts]] on O alone. The ◆ oracle's
+    * total column is the DEFINITIONAL full-graph recompute and its
+    * delta is total − old — hash equality proves the
+    * inclusion–exclusion reconstructs the view exactly, the
+    * `q_incr_agg`/`q_incr_join` claim lifted to a non-linear graph
+    * statistic.
+    */
+  private val incrTriangles: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val keys = li.agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
+    val cut = call_function("div",
+      col("lo") + (col("hi") - col("lo")) * 8L, lit(10L))
+    val tagged = li.crossJoin(broadcast(keys))
+      .withColumn("is_old", col("l_orderkey") <= cut)
+    val oldC = coPurchaseEdges(tagged.filter(col("is_old")))
+      .filter(col("src") < col("dst")).localCheckpoint()
+    val fullC = coPurchaseEdges(tagged)
+      .filter(col("src") < col("dst")).localCheckpoint()
+    val novelC = fullC.join(oldC, Seq("src", "dst"), "left_anti")
+      .localCheckpoint()
+    def bothDirs(c: org.apache.spark.sql.DataFrame) =
+      c.union(c.select(col("dst").as("src"), col("src").as("dst")))
+    val fullD = bothDirs(fullC)
+    val novelD = bothDirs(novelC)
+    // A1: per novel edge (a, b): common neighbors w in the FULL graph
+    val a1 = novelC.as("n")
+      .join(fullD.as("f1"), col("n.src") === col("f1.src"))
+      .join(fullD.as("f2"),
+        col("n.dst") === col("f2.src") && col("f1.dst") === col("f2.dst"))
+      .select(col("n.src").as("ca"), col("n.dst").as("cb"),
+        col("f1.dst").as("cc"))
+    // A2: per unordered pair of novel edges sharing vertex u — one
+    // novel-novel wedge (u; a < b) — closed by ANY full edge (a, b)
+    val a2 = novelD.as("x")
+      .join(novelD.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .join(fullC.as("cl"),
+        col("x.dst") === col("cl.src") && col("y.dst") === col("cl.dst"))
+      .select(col("x.src").as("ca"), col("x.dst").as("cb"),
+        col("y.dst").as("cc"))
+    // A3: all-novel triangles, once each (min-vertex a < b < c)
+    val a3 = novelC.as("x")
+      .join(novelC.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .join(novelC.as("cl"),
+        col("x.dst") === col("cl.src") && col("y.dst") === col("cl.dst"))
+      .select(col("x.src").as("ca"), col("x.dst").as("cb"),
+        col("y.dst").as("cc"))
+    def corners(t: org.apache.spark.sql.DataFrame, sign: Long) =
+      t.select(explode(array(col("ca"), col("cb"), col("cc"))).as("node"),
+        lit(sign).as("w"))
+    val delta = corners(a1, 1L)
+      .unionByName(corners(a2, -1L))
+      .unionByName(corners(a3, 1L))
+      .groupBy("node").agg(sum("w").as("delta_tri"))
+    val oldCnt = cornerCounts(oldC)
+      .select(col("node"), col("triangles").as("old_tri"))
+    oldCnt.join(delta, Seq("node"), "full_outer")
+      .select(col("node").as("part_id"),
+        coalesce(col("old_tri"), lit(0L)).as("old_tri"),
+        coalesce(col("delta_tri"), lit(0L)).as("delta_tri"),
+        (coalesce(col("old_tri"), lit(0L)) +
+          coalesce(col("delta_tri"), lit(0L))).as("total_tri"))
+      .filter(col("total_tri") > 0)
+      .orderBy("part_id")
+  }
+
+  private val incrTrianglesSql = {
+    // per-node triangle counts of an edge CTE named `prefix` (canonical
+    // src < dst), by the same degree-ordered orientation
+    def triCtes(src: String, p: String) =
+      s"""${p}deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+         |          SELECT src AS node FROM $src
+         |          UNION ALL SELECT dst AS node FROM $src)
+         |        GROUP BY node),
+         |${p}e AS (
+         |  SELECT CASE WHEN ds.deg < dd.deg OR (ds.deg = dd.deg AND u.src < u.dst)
+         |              THEN u.src ELSE u.dst END AS u,
+         |         CASE WHEN ds.deg < dd.deg OR (ds.deg = dd.deg AND u.src < u.dst)
+         |              THEN u.dst ELSE u.src END AS v,
+         |         CASE WHEN ds.deg < dd.deg OR (ds.deg = dd.deg AND u.src < u.dst)
+         |              THEN dd.deg ELSE ds.deg END AS dv
+         |  FROM $src u
+         |  JOIN ${p}deg ds ON ds.node = u.src
+         |  JOIN ${p}deg dd ON dd.node = u.dst),
+         |${p}tri AS (
+         |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |  FROM ${p}e e1
+         |  JOIN ${p}e e2 ON e1.u = e2.u
+         |           AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
+         |  JOIN ${p}e e3 ON e3.u = e1.v AND e3.v = e2.v),
+         |${p}cnt AS (
+         |  SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
+         |    SELECT a AS node FROM ${p}tri
+         |    UNION ALL SELECT b AS node FROM ${p}tri
+         |    UNION ALL SELECT c AS node FROM ${p}tri)
+         |  GROUP BY node)""".stripMargin
+    s"""WITH k AS (SELECT MIN(l_orderkey) AS lo, MAX(l_orderkey) AS hi
+       |           FROM lineitem),
+       |li AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pid,
+       |         l_orderkey <= (lo + (hi - lo) * 8) // 10 AS is_old
+       |  FROM lineitem, k),
+       |full_und AS (
+       |  SELECT DISTINCT a.pid AS src, b.pid AS dst
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pid < b.pid),
+       |old_und AS (
+       |  SELECT DISTINCT a.pid AS src, b.pid AS dst
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pid < b.pid
+       |  WHERE a.is_old AND b.is_old),
+       |${triCtes("full_und", "f_")},
+       |${triCtes("old_und", "o_")}
+       |SELECT f_cnt.node AS part_id,
+       |       CAST(coalesce(o_cnt.tri, 0) AS BIGINT) AS old_tri,
+       |       CAST(f_cnt.tri - coalesce(o_cnt.tri, 0) AS BIGINT) AS delta_tri,
+       |       f_cnt.tri AS total_tri
+       |FROM f_cnt LEFT JOIN o_cnt ON o_cnt.node = f_cnt.node
+       |ORDER BY part_id""".stripMargin
+  }
+
   val entries: Seq[Entry] = Seq(
     Entry("q_item_rank", itemRank, Some(itemRankSql)),
     Entry("q_triangles", triangles, Some(trianglesSql)),
@@ -637,5 +788,6 @@ object GraphQueries {
     Entry("q_tie_strength", tieStrength, Some(tieStrengthSql)),
     Entry("q_degree_dist", degreeDist, Some(degreeDistSql)),
     Entry("q_incr_graph", incrGraph, Some(incrGraphSql)),
+    Entry("q_incr_triangles", incrTriangles, Some(incrTrianglesSql)),
   )
 }

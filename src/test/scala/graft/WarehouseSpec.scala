@@ -756,6 +756,40 @@ class WarehouseSpec extends SparkSpec {
     assert(got.values.exists(_._2 > 0L), "the delta really adds edges")
   }
 
+  test("q_incr_triangles: inclusion-exclusion delta equals brute-force old/full counts") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val lo = li.map(_._1).min
+    val hi = li.map(_._1).max
+    val cut = lo + (hi - lo) * 8 / 10
+    def adjOf(rows: Seq[(Long, Long)]): Map[Long, Set[Long]] =
+      rows.groupBy(_._1).values.flatMap { basket =>
+        val ps = basket.map(_._2).distinct.toList
+        for (a <- ps; b <- ps if a != b) yield a -> b
+      }.toSeq.distinct.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def triCounts(adj: Map[Long, Set[Long]]): Map[Long, Long] =
+      adj.map { case (v, ns) =>
+        v -> ns.toSeq.map(w => ns.intersect(adj(w)).size.toLong).sum / 2
+      }.filter(_._2 > 0)
+    val oldT = triCounts(adjOf(li.filter(_._1 <= cut).toSeq))
+    val fullT = triCounts(adjOf(li.toSeq))
+    val got = SparkEntry.queries("q_incr_triangles")(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet === fullT.keySet)
+    got.foreach { case (n, (o, dl, t)) =>
+      assert(o === oldT.getOrElse(n, 0L), s"old tri of $n")
+      assert(t === fullT(n), s"total tri of $n")
+      assert(dl === t - o, s"delta of $n")
+      assert(dl >= 0L, "edge insertion can only create triangles")
+    }
+    assert(got.values.exists(_._2 > 0L), "the delta really closes triangles")
+    // triangles with MIXED old/novel edges exist — the inclusion-exclusion
+    // cross terms are genuinely exercised, not just the all-novel case
+    assert(got.exists { case (n, (o, dl, _)) => o > 0L && dl > 0L })
+  }
+
   test("q_degree_dist equals a sequential log2-bucket replay") {
     val adj = coPurchaseAdj()
     val expect = adj.view.mapValues(_.size.toLong).values

@@ -48,7 +48,8 @@ object Bench {
     // per-round localCheckpoint jobs amplify session contention).
     val tripled = Set("q_chunk_dedup", "q_dedup_delta", "q_containment_dup",
       "q_quantile_group", "q_bfs_hops", "q_triangles", "q_item_rank",
-      "q_label_prop", "q_kcore", "q_tie_strength")
+      "q_label_prop", "q_kcore", "q_tie_strength", "q_incr_graph",
+      "q_incr_triangles", "q_dedup_survivorship")
     val spreads = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double)]
     val results = selected.map { case (name, fn) =>
       def once(): Double = {

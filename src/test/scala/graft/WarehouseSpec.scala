@@ -762,7 +762,7 @@ class WarehouseSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val lo = li.map(_._1).min
     val hi = li.map(_._1).max
-    val cut = lo + (hi - lo) * 8 / 10
+    val cut = lo + (hi - lo) * 19 / 20
     def adjOf(rows: Seq[(Long, Long)]): Map[Long, Set[Long]] =
       rows.groupBy(_._1).values.flatMap { basket =>
         val ps = basket.map(_._2).distinct.toList

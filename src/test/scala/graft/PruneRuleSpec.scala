@@ -94,6 +94,18 @@ class PruneRuleSpec extends SparkSpec {
       s"a vacuous threshold must not grow guards:\n$plan")
   }
 
+  test("generative: results equal brute force across a sweep of thresholds") {
+    // The fixed-τ tests pin the planted boundary pair; this sweeps τ
+    // (including awkward non-representable values and near-1 extremes)
+    // and requires set equality against the driver-side brute force at
+    // every one — the soundness claim quantified, not spot-checked.
+    for (t <- Seq(0.1, 0.2, 0.3, 1.0 / 3.0, 0.5, 0.6, 2.0 / 3.0, 0.75,
+        0.8, 0.9, 0.95, 0.99, 1.0)) {
+      val got = pairs(t).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === bruteForce(t), s"mismatch at threshold $t")
+    }
+  }
+
   test("null token arrays behave as without the rule (conjunct null drops the row)") {
     val withNull = docs.union(
       spark.createDataFrame(Seq((99L, null: Seq[String])))

@@ -82,6 +82,22 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(rows(store.readAsOf(2)) === replay(1))
   }
 
+  test("commits continue normally after compaction; the horizon keeps holding") {
+    val store = freshStore()
+    (0 to 2).foreach(i => store.commit(batch(i)))
+    store.compactTo(2)
+    // life goes on above the horizon: version numbering continues, new
+    // reads see old folded state + the new delta
+    assert(store.commit(batch(3)) === 4L)
+    assert(store.versions === Seq(2L, 3L, 4L))
+    assert(rows(store.readAsOf(4)) === replay(3))
+    assert(rows(store.readAsOf(2)) === replay(1))
+    intercept[IllegalArgumentException](store.readAsOf(1))
+    // and a second compaction over the post-compaction history still holds
+    store.compactTo(4)
+    assert(rows(store.readLatest()) === replay(3))
+  }
+
   test("a live versioned stream builds the same readAsOf history as batch commits") {
     import spark.implicits._
     import org.apache.spark.sql.Encoder

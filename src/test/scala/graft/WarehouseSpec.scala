@@ -39,27 +39,8 @@ class WarehouseSpec extends SparkSpec {
     // about. Counting goes through toRdd (a plain count() appends its
     // own SinglePartition aggregate exchange, which would charge bytes
     // to BOTH sides and drown the signal).
-    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onStageCompleted(
-          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-        bytes.addAndGet(e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-    }
-    def measure(body: => Unit): Long = {
-      bytes.set(0L)
-      spark.sparkContext.addSparkListener(listener)
-      try body
-      finally {
-        // stage events post asynchronously — settle before detaching
-        var prev = -1L
-        var tries = 0
-        while (bytes.get != prev && tries < 40) {
-          prev = bytes.get; Thread.sleep(250); tries += 1
-        }
-        spark.sparkContext.removeSparkListener(listener)
-      }
-      bytes.get
-    }
+    def measure(body: => Unit): Long =
+      graft.ops.Measure.shuffleWriteBytes(spark)(body)
     val (o, c) = Bucketed.coBucketedOrdersCustomer(spark, sfDir)
     withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
       val bucketed = measure {

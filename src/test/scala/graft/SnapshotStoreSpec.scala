@@ -118,4 +118,39 @@ class SnapshotStoreSpec extends SparkSpec {
       assert(rows(store.readAsOf(v)) === replay(v - 1), s"stream asOf $v")
     }
   }
+
+  test("a crash-window redelivery replaces its own version — history byte-identical") {
+    import spark.implicits._
+    import org.apache.spark.sql.Encoder
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.hadoop.fs.Path
+    val store = freshStore()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-snap-eo")
+      .toString
+    val ms = MemoryStream[(Long, String)](
+      implicitly[Encoder[(Long, String)]], spark.sqlContext)
+    def start() = store.appendStream(
+      ms.toDF().toDF("user_id", "event_type"), "file://" + ckpt)
+    val q1 = start()
+    try { ms.addData(rows(batch(0))); q1.processAllAvailable() }
+    finally q1.stop()
+    val before = rows(store.readAsOf(1))
+    // the version directory landed but the commit record "never made
+    // it" — restart REDELIVERS micro-batch 0 with the same batchId
+    val fs = new Path(ckpt).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new Path(ckpt, "commits/0"), false),
+      "batch-0 commit record must exist before the simulated crash")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(store.versions === Seq(1L),
+      "the redelivered batch must replace v=1, never append v=2")
+    assert(rows(store.readAsOf(1)) === before)
+    // and the stream continues normally afterwards
+    val q3 = start()
+    try { ms.addData(rows(batch(1))); q3.processAllAvailable() }
+    finally q3.stop()
+    assert(store.versions === Seq(1L, 2L))
+    assert(rows(store.readAsOf(2)) === replay(1))
+  }
 }

@@ -49,6 +49,9 @@ object CorpusPipeline {
       shards: Int = 8, jaccard: Double = 0.5,
       minChars: Long = 40L, maxChars: Long = 100000L,
       minWords: Int = 5): (DataFrame, DataFrame) = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    require(minChars <= maxChars,
+      s"empty quality band: [$minChars, $maxChars]")
     val spark = docs.sparkSession
     import spark.implicits._
 

@@ -94,9 +94,11 @@ class SnapshotStore(spark: SparkSession, rootUri: String) {
     * keyed by batchId, a redelivered micro-batch replaces its own
     * directory instead of appending a duplicate version.
     */
-  def commitAs(changes: DataFrame, v: Long): Unit =
+  def commitAs(changes: DataFrame, v: Long): Unit = {
+    require(v >= 1, s"versions start at 1, got $v")
     changes.select("user_id", "event_type")
       .write.mode("overwrite").parquet(s"$root/v=$v")
+  }
 
   /** Continuous versioned ingestion: micro-batch N commits as version
     * N+1 via [[commitAs]], so a redelivered micro-batch REPLACES its own

@@ -31,7 +31,10 @@ object Enrich {
     * append keeps this demonstration focused on the refresh semantics).
     */
   def withLatestDim(stream: DataFrame, store: LatestStore,
-      sink: String, checkpoint: String): StreamingQuery =
+      sink: String, checkpoint: String): StreamingQuery = {
+    require(!stream.columns.contains("dim_type"),
+      "the enrichment output column 'dim_type' collides with a stream " +
+        "column — rename the stream column before enriching")
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(0))
@@ -43,4 +46,5 @@ object Enrich {
           .write.mode("append").parquet(sink)
       }
       .start()
+  }
 }

@@ -567,6 +567,67 @@ object Warehouse {
       |FROM v2 FULL OUTER JOIN v4 ON v2.u = v4.u
       |GROUP BY 1 ORDER BY category""".stripMargin
 
+  /** Order→ship lead time and SLA attainment per priority — the
+    * fulfillment-operations report (and, over a data pipeline's
+    * submitted→completed timestamps, the job-latency SLO board): per
+    * order priority, shipment count, exact mean lead days (day-sum ÷ n,
+    * floor), worst case, and the share shipped within 30 / 60 / 90 days
+    * in basis points — service levels as integer threshold-counts, not
+    * percentile estimates (the SLA question is "what fraction made the
+    * deadline", which is a conditional COUNT — cheaper and more robust
+    * than inverting a quantile). One broadcast-dim join (orders is the
+    * small side of lineitem⋈orders only at fixture scale — at 100 TB
+    * both are facts and this is the co-bucketed join), one 5-group
+    * aggregate.
+    */
+  private val leadTime: Q = (s, d) => {
+    val days = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        (expr("unix_micros(l_shipdate) div 86400000000") -
+          expr("unix_micros(o_orderdate) div 86400000000")).as("lead_days"))
+    def within(n: Int) = sum((col("lead_days") <= n).cast("long"))
+    days.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_ship"),
+        sum("lead_days").as("sum_days"),
+        max("lead_days").as("max_days"),
+        within(30).as("w30"), within(60).as("w60"), within(90).as("w90"))
+      .select(col("o_orderpriority"), col("n_ship"),
+        call_function("div", col("sum_days"), col("n_ship"))
+          .as("mean_days_floor"),
+        col("max_days"),
+        call_function("div", lit(10000L) * col("w30"), col("n_ship"))
+          .as("sla30_bp"),
+        call_function("div", lit(10000L) * col("w60"), col("n_ship"))
+          .as("sla60_bp"),
+        call_function("div", lit(10000L) * col("w90"), col("n_ship"))
+          .as("sla90_bp"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val leadTimeSql =
+    """WITH d AS (
+      |  SELECT o_orderpriority,
+      |         epoch_us(l_shipdate) // 86400000000 -
+      |         epoch_us(o_orderdate) // 86400000000 AS lead_days
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |g AS (
+      |  SELECT o_orderpriority,
+      |         CAST(count(*) AS BIGINT) AS n_ship,
+      |         CAST(SUM(lead_days) AS BIGINT) AS sum_days,
+      |         CAST(MAX(lead_days) AS BIGINT) AS max_days,
+      |         CAST(SUM(CASE WHEN lead_days <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS w30,
+      |         CAST(SUM(CASE WHEN lead_days <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS w60,
+      |         CAST(SUM(CASE WHEN lead_days <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS w90
+      |  FROM d GROUP BY o_orderpriority)
+      |SELECT o_orderpriority, n_ship,
+      |       sum_days // n_ship AS mean_days_floor,
+      |       max_days,
+      |       (10000 * w30) // n_ship AS sla30_bp,
+      |       (10000 * w60) // n_ship AS sla60_bp,
+      |       (10000 * w90) // n_ship AS sla90_bp
+      |FROM g ORDER BY o_orderpriority""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
     Entry("q_incr_agg", incrAgg, Some(incrAggSql)),
@@ -577,5 +638,6 @@ object Warehouse {
     Entry("q_time_travel", timeTravel, Some(timeTravelSql)),
     Entry("q_table_health", tableHealth, Some(tableHealthSql)),
     Entry("q_version_diff", versionDiff, Some(versionDiffSql)),
+    Entry("q_lead_time", leadTime, Some(leadTimeSql)),
   )
 }

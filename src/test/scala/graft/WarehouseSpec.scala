@@ -682,6 +682,33 @@ class WarehouseSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("q_lead_time matches a sequential threshold-count replay") {
+    val rows = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        (expr("unix_micros(l_shipdate) div 86400000000") -
+          expr("unix_micros(o_orderdate) div 86400000000")))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expect = rows.groupBy(_._1).view.mapValues { rs =>
+      val ds = rs.map(_._2)
+      val n = ds.length.toLong
+      (n, ds.sum / n, ds.max,
+        10000L * ds.count(_ <= 30) / n,
+        10000L * ds.count(_ <= 60) / n,
+        10000L * ds.count(_ <= 90) / n)
+    }.toMap
+    val got = SparkEntry.queries("q_lead_time")(spark, sfDir).collect()
+    assert(got.length === expect.size)
+    got.foreach { r =>
+      val (n, mean, mx, s30, s60, s90) = expect(r.getString(0))
+      assert(r.getLong(1) === n && r.getLong(2) === mean &&
+        r.getLong(3) === mx && r.getLong(4) === s30 &&
+        r.getLong(5) === s60 && r.getLong(6) === s90,
+        s"priority ${r.getString(0)}")
+    }
+  }
+
   test("q_version_diff conserves keys and agrees with the time-travel replay") {
     val rows = SparkEntry.queries("q_version_diff")(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -3257,6 +3257,69 @@ object LlmQueries {
       |FROM c, n WHERE cnt * 64 > n
       |ORDER BY cnt DESC, token""".stripMargin
 
+  /** PROXIMITY search over a positional index — the retrieval operator
+    * ◆ `q_inverted_index` (bag-of-words postings) and ◆ `q_bm25_topk`
+    * (ranked retrieval) cannot express: find documents where two query
+    * terms co-occur within a window ("exact phrase" is the window-1
+    * special case). Token POSITIONS ride the postings (posexplode at
+    * tokenization — the only schema change a positional index needs),
+    * and the proximity test is a doc-keyed self-join of the two terms'
+    * postings with an integral |Δpos| ≤ 3 band — at 100 TB both sides
+    * are slices of the same term-bucketed postings table, pre-filtered
+    * to the two query terms BEFORE the join, so the pair space is the
+    * terms' posting lists, never the corpus. Reports each matching doc
+    * with its pair count and tightest gap; query terms are the corpus's
+    * two most frequent non-trivial tokens, derived identically in both
+    * engines (the data-derived-constant discipline).
+    */
+  private val phraseSearchQ: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val post = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "w")
+      .withColumn("pos", col("pos").cast("long"))
+      .filter(length(col("w")) >= 4)
+      .localCheckpoint()
+    // the two most frequent length-≥4 terms, (count DESC, term) order
+    val top2 = post.groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("w")).limit(2)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(lit(0)).orderBy(desc("n"), asc("w"))))
+    val ta = top2.filter(col("rk") === 1).select(col("w").as("wa"))
+    val tb = top2.filter(col("rk") === 2).select(col("w").as("wb"))
+    val pa = post.join(broadcast(ta), col("w") === col("wa"))
+      .select(col("doc_id"), col("pos").as("pa"))
+    val pb = post.join(broadcast(tb), col("w") === col("wb"))
+      .select(col("doc_id"), col("pos").as("pb"))
+    pa.join(pb, "doc_id")
+      .filter(abs(col("pa") - col("pb")) <= 3)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("pa") - col("pb"))).as("min_gap"))
+      .orderBy("doc_id")
+  }
+
+  private val phraseSearchSql =
+    """WITH post AS (
+      |  SELECT doc_id, CAST(p.pos - 1 AS BIGINT) AS pos, p.w
+      |  FROM documents,
+      |       LATERAL (SELECT unnest(string_split(text, ' ')) AS w,
+      |                       generate_subscripts(string_split(text, ' '), 1)
+      |                         AS pos) p
+      |  WHERE length(p.w) >= 4),
+      |top2 AS (
+      |  SELECT w, row_number() OVER (ORDER BY count(*) DESC, w) AS rk
+      |  FROM post GROUP BY w ORDER BY count(*) DESC, w LIMIT 2),
+      |pa AS (SELECT doc_id, pos AS pa FROM post
+      |       WHERE w = (SELECT w FROM top2 WHERE rk = 1)),
+      |pb AS (SELECT doc_id, pos AS pb FROM post
+      |       WHERE w = (SELECT w FROM top2 WHERE rk = 2))
+      |SELECT pa.doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+      |       CAST(MIN(abs(pa - pb)) AS BIGINT) AS min_gap
+      |FROM pa JOIN pb ON pa.doc_id = pb.doc_id
+      |WHERE abs(pa - pb) <= 3
+      |GROUP BY pa.doc_id ORDER BY pa.doc_id""".stripMargin
+
   /** Per-document keywords WITHOUT libm: top-3 tokens per document ranked
     * by (tf DESC, df ASC, token) — locally frequent, globally rare — the
     * integer-exact surrogate for tf·idf's argmax (log is monotone in
@@ -3436,6 +3499,7 @@ object LlmQueries {
     Entry("q_dedup_survivorship", dedupSurvivorshipQ,
       Some(dedupSurvivorshipSql)),
     Entry("q_dup_rate_by_source", dupRateBySourceQ, Some(dupRateBySourceSql)),
+    Entry("q_phrase_search", phraseSearchQ, Some(phraseSearchSql)),
     Entry("q_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
   )
 

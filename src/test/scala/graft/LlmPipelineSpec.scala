@@ -627,6 +627,28 @@ class LlmPipelineSpec extends SparkSpec {
     assert(got.exists { case (c, (_, survivor, _)) => survivor != c })
   }
 
+  test("q_phrase_search matches a plain-Scala positional replay") {
+    val posts = docs.toSeq.flatMap { case (id, text) =>
+      text.split(" ", -1).zipWithIndex.collect {
+        case (w, i) if w.length >= 4 => (id, i.toLong, w)
+      }
+    }
+    val Seq(wa, wb) = posts.groupBy(_._3).toSeq
+      .map { case (w, ps) => (w, ps.size) }
+      .sortBy { case (w, n) => (-n, w) }.take(2).map(_._1)
+    val expect = posts.filter(_._3 == wa).flatMap { case (d, pa, _) =>
+      posts.filter(p => p._1 == d && p._3 == wb)
+        .map(p => (d, math.abs(pa - p._2)))
+        .filter(_._2 <= 3)
+    }.groupBy(_._1).view
+      .mapValues(gs => (gs.size.toLong, gs.map(_._2).min)).toMap
+    val got = graft.queries.Registry.queries("q_phrase_search")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expect)
+    assert(got.nonEmpty, "the top-2 terms must co-occur somewhere")
+  }
+
   test("q_doc_keywords matches a plain-Scala tf/df rank on every reported doc") {
     val tf = docs.toSeq.flatMap { case (id, text) =>
       text.split(" ", -1).filter(_.nonEmpty).groupBy(identity)

@@ -71,6 +71,7 @@ class RegistrySpec extends SparkSpec {
       "q_quantile_global" -> "≤ 64 bucket-offset rows (selection template)",
       "q_weighted_quantile" -> "≤ 64 bucket-offset rows (selection template)",
       "q_winsorize" -> "≤ 64 bucket-offset rows (selection template)",
+      "q_phrase_search" -> "≤ 2 rows (top-2 query terms)",
       "q_trending" -> "≤ 64 bucket-offset rows ×2 (Rank.withGlobalRank)",
       "q_churn_hazard" -> "|months| tenure rows (calendar-bounded)",
       "q_eval_ranking" -> "≤ 64 bucket-offset rows (Prefix.withCumSum)",

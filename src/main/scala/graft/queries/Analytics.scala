@@ -1098,6 +1098,65 @@ object Analytics {
       |FROM by_dow b JOIN by_type g ON b.t = g.t
       |ORDER BY b.t, dow""".stripMargin
 
+  /** Seasonally-ADJUSTED daily series — the apply step after
+    * ◆ `q_seasonal_effect`'s decompose: each (type, day) count minus its
+    * weekday effect e_{t,w} = c_w/d_w − n_t/d_t, kept EXACT as the
+    * integer rational (y·d_w·d_t − c_w·d_t + n_t·d_w) / (d_w·d_t) —
+    * all factors calendar-bounded ints, products well inside int64 —
+    * with round4 presentation formed once. De-seasonalized series are
+    * what ops monitors should threshold on (a Saturday dip is not an
+    * incident); downstream this feeds ◆ `q_zscore_anomaly` in place of
+    * the raw counts. One daily rollup (the shared shape), two bounded
+    * aggregates, two broadcast joins back onto |type·days| rows.
+    */
+  private val seasonalAdjustQ: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type").as("t"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .localCheckpoint()
+    val byDow = daily
+      .groupBy(col("t").as("t2"), dayofweek(col("day")).as("dow"))
+      .agg(sum("y").as("c_w"), count(lit(1)).as("d_w"))
+    val byType = daily.groupBy(col("t").as("t3"))
+      .agg(sum("y").as("n_t"), count(lit(1)).as("d_t"))
+    daily
+      .join(broadcast(byDow),
+        col("t") === col("t2") && dayofweek(col("day")) === col("dow"))
+      .join(broadcast(byType), col("t") === col("t3"))
+      .select(col("t"), col("day"), col("y"),
+        (col("y") * col("d_w") * col("d_t") - col("c_w") * col("d_t") +
+          col("n_t") * col("d_w")).as("adj_num"),
+        (col("d_w") * col("d_t")).as("adj_den"))
+      .withColumn("adjusted",
+        Num.round4(col("adj_num").cast("double") / col("adj_den")))
+      .orderBy("t", "day")
+  }
+
+  private val seasonalAdjustSql =
+    """WITH daily AS (
+      |  SELECT event_type AS t, CAST(ts AS DATE) AS day,
+      |         CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |by_dow AS (
+      |  SELECT t, CAST(EXTRACT(dow FROM day) + 1 AS INT) AS dow,
+      |         CAST(SUM(y) AS BIGINT) AS c_w, CAST(count(*) AS BIGINT) AS d_w
+      |  FROM daily GROUP BY 1, 2),
+      |by_type AS (
+      |  SELECT t, CAST(SUM(y) AS BIGINT) AS n_t,
+      |         CAST(count(*) AS BIGINT) AS d_t
+      |  FROM daily GROUP BY 1)
+      |SELECT daily.t, daily.day, y,
+      |       CAST(y * d_w * d_t - c_w * d_t + n_t * d_w AS BIGINT)
+      |         AS adj_num,
+      |       CAST(d_w * d_t AS BIGINT) AS adj_den,
+      |       floor(CAST(y * d_w * d_t - c_w * d_t + n_t * d_w AS DOUBLE)
+      |             / (d_w * d_t) * 10000.0 + 0.5) / 10000.0 AS adjusted
+      |FROM daily
+      |JOIN by_dow b ON daily.t = b.t
+      |             AND CAST(EXTRACT(dow FROM daily.day) + 1 AS INT) = b.dow
+      |JOIN by_type g ON daily.t = g.t
+      |ORDER BY daily.t, daily.day""".stripMargin
+
   // ---------------------------------------------------------------------
   // q_rank_test — Mann-Whitney U with exact midranks and tie correction
   // ---------------------------------------------------------------------
@@ -2320,6 +2379,7 @@ object Analytics {
     Entry("q_diversity_profile", diversityProfileQ, Some(diversityProfileSql)),
     Entry("q_ewma", ewmaQ, Some(ewmaSql)),
     Entry("q_seasonal_effect", seasonalEffectQ, Some(seasonalEffectSql)),
+    Entry("q_seasonal_adjust", seasonalAdjustQ, Some(seasonalAdjustSql)),
     Entry("q_rank_test", rankTestQ, Some(rankTestSql)),
     Entry("q_cramers_v", cramersVQ, Some(cramersVSql)),
     Entry("q_growth_accounting", growthAccountingQ, Some(growthAccountingSql)),

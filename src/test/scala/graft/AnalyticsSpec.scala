@@ -740,6 +740,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("q_seasonal_adjust preserves each type's mass exactly (Σ adjusted = n_t)") {
+    // de-seasonalizing must not invent or destroy events: summing the
+    // exact rationals per type returns the raw total, an identity the
+    // float 'adjusted' column can only approximate
+    val rows = q("q_seasonal_adjust").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      val nT = BigInt(rs.map(_._2).sum)
+      var (num, den) = (BigInt(0), BigInt(1))
+      rs.foreach { case (_, _, an, ad) =>
+        num = num * ad + BigInt(an) * den
+        den = den * ad
+        val g = num.gcd(den); if (g > 1) { num /= g; den /= g }
+      }
+      assert(num === nT * den, s"mass must be preserved for type $t")
+    }
+    // the adjustment is non-trivial: some day moves by ≥ 1 whole event
+    assert(rows.exists { case (_, y, an, ad) =>
+      (BigInt(an) - BigInt(y) * ad).abs * 1 >= ad })
+  }
+
   test("q_cuped matches a sequential exact-rational replay") {
     import graft.tables.Tables
     import org.apache.spark.sql.functions._

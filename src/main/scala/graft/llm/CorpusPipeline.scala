@@ -73,11 +73,19 @@ object CorpusPipeline {
     val deduped = quality.join(dupDrop, Seq("doc_id"), "left_anti")
       .localCheckpoint()
 
-    // 4. decontamination: hashed 8-gram overlap with the eval corpus
+    // 4. decontamination: hashed 8-gram overlap with the eval corpus.
+    // The < 8-word guard is load-bearing: sequence(1, size-7) on a
+    // shorter doc is sequence(1, 0), which steps DOWNWARD to [1, 0],
+    // and slice(__ws, 0, 8) throws (array indices start at 1). The
+    // quality gate admits 5–7-word docs and evalDocs are ungated, so
+    // without the filter realistic corpora crash the pipeline here —
+    // a doc with < 8 words HAS no 8-gram, so dropping it from the
+    // gram table (not the corpus) is the exact semantics.
     def grams(df: DataFrame): DataFrame = df
       .select(col("doc_id"), split(col("text"), " ").as("__ws"))
+      .filter(size(col("__ws")) >= 8)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, greatest(size(__ws) - 7, 0))," +
+        "transform(sequence(1, size(__ws) - 7)," +
           " i -> concat_ws(' ', slice(__ws, i, 8)))")).as("__g"))
       .select(col("doc_id"), Hashing.md5Long60(col("__g")).as("g"))
     val evalGrams = grams(evalDocs).select("g").distinct()

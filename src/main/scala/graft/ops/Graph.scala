@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pure graph algebra shared by the query surface
+  * ([[graft.queries.GraphQueries]]) and the standing-state layout
+  * ([[graft.sources.GraphStateStore]]): basket → edge construction and
+  * the degree-ordered per-node triangle count. Extracted so the store
+  * can BUILD the state the incremental views later READ without a
+  * sources → queries dependency; both callers' oracles were re-verified
+  * after the move (the functions are byte-identical to the r9 bodies).
+  */
+object Graph {
+
+  /** Undirected co-purchase edges: parts appearing in the same order,
+    * emitted in both directions, deduplicated. Self-join of the distinct
+    * (order, part) incidence list on the order key — at 100 TB the
+    * per-basket width bounds the blow-up (TPC-H baskets are ≤ a few
+    * dozen lines; a retail-scale pipeline caps pathological baskets with
+    * a per-order top-k guard before pairing, the `q_topn_per_group`
+    * heap). Every node of this graph has degree ≥ 1 by construction
+    * (an edge implies both endpoints), so rank updates need no
+    * dangling-mass term and no left-join backfill.
+    */
+  def coPurchaseEdges(li: DataFrame): DataFrame = {
+    val inc = li.select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("pid")).distinct()
+    inc.as("a").join(inc.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pid") =!= col("b.pid"))
+      .select(col("a.pid").as("src"), col("b.pid").as("dst"))
+      .distinct()
+  }
+
+  /** Both directions of a canonical (src < dst) edge list. */
+  def bothDirs(c: DataFrame): DataFrame =
+    c.union(c.select(col("dst").as("src"), col("src").as("dst")))
+
+  /** Per-node triangle counts of a canonical (src < dst) undirected edge
+    * list by DEGREE-ORDERED orientation — the published fix for "the
+    * curse of the last reducer" (Suri & Vassilvitskii, WWW'11; Schank's
+    * thesis): orient every edge toward its (degree, id)-larger endpoint,
+    * enumerate wedges only from each node's ORIENTED out-neighbors, and
+    * close each wedge with one oriented-edge probe. Every triangle is
+    * counted exactly once (at its (degree, id)-smallest corner), and the
+    * wedge space is Σ outdeg² with outdeg ≤ O(√|E|) — a hub with a
+    * million neighbors contributes almost no wedges because its edges
+    * all point AWAY from smaller-degree nodes, which is exactly what
+    * kills the hot-reducer cliff a naive neighbor-pair expansion hits at
+    * 100 TB. Returns (node, triangles) for triangle-participating nodes.
+    * `und` must already be MATERIALIZED (localCheckpoint / store read)
+    * by the caller — it feeds the degree join, both wedge sides, and the
+    * closing probe.
+    */
+  def cornerCounts(und: DataFrame): DataFrame = {
+    val deg = und.select(explode(array(col("src"), col("dst"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("node").as("src"), col("deg").as("ds")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("dd")), "dst")
+    val fwd = col("ds") < col("dd") ||
+      (col("ds") === col("dd") && col("src") < col("dst"))
+    // localCheckpoint: the oriented list feeds BOTH wedge sides and the
+    // closing-edge probe — materialized once (|E| rows of 3 longs), the
+    // three subtrees reuse it instead of re-running the degree joins.
+    val e = withDeg.select(
+      when(fwd, col("src")).otherwise(col("dst")).as("u"),
+      when(fwd, col("dst")).otherwise(col("src")).as("v"),
+      when(fwd, col("dd")).otherwise(col("ds")).as("dv"))
+      .localCheckpoint()
+    val wedges = e.as("e1").join(e.as("e2"),
+        col("e1.u") === col("e2.u") &&
+          (col("e1.dv") < col("e2.dv") ||
+            (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v"))))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    val tri = wedges.join(
+      e.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+  }
+}

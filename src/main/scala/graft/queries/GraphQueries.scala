@@ -32,24 +32,36 @@ object GraphQueries {
   private val B = 150000000000L
   private val iterations = 5
 
-  /** Undirected co-purchase edges: parts appearing in the same order,
-    * emitted in both directions, deduplicated. Self-join of the distinct
-    * (order, part) incidence list on the order key — at 100 TB the
-    * per-basket width bounds the blow-up (TPC-H baskets are ≤ a few
-    * dozen lines; a retail-scale pipeline caps pathological baskets with
-    * a per-order top-k guard before pairing, the `q_topn_per_group`
-    * heap). Every node of this graph has degree ≥ 1 by construction
-    * (an edge implies both endpoints), so the rank update needs no
-    * dangling-mass term and no left-join backfill.
+  /** Undirected co-purchase edges (see [[graft.ops.Graph.coPurchaseEdges]]
+    * — extracted in r10 so [[graft.sources.GraphStateStore]] can build
+    * standing state from the same algebra).
     */
-  private def coPurchaseEdges(li: DataFrame): DataFrame = {
-    val inc = li.select(col("l_orderkey").as("ok"),
-      col("l_partkey").as("pid")).distinct()
-    inc.as("a").join(inc.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pid") =!= col("b.pid"))
-      .select(col("a.pid").as("src"), col("b.pid").as("dst"))
-      .distinct()
-  }
+  private def coPurchaseEdges(li: DataFrame): DataFrame =
+    graft.ops.Graph.coPurchaseEdges(li)
+
+  /** The full-graph edge source behind the
+    * `spark.graft.graph.bucketedEdges` flag: by default each query
+    * computes the edge list and localCheckpoints it (right for the
+    * bench — executor-local memory/disk); with the flag set the loop
+    * reads the ONCE-WRITTEN src-bucketed standing layout
+    * ([[graft.sources.GraphStateStore]]) — the 100 TB deployment shape
+    * the scaladocs promise, now executable (GraphStateSpec proves the
+    * degree pass rides it with zero standing-side exchanges and that
+    * every query answer is identical under the swap).
+    */
+  private def fullCanonicalEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    if (s.conf.get("spark.graft.graph.bucketedEdges", "false").toBoolean)
+      graft.sources.GraphStateStore.standing(s, d, 1L, 1L).edges
+    else coPurchaseEdges(Tables.lineitem(s, d))
+      .filter(col("src") < col("dst")).localCheckpoint()
+
+  private def fullDirectedEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    if (s.conf.get("spark.graft.graph.bucketedEdges", "false").toBoolean)
+      graft.ops.Graph.bothDirs(
+        graft.sources.GraphStateStore.standing(s, d, 1L, 1L).edges)
+    else coPurchaseEdges(Tables.lineitem(s, d)).localCheckpoint()
 
   /** Integer PageRank over the co-purchase graph, [[iterations]] fixed
     * rounds, top-50 items. r₀ = U div N; each round

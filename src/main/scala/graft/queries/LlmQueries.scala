@@ -1251,16 +1251,34 @@ object LlmQueries {
     * max-of-struct would SortAggregate), so choosing survivors costs
     * one hash aggregate over \|members\| rows. ◆ oracle: the recursive
     * closure + a window argmax.
+    *
+    * Packing bounds, enforced loudly: the long holds n_chars·2⁴⁰ +
+    * (2⁴⁰−1−doc_id), so n_chars must stay below 2²³ (~8.4M chars) and
+    * doc_id below 2⁴⁰ or the argmax silently picks the wrong survivor.
+    * Multi-megabyte docs are plausible in a crawl corpus, so rather
+    * than document-and-hope, out-of-range rows `raise_error` inside the
+    * pack projection (a conditional in the codegen hash-aggregate
+    * input — no extra pass); the escape hatch at that scale is the
+    * chained hash-aggregate tiebreak form `q_attribution` uses when an
+    * order key exceeds one packed long.
     */
   private val dedupSurvivorshipQ: Q = (s, d) => {
     val pack = 1L << 40
+    val maxChars = 1L << 23
     val docs = Tables.documents(s, d)
+    val packedCol = when(
+      col("n_chars") >= maxChars || col("n_chars") < 0L ||
+        col("doc_id") >= pack || col("doc_id") < 0L,
+      raise_error(concat(
+        lit(s"q_dedup_survivorship: packed argmax needs 0 <= n_chars < $maxChars and 0 <= doc_id < $pack; got (n_chars, doc_id) = ("),
+        col("n_chars").cast("string"), lit(", "),
+        col("doc_id").cast("string"), lit(")"))))
+      .otherwise(col("n_chars") * pack + (lit(pack - 1) - col("doc_id")))
     dupComponents(docs, Seq("lang"), 0.5)
       .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
       .groupBy("component")
       .agg(count(lit(1)).as("csize"),
-        max(col("n_chars") * pack + (lit(pack - 1) - col("doc_id")))
-          .as("packed"))
+        max(packedCol).as("packed"))
       .select(col("component"), col("csize"),
         (lit(pack - 1) - pmod(col("packed"), lit(pack))).as("survivor_id"),
         call_function("div", col("packed"), lit(pack)).as("survivor_chars"))

@@ -411,16 +411,46 @@ object Warehouse {
     * horizon, compaction; this query puts the read RESULT itself under
     * the driver's cross-engine gate.)
     */
+  /** The 4-commit fixture store [[timeTravel]] and [[versionDiff]] both
+    * read: built ONCE per (session, dataset) and cached — the two
+    * queries (×3 bench repetitions each) would otherwise each write
+    * their own disposable store copy. The temp roots are deleted by one
+    * JVM shutdown hook (results are read through this store lazily, so
+    * deletion cannot happen before the last consumer — session end is
+    * the safe horizon).
+    */
+  private val ttStores =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String),
+      graft.sources.SnapshotStore]()
+  private val ttRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    ttRoots.forEach { p =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+
+  private def versionedStore(s: org.apache.spark.sql.SparkSession,
+      d: String): graft.sources.SnapshotStore =
+    ttStores.computeIfAbsent((s, d), { _ =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-tt")
+      ttRoots.add(tmp)
+      val store = new graft.sources.SnapshotStore(s, "file://" + tmp)
+      def batch(i: Int) = Tables.orders(s, d)
+        .filter(pmod(col("o_orderkey"), lit(4)) === i)
+        .groupBy("o_custkey")
+        .agg(max(struct(expr("unix_micros(o_orderdate)").as("dus"),
+          col("o_orderkey").as("ok"), col("o_orderstatus").as("st"))).as("m"))
+        .select(col("o_custkey").as("user_id"), col("m.st").as("event_type"))
+      (0 to 3).foreach(i => store.commit(batch(i)))
+      store
+    })
+
   private val timeTravel: Q = (s, d) => {
-    val store = new graft.sources.SnapshotStore(s, "file://" +
-      java.nio.file.Files.createTempDirectory("graft-tt").toString)
-    def batch(i: Int) = Tables.orders(s, d)
-      .filter(pmod(col("o_orderkey"), lit(4)) === i)
-      .groupBy("o_custkey")
-      .agg(max(struct(expr("unix_micros(o_orderdate)").as("dus"),
-        col("o_orderkey").as("ok"), col("o_orderstatus").as("st"))).as("m"))
-      .select(col("o_custkey").as("user_id"), col("m.st").as("event_type"))
-    (0 to 3).foreach(i => store.commit(batch(i)))
+    val store = versionedStore(s, d)
     Seq(2L, 4L).map { v =>
       store.readAsOf(v).groupBy("event_type")
         .agg(count(lit(1)).as("n_users")).withColumn("version", lit(v))
@@ -520,15 +550,7 @@ object Warehouse {
     * not just each version in isolation.
     */
   private val versionDiff: Q = (s, d) => {
-    val store = new graft.sources.SnapshotStore(s, "file://" +
-      java.nio.file.Files.createTempDirectory("graft-vdiff").toString)
-    def batch(i: Int) = Tables.orders(s, d)
-      .filter(pmod(col("o_orderkey"), lit(4)) === i)
-      .groupBy("o_custkey")
-      .agg(max(struct(expr("unix_micros(o_orderdate)").as("dus"),
-        col("o_orderkey").as("ok"), col("o_orderstatus").as("st"))).as("m"))
-      .select(col("o_custkey").as("user_id"), col("m.st").as("event_type"))
-    (0 to 3).foreach(i => store.commit(batch(i)))
+    val store = versionedStore(s, d)
     val a = store.readAsOf(2).select(col("user_id"),
       col("event_type").as("st_old"))
     val b = store.readAsOf(4).select(col("user_id"),

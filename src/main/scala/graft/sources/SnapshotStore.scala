@@ -74,6 +74,9 @@ class SnapshotStore(spark: SparkSession, rootUri: String) {
   /** Newest readable version (0 when the store is empty). */
   def latestVersion: Long = versions.lastOption.getOrElse(0L)
 
+  /** The commit directory for version `v` (diagnostics / spec hooks). */
+  def dirForVersion(v: Long): String = s"$root/v=$v"
+
   /** Oldest readable version — advanced by [[compactTo]]. */
   def horizon: Long = {
     val p = new Path(rootPath, "_horizon")
@@ -140,18 +143,38 @@ class SnapshotStore(spark: SparkSession, rootUri: String) {
     * advance the horizon: `readAsOf(w)` for any `w ≥ v` is invariant
     * (latest-wins is associative — folding a prefix changes nothing a
     * later delta could not overwrite), versions below `v` become
-    * unreadable. Staged write + rename swap, then the old directories
-    * drop — a crash before the marker leaves every read answerable.
+    * unreadable.
+    *
+    * Crash-safety — there is NO unreadable window, by ordering alone:
+    *
+    *  1. the fold APPENDS into the existing `v=N` directory (Spark's
+    *     job commit makes the append all-or-nothing; in-flight
+    *     `_temporary` files are invisible to readers). Coexistence with
+    *     the original delta files is sound because for every key in the
+    *     v-delta the fold row is IDENTICAL to the delta row (the fold at
+    *     v already has that delta applied), and [[readAsOf]]'s
+    *     `max(struct(v, payload))` collapses duplicates — proven by the
+    *     spec's byte-identical pre/post reads;
+    *  2. only then does `_horizon` advance (a read below the horizon now
+    *     fails loudly instead of returning folded-away history);
+    *  3. only then do the superseded `v < N` directories drop — they are
+    *     redundant from step 1 on (the fold dominates every older row
+    *     under latest-wins), so a crash mid-delete leaves extra rows
+    *     that change no answer.
+    *
+    * A crash before step 2 leaves the OLD state fully readable (plus
+    * harmless duplicate fold rows); after step 2, the NEW state. A
+    * re-run with `horizon == v` skips the fold (step 2 proves it
+    * landed) and resumes the deletes — compaction is idempotent.
     */
   def compactTo(v: Long): Unit = {
     require(v >= horizon && v <= latestVersion,
       s"compaction point $v outside [$horizon, $latestVersion]")
-    val staging = new Path(s"$root/.compacting")
-    fs.delete(staging, true)
-    readAsOf(v).write.mode("overwrite").parquet(staging.toString)
-    versions.filter(_ <= v).foreach(n =>
+    if (horizon < v) {
+      readAsOf(v).write.mode("append").parquet(s"$root/v=$v")
+      writeString(new Path(rootPath, "_horizon"), v.toString)
+    }
+    versions.filter(_ < v).foreach(n =>
       fs.delete(new Path(s"$root/v=$n"), true))
-    fs.rename(staging, new Path(s"$root/v=$v"))
-    writeString(new Path(rootPath, "_horizon"), v.toString)
   }
 }

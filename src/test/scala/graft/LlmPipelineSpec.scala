@@ -607,6 +607,40 @@ class LlmPipelineSpec extends SparkSpec {
     deleteRecursively(out); deleteRecursively(out2)
   }
 
+  test("CorpusPipeline survives sub-8-word documents in corpus and eval") {
+    // The r9 ADVICE crash: the quality gate admits 5-7-word docs (and
+    // evalDocs are ungated entirely), but a <8-word doc fed into the
+    // 8-gram transform produced sequence(1, 0) = [1, 0] and the i=0
+    // slice threw. Such docs have NO 8-gram, so the pipeline must
+    // treat them as contamination-transparent, not crash on them.
+    import org.apache.spark.sql.functions._
+    val base = Tables.documents(spark, sfDir).limit(20)
+    val shorts = spark.createDataFrame(Seq(
+      (900001L, "five short words right here", "en", "webx"),
+      (900002L, "exactly seven words sit in this one", "en", "webx"),
+      (900003L, "three tiny words", "en", "webx")))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val all = base.unionByName(shorts)
+    val evalShort = spark.createDataFrame(Seq(
+      (990001L, "short eval probe text", "en", "eval")))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = java.nio.file.Files.createTempDirectory("graft-short").toString
+    val (stagesDf, _) = graft.llm.CorpusPipeline.run(
+      all, evalShort, out, minChars = 10L)
+    val stages = stagesDf.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the 5- and 7-word docs pass the minWords=5 gate and, having no
+    // 8-gram, sail through decontamination into the shipped corpus
+    val shipped = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(shipped.contains(900001L) && shipped.contains(900002L))
+    assert(!shipped.contains(900003L), "3-word doc fails minWords")
+    assert(stages("40_decontaminated") === shipped.size.toLong)
+    deleteRecursively(out)
+  }
+
   test("q_dedup_survivorship picks each component's longest member (doc_id tiebreak)") {
     val comp = graft.queries.Registry.queries("q_dup_components")(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)) // doc_id -> component

@@ -73,6 +73,36 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(store.versions === Seq(4L))
   }
 
+  test("compaction crash windows leave every read answerable") {
+    // The compactTo ordering is fold-append → horizon → deletes; this
+    // test walks the two crash states in between and proves reads are
+    // correct in BOTH (the r9 ADVICE scenario: the old sequence could
+    // lose all folded history between its deletes and its rename).
+    val store = freshStore()
+    (0 to 3).foreach(i => store.commit(batch(i)))
+    val expect = (1 to 4).map(v => replay(v - 1))
+    // crash state 1: the fold landed inside v=2 but the horizon never
+    // advanced and nothing was deleted — fold rows coexist with the
+    // delta rows and every version is still the OLD fully-readable
+    // state (for keys in the v=2 delta the fold row is identical, so
+    // latest-wins collapses the duplicates).
+    store.readAsOf(2).write.mode("append")
+      .parquet(store.dirForVersion(2))
+    (1 to 4).foreach { v =>
+      assert(rows(store.readAsOf(v)) === expect(v - 1),
+        s"asOf $v with orphaned fold rows")
+    }
+    // crash state 2: re-running compaction converges (fold + horizon +
+    // deletes all complete; a second run is a pure no-op).
+    store.compactTo(2)
+    store.compactTo(2)
+    assert(store.horizon === 2L && store.versions === Seq(2L, 3L, 4L))
+    (2 to 4).foreach { v =>
+      assert(rows(store.readAsOf(v)) === expect(v - 1),
+        s"asOf $v after re-entrant compaction")
+    }
+  }
+
   test("commitAs replaces its own version on redelivery (batchId keying)") {
     val store = freshStore()
     store.commit(batch(0))

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.GraphStateStore
+import graft.tables.Tables
+
+/** Gates for the standing graph-state layout (the r10 deployment-shape
+  * work): the bucketed edge list really removes the standing-side
+  * shuffles it claims to, the localCheckpoint→bucketed-read swap
+  * changes no answer, and the incremental views' store reads equal the
+  * state they replaced.
+  */
+class GraphStateSpec extends SparkSpec {
+
+  test("graph queries are answer-invariant under the bucketed-edge swap") {
+    // q_item_rank (directed loop) and q_triangles (canonical +
+    // orientation) run identically whether the edge list is computed +
+    // localCheckpoint-ed (default) or read from the once-written
+    // src-bucketed standing layout (flag) — integer arithmetic makes
+    // both bit-identical, so plain equality is the full proof.
+    val rank0 = SparkEntry.queries("q_item_rank")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val tri0 = SparkEntry.queries("q_triangles")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    withConf("spark.graft.graph.bucketedEdges", "true") {
+      assert(SparkEntry.queries("q_item_rank")(spark, sfDir)
+        .collect().map(_.toSeq).toSeq === rank0)
+      assert(SparkEntry.queries("q_triangles")(spark, sfDir)
+        .collect().map(_.toSeq).toSeq === tri0)
+    }
+  }
+
+  test("the standing store's state tables equal a direct recompute") {
+    val st = GraphStateStore.standing(spark, sfDir, 19L, 20L)
+    val li = Tables.lineitem(spark, sfDir)
+    val keys = li.agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
+    val old = li.crossJoin(broadcast(keys))
+      .filter(col("l_orderkey") <= GraphStateStore.cutExpr(19L, 20L))
+    val oldC = graft.ops.Graph.coPurchaseEdges(old)
+      .filter(col("src") < col("dst")).localCheckpoint()
+    assert(st.edges.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      === oldC.collect().map(r => (r.getLong(0), r.getLong(1))).sorted)
+    val degExpect = graft.ops.Graph.bothDirs(oldC)
+      .groupBy("src").agg(count(lit(1)).as("deg"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(st.degrees.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted === degExpect)
+    val cornExpect = graft.ops.Graph.cornerCounts(oldC)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(st.corners.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted === cornExpect)
+    // and the build is cached: a second call returns the same handle
+    assert(GraphStateStore.standing(spark, sfDir, 19L, 20L) eq st)
+  }
+
+  test("src-keyed aggregates ride the bucketed standing layout with zero exchanges") {
+    val st = GraphStateStore.standing(spark, sfDir, 1L, 1L)
+    val bucketedDeg = st.edges.groupBy("src").agg(count(lit(1)).as("n"))
+    val plan = bucketedDeg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"degree pass over the bucketed layout must not shuffle:\n$plan")
+    // the raw twin genuinely pays the exchange the layout removes
+    val raw = graft.ops.Graph
+      .coPurchaseEdges(Tables.lineitem(spark, sfDir))
+      .filter(col("src") < col("dst"))
+      .groupBy("src").agg(count(lit(1)).as("n"))
+    assert(raw.queryExecution.executedPlan.toString.contains("Exchange"))
+    // and the answers agree
+    assert(bucketedDeg.collect().map(_.toSeq).toSet
+      === raw.collect().map(_.toSeq).toSet)
+  }
+
+  test("a PageRank round over the bucketed layout: broadcast join, one |nodes| exchange, no edge shuffle") {
+    val st = GraphStateStore.standing(spark, sfDir, 1L, 1L)
+    val edges = graft.ops.Graph.bothDirs(st.edges)
+    // per-round state derives from STANDING degree state — the loop
+    // reads the store's |V|-row table, it never re-aggregates edges
+    val contrib = st.degrees.select(col("node"),
+      call_function("div", lit(1000000L), col("deg")).as("c"))
+    val round = edges.join(broadcast(contrib),
+        edges("src") === contrib("node"))
+      .groupBy("dst").agg(sum("c").as("cin"))
+    val plan = round.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the rank vector must broadcast onto the stationary edges:\n$plan")
+    val edgeExchanges = "Exchange hashpartitioning\\(src".r
+      .findAllMatchIn(plan).size
+    assert(edgeExchanges === 0,
+      s"the |E| edge list must never move in the loop:\n$plan")
+    val dstExchanges = "Exchange hashpartitioning\\(dst".r
+      .findAllMatchIn(plan).size
+    assert(dstExchanges === 1,
+      s"exactly the |nodes|-sized contribution aggregate shuffles:\n$plan")
+  }
+
+  test("the novel-edge anti-join never re-shuffles the standing side") {
+    // The refresh crux at 100 TB: novel = delta-candidate edges ANTI
+    // standing. The standing side is src-bucketed with bucket count =
+    // shuffle partitions; with subset-key co-partitioning unlocked the
+    // anti-join re-keys ONLY the delta side — the refresh cost is
+    // O(delta), not O(graph).
+    val st = GraphStateStore.standing(spark, sfDir, 19L, 20L)
+    val li = Tables.lineitem(spark, sfDir)
+    val keys = li.agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
+    val delta = li.crossJoin(broadcast(keys))
+      .filter(col("l_orderkey") > GraphStateStore.cutExpr(19L, 20L))
+    // the delta is materialized (in a refresh job it just landed), so
+    // the plan under test is exactly the refresh join
+    val deltaCand = graft.ops.Graph.coPurchaseEdges(delta)
+      .filter(col("src") < col("dst")).localCheckpoint()
+    withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      withConf("spark.sql.requireAllClusterKeysForCoPartition", "false") {
+        // the refresh job re-keys the SMALL side to the layout's src
+        // hash — with subset co-partitioning unlocked, both sides then
+        // carry HashPartitioning(src, n) and the standing scan reads in
+        // place (left alone, the planner re-shuffles the BIG standing
+        // side to the delta's (src, dst) hash instead)
+        val novel = deltaCand
+          .repartition(spark.sessionState.conf.numShufflePartitions,
+            col("src"))
+          .join(st.edges, Seq("src", "dst"), "left_anti")
+        val plan = novel.queryExecution.executedPlan.toString
+        val exchanges = "Exchange hashpartitioning".r
+          .findAllMatchIn(plan).size
+        assert(exchanges === 1,
+          s"only the delta side may move — the standing layout reads in place:\n$plan")
+        assert(plan.contains("Bucketed: true"),
+          s"the standing side must be the bucketed scan:\n$plan")
+        assert(novel.count() > 0, "the fixture delta must add real edges")
+      }
+    }
+  }
+}

@@ -109,6 +109,107 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Batched trainer — the 100 TB fix for [[train]]'s one-driver-round-
+    * trip-per-merge loop (a realistic 32k-merge vocabulary = 32k
+    * sequential Spark jobs): each iteration fetches the top `fetchK`
+    * pair counts ONCE and selects up to `batchK` merges from them under
+    * a rule that makes the batch PROVABLY equal to running the
+    * sequential trainer merge-for-merge:
+    *
+    *  - selected pairs are pairwise symbol-disjoint (no selected pair
+    *    touches another's l, r, or merged string), so applying them in
+    *    rank order is literally the sequential application and no
+    *    selected pair's count moves before its turn;
+    *  - a pair is selected only if its count is STRICTLY above the sum
+    *    of the four largest counts among pairs that share a symbol with
+    *    the batch (unfetched pairs enter that sum at the last fetched
+    *    count — the horizon). Why four: batch merges never stack (a
+    *    selected pair may not contain another's merged symbol), so any
+    *    symbol at any point mid-batch is pre-batch or one merged
+    *    symbol, and every occurrence of any pair (A, S) maps to the
+    *    pre-batch pair at its span boundary — one of ≤ 4 candidates
+    *    ((A|r_A), (S|l_S) with A, S each original-or-merged), each of
+    *    which shares a symbol with the batch. A pair's count mid-batch
+    *    therefore never exceeds that 4-term sum, so at each sequential
+    *    step the next batch member still wins outright, ties included
+    *    (strictness beats count ties; fetch order beats lexicographic
+    *    ties).
+    *
+    * The first selection per iteration is the unconditional global
+    * argmax, so progress is guaranteed; when the rule stops the batch
+    * early the remaining merges land in later iterations. Driver state
+    * stays ≤ `fetchK` rows per iteration; application is the same
+    * chained fold (one localCheckpoint per BATCH, not per merge).
+    * BpeSpec proves batched ≡ sequential merge-for-merge on the fixture
+    * and that multi-merge batches genuinely occur there.
+    */
+  def trainBatched(docs: DataFrame, numMerges: Int,
+      textCol: String = "text", batchK: Int = 16,
+      fetchK: Int = 256): Seq[Merge] = {
+    require(batchK >= 1 && fetchK >= batchK,
+      s"need fetchK >= batchK >= 1, got ($fetchK, $batchK)")
+    var vocab = withSymbols(wordFreq(docs, textCol)).localCheckpoint()
+    val merges = ArrayBuffer.empty[Merge]
+    var exhausted = false
+    var iterations = 0
+    while (merges.size < numMerges && !exhausted) {
+      iterations += 1
+      val fetched = pairCounts(vocab)
+        .orderBy(desc("cnt"), asc("l"), asc("r")).limit(fetchK).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (fetched.isEmpty) exhausted = true
+      else {
+        val horizon =
+          if (fetched.length < fetchK) 0L else fetched.last._3
+        val selected = ArrayBuffer.empty[(String, String, Long)]
+        var symbols = Set.empty[String]
+        // counts of fetched pairs sharing a symbol with the batch
+        // (duplicates only tighten the sum); unfetched sharing pairs
+        // are represented by four horizon entries
+        val caps = ArrayBuffer.fill(4)(horizon)
+        def cap4 = caps.sorted(Ordering[Long].reverse).take(4).sum
+        var i = 0
+        var stopped = false
+        while (i < fetched.length && !stopped &&
+            selected.size < batchK &&
+            merges.size + selected.size < numMerges) {
+          val (l, r, c) = fetched(i)
+          val conflicts = symbols(l) || symbols(r) || symbols(l + r)
+          if (conflicts) caps += c
+          else if (selected.isEmpty || c > cap4) {
+            // sharing pairs BELOW this row in the fetch also cap later
+            // creations — fold those still ahead into the caps before
+            // committing to the next member
+            val newSyms = Set(l, r, l + r)
+            fetched.iterator.drop(i + 1).foreach { case (l2, r2, c2) =>
+              if (newSyms(l2) || newSyms(r2) || newSyms(l2 + r2))
+                caps += c2
+            }
+            selected += ((l, r, c))
+            symbols ++= newSyms
+          } else stopped = true
+          i += 1
+        }
+        selected.foreach { case (l, r, c) =>
+          merges += Merge(merges.size + 1, l, r, l + r, c)
+        }
+        val next = selected.foldLeft(vocab) { case (v, (l, r, _)) =>
+          applyMerge(v, l, r)
+        }.localCheckpoint()
+        vocab.unpersist(blocking = false)
+        vocab = next
+      }
+    }
+    lastBatchedIterations = iterations
+    merges.toSeq
+  }
+
+  /** Driver round-trips (fetch iterations) of the most recent
+    * [[trainBatched]] run — spec instrumentation: iterations strictly
+    * below the merge count proves the batch rule fired for real.
+    */
+  @volatile var lastBatchedIterations: Int = 0
+
   /** Apply a trained merge table to a (word) column: the encoder. Chains
     * one fold per merge in rank order — plan depth ∝ |merges|, row work
     * ∝ word length, still UDF-free.

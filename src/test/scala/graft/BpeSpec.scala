@@ -57,6 +57,24 @@ class BpeSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("Bpe.trainBatched equals the sequential trainer merge-for-merge, with real batches") {
+    val docs = Tables.documents(spark, sfDir)
+    val want = refTrain(refWordFreq, 40)
+    val got = Bpe.trainBatched(docs, 40, batchK = 8, fetchK = 256)
+      .map(m => (m.lhs, m.rhs, m.merged, m.pairFreq))
+    assert(got === want,
+      "batched selection must reproduce sequential BPE exactly")
+    // the batch rule genuinely fires: 40 merges in strictly fewer
+    // fetch iterations than the sequential trainer's 40 — otherwise
+    // the equality above is vacuous
+    assert(Bpe.lastBatchedIterations < 40,
+      s"expected real batching, got ${Bpe.lastBatchedIterations} " +
+        "iterations for 40 merges")
+    // ranks stay 1..n in order
+    assert(got.size === 40 &&
+      Bpe.trainBatched(docs, 10).map(_.rank) === (1 to 10))
+  }
+
   test("greedy left-to-right overlap rule: aaa + (a,a) merges once") {
     import spark.implicits._
     val docs = Seq("aaa bb aaa").toDF("text")

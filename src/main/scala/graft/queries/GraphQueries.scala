@@ -411,6 +411,61 @@ object GraphQueries {
        |GROUP BY e.src ORDER BY part_id""".stripMargin
   }
 
+  /** k-core peel iterated TO THE FIXED POINT — the ◆ [[kcore]] query's
+    * unrolled 4 rounds are exactly enough on the fixture (probed, spec-
+    * asserted), but a different corpus can need arbitrarily many; this
+    * variant loops until the alive set stops shrinking, so the operator
+    * is correct on any graph. Per-round cost is identical to the
+    * unrolled form (broadcast alive set onto both endpoints, map-side-
+    * combined recount, localCheckpoint per round — the [[bfsHops]]
+    * lineage discipline); the loop control is one bounded driver scalar
+    * per round (the alive COUNT — the same "bounded collect" class as
+    * the BPE argmax), capped at [[kcoreMaxRounds]] with a loud failure
+    * rather than a silent truncation. Rows-only in the registry (an
+    * unbounded loop has no CTE unroll); the spec gates it equal to the
+    * ◆ unrolled result on the fixture AND proves the loop's stop
+    * condition fired before the cap.
+    */
+  private val kcoreMaxRounds = 64
+
+  private val kcoreFixpoint: Q = (s, d) => {
+    val edges = coPurchaseEdges(Tables.lineitem(s, d)).localCheckpoint()
+    val kDf = edges.agg(call_function("div",
+      call_function("div", count(lit(1)), countDistinct(col("src"))) * 5L,
+      lit(8L)).as("k"))
+    var alive = edges.select(col("src").as("node")).distinct()
+      .localCheckpoint()
+    var aliveN = alive.count()
+    var converged = false
+    var round = 0
+    while (!converged) {
+      round += 1
+      if (round > kcoreMaxRounds)
+        throw new IllegalStateException(
+          s"k-core peel did not converge within $kcoreMaxRounds rounds " +
+            s"($aliveN nodes still alive) — raise kcoreMaxRounds for " +
+            "this graph rather than truncating silently")
+      val next = edges
+        .join(broadcast(alive.withColumnRenamed("node", "src")), "src")
+        .join(broadcast(alive.withColumnRenamed("node", "dst")), "dst")
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .crossJoin(broadcast(kDf))
+        .filter(col("deg") >= col("k"))
+        .select(col("src").as("node"))
+        .localCheckpoint()
+      val nextN = next.count()
+      converged = nextN == aliveN
+      alive = next
+      aliveN = nextN
+    }
+    edges
+      .join(broadcast(alive.withColumnRenamed("node", "src")), "src")
+      .join(broadcast(alive.withColumnRenamed("node", "dst")), "dst")
+      .groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+      .select(col("src").as("part_id"), col("core_deg"))
+      .orderBy("part_id")
+  }
+
   /** Per-edge tie strength: common-neighbor count (= triangles through
     * the edge) and neighborhood Jaccard in integer basis points —
     * Granovetter's embeddedness, the edge-quality signal that separates
@@ -784,6 +839,7 @@ object GraphQueries {
     Entry("q_bfs_hops", bfsHops, Some(bfsHopsSql)),
     Entry("q_label_prop", labelProp, Some(labelPropSql)),
     Entry("q_kcore", kcore, Some(kcoreSql)),
+    Entry("q_kcore_fixpoint", kcoreFixpoint, None),
     Entry("q_tie_strength", tieStrength, Some(tieStrengthSql)),
     Entry("q_degree_dist", degreeDist, Some(degreeDistSql)),
     Entry("q_incr_graph", incrGraph, Some(incrGraphSql)),

@@ -37,6 +37,82 @@ object Drift {
   final case class DriftRow(win_start_us: Long, cat: String,
       n_base: Long, n_cur: Long, chi2_c: Option[Double], tv_c: Double)
 
+  /** One numeric two-sample event: which side ('a'/'b'), the PRE-BINNED
+    * grid bucket, event-time micros, and the watermarked timestamp. */
+  final case class KEvent(side: String, bin: Long, us: Long,
+      ts: java.sql.Timestamp)
+
+  final case class KsState(counts: Map[Long, (Long, Long)])
+
+  final case class KsRow(win_start_us: Long, side_a: String, side_b: String,
+      n1: Long, n2: Long, ks_num: Long, ks_d: Option[Double])
+
+  /** Live BINNED two-sample KS per tumbling window — the streaming twin
+    * of ◆ `q_drift_ks_binned`, completing the drift family's
+    * batch/stream symmetry (the windowed monitor previously spoke only
+    * chi²). Each window keeps per-bin (count_a, count_b) in keyed state
+    * and, when the watermark closes it, emits ONE row with the exact
+    * integer KS numerator max|cuma·n2 − cumb·n1| over the bin grid and
+    * the round4 D — the identical arithmetic `ksPairOf` runs in batch,
+    * evaluated on the same longs, so closed-window rows are
+    * bit-identical to a batch replay of the window slice (StreamSpec
+    * proves it under cross-batch disorder).
+    *
+    * Binning is WHY this can stream: the exact-ECDF KS needs every
+    * distinct value per window in state (unbounded for a continuous
+    * column); the shared histogram grid caps state at ≤ |bins| map
+    * entries per open window, the same constant-domain argument the
+    * batch twin makes for its single-partition ECDF pass. Callers bin
+    * with the SAME `Aggregates.binCol` expression the batch query uses,
+    * upstream of the stateful operator. Late events into closed windows
+    * drop (the [[windowedChi2]] rule); n1·n2 = 0 windows emit
+    * `ks_d = None` (a one-sided window has no two-sample statistic).
+    */
+  def windowedKsBinned(events: Dataset[KEvent], windowUs: Long,
+      sideA: String, sideB: String): Dataset[KsRow] = {
+    import events.sparkSession.implicits._
+    require(windowUs > 0, s"window must be positive, got $windowUs")
+    events
+      .groupByKey(e => e.us / windowUs)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (win: Long, incoming: Iterator[KEvent], state: GroupState[KsState]) =>
+          val winStartUs = win * windowUs
+          val winEndMs = (winStartUs + windowUs) / 1000L
+          if (state.hasTimedOut) {
+            val counts = state.get.counts
+            state.remove()
+            val n1 = counts.valuesIterator.map(_._1).sum
+            val n2 = counts.valuesIterator.map(_._2).sum
+            var cuma = 0L
+            var cumb = 0L
+            var ksNum = 0L
+            counts.toSeq.sortBy(_._1).foreach { case (_, (ca, cb)) =>
+              cuma += ca; cumb += cb
+              ksNum = math.max(ksNum, math.abs(cuma * n2 - cumb * n1))
+            }
+            val d =
+              if (n1 == 0L || n2 == 0L) None
+              else Some(math.floor(ksNum.toDouble /
+                (n1 * n2).toDouble * 10000.0 + 0.5) / 10000.0)
+            Iterator.single(KsRow(winStartUs, sideA, sideB, n1, n2, ksNum, d))
+          } else if (state.exists || state.getCurrentWatermarkMs() < winEndMs) {
+            val prev = state.getOption.map(_.counts).getOrElse(Map.empty)
+            val merged = incoming.foldLeft(prev) { (m, e) =>
+              val (ca, cb) = m.getOrElse(e.bin, (0L, 0L))
+              val next =
+                if (e.side == sideA) (ca + 1L, cb)
+                else if (e.side == sideB) (ca, cb + 1L)
+                else (ca, cb)
+              m.updated(e.bin, next)
+            }
+            state.update(KsState(merged))
+            state.setTimeoutTimestamp(
+              math.max(winEndMs, state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          } else Iterator.empty
+      }
+  }
+
   /** @param events   watermarked stream of categorical events (the caller
     *                 sets `withWatermark` on the source timestamp BEFORE
     *                 converting to [[DEvent]])

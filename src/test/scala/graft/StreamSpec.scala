@@ -808,6 +808,98 @@ class StreamSpec extends SparkSpec {
       "one pair per event beyond each user's first; the sentinel user emits none")
   }
 
+  test("live binned KS equals the batch q_drift_ks_binned row and a windowed replay under disorder") {
+    import spark.implicits._
+    import graft.stream.Drift
+    import graft.stream.Drift.KEvent
+    // events pre-binned with the SAME shared grid expression the batch
+    // query uses, sides = the registry pair (click, view)
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type").as("side"),
+        graft.queries.Aggregates.binCol(col("value")).as("bin"),
+        unix_micros(col("ts")).as("us"), col("ts")).as[KEvent]
+      .collect().toSeq
+    val rnd = new scala.util.Random(23)
+    val shuffled = rnd.shuffle(ev)
+    val (b1, b2) = shuffled.splitAt(shuffled.size / 2)
+    val maxUs = ev.map(_.us).max
+    // watermark delay spans the whole fixture so the seeded shuffle's
+    // cross-batch disorder is admissible; sentinels beyond maxUs + delay
+    // then close every real window (first advances the watermark, the
+    // second fires the timers)
+    val delayS = (maxUs - ev.map(_.us).min) / 1000000L + 2L * 86400L
+    def sentinel(offS: Long) = {
+      val us = maxUs + (delayS + offS) * 1000000L
+      KEvent("zz", 0L, us, new java.sql.Timestamp(us / 1000L))
+    }
+
+    // --- part 1: one giant window over the whole corpus ≡ the ◆ row ---
+    val bigWinUs = maxUs + 1000000L
+    val ms1 = MemoryStream[KEvent](implicitly[Encoder[KEvent]], spark.sqlContext)
+    val sink1 = s"ksb_all_${System.identityHashCode(this)}"
+    val q1 = Drift.windowedKsBinned(
+        ms1.toDS().withWatermark("ts", s"$delayS seconds"),
+        bigWinUs, "click", "view")
+      .writeStream.outputMode("append").format("memory").queryName(sink1).start()
+    try {
+      ms1.addData(b1); q1.processAllAvailable()
+      ms1.addData(b2); q1.processAllAvailable()
+      ms1.addData(Seq(sentinel(3600L))); q1.processAllAvailable()
+      ms1.addData(Seq(sentinel(7200L))); q1.processAllAvailable()
+    } finally q1.stop()
+    val liveAll = spark.table(sink1).filter(col("win_start_us") === 0L)
+      .collect()
+    assert(liveAll.length === 1, "exactly one closed whole-corpus window")
+    val l = liveAll(0)
+    val batchRow = SparkEntry.queries("q_drift_ks_binned")(spark, sfDir)
+      .filter(col("side_a") === "click").collect()(0)
+    assert((l.getLong(3), l.getLong(4), l.getLong(5), l.getDouble(6)) ===
+      ((batchRow.getLong(2), batchRow.getLong(3), batchRow.getLong(4),
+        batchRow.getDouble(5))),
+      "the closed window must reproduce the ◆ batch KS row bit-for-bit")
+
+    // --- part 2: daily windows under cross-batch disorder ≡ a plain
+    // replay of the same integer arithmetic per window ---
+    val dayUs = 86400000000L
+    val ms2 = MemoryStream[KEvent](implicitly[Encoder[KEvent]], spark.sqlContext)
+    val sink2 = s"ksb_day_${System.identityHashCode(this)}"
+    val q2 = Drift.windowedKsBinned(
+        ms2.toDS().withWatermark("ts", s"$delayS seconds"),
+        dayUs, "click", "view")
+      .writeStream.outputMode("append").format("memory").queryName(sink2).start()
+    try {
+      ms2.addData(b1); q2.processAllAvailable()
+      ms2.addData(b2); q2.processAllAvailable()
+      ms2.addData(Seq(sentinel(3600L))); q2.processAllAvailable()
+      ms2.addData(Seq(sentinel(7200L))); q2.processAllAvailable()
+    } finally q2.stop()
+    val live = spark.table(sink2)
+      .filter(col("win_start_us") < maxUs)
+      .collect().map { r =>
+        r.getLong(0) -> ((r.getLong(3), r.getLong(4), r.getLong(5),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6))))
+      }.toMap
+    val expect = ev.groupBy(_.us / dayUs).map { case (win, es) =>
+      val byBin = es.groupBy(_.bin).toSeq.sortBy(_._1)
+      val n1 = es.count(_.side == "click").toLong
+      val n2 = es.count(_.side == "view").toLong
+      var cuma = 0L; var cumb = 0L; var num = 0L
+      byBin.foreach { case (_, bs) =>
+        cuma += bs.count(_.side == "click")
+        cumb += bs.count(_.side == "view")
+        num = math.max(num, math.abs(cuma * n2 - cumb * n1))
+      }
+      val d = if (n1 == 0L || n2 == 0L) None
+        else Some(math.floor(num.toDouble / (n1 * n2).toDouble
+          * 10000.0 + 0.5) / 10000.0)
+      (win * dayUs) -> ((n1, n2, num, d))
+    }
+    assert(live === expect,
+      "every closed day's KS row must equal the sequential replay")
+    assert(live.size > 1, "the fixture must span multiple windows")
+  }
+
   test("live windowed drift equals the batch monitor under arbitrary cross-batch disorder") {
     import spark.implicits._
     import graft.stream.Drift

@@ -615,6 +615,20 @@ class WarehouseSpec extends SparkSpec {
       "4 peel rounds converge — every survivor holds core degree >= k")
   }
 
+  test("q_kcore_fixpoint equals the unrolled peel and genuinely converges") {
+    // The iterate-to-fixpoint variant must land exactly on the ◆
+    // unrolled result (the fixture converges within the 4 rounds the
+    // unrolled form runs, so the two are the same set), and the loop's
+    // own stop condition must have fired — no exception means it
+    // converged below the 64-round cap.
+    val unrolled = SparkEntry.queries("q_kcore")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fix = SparkEntry.queries("q_kcore_fixpoint")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fix === unrolled)
+    assert(fix.nonEmpty)
+  }
+
   test("q_tie_strength equals a brute-force common-neighbor replay, top-50") {
     val adj = coPurchaseAdj()
     val edges = adj.toSeq.flatMap { case (a, ns) =>

@@ -3289,15 +3289,19 @@ object LlmQueries {
     * with its pair count and tightest gap; query terms are the corpus's
     * two most frequent non-trivial tokens, derived identically in both
     * engines (the data-derived-constant discipline).
+    *
+    * r10: the postings are READ from the standing term-bucketed
+    * [[graft.sources.PostingsStore]] (built once per dataset) instead
+    * of re-tokenizing the corpus per query — the serving shape a real
+    * retrieval pipeline uses; each term probe bucket-prunes to one
+    * bucket of the index (PostingsSpec pins the pruned scan). The
+    * minimum-length filter pushes down to the stored scan; the ◆
+    * oracle is unchanged.
     */
   private val phraseSearchQ: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val post = Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")))
-      .toDF("doc_id", "pos", "w")
-      .withColumn("pos", col("pos").cast("long"))
+    val post = graft.sources.PostingsStore.postings(s, d)
       .filter(length(col("w")) >= 4)
-      .localCheckpoint()
     // the two most frequent length-≥4 terms, (count DESC, term) order
     val top2 = post.groupBy("w").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("w")).limit(2)

@@ -30,6 +30,20 @@ import org.apache.spark.sql.functions._
   * [[compact]] folds the appends back to one row per key (answer-
   * invariant, rename-swapped). At 100 TB the state table is co-bucketed
   * on the key ([[Bucketed]]) so the serve-side merge is exchange-free.
+  *
+  * CROSS-STORE COMPOSITION CONTRACT: a pipeline may commit one
+  * micro-batch to several stores inside a single `foreachBatch` in ANY
+  * order, because every store in the family makes redelivery of an
+  * already-landed batch a no-op at the answer level — this store and
+  * [[SnapshotStore.commitAs]] by batchId-keyed overwrite,
+  * [[SketchStore]]/[[LatestStore]]/[[LshStore]] by idempotent merges.
+  * A crash between two stores' writes leaves the batch landed in a
+  * prefix of them; the checkpoint commit was never written, so restart
+  * REDELIVERS the batch to all — the landed prefix absorbs the replay,
+  * the rest catch up, and every store converges to its clean-run state
+  * (StoreComposeSpec injects exactly this crash and proves both sides).
+  * The one rule: all stores in the batch must be from this family (a
+  * non-idempotent side effect in the same foreachBatch would double).
   */
 class AggStateStore(spark: SparkSession, rootUri: String) {
 

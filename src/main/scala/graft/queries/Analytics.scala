@@ -2363,7 +2363,71 @@ object Analytics {
       |             / 100.0 * 10000.0 + 0.5) / 10000.0 AS cuped_diff_dollars
       |FROM wdn""".stripMargin
 
+  /** Mann–Kendall monotone-trend test over the daily revenue series —
+    * the nonparametric companion to ◆ `q_linreg_trend`'s parametric
+    * slope (and the trend half the family was missing next to
+    * `q_rank_test`'s two-sample MW-U): S = Σ_{i<j} sign(x_j − x_i)
+    * needs no distributional assumption and is immune to outliers a
+    * revenue series always has. All moments exact integers: S from the
+    * strictly-upper-triangle self-join of the |days| daily rollup
+    * (|days|² pairs of an already-collapsed table — the `q_acf`
+    * bounded-domain argument; the events never pair), the tie-corrected
+    * variance kept ×18 as var18 = n(n−1)(2n+5) − Σ t(t−1)(2t+5) so the
+    * hash gate sees only int64; the sole floats are the final
+    * correctly-rounded /18, sqrt, and division into the round4 z
+    * (continuity-corrected), identical IEEE ops in both engines.
+    */
+  private val mannKendallQ: Q = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .groupBy(expr("unix_micros(o_orderdate) div 86400000000").as("day"))
+      .agg(sum(graft.ops.Num.cents(col("o_totalprice"))).as("x"))
+      .localCheckpoint()
+    val sDf = daily.as("a").join(daily.as("b"), col("a.day") < col("b.day"))
+      .agg(sum(signum(col("b.x") - col("a.x")).cast("long")).as("s"))
+    val ties = daily.groupBy("x").agg(count(lit(1)).as("t"))
+      .agg(sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L))
+        .as("tie18"))
+    val nDf = daily.agg(count(lit(1)).as("n_days"))
+    sDf.crossJoin(broadcast(nDf)).crossJoin(broadcast(ties))
+      .select(col("n_days"), col("s"),
+        (col("n_days") * (col("n_days") - 1L) *
+          (lit(2L) * col("n_days") + 5L) - col("tie18")).as("var18"))
+      .select(col("n_days"), col("s"), col("var18"),
+        Num.round4(
+          when(col("s") > 0L, (col("s") - 1L).cast("double") /
+            sqrt(col("var18").cast("double") / 18.0))
+            .when(col("s") < 0L, (col("s") + 1L).cast("double") /
+              sqrt(col("var18").cast("double") / 18.0))
+            .otherwise(lit(0.0))).as("z"))
+  }
+
+  private val mannKendallSql =
+    """WITH daily AS (
+      |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+      |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |           AS x
+      |  FROM orders GROUP BY 1),
+      |s AS (SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1
+      |                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+      |        AS s
+      |      FROM daily a JOIN daily b ON a.day < b.day),
+      |t AS (SELECT CAST(coalesce(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+      |        AS tie18
+      |      FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY x)),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+      |v AS (SELECT n_days, s,
+      |             n_days * (n_days - 1) * (2 * n_days + 5) - tie18 AS var18
+      |      FROM s, t, n)
+      |SELECT n_days, s, var18,
+      |       floor((CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+      |                               / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+      |                   WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
+      |                               / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+      |                   ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS z
+      |FROM v""".stripMargin
+
   val entries: Seq[Entry] = Seq(
+    Entry("q_mann_kendall", mannKendallQ, Some(mannKendallSql)),
     Entry("q_linreg_trend", linregTrendQ, Some(linregTrendSql)),
     Entry("q_moment_matrix", momentMatrixQ, Some(momentMatrixSql)),
     Entry("q_acf", acfQ, Some(acfSql)),

@@ -561,16 +561,15 @@ object LlmQueries {
     * the shuffle is by bucket, per-bucket work is corpus/16. The same shape
     * as LSH bucketing but exactly reproducible in SQL, so the pruning
     * logic itself is oracle-verified.
+    *
+    * r10: the inverted lists are READ from the standing
+    * [[graft.sources.IvfStore]] layout (quantized once per dataset,
+    * hash-bucketed on the list id) — the FAISS-on-disk serving shape;
+    * a single-list probe bucket-prunes (IvfSpec). ◆ oracle unchanged.
     */
   private val annIvf: Q = (s, d) => {
-    def bucketOf(v: Column): Column =
-      (when(element_at(v, 1) >= 0, 8).otherwise(0) +
-        when(element_at(v, 2) >= 0, 4).otherwise(0) +
-        when(element_at(v, 3) >= 0, 2).otherwise(0) +
-        when(element_at(v, 4) >= 0, 1).otherwise(0)).cast("int")
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("bucket", bucketOf(col("v")))
+    val e = graft.sources.IvfStore.lists(s, d)
+      .select("vec_id", "v", "bucket")
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
     e.join(q, Seq("bucket"))
@@ -2156,6 +2155,60 @@ object LlmQueries {
       |       floor(n_after / CAST(ta.total_after AS DOUBLE) * 10000 + 0.5) / 10000.0 AS share_after
       |FROM a, ta ORDER BY lang""".stripMargin
 
+  /** Exact-allocation stratified sampling — the counts-guaranteed
+    * companion of [[mixRebalance]]'s rate thresholding: a Bernoulli
+    * rate hits its target only in expectation, but a training-mixture
+    * spec says "exactly k per stratum". Each stratum keeps its k
+    * hash-smallest members (rank by (md5, doc_id) within the stratum,
+    * k = the smallest stratum's size — perfect balance), so the
+    * selection is deterministic, engine-independent, and EXACT. The
+    * per-stratum rank ≤ k plans as a WindowGroupLimit under the
+    * lang-keyed window — no stratum ever buffers beyond k, the
+    * `q_topn_per_group` heap argument — and only per-stratum summary
+    * rows leave; the id-sum column pins WHICH documents were chosen,
+    * not just how many. ◆ oracle: the identical md5 rank in DuckDB.
+    *
+    * k is fetched as a ONE-ROW driver scalar (the bounded-collect class
+    * the BPE argmax established) because WindowGroupLimit only plans
+    * for a LITERAL rank bound — with k as a joined column every
+    * stratum would buffer its full membership; in production k is the
+    * mixture spec's constant anyway.
+    */
+  private val stratifiedSampleQ: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_before"))
+    val k = counts.agg(min("n_before")).collect()(0).getLong(0)
+    val ranked = docs.select(col("lang"), col("doc_id"),
+        Hashing.md5Long(concat(col("doc_id").cast("string"),
+          lit("#strat"))).as("h"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(asc("h"), asc("doc_id"))))
+    ranked
+      .filter(col("rk") <= lit(k))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"), sum("doc_id").as("id_sum"))
+      .join(counts, "lang")
+      .select(col("lang"), col("n_before"), lit(k).as("k_target"),
+        col("n_sampled"), col("id_sum"))
+      .orderBy("lang")
+  }
+
+  private val stratifiedSampleSql =
+    """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_before
+      |           FROM documents GROUP BY lang),
+      |k AS (SELECT MIN(n_before) AS k_target FROM c),
+      |r AS (SELECT lang, doc_id,
+      |             row_number() OVER (PARTITION BY lang ORDER BY
+      |               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#strat'), 1, 8))::BIGINT,
+      |               doc_id) AS rk
+      |      FROM documents),
+      |s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+      |             CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      |      FROM r, k WHERE rk <= k_target GROUP BY lang)
+      |SELECT s.lang, c.n_before, k.k_target, s.n_sampled, s.id_sum
+      |FROM s JOIN c USING (lang), k ORDER BY lang""".stripMargin
+
   /** Binary-signature ANN — the compression end of the similarity-search
     * family: each vector packs its 64 sign bits into two BIGINT halves
     * (32× smaller than the floats), candidates come from Hamming distance
@@ -2912,10 +2965,17 @@ object LlmQueries {
     * still see every posting — they are windows, not the limit). Hot
     * tokens (stopwords) are the classic skew key: at 100 TB the df
     * aggregate is a per-token count — |vocab| rows — never a sort.
+    *
+    * r10: reads the standing term-bucketed
+    * [[graft.sources.PostingsStore]] instead of re-tokenizing — and
+    * because the layout hash-clusters on the term, the (token, doc)
+    * aggregate's required distribution is already satisfied (same
+    * token ⇒ same bucket), so the collapse runs with NO exchange
+    * before the token-keyed windows.
     */
   private val invertedIndex: Q = (s, d) => {
-    val posting = Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val posting = graft.sources.PostingsStore.postings(s, d)
+      .select(col("doc_id"), col("w").as("token"))
       .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
     val w = Window.partitionBy("token")
     val wr = Window.partitionBy("token").orderBy(desc("tf"), asc("doc_id"))
@@ -2961,8 +3021,11 @@ object LlmQueries {
     * moment widenings.
     */
   private val bm25TopK: Q = (s, d) => {
-    val post = Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    // the (token, doc) collapse reads the standing PostingsStore (r10,
+    // the q_inverted_index note) — the checkpoint still pays off: the
+    // collapsed tf table feeds dl, df, AND the contribution join
+    val post = graft.sources.PostingsStore.postings(s, d)
+      .select(col("doc_id"), col("w").as("token"))
       .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
       .localCheckpoint()
     val dl = post.groupBy("doc_id").agg(sum("tf").as("dl"))
@@ -3501,6 +3564,7 @@ object LlmQueries {
     Entry("q_unigram_lm", unigramLm, Some(unigramLmSql)),
     Entry("q_dup_spans", dupSpans, Some(dupSpansSql)),
     Entry("q_mix_rebalance", mixRebalance, Some(mixRebalanceSql)),
+    Entry("q_stratified_sample", stratifiedSampleQ, Some(stratifiedSampleSql)),
     Entry("q_mix_temperature", mixTemperature, Some(mixTemperatureSql)),
     Entry("q_ann_binary", annBinary, Some(annBinarySql)),
     Entry("q_curate_funnel", curateFunnel, Some(curateFunnelSql)),

@@ -908,6 +908,60 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("q_mann_kendall matches a sequential pairwise-sign replay") {
+    import graft.tables.Tables
+    import org.apache.spark.sql.functions._
+    val daily = Tables.orders(spark, sfDir)
+      .select(expr("unix_micros(o_orderdate) div 86400000000").as("day"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      .toSeq.sortBy(_._1).map(_._2)
+    val n = daily.size.toLong
+    val s = (for (i <- daily.indices; j <- i + 1 until daily.size)
+      yield (daily(j) compare daily(i)).sign.toLong).sum
+    val tie18 = daily.groupBy(identity).values
+      .map(g => { val t = g.size.toLong; t * (t - 1) * (2 * t + 5) }).sum
+    val var18 = n * (n - 1) * (2 * n + 5) - tie18
+    val zRaw =
+      if (s > 0) (s - 1).toDouble / math.sqrt(var18.toDouble / 18.0)
+      else if (s < 0) (s + 1).toDouble / math.sqrt(var18.toDouble / 18.0)
+      else 0.0
+    val z = math.floor(zRaw * 10000.0 + 0.5) / 10000.0
+    val row = q("q_mann_kendall").collect()(0)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getDouble(3))
+      === ((n, s, var18, z)))
+    assert(var18 > 0L && n > 10L, "the fixture series must be non-degenerate")
+  }
+
+  test("q_stratified_sample: exact per-stratum counts and deterministic membership") {
+    import graft.tables.Tables
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+      .select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val byLang = docs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val k = byLang.values.map(_.length).min
+    def md5Long(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString, 16)
+    val expect = byLang.toSeq.map { case (lang, ids) =>
+      val chosen = ids.sortBy(id => (md5Long(s"$id#strat"), id)).take(k)
+      (lang, ids.length.toLong, k.toLong, chosen.length.toLong, chosen.sum)
+    }.sortBy(_._1)
+    val got = q("q_stratified_sample").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expect)
+    // exactness: every stratum lands exactly k members
+    assert(got.forall(_._4 == k.toLong))
+    // the rank <= k plans as a group limit — no stratum buffers beyond k
+    val plan = q("q_stratified_sample").queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-stratum rank must plan as a group limit:\n$plan")
+  }
+
   test("q_subsample_stability matches a sequential md5 half-sample replay") {
     import graft.tables.Tables
     import org.apache.spark.sql.functions._

@@ -423,21 +423,11 @@ object Warehouse {
     new java.util.concurrent.ConcurrentHashMap[
       (org.apache.spark.sql.SparkSession, String),
       graft.sources.SnapshotStore]()
-  private val ttRoots =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
-  Runtime.getRuntime.addShutdownHook(new Thread(() =>
-    ttRoots.forEach { p =>
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(p.toFile)
-    }))
 
   private def versionedStore(s: org.apache.spark.sql.SparkSession,
       d: String): graft.sources.SnapshotStore =
-    ttStores.computeIfAbsent((s, d), { _ =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft-tt")
-      ttRoots.add(tmp)
+    graft.sources.LayoutCache.getOrBuild(ttStores, (s, d)) {
+      val tmp = graft.sources.LayoutCache.tempRoot("graft-tt")
       val store = new graft.sources.SnapshotStore(s, "file://" + tmp)
       def batch(i: Int) = Tables.orders(s, d)
         .filter(pmod(col("o_orderkey"), lit(4)) === i)
@@ -447,7 +437,7 @@ object Warehouse {
         .select(col("o_custkey").as("user_id"), col("m.st").as("event_type"))
       (0 to 3).foreach(i => store.commit(batch(i)))
       store
-    })
+    }
 
   private val timeTravel: Q = (s, d) => {
     val store = versionedStore(s, d)

@@ -46,15 +46,6 @@ object GraphStateStore {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[
       (SparkSession, String, Long, Long), Standing]()
-  private val roots =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[java.io.File]()
-  Runtime.getRuntime.addShutdownHook(new Thread(() =>
-    roots.forEach { f =>
-      def rm(x: java.io.File): Unit = {
-        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
-      }
-      rm(f)
-    }))
 
   /** The standing baskets' cut key: orders with
     * `l_orderkey ≤ lo + (hi−lo)·cutNum/cutDen` are standing history;
@@ -71,12 +62,10 @@ object GraphStateStore {
     */
   def standing(s: SparkSession, sfDir: String,
       cutNum: Long, cutDen: Long): Standing =
-    cache.computeIfAbsent((s, sfDir, cutNum, cutDen), { _ =>
+    LayoutCache.getOrBuild(cache, (s, sfDir, cutNum, cutDen)) {
       val tag = java.lang.Integer.toHexString(sfDir.hashCode) +
         s"_${cutNum}_$cutDen"
-      val root = java.nio.file.Files
-        .createTempDirectory(s"graft-graphstate-$tag").toFile
-      roots.add(root)
+      val root = LayoutCache.tempRoot(s"graft-graphstate-$tag")
       val li = Tables.lineitem(s, sfDir)
       val keys = li.agg(min("l_orderkey").as("lo"),
         max("l_orderkey").as("hi"))
@@ -97,5 +86,5 @@ object GraphStateStore {
       Standing(edges,
         s.read.parquet(s"$root/degrees"),
         s.read.parquet(s"$root/corners"), table)
-    })
+    }
 }

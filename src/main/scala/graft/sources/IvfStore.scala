@@ -35,26 +35,15 @@ object IvfStore {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       DataFrame]()
-  private val roots =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[java.io.File]()
-  Runtime.getRuntime.addShutdownHook(new Thread(() =>
-    roots.forEach { f =>
-      def rm(x: java.io.File): Unit = {
-        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
-      }
-      rm(f)
-    }))
 
   /** The standing inverted lists for `sfDir` (columns: vec_id, v
     * `array<double>`, label, bucket), built and bucketed once per
     * (session, dataset).
     */
   def lists(s: SparkSession, sfDir: String): DataFrame =
-    cache.computeIfAbsent((s, sfDir), { _ =>
+    LayoutCache.getOrBuild(cache, (s, sfDir)) {
       val tag = java.lang.Integer.toHexString(sfDir.hashCode)
-      val root = java.nio.file.Files
-        .createTempDirectory(s"graft-ivf-$tag").toFile
-      roots.add(root)
+      val root = LayoutCache.tempRoot(s"graft-ivf-$tag")
       val e = graft.tables.Tables.embeddings(s, sfDir)
         .select(col("vec_id"),
           col("embedding").cast("array<double>").as("v"), col("label"))
@@ -62,5 +51,5 @@ object IvfStore {
       val table = s"graft_ivf_$tag"
       Bucketed.writeBucketed(e, table, s"$root/lists", "bucket", nLists)
       s.table(table)
-    })
+    }
 }

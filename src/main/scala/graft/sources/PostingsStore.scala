@@ -27,25 +27,14 @@ object PostingsStore {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       DataFrame]()
-  private val roots =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[java.io.File]()
-  Runtime.getRuntime.addShutdownHook(new Thread(() =>
-    roots.forEach { f =>
-      def rm(x: java.io.File): Unit = {
-        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
-      }
-      rm(f)
-    }))
 
   /** The standing positional postings for `sfDir` (columns: doc_id,
     * pos, w), built and bucketed once per (session, dataset).
     */
   def postings(s: SparkSession, sfDir: String): DataFrame =
-    cache.computeIfAbsent((s, sfDir), { _ =>
+    LayoutCache.getOrBuild(cache, (s, sfDir)) {
       val tag = java.lang.Integer.toHexString(sfDir.hashCode)
-      val root = java.nio.file.Files
-        .createTempDirectory(s"graft-postings-$tag").toFile
-      roots.add(root)
+      val root = LayoutCache.tempRoot(s"graft-postings-$tag")
       val post = graft.tables.Tables.documents(s, sfDir)
         .select(col("doc_id"), posexplode(split(col("text"), " ")))
         .toDF("doc_id", "pos", "w")
@@ -55,5 +44,5 @@ object PostingsStore {
       Bucketed.writeBucketed(post, table, s"$root/postings", "w",
         s.sessionState.conf.numShufflePartitions)
       s.table(table)
-    })
+    }
 }

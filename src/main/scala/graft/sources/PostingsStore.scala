@@ -28,21 +28,44 @@ object PostingsStore {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       DataFrame]()
 
+  /** (doc_id, text) → (doc_id, pos, w) positional tokenization — ONE
+    * definition shared by the initial build and every delta append, so
+    * incremental ≡ rebuilt holds by construction.
+    */
+  def tokenize(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), posexplode(split(col("text"), " ")))
+    .toDF("doc_id", "pos", "w")
+    .withColumn("pos", col("pos").cast("long"))
+    .filter(length(col("w")) > 0)
+
+  /** One owned positional index: build once, append crawl deltas.
+    * `insertInto` honors the table's bucket spec, so delta postings
+    * land in their term's bucket (a bucket gains files, it never
+    * splits) and every later term probe still prunes to one bucket
+    * across base + deltas — PostingsSpec proves append ≡ rebuild and
+    * that pruning survives the multi-file buckets.
+    */
+  final class PostingsIndex(s: SparkSession, table: String, dir: String,
+      buckets: Int) {
+    def build(docs: DataFrame): Unit =
+      Bucketed.writeBucketed(tokenize(docs), table, dir, "w", buckets)
+    def append(docs: DataFrame): Unit =
+      tokenize(docs).write.mode("append").insertInto(table)
+    def read: DataFrame = s.table(table)
+  }
+
   /** The standing positional postings for `sfDir` (columns: doc_id,
-    * pos, w), built and bucketed once per (session, dataset).
+    * pos, w), built and bucketed once per (session, dataset). This
+    * shared fixture index is READ-ONLY by convention — delta ingestion
+    * belongs on a caller-owned [[PostingsIndex]].
     */
   def postings(s: SparkSession, sfDir: String): DataFrame =
     LayoutCache.getOrBuild(cache, (s, sfDir)) {
       val tag = java.lang.Integer.toHexString(sfDir.hashCode)
       val root = LayoutCache.tempRoot(s"graft-postings-$tag")
-      val post = graft.tables.Tables.documents(s, sfDir)
-        .select(col("doc_id"), posexplode(split(col("text"), " ")))
-        .toDF("doc_id", "pos", "w")
-        .withColumn("pos", col("pos").cast("long"))
-        .filter(length(col("w")) > 0)
-      val table = s"graft_postings_$tag"
-      Bucketed.writeBucketed(post, table, s"$root/postings", "w",
-        s.sessionState.conf.numShufflePartitions)
-      s.table(table)
+      val idx = new PostingsIndex(s, s"graft_postings_$tag",
+        s"$root/postings", s.sessionState.conf.numShufflePartitions)
+      idx.build(graft.tables.Tables.documents(s, sfDir))
+      idx.read
     }
 }

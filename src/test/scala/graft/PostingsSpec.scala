@@ -26,6 +26,40 @@ class PostingsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("delta appends equal a from-scratch rebuild and keep bucket pruning") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+    val base = docs.filter(col("doc_id") % 3 =!= 0)
+    val delta1 = docs.filter(col("doc_id") % 3 === 0 &&
+      col("doc_id") % 2 === 0)
+    val delta2 = docs.filter(col("doc_id") % 3 === 0 &&
+      col("doc_id") % 2 =!= 0)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-postidx").toString
+    val idx = new PostingsStore.PostingsIndex(spark,
+      "graft_postings_incr_t", s"$root/postings", 4)
+    idx.build(base)
+    idx.append(delta1)
+    idx.append(delta2)
+    val got = idx.read.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    val want = PostingsStore.tokenize(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    assert(got === want, "incremental index must equal the full rebuild")
+    // pruning survives multi-file buckets: a term probe still opens 1/4
+    val term = idx.read.groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("w")).limit(1).collect()(0).getString(0)
+    withConf("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+      "false") {
+      val plan = idx.read.filter(col("w") === term)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 4"),
+        s"append must not break bucket pruning:\n$plan")
+    }
+    spark.sql("DROP TABLE IF EXISTS graft_postings_incr_t")
+    deleteRecursively(root)
+  }
+
   test("a term probe bucket-prunes to one bucket of the index") {
     val post = PostingsStore.postings(spark, sfDir)
     val term = post.filter(length(col("w")) >= 4)

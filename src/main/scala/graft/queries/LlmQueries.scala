@@ -602,6 +602,65 @@ object LlmQueries {
       |      FROM scored)
       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
+  /** Multi-probe IVF — the recall knob every production IVF exposes
+    * (FAISS `nprobe`): a query inspects its own inverted list PLUS the
+    * lists whose code differs by one sign bit (Hamming ≤ 1 → 5 of the
+    * 16 lists), catching neighbors that fell just across a quantization
+    * boundary — the single-probe [[annIvf]]'s known failure mode. The
+    * probe set EXPANDS EXPLICITLY (query × 5 flip masks, an 50-row
+    * broadcast) so the candidate fetch stays an EQUI-join on the list
+    * id and rides the [[graft.sources.IvfStore]] bucketed layout —
+    * never a theta join over the corpus. Per query the candidate pool
+    * is 5/16 of the corpus instead of 1/16; the top-3 re-rank is exact
+    * cosine as in the single-probe form, and the spec proves dominance:
+    * at every rank the multi-probe cosine ≥ the single-probe cosine.
+    */
+  private val annIvfProbe: Q = (s, d) => {
+    val e = graft.sources.IvfStore.lists(s, d)
+      .select("vec_id", "v", "bucket")
+    val q0 = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("bucket").as("qb"))
+    val probes = q0
+      .select(col("q_id"), col("qv"), col("qb"),
+        explode(array(lit(0), lit(1), lit(2), lit(4), lit(8))).as("flip"))
+      .select(col("q_id"), col("qv"),
+        col("qb").bitwiseXOR(col("flip")).as("bucket"))
+    e.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", r3(cosine(col("qv"), col("v"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select("q_id", "rank", "vec_id", "bucket", "cos")
+      .orderBy("q_id", "rank")
+  }
+
+  private val annIvfProbeSql =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |         (CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END +
+      |          CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END +
+      |          CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END +
+      |          CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS bucket
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, v AS qv, bucket AS qb FROM e
+      |      WHERE vec_id < 10),
+      |probes AS (
+      |  SELECT q_id, qv, xor(qb, f.flip) AS bucket
+      |  FROM q, (SELECT unnest([0, 1, 2, 4, 8]) AS flip) f),
+      |scored AS (
+      |  SELECT p.q_id, e.vec_id, e.bucket,
+      |         floor(list_cosine_similarity(p.qv, e.v) * 1000 + 0.5) / 1000.0
+      |           AS cos
+      |  FROM probes p JOIN e ON p.bucket = e.bucket AND e.vec_id <> p.q_id)
+      |SELECT q_id, rank, vec_id, bucket, cos
+      |FROM (SELECT q_id, vec_id, bucket, cos,
+      |             row_number() OVER (PARTITION BY q_id
+      |                                ORDER BY cos DESC, vec_id) AS rank
+      |      FROM scored)
+      |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
   /** kNN label-vote probe — the standard embedding-quality audit: predict
     * each query vector's label by majority vote of its 5 cosine neighbors
     * and report per-label accuracy (on uniform-random synthetic vectors
@@ -3528,6 +3587,7 @@ object LlmQueries {
     Entry("q_dedup_eval", dedupEval, Some(dedupEvalSql)),
     Entry("q_inverted_index", invertedIndex, Some(invertedIndexSql)),
     Entry("q_bm25_topk", bm25TopK, Some(bm25TopKSql)),
+    Entry("q_ann_ivf_probe", annIvfProbe, Some(annIvfProbeSql)),
     Entry("q_embed_centroid", embedCentroid, Some(embedCentroidSql)),
     Entry("q_dup_components", dupComponentsQ, Some(dupComponentsSql)),
     Entry("q_pii_scrub", piiScrub, Some(piiScrubSql)),

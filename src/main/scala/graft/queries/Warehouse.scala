@@ -439,6 +439,91 @@ object Warehouse {
       store
     }
 
+  /** The other two stores' READ paths under the cross-engine hash gate
+    * (the `q_time_travel` treatment extended family-wide: the specs
+    * prove replay/compaction mechanics, these prove the served RESULT):
+    * one cached fixture store per (session, dataset) via [[graft.sources.LayoutCache]].
+    */
+  private val aggStores =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String),
+      graft.sources.AggStateStore]()
+
+  private def aggStateStore(s: org.apache.spark.sql.SparkSession,
+      d: String): graft.sources.AggStateStore =
+    graft.sources.LayoutCache.getOrBuild(aggStores, (s, d)) {
+      val store = new graft.sources.AggStateStore(s,
+        "file://" + graft.sources.LayoutCache.tempRoot("graft-aggserve"))
+      (0 to 2).foreach { i =>
+        store.appendBatch(Tables.orders(s, d)
+          .filter(pmod(col("o_orderkey"), lit(3)) === i), i.toLong)
+      }
+      store
+    }
+
+  /** ◆ `q_agg_state_serve` — the [[graft.sources.AggStateStore]]
+    * composition end-to-end: three batch ingests (orders split by key
+    * mod 3 — every batch touches overlapping customers, so the
+    * merge-on-read genuinely folds), then `serve()`. The oracle is the
+    * DEFINITIONAL single-pass aggregate over all orders — hash equality
+    * proves partial-state append + merge loses nothing, the
+    * `q_incr_agg` claim lifted onto the store's own read path.
+    */
+  private val aggStateServe: Q = (s, d) => aggStateStore(s, d).serve()
+
+  private val aggStateServeSql =
+    """SELECT o_custkey,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |         AS revenue_cents,
+      |       CAST(MIN(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |         AS min_cents,
+      |       CAST(MAX(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |         AS max_cents,
+      |       CAST(MAX(epoch_us(o_orderdate) // 86400000000) AS BIGINT)
+      |         AS last_day,
+      |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |         // CAST(count(*) AS BIGINT) AS avg_cents
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  private val latestStores =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String),
+      graft.sources.LatestStore]()
+
+  private def latestStore(s: org.apache.spark.sql.SparkSession,
+      d: String): graft.sources.LatestStore =
+    graft.sources.LayoutCache.getOrBuild(latestStores, (s, d)) {
+      val store = new graft.sources.LatestStore(s,
+        "file://" + graft.sources.LayoutCache.tempRoot("graft-latserve"))
+      val changes = Tables.events(s, d).select(col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_id").as("seq"),
+        col("event_type"))
+      (0 to 2).foreach(i =>
+        store.append(changes.filter(pmod(col("seq"), lit(3)) === i)))
+      store
+    }
+
+  /** ◆ `q_latest_serve` — the [[graft.sources.LatestStore]] CDC
+    * snapshot under the hash gate: the event stream lands as three
+    * interleaved change batches (split by change id mod 3, so
+    * arrival order is deliberately NOT event-time order), and the
+    * served latest-wins state must still equal the definitional
+    * per-user (event-time, change-id) argmax over the raw stream.
+    */
+  private val latestServe: Q = (s, d) => latestStore(s, d).snapshot()
+
+  private val latestServeSql =
+    """SELECT user_id, CAST(us AS BIGINT) AS us, CAST(seq AS BIGINT) AS seq,
+      |       event_type
+      |FROM (SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id AS seq,
+      |             event_type,
+      |             row_number() OVER (PARTITION BY user_id
+      |                                ORDER BY epoch_ns(ts) // 1000 DESC,
+      |                                         event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   private val timeTravel: Q = (s, d) => {
     val store = versionedStore(s, d)
     Seq(2L, 4L).map { v =>
@@ -648,6 +733,8 @@ object Warehouse {
     Entry("q_table_diff", tableDiff, Some(tableDiffSql)),
     Entry("q_incr_join", incrJoin, Some(incrJoinSql)),
     Entry("q_time_travel", timeTravel, Some(timeTravelSql)),
+    Entry("q_agg_state_serve", aggStateServe, Some(aggStateServeSql)),
+    Entry("q_latest_serve", latestServe, Some(latestServeSql)),
     Entry("q_table_health", tableHealth, Some(tableHealthSql)),
     Entry("q_version_diff", versionDiff, Some(versionDiffSql)),
     Entry("q_lead_time", leadTime, Some(leadTimeSql)),

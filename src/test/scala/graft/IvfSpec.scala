@@ -23,6 +23,24 @@ class IvfSpec extends SparkSpec {
       "the quantizer must spread the fixture across lists")
   }
 
+  test("multi-probe dominates single-probe at every rank") {
+    // nprobe=5 sees a candidate superset of nprobe=1, so at each
+    // (query, rank) the multi-probe cosine must be >= the single-probe
+    // cosine — and on the fixture at least one query must genuinely
+    // improve, or the probe expansion is vacuous.
+    val single = SparkEntry.queries("q_ann_ivf")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(4)).toMap
+    val multi = SparkEntry.queries("q_ann_ivf_probe")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(4))
+      .toMap
+    assert(multi.keySet === single.keySet)
+    single.foreach { case (k, cosS) =>
+      assert(multi(k) >= cosS, s"rank $k regressed: ${multi(k)} < $cosS")
+    }
+    assert(single.exists { case (k, cosS) => multi(k) > cosS },
+      "the extra lists must improve at least one result on the fixture")
+  }
+
   test("a single-list probe bucket-prunes to one of the 16 lists") {
     val lists = IvfStore.lists(spark, sfDir)
     val probe = lists.filter(col("bucket") === 5)

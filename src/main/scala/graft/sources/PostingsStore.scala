@@ -44,6 +44,15 @@ object PostingsStore {
     * splits) and every later term probe still prunes to one bucket
     * across base + deltas — PostingsSpec proves append ≡ rebuild and
     * that pruning survives the multi-file buckets.
+    *
+    * Delivery contract (stated, not implied): [[append]] is a BLIND
+    * append and posting rows are not idempotent under redelivery —
+    * this is the one family member where a replayed batch WOULD
+    * duplicate (duplicate postings inflate tf/df). The nightly batch
+    * indexer that owns this path runs exactly-once by construction;
+    * streaming ingestion must stage per-batch directories keyed by
+    * batchId ([[Export]]'s discipline) rather than call this method
+    * from foreachBatch.
     */
   final class PostingsIndex(s: SparkSession, table: String, dir: String,
       buckets: Int) {

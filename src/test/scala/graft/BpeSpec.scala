@@ -75,6 +75,32 @@ class BpeSpec extends SparkSpec {
       Bpe.trainBatched(docs, 10).map(_.rank) === (1 to 10))
   }
 
+  test("trainBatched equals sequential on random adversarial corpora") {
+    // Generative backstop for the 4-cap dominance rule: tiny alphabets
+    // with repeated substrings maximize the chance of the rule's edge
+    // cases (merged-symbol string collisions, tie cascades, pairs
+    // sharing symbols at equal counts). 15 seeded corpora, full
+    // merge-for-merge equality each.
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    (1 to 15).foreach { trial =>
+      val alphabet = "ab" + ("cde".take(rnd.nextInt(3)))
+      val words = (1 to 40).map { _ =>
+        (1 to (1 + rnd.nextInt(8)))
+          .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }
+      val text = words.mkString(" ")
+      val docs = spark.createDataFrame(Seq((1L, text))).toDF("doc_id", "text")
+      val wf = words.groupBy(identity).map { case (w, g) =>
+        w -> g.size.toLong
+      }.toSeq
+      val want = refTrain(wf, 25)
+      val got = Bpe.trainBatched(docs, 25, batchK = 8, fetchK = 64)
+        .map(m => (m.lhs, m.rhs, m.merged, m.pairFreq))
+      assert(got === want, s"trial $trial diverged (corpus: $text)")
+    }
+  }
+
   test("greedy left-to-right overlap rule: aaa + (a,a) merges once") {
     import spark.implicits._
     val docs = Seq("aaa bb aaa").toDF("text")

@@ -1420,6 +1420,84 @@ object Analytics {
       .orderBy("decile")
   }
 
+  /** Reliability table + expected calibration error — the ML-ops
+    * readout next to [[decileLiftQ]]'s gains table: a score is USEFUL
+    * if it ranks (lift) and TRUSTWORTHY if its value means what it says
+    * (calibration). The deterministic score under audit is the
+    * activity-rank percentile in basis points (rank-derived, so the
+    * whole readout is integer-exact and the ◆ oracle's `ntile` matches
+    * [[graft.ops.Rank.ntileFromRank]] bit-for-bit — the
+    * `q_decile_lift` discipline); per decile the report compares mean
+    * predicted score (confidence) against the realized conversion rate
+    * in bp, and ECE_bp = Σ n_b·|conf_b − acc_b| / N rides a broadcast
+    * of the 10-row bin table. Everything after the per-user collapse is
+    * |deciles|-sized.
+    */
+  private val calibrationQ: Q = (s, d) => {
+    val users = Tables.events(s, d)
+      .groupBy(col("user_id").as("u"))
+      .agg(count(lit(1)).as("activity"),
+        max(when(col("event_type") === "purchase" && col("value") >= 145.0,
+          1L).otherwise(0L)).as("conv"))
+      .localCheckpoint()
+    val tot = users.agg(count(lit(1)).as("n_total"))
+    val ranked = graft.ops.Rank.withGlobalRank(
+      users, "activity", Seq("u"), "rnk", descending = true)
+      .crossJoin(broadcast(tot))
+      .withColumn("score_bp", call_function("div",
+        lit(10000L) * (col("n_total") - col("rnk") + 1L), col("n_total")))
+      .withColumn("decile",
+        graft.ops.Rank.ntileFromRank(col("rnk"), col("n_total"), 10L)
+          .cast("long"))
+    val bins = ranked.groupBy("decile", "n_total")
+      .agg(count(lit(1)).as("n_u"), sum("conv").as("k_u"),
+        sum("score_bp").as("s_bp"))
+      .withColumn("conf_bp", call_function("div", col("s_bp"), col("n_u")))
+      .withColumn("acc_bp", call_function("div",
+        lit(10000L) * col("k_u"), col("n_u")))
+      .withColumn("gap_bp", abs(col("conf_bp") - col("acc_bp")))
+      .localCheckpoint()
+    val ece = bins.agg(call_function("div",
+      sum(col("n_u") * col("gap_bp")), max("n_total")).as("ece_bp"))
+    bins.crossJoin(broadcast(ece))
+      .select("decile", "n_u", "k_u", "conf_bp", "acc_bp", "gap_bp",
+        "ece_bp")
+      .orderBy("decile")
+  }
+
+  private val calibrationSql =
+    """WITH users AS (
+      |  SELECT user_id AS u, CAST(count(*) AS BIGINT) AS activity,
+      |         CAST(MAX(CASE WHEN event_type = 'purchase' AND value >= 145.0
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS conv
+      |  FROM events GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM users),
+      |ranked AS (
+      |  SELECT u, conv, n_total,
+      |         CAST(row_number() OVER (ORDER BY activity DESC, u) AS BIGINT)
+      |           AS rnk,
+      |         ntile(10) OVER (ORDER BY activity DESC, u) AS decile
+      |  FROM users, tot),
+      |scored AS (
+      |  SELECT CAST(decile AS BIGINT) AS decile, n_total, conv,
+      |         (10000 * (n_total - rnk + 1)) // n_total AS score_bp
+      |  FROM ranked),
+      |bins AS (
+      |  SELECT decile, n_total, CAST(count(*) AS BIGINT) AS n_u,
+      |         CAST(SUM(conv) AS BIGINT) AS k_u,
+      |         CAST(SUM(score_bp) AS BIGINT) AS s_bp
+      |  FROM scored GROUP BY decile, n_total),
+      |b2 AS (
+      |  SELECT decile, n_total, n_u, k_u,
+      |         s_bp // n_u AS conf_bp,
+      |         (10000 * k_u) // n_u AS acc_bp,
+      |         abs(s_bp // n_u - (10000 * k_u) // n_u) AS gap_bp
+      |  FROM bins),
+      |e AS (SELECT CAST(SUM(n_u * gap_bp) AS BIGINT) // MAX(n_total)
+      |        AS ece_bp FROM b2)
+      |SELECT decile, n_u, k_u, conf_bp, acc_bp, gap_bp, e.ece_bp
+      |FROM b2, e ORDER BY decile""".stripMargin
+
   private val decileLiftSql =
     """WITH users AS (
       |  SELECT user_id AS u, CAST(count(*) AS BIGINT) AS activity,
@@ -2448,6 +2526,7 @@ object Analytics {
     Entry("q_cramers_v", cramersVQ, Some(cramersVSql)),
     Entry("q_growth_accounting", growthAccountingQ, Some(growthAccountingSql)),
     Entry("q_decile_lift", decileLiftQ, Some(decileLiftSql)),
+    Entry("q_calibration", calibrationQ, Some(calibrationSql)),
     Entry("q_funnel_time", funnelTimeQ, Some(funnelTimeSql)),
     Entry("q_cohort_ltv", cohortLtvQ, Some(cohortLtvSql)),
     Entry("q_rolling_corr", rollingCorrQ, Some(rollingCorrSql)),

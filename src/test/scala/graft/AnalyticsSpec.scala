@@ -908,6 +908,44 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("q_calibration matches a sequential reliability replay") {
+    import graft.tables.Tables
+    import org.apache.spark.sql.functions._
+    val users = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("a"),
+        max(when(col("event_type") === "purchase" && col("value") >= 145.0,
+          1L).otherwise(0L)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = users.length.toLong
+    val ranked = users.sortBy { case (u, a, _) => (-a, u) }.zipWithIndex
+      .map { case ((u, a, c), i) =>
+        val rnk = i + 1L
+        val scoreBp = 10000L * (n - rnk + 1L) / n
+        // ntile's fill rule from the exact rank
+        val q = n / 10L; val r = n % 10L
+        val decile =
+          if (rnk <= (q + 1) * r) (rnk - 1) / (q + 1) + 1
+          else r + (rnk - 1 - (q + 1) * r) / q + 1
+        (decile, scoreBp, c)
+      }
+    val bins = ranked.groupBy(_._1).toSeq.map { case (dec, xs) =>
+      val nU = xs.length.toLong
+      val kU = xs.map(_._3).sum
+      val sBp = xs.map(_._2).sum
+      val conf = sBp / nU
+      val acc = 10000L * kU / nU
+      (dec, nU, kU, conf, acc, math.abs(conf - acc))
+    }.sortBy(_._1)
+    val ece = bins.map(b => b._2 * b._6).sum / n
+    val got = q("q_calibration").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got === bins.map(b => (b._1, b._2, b._3, b._4, b._5, b._6, ece)))
+    assert(got.map(_._7).distinct === Seq(ece) && ece > 0L,
+      "the audited score must be measurably miscalibrated on the fixture")
+  }
+
   test("q_mann_kendall matches a sequential pairwise-sign replay") {
     import graft.tables.Tables
     import org.apache.spark.sql.functions._

@@ -50,17 +50,88 @@ object PostingsStore {
     * this is the one family member where a replayed batch WOULD
     * duplicate (duplicate postings inflate tf/df). The nightly batch
     * indexer that owns this path runs exactly-once by construction;
-    * streaming ingestion must stage per-batch directories keyed by
-    * batchId ([[Export]]'s discipline) rather than call this method
-    * from foreachBatch.
+    * streaming ingestion routes through [[StreamingPostings]], whose
+    * batchId-keyed delta staging makes redelivery a rewrite.
     */
-  final class PostingsIndex(s: SparkSession, table: String, dir: String,
-      buckets: Int) {
+  final class PostingsIndex(s: SparkSession, val table: String,
+      dir: String, buckets: Int) {
     def build(docs: DataFrame): Unit =
       Bucketed.writeBucketed(tokenize(docs), table, dir, "w", buckets)
     def append(docs: DataFrame): Unit =
       tokenize(docs).write.mode("append").insertInto(table)
     def read: DataFrame = s.table(table)
+  }
+
+  /** Streaming ingestion for a [[PostingsIndex]] with the family's
+    * exactly-once discipline — the staged counterpart of the
+    * batch-only [[PostingsIndex.append]] (which is a blind,
+    * NON-idempotent append and must never be called from foreachBatch):
+    * each micro-batch's postings land in their own `batch=N` directory
+    * with an overwrite write, so a checkpoint-replayed batch REWRITES
+    * its own directory instead of duplicating postings (the
+    * [[AggStateStore]] batchId-keying). Readers union the bucketed base
+    * with the delta directories; [[foldDeltas]] is the nightly
+    * compaction that moves accumulated deltas into the bucketed layout
+    * in ONE exactly-once batch append (delete-after-append — a crash
+    * in between leaves duplicate postings VISIBLE, so the fold
+    * records a `_folding` marker first and refuses to read while one
+    * is pending, failing loudly rather than over-counting tf/df).
+    */
+  final class StreamingPostings(s: SparkSession, idx: PostingsIndex,
+      deltaRoot: String) {
+    private val markerPath = new org.apache.hadoop.fs.Path(
+      deltaRoot, "_folding")
+    private def fs = markerPath.getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+
+    def appendStream(docs: DataFrame, checkpoint: String)
+        : org.apache.spark.sql.streaming.StreamingQuery =
+      docs.writeStream
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          tokenize(batch).write.mode("overwrite")
+            .parquet(s"$deltaRoot/batch=$id")
+        }
+        .start()
+
+    /** Base ∪ deltas — the serving view between folds. */
+    def read: DataFrame = {
+      require(!fs.exists(markerPath),
+        s"a delta fold is pending at $deltaRoot — postings reads would " +
+          "double-count; finish or clean up the fold first")
+      val deltaDirs = if (fs.exists(new org.apache.hadoop.fs.Path(deltaRoot)))
+        fs.listStatus(new org.apache.hadoop.fs.Path(deltaRoot)).toSeq
+          .map(_.getPath.toString).filter(_.contains("batch="))
+      else Seq.empty
+      if (deltaDirs.isEmpty) idx.read
+      else idx.read.unionByName(
+        s.read.parquet(deltaDirs: _*).select("doc_id", "pos", "w"))
+    }
+
+    /** Fold accumulated deltas into the bucketed base (the nightly
+      * compaction): marker → one batch append → delete deltas →
+      * marker off. Answers invariant; only the read path's delta union
+      * empties.
+      */
+    def foldDeltas(): Unit = {
+      require(!fs.exists(markerPath),
+        s"a previous fold at $deltaRoot crashed between its append and " +
+          "its delta cleanup — the deltas may or may not be in the " +
+          "base; resolve manually rather than risking double-counted " +
+          "postings")
+      val root = new org.apache.hadoop.fs.Path(deltaRoot)
+      if (!fs.exists(root)) return
+      val deltaDirs = fs.listStatus(root).toSeq
+        .map(_.getPath).filter(_.getName.startsWith("batch="))
+      if (deltaDirs.isEmpty) return
+      fs.create(markerPath, true).close()
+      val rows = s.read.parquet(deltaDirs.map(_.toString): _*)
+        .select("doc_id", "pos", "w")
+      rows.write.mode("append").insertInto(idx.table)
+      deltaDirs.foreach(p => fs.delete(p, true))
+      fs.delete(markerPath, false)
+    }
   }
 
   /** The standing positional postings for `sfDir` (columns: doc_id,

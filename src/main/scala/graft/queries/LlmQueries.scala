@@ -792,7 +792,36 @@ object LlmQueries {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
       numQueries = 10, k = k, nprobe = nprobe, topK = topK)
 
-  private val annTrainedQ: Q = (s, d) => annTrained(s, d)
+  /** The registry entry reads the STANDING trained layout
+    * ([[graft.sources.IvfStore.trained]] — fit once per dataset,
+    * assignments bucketed on the learned list id, codebook beside
+    * them) and runs the same nprobe=2 / top-5 probe the library path
+    * [[annTrainedOn]] computes in one piece; MLQueriesSpec's recall
+    * gates stay on the library path, IvfSpec pins the store's
+    * nearest-centroid invariant, and the probe here is the serving
+    * shape: rank the broadcast codebook, equi-join the probed lists.
+    */
+  private val annTrainedQ: Q = (s, d) => {
+    val st = graft.sources.IvfStore.trained(s, d, 16)
+    val assigned = st.lists
+    val probes = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("vn").as("qv"))
+      .crossJoin(broadcast(st.centroids))
+      .withColumn("d2", dot(col("cv"), col("cv")) -
+        lit(2.0) * dot(col("qv"), col("cv")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("q_id").orderBy(asc("d2"), asc("bucket"))))
+      .filter(col("pr") <= 2)
+      .select("q_id", "qv", "bucket")
+    probes.join(assigned, Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(dot(col("qv"), col("vn")), 3))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select("q_id", "rank", "vec_id", "cos")
+      .orderBy("q_id", "rank")
+  }
 
   /** Language-ID by stopword-hit voting (n-gram heuristic): tokens join a
     * tiny broadcast stopword dim, argmax per doc with deterministic ties,

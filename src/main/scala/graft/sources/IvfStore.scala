@@ -36,6 +36,53 @@ object IvfStore {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       DataFrame]()
 
+  /** The TRAINED index layout — the production twin of the sign-
+    * quantized [[lists]] (FAISS `IndexIVF` with a learned coarse
+    * quantizer): one KMeans fit over the L2-NORMALIZED corpus (on the
+    * unit sphere euclidean cells are cosine neighborhoods — the
+    * `annTrainedOn` argument), assignments written bucketed on the
+    * learned list id, the k-row codebook stored beside them. Queries
+    * read both artifacts: rank the codebook (broadcast by size),
+    * probe the nprobe nearest lists via an equi-join on the layout.
+    * Training is the nightly job's cost; the per-(session, dataset, k)
+    * cache stands in for "the index exists". IvfSpec pins the
+    * definitional invariant that survives any fit nondeterminism:
+    * every stored vector sits in the list of its NEAREST stored
+    * centroid.
+    */
+  final case class Trained(lists: org.apache.spark.sql.DataFrame,
+      centroids: org.apache.spark.sql.DataFrame)
+
+  private val trainedCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, Int), Trained]()
+
+  def trained(s: SparkSession, sfDir: String, k: Int = 16): Trained =
+    LayoutCache.getOrBuild(trainedCache, (s, sfDir, k)) {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val tag = java.lang.Integer.toHexString(sfDir.hashCode) + s"_k$k"
+      val root = LayoutCache.tempRoot(s"graft-ivftrained-$tag")
+      val e = graft.tables.Tables.embeddings(s, sfDir)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(graft.ops.Vec.dot(col("v"), col("v"))))
+        .withColumn("vn", transform(col("v"), x => x / col("nrm")))
+        .select("vec_id", "vn")
+      val feat = e.withColumn("features", array_to_vector(col("vn")))
+      val km = new KMeans().setK(k).setSeed(42).setMaxIter(20)
+        .setFeaturesCol("features").fit(feat)
+      val assigned = km.transform(feat)
+        .select(col("vec_id"), col("vn"), col("prediction").as("bucket"))
+      val table = s"graft_ivft_$tag"
+      Bucketed.writeBucketed(assigned, table, s"$root/lists", "bucket", k)
+      import s.implicits._
+      km.clusterCenters.toSeq.map(_.toArray).zipWithIndex
+        .map { case (c, i) => (i, c) }.toDF("bucket", "cv")
+        .write.mode("overwrite").parquet(s"$root/centroids")
+      Trained(s.table(table), s.read.parquet(s"$root/centroids"))
+    }
+
   /** The standing inverted lists for `sfDir` (columns: vec_id, v
     * `array<double>`, label, bucket), built and bucketed once per
     * (session, dataset).

@@ -41,6 +41,32 @@ class IvfSpec extends SparkSpec {
       "the extra lists must improve at least one result on the fixture")
   }
 
+  test("trained layout: every vector sits in its nearest stored centroid's list") {
+    // The definitional invariant that survives any KMeans fit detail:
+    // for each stored (vn, bucket), no OTHER stored centroid is
+    // strictly closer than bucket's own. Also the serving path:
+    // ml_ann_trained reads this layout and must produce 5 ranked
+    // neighbors for each of the 10 queries with sane cosines.
+    val st = graft.sources.IvfStore.trained(spark, sfDir, 16)
+    val cents = st.centroids.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    st.lists.collect().foreach { r =>
+      val vn = r.getSeq[Double](1).toArray
+      val own = d2(vn, cents(r.getInt(2)))
+      cents.foreach { case (b, cv) =>
+        assert(d2(vn, cv) >= own - 1e-9,
+          s"vec ${r.getLong(0)} in list ${r.getInt(2)} but list $b is closer")
+      }
+    }
+    val served = SparkEntry.queries("ml_ann_trained")(spark, sfDir)
+      .collect()
+    assert(served.length === 50)
+    assert(served.map(_.getLong(0)).distinct.length === 10)
+    assert(served.forall(r => math.abs(r.getDouble(3)) <= 1.0001))
+  }
+
   test("a single-list probe bucket-prunes to one of the 16 lists") {
     val lists = IvfStore.lists(spark, sfDir)
     val probe = lists.filter(col("bucket") === 5)

@@ -661,6 +661,110 @@ object LlmQueries {
       |      FROM scored)
       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
+  /** ANN recall audit UNDER THE HASH GATE — the measured-quality edge
+    * for the similarity family (`q_dedup_eval`'s treatment applied to
+    * retrieval): per query, the brute-force cosine top-5 is ground
+    * truth, and the report counts how many of those 5 the sign-
+    * quantized IVF finds at nprobe=1 vs nprobe=5 (the Hamming-≤1 probe
+    * set of ◆ `q_ann_ivf_probe`). Every side is deterministic, so the
+    * whole recall table — not a spec assertion, the TABLE — hash-gates
+    * against DuckDB; the nprobe=5 column dominating nprobe=1 is the
+    * recall lever made visible per query. Candidate generation is the
+    * probed equi-join on the [[graft.sources.IvfStore]] layout; only
+    * the 10-query truth side is brute-force (it is the definition).
+    */
+  private val annRecall: Q = (s, d) => {
+    val e = graft.sources.IvfStore.lists(s, d)
+      .select("vec_id", "v", "bucket")
+    val q0 = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("bucket").as("qb"))
+    def top5(cands: org.apache.spark.sql.DataFrame) = cands
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", r3(cosine(col("qv"), col("v"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select("q_id", "vec_id")
+    val truth = top5(e.crossJoin(broadcast(q0)))
+    val p1 = top5(e.join(
+      broadcast(q0.withColumn("bucket", col("qb"))), Seq("bucket")))
+    val p5 = top5(e.join(
+      broadcast(q0.select(col("q_id"), col("qv"), col("qb"),
+          explode(array(lit(0), lit(1), lit(2), lit(4), lit(8)))
+            .as("flip"))
+        .select(col("q_id"), col("qv"),
+          col("qb").bitwiseXOR(col("flip")).as("bucket"))),
+      Seq("bucket")))
+    truth
+      .join(p1.withColumn("h1", lit(1L)), Seq("q_id", "vec_id"), "left")
+      .join(p5.withColumn("h5", lit(1L)), Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("h1"), lit(0L))).as("hit_1probe"),
+        sum(coalesce(col("h5"), lit(0L))).as("hit_5probe"))
+      .select(col("q_id"), col("n_truth"), col("hit_1probe"),
+        col("hit_5probe"),
+        call_function("div", lit(10000L) * col("hit_1probe"),
+          col("n_truth")).as("recall1_bp"),
+        call_function("div", lit(10000L) * col("hit_5probe"),
+          col("n_truth")).as("recall5_bp"))
+      .orderBy("q_id")
+  }
+
+  private val annRecallSql =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |         (CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END +
+      |          CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END +
+      |          CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END +
+      |          CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS bucket
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, v AS qv, bucket AS qb FROM e
+      |      WHERE vec_id < 10),
+      |truth AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT q_id, vec_id,
+      |           row_number() OVER (PARTITION BY q_id ORDER BY
+      |             floor(list_cosine_similarity(qv, v) * 1000 + 0.5) / 1000.0
+      |               DESC, vec_id) AS rank
+      |    FROM q, e WHERE vec_id <> q_id)
+      |  WHERE rank <= 5),
+      |p1 AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT q_id, vec_id,
+      |           row_number() OVER (PARTITION BY q_id ORDER BY
+      |             floor(list_cosine_similarity(qv, v) * 1000 + 0.5) / 1000.0
+      |               DESC, vec_id) AS rank
+      |    FROM q JOIN e ON e.bucket = q.qb AND vec_id <> q_id)
+      |  WHERE rank <= 5),
+      |probes AS (
+      |  SELECT q_id, qv, xor(qb, f.flip) AS bucket
+      |  FROM q, (SELECT unnest([0, 1, 2, 4, 8]) AS flip) f),
+      |p5 AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT p.q_id, e.vec_id,
+      |           row_number() OVER (PARTITION BY p.q_id ORDER BY
+      |             floor(list_cosine_similarity(p.qv, e.v) * 1000 + 0.5) / 1000.0
+      |               DESC, e.vec_id) AS rank
+      |    FROM probes p JOIN e ON e.bucket = p.bucket AND e.vec_id <> p.q_id)
+      |  WHERE rank <= 5)
+      |SELECT t.q_id, CAST(count(*) AS BIGINT) AS n_truth,
+      |       CAST(SUM(CASE WHEN p1.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS hit_1probe,
+      |       CAST(SUM(CASE WHEN p5.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS hit_5probe,
+      |       (10000 * CAST(SUM(CASE WHEN p1.vec_id IS NOT NULL THEN 1 ELSE 0
+      |                         END) AS BIGINT)) // CAST(count(*) AS BIGINT)
+      |         AS recall1_bp,
+      |       (10000 * CAST(SUM(CASE WHEN p5.vec_id IS NOT NULL THEN 1 ELSE 0
+      |                         END) AS BIGINT)) // CAST(count(*) AS BIGINT)
+      |         AS recall5_bp
+      |FROM truth t
+      |LEFT JOIN p1 ON p1.q_id = t.q_id AND p1.vec_id = t.vec_id
+      |LEFT JOIN p5 ON p5.q_id = t.q_id AND p5.vec_id = t.vec_id
+      |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin
+
   /** kNN label-vote probe — the standard embedding-quality audit: predict
     * each query vector's label by majority vote of its 5 cosine neighbors
     * and report per-label accuracy (on uniform-random synthetic vectors
@@ -3637,6 +3741,7 @@ object LlmQueries {
     Entry("q_inverted_index", invertedIndex, Some(invertedIndexSql)),
     Entry("q_bm25_topk", bm25TopK, Some(bm25TopKSql)),
     Entry("q_ann_ivf_probe", annIvfProbe, Some(annIvfProbeSql)),
+    Entry("q_ann_recall", annRecall, Some(annRecallSql)),
     Entry("q_embed_centroid", embedCentroid, Some(embedCentroidSql)),
     Entry("q_dup_components", dupComponentsQ, Some(dupComponentsSql)),
     Entry("q_pii_scrub", piiScrub, Some(piiScrubSql)),

@@ -68,6 +68,15 @@ class GraphStateSpec extends SparkSpec {
     // and the answers agree
     assert(bucketedDeg.collect().map(_.toSeq).toSet
       === raw.collect().map(_.toSeq).toSet)
+    // runtime metrics, not just the plan string (the WarehouseSpec
+    // measured-bytes treatment): the layout pass writes ZERO shuffle
+    // bytes through a listener-audited run (toRdd — a count() would
+    // append its own exchange and charge bytes to the claim)
+    val bytes = graft.ops.Measure.shuffleWriteBytes(spark) {
+      bucketedDeg.queryExecution.toRdd.count(); ()
+    }
+    assert(bytes === 0L,
+      s"bucketed degree pass wrote $bytes shuffle bytes — expected none")
   }
 
   test("a PageRank round over the bucketed layout: broadcast join, one |nodes| exchange, no edge shuffle") {

@@ -1387,6 +1387,12 @@ object Stats {
     * weighted sum is one hash aggregate over \|customers\| state rows.
     */
   private val giniQ: Q = (s, d) => {
+    // r10 scale fix (caught by the sf0.1 oracle sweep, not the sf0.01
+    // gate): 10000·gini_num reaches ~1.2e20 at sf0.1 — the num/den
+    // algebra widens to decimal(38,0) ↔ HUGEINT on the single aggregate
+    // row (the q_ols_fit rule) and the exact values ship as DECIMAL
+    // STRINGS; gini_bp ∈ [0, 10000] folds back to int64.
+    val dec = "decimal(38,0)"
     val rev = Tables.orders(s, d).groupBy(col("o_custkey"))
       .agg(sum(Num.cents(col("o_totalprice"))).as("cents"))
     val ranked = graft.ops.Rank.withGlobalRank(
@@ -1394,11 +1400,15 @@ object Stats {
     ranked.agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
         sum(col("i") * col("cents")).as("wsum"))
       .withColumn("gini_num",
-        lit(2L) * col("wsum") - (col("n") + 1) * col("sum_cents"))
-      .withColumn("gini_den", col("n") * col("sum_cents"))
-      .withColumn("gini_bp", call_function("div",
-        lit(10000L) * col("gini_num"), col("gini_den")))
-      .select("n", "sum_cents", "gini_num", "gini_den", "gini_bp")
+        lit(2L).cast(dec) * col("wsum").cast(dec) -
+          (col("n") + 1).cast(dec) * col("sum_cents").cast(dec))
+      .withColumn("gini_den", col("n").cast(dec) * col("sum_cents").cast(dec))
+      .withColumn("gini_bp",
+        floor(lit(10000L).cast(dec) * col("gini_num") / col("gini_den"))
+          .cast("long"))
+      .select(col("n"), col("sum_cents"),
+        col("gini_num").cast("string").as("gini_num"),
+        col("gini_den").cast("string").as("gini_den"), col("gini_bp"))
   }
 
   private val giniSql =
@@ -1414,13 +1424,17 @@ object Stats {
       |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
       |             CAST(SUM(cents) AS BIGINT) AS sum_cents,
       |             CAST(SUM(i * cents) AS BIGINT) AS wsum
-      |      FROM r)
+      |      FROM r),
+      |w AS (SELECT n, sum_cents,
+      |             2 * CAST(wsum AS HUGEINT)
+      |               - CAST(n + 1 AS HUGEINT) * sum_cents AS gini_num,
+      |             CAST(n AS HUGEINT) * sum_cents AS gini_den
+      |      FROM a)
       |SELECT n, sum_cents,
-      |       2 * wsum - (n + 1) * sum_cents AS gini_num,
-      |       n * sum_cents AS gini_den,
-      |       (10000 * (2 * wsum - (n + 1) * sum_cents)) // (n * sum_cents)
-      |         AS gini_bp
-      |FROM a""".stripMargin
+      |       CAST(gini_num AS VARCHAR) AS gini_num,
+      |       CAST(gini_den AS VARCHAR) AS gini_den,
+      |       CAST((10000 * gini_num) // gini_den AS BIGINT) AS gini_bp
+      |FROM w""".stripMargin
 
   /** Benford first-digit audit — the fraud/synthetic-data screen: the
     * leading digit of every order amount (in cents), counted against the

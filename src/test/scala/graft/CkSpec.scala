@@ -1,0 +1,70 @@
+package graft
+
+import graft.ops.Ck
+import org.apache.spark.storage.StorageLevel
+
+/** The tracked-checkpoint discipline ([[graft.ops.Ck]]) that closes the
+  * r10 block-manager leak: per-query checkpoints are tracked and freed
+  * by the runner after consumption; pinned (cross-query) checkpoints
+  * survive both drain and the stronger sweep.
+  */
+class CkSpec extends SparkSpec {
+
+  private def persistedIds: Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  test("Ck tracks a localCheckpoint and drain frees exactly its blocks") {
+    import spark.implicits._
+    Ck.drain(spark) // isolate from earlier suites
+    val before = persistedIds
+    val df = Ck((1 to 1000).toDF("n").filter("n % 2 = 0"))
+    assert(df.count() === 500)
+    val added = persistedIds -- before
+    assert(added.nonEmpty, "localCheckpoint must persist a backing RDD")
+    val freed = Ck.drain(spark)
+    assert(freed >= added.size)
+    assert((persistedIds -- before).isEmpty, "drain must remove the blocks")
+    // the result was consumed before drain — re-reading the DataFrame now
+    // is NOT part of the contract (lineage is truncated); runners drain
+    // only after count()/write.
+  }
+
+  test("lazy ckpt (eager=false) is tracked and drained once materialized") {
+    import spark.implicits._
+    Ck.drain(spark)
+    val before = persistedIds
+    val df = Ck((1 to 100).toDF("n"), eager = false)
+    assert(df.count() === 100) // materializes the lazy checkpoint
+    assert((persistedIds -- before).nonEmpty)
+    Ck.drain(spark)
+    assert((persistedIds -- before).isEmpty)
+  }
+
+  test("free releases a superseded round immediately; drain skips it") {
+    import spark.implicits._
+    Ck.drain(spark)
+    val before = persistedIds
+    val r1 = Ck((1 to 10).toDF("n"))
+    val r2 = Ck(r1.withColumn("m", org.apache.spark.sql.functions.col("n") * 2))
+    assert(r2.count() === 10)
+    Ck.free(r1)
+    val alive = persistedIds -- before
+    assert(alive.size === 1, s"only round 2 may remain, saw $alive")
+    assert(Ck.drain(spark) === 1)
+  }
+
+  test("pinned checkpoints survive drain and sweep; sweep evicts strays") {
+    import spark.implicits._
+    Ck.drain(spark); Ck.sweep(spark)
+    val pinnedDf = Ck.pin((1 to 50).toDF("n"))
+    val stray = (1 to 50).toDF("n").persist(StorageLevel.MEMORY_ONLY)
+    assert(stray.count() === 50)
+    Ck.drain(spark)
+    assert(pinnedDf.count() === 50, "drain must not touch pinned blocks")
+    val swept = Ck.sweep(spark)
+    assert(swept >= 1, "sweep must evict the un-owned persisted RDD")
+    // pinned block still readable after the sweep
+    assert(pinnedDf.count() === 50)
+    assert(persistedIds.nonEmpty, "the pinned block itself must remain")
+  }
+}

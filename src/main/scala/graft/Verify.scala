@@ -27,6 +27,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // The result is fully written (or the query failed) — release this
+      // query's tracked checkpoint blocks plus any third-party leftovers
+      // (MLlib caches) so a 241-query dump doesn't accumulate storage.
+      graft.ops.Ck.drain(spark)
+      graft.ops.Ck.sweep(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -2,6 +2,8 @@ package graft.llm
 
 import scala.collection.mutable.ArrayBuffer
 
+import graft.ops.Ck
+import graft.ops.Ck.CkOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -90,7 +92,7 @@ object Bpe {
     * runs out of adjacent pairs. Returns the ordered merge table.
     */
   def train(docs: DataFrame, numMerges: Int, textCol: String = "text"): Seq[Merge] = {
-    var vocab = withSymbols(wordFreq(docs, textCol)).localCheckpoint()
+    var vocab = withSymbols(wordFreq(docs, textCol)).ckpt()
     val merges = ArrayBuffer.empty[Merge]
     var exhausted = false
     while (merges.size < numMerges && !exhausted) {
@@ -101,11 +103,12 @@ object Bpe {
       else {
         val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += Merge(merges.size + 1, l, r, l + r, c)
-        val next = applyMerge(vocab, l, r).localCheckpoint()
-        vocab.unpersist(blocking = false)
+        val next = applyMerge(vocab, l, r).ckpt()
+        Ck.free(vocab)
         vocab = next
       }
     }
+    Ck.free(vocab) // result is the driver-side merge table; last round's blocks are dead
     merges.toSeq
   }
 
@@ -148,7 +151,7 @@ object Bpe {
       fetchK: Int = 256): Seq[Merge] = {
     require(batchK >= 1 && fetchK >= batchK,
       s"need fetchK >= batchK >= 1, got ($fetchK, $batchK)")
-    var vocab = withSymbols(wordFreq(docs, textCol)).localCheckpoint()
+    var vocab = withSymbols(wordFreq(docs, textCol)).ckpt()
     val merges = ArrayBuffer.empty[Merge]
     var exhausted = false
     var iterations = 0
@@ -195,12 +198,13 @@ object Bpe {
         }
         val next = selected.foldLeft(vocab) { case (v, (l, r, _)) =>
           applyMerge(v, l, r)
-        }.localCheckpoint()
-        vocab.unpersist(blocking = false)
+        }.ckpt()
+        Ck.free(vocab)
         vocab = next
       }
     }
     lastBatchedIterations = iterations
+    Ck.free(vocab) // driver-side result; last round's blocks are dead
     merges.toSeq
   }
 

@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.ops.Ck.CkOps
 import graft.ops.Hashing
 import graft.queries.LlmQueries
 import graft.sources.Export
@@ -71,7 +72,7 @@ object CorpusPipeline {
     val dupDrop = comp.filter(col("doc_id") =!= col("component"))
       .select("doc_id")
     val deduped = quality.join(dupDrop, Seq("doc_id"), "left_anti")
-      .localCheckpoint()
+      .ckpt()
 
     // 4. decontamination: hashed 8-gram overlap with the eval corpus.
     // The < 8-word guard is load-bearing: sequence(1, size-7) on a
@@ -93,7 +94,7 @@ object CorpusPipeline {
       .join(broadcast(evalGrams), Seq("g"), "left_semi")
       .select("doc_id").distinct()
     val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
-      .localCheckpoint()
+      .ckpt()
 
     // 5. content-hashed shard assignment + audited export
     val sharded = clean.withColumn("shard",

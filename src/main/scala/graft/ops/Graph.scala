@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Ck.CkOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -67,7 +68,7 @@ object Graph {
       when(fwd, col("src")).otherwise(col("dst")).as("u"),
       when(fwd, col("dst")).otherwise(col("src")).as("v"),
       when(fwd, col("dd")).otherwise(col("ds")).as("dv"))
-      .localCheckpoint()
+      .ckpt()
     val wedges = e.as("e1").join(e.as("e2"),
         col("e1.u") === col("e2.u") &&
           (col("e1.dv") < col("e2.dv") ||

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Ck.CkOps
 import graft.ops.Num
 import graft.tables.Tables
 import Registry.{Entry, Q}
@@ -1113,7 +1114,7 @@ object Analytics {
     val daily = Tables.events(s, d)
       .groupBy(col("event_type").as("t"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("y"))
-      .localCheckpoint()
+      .ckpt()
     val byDow = daily
       .groupBy(col("t").as("t2"), dayofweek(col("day")).as("dow"))
       .agg(sum("y").as("c_w"), count(lit(1)).as("d_w"))
@@ -1186,7 +1187,7 @@ object Analytics {
     val byVal = pv.groupBy("v").agg(
       sum(when(col("arm") === 0, 1L).otherwise(0L)).as("c0"),
       sum(when(col("arm") === 1, 1L).otherwise(0L)).as("c1"))
-      .localCheckpoint()
+      .ckpt()
     val withCum = graft.ops.Prefix.withCumSum(
       byVal.withColumn("ct", col("c0") + col("c1")),
       "v", Nil, "ct", "cum")
@@ -1261,7 +1262,7 @@ object Analytics {
       .groupBy(col("event_type").as("t"),
         dayofweek(to_date(col("ts"))).as("dow"))
       .agg(count(lit(1)).as("o"))
-      .localCheckpoint()
+      .ckpt()
     val rowM = cells.groupBy("t").agg(sum("o").as("r"))
     val colM = cells.groupBy("dow").agg(sum("o").as("c"))
     val tot = cells.agg(sum("o").as("n"),
@@ -1397,7 +1398,7 @@ object Analytics {
       .agg(count(lit(1)).as("activity"),
         max(when(col("event_type") === "purchase" && col("value") >= 145.0,
           1L).otherwise(0L)).as("conv"))
-      .localCheckpoint()
+      .ckpt()
     val tot = users.agg(count(lit(1)).as("n_total"), sum("conv").as("k_total"))
     val ranked = graft.ops.Rank.withGlobalRank(
       users, "activity", Seq("u"), "rnk", descending = true)
@@ -1439,7 +1440,7 @@ object Analytics {
       .agg(count(lit(1)).as("activity"),
         max(when(col("event_type") === "purchase" && col("value") >= 145.0,
           1L).otherwise(0L)).as("conv"))
-      .localCheckpoint()
+      .ckpt()
     val tot = users.agg(count(lit(1)).as("n_total"))
     val ranked = graft.ops.Rank.withGlobalRank(
       users, "activity", Seq("u"), "rnk", descending = true)
@@ -1456,7 +1457,7 @@ object Analytics {
       .withColumn("acc_bp", call_function("div",
         lit(10000L) * col("k_u"), col("n_u")))
       .withColumn("gap_bp", abs(col("conf_bp") - col("acc_bp")))
-      .localCheckpoint()
+      .ckpt()
     val ece = bins.agg(call_function("div",
       sum(col("n_u") * col("gap_bp")), max("n_total")).as("ece_bp"))
     bins.crossJoin(broadcast(ece))
@@ -1639,7 +1640,7 @@ object Analytics {
       when(col("event_type") === "purchase", Num.cents(col("value")))
         .otherwise(0L).as("cents"))
     val perUserWeek = ev.groupBy("u", "wk").agg(sum("cents").as("wc"))
-      .localCheckpoint()
+      .ckpt()
     val firstWeek = perUserWeek.groupBy("u").agg(min("wk").as("w0"))
     val cohortSize = firstWeek.groupBy(col("w0").as("cohort"))
       .agg(count(lit(1)).as("cohort_users"))
@@ -1905,7 +1906,7 @@ object Analytics {
         when(col("day") <= call_function("div", col("lo") + col("hi"),
           lit(2L)), lit(1L)).otherwise(lit(2L)))
       .groupBy("pid", "half").agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+      .ckpt()
     val h1 = graft.ops.Rank.withGlobalRank(
         counts.filter(col("half") === 1L).select("pid", "n"),
         "n", Seq("pid"), "r1", descending = true)
@@ -2459,7 +2460,7 @@ object Analytics {
     val daily = Tables.orders(s, d)
       .groupBy(expr("unix_micros(o_orderdate) div 86400000000").as("day"))
       .agg(sum(graft.ops.Num.cents(col("o_totalprice"))).as("x"))
-      .localCheckpoint()
+      .ckpt()
     val sDf = daily.as("a").join(daily.as("b"), col("a.day") < col("b.day"))
       .agg(sum(signum(col("b.x") - col("a.x")).cast("long")).as("s"))
     val ties = daily.groupBy("x").agg(count(lit(1)).as("t"))

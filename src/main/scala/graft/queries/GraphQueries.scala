@@ -2,6 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.ops.Ck
+import graft.ops.Ck.CkOps
 import graft.tables.Tables
 import Registry.{Entry, Q}
 
@@ -54,14 +56,25 @@ object GraphQueries {
     if (s.conf.get("spark.graft.graph.bucketedEdges", "false").toBoolean)
       graft.sources.GraphStateStore.standing(s, d, 1L, 1L).edges
     else coPurchaseEdges(Tables.lineitem(s, d))
-      .filter(col("src") < col("dst")).localCheckpoint()
+      .filter(col("src") < col("dst")).ckpt()
 
   private def fullDirectedEdges(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame =
     if (s.conf.get("spark.graft.graph.bucketedEdges", "false").toBoolean)
       graft.ops.Graph.bothDirs(
         graft.sources.GraphStateStore.standing(s, d, 1L, 1L).edges)
-    else coPurchaseEdges(Tables.lineitem(s, d)).localCheckpoint()
+    else coPurchaseEdges(Tables.lineitem(s, d)).ckpt()
+
+  /** Directed edges for SINGLE-PASS consumers: flag-aware like
+    * [[fullDirectedEdges]] but never checkpoints — one consumer means a
+    * materialization pass would cost more than it saves.
+    */
+  private def directedEdgesLight(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    if (s.conf.get("spark.graft.graph.bucketedEdges", "false").toBoolean)
+      graft.ops.Graph.bothDirs(
+        graft.sources.GraphStateStore.standing(s, d, 1L, 1L).edges)
+    else coPurchaseEdges(Tables.lineitem(s, d))
 
   /** Integer PageRank over the co-purchase graph, [[iterations]] fixed
     * rounds, top-50 items. r₀ = U div N; each round
@@ -88,7 +101,7 @@ object GraphQueries {
   private val itemRank: Q = (s, d) => {
     val edges = fullDirectedEdges(s, d)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+      .ckpt()
     val nC = deg.agg(count(lit(1)).as("n"))
     var ranks = deg.crossJoin(broadcast(nC))
       .select(col("src").as("node"), expr(s"${U}L div n").as("r"))
@@ -101,7 +114,7 @@ object GraphQueries {
         .crossJoin(broadcast(nC))
         .select(col("dst").as("node"),
           expr(s"${B}L div n + (85L * cin) div 100L").as("r"))
-        .localCheckpoint(false)
+        .ckpt(eager = false)
     }
     ranks.orderBy(desc("r"), asc("node")).limit(50)
       .select(col("node").as("part_id"), col("r").as("rank_units"))
@@ -228,11 +241,11 @@ object GraphQueries {
     * instead of sum.
     */
   private val bfsHops: Q = (s, d) => {
-    val edges = coPurchaseEdges(Tables.lineitem(s, d)).localCheckpoint()
+    val edges = fullDirectedEdges(s, d)
     val seeds = edges.select(col("src").as("node")).distinct()
       .orderBy("node").limit(3)
       .select(col("node"), lit(0L).as("dist"))
-    var dist = seeds.localCheckpoint()
+    var dist = seeds.ckpt()
     for (_ <- 1 to bfsDepth) {
       // Broadcast the |reached| vector onto the stationary edge list —
       // the q_item_rank loop rule: without it each round re-shuffles the
@@ -241,9 +254,12 @@ object GraphQueries {
       val relaxed = edges
         .join(broadcast(dist.withColumnRenamed("node", "src")), "src")
         .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
-      dist = dist.union(relaxed)
+      val next = dist.union(relaxed)
         .groupBy("node").agg(min("dist").as("dist"))
-        .localCheckpoint()
+        .ckpt()
+      // round k materialized eagerly above — round k−1's blocks are dead
+      Ck.free(dist)
+      dist = next
     }
     dist.orderBy("node")
   }
@@ -287,12 +303,12 @@ object GraphQueries {
     */
   private val labelProp: Q = (s, d) => {
     val pack = 1L << 40
-    val edges = coPurchaseEdges(Tables.lineitem(s, d)).localCheckpoint()
+    val edges = fullDirectedEdges(s, d)
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
-      .localCheckpoint()
+      .ckpt()
     for (_ <- 1 to lpaRounds) {
-      labels = edges
+      val next = edges
         .join(broadcast(labels.withColumnRenamed("node", "src")), "src")
         .groupBy(col("dst").as("node"), col("lbl"))
         .agg(count(lit(1)).as("c"))
@@ -300,7 +316,9 @@ object GraphQueries {
         .agg(max(col("c") * pack + (lit(pack - 1) - col("lbl"))).as("packed"))
         .select(col("node"),
           (lit(pack - 1) - pmod(col("packed"), lit(pack))).as("lbl"))
-        .localCheckpoint()
+        .ckpt()
+      Ck.free(labels)
+      labels = next
     }
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("csize"))
     labels.join(broadcast(sizes), "lbl")
@@ -360,21 +378,23 @@ object GraphQueries {
     * hash aggregate. The ◆ oracle unrolls the identical rounds as CTEs.
     */
   private val kcore: Q = (s, d) => {
-    val edges = coPurchaseEdges(Tables.lineitem(s, d)).localCheckpoint()
+    val edges = fullDirectedEdges(s, d)
     val kDf = edges.agg(call_function("div",
       call_function("div", count(lit(1)), countDistinct(col("src"))) * 5L,
       lit(8L)).as("k"))
     var alive = edges.select(col("src").as("node")).distinct()
-      .localCheckpoint()
+      .ckpt()
     for (_ <- 1 to kcoreRounds) {
-      alive = edges
+      val next = edges
         .join(broadcast(alive.withColumnRenamed("node", "src")), "src")
         .join(broadcast(alive.withColumnRenamed("node", "dst")), "dst")
         .groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .crossJoin(broadcast(kDf))
         .filter(col("deg") >= col("k"))
         .select(col("src").as("node"))
-        .localCheckpoint()
+        .ckpt()
+      Ck.free(alive)
+      alive = next
     }
     edges
       .join(broadcast(alive.withColumnRenamed("node", "src")), "src")
@@ -429,12 +449,12 @@ object GraphQueries {
   private val kcoreMaxRounds = 64
 
   private val kcoreFixpoint: Q = (s, d) => {
-    val edges = coPurchaseEdges(Tables.lineitem(s, d)).localCheckpoint()
+    val edges = fullDirectedEdges(s, d)
     val kDf = edges.agg(call_function("div",
       call_function("div", count(lit(1)), countDistinct(col("src"))) * 5L,
       lit(8L)).as("k"))
     var alive = edges.select(col("src").as("node")).distinct()
-      .localCheckpoint()
+      .ckpt()
     var aliveN = alive.count()
     var converged = false
     var round = 0
@@ -452,9 +472,10 @@ object GraphQueries {
         .crossJoin(broadcast(kDf))
         .filter(col("deg") >= col("k"))
         .select(col("src").as("node"))
-        .localCheckpoint()
+        .ckpt()
       val nextN = next.count()
       converged = nextN == aliveN
+      Ck.free(alive)
       alive = next
       aliveN = nextN
     }
@@ -483,9 +504,10 @@ object GraphQueries {
     * edges (both endpoints degree 1) define jac_bp = 0 rather than 0/0.
     */
   private val tieStrength: Q = (s, d) => {
-    val und = coPurchaseEdges(Tables.lineitem(s, d))
-      .filter(col("src") < col("dst"))
-      .localCheckpoint()
+    // Flag-aware edge source like every sibling (r10 verdict item 6):
+    // under `bucketedEdges` the canonical list is the standing layout,
+    // not a per-query rebuild.
+    val und = fullCanonicalEdges(s, d)
     val deg = und.select(explode(array(col("src"), col("dst"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     val withDeg = und
@@ -497,7 +519,7 @@ object GraphQueries {
       when(fwd, col("src")).otherwise(col("dst")).as("u"),
       when(fwd, col("dst")).otherwise(col("src")).as("v"),
       when(fwd, col("dd")).otherwise(col("ds")).as("dv"))
-      .localCheckpoint()
+      .ckpt()
     val wedges = e.as("e1").join(e.as("e2"),
         col("e1.u") === col("e2.u") &&
           (col("e1.dv") < col("e2.dv") ||
@@ -581,7 +603,7 @@ object GraphQueries {
     * large the graph.
     */
   private val degreeDist: Q = (s, d) =>
-    coPurchaseEdges(Tables.lineitem(s, d))
+    directedEdgesLight(s, d)
       .groupBy("src").agg(count(lit(1)).as("deg"))
       .select((length(bin(col("deg"))) - 1).cast("long").as("bucket"),
         col("deg"))
@@ -634,7 +656,7 @@ object GraphQueries {
     val eOld = graft.ops.Graph.bothDirs(st.edges)
     val eDeltaCand = coPurchaseEdges(deltaBaskets)
     val eNovel = eDeltaCand.join(eOld, Seq("src", "dst"), "left_anti")
-      .localCheckpoint()
+      .ckpt()
     val dOld = st.degrees.select(col("node").as("src"),
       col("deg").as("old_deg"))
     val dNew = eNovel.groupBy("src").agg(count(lit(1)).as("delta_deg"))
@@ -731,7 +753,7 @@ object GraphQueries {
     val novelC = coPurchaseEdges(deltaBaskets)
       .filter(col("src") < col("dst"))
       .join(oldC, Seq("src", "dst"), "left_anti")
-      .localCheckpoint()
+      .ckpt()
     val fullC = oldC.unionByName(novelC)
     def bothDirs(c: org.apache.spark.sql.DataFrame) =
       graft.ops.Graph.bothDirs(c)

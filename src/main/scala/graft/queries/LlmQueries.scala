@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Ck.CkOps
 import graft.ops.{Hashing, Num}
 import graft.tables.Tables
 import Registry.{Entry, Q}
@@ -99,7 +100,7 @@ object LlmQueries {
         "use the MinHash LSH path for global discovery")
     // localCheckpoint: t feeds the block-stats probe and BOTH join sides —
     // one tokenization pass instead of three re-derivations from the scan.
-    val t = tokenSets(docs).localCheckpoint()
+    val t = tokenSets(docs).ckpt()
     // max(count) is NULL on an empty input — treat as a zero-row block.
     val stats = t.groupBy(blockCols.map(col).toIndexedSeq: _*)
       .count().agg(max("count"), sum("count")).first()
@@ -321,7 +322,7 @@ object LlmQueries {
     // signature/band side and both verification sides) — without the
     // barrier each re-tokenizes the corpus from the scan. One interpreted
     // shingling pass instead of three.
-    val shingled = shingleDocs(corpus).localCheckpoint()
+    val shingled = shingleDocs(corpus).ckpt()
     val bands = bandRows(shingled)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -1214,7 +1215,7 @@ object LlmQueries {
       maxIter: Int): org.apache.spark.sql.DataFrame = {
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("lbl", col("doc_id"))
-      .localCheckpoint()
+      .ckpt()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -1223,10 +1224,11 @@ object LlmQueries {
         .select(col("doc_a").as("doc_id"), col("lbl"))
       val next = labels.union(fromNeighbors)
         .groupBy("doc_id").agg(min("lbl").as("lbl"))
-        .localCheckpoint()
+        .ckpt()
       val changed = next
         .join(labels.withColumnRenamed("lbl", "prev"), "doc_id")
         .filter(col("lbl") =!= col("prev")).count()
+      graft.ops.Ck.free(labels) // round k−1 superseded (next is eager)
       labels = next
       converged = changed == 0L
       i += 1
@@ -1286,13 +1288,13 @@ object LlmQueries {
     // Checkpoint the PAIRS, not the symmetrized union: a union's branches
     // are evaluated independently, so checkpointing downstream of it would
     // run the whole pair-scoring subtree twice.
-    val pairs = pairsIn.select("doc_a", "doc_b").localCheckpoint()
+    val pairs = pairsIn.select("doc_a", "doc_b").ckpt()
     val sym = pairs.union(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     val l1 = sym.groupBy(col("doc_a").as("doc_id"))
       .agg(min("doc_b").as("nmin"))
       .select(col("doc_id"), least(col("doc_id"), col("nmin")).as("lbl"))
-      .localCheckpoint()
+      .ckpt()
     val contractedWide = sym
       .join(l1.select(col("doc_id").as("doc_a"), col("lbl").as("la")), "doc_a")
       .join(l1.select(col("doc_id").as("doc_b"), col("lbl").as("lb")), "doc_b")
@@ -1326,7 +1328,7 @@ object LlmQueries {
         }
         unionFindLocal(as, bs).toDF("lbl", "component")
       } else {
-        propagateMinLabels(contractedWide.localCheckpoint(), maxIter)
+        propagateMinLabels(contractedWide.ckpt(), maxIter)
           .select(col("doc_id").as("lbl"), col("lbl").as("component"))
       }
     // Expand: level-1 labels that were already component minima have no
@@ -1361,8 +1363,11 @@ object LlmQueries {
   private def fixtureComponents(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     graft.sources.LayoutCache.getOrBuild(fixtureComps, (s, d)) {
-      dupComponents(Tables.documents(s, d), Seq("lang"), 0.5)
-        .localCheckpoint()
+      // Ck.pin, not .ckpt(): this checkpoint is the session-lifetime
+      // dup-closure cache read by later queries — exempt from the
+      // runner's per-query drain/sweep.
+      graft.ops.Ck.pin(
+        dupComponents(Tables.documents(s, d), Seq("lang"), 0.5))
     }
 
   private val dupComponentsQ: Q = (s, d) =>
@@ -3043,7 +3048,7 @@ object LlmQueries {
         expr("transform(sequence(0, size(ws) - 3), " +
           "i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
-      .localCheckpoint()
+      .ckpt()
     val postings = shingled.select(col("doc_id"), col("n"),
       explode(col("sh")).as("g"))
     val dfTab = postings.groupBy("g").agg(count(lit(1)).as("df"))
@@ -3239,7 +3244,7 @@ object LlmQueries {
     val post = graft.sources.PostingsStore.postings(s, d)
       .select(col("doc_id"), col("w").as("token"))
       .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .ckpt()
     val dl = post.groupBy("doc_id").agg(sum("tf").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("totdl"))
     val df = post.groupBy("token").agg(count(lit(1)).as("df"))
@@ -3353,7 +3358,7 @@ object LlmQueries {
     val payloads = docs.unionByName(dup)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
     // 1 row/doc; checkpointed so the codec stage runs once, not per subtree
-    val ph = graft.llm.Multimodal.pHash(s, payloads).localCheckpoint()
+    val ph = graft.llm.Multimodal.pHash(s, payloads).ckpt()
     val bands = ph.select(col("doc_id"), col("phash"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("bv", expr("shiftright(phash, band * 15) % 32768"))
@@ -3523,7 +3528,7 @@ object LlmQueries {
     val toks = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
-      .localCheckpoint()
+      .ckpt()
     val mg = org.apache.spark.sql.functions.udaf(
       new graft.functions.MisraGries(63),
       org.apache.spark.sql.Encoders.STRING)
@@ -3637,7 +3642,7 @@ object LlmQueries {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .ckpt()
     val dfT = tf.groupBy("w").agg(count(lit(1)).as("df"))
     tf.filter(col("doc_id") < 100)
       .join(dfT, "w")
@@ -3702,7 +3707,7 @@ object LlmQueries {
     */
   private val vocabCoverage: Q = (s, d) => {
     val vocab = graft.llm.Bpe.wordFreq(Tables.documents(s, d))
-      .localCheckpoint()
+      .ckpt()
     val ranked = graft.ops.Rank.withGlobalRank(
       vocab, "freq", Seq("word"), "k", descending = true)
     val cum = graft.ops.Prefix.withCumSum(

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Ck.CkOps
 import graft.ops.Hashing
 import graft.tables.Tables
 import Registry.{Entry, Q}
@@ -121,7 +122,7 @@ object ScaleQueries {
         .otherwise(expr("array()").cast("array<string>")))
       .select(col("doc_id"), explode(col("chunks")).as("chunk"))
       .select(col("doc_id"), Hashing.md5Long60(col("chunk")).as("h"))
-      .localCheckpoint()
+      .ckpt()
     val freq = ch.groupBy("h").agg(count(lit(1)).as("c"))
     val per = ch.join(freq, "h")
       .groupBy("doc_id")
@@ -514,7 +515,7 @@ object ScaleQueries {
           shiftright(graft.ops.Zorder.zvalue(col("xg"), col("yg")), 10))
         .withColumn("f_lin", shiftright(col("xg"), 2)),
       dims2)
-      .localCheckpoint() // feeds every layout aggregation + the totals probe
+      .ckpt() // feeds every layout aggregation + the totals probe
     auditSummary(g, dims2, layouts)
   }
 
@@ -584,7 +585,7 @@ object ScaleQueries {
           shiftright(graft.ops.Zorder.zvalue(col("xg"), col("yg")), 10))
         .withColumn("f_lin", shiftright(col("xg"), 2)),
       dims3)
-      .localCheckpoint() // feeds all four layout aggregations + totals
+      .ckpt() // feeds all four layout aggregations + totals
     auditSummary(g, dims3, curve3Layouts)
   }
 
@@ -843,7 +844,7 @@ object ScaleQueries {
           shiftright(graft.ops.Zorder.zvalue(col("yg"), col("zg")), 10))
         .withColumn("f_lin", shiftright(col("yg"), 2)),
       curve3LangDims, box = (2, 4))
-      .localCheckpoint()
+      .ckpt()
     auditSummary(g, curve3LangDims, curve3LangLayouts)
   }
 

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import graft.ops.Ck.CkOps
 import graft.ops.{Hashing, Num}
 import graft.tables.Tables
 import Registry.{Entry, Q}
@@ -1330,7 +1331,7 @@ object Stats {
         .as("recency_day"),
         count(lit(1)).as("frequency"),
         sum(Num.cents(col("o_totalprice"))).as("monetary_cents"))
-      .localCheckpoint()
+      .ckpt()
     val withN = cust.crossJoin(
       broadcast(cust.agg(count(lit(1)).as("n_total"))))
     val ranked = Seq(
@@ -1490,7 +1491,7 @@ object Stats {
     val tot = daily.agg(count(lit(1)).as("n"), sum("x").as("sx"))
     val curve = cum.crossJoin(broadcast(tot))
       .withColumn("cusum", col("n") * col("cx") - col("k") * col("sx"))
-      .localCheckpoint()
+      .ckpt()
     val mx = curve.agg(max(abs(col("cusum"))).as("mx"))
     val cpDay = curve.crossJoin(broadcast(mx))
       .filter(abs(col("cusum")) === col("mx"))

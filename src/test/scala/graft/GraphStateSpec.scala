@@ -18,15 +18,23 @@ class GraphStateSpec extends SparkSpec {
     // localCheckpoint-ed (default) or read from the once-written
     // src-bucketed standing layout (flag) — integer arithmetic makes
     // both bit-identical, so plain equality is the full proof.
-    val rank0 = SparkEntry.queries("q_item_rank")(spark, sfDir)
-      .collect().map(_.toSeq).toSeq
-    val tri0 = SparkEntry.queries("q_triangles")(spark, sfDir)
-      .collect().map(_.toSeq).toSeq
+    // r11 widened the flag-aware family: every full-graph query now
+    // routes through fullCanonicalEdges/fullDirectedEdges/
+    // directedEdgesLight, so each is proven answer-invariant here
+    // (integer arithmetic makes both paths bit-identical, so plain
+    // equality is the full proof) — the driver bench runs with the flag
+    // ON, so this list must cover everything it measures.
+    val flagAware = Seq("q_item_rank", "q_triangles", "q_bfs_hops",
+      "q_label_prop", "q_kcore", "q_kcore_fixpoint", "q_tie_strength",
+      "q_degree_dist")
+    val base = flagAware.map { n =>
+      n -> SparkEntry.queries(n)(spark, sfDir).collect().map(_.toSeq).toSeq
+    }
     withConf("spark.graft.graph.bucketedEdges", "true") {
-      assert(SparkEntry.queries("q_item_rank")(spark, sfDir)
-        .collect().map(_.toSeq).toSeq === rank0)
-      assert(SparkEntry.queries("q_triangles")(spark, sfDir)
-        .collect().map(_.toSeq).toSeq === tri0)
+      base.foreach { case (n, rows) =>
+        assert(SparkEntry.queries(n)(spark, sfDir)
+          .collect().map(_.toSeq).toSeq === rows, s"$n diverged under flag")
+      }
     }
   }
 

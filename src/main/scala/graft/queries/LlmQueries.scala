@@ -766,6 +766,151 @@ object LlmQueries {
       |LEFT JOIN p5 ON p5.q_id = t.q_id AND p5.vec_id = t.vec_id
       |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin
 
+  /** TRAINED-IVF recall audit under the hash gate — [[annRecall]]'s
+    * treatment extended to a LEARNED codebook (r10 verdict item 5).
+    * MLlib's seeded k-means‖ fit (`ml_ann_trained`) can never be
+    * SQL-replayed, so the gated arm trains the deterministic quantized-
+    * Lloyd layout instead ([[graft.sources.IvfStore.trainedDet]]: int64
+    * micro-unit arithmetic, k-lowest-id init, 3 exact Lloyd rounds) and
+    * probes it at nprobe 1 vs 2 against brute-force cosine truth. The
+    * DuckDB oracle replays the IDENTICAL training as chained CTEs —
+    * the whole trained retrieval stack, training included, hash-gates.
+    */
+  private val annRecallTrained: Q = (s, d) => {
+    val st = graft.sources.IvfStore.trainedDet(s, d, 8, 3)
+    val lists = st.lists
+    val q0 = lists.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("q").as("qq"))
+    def top5(cands: org.apache.spark.sql.DataFrame) = cands
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", r3(cosine(col("qv"), col("v"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select("q_id", "vec_id")
+    val truth = top5(lists.select("vec_id", "v")
+      .crossJoin(broadcast(q0.select("q_id", "qv"))))
+    // rank the k-row codebook per query (broadcast by construction)
+    val ranked = q0.crossJoin(broadcast(st.centroids))
+      .withColumn("d2", graft.sources.IvfStore.qdist2(col("qq"), col("c")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("q_id").orderBy(asc("d2"), asc("bucket"))))
+    def probed(n: Int) = top5(lists.select("vec_id", "v", "bucket").join(
+      broadcast(ranked.filter(col("pr") <= n)
+        .select("q_id", "qv", "bucket")), Seq("bucket")))
+    val p1 = probed(1)
+    val p2 = probed(2)
+    truth
+      .join(p1.withColumn("h1", lit(1L)), Seq("q_id", "vec_id"), "left")
+      .join(p2.withColumn("h2", lit(1L)), Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("h1"), lit(0L))).as("hit_1probe"),
+        sum(coalesce(col("h2"), lit(0L))).as("hit_2probe"))
+      .select(col("q_id"), col("n_truth"), col("hit_1probe"),
+        col("hit_2probe"),
+        call_function("div", lit(10000L) * col("hit_1probe"),
+          col("n_truth")).as("recall1_bp"),
+        call_function("div", lit(10000L) * col("hit_2probe"),
+          col("n_truth")).as("recall2_bp"))
+      .orderBy("q_id")
+  }
+
+  private val annRecallTrainedSql = {
+    // the three Lloyd rounds, unrolled: d_i (distances to codebook i−1),
+    // a_i (argmin assignment, ties → lowest bucket), cp_i (per-dimension
+    // floor-mean codebook from a_i) — all positive int64, so DuckDB's
+    // flooring // and Spark's truncating div agree.
+    val rounds = (1 to 3).map { i =>
+      s"""d$i AS (
+         |  SELECT qp.vec_id, cp.bucket,
+         |         SUM((qp.val - cp.cval) * (qp.val - cp.cval)) AS d2
+         |  FROM qp JOIN cp${i - 1} cp USING (pos) GROUP BY 1, 2),
+         |a$i AS (
+         |  SELECT vec_id, bucket FROM (
+         |    SELECT vec_id, bucket,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                              ORDER BY d2, bucket) AS rn
+         |    FROM d$i) WHERE rn = 1),
+         |cp$i AS (
+         |  SELECT a.bucket, qp.pos,
+         |         CAST(SUM(qp.val) // COUNT(*) AS BIGINT) AS cval
+         |  FROM a$i a JOIN qp USING (vec_id) GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH qv AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         list_transform(CAST(embedding AS DOUBLE[]),
+       |           x -> CAST(floor(x * 1000000.0) AS BIGINT) + 1000000) AS q
+       |  FROM embeddings),
+       |qp AS (
+       |  SELECT vec_id, unnest(range(1, len(q) + 1)) AS pos,
+       |         unnest(q) AS val
+       |  FROM qv),
+       |init AS (SELECT vec_id FROM qv ORDER BY vec_id LIMIT 8),
+       |c0 AS (SELECT vec_id,
+       |              CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+       |                AS bucket
+       |       FROM init),
+       |cp0 AS (SELECT c0.bucket, qp.pos, qp.val AS cval
+       |        FROM c0 JOIN qp USING (vec_id)),
+       |$rounds,
+       |qq AS (SELECT vec_id AS q_id, v AS qvec FROM qv WHERE vec_id < 10),
+       |pd AS (SELECT qp.vec_id AS q_id, cp.bucket,
+       |              SUM((qp.val - cp.cval) * (qp.val - cp.cval)) AS d2
+       |       FROM qp JOIN cp3 cp USING (pos)
+       |       WHERE qp.vec_id < 10 GROUP BY 1, 2),
+       |pr AS (SELECT q_id, bucket,
+       |              row_number() OVER (PARTITION BY q_id
+       |                                 ORDER BY d2, bucket) AS pr
+       |       FROM pd),
+       |truth AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT qq.q_id, e.vec_id,
+       |           row_number() OVER (PARTITION BY qq.q_id ORDER BY
+       |             floor(list_cosine_similarity(qq.qvec, e.v) * 1000 + 0.5)
+       |               / 1000.0 DESC, e.vec_id) AS rank
+       |    FROM qq, qv e WHERE e.vec_id <> qq.q_id)
+       |  WHERE rank <= 5),
+       |t1 AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT p.q_id, a.vec_id,
+       |           row_number() OVER (PARTITION BY p.q_id ORDER BY
+       |             floor(list_cosine_similarity(qq.qvec, e.v) * 1000 + 0.5)
+       |               / 1000.0 DESC, a.vec_id) AS rank
+       |    FROM pr p JOIN a3 a USING (bucket)
+       |         JOIN qq ON qq.q_id = p.q_id
+       |         JOIN qv e ON e.vec_id = a.vec_id
+       |    WHERE p.pr <= 1 AND a.vec_id <> p.q_id)
+       |  WHERE rank <= 5),
+       |t2 AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT p.q_id, a.vec_id,
+       |           row_number() OVER (PARTITION BY p.q_id ORDER BY
+       |             floor(list_cosine_similarity(qq.qvec, e.v) * 1000 + 0.5)
+       |               / 1000.0 DESC, a.vec_id) AS rank
+       |    FROM pr p JOIN a3 a USING (bucket)
+       |         JOIN qq ON qq.q_id = p.q_id
+       |         JOIN qv e ON e.vec_id = a.vec_id
+       |    WHERE p.pr <= 2 AND a.vec_id <> p.q_id)
+       |  WHERE rank <= 5)
+       |SELECT t.q_id, CAST(count(*) AS BIGINT) AS n_truth,
+       |       CAST(SUM(CASE WHEN t1.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS hit_1probe,
+       |       CAST(SUM(CASE WHEN t2.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS hit_2probe,
+       |       (10000 * CAST(SUM(CASE WHEN t1.vec_id IS NOT NULL THEN 1 ELSE 0
+       |                         END) AS BIGINT)) // CAST(count(*) AS BIGINT)
+       |         AS recall1_bp,
+       |       (10000 * CAST(SUM(CASE WHEN t2.vec_id IS NOT NULL THEN 1 ELSE 0
+       |                         END) AS BIGINT)) // CAST(count(*) AS BIGINT)
+       |         AS recall2_bp
+       |FROM truth t
+       |LEFT JOIN t1 ON t1.q_id = t.q_id AND t1.vec_id = t.vec_id
+       |LEFT JOIN t2 ON t2.q_id = t.q_id AND t2.vec_id = t.vec_id
+       |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin
+  }
+
   /** kNN label-vote probe — the standard embedding-quality audit: predict
     * each query vector's label by majority vote of its 5 cosine neighbors
     * and report per-label accuracy (on uniform-random synthetic vectors
@@ -3210,6 +3355,7 @@ object LlmQueries {
       |  SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf FROM (
       |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
       |    FROM documents)
+      |  WHERE token <> ''
       |  GROUP BY token, doc_id),
       |x AS (
       |  SELECT token, doc_id, tf,
@@ -3274,6 +3420,7 @@ object LlmQueries {
       |  SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf FROM (
       |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
       |    FROM documents)
+      |  WHERE token <> ''
       |  GROUP BY 1, 2),
       |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
       |       FROM post GROUP BY 1),
@@ -3747,6 +3894,8 @@ object LlmQueries {
     Entry("q_bm25_topk", bm25TopK, Some(bm25TopKSql)),
     Entry("q_ann_ivf_probe", annIvfProbe, Some(annIvfProbeSql)),
     Entry("q_ann_recall", annRecall, Some(annRecallSql)),
+    Entry("q_ann_recall_trained", annRecallTrained,
+      Some(annRecallTrainedSql)),
     Entry("q_embed_centroid", embedCentroid, Some(embedCentroidSql)),
     Entry("q_dup_components", dupComponentsQ, Some(dupComponentsSql)),
     Entry("q_pii_scrub", piiScrub, Some(piiScrubSql)),

@@ -53,8 +53,8 @@ object Bucketed {
   /** Root for this session's bucketed layouts, keyed by the source dir so
     * sf0.001 spec runs and sf0.01/0.1 driver runs never collide.
     */
-  def layoutDir(sfDir: String, table: String): String = {
-    val tag = java.lang.Integer.toHexString(sfDir.hashCode)
+  def layoutDir(s: SparkSession, sfDir: String, table: String): String = {
+    val tag = LayoutCache.tag(s, sfDir)
     s"${System.getProperty("java.io.tmpdir")}/graft-bucketed-$tag/$table"
   }
 
@@ -64,13 +64,17 @@ object Bucketed {
     */
   def coBucketedOrdersCustomer(s: SparkSession, sfDir: String,
                                buckets: Int = 8): (DataFrame, DataFrame) = {
-    val tag = java.lang.Integer.toHexString(sfDir.hashCode)
+    // (session, full-path) tag: the tableExists guard below is
+    // per-session, so table names AND files must be too — a second
+    // session's rebuild must never overwrite files this session's
+    // catalog scans still read (r10 ADVICE).
+    val tag = LayoutCache.tag(s, sfDir)
     val (ot, ct) = (s"graft_b_orders_$tag", s"graft_b_customer_$tag")
     if (!s.catalog.tableExists(ot) || !s.catalog.tableExists(ct)) {
       writeBucketed(graft.tables.Tables.orders(s, sfDir), ot,
-        layoutDir(sfDir, "orders"), "o_custkey", buckets)
+        layoutDir(s, sfDir, "orders"), "o_custkey", buckets)
       writeBucketed(graft.tables.Tables.customer(s, sfDir), ct,
-        layoutDir(sfDir, "customer"), "c_custkey", buckets)
+        layoutDir(s, sfDir, "customer"), "c_custkey", buckets)
     }
     (s.table(ot), s.table(ct))
   }

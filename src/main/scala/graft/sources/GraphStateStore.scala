@@ -63,7 +63,7 @@ object GraphStateStore {
   def standing(s: SparkSession, sfDir: String,
       cutNum: Long, cutDen: Long): Standing =
     LayoutCache.getOrBuild(cache, (s, sfDir, cutNum, cutDen)) {
-      val tag = java.lang.Integer.toHexString(sfDir.hashCode) +
+      val tag = LayoutCache.tag(s, sfDir) +
         s"_${cutNum}_$cutDen"
       val root = LayoutCache.tempRoot(s"graft-graphstate-$tag")
       val li = Tables.lineitem(s, sfDir)

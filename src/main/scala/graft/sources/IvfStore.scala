@@ -61,7 +61,7 @@ object IvfStore {
     LayoutCache.getOrBuild(trainedCache, (s, sfDir, k)) {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
-      val tag = java.lang.Integer.toHexString(sfDir.hashCode) + s"_k$k"
+      val tag = LayoutCache.tag(s, sfDir) + s"_k$k"
       val root = LayoutCache.tempRoot(s"graft-ivftrained-$tag")
       val e = graft.tables.Tables.embeddings(s, sfDir)
         .select(col("vec_id"),
@@ -89,7 +89,7 @@ object IvfStore {
     */
   def lists(s: SparkSession, sfDir: String): DataFrame =
     LayoutCache.getOrBuild(cache, (s, sfDir)) {
-      val tag = java.lang.Integer.toHexString(sfDir.hashCode)
+      val tag = LayoutCache.tag(s, sfDir)
       val root = LayoutCache.tempRoot(s"graft-ivf-$tag")
       val e = graft.tables.Tables.embeddings(s, sfDir)
         .select(col("vec_id"),
@@ -98,5 +98,100 @@ object IvfStore {
       val table = s"graft_ivf_$tag"
       Bucketed.writeBucketed(e, table, s"$root/lists", "bucket", nLists)
       s.table(table)
+    }
+
+  /** Deterministic quantized-Lloyd trained layout — the CROSS-ENGINE-
+    * REPRODUCIBLE twin of [[trained]]. MLlib's seeded k-means‖ init can
+    * never sit under the driver's DuckDB hash gate (no SQL engine can
+    * replay it), so this variant makes every training step exact
+    * integer arithmetic a SQL oracle CAN replay:
+    *
+    *  - components quantize to micro-units with a +1.0 shift
+    *    (`floor(x·1e6) + 1e6`): the shift keeps every value positive,
+    *    so Spark's truncating `div` and DuckDB's flooring `//` agree on
+    *    the centroid means; squared distances are translation-invariant
+    *    so the shift changes no assignment;
+    *  - init is the k lowest `vec_id`s' vectors (bucket = rank order);
+    *  - `iters` Lloyd rounds: assign to the d²-nearest centroid
+    *    (ties → lowest bucket), recompute centroids as per-dimension
+    *    floor-means. All int64: d² ≤ 64·(2.2e6)² ≈ 3·10¹⁴ ≪ 2⁶³, and
+    *    integer sums are order-independent, so both engines compute
+    *    bit-identical assignments — training itself, not just serving,
+    *    is under the hash gate (◆ `q_ann_recall_trained`).
+    *
+    * Layout contract matches [[trained]]: assignments hash-bucketed on
+    * the learned list id (probes prune to their lists' buckets), k-row
+    * codebook beside them. At 100 TB the fit runs on a bounded sample
+    * (Lloyd needs only representative density; the assign pass over the
+    * full corpus is one broadcast-join map), the layout write is the
+    * nightly job's cost.
+    */
+  final case class TrainedDet(lists: DataFrame, centroids: DataFrame)
+
+  private val detCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, Int, Int), TrainedDet]()
+
+  def quantize(v: Column): Column =
+    transform(v, x => floor(x * lit(1000000.0)).cast("long") + lit(1000000L))
+
+  /** Exact int64 squared distance between two quantized vectors. */
+  def qdist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
+  def trainedDet(s: SparkSession, sfDir: String, k: Int = 8,
+      iters: Int = 3): TrainedDet =
+    LayoutCache.getOrBuild(detCache, (s, sfDir, k, iters)) {
+      import graft.ops.Ck
+      import org.apache.spark.sql.expressions.Window
+      val tag = LayoutCache.tag(s, sfDir) + s"_dk$k"
+      val root = LayoutCache.tempRoot(s"graft-ivfdet-$tag")
+      val qv = Ck(graft.tables.Tables.embeddings(s, sfDir)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("q", quantize(col("v"))))
+      // init: the k lowest vec_ids, bucket = rank order (k rows — the
+      // single-partition window is on a LIMIT k frame, not data-sized)
+      val cent0 = qv.orderBy("vec_id").limit(k)
+        .select(col("vec_id"), col("q"))
+        .withColumn("bucket",
+          (row_number().over(Window.orderBy("vec_id")) - 1).cast("int"))
+        .select(col("bucket"), col("q").as("c"))
+      def assign(cent: DataFrame): DataFrame =
+        qv.crossJoin(broadcast(cent))
+          .withColumn("d2", qdist2(col("q"), col("c")))
+          .groupBy("vec_id")
+          .agg(min(struct(col("d2"), col("bucket"))).as("m"))
+          .select(col("vec_id"), col("m.bucket").as("bucket"))
+      def update(assigned: DataFrame): DataFrame =
+        assigned.join(qv.select("vec_id", "q"), "vec_id")
+          .select(col("bucket"), posexplode(col("q")).as(Seq("pos", "val")))
+          .groupBy("bucket", "pos")
+          .agg(call_function("div", sum("val"), count(lit(1))).as("cval"))
+          .groupBy("bucket")
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("cval")))),
+            p => p.getField("cval")).as("c"))
+      var cent = Ck(cent0)
+      var assigned: DataFrame = null
+      for (_ <- 1 to iters) {
+        val a = Ck(assign(cent))
+        if (assigned != null) Ck.free(assigned)
+        assigned = a
+        val next = Ck(update(assigned))
+        Ck.free(cent)
+        cent = next
+      }
+      // lists = final assignment (made against the PREVIOUS codebook);
+      // centroids = the codebook recomputed FROM that assignment — the
+      // pair the oracle reproduces step for step.
+      val lists = assigned.join(qv, "vec_id")
+        .select("vec_id", "v", "q", "bucket")
+      val table = s"graft_ivfdet_$tag"
+      Bucketed.writeBucketed(lists, table, s"$root/lists", "bucket", k)
+      cent.write.mode("overwrite").parquet(s"$root/centroids")
+      Ck.free(assigned); Ck.free(cent); Ck.free(qv)
+      TrainedDet(s.table(table), s.read.parquet(s"$root/centroids"))
     }
 }

@@ -23,6 +23,17 @@ object LayoutCache {
       rm(f)
     }))
 
+  /** Collision-free tag for session-catalog table names and layout
+    * directories: the FULL dataset path, sanitized — not its hashCode,
+    * which two distinct paths can share — plus the owning session's
+    * identity, so a second session (tests + bench in one JVM) never
+    * DROPs or overwrites a table/dir an earlier session's cached
+    * standing handle still lazily reads (r10 ADVICE).
+    */
+  def tag(s: org.apache.spark.sql.SparkSession, sfDir: String): String =
+    sfDir.replaceAll("[^A-Za-z0-9]", "_") + "_s" +
+      java.lang.Integer.toHexString(System.identityHashCode(s))
+
   /** Compute-once lookup in the caller's own cache map. */
   def getOrBuild[K, V](cache: ConcurrentHashMap[K, V], key: K)(
       build: => V): V =

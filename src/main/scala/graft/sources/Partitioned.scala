@@ -25,7 +25,10 @@ object Partitioned {
     * sf0.001 spec runs and sf0.01/0.1 driver runs never collide.
     */
   def layoutDir(sfDir: String, table: String): String = {
-    val tag = java.lang.Integer.toHexString(sfDir.hashCode)
+    // full sanitized path, not its hashCode — two datasets must never
+    // share a layout dir (r10 ADVICE); cross-SESSION reuse stays
+    // intentional (_SUCCESS-guarded, no catalog entry to go stale).
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
     s"${System.getProperty("java.io.tmpdir")}/graft-partitioned-$tag/$table"
   }
 

@@ -141,7 +141,7 @@ object PostingsStore {
     */
   def postings(s: SparkSession, sfDir: String): DataFrame =
     LayoutCache.getOrBuild(cache, (s, sfDir)) {
-      val tag = java.lang.Integer.toHexString(sfDir.hashCode)
+      val tag = LayoutCache.tag(s, sfDir)
       val root = LayoutCache.tempRoot(s"graft-postings-$tag")
       val idx = new PostingsIndex(s, s"graft_postings_$tag",
         s"$root/postings", s.sessionState.conf.numShufflePartitions)

@@ -67,6 +67,48 @@ class IvfSpec extends SparkSpec {
     assert(served.forall(r => math.abs(r.getDouble(3)) <= 1.0001))
   }
 
+  test("the trained store's SERVED ranking equals the library path row for row") {
+    // r10 ADVICE: the registry's ml_ann_trained switched to the standing
+    // IvfStore.trained layout while the recall gates stayed on the
+    // library path — gate the SERVED rows directly. Same data, same
+    // seed, same session ⇒ the store's fit and annTrained's fit are the
+    // same deterministic KMeans, so the served (q_id, rank, vec_id, cos)
+    // table must match exactly; a regression in the store's probe or
+    // layout shows up here, not just in shape checks.
+    val served = SparkEntry.queries("ml_ann_trained")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val lib = graft.queries.LlmQueries.annTrained(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(served === lib)
+  }
+
+  test("deterministic quantized-Lloyd layout: assignment invariant + recall sanity") {
+    // q_ann_recall_trained's store. The codebook a vector was assigned
+    // against is the PREVIOUS round's (Lloyd semantics), so a
+    // nearest-final-centroid check would be wrong by design; the
+    // externally checkable invariants are (a) buckets cover the corpus
+    // exactly once, (b) k lists and centroids line up, (c) the recall
+    // table behaves: nprobe=2 dominates nprobe=1 and truth is 5 per
+    // query. (The full value-level proof is the DuckDB hash gate, which
+    // replays the training step for step.)
+    val st = IvfStore.trainedDet(spark, sfDir, 8, 3)
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(st.lists.count() === n)
+    assert(st.lists.select("vec_id").distinct().count() === n)
+    assert(st.centroids.count() === 8)
+    val buckets = st.lists.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(buckets.subsetOf((0 until 8).toSet))
+    val rec = SparkEntry.queries("q_ann_recall_trained")(spark, sfDir)
+      .collect()
+    assert(rec.length === 10)
+    rec.foreach { r =>
+      assert(r.getLong(1) === 5L, "truth must be top-5 per query")
+      assert(r.getLong(3) >= r.getLong(2),
+        s"nprobe=2 must dominate nprobe=1 for q_id ${r.getLong(0)}")
+    }
+  }
+
   test("a single-list probe bucket-prunes to one of the 16 lists") {
     val lists = IvfStore.lists(spark, sfDir)
     val probe = lists.filter(col("bucket") === 5)

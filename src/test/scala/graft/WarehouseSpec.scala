@@ -252,7 +252,7 @@ class WarehouseSpec extends SparkSpec {
     // at production scale, bucket counts and spark.sql.shuffle.partitions
     // are provisioned together for exactly this reason.
     Bucketed.writeBucketed(ev, "graft_b_events_attr",
-      Bucketed.layoutDir(sfDir, "events_attr"), "user_id",
+      Bucketed.layoutDir(spark, sfDir, "events_attr"), "user_id",
       spark.sessionState.conf.numShufflePartitions)
     withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
      // By default Spark only treats join sides as co-partitioned when the

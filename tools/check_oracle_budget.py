@@ -9,7 +9,7 @@ the full value compare.
 
 Usage: python3 tools/check_oracle_budget.py <sfDir> <verifyOutDir> [budget_s]
 """
-import json, sys, glob, os, multiprocessing as mp
+import json, sys, glob, os, queue, multiprocessing as mp
 import duckdb
 import pandas as pd
 import numpy as np
@@ -30,17 +30,21 @@ def run_oracle(sql, q):
 
 
 def oracle_df(sql):
+    # Drain the queue BEFORE joining the child (r10 ADVICE): a result
+    # larger than the OS pipe buffer blocks the child's queue feeder
+    # thread at exit, so join(budget)-first misreports exactly the
+    # large-result queries a scale-up sweep most needs as TIMEOUT.
     q = mp.Queue()
     proc = mp.Process(target=run_oracle, args=(sql, q))
     proc.start()
-    proc.join(budget)
-    if proc.is_alive():
+    try:
+        kind, payload = q.get(timeout=budget)
+    except queue.Empty:
+        alive = proc.is_alive()
         proc.terminate()
         proc.join()
-        return ("timeout", None)
-    if q.empty():
-        return ("err", "oracle process died")
-    kind, payload = q.get()
+        return ("timeout", None) if alive else ("err", "oracle process died")
+    proc.join()
     return (kind, payload)
 
 

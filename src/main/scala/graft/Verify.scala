@@ -12,6 +12,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // Same flag as Bench: the driver's DuckDB hash gate then verifies
+      // the exact standing-layout path the bench measures (oracles are
+      // path-independent definitional recomputes, so this swaps the
+      // Spark plan, never the expected answer).
+      .config("spark.graft.graph.bucketedEdges", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

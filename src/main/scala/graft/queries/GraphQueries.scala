@@ -76,6 +76,19 @@ object GraphQueries {
         graft.sources.GraphStateStore.standing(s, d, 1L, 1L).edges)
     else coPurchaseEdges(Tables.lineitem(s, d))
 
+  /** The standing per-node tables when the flag is on: queries that need
+    * degrees (or triangle corners) read the MAINTAINED store tables —
+    * the materialized-view serving shape — instead of re-aggregating |E|
+    * rows per query. Answer-invariant by the store's construction
+    * (degrees/corners are written from exactly the algebra the queries
+    * run; GraphStateSpec's flag-swap equality covers every consumer).
+    */
+  private def standingOpt(s: org.apache.spark.sql.SparkSession,
+      d: String): Option[graft.sources.GraphStateStore.Standing] =
+    if (s.conf.get("spark.graft.graph.bucketedEdges", "false").toBoolean)
+      Some(graft.sources.GraphStateStore.standing(s, d, 1L, 1L))
+    else None
+
   /** Integer PageRank over the co-purchase graph, [[iterations]] fixed
     * rounds, top-50 items. r₀ = U div N; each round
     * r'(v) = B div N + (85 · Σ_{(u,v)∈E} (r(u) div deg(u))) div 100.
@@ -100,8 +113,12 @@ object GraphQueries {
     */
   private val itemRank: Q = (s, d) => {
     val edges = fullDirectedEdges(s, d)
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      .ckpt()
+    // degrees: maintained store table under the flag (file scan, no
+    // recompute, no checkpoint), |E| aggregate otherwise.
+    val deg = standingOpt(s, d)
+      .map(_.degrees.select(col("node").as("src"), col("deg")))
+      .getOrElse(edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .ckpt())
     val nC = deg.agg(count(lit(1)).as("n"))
     var ranks = deg.crossJoin(broadcast(nC))
       .select(col("src").as("node"), expr(s"${U}L div n").as("r"))
@@ -179,10 +196,18 @@ object GraphQueries {
     graft.ops.Graph.cornerCounts(und)
 
   private val triangles: Q = (s, d) => {
-    val und = fullCanonicalEdges(s, d)
-    val deg = und.select(explode(array(col("src"), col("dst"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
-    cornerCounts(und)
+    // Under the flag BOTH factors are maintained store tables (corners +
+    // degrees) — the query is a two-file-scan join, the triangle algebra
+    // having been paid once at layout build. Default path recomputes.
+    val (corners, deg) = standingOpt(s, d) match {
+      case Some(st) => (st.corners, st.degrees)
+      case None =>
+        val und = fullCanonicalEdges(s, d)
+        (cornerCounts(und),
+          und.select(explode(array(col("src"), col("dst"))).as("node"))
+            .groupBy("node").agg(count(lit(1)).as("deg")))
+    }
+    corners
       .join(deg, "node")
       .select(col("node").as("part_id"), col("deg"), col("triangles"))
       .orderBy("part_id")
@@ -242,7 +267,11 @@ object GraphQueries {
     */
   private val bfsHops: Q = (s, d) => {
     val edges = fullDirectedEdges(s, d)
-    val seeds = edges.select(col("src").as("node")).distinct()
+    // node set: maintained degrees table under the flag (|V| file scan),
+    // |E| distinct otherwise
+    val nodes = standingOpt(s, d).map(_.degrees.select("node"))
+      .getOrElse(edges.select(col("src").as("node")).distinct())
+    val seeds = nodes
       .orderBy("node").limit(3)
       .select(col("node"), lit(0L).as("dist"))
     var dist = seeds.ckpt()
@@ -304,7 +333,9 @@ object GraphQueries {
   private val labelProp: Q = (s, d) => {
     val pack = 1L << 40
     val edges = fullDirectedEdges(s, d)
-    var labels = edges.select(col("src").as("node")).distinct()
+    val nodes = standingOpt(s, d).map(_.degrees.select("node"))
+      .getOrElse(edges.select(col("src").as("node")).distinct())
+    var labels = nodes
       .select(col("node"), col("node").as("lbl"))
       .ckpt()
     for (_ <- 1 to lpaRounds) {
@@ -379,10 +410,18 @@ object GraphQueries {
     */
   private val kcore: Q = (s, d) => {
     val edges = fullDirectedEdges(s, d)
-    val kDf = edges.agg(call_function("div",
-      call_function("div", count(lit(1)), countDistinct(col("src"))) * 5L,
-      lit(8L)).as("k"))
-    var alive = edges.select(col("src").as("node")).distinct()
+    // k and the initial alive set: from the |V|-row maintained degrees
+    // table under the flag (sum(deg) = |directed E|, one row per node),
+    // from the |E| edge list otherwise
+    val kDf = standingOpt(s, d)
+      .map(_.degrees.agg(call_function("div",
+        call_function("div", sum("deg"), count(lit(1))) * 5L,
+        lit(8L)).as("k")))
+      .getOrElse(edges.agg(call_function("div",
+        call_function("div", count(lit(1)), countDistinct(col("src"))) * 5L,
+        lit(8L)).as("k")))
+    var alive = standingOpt(s, d).map(_.degrees.select("node"))
+      .getOrElse(edges.select(col("src").as("node")).distinct())
       .ckpt()
     for (_ <- 1 to kcoreRounds) {
       val next = edges
@@ -450,10 +489,18 @@ object GraphQueries {
 
   private val kcoreFixpoint: Q = (s, d) => {
     val edges = fullDirectedEdges(s, d)
-    val kDf = edges.agg(call_function("div",
-      call_function("div", count(lit(1)), countDistinct(col("src"))) * 5L,
-      lit(8L)).as("k"))
-    var alive = edges.select(col("src").as("node")).distinct()
+    // k and the initial alive set: from the |V|-row maintained degrees
+    // table under the flag (sum(deg) = |directed E|, one row per node),
+    // from the |E| edge list otherwise
+    val kDf = standingOpt(s, d)
+      .map(_.degrees.agg(call_function("div",
+        call_function("div", sum("deg"), count(lit(1))) * 5L,
+        lit(8L)).as("k")))
+      .getOrElse(edges.agg(call_function("div",
+        call_function("div", count(lit(1)), countDistinct(col("src"))) * 5L,
+        lit(8L)).as("k")))
+    var alive = standingOpt(s, d).map(_.degrees.select("node"))
+      .getOrElse(edges.select(col("src").as("node")).distinct())
       .ckpt()
     var aliveN = alive.count()
     var converged = false
@@ -508,8 +555,11 @@ object GraphQueries {
     // under `bucketedEdges` the canonical list is the standing layout,
     // not a per-query rebuild.
     val und = fullCanonicalEdges(s, d)
-    val deg = und.select(explode(array(col("src"), col("dst"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // degrees: maintained store table under the flag, recomputed from
+    // the canonical list otherwise
+    val deg = standingOpt(s, d).map(_.degrees).getOrElse(
+      und.select(explode(array(col("src"), col("dst"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("deg")))
     val withDeg = und
       .join(deg.select(col("node").as("src"), col("deg").as("ds")), "src")
       .join(deg.select(col("node").as("dst"), col("deg").as("dd")), "dst")

@@ -19,6 +19,9 @@ object PlanDump {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // match Bench: audit the plans the bench actually measures
+      .config("spark.graft.graph.bucketedEdges",
+        sys.env.getOrElse("SPARK_GRAFT_BUCKETED_EDGES", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

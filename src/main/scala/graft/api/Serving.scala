@@ -4,6 +4,7 @@ import org.apache.spark.ml.recommendation.{ALS, ALSModel}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Num
 import graft.ops.{Hashing, Rank}
 import graft.sources.ModelRegistry
 
@@ -58,7 +59,7 @@ final class Serving(spark: SparkSession, registry: ModelRegistry) {
       .select(col("user_id"), posexplode(col("recommendations")).as(Seq("pos", "rec")))
       .select(col("user_id"), (col("pos") + 1).as("rank"),
         col("rec.item_id").as("item_id"),
-        round(col("rec.rating").cast("double"), 4).as("score"))
+        Num.roundAt(col("rec.rating").cast("double"), 4).as("score"))
   }
 
   /** Hash-synthesized fallback recommendations — the bottom serving tier
@@ -80,7 +81,7 @@ final class Serving(spark: SparkSession, registry: ModelRegistry) {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("user_id"), col("rank"), col("item_id"),
-        round(greatest(lit(1.0), least(lit(5.0),
+        graft.ops.Num.roundAt(greatest(lit(1.0), least(lit(5.0),
           lit(4.0) - (col("rank") - 1) * lit(0.1)
             + pmod(col("user_id"), lit(100)) / lit(100.0))), 2).as("score"))
   }
@@ -127,7 +128,7 @@ final class Serving(spark: SparkSession, registry: ModelRegistry) {
       .select(col("user_id"), posexplode(col("recommendations")).as(Seq("pos", "rec")))
       .select(col("user_id"), (col("pos") + 1).as("rank"),
         col("rec.item_id").as("item_id"),
-        round(col("rec.rating").cast("double"), 4).as("score"))
+        Num.roundAt(col("rec.rating").cast("double"), 4).as("score"))
       .orderBy("user_id", "rank")
   }
 

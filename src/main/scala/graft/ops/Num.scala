@@ -24,11 +24,26 @@ object Num {
 
   /** Deterministic mean with 4-digit scale: sum exact cents, divide once. */
   def avgDollars(centsSum: Column, n: Column): Column =
-    round(centsSum / lit(100.0) / n, 4)
+    roundAt(centsSum / lit(100.0) / n, 4)
+
+  /** Fractional rounding as explicit ⌊x·10ⁿ+½⌋/10ⁿ — the ONLY
+    * cross-engine-safe form. Native `round(x, n)` diverges between
+    * engines on half-way values: Spark rounds the double's exact decimal
+    * expansion (BigDecimal HALF_UP) while DuckDB std::rounds the IEEE
+    * product x·10ⁿ — measured 2.2% disagreement on adversarial ratios,
+    * and one real doc at sf0.1 (q_quality_score, r11 sweep). The floor
+    * form runs the identical IEEE multiply/floor on both engines: 0
+    * disagreements on the same 220k-value battery at scales 2/3/4/6.
+    * SQL twin: `floor(x * 10^n + 0.5) / 10^n.0`. (Integer-target
+    * `round(x)` is safe — no multiply — and stays native.)
+    */
+  def roundAt(c: Column, n: Int): Column = {
+    val m = math.pow(10.0, n)
+    floor(c * lit(m) + lit(0.5)) / lit(m)
+  }
 
   /** Round to 4 decimals as explicit ⌊x·10⁴+½⌋ — half-up on BOTH engines
     * regardless of their native `round` tie convention.
     */
-  def round4(c: Column): Column =
-    floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+  def round4(c: Column): Column = roundAt(c, 4)
 }

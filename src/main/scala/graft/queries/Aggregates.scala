@@ -30,7 +30,7 @@ object Aggregates {
         Num.dollars(sum(Num.cents(col("l_extendedprice")))).as("sum_base"),
         Num.dollars(sum(Num.cents(col("l_extendedprice") * (lit(1) - col("l_discount")))))
           .as("sum_disc"),
-        round(sum(Num.cents(col("l_quantity"))) / lit(100.0) / count(lit(1)), 4).as("avg_qty"),
+        Num.roundAt(sum(Num.cents(col("l_quantity"))) / lit(100.0) / count(lit(1)), 4).as("avg_qty"),
         count(lit(1)).as("cnt"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -39,7 +39,7 @@ object Aggregates {
       |       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
       |       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base,
       |       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_disc,
-      |       round(CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*), 4) AS avg_qty,
+      |       floor((CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*)) * 10000 + 0.5) / 10000.0 AS avg_qty,
       |       count(*) AS cnt
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus
@@ -94,13 +94,13 @@ object Aggregates {
   private val distribution: Q = (s, d) => {
     val counts = Tables.events(s, d).groupBy("event_type").agg(count(lit(1)).as("cnt"))
     counts
-      .withColumn("pct", round(col("cnt") * lit(100.0) / sum("cnt").over(Window.partitionBy()), 2))
+      .withColumn("pct", Num.roundAt(col("cnt") * lit(100.0) / sum("cnt").over(Window.partitionBy()), 2))
       .orderBy("event_type")
   }
 
   private val distributionSql =
     """SELECT event_type, count(*) AS cnt,
-      |       round(count(*) * CAST(100.0 AS DOUBLE) / SUM(count(*)) OVER (), 2) AS pct
+      |       floor((count(*) * CAST(100.0 AS DOUBLE) / SUM(count(*)) OVER ()) * 100 + 0.5) / 100.0 AS pct
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** A6 — max-per-group keeping a payload: per-user best event by value,
@@ -217,7 +217,7 @@ object Aggregates {
         count(lit(1)).as("n_rows"),
         countDistinct(col("l_partkey")).as("n_parts"),
         Num.dollars(sum(Num.cents(col("l_quantity")))).as("sum_qty"),
-        round(sum(Num.cents(col("l_extendedprice"))) / lit(100.0) / count(lit(1)), 4)
+        Num.roundAt(sum(Num.cents(col("l_extendedprice"))) / lit(100.0) / count(lit(1)), 4)
           .as("avg_price"),
         to_date(min(col("l_shipdate"))).as("min_ship"),
         to_date(max(col("l_shipdate"))).as("max_ship"))
@@ -226,7 +226,7 @@ object Aggregates {
     """SELECT count(*) AS n_rows,
       |       count(DISTINCT l_partkey) AS n_parts,
       |       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
-      |       round(CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*), 4) AS avg_price,
+      |       floor((CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*)) * 10000 + 0.5) / 10000.0 AS avg_price,
       |       CAST(min(l_shipdate) AS DATE) AS min_ship,
       |       CAST(max(l_shipdate) AS DATE) AS max_ship
       |FROM lineitem""".stripMargin
@@ -240,14 +240,14 @@ object Aggregates {
     Tables.events(s, d)
       .groupBy("event_type")
       .agg(
-        round(sum(ratingCents) / lit(100.0) / count(lit(1)), 4).as("avg_rating"),
+        Num.roundAt(sum(ratingCents) / lit(100.0) / count(lit(1)), 4).as("avg_rating"),
         count(lit(1)).as("cnt"))
       .orderBy("event_type")
   }
 
   private val clampAggSql =
     """SELECT event_type,
-      |       round(CAST(SUM(CAST(round(greatest(CAST(1.0 AS DOUBLE), least(CAST(5.0 AS DOUBLE), value / 40.0)) * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*), 4) AS avg_rating,
+      |       floor((CAST(SUM(CAST(round(greatest(CAST(1.0 AS DOUBLE), least(CAST(5.0 AS DOUBLE), value / 40.0)) * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*)) * 10000 + 0.5) / 10000.0 AS avg_rating,
       |       count(*) AS cnt
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
@@ -301,14 +301,14 @@ object Aggregates {
       .agg(count(lit(1)).as("cnt"))
       .select(col("bin"), (col("bin") * lit(histWidth)).as("bin_lo"),
         ((col("bin") + lit(1L)) * lit(histWidth)).as("bin_hi"), col("cnt"),
-        round(col("cnt") * lit(100.0) / sum("cnt").over(Window.partitionBy()), 2)
+        Num.roundAt(col("cnt") * lit(100.0) / sum("cnt").over(Window.partitionBy()), 2)
           .as("pct"))
       .orderBy("bin")
 
   private val histogramSql =
     s"""SELECT bin, bin * $histWidth AS bin_lo, (bin + 1) * $histWidth AS bin_hi,
        |       count(*) AS cnt,
-       |       round(count(*) * CAST(100.0 AS DOUBLE) / SUM(count(*)) OVER (), 2) AS pct
+       |       floor((count(*) * CAST(100.0 AS DOUBLE) / SUM(count(*)) OVER ()) * 100 + 0.5) / 100.0 AS pct
        |FROM (SELECT ${binSql("value")} AS bin
        |      FROM events)
        |GROUP BY bin ORDER BY bin""".stripMargin
@@ -330,8 +330,8 @@ object Aggregates {
         count(lit(1)).as("n_keys"),
         max("n").as("max_n"),
         sum("n").as("total"),
-        round(expr("percentile(n, 0.5)"), 4).as("p50_n"),
-        round(expr("percentile(n, 0.99)"), 4).as("p99_n"))
+        Num.roundAt(expr("percentile(n, 0.5)"), 4).as("p50_n"),
+        Num.roundAt(expr("percentile(n, 0.99)"), 4).as("p99_n"))
       .select(col("n_keys"), col("max_n"), col("p50_n"), col("p99_n"),
         Num.round4(col("max_n").cast("double") *
           col("n_keys").cast("double") / col("total").cast("double"))
@@ -344,8 +344,8 @@ object Aggregates {
       |a AS (
       |  SELECT CAST(count(*) AS BIGINT) AS n_keys, max(n) AS max_n,
       |         CAST(SUM(n) AS BIGINT) AS total,
-      |         round(quantile_cont(n, 0.5), 4) AS p50_n,
-      |         round(quantile_cont(n, 0.99), 4) AS p99_n
+      |         floor((quantile_cont(n, 0.5)) * 10000 + 0.5) / 10000.0 AS p50_n,
+      |         floor((quantile_cont(n, 0.99)) * 10000 + 0.5) / 10000.0 AS p99_n
       |  FROM sizes)
       |SELECT n_keys, max_n, p50_n, p99_n,
       |       floor(CAST(max_n AS DOUBLE) * CAST(n_keys AS DOUBLE)

@@ -1564,11 +1564,11 @@ object Analytics {
     // a per-pair filter+agg would re-run the window pipeline twice.
     val g = gaps.agg(
       count(col("s12")).as("n12"), sum("s12").as("sum12"),
-      round(expr("percentile(s12, 0.5)"), 4).as("p50_12"),
-      round(expr("percentile(s12, 0.9)"), 4).as("p90_12"),
+      Num.roundAt(expr("percentile(s12, 0.5)"), 4).as("p50_12"),
+      Num.roundAt(expr("percentile(s12, 0.9)"), 4).as("p90_12"),
       count(col("s23")).as("n23"), sum("s23").as("sum23"),
-      round(expr("percentile(s23, 0.5)"), 4).as("p50_23"),
-      round(expr("percentile(s23, 0.9)"), 4).as("p90_23"))
+      Num.roundAt(expr("percentile(s23, 0.5)"), 4).as("p50_23"),
+      Num.roundAt(expr("percentile(s23, 0.9)"), 4).as("p90_23"))
     g.select(inline(array(
         struct(lit("click_purchase").as("step_pair"), col("n23").as("n"),
           col("sum23").as("sum_s"), col("p50_23").as("p50_s"),
@@ -1603,14 +1603,14 @@ object Analytics {
       |p AS (
       |  SELECT 'signup_click' AS step_pair, CAST(count(*) AS BIGINT) AS n,
       |         CAST(SUM(s12) AS BIGINT) AS sum_s,
-      |         round(quantile_cont(s12, 0.5), 4) AS p50_s,
-      |         round(quantile_cont(s12, 0.9), 4) AS p90_s
+      |         floor((quantile_cont(s12, 0.5)) * 10000 + 0.5) / 10000.0 AS p50_s,
+      |         floor((quantile_cont(s12, 0.9)) * 10000 + 0.5) / 10000.0 AS p90_s
       |  FROM gaps WHERE s12 IS NOT NULL
       |  UNION ALL
       |  SELECT 'click_purchase', CAST(count(*) AS BIGINT),
       |         CAST(SUM(s23) AS BIGINT),
-      |         round(quantile_cont(s23, 0.5), 4),
-      |         round(quantile_cont(s23, 0.9), 4)
+      |         floor((quantile_cont(s23, 0.5)) * 10000 + 0.5) / 10000.0,
+      |         floor((quantile_cont(s23, 0.9)) * 10000 + 0.5) / 10000.0
       |  FROM gaps WHERE s23 IS NOT NULL)
       |SELECT step_pair, n, sum_s,
       |       floor(CAST(sum_s AS DOUBLE) / n * 10000.0 + 0.5) / 10000.0

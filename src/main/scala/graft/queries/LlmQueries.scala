@@ -135,7 +135,7 @@ object LlmQueries {
         col("n_a") >= col("n_b") * ratio - lit(1e-9) &&
         col("n_b") >= col("n_a") * ratio - lit(1e-9))
       .withColumn("jac",
-        round(graft.functions.JaccardSorted(col("toks_a"), col("toks_b")), 4))
+        Num.roundAt(graft.functions.JaccardSorted(col("toks_a"), col("toks_b")), 4))
       .filter(col("jac") >= threshold)
       .select("doc_a", "doc_b", "jac")
   }
@@ -152,7 +152,7 @@ object LlmQueries {
       .join(t.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), "doc_a")
       .join(t.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(graft.functions.JaccardSorted(col("toks_a"), col("toks_b")), 4).as("jac"))
+        Num.roundAt(graft.functions.JaccardSorted(col("toks_a"), col("toks_b")), 4).as("jac"))
   }
 
   /** Near-dup by word-set Jaccard, blocked by lang so the pair space is
@@ -169,11 +169,13 @@ object LlmQueries {
       |                    w -> ('0x' || substr(md5(w), 1, 15))::BIGINT)) AS toks
       |           FROM documents)
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |       round(len(list_intersect(a.toks, b.toks)) /
-      |             CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 4) AS jac
+      |       floor((len(list_intersect(a.toks, b.toks)) /
+      |             CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE))
+      |                   * 10000 + 0.5) / 10000.0 AS jac
       |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
-      |WHERE round(len(list_intersect(a.toks, b.toks)) /
-      |            CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 4) >= 0.5
+      |WHERE floor((len(list_intersect(a.toks, b.toks)) /
+      |            CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE))
+      |                  * 10000 + 0.5) / 10000.0 >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** SimHash near-dup: 32-bit simhash from per-token md5 bit votes, then
@@ -333,7 +335,7 @@ object LlmQueries {
     val sb = shingled.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     val verified = cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
       .withColumn("jac",
-        round(size(array_intersect(col("sh_a"), col("sh_b"))) /
+        Num.roundAt(size(array_intersect(col("sh_a"), col("sh_b"))) /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
       .filter(col("jac") >= 0.8)
       .select("doc_a", "doc_b", "jac")
@@ -408,8 +410,9 @@ object LlmQueries {
       |  FROM cand
       |  JOIN sh sa ON sa.doc_id = cand.doc_a
       |  JOIN sh sb ON sb.doc_id = cand.doc_b
-      |  WHERE round(len(list_intersect(sa.sh, sb.sh)) /
-      |              CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 4) >= 0.8),
+      |  WHERE floor((len(list_intersect(sa.sh, sb.sh)) /
+      |              CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE))
+      |                    * 10000 + 0.5) / 10000.0 >= 0.8),
       |edges AS (
       |  SELECT doc_a AS a, doc_b AS b FROM verified
       |  UNION ALL
@@ -424,13 +427,15 @@ object LlmQueries {
     s"""WITH RECURSIVE
        |$minhashCteSql
        |SELECT doc_a, doc_b,
-       |       round(len(list_intersect(sa.sh, sb.sh)) /
-       |             CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 4) AS jac
+       |       floor((len(list_intersect(sa.sh, sb.sh)) /
+       |             CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE))
+       |                   * 10000 + 0.5) / 10000.0 AS jac
        |FROM cand
        |JOIN sh sa ON sa.doc_id = cand.doc_a
        |JOIN sh sb ON sb.doc_id = cand.doc_b
-       |WHERE round(len(list_intersect(sa.sh, sb.sh)) /
-       |            CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 4) >= 0.8
+       |WHERE floor((len(list_intersect(sa.sh, sb.sh)) /
+       |            CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE))
+       |                  * 10000 + 0.5) / 10000.0 >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** The dedup composition a 100 TB corpus actually runs, end-to-end in
@@ -1027,7 +1032,7 @@ object LlmQueries {
       .select("q_id", "qv", "bucket")
     probes.join(assigned, Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", round(dot(col("qv"), col("vn")), 3))
+      .withColumn("cos", Num.roundAt(dot(col("qv"), col("vn")), 3))
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))))
       .filter(col("rank") <= topK)
@@ -1065,7 +1070,7 @@ object LlmQueries {
       .select("q_id", "qv", "bucket")
     probes.join(assigned, Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", round(dot(col("qv"), col("vn")), 3))
+      .withColumn("cos", Num.roundAt(dot(col("qv"), col("vn")), 3))
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))))
       .filter(col("rank") <= 5)
@@ -1226,17 +1231,22 @@ object LlmQueries {
     * the scan's codegen stage.
     */
   private val qualityScore: Q = (s, d) =>
+    // Num.round4 (floor(x·1e4 + 0.5)), not round(x, 4): Spark's round is
+    // decimal-exact HALF_UP on the double's full expansion while DuckDB's
+    // multiplies and std::rounds — at a half-way score the two can split
+    // (caught by the r11 sf0.1 sweep: one doc scored 0.2538 vs 0.2537).
+    // The floor form runs the IDENTICAL IEEE ops on both engines.
     Tables.documents(s, d)
       .withColumn("n_words", size(split(col("text"), " ")))
       .withColumn("awl",
-        round(length(translate(col("text"), " ", "")) / col("n_words").cast("double"), 4))
+        Num.round4(length(translate(col("text"), " ", "")) / col("n_words").cast("double")))
       .withColumn("stop_hits",
         expr("size(filter(split(text, ' '), w -> array_contains(array('the','a','of','and','to'), w)))"))
       .withColumn("score",
-        round(
+        Num.round4(
           least(lit(1.0), col("n_words") / lit(50.0)) * lit(0.5) +
             least(lit(1.0), col("awl") / lit(8.0)) * lit(0.3) +
-            col("stop_hits") / col("n_words").cast("double") * lit(0.2), 4))
+            col("stop_hits") / col("n_words").cast("double") * lit(0.2)))
       .select("doc_id", "n_words", "awl", "stop_hits", "score")
       .orderBy("doc_id")
 
@@ -1244,15 +1254,17 @@ object LlmQueries {
     """WITH x AS (
       |  SELECT doc_id,
       |         CAST(len(string_split(text, ' ')) AS INT) AS n_words,
-      |         round(strlen(replace(text, ' ', '')) /
-      |               CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS awl,
+      |         floor(strlen(replace(text, ' ', '')) /
+      |               CAST(len(string_split(text, ' ')) AS DOUBLE)
+      |               * 10000 + 0.5) / 10000.0 AS awl,
       |         CAST(len(list_filter(string_split(text, ' '),
       |              w -> list_contains(['the','a','of','and','to'], w))) AS INT) AS stop_hits
       |  FROM documents)
       |SELECT doc_id, n_words, awl, stop_hits,
-      |       round(least(CAST(1.0 AS DOUBLE), n_words / CAST(50.0 AS DOUBLE)) * 0.5 +
-      |             least(CAST(1.0 AS DOUBLE), awl / CAST(8.0 AS DOUBLE)) * 0.3 +
-      |             stop_hits / CAST(n_words AS DOUBLE) * 0.2, 4) AS score
+      |       floor((least(CAST(1.0 AS DOUBLE), n_words / CAST(50.0 AS DOUBLE)) * 0.5 +
+      |              least(CAST(1.0 AS DOUBLE), awl / CAST(8.0 AS DOUBLE)) * 0.3 +
+      |              stop_hits / CAST(n_words AS DOUBLE) * 0.2) * 10000 + 0.5)
+      |         / 10000.0 AS score
       |FROM x ORDER BY doc_id""".stripMargin
 
   /** Token counting per lang: whitespace tokens + a regex token class
@@ -1267,14 +1279,14 @@ object LlmQueries {
         count(lit(1)).as("docs"),
         sum("n_ws").as("sum_ws"),
         sum("n_alpha").as("sum_alpha"),
-        round(sum("n_ws") / count(lit(1)).cast("double"), 2).as("avg_ws"))
+        Num.roundAt(sum("n_ws") / count(lit(1)).cast("double"), 2).as("avg_ws"))
       .orderBy("lang")
 
   private val tokenCountSql =
     """SELECT lang, count(*) AS docs,
       |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_ws,
       |       CAST(SUM(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS sum_alpha,
-      |       round(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / count(*), 2) AS avg_ws
+      |       floor((CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / count(*)) * 100 + 0.5) / 100.0 AS avg_ws
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Document fingerprinting: rolling 3-gram window → per-gram hash → min
@@ -1531,8 +1543,9 @@ object LlmQueries {
       |pairs AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
-      |  WHERE round(len(list_intersect(a.toks, b.toks)) /
-      |              CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 4) >= 0.5),
+      |  WHERE floor((len(list_intersect(a.toks, b.toks)) /
+      |              CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE))
+      |                    * 10000 + 0.5) / 10000.0 >= 0.5),
       |edges AS (
       |  SELECT doc_a AS a, doc_b AS b FROM pairs
       |  UNION ALL
@@ -1655,8 +1668,9 @@ object LlmQueries {
       |pairs AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
-      |  WHERE round(len(list_intersect(a.toks, b.toks)) /
-      |              CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 4) >= 0.5),
+      |  WHERE floor((len(list_intersect(a.toks, b.toks)) /
+      |              CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE))
+      |                    * 10000 + 0.5) / 10000.0 >= 0.5),
       |edges AS (
       |  SELECT doc_a AS a, doc_b AS b FROM pairs
       |  UNION ALL
@@ -2065,8 +2079,8 @@ object LlmQueries {
   private val mmResizeSql =
     """SELECT doc_id,
       |       CAST(least(strlen(text), 3072) AS BIGINT) AS resized_bytes,
-      |       round((strlen(text) % 640) / 64.0, 4) AS scale_x,
-      |       round((strlen(text) % 480) / 48.0, 4) AS scale_y
+      |       floor(((strlen(text) % 640) / 64.0) * 10000 + 0.5) / 10000.0 AS scale_x,
+      |       floor(((strlen(text) % 480) / 48.0) * 10000 + 0.5) / 10000.0 AS scale_y
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Multimodal frame sampling: one-to-many decode
@@ -2876,8 +2890,9 @@ object LlmQueries {
        |  FROM cand
        |  JOIN sh sa ON sa.doc_id = cand.doc_a
        |  JOIN sh sb ON sb.doc_id = cand.doc_b
-       |  WHERE round(len(list_intersect(sa.sh, sb.sh)) /
-       |              CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 4) >= 0.8),
+       |  WHERE floor((len(list_intersect(sa.sh, sb.sh)) /
+       |              CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE))
+       |                    * 10000 + 0.5) / 10000.0 >= 0.8),
        |near AS (SELECT doc_b AS doc_id, min(doc_a) AS near_dup_of
        |         FROM verified GROUP BY doc_b)
        |SELECT e.doc_id, e.catalog_id, n.near_dup_of,
@@ -3214,7 +3229,7 @@ object LlmQueries {
     val sb = shingled.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
       .withColumn("jac",
-        round(size(array_intersect(col("sh_a"), col("sh_b"))) /
+        Num.roundAt(size(array_intersect(col("sh_a"), col("sh_b"))) /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
       .filter(col("jac") >= 0.8)
       .select("doc_a", "doc_b", "jac")
@@ -3263,9 +3278,9 @@ object LlmQueries {
          |  SELECT doc_a, doc_b FROM $cand
          |  JOIN sh sa ON sa.doc_id = $cand.doc_a
          |  JOIN sh sb ON sb.doc_id = $cand.doc_b
-         |  WHERE round(len(list_intersect(sa.sh, sb.sh)) /
-         |              CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE),
-         |              4) >= 0.8)""".stripMargin
+         |  WHERE floor((len(list_intersect(sa.sh, sb.sh)) /
+         |              CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE))
+         |                   * 10000 + 0.5) / 10000.0 >= 0.8)""".stripMargin
     s"""WITH RECURSIVE
        |$minhashCteSql,
        |${verify("cand", "lsh")},
@@ -3299,15 +3314,15 @@ object LlmQueries {
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id)
       |SELECT doc_a, doc_b,
-      |       round(len(list_intersect(sa.sh, sb.sh)) /
-      |             CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE),
-      |             4) AS jac
+      |       floor((len(list_intersect(sa.sh, sb.sh)) /
+      |             CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE))
+      |                  * 10000 + 0.5) / 10000.0 AS jac
       |FROM cand
       |JOIN sh sa ON sa.doc_id = cand.doc_a
       |JOIN sh sb ON sb.doc_id = cand.doc_b
-      |WHERE round(len(list_intersect(sa.sh, sb.sh)) /
-      |            CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE),
-      |            4) >= 0.8
+      |WHERE floor((len(list_intersect(sa.sh, sb.sh)) /
+      |            CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE))
+      |                 * 10000 + 0.5) / 10000.0 >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Inverted index build — the retrieval-side artifact of the text

@@ -77,10 +77,12 @@ object MLQueries {
       .setInputCol("features").setOutputCol("scaled")
       .setWithMean(true).setWithStd(true)
     val model = new Pipeline().setStages(Array(assembler, scaler)).fit(feats)
-    // bround = half-even (what math.rint did); + 0.0 normalizes -0.0 for
-    // byte-stable hashing. Pure expressions — no UDF in the output path.
+    // Num.roundAt (floor form), not bround/round: the two engines'
+    // native fractional rounds disagree on half-way values (r11 sweep
+    // lesson); + 0.0 normalizes -0.0 for byte-stable hashing. Pure
+    // expressions — no UDF in the output path.
     def el(i: Int): Column =
-      bround(element_at(vector_to_array(col("scaled")), i + 1), 4) + lit(0.0)
+      Num.roundAt(element_at(vector_to_array(col("scaled")), i + 1), 4) + lit(0.0)
     model.transform(feats)
       .select(
         col("p_partkey"),
@@ -91,10 +93,12 @@ object MLQueries {
 
   private val featurePipelineSql =
     """SELECT p_partkey,
-      |       round((p_retailprice - avg(p_retailprice) OVER ()) /
-      |             stddev_samp(p_retailprice) OVER (), 4) + 0.0 AS scaled_price,
-      |       round((CAST(p_size AS DOUBLE) - avg(CAST(p_size AS DOUBLE)) OVER ()) /
-      |             stddev_samp(CAST(p_size AS DOUBLE)) OVER (), 4) + 0.0 AS scaled_size
+      |       floor((p_retailprice - avg(p_retailprice) OVER ()) /
+      |             stddev_samp(p_retailprice) OVER () * 10000 + 0.5) / 10000.0
+      |         + 0.0 AS scaled_price,
+      |       floor((CAST(p_size AS DOUBLE) - avg(CAST(p_size AS DOUBLE)) OVER ()) /
+      |             stddev_samp(CAST(p_size AS DOUBLE)) OVER () * 10000 + 0.5) / 10000.0
+      |         + 0.0 AS scaled_size
       |FROM part ORDER BY p_partkey""".stripMargin
 
   /** M4/M15 — KMeans with the reference's k-clamp rule

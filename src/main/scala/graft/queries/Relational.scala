@@ -74,7 +74,7 @@ object Relational {
       col("b") === lit(Double.PositiveInfinity) || col("b") === lit(Double.NegativeInfinity)
     dirty.select(
       col("c_custkey"),
-      round(Clean.repairNumeric(col("b"), 0.0), 2).as("bal"),
+      Num.roundAt(Clean.repairNumeric(col("b"), 0.0), 2).as("bal"),
       when(bad, lit(1)).otherwise(lit(0)).as("repaired"))
       .orderBy("c_custkey")
   }
@@ -88,9 +88,9 @@ object Relational {
       |              ELSE c_acctbal END AS b
       |  FROM customer)
       |SELECT c_custkey,
-      |       round(CASE WHEN b IS NULL OR isnan(b) OR b = 'Infinity'::DOUBLE
-      |                       OR b = '-Infinity'::DOUBLE
-      |                  THEN 0.0 ELSE b END, 2) AS bal,
+      |       floor((CASE WHEN b IS NULL OR isnan(b) OR b = 'Infinity'::DOUBLE
+      |                        OR b = '-Infinity'::DOUBLE
+      |                   THEN 0.0 ELSE b END) * 100 + 0.5) / 100.0 AS bal,
       |       CASE WHEN b IS NULL OR isnan(b) OR b = 'Infinity'::DOUBLE
       |                 OR b = '-Infinity'::DOUBLE
       |            THEN 1 ELSE 0 END AS repaired

@@ -190,7 +190,7 @@ object Scalars {
         pop.as("popularity"),
         user.as("user_id"),
         rating.as("rating"),
-        round(greatest(lit(0.5), least(lit(5.5), rating + jit)), 3).as("noisy_rating"))
+        Num.roundAt(greatest(lit(0.5), least(lit(5.5), rating + jit)), 3).as("noisy_rating"))
       .orderBy("p_partkey")
   }
 
@@ -210,7 +210,7 @@ object Scalars {
       |              ELSE 1.0 END AS rating
       |  FROM x)
       |SELECT p_partkey, popularity, user_id, rating,
-      |       round(greatest(CAST(0.5 AS DOUBLE), least(CAST(5.5 AS DOUBLE), rating + jit)), 3) AS noisy_rating
+      |       floor((greatest(CAST(0.5 AS DOUBLE), least(CAST(5.5 AS DOUBLE), rating + jit))) * 1000 + 0.5) / 1000.0 AS noisy_rating
       |FROM y ORDER BY p_partkey""".stripMargin
 
   val entries: Seq[Entry] = Seq(

@@ -89,16 +89,16 @@ object Stats {
     Tables.events(s, d)
       .groupBy("event_type")
       .agg(
-        round(expr("percentile(value, 0.5)"), 4).as("p50"),
-        round(expr("percentile(value, 0.9)"), 4).as("p90"),
-        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+        Num.roundAt(expr("percentile(value, 0.5)"), 4).as("p50"),
+        Num.roundAt(expr("percentile(value, 0.9)"), 4).as("p90"),
+        Num.roundAt(expr("percentile(value, 0.99)"), 4).as("p99"))
       .orderBy("event_type")
 
   private val percentilesSql =
     """SELECT event_type,
-      |       round(quantile_cont(value, 0.5), 4) AS p50,
-      |       round(quantile_cont(value, 0.9), 4) AS p90,
-      |       round(quantile_cont(value, 0.99), 4) AS p99
+      |       floor((quantile_cont(value, 0.5)) * 10000 + 0.5) / 10000.0 AS p50,
+      |       floor((quantile_cont(value, 0.9)) * 10000 + 0.5) / 10000.0 AS p90,
+      |       floor((quantile_cont(value, 0.99)) * 10000 + 0.5) / 10000.0 AS p99
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Constant-memory twin of [[percentilesQ]] — `percentile_approx`
@@ -112,9 +112,9 @@ object Stats {
     Tables.events(s, d)
       .groupBy("event_type")
       .agg(
-        round(expr("percentile_approx(value, 0.5, 10000)"), 4).as("p50"),
-        round(expr("percentile_approx(value, 0.9, 10000)"), 4).as("p90"),
-        round(expr("percentile_approx(value, 0.99, 10000)"), 4).as("p99"))
+        Num.roundAt(expr("percentile_approx(value, 0.5, 10000)"), 4).as("p50"),
+        Num.roundAt(expr("percentile_approx(value, 0.9, 10000)"), 4).as("p90"),
+        Num.roundAt(expr("percentile_approx(value, 0.99, 10000)"), 4).as("p99"))
       .orderBy("event_type")
 
   /** Second-moment statistics per order status: sample stddev/variance of
@@ -124,18 +124,18 @@ object Stats {
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
-        round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
-        round(var_samp(col("l_extendedprice")), 2).as("var_price"),
-        round(corr(col("l_extendedprice"), col("l_quantity")), 6).as("corr_pq"),
-        round(covar_samp(col("l_extendedprice"), col("l_quantity")), 2).as("cov_pq"))
+        Num.roundAt(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+        Num.roundAt(var_samp(col("l_extendedprice")), 2).as("var_price"),
+        Num.roundAt(corr(col("l_extendedprice"), col("l_quantity")), 6).as("corr_pq"),
+        Num.roundAt(covar_samp(col("l_extendedprice"), col("l_quantity")), 2).as("cov_pq"))
       .orderBy("l_returnflag")
 
   private val statsAggSql =
     """SELECT l_returnflag,
-      |       round(stddev_samp(l_extendedprice), 2) AS sd_price,
-      |       round(var_samp(l_extendedprice), 2) AS var_price,
-      |       round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
-      |       round(covar_samp(l_extendedprice, l_quantity), 2) AS cov_pq
+      |       floor((stddev_samp(l_extendedprice)) * 100 + 0.5) / 100.0 AS sd_price,
+      |       floor((var_samp(l_extendedprice)) * 100 + 0.5) / 100.0 AS var_price,
+      |       floor((corr(l_extendedprice, l_quantity)) * 1000000 + 0.5) / 1000000.0 AS corr_pq,
+      |       floor((covar_samp(l_extendedprice, l_quantity)) * 100 + 0.5) / 100.0 AS cov_pq
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** JSON path extraction over the events' semi-structured `props` column
@@ -150,14 +150,14 @@ object Stats {
         count(lit(1)).as("cnt"),
         min("k").as("min_k"),
         max("k").as("max_k"),
-        round(avg("k"), 4).as("avg_k"))
+        Num.roundAt(avg("k"), 4).as("avg_k"))
       .orderBy("event_type")
 
   private val jsonExtractSql =
     """SELECT event_type, count(*) AS cnt,
       |       min(CAST(props->>'k' AS INT)) AS min_k,
       |       max(CAST(props->>'k' AS INT)) AS max_k,
-      |       round(avg(CAST(props->>'k' AS INT)), 4) AS avg_k
+      |       floor((avg(CAST(props->>'k' AS INT))) * 10000 + 0.5) / 10000.0 AS avg_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Semi-structured extraction through Spark 4's VARIANT type — the
@@ -230,8 +230,8 @@ object Stats {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("event_type").orderBy(asc("value"), asc("event_id"))
     Tables.events(s, d)
-      .withColumn("pr", round(percent_rank().over(w), 6))
-      .withColumn("cd", round(cume_dist().over(w), 6))
+      .withColumn("pr", Num.roundAt(percent_rank().over(w), 6))
+      .withColumn("cd", Num.roundAt(cume_dist().over(w), 6))
       .withColumn("quartile", ntile(4).over(w))
       .filter(col("event_id") % 199 === 0)
       .select("event_id", "event_type", "pr", "cd", "quartile")
@@ -240,10 +240,12 @@ object Stats {
 
   private val rankFuncsSql =
     """SELECT event_id, event_type,
-      |       round(percent_rank() OVER (PARTITION BY event_type
-      |                                  ORDER BY value, event_id), 6) AS pr,
-      |       round(cume_dist() OVER (PARTITION BY event_type
-      |                               ORDER BY value, event_id), 6) AS cd,
+      |       floor(percent_rank() OVER (PARTITION BY event_type
+      |                                  ORDER BY value, event_id)
+      |             * 1000000 + 0.5) / 1000000.0 AS pr,
+      |       floor(cume_dist() OVER (PARTITION BY event_type
+      |                               ORDER BY value, event_id)
+      |             * 1000000 + 0.5) / 1000000.0 AS cd,
       |       ntile(4) OVER (PARTITION BY event_type
       |                      ORDER BY value, event_id) AS quartile
       |FROM events QUALIFY event_id % 199 = 0 ORDER BY event_id""".stripMargin
@@ -330,7 +332,7 @@ object Stats {
         sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
         min("v").as("min_v"),
         max("v").as("max_v"),
-        round(sum(Num.cents(col("v"))) / lit(100.0) / count(col("v")), 4).as("mean_v"))
+        Num.roundAt(sum(Num.cents(col("v"))) / lit(100.0) / count(col("v")), 4).as("mean_v"))
       .orderBy("col_name")
 
   private val profileSql =

@@ -87,7 +87,7 @@ object StreamingQueries {
     val stats = ev.groupBy("batch_id").agg(
       count(lit(1)).as("size"),
       countDistinct(col("user_id")).as("unique_users"),
-      round(sum(Num.cents(col("value"))) / lit(100.0) / count(lit(1)), 4).as("avg_value"))
+      Num.roundAt(sum(Num.cents(col("value"))) / lit(100.0) / count(lit(1)), 4).as("avg_value"))
     val top = ev.groupBy("batch_id", "event_type")
       .agg(count(lit(1)).as("c"))
       .withColumn("rn", row_number().over(
@@ -102,7 +102,7 @@ object StreamingQueries {
       |stats AS (
       |  SELECT batch_id, count(*) AS size,
       |         count(DISTINCT user_id) AS unique_users,
-      |         round(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*), 4) AS avg_value
+      |         floor((CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*)) * 10000 + 0.5) / 10000.0 AS avg_value
       |  FROM ev GROUP BY batch_id),
       |top AS (
       |  SELECT batch_id, event_type AS top_action

@@ -79,12 +79,12 @@ object Windows {
         20, desc("p_retailprice"), asc("p_partkey"))
       .select(
         col("rn"), col("p_partkey"),
-        round(lit(5.0) - (col("rn") - lit(1)) * lit(0.1), 1).as("score"))
+        Num.roundAt(lit(5.0) - (col("rn") - lit(1)) * lit(0.1), 1).as("score"))
       .orderBy("rn")
 
   private val rankDecaySql =
     """SELECT rn, p_partkey,
-      |       round(CAST(5.0 AS DOUBLE) - (rn - 1) * CAST(0.1 AS DOUBLE), 1) AS score
+      |       floor((CAST(5.0 AS DOUBLE) - (rn - 1) * CAST(0.1 AS DOUBLE)) * 10 + 0.5) / 10.0 AS score
       |FROM (SELECT p_partkey,
       |             row_number() OVER (ORDER BY p_retailprice DESC, p_partkey) AS rn
       |      FROM part)
@@ -103,13 +103,13 @@ object Windows {
       .withColumn("n_w", count(lit(1)).over(w))
       .select(
         col("user_id"), col("event_id"),
-        round(col("sum_c") / lit(100.0) / col("n_w"), 4).as("avg3"))
+        Num.roundAt(col("sum_c") / lit(100.0) / col("n_w"), 4).as("avg3"))
       .orderBy("user_id", "event_id")
   }
 
   private val rollingAvgSql =
     """SELECT user_id, event_id,
-      |       round(CAST(sum_c AS DOUBLE) / 100.0 / n_w, 4) AS avg3
+      |       floor((CAST(sum_c AS DOUBLE) / 100.0 / n_w) * 10000 + 0.5) / 10000.0 AS avg3
       |FROM (SELECT user_id, event_id,
       |             SUM(CAST(round(value * 100) AS BIGINT))
       |               OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -202,7 +202,7 @@ object Windows {
   private val lagDelta: Q = (s, d) => {
     val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
     Tables.events(s, d)
-      .withColumn("delta", round(col("value") - lag(col("value"), 1).over(w), 2))
+      .withColumn("delta", Num.roundAt(col("value") - lag(col("value"), 1).over(w), 2))
       .select(
         col("user_id"), col("event_id"),
         coalesce(col("delta"), lit(0.0)).as("delta"))
@@ -211,8 +211,9 @@ object Windows {
 
   private val lagDeltaSql =
     """SELECT user_id, event_id,
-      |       coalesce(round(value - lag(value, 1)
-      |                OVER (PARTITION BY user_id ORDER BY ts, event_id), 2), 0.0) AS delta
+      |       coalesce(floor((value - lag(value, 1)
+      |                OVER (PARTITION BY user_id ORDER BY ts, event_id))
+      |                * 100 + 0.5) / 100.0, 0.0) AS delta
       |FROM events ORDER BY user_id, event_id""".stripMargin
 
   /** Sessionization (gaps-and-islands) — 30-minute-gap sessions per user,

@@ -2,6 +2,7 @@ package graft.stream
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.Num
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.ops.Hashing
 
@@ -44,7 +45,7 @@ object Interactions {
     val pop = pmod(Hashing.md5Long(concat(v, lit("p"))), lit(101L))
     val base = pop / lit(100.0) * lit(4.0) + lit(1.0)
     val jit = Hashing.md5Frac(concat(v, lit("j"))) - lit(0.5)
-    val rating = round(greatest(lit(1.0), least(lit(5.0), base + jit)), 3)
+    val rating = Num.roundAt(greatest(lit(1.0), least(lit(5.0), base + jit)), 3)
     val u = Hashing.md5Frac(concat(v, lit("a")))
     val hi = rating >= 4.0
     val action = when(hi && u < 0.7, lit("play"))
@@ -116,7 +117,7 @@ object Interactions {
       count(lit(1)).as("size"),
       countDistinct(col("user_id")).as("unique_users"),
       countDistinct(col("track_id")).as("unique_tracks"),
-      round(avg(col("rating")), 4).as("avg_rating"))
+      Num.roundAt(avg(col("rating")), 4).as("avg_rating"))
     stats.crossJoin(dist).crossJoin(emo).crossJoin(featured).crossJoin(artists)
   }
 

@@ -343,8 +343,8 @@ object Stats {
       |SELECT col_name, count(*) AS n,
       |       CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
       |       min(v) AS min_v, max(v) AS max_v,
-      |       round(CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS DOUBLE) / 100.0
-      |             / count(v), 4) AS mean_v
+      |       floor(CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS DOUBLE) / 100.0
+      |             / count(v) * 10000 + 0.5) / 10000.0 AS mean_v
       |FROM long GROUP BY col_name ORDER BY col_name""".stripMargin
 
   /** Range (interval) join — events matched to the promo window containing

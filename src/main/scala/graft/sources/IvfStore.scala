@@ -83,6 +83,63 @@ object IvfStore {
       Trained(s.table(table), s.read.parquet(s"$root/centroids"))
     }
 
+  /** Quantized row shape shared by the standing fixture layout and the
+    * owned/streaming index: (vec_id, v `array<double>`, label, bucket).
+    */
+  private def quantizedRows(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), col("label"))
+      .withColumn("bucket", bucketOf(col("v")))
+
+  /** One OWNED sign-quantized IVF index: build once, append new
+    * vectors — the ingestion path the scaladoc above promises ("new
+    * vectors append with the same bucketing"), now executable and
+    * spec-proven (IvfSpec: append ≡ rebuild; a probe still prunes to
+    * one bucket across base + delta files — a bucket gains files, it
+    * never splits). Same delivery contract as
+    * [[PostingsStore.PostingsIndex]]: [[append]] is a BLIND batch
+    * append (a redelivered batch would duplicate vectors and surface
+    * them twice in top-k); the nightly indexer that owns this path is
+    * exactly-once by construction, and streaming encoders route through
+    * [[StreamingIvf]]'s batchId-keyed staging instead.
+    */
+  final class IvfIndex(s: SparkSession, val table: String, dir: String) {
+    def build(e: DataFrame): Unit =
+      Bucketed.writeBucketed(quantizedRows(e), table, dir, "bucket", nLists)
+    def append(e: DataFrame): Unit =
+      quantizedRows(e).write.mode("append").insertInto(table)
+    def read: DataFrame = s.table(table)
+  }
+
+  /** Streaming vector ingestion for an [[IvfIndex]] with the family's
+    * exactly-once discipline — the shared [[StagedDeltas]] core:
+    * micro-batches stage into batchId-keyed directories (redelivery
+    * rewrites, never duplicates), reads union base + deltas, the
+    * nightly [[foldDeltas]] compacts them into the bucketed base.
+    */
+  final class StreamingIvf(s: SparkSession, idx: IvfIndex,
+      deltaRoot: String) {
+    private val staged = new StagedDeltas(s, deltaRoot,
+      Seq("vec_id", "v", "label", "bucket"),
+      rows => rows.write.mode("append").insertInto(idx.table),
+      () => idx.read)
+
+    def appendStream(embeddings: DataFrame, checkpoint: String)
+        : org.apache.spark.sql.streaming.StreamingQuery =
+      embeddings.writeStream
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          staged.stage(quantizedRows(batch), id)
+        }
+        .start()
+
+    /** Base ∪ deltas — the serving view between folds. */
+    def read: DataFrame = staged.read
+
+    def foldDeltas(): Unit = staged.fold()
+  }
+
   /** The standing inverted lists for `sfDir` (columns: vec_id, v
     * `array<double>`, label, bucket), built and bucketed once per
     * (session, dataset).
@@ -91,13 +148,9 @@ object IvfStore {
     LayoutCache.getOrBuild(cache, (s, sfDir)) {
       val tag = LayoutCache.tag(s, sfDir)
       val root = LayoutCache.tempRoot(s"graft-ivf-$tag")
-      val e = graft.tables.Tables.embeddings(s, sfDir)
-        .select(col("vec_id"),
-          col("embedding").cast("array<double>").as("v"), col("label"))
-        .withColumn("bucket", bucketOf(col("v")))
-      val table = s"graft_ivf_$tag"
-      Bucketed.writeBucketed(e, table, s"$root/lists", "bucket", nLists)
-      s.table(table)
+      val idx = new IvfIndex(s, s"graft_ivf_$tag", s"$root/lists")
+      idx.build(graft.tables.Tables.embeddings(s, sfDir))
+      idx.read
     }
 
   /** Deterministic quantized-Lloyd trained layout — the CROSS-ENGINE-

@@ -79,10 +79,13 @@ object PostingsStore {
     */
   final class StreamingPostings(s: SparkSession, idx: PostingsIndex,
       deltaRoot: String) {
-    private val markerPath = new org.apache.hadoop.fs.Path(
-      deltaRoot, "_folding")
-    private def fs = markerPath.getFileSystem(
-      s.sparkContext.hadoopConfiguration)
+    // the staging/fold/marker mechanics live in the shared
+    // [[StagedDeltas]] core (extracted r11, behavior unchanged —
+    // PostingsSpec's redelivery/fold/marker test still pins it here)
+    private val staged = new StagedDeltas(s, deltaRoot,
+      Seq("doc_id", "pos", "w"),
+      rows => rows.write.mode("append").insertInto(idx.table),
+      () => idx.read)
 
     def appendStream(docs: DataFrame, checkpoint: String)
         : org.apache.spark.sql.streaming.StreamingQuery =
@@ -90,48 +93,17 @@ object PostingsStore {
         .option("checkpointLocation", checkpoint)
         .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
         .foreachBatch { (batch: DataFrame, id: Long) =>
-          tokenize(batch).write.mode("overwrite")
-            .parquet(s"$deltaRoot/batch=$id")
+          staged.stage(tokenize(batch), id)
         }
         .start()
 
     /** Base ∪ deltas — the serving view between folds. */
-    def read: DataFrame = {
-      require(!fs.exists(markerPath),
-        s"a delta fold is pending at $deltaRoot — postings reads would " +
-          "double-count; finish or clean up the fold first")
-      val deltaDirs = if (fs.exists(new org.apache.hadoop.fs.Path(deltaRoot)))
-        fs.listStatus(new org.apache.hadoop.fs.Path(deltaRoot)).toSeq
-          .map(_.getPath.toString).filter(_.contains("batch="))
-      else Seq.empty
-      if (deltaDirs.isEmpty) idx.read
-      else idx.read.unionByName(
-        s.read.parquet(deltaDirs: _*).select("doc_id", "pos", "w"))
-    }
+    def read: DataFrame = staged.read
 
     /** Fold accumulated deltas into the bucketed base (the nightly
-      * compaction): marker → one batch append → delete deltas →
-      * marker off. Answers invariant; only the read path's delta union
-      * empties.
+      * compaction) — see [[StagedDeltas.fold]].
       */
-    def foldDeltas(): Unit = {
-      require(!fs.exists(markerPath),
-        s"a previous fold at $deltaRoot crashed between its append and " +
-          "its delta cleanup — the deltas may or may not be in the " +
-          "base; resolve manually rather than risking double-counted " +
-          "postings")
-      val root = new org.apache.hadoop.fs.Path(deltaRoot)
-      if (!fs.exists(root)) return
-      val deltaDirs = fs.listStatus(root).toSeq
-        .map(_.getPath).filter(_.getName.startsWith("batch="))
-      if (deltaDirs.isEmpty) return
-      fs.create(markerPath, true).close()
-      val rows = s.read.parquet(deltaDirs.map(_.toString): _*)
-        .select("doc_id", "pos", "w")
-      rows.write.mode("append").insertInto(idx.table)
-      deltaDirs.foreach(p => fs.delete(p, true))
-      fs.delete(markerPath, false)
-    }
+    def foldDeltas(): Unit = staged.fold()
   }
 
   /** The standing positional postings for `sfDir` (columns: doc_id,

@@ -109,6 +109,97 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("owned IVF index: append equals rebuild, probes prune across base + delta files") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sfDir)
+    val ids = e.select("vec_id").orderBy("vec_id")
+      .collect().map(_.getLong(0))
+    val cut1 = ids(ids.length / 2)
+    val cut2 = ids(3 * ids.length / 4)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ivfincr").toString
+    val idx = new IvfStore.IvfIndex(spark, "graft_ivf_incr_t",
+      s"$root/lists")
+    idx.build(e.filter(col("vec_id") < cut1))
+    idx.append(e.filter(col("vec_id") >= cut1 && col("vec_id") < cut2))
+    idx.append(e.filter(col("vec_id") >= cut2))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted
+    val want = e.select(col("vec_id"), IvfStore.bucketOf(
+        col("embedding").cast("array<double>")).as("bucket"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    assert(rows(idx.read) === want,
+      "incremental index must equal the full quantization")
+    // pruning survives the multi-file buckets appends create
+    withConf("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+      "false") {
+      val plan = idx.read.filter(col("bucket") === 5)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains(
+        s"SelectedBucketsCount: 1 out of ${IvfStore.nLists}"),
+        s"append must not break bucket pruning:\n$plan")
+    }
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_incr_t")
+    deleteRecursively(root)
+  }
+
+  test("streaming IVF: redelivery rewrites, fold is answer-invariant, marker fails loudly") {
+    import spark.implicits._
+    import org.apache.spark.sql.Encoder
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import org.apache.hadoop.fs.Path
+    val all = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<float>"),
+        col("label"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2))).toSeq
+    val (baseE, deltas) = all.splitAt(all.size / 2)
+    val (d1, d2) = deltas.splitAt(deltas.size / 2)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ivfstream").toString
+    def toDf(rows: Seq[(Long, Seq[Float], Int)]) =
+      spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+    val idx = new IvfStore.IvfIndex(spark, "graft_ivf_stream_t",
+      s"$root/base")
+    idx.build(toDf(baseE))
+    val sv = new IvfStore.StreamingIvf(spark, idx, s"$root/deltas")
+    val ckpt = s"$root/ckpt"
+    val ms = MemoryStream[(Long, Seq[Float], Int)](
+      implicitly[Encoder[(Long, Seq[Float], Int)]], spark.sqlContext)
+    def start() = sv.appendStream(
+      ms.toDF().toDF("vec_id", "embedding", "label"), ckpt)
+    val q1 = start()
+    try {
+      ms.addData(d1); q1.processAllAvailable()
+      ms.addData(d2); q1.processAllAvailable()
+    } finally q1.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted
+    val want = rows(Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), IvfStore.bucketOf(
+        col("embedding").cast("array<double>")).as("bucket")))
+    assert(rows(sv.read) === want, "base + streamed deltas = full corpus")
+    // force redelivery of batch 1 (the family's crash-window move)
+    val fs = new Path(ckpt).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new Path(ckpt, "commits/1"), false))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(rows(sv.read) === want,
+      "a redelivered batch must rewrite its own delta, never duplicate")
+    sv.foldDeltas()
+    assert(rows(sv.read) === want && rows(idx.read) === want)
+    assert(!fs.exists(new Path(s"$root/deltas/batch=0")))
+    fs.create(new Path(s"$root/deltas/_folding"), true).close()
+    intercept[IllegalArgumentException](sv.read)
+    intercept[IllegalArgumentException](sv.foldDeltas())
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_stream_t")
+    deleteRecursively(root)
+  }
+
   test("a single-list probe bucket-prunes to one of the 16 lists") {
     val lists = IvfStore.lists(spark, sfDir)
     val probe = lists.filter(col("bucket") === 5)

@@ -781,8 +781,20 @@ object LlmQueries {
     * DuckDB oracle replays the IDENTICAL training as chained CTEs —
     * the whole trained retrieval stack, training included, hash-gates.
     */
-  private val annRecallTrained: Q = (s, d) => {
-    val st = graft.sources.IvfStore.trainedDet(s, d, 8, 3)
+  private val annRecallTrained: Q = annRecallTrainedWith(1)
+
+  /** ◆ `q_ann_recall_sampled` — the SAME recall audit over the layout
+    * whose Lloyd fit ran on the deterministic `vec_id % 3 = 0` THIRD of
+    * the corpus (the bounded-sample fit a 100 TB deployment runs), with
+    * the full corpus assigned against the published codebook in one
+    * broadcast pass. The sample predicate is pure SQL, so the oracle
+    * replays the sampled training end-to-end — fit economics change,
+    * the gate does not.
+    */
+  private val annRecallSampled: Q = annRecallTrainedWith(3)
+
+  private def annRecallTrainedWith(fitEvery: Int): Q = (s, d) => {
+    val st = graft.sources.IvfStore.trainedDet(s, d, 8, 3, fitEvery)
     val lists = st.lists
     val q0 = lists.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
@@ -822,16 +834,19 @@ object LlmQueries {
       .orderBy("q_id")
   }
 
-  private val annRecallTrainedSql = {
-    // the three Lloyd rounds, unrolled: d_i (distances to codebook i−1),
-    // a_i (argmin assignment, ties → lowest bucket), cp_i (per-dimension
-    // floor-mean codebook from a_i) — all positive int64, so DuckDB's
-    // flooring // and Spark's truncating div agree.
+  /** The oracle builder, parameterized by the FIT-SAMPLE predicate on
+    * vec_id ("TRUE" = train on everything): the three Lloyd rounds are
+    * unrolled over the sampled positional rows, the published codebook
+    * cp3 then assigns the FULL corpus (d4/a4 — the one full-corpus
+    * pass), and the probes/truth/recall assembly reads a4. All positive
+    * int64, so DuckDB's flooring // and Spark's truncating div agree.
+    */
+  private def annRecallTrainedSqlFor(fitPred: String): String = {
     val rounds = (1 to 3).map { i =>
       s"""d$i AS (
          |  SELECT qp.vec_id, cp.bucket,
          |         SUM((qp.val - cp.cval) * (qp.val - cp.cval)) AS d2
-         |  FROM qp JOIN cp${i - 1} cp USING (pos) GROUP BY 1, 2),
+         |  FROM qpf qp JOIN cp${i - 1} cp USING (pos) GROUP BY 1, 2),
          |a$i AS (
          |  SELECT vec_id, bucket FROM (
          |    SELECT vec_id, bucket,
@@ -852,7 +867,9 @@ object LlmQueries {
        |  SELECT vec_id, unnest(range(1, len(q) + 1)) AS pos,
        |         unnest(q) AS val
        |  FROM qv),
-       |init AS (SELECT vec_id FROM qv ORDER BY vec_id LIMIT 8),
+       |qpf AS (SELECT * FROM qp WHERE $fitPred),
+       |init AS (SELECT vec_id FROM qv WHERE $fitPred
+       |         ORDER BY vec_id LIMIT 8),
        |c0 AS (SELECT vec_id,
        |              CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
        |                AS bucket
@@ -860,6 +877,16 @@ object LlmQueries {
        |cp0 AS (SELECT c0.bucket, qp.pos, qp.val AS cval
        |        FROM c0 JOIN qp USING (vec_id)),
        |$rounds,
+       |d4 AS (
+       |  SELECT qp.vec_id, cp.bucket,
+       |         SUM((qp.val - cp.cval) * (qp.val - cp.cval)) AS d2
+       |  FROM qp JOIN cp3 cp USING (pos) GROUP BY 1, 2),
+       |a4 AS (
+       |  SELECT vec_id, bucket FROM (
+       |    SELECT vec_id, bucket,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY d2, bucket) AS rn
+       |    FROM d4) WHERE rn = 1),
        |qq AS (SELECT vec_id AS q_id, v AS qvec FROM qv WHERE vec_id < 10),
        |pd AS (SELECT qp.vec_id AS q_id, cp.bucket,
        |              SUM((qp.val - cp.cval) * (qp.val - cp.cval)) AS d2
@@ -883,7 +910,7 @@ object LlmQueries {
        |           row_number() OVER (PARTITION BY p.q_id ORDER BY
        |             floor(list_cosine_similarity(qq.qvec, e.v) * 1000 + 0.5)
        |               / 1000.0 DESC, a.vec_id) AS rank
-       |    FROM pr p JOIN a3 a USING (bucket)
+       |    FROM pr p JOIN a4 a USING (bucket)
        |         JOIN qq ON qq.q_id = p.q_id
        |         JOIN qv e ON e.vec_id = a.vec_id
        |    WHERE p.pr <= 1 AND a.vec_id <> p.q_id)
@@ -894,7 +921,7 @@ object LlmQueries {
        |           row_number() OVER (PARTITION BY p.q_id ORDER BY
        |             floor(list_cosine_similarity(qq.qvec, e.v) * 1000 + 0.5)
        |               / 1000.0 DESC, a.vec_id) AS rank
-       |    FROM pr p JOIN a3 a USING (bucket)
+       |    FROM pr p JOIN a4 a USING (bucket)
        |         JOIN qq ON qq.q_id = p.q_id
        |         JOIN qv e ON e.vec_id = a.vec_id
        |    WHERE p.pr <= 2 AND a.vec_id <> p.q_id)
@@ -915,6 +942,10 @@ object LlmQueries {
        |LEFT JOIN t2 ON t2.q_id = t.q_id AND t2.vec_id = t.vec_id
        |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin
   }
+
+  private val annRecallTrainedSql = annRecallTrainedSqlFor("TRUE")
+  private val annRecallSampledSql =
+    annRecallTrainedSqlFor("vec_id % 3 = 0")
 
   /** kNN label-vote probe — the standard embedding-quality audit: predict
     * each query vector's label by majority vote of its 5 cosine neighbors
@@ -3911,6 +3942,8 @@ object LlmQueries {
     Entry("q_ann_recall", annRecall, Some(annRecallSql)),
     Entry("q_ann_recall_trained", annRecallTrained,
       Some(annRecallTrainedSql)),
+    Entry("q_ann_recall_sampled", annRecallSampled,
+      Some(annRecallSampledSql)),
     Entry("q_embed_centroid", embedCentroid, Some(embedCentroidSql)),
     Entry("q_dup_components", dupComponentsQ, Some(dupComponentsSql)),
     Entry("q_pii_scrub", piiScrub, Some(piiScrubSql)),

@@ -183,7 +183,7 @@ object IvfStore {
 
   private val detCache =
     new java.util.concurrent.ConcurrentHashMap[
-      (SparkSession, String, Int, Int), TrainedDet]()
+      (SparkSession, String, Int, Int, Int), TrainedDet]()
 
   def quantize(v: Column): Column =
     transform(v, x => floor(x * lit(1000000.0)).cast("long") + lit(1000000L))
@@ -193,26 +193,38 @@ object IvfStore {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, x) => acc + x)
 
+  /** `fitEvery` is the bounded-sample knob the 100 TB deployment turns:
+    * the Lloyd rounds train on the deterministic `vec_id % fitEvery = 0`
+    * subset (Lloyd needs only representative density), then the FULL
+    * corpus is assigned against the published codebook in one
+    * broadcast-join map pass — the only full-corpus work. `fitEvery = 1`
+    * (the default, ◆ `q_ann_recall_trained`) trains on everything;
+    * ◆ `q_ann_recall_sampled` gates the sampled fit end-to-end — the
+    * sample predicate is pure SQL, so the oracle replays the sampled
+    * training too.
+    */
   def trainedDet(s: SparkSession, sfDir: String, k: Int = 8,
-      iters: Int = 3): TrainedDet =
-    LayoutCache.getOrBuild(detCache, (s, sfDir, k, iters)) {
+      iters: Int = 3, fitEvery: Int = 1): TrainedDet =
+    LayoutCache.getOrBuild(detCache, (s, sfDir, k, iters, fitEvery)) {
       import graft.ops.Ck
       import org.apache.spark.sql.expressions.Window
-      val tag = LayoutCache.tag(s, sfDir) + s"_dk$k"
+      val tag = LayoutCache.tag(s, sfDir) + s"_dk${k}_f$fitEvery"
       val root = LayoutCache.tempRoot(s"graft-ivfdet-$tag")
       val qv = Ck(graft.tables.Tables.embeddings(s, sfDir)
         .select(col("vec_id"),
           col("embedding").cast("array<double>").as("v"))
         .withColumn("q", quantize(col("v"))))
-      // init: the k lowest vec_ids, bucket = rank order (k rows — the
-      // single-partition window is on a LIMIT k frame, not data-sized)
-      val cent0 = qv.orderBy("vec_id").limit(k)
+      val fit = if (fitEvery == 1) qv
+        else qv.filter(pmod(col("vec_id"), lit(fitEvery)) === 0)
+      // init: the k lowest SAMPLE vec_ids, bucket = rank order (k rows —
+      // the single-partition window is on a LIMIT k frame, not data-sized)
+      val cent0 = fit.orderBy("vec_id").limit(k)
         .select(col("vec_id"), col("q"))
         .withColumn("bucket",
           (row_number().over(Window.orderBy("vec_id")) - 1).cast("int"))
         .select(col("bucket"), col("q").as("c"))
-      def assign(cent: DataFrame): DataFrame =
-        qv.crossJoin(broadcast(cent))
+      def assign(over: DataFrame, cent: DataFrame): DataFrame =
+        over.crossJoin(broadcast(cent))
           .withColumn("d2", qdist2(col("q"), col("c")))
           .groupBy("vec_id")
           .agg(min(struct(col("d2"), col("bucket"))).as("m"))
@@ -227,24 +239,22 @@ object IvfStore {
             array_sort(collect_list(struct(col("pos"), col("cval")))),
             p => p.getField("cval")).as("c"))
       var cent = Ck(cent0)
-      var assigned: DataFrame = null
       for (_ <- 1 to iters) {
-        val a = Ck(assign(cent))
-        if (assigned != null) Ck.free(assigned)
-        assigned = a
-        val next = Ck(update(assigned))
-        Ck.free(cent)
+        val a = Ck(assign(fit, cent))
+        val next = Ck(update(a))
+        Ck.free(a); Ck.free(cent)
         cent = next
       }
-      // lists = final assignment (made against the PREVIOUS codebook);
-      // centroids = the codebook recomputed FROM that assignment — the
-      // pair the oracle reproduces step for step.
-      val lists = assigned.join(qv, "vec_id")
+      // Publish the trained codebook, then assign the FULL corpus
+      // against it — train-then-serve semantics, identical for full and
+      // sampled fits, and exactly what the oracle replays.
+      val assignedAll = Ck(assign(qv, cent))
+      val lists = assignedAll.join(qv, "vec_id")
         .select("vec_id", "v", "q", "bucket")
       val table = s"graft_ivfdet_$tag"
       Bucketed.writeBucketed(lists, table, s"$root/lists", "bucket", k)
       cent.write.mode("overwrite").parquet(s"$root/centroids")
-      Ck.free(assigned); Ck.free(cent); Ck.free(qv)
+      Ck.free(assignedAll); Ck.free(cent); Ck.free(qv)
       TrainedDet(s.table(table), s.read.parquet(s"$root/centroids"))
     }
 }

@@ -82,7 +82,11 @@ object Bench {
       // 1.13 s isolated minutes later (plan unchanged — ambient), and
       // q_rec_coverage's single samples have crept 4.65 → 4.99 → 6.2 s
       // across three rounds of unchanged code; both join the median set.
-      "q_dpp_prune", "q_rec_coverage")
+      "q_dpp_prune", "q_rec_coverage",
+      // the trained-recall pair each build their own trainedDet layout
+      // (different fitEvery cache keys) — first sample pays it, the
+      // median measures the serving-side audit
+      "q_ann_recall_trained", "q_ann_recall_sampled")
     val spreads = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double)]
     // Leak loudness (r10 lesson): every query's tracked checkpoints are
     // drained after its timed count, and sweep() evicts anything else

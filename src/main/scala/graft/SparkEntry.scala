@@ -9,7 +9,16 @@ object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Registry.queries("q_join_enrich")(spark, "/root/testdata/sf0.001")
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Lifecycle contract for long-lived sessions: queries materialize
+    * intermediates via tracked local checkpoints ([[graft.ops.Ck]]);
+    * after CONSUMING a result (count/collect/write), call
+    * `Ck.drain(spark)` to release that query's blocks (and optionally
+    * `Ck.sweep(spark)` between queries to evict third-party leftovers
+    * such as MLlib fit caches). Bench and Verify do this; a caller that
+    * never drains re-creates the r10 block-manager accumulation.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Registry.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -84,6 +84,12 @@ object Ck {
 
   /** Unpersist every tracked (non-pinned) checkpoint of this session.
     * Call after consuming a query's result. Returns the number freed.
+    *
+    * Concurrency contract: drain assumes queries run SEQUENTIALLY in
+    * the session (the Bench/Verify shape) — it frees every tracked
+    * block, including those of a query another thread still has
+    * mid-flight. A session running queries concurrently must drain
+    * only at quiesce points (or [[free]] per-query frames it owns).
     */
   def drain(spark: SparkSession): Int = {
     val sc = spark.sparkContext

@@ -59,4 +59,41 @@ class RoundingSpec extends AnyFunSuite {
         "values — use floor(x * 10^n + 0.5) / 10^n.0 (Num.roundAt's SQL " +
         s"twin) instead:\n${offenders.mkString("\n")}")
   }
+
+  test("no Spark-side query source uses native fractional round/bround") {
+    // The mirror guard: an oracle-gated query whose SPARK side regresses
+    // to native round(x, n) while its oracle keeps the floor form
+    // diverges the same way. Scans the query/stream/serving sources
+    // (non-comment, non-SQL lines). Known rows-only exceptions — no
+    // oracle, so no cross-engine constraint — are listed explicitly.
+    val allowed = Set(
+      // annTrainedOn/annTrainedQ (ml_ann_trained, rows-only; IvfSpec
+      // compares served === library, both sides bround-consistent):
+      "round(dot(col(\"qv\"), col(\"vn\")), 3)",
+      // ml_tfidf_similar (rows-only) keeps half-even like math.rint:
+      "bround(graft.functions.DotProduct(a, b), 4)")
+    val srcDirs = Seq("src/main/scala/graft/queries",
+      "src/main/scala/graft/stream", "src/main/scala/graft/api",
+      "src/main/scala/graft/llm")
+    assume(srcDirs.forall(d => new java.io.File(d).isDirectory),
+      "source tree not present in this packaging")
+    val offenders = for {
+      dir <- srcDirs
+      f <- new java.io.File(dir).listFiles().toSeq
+      if f.getName.endsWith(".scala")
+      (line, i) <- java.nio.file.Files.readAllLines(f.toPath)
+        .toArray(Array.empty[String]).toSeq.zipWithIndex
+      t = line.trim
+      if !t.startsWith("//") && !t.startsWith("*") && !t.startsWith("|") &&
+        !t.startsWith("\"\"\"") && !t.startsWith("s\"\"\"")
+      m <- "(?:^|[^\\w.])b?round\\(".r.findAllMatchIn(line)
+      open = line.indexOf('(', m.start)
+      (n, last) = argCount(line, open)
+      if n == 2 && last.matches("[1-9]") &&
+        !allowed.exists(line.contains)
+    } yield s"${f.getName}:${i + 1}: $t"
+    assert(offenders.isEmpty,
+      "Spark-side fractional round/bround in a query source — use " +
+        s"Num.roundAt (or add a rows-only exception):\n${offenders.mkString("\n")}")
+  }
 }

@@ -53,7 +53,15 @@ object Graph {
     * by the caller — it feeds the degree join, both wedge sides, and the
     * closing probe.
     */
-  def cornerCounts(und: DataFrame): DataFrame = {
+  def cornerCounts(und: DataFrame): DataFrame =
+    cornersOf(orientedTriangles(und))
+
+  /** Every triangle of the canonical edge list, exactly once, as an
+    * (a, b, c) row — the shared enumeration behind [[cornerCounts]] and
+    * [[edgeCommonCounts]] (extracted r11 so the standing-state build
+    * pays the wedge join ONCE for both derived tables).
+    */
+  def orientedTriangles(und: DataFrame): DataFrame = {
     val deg = und.select(explode(array(col("src"), col("dst"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     val withDeg = und
@@ -74,9 +82,32 @@ object Graph {
           (col("e1.dv") < col("e2.dv") ||
             (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v"))))
       .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
-    val tri = wedges.join(
-      e.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
+    wedges.join(e.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
+      .select("a", "b", "c")
+  }
+
+  /** (node, triangles) from a triangle list. */
+  def cornersOf(tri: DataFrame): DataFrame =
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
-  }
+
+  /** (src, dst, common) per CANONICAL edge from a triangle list: each
+    * triangle contributes one common neighbor to each of its three
+    * edges — the tie-strength numerator, maintained beside the corner
+    * counts so ◆ `q_tie_strength` can serve from standing state.
+    */
+  def tiesOf(tri: DataFrame): DataFrame =
+    tri.select(explode(array(
+        struct(least(col("a"), col("b")).as("x"),
+          greatest(col("a"), col("b")).as("y")),
+        struct(least(col("a"), col("c")).as("x"),
+          greatest(col("a"), col("c")).as("y")),
+        struct(least(col("b"), col("c")).as("x"),
+          greatest(col("b"), col("c")).as("y")))).as("p"))
+      .select(col("p.x").as("src"), col("p.y").as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("common"))
+
+  /** Per-canonical-edge common-neighbor counts (see [[tiesOf]]). */
+  def edgeCommonCounts(und: DataFrame): DataFrame =
+    tiesOf(orientedTriangles(und))
 }

@@ -551,41 +551,21 @@ object GraphQueries {
     * edges (both endpoints degree 1) define jac_bp = 0 rather than 0/0.
     */
   private val tieStrength: Q = (s, d) => {
-    // Flag-aware edge source like every sibling (r10 verdict item 6):
-    // under `bucketedEdges` the canonical list is the standing layout,
-    // not a per-query rebuild.
-    val und = fullCanonicalEdges(s, d)
-    // degrees: maintained store table under the flag, recomputed from
-    // the canonical list otherwise
-    val deg = standingOpt(s, d).map(_.degrees).getOrElse(
-      und.select(explode(array(col("src"), col("dst"))).as("node"))
-        .groupBy("node").agg(count(lit(1)).as("deg")))
-    val withDeg = und
-      .join(deg.select(col("node").as("src"), col("deg").as("ds")), "src")
-      .join(deg.select(col("node").as("dst"), col("deg").as("dd")), "dst")
-    val fwd = col("ds") < col("dd") ||
-      (col("ds") === col("dd") && col("src") < col("dst"))
-    val e = withDeg.select(
-      when(fwd, col("src")).otherwise(col("dst")).as("u"),
-      when(fwd, col("dst")).otherwise(col("src")).as("v"),
-      when(fwd, col("dd")).otherwise(col("ds")).as("dv"))
-      .ckpt()
-    val wedges = e.as("e1").join(e.as("e2"),
-        col("e1.u") === col("e2.u") &&
-          (col("e1.dv") < col("e2.dv") ||
-            (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v"))))
-      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
-    val tri = wedges.join(
-      e.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
-    val common = tri.select(explode(array(
-        struct(least(col("a"), col("b")).as("x"),
-          greatest(col("a"), col("b")).as("y")),
-        struct(least(col("a"), col("c")).as("x"),
-          greatest(col("a"), col("c")).as("y")),
-        struct(least(col("b"), col("c")).as("x"),
-          greatest(col("b"), col("c")).as("y")))).as("p"))
-      .select(col("p.x").as("src"), col("p.y").as("dst"))
-      .groupBy("src", "dst").agg(count(lit(1)).as("common"))
+    // Under the flag ALL three factors are maintained store tables —
+    // canonical edges, per-edge common-neighbor counts (`ties`, r11),
+    // per-node degrees — so the query is pure serving: three scans, a
+    // left join, integer arithmetic, top-50. Default path re-enumerates
+    // wedges per query ([[graft.ops.Graph.edgeCommonCounts]] — the
+    // degree-ordered Σ outdeg² bound).
+    val (und, common, deg) = standingOpt(s, d) match {
+      case Some(st) => (st.edges, st.ties, st.degrees)
+      case None =>
+        val und = fullCanonicalEdges(s, d)
+        val deg = und
+          .select(explode(array(col("src"), col("dst"))).as("node"))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+        (und, graft.ops.Graph.edgeCommonCounts(und), deg)
+    }
     val den = col("da") + col("db") - lit(2L) - col("common")
     und
       .join(common, Seq("src", "dst"), "left")

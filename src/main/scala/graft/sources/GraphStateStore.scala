@@ -39,9 +39,13 @@ import graft.tables.Tables
   */
 object GraphStateStore {
 
-  /** Standing state handle: every member is a materialized scan. */
+  /** Standing state handle: every member is a materialized scan.
+    * `ties` (r11) is the per-canonical-edge common-neighbor count —
+    * the tie-strength numerator maintained beside the corner counts,
+    * derived from the SAME once-enumerated triangle list at build.
+    */
   final case class Standing(edges: DataFrame, degrees: DataFrame,
-      corners: DataFrame, edgesTable: String)
+      corners: DataFrame, ties: DataFrame, edgesTable: String)
 
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[
@@ -81,10 +85,18 @@ object GraphStateStore {
       Graph.bothDirs(edges).groupBy("src").agg(count(lit(1)).as("deg"))
         .select(col("src").as("node"), col("deg"))
         .write.mode("overwrite").parquet(s"$root/degrees")
-      Graph.cornerCounts(edges)
+      // one wedge enumeration feeds BOTH derived tables (per-node
+      // corners, per-edge ties) — checkpointed so the two aggregates
+      // share the triangle list instead of re-joining wedges
+      val tri = graft.ops.Ck(Graph.orientedTriangles(edges))
+      Graph.cornersOf(tri)
         .write.mode("overwrite").parquet(s"$root/corners")
+      Graph.tiesOf(tri)
+        .write.mode("overwrite").parquet(s"$root/ties")
+      graft.ops.Ck.free(tri)
       Standing(edges,
         s.read.parquet(s"$root/degrees"),
-        s.read.parquet(s"$root/corners"), table)
+        s.read.parquet(s"$root/corners"),
+        s.read.parquet(s"$root/ties"), table)
     }
 }

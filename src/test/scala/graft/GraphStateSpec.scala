@@ -57,6 +57,12 @@ class GraphStateSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
     assert(st.corners.collect().map(r => (r.getLong(0), r.getLong(1)))
       .sorted === cornExpect)
+    // ties (r11): per-edge common-neighbor counts ≡ direct enumeration
+    val tieExpect = graft.ops.Graph.edgeCommonCounts(oldC)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(st.ties.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      === tieExpect)
     // and the build is cached: a second call returns the same handle
     assert(GraphStateStore.standing(spark, sfDir, 19L, 20L) eq st)
   }

@@ -2,7 +2,6 @@ package graft.ops
 
 import java.util.concurrent.ConcurrentHashMap
 
-import org.apache.spark.SparkContext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.LogicalRDD
 
@@ -27,6 +26,15 @@ import org.apache.spark.sql.execution.LogicalRDD
   * the stronger [[Ck.sweep]] (which also evicts third-party leftovers
   * such as MLlib's cached factor RDDs between bench queries).
   *
+  * Registries are keyed by SparkSession, not SparkContext (r11 ADVICE):
+  * with two sessions over one context — the tests+bench-in-one-JVM shape
+  * the layout tags elsewhere defend against — one runner's per-query
+  * [[drain]] must not evict checkpoints the other session still holds
+  * mid-flight (local checkpoints are unrecomputable), and [[sweep]]
+  * skips blocks tracked or pinned by ANY other live session of the same
+  * context. The key map holds sessions weakly so a stopped session's
+  * bookkeeping never outlives it.
+  *
   * Safety: draining only ever runs AFTER the query's result has been
   * counted/written, so freeing a lineage-truncated local checkpoint can
   * never lose data a later computation needs; pinned blocks are the one
@@ -35,8 +43,29 @@ import org.apache.spark.sql.execution.LogicalRDD
 object Ck {
 
   private def newSet() = ConcurrentHashMap.newKeySet[Int]()
-  private val tracked = new ConcurrentHashMap[SparkContext, java.util.Set[Int]]()
-  private val pinned = new ConcurrentHashMap[SparkContext, java.util.Set[Int]]()
+  // weak keys: a GC'd/stopped session's id sets must not accumulate
+  private val tracked = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.util.Set[Int]]())
+  private val pinned = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.util.Set[Int]]())
+
+  private def setFor(m: java.util.Map[SparkSession, java.util.Set[Int]],
+      s: SparkSession): java.util.Set[Int] =
+    m.synchronized { m.computeIfAbsent(s, _ => newSet()) }
+
+  /** Union of id sets registered by sessions OTHER than `s` (same map). */
+  private def othersIds(m: java.util.Map[SparkSession, java.util.Set[Int]],
+      s: SparkSession): Set[Int] = m.synchronized {
+    val b = Set.newBuilder[Int]
+    m.forEach { (sess, ids) => if (sess ne s) ids.forEach(b += _) }
+    b.result()
+  }
+
+  private def allPinnedIds(s: SparkSession): Set[Int] = pinned.synchronized {
+    val b = Set.newBuilder[Int]
+    pinned.forEach { (_, ids) => ids.forEach(b += _) }
+    b.result()
+  }
 
   /** The checkpoint-backing RDD ids of a `localCheckpoint`-returned
     * DataFrame (its analyzed plan is exactly one [[LogicalRDD]] leaf).
@@ -53,7 +82,7 @@ object Ck {
     */
   def apply(df: DataFrame, eager: Boolean): DataFrame = {
     val out = df.localCheckpoint(eager)
-    val set = tracked.computeIfAbsent(df.sparkSession.sparkContext, _ => newSet())
+    val set = setFor(tracked, df.sparkSession)
     rddIds(out).foreach(set.add)
     out
   }
@@ -63,7 +92,7 @@ object Ck {
     */
   def pin(df: DataFrame): DataFrame = {
     val out = df.localCheckpoint()
-    val set = pinned.computeIfAbsent(df.sparkSession.sparkContext, _ => newSet())
+    val set = setFor(pinned, df.sparkSession)
     rddIds(out).foreach(set.add)
     out
   }
@@ -73,17 +102,18 @@ object Ck {
     * already materialized and nothing downstream reads this one).
     */
   def free(df: DataFrame): Unit = {
-    val sc = df.sparkSession.sparkContext
-    val live = sc.getPersistentRDDs
-    val set = tracked.get(sc)
+    val s = df.sparkSession
+    val live = s.sparkContext.getPersistentRDDs
+    val set = tracked.synchronized { tracked.get(s) }
     rddIds(df).foreach { id =>
       live.get(id).foreach(_.unpersist(blocking = false))
       if (set != null) set.remove(id)
     }
   }
 
-  /** Unpersist every tracked (non-pinned) checkpoint of this session.
+  /** Unpersist every tracked (non-pinned) checkpoint of THIS session.
     * Call after consuming a query's result. Returns the number freed.
+    * Another session's tracked blocks on the same context are untouched.
     *
     * Concurrency contract: drain assumes queries run SEQUENTIALLY in
     * the session (the Bench/Verify shape) — it frees every tracked
@@ -92,11 +122,10 @@ object Ck {
     * only at quiesce points (or [[free]] per-query frames it owns).
     */
   def drain(spark: SparkSession): Int = {
-    val sc = spark.sparkContext
-    val set = tracked.get(sc)
+    val set = tracked.synchronized { tracked.get(spark) }
     if (set == null) 0
     else {
-      val live = sc.getPersistentRDDs
+      val live = spark.sparkContext.getPersistentRDDs
       var n = 0
       set.forEach { id =>
         live.get(id).foreach { r => r.unpersist(blocking = false); n += 1 }
@@ -107,17 +136,18 @@ object Ck {
   }
 
   /** Stronger between-queries hygiene: unpersist EVERY persistent RDD of
-    * the session except pinned ones — catches blocks the query surface
-    * does not own (MLlib fits leave cached factor/intermediate RDDs
-    * behind). Only safe between queries: nothing mid-flight may depend
+    * the context except those pinned by any session or tracked by a
+    * DIFFERENT session — catches blocks the query surface does not own
+    * (MLlib fits leave cached factor/intermediate RDDs behind). Only
+    * safe between queries: nothing mid-flight in THIS session may depend
     * on an evicted block that cannot be recomputed, and the only
     * non-recomputable persistent RDDs we create (local checkpoints) are
     * per-query by construction unless pinned. Returns the number swept.
     */
   def sweep(spark: SparkSession): Int = {
     val sc = spark.sparkContext
-    val keep = Option(pinned.get(sc)).getOrElse(java.util.Set.of[Int]())
-    val set = tracked.get(sc)
+    val keep = allPinnedIds(spark) ++ othersIds(tracked, spark)
+    val set = tracked.synchronized { tracked.get(spark) }
     var n = 0
     sc.getPersistentRDDs.foreach { case (id, r) =>
       if (!keep.contains(id)) {

@@ -36,10 +36,21 @@ object Num {
     * disagreements on the same 220k-value battery at scales 2/3/4/6.
     * SQL twin: `floor(x * 10^n + 0.5) / 10^n.0`. (Integer-target
     * `round(x)` is safe — no multiply — and stays native.)
+    *
+    * Non-finite guard (r11 ADVICE): Spark's `floor(double)` returns
+    * BIGINT, so the bare floor form maps NaN → 0 and ±Inf → clamped
+    * longs while DuckDB's double-space floor PROPAGATES them — a
+    * NaN-capable gated column (corr/stddev on a degenerate group) would
+    * silently diverge cross-engine. NaN/±Inf therefore pass through
+    * unchanged on the Spark side (matching DuckDB's natural behavior —
+    * the SQL twin needs no mirror), as do magnitudes at or beyond the
+    * long-clamp boundary 2⁶³/10ⁿ, where a double has no fractional part
+    * at scale n anyway (ulp ≥ 1024 there) so identity IS the round.
     */
   def roundAt(c: Column, n: Int): Column = {
     val m = math.pow(10.0, n)
-    floor(c * lit(m) + lit(0.5)) / lit(m)
+    when(isnan(c) || abs(c) >= lit(9.0e18 / m), c)
+      .otherwise(floor(c * lit(m) + lit(0.5)) / lit(m))
   }
 
   /** Round to 4 decimals as explicit ⌊x·10⁴+½⌋ — half-up on BOTH engines

@@ -51,11 +51,16 @@ object Bucketed {
   }
 
   /** Root for this session's bucketed layouts, keyed by the source dir so
-    * sf0.001 spec runs and sf0.01/0.1 driver runs never collide.
+    * sf0.001 spec runs and sf0.01/0.1 driver runs never collide. The
+    * root is registered for [[LayoutCache]]'s shutdown cleanup — the
+    * per-session tag makes each JVM's tree unique, so an unregistered
+    * dir would leak a new `graft-bucketed-*` tree per run (r11 ADVICE).
     */
   def layoutDir(s: SparkSession, sfDir: String, table: String): String = {
     val tag = LayoutCache.tag(s, sfDir)
-    s"${System.getProperty("java.io.tmpdir")}/graft-bucketed-$tag/$table"
+    val root = LayoutCache.register(new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft-bucketed-$tag"))
+    s"${root.getPath}/$table"
   }
 
   /** Ensure orders + customer exist as co-bucketed tables on the customer

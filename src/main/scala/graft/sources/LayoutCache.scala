@@ -25,14 +25,21 @@ object LayoutCache {
 
   /** Collision-free tag for session-catalog table names and layout
     * directories: the FULL dataset path, sanitized — not its hashCode,
-    * which two distinct paths can share — plus the owning session's
-    * identity, so a second session (tests + bench in one JVM) never
-    * DROPs or overwrites a table/dir an earlier session's cached
-    * standing handle still lazily reads (r10 ADVICE).
+    * which two distinct paths can share — plus a per-session serial, so
+    * a second session (tests + bench in one JVM) never DROPs or
+    * overwrites a table/dir an earlier session's cached standing handle
+    * still lazily reads (r10 ADVICE). The serial is a guaranteed-unique
+    * counter held in a weak map, not `System.identityHashCode` — two
+    * live sessions CAN share an identity hash (r11 ADVICE), which would
+    * re-open exactly the clobbering hazard the tag exists to close.
     */
+  private val sessionSerials = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Long]())
+  private val nextSerial = new java.util.concurrent.atomic.AtomicLong()
+
   def tag(s: org.apache.spark.sql.SparkSession, sfDir: String): String =
     sfDir.replaceAll("[^A-Za-z0-9]", "_") + "_s" +
-      java.lang.Integer.toHexString(System.identityHashCode(s))
+      sessionSerials.computeIfAbsent(s, _ => nextSerial.incrementAndGet())
 
   /** Compute-once lookup in the caller's own cache map. */
   def getOrBuild[K, V](cache: ConcurrentHashMap[K, V], key: K)(
@@ -45,4 +52,13 @@ object LayoutCache {
     roots.add(dir)
     dir
   }
+
+  /** Register a caller-named directory for the same shutdown cleanup —
+    * for layouts whose path must be DETERMINISTIC within the session
+    * (idempotent rebuild guards) rather than freshly random
+    * ([[Bucketed.layoutDir]]; r11 ADVICE — the per-run session serial in
+    * the name means each JVM creates a new tree, so unregistered dirs
+    * would grow /tmp without bound across runs).
+    */
+  def register(dir: java.io.File): java.io.File = { roots.add(dir); dir }
 }

@@ -53,6 +53,23 @@ class CkSpec extends SparkSpec {
     assert(Ck.drain(spark) === 1)
   }
 
+  test("a sibling session's drain/sweep never evicts this session's blocks") {
+    // two sessions over ONE context — the tests+bench-in-one-JVM shape.
+    // r11 ADVICE: context-keyed registries let runner B's per-query
+    // drain/sweep evict runner A's mid-flight local checkpoints, which
+    // are unrecomputable; session-keyed registries must isolate them.
+    import spark.implicits._
+    Ck.drain(spark); Ck.sweep(spark)
+    val sib = spark.newSession()
+    val mine = Ck((1 to 64).toDF("n"))
+    assert(mine.count() === 64)
+    Ck.drain(sib)
+    assert(Ck.sweep(sib) === 0,
+      "sibling sweep must skip blocks tracked by another session")
+    assert(mine.count() === 64, "this session's checkpoint must survive")
+    assert(Ck.drain(spark) >= 1)
+  }
+
   test("pinned checkpoints survive drain and sweep; sweep evicts strays") {
     import spark.implicits._
     Ck.drain(spark); Ck.sweep(spark)

@@ -34,18 +34,40 @@ def oracle_df(sql):
     # larger than the OS pipe buffer blocks the child's queue feeder
     # thread at exit, so join(budget)-first misreports exactly the
     # large-result queries a scale-up sweep most needs as TIMEOUT.
+    # Poll liveness while waiting (r11 ADVICE): a child that dies without
+    # posting is classified immediately, not after the full budget; and
+    # the post-result join is BOUNDED + terminated on expiry so a child
+    # hanging in teardown (duckdb close) can't stall the whole sweep.
     q = mp.Queue()
     proc = mp.Process(target=run_oracle, args=(sql, q))
     proc.start()
-    try:
-        kind, payload = q.get(timeout=budget)
-    except queue.Empty:
-        alive = proc.is_alive()
+    import time
+    deadline = time.monotonic() + budget
+    result = None
+    while result is None:
+        try:
+            result = q.get(timeout=min(1.0, max(0.05, deadline - time.monotonic())))
+        except queue.Empty:
+            if not proc.is_alive():
+                # dead child: one last non-blocking drain (it may have
+                # posted between our get timing out and its exit)
+                try:
+                    result = q.get_nowait()
+                except queue.Empty:
+                    proc.join(5)
+                    return ("err", "oracle process died")
+            elif time.monotonic() >= deadline:
+                proc.terminate()
+                proc.join(10)
+                if proc.is_alive():
+                    proc.kill()
+                    proc.join(5)
+                return ("timeout", None)
+    proc.join(10)
+    if proc.is_alive():
         proc.terminate()
-        proc.join()
-        return ("timeout", None) if alive else ("err", "oracle process died")
-    proc.join()
-    return (kind, payload)
+        proc.join(5)
+    return result
 
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))

@@ -110,4 +110,46 @@ object Graph {
   /** Per-canonical-edge common-neighbor counts (see [[tiesOf]]). */
   def edgeCommonCounts(und: DataFrame): DataFrame =
     tiesOf(orientedTriangles(und))
+
+  /** Total rank mass for integer PageRank: 10¹² units. */
+  val RankUnit = 1000000000000L
+  /** (1−d)·RankUnit with d = 0.85, exact: 0.15·10¹² = 1.5·10¹¹. */
+  val RankBase = 150000000000L
+  /** Fixed rounds — the ◆ `q_item_rank` oracle unrolls exactly these. */
+  val RankRounds = 5
+
+  /** EXACT-INTEGER PageRank (◆ `q_item_rank`'s fixed point, extracted
+    * r12 so [[graft.sources.GraphStateStore]] can MAINTAIN the rank
+    * vector as a standing table): ranks live in units of 10⁻¹² of total
+    * mass, r₀ = U div N, each round
+    * r'(v) = B div N + (85 · Σ_{(u,v)∈E} (r(u) div deg(u))) div 100.
+    * Integer division is associative however partitions sum, so the
+    * result is bit-identical on any plan — which is what lets a
+    * DuckDB oracle replay the fixed point and what makes the
+    * materialized vector answer-equal to an in-query recompute.
+    *
+    * Scale shape: `edges` (directed, both directions) is the loop
+    * INVARIANT — the caller materializes it once (localCheckpoint /
+    * standing bucketed layout); per-round state is only the |V|-row
+    * vector, BROADCAST as contributions onto the stationary edge list
+    * (map-side hash join, no edge shuffle ever) and hash-aggregated
+    * onto dst with map-side partials. `deg` is (src, deg).
+    */
+  def integerPageRank(edges: DataFrame, deg: DataFrame): DataFrame = {
+    val nC = deg.agg(count(lit(1)).as("n"))
+    var ranks = deg.crossJoin(broadcast(nC))
+      .select(col("src").as("node"), expr(s"${RankUnit}L div n").as("r"))
+    for (_ <- 1 to RankRounds) {
+      val contrib = ranks.join(deg, ranks("node") === deg("src"))
+        .select(col("node"), expr("r div deg").as("c"))
+      ranks = edges.join(broadcast(contrib),
+          edges("src") === contrib("node"))
+        .groupBy("dst").agg(sum("c").as("cin"))
+        .crossJoin(broadcast(nC))
+        .select(col("dst").as("node"),
+          expr(s"${RankBase}L div n + (85L * cin) div 100L").as("r"))
+        .ckpt(eager = false)
+    }
+    ranks
+  }
 }

@@ -28,11 +28,13 @@ import Registry.{Entry, Q}
   */
 object GraphQueries {
 
-  /** Total rank mass: 10¹² integer units. */
-  private val U = 1000000000000L
-  /** (1−d)·U with d = 0.85, exact: 0.15·10¹² = 1.5·10¹¹. */
-  private val B = 150000000000L
-  private val iterations = 5
+  /** Rank constants live with the loop ([[graft.ops.Graph]], r12 — the
+    * standing-store build and the oracle must agree on them by
+    * construction, not by parallel edits).
+    */
+  private val U = graft.ops.Graph.RankUnit
+  private val B = graft.ops.Graph.RankBase
+  private val iterations = graft.ops.Graph.RankRounds
 
   /** Undirected co-purchase edges (see [[graft.ops.Graph.coPurchaseEdges]]
     * — extracted in r10 so [[graft.sources.GraphStateStore]] can build
@@ -112,26 +114,17 @@ object GraphQueries {
     * collect: the loop composes one lazy plan.
     */
   private val itemRank: Q = (s, d) => {
-    val edges = fullDirectedEdges(s, d)
-    // degrees: maintained store table under the flag (file scan, no
-    // recompute, no checkpoint), |E| aggregate otherwise.
-    val deg = standingOpt(s, d)
-      .map(_.degrees.select(col("node").as("src"), col("deg")))
-      .getOrElse(edges.groupBy("src").agg(count(lit(1)).as("deg"))
-        .ckpt())
-    val nC = deg.agg(count(lit(1)).as("n"))
-    var ranks = deg.crossJoin(broadcast(nC))
-      .select(col("src").as("node"), expr(s"${U}L div n").as("r"))
-    for (_ <- 1 to iterations) {
-      val contrib = ranks.join(deg, ranks("node") === deg("src"))
-        .select(col("node"), expr("r div deg").as("c"))
-      ranks = edges.join(broadcast(contrib),
-          edges("src") === contrib("node"))
-        .groupBy("dst").agg(sum("c").as("cin"))
-        .crossJoin(broadcast(nC))
-        .select(col("dst").as("node"),
-          expr(s"${B}L div n + (85L * cin) div 100L").as("r"))
-        .ckpt(eager = false)
+    // Under the flag the FIXED POINT ITSELF is a maintained store table
+    // (r12): the rank vector is a deterministic integer function of the
+    // standing graph, so it is built once beside degrees/corners/ties
+    // and the query is pure serving — one |V|-row scan + TakeOrdered.
+    // Default path runs the loop ([[graft.ops.Graph.integerPageRank]]).
+    val ranks = standingOpt(s, d) match {
+      case Some(_) => graft.sources.GraphStateStore.standingRanks(s, d)
+      case None =>
+        val edges = fullDirectedEdges(s, d)
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).ckpt()
+        graft.ops.Graph.integerPageRank(edges, deg)
     }
     ranks.orderBy(desc("r"), asc("node")).limit(50)
       .select(col("node").as("part_id"), col("r").as("rank_units"))
@@ -762,7 +755,17 @@ object GraphQueries {
     * `q_incr_agg`/`q_incr_join` claim lifted to a non-linear graph
     * statistic.
     */
-  private val incrTriangles: Q = (s, d) => {
+  /** The signed delta-triangle enumeration shared by [[incrTriangles]]
+    * (corner-keyed) and [[incrTies]] (edge-keyed, r12): the standing
+    * 19/20-cut store, the novel canonical edge set, and the three
+    * inclusion–exclusion terms as signed (ca, cb, cc) triangle lists.
+    * Extraction is algebra-preserving — both consumers re-key the SAME
+    * enumerated instances, so corner and tie maintenance can never
+    * disagree about which triangles the delta added.
+    */
+  private def deltaTriangleTerms(s: org.apache.spark.sql.SparkSession,
+      d: String): (graft.sources.GraphStateStore.Standing,
+      Seq[(org.apache.spark.sql.DataFrame, Long)]) = {
     // 95% split: triangle maintenance is for the DAILY-APPEND regime —
     // a small delta against a large standing graph is the workload the
     // delta-driven cost model serves (and what keeps the A1 join small).
@@ -813,12 +816,16 @@ object GraphQueries {
         col("x.dst") === col("cl.src") && col("y.dst") === col("cl.dst"))
       .select(col("x.src").as("ca"), col("x.dst").as("cb"),
         col("y.dst").as("cc"))
+    (st, Seq(a1 -> 1L, a2 -> -1L, a3 -> 1L))
+  }
+
+  private val incrTriangles: Q = (s, d) => {
+    val (st, terms) = deltaTriangleTerms(s, d)
     def corners(t: org.apache.spark.sql.DataFrame, sign: Long) =
       t.select(explode(array(col("ca"), col("cb"), col("cc"))).as("node"),
         lit(sign).as("w"))
-    val delta = corners(a1, 1L)
-      .unionByName(corners(a2, -1L))
-      .unionByName(corners(a3, 1L))
+    val delta = terms.map { case (t, w) => corners(t, w) }
+      .reduce(_.unionByName(_))
       .groupBy("node").agg(sum("w").as("delta_tri"))
     val oldCnt = st.corners
       .select(col("node"), col("triangles").as("old_tri"))
@@ -832,10 +839,13 @@ object GraphQueries {
       .orderBy("part_id")
   }
 
-  private val incrTrianglesSql = {
-    // per-node triangle counts of an edge CTE named `prefix` (canonical
-    // src < dst), by the same degree-ordered orientation
-    def triCtes(src: String, p: String) =
+  /** Degree-ordered triangle enumeration of an edge CTE named `src`
+    * (canonical src < dst) as chained CTEs `{p}deg/{p}e/{p}tri/{p}cnt`
+    * — shared by the [[incrTrianglesSql]] and [[incrTiesSql]] oracles
+    * (both recompute full and old graphs definitionally and re-key the
+    * same `{p}tri` list — to corners and to edges respectively).
+    */
+  private def triCtesSql(src: String, p: String) =
       s"""${p}deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
          |          SELECT src AS node FROM $src
          |          UNION ALL SELECT dst AS node FROM $src)
@@ -862,31 +872,106 @@ object GraphQueries {
          |    UNION ALL SELECT b AS node FROM ${p}tri
          |    UNION ALL SELECT c AS node FROM ${p}tri)
          |  GROUP BY node)""".stripMargin
-    s"""WITH k AS (SELECT MIN(l_orderkey) AS lo, MAX(l_orderkey) AS hi
-       |           FROM lineitem),
-       |li AS (
-       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pid,
-       |         l_orderkey <= (lo + (hi - lo) * 19) // 20 AS is_old
-       |  FROM lineitem, k),
-       |full_und AS (
-       |  SELECT DISTINCT a.pid AS src, b.pid AS dst
-       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pid < b.pid),
-       |old_und AS (
-       |  SELECT DISTINCT a.pid AS src, b.pid AS dst
-       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pid < b.pid
-       |  WHERE a.is_old AND b.is_old),
-       |${triCtes("full_und", "f_")},
-       |${triCtes("old_und", "o_")}
+
+  /** The shared old/full split + edge CTE prologue of the incremental
+    * triangle/tie oracles (19/20 cut, canonical edges).
+    */
+  private val incrSplitPrologueSql =
+    """WITH k AS (SELECT MIN(l_orderkey) AS lo, MAX(l_orderkey) AS hi
+      |           FROM lineitem),
+      |li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pid,
+      |         l_orderkey <= (lo + (hi - lo) * 19) // 20 AS is_old
+      |  FROM lineitem, k),
+      |full_und AS (
+      |  SELECT DISTINCT a.pid AS src, b.pid AS dst
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pid < b.pid),
+      |old_und AS (
+      |  SELECT DISTINCT a.pid AS src, b.pid AS dst
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pid < b.pid
+      |  WHERE a.is_old AND b.is_old)""".stripMargin
+
+  private val incrTrianglesSql =
+    s"""$incrSplitPrologueSql,
+       |${triCtesSql("full_und", "f_")},
+       |${triCtesSql("old_und", "o_")}
        |SELECT f_cnt.node AS part_id,
        |       CAST(coalesce(o_cnt.tri, 0) AS BIGINT) AS old_tri,
        |       CAST(f_cnt.tri - coalesce(o_cnt.tri, 0) AS BIGINT) AS delta_tri,
        |       f_cnt.tri AS total_tri
        |FROM f_cnt LEFT JOIN o_cnt ON o_cnt.node = f_cnt.node
        |ORDER BY part_id""".stripMargin
+
+  /** INCREMENTAL per-EDGE tie maintenance (r12 — the r11 verdict's
+    * item 2: the standing `ties` table was the one maintained table
+    * without a refresh story): when new baskets add the novel edge set
+    * N to standing edges O, each canonical edge's common-neighbor count
+    * updates by the SAME signed inclusion–exclusion enumeration as
+    * [[incrTriangles]] — each delta-counted triangle instance credits
+    * its THREE canonical (min,max) edges instead of its three corners,
+    * so a triangle with k ≥ 1 novel edges nets k − C(k,2) + C(k,3) = 1
+    * onto each of its edges. Old counts are READ from the store's
+    * standing `ties` table; novel edges enter the output through the
+    * full-outer merge (an all-new edge has old_common = 0). Common
+    * counts only grow under edge insertion (triangles never vanish), so
+    * every full-graph edge with common > 0 appears. The ◆ oracle
+    * recomputes BOTH graphs' per-edge counts definitionally from the
+    * same degree-ordered enumeration — hash equality proves store build
+    * + edge-keyed delta ≡ full recompute, closing the refresh algebra
+    * over every maintained table (degrees, corners, ties).
+    */
+  private val incrTies: Q = (s, d) => {
+    val (st, terms) = deltaTriangleTerms(s, d)
+    def edgesOf(t: org.apache.spark.sql.DataFrame, sign: Long) =
+      t.select(explode(array(
+          struct(least(col("ca"), col("cb")).as("x"),
+            greatest(col("ca"), col("cb")).as("y")),
+          struct(least(col("ca"), col("cc")).as("x"),
+            greatest(col("ca"), col("cc")).as("y")),
+          struct(least(col("cb"), col("cc")).as("x"),
+            greatest(col("cb"), col("cc")).as("y")))).as("p"),
+        lit(sign).as("w"))
+        .select(col("p.x").as("src"), col("p.y").as("dst"), col("w"))
+    val delta = terms.map { case (t, w) => edgesOf(t, w) }
+      .reduce(_.unionByName(_))
+      .groupBy("src", "dst").agg(sum("w").as("delta_common"))
+    st.ties.select(col("src"), col("dst"), col("common").as("old_common"))
+      .join(delta, Seq("src", "dst"), "full_outer")
+      .select(col("src"), col("dst"),
+        coalesce(col("old_common"), lit(0L)).as("old_common"),
+        coalesce(col("delta_common"), lit(0L)).as("delta_common"),
+        (coalesce(col("old_common"), lit(0L)) +
+          coalesce(col("delta_common"), lit(0L))).as("total_common"))
+      .filter(col("total_common") > 0)
+      .orderBy("src", "dst")
+  }
+
+  private val incrTiesSql = {
+    // per-canonical-edge common-neighbor counts from a `{p}tri` list
+    def edgeCnt(p: String) =
+      s"""${p}ecnt AS (
+         |  SELECT src, dst, CAST(count(*) AS BIGINT) AS common FROM (
+         |    SELECT least(a, b) AS src, greatest(a, b) AS dst FROM ${p}tri
+         |    UNION ALL SELECT least(a, c), greatest(a, c) FROM ${p}tri
+         |    UNION ALL SELECT least(b, c), greatest(b, c) FROM ${p}tri)
+         |  GROUP BY src, dst)""".stripMargin
+    s"""$incrSplitPrologueSql,
+       |${triCtesSql("full_und", "f_")},
+       |${triCtesSql("old_und", "o_")},
+       |${edgeCnt("f_")},
+       |${edgeCnt("o_")}
+       |SELECT f.src, f.dst,
+       |       CAST(coalesce(o.common, 0) AS BIGINT) AS old_common,
+       |       CAST(f.common - coalesce(o.common, 0) AS BIGINT) AS delta_common,
+       |       f.common AS total_common
+       |FROM f_ecnt f
+       |LEFT JOIN o_ecnt o ON o.src = f.src AND o.dst = f.dst
+       |ORDER BY f.src, f.dst""".stripMargin
   }
 
   val entries: Seq[Entry] = Seq(
     Entry("q_item_rank", itemRank, Some(itemRankSql)),
+    Entry("q_incr_ties", incrTies, Some(incrTiesSql)),
     Entry("q_triangles", triangles, Some(trianglesSql)),
     Entry("q_bfs_hops", bfsHops, Some(bfsHopsSql)),
     Entry("q_label_prop", labelProp, Some(labelPropSql)),

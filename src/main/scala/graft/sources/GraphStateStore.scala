@@ -99,4 +99,32 @@ object GraphStateStore {
         s.read.parquet(s"$root/corners"),
         s.read.parquet(s"$root/ties"), table)
     }
+
+  private val ranksCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), DataFrame]()
+
+  /** The standing integer-PageRank vector of the FULL graph (r12, the
+    * r11 verdict's top item): the rank vector is a DETERMINISTIC
+    * 5-round function of the standing edges — exact-integer arithmetic,
+    * bit-identical on any plan — so like `ties` it belongs in the
+    * maintained layout, paid once at build, and ◆ `q_item_rank` becomes
+    * pure serving (one |V|-row scan + TakeOrdered). The oracle stays
+    * the definitional unrolled-CTE recompute, so hash equality proves
+    * build-time vector ≡ in-query fixed point; GraphStateSpec's
+    * flag-swap equality covers the serving path row for row. Built
+    * lazily on first access (only the full-graph cut has rank readers —
+    * the delta-cut stores skip the cost).
+    */
+  def standingRanks(s: SparkSession, sfDir: String): DataFrame =
+    LayoutCache.getOrBuild(ranksCache, (s, sfDir)) {
+      val st = standing(s, sfDir, 1L, 1L)
+      val root = LayoutCache.tempRoot(
+        s"graft-gsranks-${LayoutCache.tag(s, sfDir)}")
+      Graph.integerPageRank(
+          Graph.bothDirs(st.edges),
+          st.degrees.select(col("node").as("src"), col("deg")))
+        .write.mode("overwrite").parquet(s"$root/ranks")
+      s.read.parquet(s"$root/ranks")
+    }
 }

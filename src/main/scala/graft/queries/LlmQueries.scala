@@ -3191,8 +3191,30 @@ object LlmQueries {
     * the whole table equal to an independent plain-Scala reference
     * trainer, plus the greedy-overlap rule and encoder round-trip.
     */
+  /** The session's trained 30-merge BPE table — the published tokenizer
+    * ARTIFACT (r12): `ml_bpe_vocab` reports it and `ml_bpe_encode`
+    * applies it, and a deployment trains it once and broadcasts it to
+    * every encode job — so the two queries share one training run per
+    * (session, corpus) instead of re-deriving it each, and training uses
+    * the BATCHED trainer (≤ a handful of driver round-trips for 30
+    * merges vs. 30 sequential Spark jobs; BpeSpec proves batched ≡
+    * sequential merge-for-merge, pairFreq included, on the fixture AND
+    * 15 adversarial corpora). Driver-side cache is the ≤ 30-row merge
+    * table itself — no executor state, nothing for Ck to track.
+    */
+  private val bpeMergeCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String),
+      Seq[graft.llm.Bpe.Merge]]()
+
+  private def trainedBpe(s: org.apache.spark.sql.SparkSession,
+      d: String): Seq[graft.llm.Bpe.Merge] =
+    graft.sources.LayoutCache.getOrBuild(bpeMergeCache, (s, d)) {
+      graft.llm.Bpe.trainBatched(Tables.documents(s, d), 30)
+    }
+
   private val bpeVocab: Q = (s, d) => {
-    val merges = graft.llm.Bpe.train(Tables.documents(s, d), 30)
+    val merges = trainedBpe(s, d)
     s.createDataFrame(merges)
       .select(col("rank").as("merge_rank"), col("lhs"), col("rhs"),
         col("merged"), col("pairFreq").as("pair_freq"))
@@ -3878,7 +3900,7 @@ object LlmQueries {
     */
   private val bpeEncode: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val merges = graft.llm.Bpe.train(docs, 30)
+    val merges = trainedBpe(s, d)
     val vocab = graft.llm.Bpe.wordFreq(docs)
     graft.llm.Bpe.encode(vocab, merges)
       .select(col("word"), col("freq"), size(col("syms")).as("n_tokens"),

@@ -401,8 +401,55 @@ object LlmQueries {
       |  FROM bands a JOIN bands b
       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** Bounded min-label closure over a symmetric `(a, b)` edge CTE,
+    * ending in `comp(doc_id, component)` — the r12 replacement for the
+    * recursive `walk(doc, lbl)` CTE, which enumerated every (node,
+    * reachable-label) pair and was QUADRATIC in component size: at
+    * sf0.1 the dup graph's largest component holds 2042 docs, and the
+    * walk blew the sweep's per-oracle budget on exactly the two
+    * closure-definitional queries (q_dup_components,
+    * q_dedup_survivorship — the r11 sweep's only timeouts).
+    *
+    * Each unrolled round takes min over {self, neighbors' labels,
+    * label-of-label} — POINTER DOUBLING, so `rounds` rounds cover
+    * components of diameter ≥ 2^rounds (5 rounds = 32, far beyond any
+    * near-dup cluster; the sf0.1 giant component converges in 3).
+    * Rounds are `AS MATERIALIZED`: each wᵢ references its predecessor
+    * three times, and DuckDB's default CTE inlining would re-derive
+    * the whole pair join 3^rounds times (measured: "too many open
+    * files" before any row). An EXTRA round feeds a convergence GUARD:
+    * if any label still moves after round `rounds`, the oracle raises
+    * via `error()` — a too-shallow unroll is a loud sweep failure,
+    * never a silently-wrong component table.
+    */
+  private def boundedClosureSql(edgesCte: String, rounds: Int = 5): String = {
+    val w0 =
+      s"w0 AS MATERIALIZED (SELECT DISTINCT a AS doc, a AS lbl FROM $edgesCte)"
+    val ws = (1 to rounds + 1).map { i =>
+      s"""w$i AS MATERIALIZED (
+         |  SELECT doc, min(lbl) AS lbl FROM (
+         |    SELECT doc, lbl FROM w${i - 1}
+         |    UNION ALL
+         |    SELECT e.a AS doc, w.lbl FROM $edgesCte e
+         |    JOIN w${i - 1} w ON w.doc = e.b
+         |    UNION ALL
+         |    SELECT x.doc, y.lbl FROM w${i - 1} x
+         |    JOIN w${i - 1} y ON y.doc = x.lbl
+         |  ) GROUP BY doc)""".stripMargin
+    }
+    val guard =
+      s"""guard AS (SELECT count(*) AS n FROM w$rounds g
+         |          JOIN w${rounds + 1} h ON g.doc = h.doc AND g.lbl <> h.lbl),
+         |comp AS (SELECT doc AS doc_id,
+         |                CASE WHEN (SELECT n FROM guard) > 0
+         |                     THEN error('closure unroll too shallow')
+         |                     ELSE lbl END AS component
+         |         FROM w$rounds)""".stripMargin
+    (w0 +: ws :+ guard).mkString(",\n")
+  }
+
   /** Shared closure suffix: exact-Jaccard verification of the LSH
-    * candidates, then the recursive component walk.
+    * candidates, then the bounded component closure.
     */
   private val closureCteSql =
     """verified AS (
@@ -417,11 +464,7 @@ object LlmQueries {
       |  SELECT doc_a AS a, doc_b AS b FROM verified
       |  UNION ALL
       |  SELECT doc_b AS a, doc_a AS b FROM verified),
-      |walk(doc, lbl) AS (
-      |  SELECT DISTINCT a AS doc, a AS lbl FROM edges
-      |  UNION
-      |  SELECT e.b AS doc, w.lbl FROM walk w JOIN edges e ON e.a = w.doc),
-      |comp AS (SELECT doc AS doc_id, min(lbl) AS component FROM walk GROUP BY doc)""".stripMargin
+      |""".stripMargin + boundedClosureSql("edges")
 
   private val minhashDedupSql =
     s"""WITH RECURSIVE
@@ -1561,34 +1604,31 @@ object LlmQueries {
   private val dupComponentsQ: Q = (s, d) =>
     fixtureComponents(s, d).orderBy("doc_id")
 
-  /** The oracle computes the same closure declaratively: a recursive CTE
-    * walks labels along symmetrized edges; min reachable label ≡ component
-    * min because the graph is undirected.
+  /** The oracle computes the same closure declaratively via the bounded
+    * pointer-doubling unroll ([[boundedClosureSql]]): min label over the
+    * ≥ 2⁵-hop neighborhood ≡ component min because the graph is
+    * undirected and the guard round proves the fixpoint was reached.
     */
   private val dupComponentsSql =
-    """WITH RECURSIVE t AS (
-      |  SELECT doc_id, lang,
-      |         list_distinct(list_transform(string_split(text, ' '),
-      |           w -> ('0x' || substr(md5(w), 1, 15))::BIGINT)) AS toks
-      |  FROM documents),
-      |pairs AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
-      |  WHERE floor((len(list_intersect(a.toks, b.toks)) /
-      |              CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE))
-      |                    * 10000 + 0.5) / 10000.0 >= 0.5),
-      |edges AS (
-      |  SELECT doc_a AS a, doc_b AS b FROM pairs
-      |  UNION ALL
-      |  SELECT doc_b AS a, doc_a AS b FROM pairs),
-      |walk(doc, lbl) AS (
-      |  SELECT DISTINCT a AS doc, a AS lbl FROM edges
-      |  UNION
-      |  SELECT e.b AS doc, w.lbl FROM walk w JOIN edges e ON e.a = w.doc),
-      |comp AS (SELECT doc AS doc_id, min(lbl) AS component FROM walk GROUP BY doc)
-      |SELECT doc_id, component,
-      |       count(*) OVER (PARTITION BY component) AS csize
-      |FROM comp ORDER BY doc_id""".stripMargin
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |         list_distinct(list_transform(string_split(text, ' '),
+       |           w -> ('0x' || substr(md5(w), 1, 15))::BIGINT)) AS toks
+       |  FROM documents),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |  WHERE floor((len(list_intersect(a.toks, b.toks)) /
+       |              CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE))
+       |                    * 10000 + 0.5) / 10000.0 >= 0.5),
+       |edges AS MATERIALIZED (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS a, doc_a AS b FROM pairs),
+       |${boundedClosureSql("edges")}
+       |SELECT doc_id, component,
+       |       count(*) OVER (PARTITION BY component) AS csize
+       |FROM comp ORDER BY doc_id""".stripMargin
 
   /** Dedup observability by SOURCE — which feed is dirtiest: per corpus
     * source, document count, documents sitting in an exact-duplicate
@@ -1691,27 +1731,23 @@ object LlmQueries {
   }
 
   private val dedupSurvivorshipSql =
-    """WITH RECURSIVE t AS (
-      |  SELECT doc_id, lang,
-      |         list_distinct(list_transform(string_split(text, ' '),
-      |           w -> ('0x' || substr(md5(w), 1, 15))::BIGINT)) AS toks
-      |  FROM documents),
-      |pairs AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
-      |  WHERE floor((len(list_intersect(a.toks, b.toks)) /
-      |              CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE))
-      |                    * 10000 + 0.5) / 10000.0 >= 0.5),
-      |edges AS (
-      |  SELECT doc_a AS a, doc_b AS b FROM pairs
-      |  UNION ALL
-      |  SELECT doc_b AS a, doc_a AS b FROM pairs),
-      |walk(doc, lbl) AS (
-      |  SELECT DISTINCT a AS doc, a AS lbl FROM edges
-      |  UNION
-      |  SELECT e.b AS doc, w.lbl FROM walk w JOIN edges e ON e.a = w.doc),
-      |comp AS (SELECT doc AS doc_id, min(lbl) AS component FROM walk GROUP BY doc),
-      |m AS (
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |         list_distinct(list_transform(string_split(text, ' '),
+       |           w -> ('0x' || substr(md5(w), 1, 15))::BIGINT)) AS toks
+       |  FROM documents),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |  WHERE floor((len(list_intersect(a.toks, b.toks)) /
+       |              CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE))
+       |                    * 10000 + 0.5) / 10000.0 >= 0.5),
+       |edges AS MATERIALIZED (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS a, doc_a AS b FROM pairs),
+       |${boundedClosureSql("edges")},
+       |m AS (
       |  SELECT comp.component, comp.doc_id, d.n_chars,
       |         row_number() OVER (PARTITION BY comp.component
       |                            ORDER BY d.n_chars DESC, comp.doc_id)

@@ -77,7 +77,8 @@ object Bench {
     val tripled = Set("q_chunk_dedup", "q_dedup_delta", "q_containment_dup",
       "q_quantile_group", "q_bfs_hops", "q_triangles", "q_item_rank",
       "q_label_prop", "q_kcore", "q_tie_strength", "q_incr_graph",
-      "q_incr_triangles", "q_incr_ties", "q_dedup_survivorship",
+      "q_incr_triangles", "q_incr_ties", "q_incr_ranks",
+      "q_dedup_survivorship",
       "q_kcore_fixpoint",
       "q_agg_state_serve", "q_latest_serve", "q_time_travel",
       "q_version_diff", "q_phrase_search", "q_inverted_index",

@@ -135,10 +135,24 @@ object Graph {
     * (map-side hash join, no edge shuffle ever) and hash-aggregated
     * onto dst with map-side partials. `deg` is (src, deg).
     */
-  def integerPageRank(edges: DataFrame, deg: DataFrame): DataFrame = {
+  def integerPageRank(edges: DataFrame, deg: DataFrame): DataFrame =
+    integerPageRankRounds(edges, deg).last
+
+  /** Every round's vector r₀..r₅ of [[integerPageRank]] (r12): the
+    * incremental-maintenance path ([[incrRank5]]) needs the standing
+    * graph's INTERMEDIATE vectors, because round k of the delta
+    * recompute reads round k−1 values for unaffected in-neighbors.
+    * Returned in round order; element 0 is the uniform U div N vector,
+    * element [[RankRounds]] is the fixed point [[integerPageRank]]
+    * returns. Each round is lazily checkpointed like the single-vector
+    * loop (the unrolled plan tree is otherwise exponential in depth).
+    */
+  def integerPageRankRounds(edges: DataFrame, deg: DataFrame)
+      : Seq[DataFrame] = {
     val nC = deg.agg(count(lit(1)).as("n"))
     var ranks = deg.crossJoin(broadcast(nC))
       .select(col("src").as("node"), expr(s"${RankUnit}L div n").as("r"))
+    val rounds = scala.collection.mutable.ArrayBuffer(ranks)
     for (_ <- 1 to RankRounds) {
       val contrib = ranks.join(deg, ranks("node") === deg("src"))
         .select(col("node"), expr("r div deg").as("c"))
@@ -149,7 +163,81 @@ object Graph {
         .select(col("dst").as("node"),
           expr(s"${RankBase}L div n + (85L * cin) div 100L").as("r"))
         .ckpt(eager = false)
+      rounds += ranks
     }
-    ranks
+    rounds.toSeq
+  }
+
+  /** EXACT incremental maintenance of the [[RankRounds]]-round integer
+    * PageRank fixed point under edge insertion with an UNCHANGED node
+    * set (r12 — the `q_incr_triangles`/`q_incr_ties` delta discipline
+    * lifted to the iterative fixed point). The precondition is forced
+    * by the arithmetic: r₀ = U div N and every round adds B div N, so a
+    * node-count change perturbs EVERY rank — callers detect new nodes
+    * and fall back to the full loop (a loud rebuild, never a silent
+    * approximation).
+    *
+    * The algebra: rank changes propagate only FORWARD along edges, one
+    * hop per round. Seed set S = endpoints of novel edges (their degree
+    * — hence their contribution r div deg — changed, and novel edges
+    * route contributions that did not exist). Round k's affected set is
+    * the out-neighborhood of (affected_{k−1} ∪ S) in the NEW graph; only
+    * those nodes are recomputed, reading round k−1 values from the
+    * standing vectors overlaid with round k−1's recomputed overlay. By
+    * induction every node whose r_k differs is recomputed (the affected
+    * set is a superset — a recompute that lands on the old value is
+    * harmless), so the merged result is bit-identical to running the
+    * full loop on the new graph — which is exactly what the ◆ oracle
+    * checks definitionally.
+    *
+    * Scale shape: per round the work is one frontier expansion and one
+    * in-edge aggregation of the affected set — DELTA-DRIVEN while the
+    * 5-hop forward frontier of the touched nodes is small against |V|
+    * (a thousand new edges in a trillion-edge graph), the regime nightly
+    * maintenance serves; on a small-diameter graph the frontier
+    * saturates and cost degrades to the full loop's, never worse. The
+    * standing vectors are |V|-row columnar scans; the |E|-scale
+    * per-round aggregation of the full loop is what the delta path
+    * avoids.
+    *
+    * `fullDirected` = both directions of old ∪ novel edges (the caller
+    * materializes it — it feeds every round); `degNew` = (src, deg) of
+    * the new graph; `seeds` = (node) endpoints of novel edges. Returns
+    * the merged round-[[RankRounds]] vector (node, r) for ALL nodes.
+    */
+  def incrRank5(oldRounds: Seq[DataFrame], fullDirected: DataFrame,
+      degNew: DataFrame, seeds: DataFrame): DataFrame = {
+    require(oldRounds.size == RankRounds + 1,
+      s"need rounds 0..$RankRounds, got ${oldRounds.size}")
+    val nC = degNew.agg(count(lit(1)).as("n"))
+    val s0 = seeds.select(col("node").as("src")).distinct().ckpt()
+    var overlay: DataFrame = null // round k's recomputed (node, r)
+    for (k <- 1 to RankRounds) {
+      val changedSrc = (if (overlay == null) s0
+        else s0.unionByName(overlay.select(col("node").as("src")))
+          .distinct())
+      val affected = fullDirected
+        .join(broadcast(changedSrc), Seq("src"), "left_semi")
+        .select(col("dst")).distinct().ckpt()
+      val prev = oldRounds(k - 1)
+      val mergedPrev = (if (overlay == null) prev
+        else prev.as("s").join(overlay.as("o"), Seq("node"), "left_outer")
+          .select(col("node"), coalesce(col("o.r"), col("s.r")).as("r")))
+      val contrib = mergedPrev
+        .join(degNew, mergedPrev("node") === degNew("src"))
+        .select(col("node"), expr("r div deg").as("c"))
+      val next = fullDirected
+        .join(broadcast(affected), Seq("dst"), "left_semi")
+        .join(broadcast(contrib), col("src") === contrib("node"))
+        .groupBy("dst").agg(sum("c").as("cin"))
+        .crossJoin(broadcast(nC))
+        .select(col("dst").as("node"),
+          expr(s"${RankBase}L div n + (85L * cin) div 100L").as("r"))
+        .ckpt(eager = false)
+      overlay = next
+    }
+    oldRounds(RankRounds).as("s")
+      .join(overlay.as("o"), Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("o.r"), col("s.r")).as("r"))
   }
 }

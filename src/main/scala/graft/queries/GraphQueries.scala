@@ -763,21 +763,20 @@ object GraphQueries {
     * enumerated instances, so corner and tie maintenance can never
     * disagree about which triangles the delta added.
     */
-  private def deltaTriangleTerms(s: org.apache.spark.sql.SparkSession,
+  /** The shared 19/20 old/delta split of every incremental graph query:
+    * the standing store plus the NOVEL canonical edge set (delta
+    * baskets' candidate edges anti-joined against the standing layout —
+    * an edge seen again must not double-count). 95% split: maintenance
+    * is for the DAILY-APPEND regime — a small delta against a large
+    * standing graph is the workload the delta-driven cost model serves.
+    * full = standing ∪ novel by construction (a basket is entirely old
+    * or entirely new, so no old-new cross edges exist outside the delta
+    * pairing).
+    */
+  private def novelEdgeSplit(s: org.apache.spark.sql.SparkSession,
       d: String): (graft.sources.GraphStateStore.Standing,
-      Seq[(org.apache.spark.sql.DataFrame, Long)]) = {
-    // 95% split: triangle maintenance is for the DAILY-APPEND regime —
-    // a small delta against a large standing graph is the workload the
-    // delta-driven cost model serves (and what keeps the A1 join small).
-    // The standing edge list AND its per-node corner counts come from
-    // the GraphStateStore layout (the r9 verdict's top item: ~12 of
-    // this query's 13.4 s was rebuilding the old graph's counts as
-    // fixture scaffolding — a deployment reads the maintained view);
-    // only the delta terms compute here. full = standing ∪ novel by
-    // construction (a basket is entirely old or entirely new, so no
-    // old-new cross edges exist outside the delta pairing).
+      org.apache.spark.sql.DataFrame) = {
     val st = graft.sources.GraphStateStore.standing(s, d, 19L, 20L)
-    val oldC = st.edges
     val li = Tables.lineitem(s, d)
     val keys = li.agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
     val deltaBaskets = li.crossJoin(broadcast(keys))
@@ -785,8 +784,21 @@ object GraphQueries {
         graft.sources.GraphStateStore.cutExpr(19L, 20L))
     val novelC = coPurchaseEdges(deltaBaskets)
       .filter(col("src") < col("dst"))
-      .join(oldC, Seq("src", "dst"), "left_anti")
+      .join(st.edges, Seq("src", "dst"), "left_anti")
       .ckpt()
+    (st, novelC)
+  }
+
+  private def deltaTriangleTerms(s: org.apache.spark.sql.SparkSession,
+      d: String): (graft.sources.GraphStateStore.Standing,
+      Seq[(org.apache.spark.sql.DataFrame, Long)]) = {
+    // The standing edge list AND its per-node corner counts come from
+    // the GraphStateStore layout (the r9 verdict's top item: ~12 of
+    // this query's 13.4 s was rebuilding the old graph's counts as
+    // fixture scaffolding — a deployment reads the maintained view);
+    // only the delta terms compute here.
+    val (st, novelC) = novelEdgeSplit(s, d)
+    val oldC = st.edges
     val fullC = oldC.unionByName(novelC)
     def bothDirs(c: org.apache.spark.sql.DataFrame) =
       graft.ops.Graph.bothDirs(c)
@@ -969,9 +981,101 @@ object GraphQueries {
        |ORDER BY f.src, f.dst""".stripMargin
   }
 
+  /** INCREMENTAL maintenance of the standing RANK vector (r12 — the
+    * delta algebra closed over the last maintained table: degrees,
+    * corners, ties, and now the PageRank fixed point itself): when new
+    * baskets add the novel edge set N to standing edges O, the 5-round
+    * integer-PageRank vector updates by FRONTIER-BOUNDED recompute
+    * ([[graft.ops.Graph.incrRank5]]) — rank changes propagate only
+    * forward along edges, one hop per round, so round k recomputes only
+    * the out-neighborhood of (previous round's affected set ∪ novel-edge
+    * endpoints), reading unaffected round-(k−1) values from the store's
+    * standing per-round vectors. The node-set precondition is checked
+    * loudly: r₀ = U div N, so a delta that introduces NEW nodes perturbs
+    * every rank and the query falls back to the full loop on the union
+    * graph — a rebuild, never a silent approximation (the TPC-H delta
+    * keeps the part catalog stable, so the gated path is the delta
+    * path; GraphStateSpec forces both). Output: every node whose
+    * fixed-point rank changed, with (old, new, delta) units. The ◆
+    * oracle recomputes BOTH graphs' fixed points definitionally as two
+    * unrolled 5-round CTE chains — hash equality proves standing
+    * vectors + frontier-bounded delta ≡ the full recompute, the
+    * `q_incr_triangles` claim lifted from one-shot statistics to an
+    * ITERATIVE fixed point.
+    */
+  private val incrRanks: Q = (s, d) => {
+    val (st, novelC) = novelEdgeSplit(s, d)
+    val oldRounds = graft.sources.GraphStateStore
+      .standingRankRounds(s, d, 19L, 20L)
+    val novelNodes = graft.ops.Graph.bothDirs(novelC)
+      .select(col("src").as("node")).distinct()
+    val fullD = graft.ops.Graph
+      .bothDirs(st.edges.unionByName(novelC)).ckpt()
+    val degNew = fullD.groupBy("src").agg(count(lit(1)).as("deg")).ckpt()
+    // r₀ = U div N: a new node changes N and with it EVERY rank — the
+    // delta algebra's precondition, checked here (one tiny job against
+    // the |seed|-row novel-node set), with the loud full-loop fallback.
+    val newNodes = novelNodes.join(st.degrees, Seq("node"), "left_anti")
+    val newRanks =
+      if (newNodes.isEmpty)
+        graft.ops.Graph.incrRank5(oldRounds, fullD, degNew, novelNodes)
+      else graft.ops.Graph.integerPageRank(fullD, degNew)
+    oldRounds.last.select(col("node"), col("r").as("old_r"))
+      .join(newRanks.select(col("node"), col("r").as("new_r")),
+        Seq("node"), "full_outer")
+      .select(col("node").as("part_id"),
+        coalesce(col("old_r"), lit(0L)).as("old_units"),
+        coalesce(col("new_r"), lit(0L)).as("new_units"),
+        (coalesce(col("new_r"), lit(0L)) -
+          coalesce(col("old_r"), lit(0L))).as("delta_units"))
+      .filter(col("delta_units") =!= 0L)
+      .orderBy("part_id")
+  }
+
+  /** Unrolled [[iterations]]-round integer-PageRank CTE chain over a
+    * canonical (src < dst) edge CTE named `src`, prefixed `p` — shared
+    * by the old and full arms of [[incrRanksSql]] (the [[itemRankSql]]
+    * rounds, parameterized).
+    */
+  private def rankCtesSql(src: String, p: String) = {
+    val rounds = (1 to iterations).map { i =>
+      s"""${p}c$i AS (
+         |  SELECT e.dst AS node,
+         |         CAST(SUM(${p}r${i - 1}.r // d.deg) AS BIGINT) AS c
+         |  FROM ${p}edges e
+         |  JOIN ${p}r${i - 1} ON e.src = ${p}r${i - 1}.node
+         |  JOIN ${p}deg d ON e.src = d.src
+         |  GROUP BY e.dst),
+         |${p}r$i AS (SELECT node, $B // n + (85 * c) // 100 AS r
+         |            FROM ${p}c$i, ${p}n)""".stripMargin
+    }.mkString(",\n")
+    s"""${p}edges AS (
+       |  SELECT src, dst FROM $src
+       |  UNION ALL SELECT dst AS src, src AS dst FROM $src),
+       |${p}deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+       |            FROM ${p}edges GROUP BY src),
+       |${p}n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ${p}deg),
+       |${p}r0 AS (SELECT src AS node, $U // n AS r FROM ${p}deg, ${p}n),
+       |$rounds""".stripMargin
+  }
+
+  private val incrRanksSql =
+    s"""$incrSplitPrologueSql,
+       |${rankCtesSql("full_und", "f_")},
+       |${rankCtesSql("old_und", "o_")}
+       |SELECT f.node AS part_id,
+       |       CAST(coalesce(o.r, 0) AS BIGINT) AS old_units,
+       |       CAST(f.r AS BIGINT) AS new_units,
+       |       CAST(f.r - coalesce(o.r, 0) AS BIGINT) AS delta_units
+       |FROM f_r$iterations f
+       |LEFT JOIN o_r$iterations o ON o.node = f.node
+       |WHERE f.r <> coalesce(o.r, 0)
+       |ORDER BY part_id""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q_item_rank", itemRank, Some(itemRankSql)),
     Entry("q_incr_ties", incrTies, Some(incrTiesSql)),
+    Entry("q_incr_ranks", incrRanks, Some(incrRanksSql)),
     Entry("q_triangles", triangles, Some(trianglesSql)),
     Entry("q_bfs_hops", bfsHops, Some(bfsHopsSql)),
     Entry("q_label_prop", labelProp, Some(labelPropSql)),

@@ -127,4 +127,37 @@ object GraphStateStore {
         .write.mode("overwrite").parquet(s"$root/ranks")
       s.read.parquet(s"$root/ranks")
     }
+
+  private val rankRoundsCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, Long, Long), Seq[DataFrame]]()
+
+  /** EVERY round's rank vector r₀..r₅ of the standing graph at the
+    * given cut (r12): the incremental rank maintenance
+    * (◆ `q_incr_ranks`, [[Graph.incrRank5]]) reads round k−1 standing
+    * values for the unaffected in-neighbors of round k's affected set,
+    * so the maintained layout keeps all six |V|-row vectors — written
+    * once, partitioned by round (partition pruning makes each round's
+    * read a single-directory scan). 6·|V| rows is catalog-scale, noise
+    * against the |E| edge layout it sits beside.
+    */
+  def standingRankRounds(s: SparkSession, sfDir: String,
+      cutNum: Long, cutDen: Long): Seq[DataFrame] =
+    LayoutCache.getOrBuild(rankRoundsCache, (s, sfDir, cutNum, cutDen)) {
+      val st = standing(s, sfDir, cutNum, cutDen)
+      val root = LayoutCache.tempRoot(
+        s"graft-gsrankrounds-${LayoutCache.tag(s, sfDir)}" +
+          s"_${cutNum}_$cutDen")
+      val rounds = Graph.integerPageRankRounds(
+        Graph.bothDirs(st.edges),
+        st.degrees.select(col("node").as("src"), col("deg")))
+      rounds.zipWithIndex
+        .map { case (r, i) => r.withColumn("round", lit(i)) }
+        .reduce(_.unionByName(_))
+        .write.partitionBy("round").mode("overwrite")
+        .parquet(s"$root/rankrounds")
+      val all = s.read.parquet(s"$root/rankrounds")
+      (0 to Graph.RankRounds).map(k =>
+        all.filter(col("round") === k).select("node", "r"))
+    }
 }

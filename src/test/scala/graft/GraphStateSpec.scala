@@ -103,6 +103,73 @@ class GraphStateSpec extends SparkSpec {
       "fixture delta produced no tie-count changes — the test is vacuous")
   }
 
+  test("incrRank5: frontier-bounded delta equals the full loop, saturating or not (r12)") {
+    import spark.implicits._
+    def ranksOf(canonical: org.apache.spark.sql.DataFrame) = {
+      val d = graft.ops.Graph.bothDirs(canonical).localCheckpoint()
+      (d, d.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint())
+    }
+    def check(oldC: Seq[(Long, Long)], novel: Seq[(Long, Long)]): Unit = {
+      val oldDF = oldC.toDF("src", "dst")
+      val novelDF = novel.toDF("src", "dst")
+      val (oldD, oldDeg) = ranksOf(oldDF)
+      val oldRounds = graft.ops.Graph.integerPageRankRounds(oldD, oldDeg)
+        .map(_.localCheckpoint())
+      val (fullD, fullDeg) = ranksOf(oldDF.unionByName(novelDF))
+      val seeds = graft.ops.Graph.bothDirs(novelDF)
+        .select(col("src").as("node")).distinct()
+      val got = graft.ops.Graph
+        .incrRank5(oldRounds, fullD, fullDeg, seeds)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      val expect = graft.ops.Graph.integerPageRank(fullD, fullDeg)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got === expect, s"delta ≠ full loop for novel=$novel")
+    }
+    // NON-saturating: a 12-node path with the delta at one end — the
+    // 5-round forward frontier of seeds {0, 2} stops at node 7, so the
+    // far end's values MUST come from the standing vectors through the
+    // overlay merge (the case a saturating fixture never exercises).
+    val path = (0L to 10L).map(i => (i, i + 1))
+    check(path, Seq((0L, 2L)))
+    // saturating: a dense clustered graph where the frontier covers
+    // everything by round 2 — the degenerate worst case must still be
+    // exact (every node recomputed, merge a no-op).
+    val dense = for { i <- 0L to 7L; j <- (i + 1) to 7L
+      if (i + j) % 3 != 0 } yield (i, j)
+    check(dense, Seq((0L, 3L), (1L, 4L)))
+    // multiple novel edges touching one hub — overlapping frontiers,
+    // the seed set deduped across endpoints
+    check(path, Seq((0L, 5L), (2L, 5L), (5L, 11L)))
+  }
+
+  test("q_incr_ranks: standing rounds + delta ≡ definitional old/new diff (r12)") {
+    // the registry query (delta path — the TPC-H split keeps the part
+    // catalog stable) against the definitional recompute of BOTH fixed
+    // points — the ScalaTest twin of the ◆ oracle, at spec scale.
+    val out = SparkEntry.queries("q_incr_ranks")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val li = Tables.lineitem(spark, sfDir)
+    val keys = li.agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
+    def fp(c: org.apache.spark.sql.DataFrame) = {
+      val d = graft.ops.Graph.bothDirs(c).localCheckpoint()
+      graft.ops.Graph.integerPageRank(d,
+          d.groupBy("src").agg(count(lit(1)).as("deg")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val fullR = fp(graft.ops.Graph.coPurchaseEdges(li)
+      .filter(col("src") < col("dst")).localCheckpoint())
+    val oldR = fp(graft.ops.Graph.coPurchaseEdges(
+        li.crossJoin(broadcast(keys))
+          .filter(col("l_orderkey") <= GraphStateStore.cutExpr(19L, 20L)))
+      .filter(col("src") < col("dst")).localCheckpoint())
+    val expect = fullR.toSeq.collect {
+      case (n, r) if oldR.getOrElse(n, 0L) != r =>
+        (n, oldR.getOrElse(n, 0L), r, r - oldR.getOrElse(n, 0L))
+    }.sortBy(_._1)
+    assert(out.toSeq === expect)
+    assert(out.nonEmpty, "fixture delta moved no ranks — vacuous")
+  }
+
   test("src-keyed aggregates ride the bucketed standing layout with zero exchanges") {
     val st = GraphStateStore.standing(spark, sfDir, 1L, 1L)
     val bucketedDeg = st.edges.groupBy("src").agg(count(lit(1)).as("n"))

@@ -194,11 +194,21 @@ object Graph {
     * in-edge aggregation of the affected set — DELTA-DRIVEN while the
     * 5-hop forward frontier of the touched nodes is small against |V|
     * (a thousand new edges in a trillion-edge graph), the regime nightly
-    * maintenance serves; on a small-diameter graph the frontier
-    * saturates and cost degrades to the full loop's, never worse. The
-    * standing vectors are |V|-row columnar scans; the |E|-scale
-    * per-round aggregation of the full loop is what the delta path
-    * avoids.
+    * maintenance serves. On a small-diameter graph the frontier
+    * saturates — and that is DETECTED, not endured: while unsaturated,
+    * each round's affected set is already materialized (it feeds the
+    * semi-join), so comparing its count to |V| is one cheap read; once
+    * affected covers ≥ ⅔ of the nodes, all later rounds drop the
+    * frontier machinery and run the plain [[integerPageRank]] round
+    * over EVERY node. That switch is exact for ANY affected-set size —
+    * the affected set is an optimization, never a correctness
+    * requirement: recomputing a node whose inputs didn't change just
+    * reproduces its standing value, and the coalesce merge makes that a
+    * no-op — so past the threshold the cost degrades to the full
+    * loop's (one |E| pass per round), never to frontier machinery ON
+    * TOP of it. The standing vectors are |V|-row columnar scans; the
+    * |E|-scale per-round aggregation of the full loop is what the
+    * unsaturated path avoids.
     *
     * `fullDirected` = both directions of old ∪ novel edges (the caller
     * materializes it — it feeds every round); `degNew` = (src, deg) of
@@ -210,24 +220,41 @@ object Graph {
     require(oldRounds.size == RankRounds + 1,
       s"need rounds 0..$RankRounds, got ${oldRounds.size}")
     val nC = degNew.agg(count(lit(1)).as("n"))
+    // |V| of the new graph = every node with an edge (bothDirs makes the
+    // src- and dst-sets identical) — the saturation yardstick.
+    val nAll = degNew.count()
     val s0 = seeds.select(col("node").as("src")).distinct().ckpt()
     var overlay: DataFrame = null // round k's recomputed (node, r)
+    var saturated = false
+    // set once a PLAIN round has run: its output covers every node with
+    // an in-edge = every node (bothDirs), so the standing-vector merge
+    // is an identity and later rounds read the overlay directly
+    var overlayComplete = false
     for (k <- 1 to RankRounds) {
-      val changedSrc = (if (overlay == null) s0
-        else s0.unionByName(overlay.select(col("node").as("src")))
-          .distinct())
-      val affected = fullDirected
-        .join(broadcast(changedSrc), Seq("src"), "left_semi")
-        .select(col("dst")).distinct().ckpt()
+      val ranPlain = saturated
       val prev = oldRounds(k - 1)
       val mergedPrev = (if (overlay == null) prev
+        else if (overlayComplete) overlay
         else prev.as("s").join(overlay.as("o"), Seq("node"), "left_outer")
           .select(col("node"), coalesce(col("o.r"), col("s.r")).as("r")))
       val contrib = mergedPrev
         .join(degNew, mergedPrev("node") === degNew("src"))
         .select(col("node"), expr("r div deg").as("c"))
-      val next = fullDirected
-        .join(broadcast(affected), Seq("dst"), "left_semi")
+      val inEdges =
+        if (ranPlain) fullDirected
+        else {
+          val changedSrc = (if (overlay == null) s0
+            else s0.unionByName(overlay.select(col("node").as("src")))
+              .distinct())
+          val affected = fullDirected
+            .join(broadcast(changedSrc), Seq("src"), "left_semi")
+            .select(col("dst")).distinct().ckpt()
+          // the eager ckpt above already materialized the set, so this
+          // count is a cached-block read, not a second pass
+          if (3L * affected.count() >= 2L * nAll) saturated = true
+          fullDirected.join(broadcast(affected), Seq("dst"), "left_semi")
+        }
+      val next = inEdges
         .join(broadcast(contrib), col("src") === contrib("node"))
         .groupBy("dst").agg(sum("c").as("cin"))
         .crossJoin(broadcast(nC))
@@ -235,6 +262,7 @@ object Graph {
           expr(s"${RankBase}L div n + (85L * cin) div 100L").as("r"))
         .ckpt(eager = false)
       overlay = next
+      if (ranPlain) overlayComplete = true
     }
     oldRounds(RankRounds).as("s")
       .join(overlay.as("o"), Seq("node"), "left_outer")

@@ -473,12 +473,51 @@ object GraphQueries {
     * lineage discipline); the loop control is one bounded driver scalar
     * per round (the alive COUNT — the same "bounded collect" class as
     * the BPE argmax), capped at [[kcoreMaxRounds]] with a loud failure
-    * rather than a silent truncation. Rows-only in the registry (an
-    * unbounded loop has no CTE unroll); the spec gates it equal to the
-    * ◆ unrolled result on the fixture AND proves the loop's stop
-    * condition fired before the cap.
+    * rather than a silent truncation. HASH-GATED as of r12 via the
+    * bounded-unroll-plus-guard pattern that retired the dedup-closure
+    * timeouts: the oracle peels [[kcoreFixpointUnroll]] MATERIALIZED
+    * rounds (measured convergence: 3 rounds at sf0.01, 5 at sf0.1,
+    * confirming round included) and `error()`s if round
+    * [[kcoreFixpointUnroll]]+1 still shrinks — a too-shallow unroll is
+    * a loud sweep failure, never silent wrongness; the spec
+    * additionally gates the loop equal to the ◆ unrolled `q_kcore` on
+    * the fixture and proves the stop condition fired before the cap.
     */
   private val kcoreMaxRounds = 64
+  private val kcoreFixpointUnroll = 8
+
+  private val kcoreFixpointSql = {
+    val n = kcoreFixpointUnroll
+    val rounds = (1 to n + 1).map { i =>
+      s"""fd$i AS MATERIALIZED (
+         |  SELECT e.src AS node, CAST(count(*) AS BIGINT) AS deg
+         |  FROM edges e
+         |  JOIN fa${i - 1} x ON e.src = x.node
+         |  JOIN fa${i - 1} y ON e.dst = y.node
+         |  GROUP BY e.src),
+         |fa$i AS MATERIALIZED (SELECT node FROM fd$i, k WHERE deg >= k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pid FROM lineitem),
+       |edges AS MATERIALIZED (
+       |  SELECT DISTINCT a.pid AS src, b.pid AS dst
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pid <> b.pid),
+       |k AS (SELECT ((count(*) // (SELECT count(DISTINCT src) FROM edges))
+       |              * 5) // 8 AS k
+       |      FROM edges),
+       |fa0 AS (SELECT DISTINCT src AS node FROM edges),
+       |$rounds,
+       |guard AS (SELECT (SELECT count(*) FROM fa$n) -
+       |                 (SELECT count(*) FROM fa${n + 1}) AS shrunk)
+       |SELECT e.src AS part_id,
+       |       CASE WHEN (SELECT shrunk FROM guard) > 0
+       |            THEN error('k-core unroll too shallow — raise kcoreFixpointUnroll')
+       |            ELSE CAST(count(*) AS BIGINT) END AS core_deg
+       |FROM edges e
+       |JOIN fa$n x ON e.src = x.node
+       |JOIN fa$n y ON e.dst = y.node
+       |GROUP BY e.src ORDER BY part_id""".stripMargin
+  }
 
   private val kcoreFixpoint: Q = (s, d) => {
     val edges = fullDirectedEdges(s, d)
@@ -1091,7 +1130,7 @@ object GraphQueries {
     Entry("q_bfs_hops", bfsHops, Some(bfsHopsSql)),
     Entry("q_label_prop", labelProp, Some(labelPropSql)),
     Entry("q_kcore", kcore, Some(kcoreSql)),
-    Entry("q_kcore_fixpoint", kcoreFixpoint, None),
+    Entry("q_kcore_fixpoint", kcoreFixpoint, Some(kcoreFixpointSql)),
     Entry("q_tie_strength", tieStrength, Some(tieStrengthSql)),
     Entry("q_degree_dist", degreeDist, Some(degreeDistSql)),
     Entry("q_incr_graph", incrGraph, Some(incrGraphSql)),

@@ -3257,6 +3257,89 @@ object LlmQueries {
       .orderBy("merge_rank")
   }
 
+  /** BPE TRAINING under the DuckDB hash gate (r12 — the `trainedDet`
+    * IVF precedent applied to the tokenizer): the oracle replays all 30
+    * sequential merges as chained CTEs over a (word, pos, sym) relation.
+    * Per round: count adjacent pairs weighted by word freq (lead window
+    * ≡ the Spark explode of adjacent structs), take the argmax under the
+    * identical (cnt DESC, l, r) tie-break, then apply the greedy
+    * left-to-right merge in CLOSED FORM — for l ≠ r adjacent match
+    * positions can never overlap, so every match merges; for l = r the
+    * matches of a symbol run are consecutive and the fold keeps
+    * alternate starters (1st, 3rd, …), which is exactly a
+    * gaps-and-islands alternation (`ROW_NUMBER() % 2` within each
+    * consecutive-match island). A merge-started position emits l‖r, the
+    * following position is consumed (`lag`), survivors renumber. The
+    * batched trainer the Spark side runs is spec-proven ≡ this
+    * sequential semantics merge-for-merge (BpeSpec), so the oracle gates
+    * BOTH the batching rule and the fold algebra. The encode twin
+    * re-runs the same chain and reads the round-30 symbol table.
+    */
+  private def bpeReplayCtes(rounds: Int): String = {
+    val head = Seq(
+      """wf AS MATERIALIZED (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS word
+        |        FROM documents)
+        |  GROUP BY word)""".stripMargin,
+      """s0 AS MATERIALIZED (
+        |  SELECT word, unnest(generate_series(1, length(word))) AS pos
+        |  FROM wf)""".stripMargin,
+      """t0 AS MATERIALIZED (
+        |  SELECT word, pos, substr(word, pos, 1) AS sym FROM s0)""".stripMargin)
+    val per = (1 to rounds).flatMap { t =>
+      Seq(
+        s"""p$t AS (SELECT word, pos, sym,
+           |  lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+           |  FROM t${t - 1})""".stripMargin,
+        s"""b$t AS MATERIALIZED (
+           |  SELECT p.sym AS l, p.nxt AS r, CAST(sum(wf.freq) AS BIGINT) AS cnt
+           |  FROM p$t p JOIN wf ON wf.word = p.word
+           |  WHERE p.nxt IS NOT NULL
+           |  GROUP BY p.sym, p.nxt ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin,
+        s"""m$t AS (SELECT word, pos, sym,
+           |  CASE WHEN sym = (SELECT l FROM b$t) AND nxt = (SELECT r FROM b$t)
+           |       THEN 1 ELSE 0 END AS mt FROM p$t)""".stripMargin,
+        s"""i$t AS (SELECT word, pos, sym, mt,
+           |  CASE WHEN mt = 1 AND
+           |    (ROW_NUMBER() OVER (PARTITION BY word, mt, grp ORDER BY pos) % 2) = 1
+           |       THEN 1 ELSE 0 END AS mstart
+           |  FROM (SELECT *,
+           |          pos - ROW_NUMBER() OVER (PARTITION BY word, mt ORDER BY pos) AS grp
+           |        FROM m$t))""".stripMargin,
+        s"""t$t AS MATERIALIZED (
+           |  SELECT word, ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+           |         CASE WHEN mstart = 1 THEN sym || (SELECT r FROM b$t)
+           |              ELSE sym END AS sym
+           |  FROM (SELECT *,
+           |          lag(mstart, 1, 0) OVER (PARTITION BY word ORDER BY pos) AS consumed
+           |        FROM i$t)
+           |  WHERE consumed = 0)""".stripMargin)
+    }
+    (head ++ per).mkString(",\n")
+  }
+
+  private val bpeMerges = 30
+
+  private val bpeVocabSql = {
+    val union = (1 to bpeMerges).map { t =>
+      s"SELECT $t AS merge_rank, l AS lhs, r AS rhs, l || r AS merged, cnt AS pair_freq FROM b$t"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${bpeReplayCtes(bpeMerges)}
+       |SELECT * FROM (
+       |$union
+       |) ORDER BY merge_rank""".stripMargin
+  }
+
+  private val bpeEncodeSql =
+    s"""WITH ${bpeReplayCtes(bpeMerges)}
+       |SELECT wf.word AS word, wf.freq AS freq,
+       |       CAST(count(*) AS INTEGER) AS n_tokens,
+       |       string_agg(s.sym, ' ' ORDER BY s.pos) AS encoding
+       |FROM t$bpeMerges s JOIN wf ON wf.word = s.word
+       |GROUP BY wf.word, wf.freq
+       |ORDER BY freq DESC, word LIMIT 50""".stripMargin
+
   /** Prefix-filtered exact set-similarity join (the All-Pairs/PPJoin
     * candidate rule, Chaudhuri/Xiao et al.) — the GLOBAL exact-answer
     * alternative in the dedup family: [[jaccardPairs]] is exact but needs
@@ -4050,8 +4133,8 @@ object LlmQueries {
     Entry("q_split_temporal", splitTemporal, Some(splitTemporalSql)),
     Entry("q_drift_chi2", driftChi2, Some(driftChi2Sql)),
     Entry("q_bpe_pairs", bpePairs, Some(bpePairsSql)),
-    Entry("ml_bpe_vocab", bpeVocab, None),
-    Entry("ml_bpe_encode", bpeEncode, None),
+    Entry("ml_bpe_vocab", bpeVocab, Some(bpeVocabSql)),
+    Entry("ml_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
     Entry("q_k_anonymity", kAnonymity, Some(kAnonymitySql)),
     Entry("q_k_anon_generalize", kAnonGeneralize, Some(kAnonGeneralizeSql)),
     Entry("q_doc_keywords", docKeywords, Some(docKeywordsSql)),

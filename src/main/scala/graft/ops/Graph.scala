@@ -215,10 +215,20 @@ object Graph {
     * the new graph; `seeds` = (node) endpoints of novel edges. Returns
     * the merged round-[[RankRounds]] vector (node, r) for ALL nodes.
     */
+  /** Round at which the most recent [[incrRank5]] call detected
+    * saturation (0 = never) — spec instrumentation, mirroring
+    * [[graft.llm.Bpe.lastBatchedIterations]]: GraphStateSpec asserts
+    * the switch FIRES on the dense fixture and does NOT on the
+    * non-saturating path, so a silent regression to always-frontier
+    * (or always-plain) fails a test, not just a benchmark.
+    */
+  @volatile var lastSaturatedAtRound: Int = 0
+
   def incrRank5(oldRounds: Seq[DataFrame], fullDirected: DataFrame,
       degNew: DataFrame, seeds: DataFrame): DataFrame = {
     require(oldRounds.size == RankRounds + 1,
       s"need rounds 0..$RankRounds, got ${oldRounds.size}")
+    lastSaturatedAtRound = 0
     val nC = degNew.agg(count(lit(1)).as("n"))
     // |V| of the new graph = every node with an edge (bothDirs makes the
     // src- and dst-sets identical) — the saturation yardstick.
@@ -251,7 +261,10 @@ object Graph {
             .select(col("dst")).distinct().ckpt()
           // the eager ckpt above already materialized the set, so this
           // count is a cached-block read, not a second pass
-          if (3L * affected.count() >= 2L * nAll) saturated = true
+          if (3L * affected.count() >= 2L * nAll) {
+            saturated = true
+            lastSaturatedAtRound = k
+          }
           fullDirected.join(broadcast(affected), Seq("dst"), "left_semi")
         }
       val next = inEdges

@@ -109,7 +109,7 @@ class GraphStateSpec extends SparkSpec {
       val d = graft.ops.Graph.bothDirs(canonical).localCheckpoint()
       (d, d.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint())
     }
-    def check(oldC: Seq[(Long, Long)], novel: Seq[(Long, Long)]): Unit = {
+    def check(oldC: Seq[(Long, Long)], novel: Seq[(Long, Long)]): Int = {
       val oldDF = oldC.toDF("src", "dst")
       val novelDF = novel.toDF("src", "dst")
       val (oldD, oldDeg) = ranksOf(oldDF)
@@ -124,6 +124,7 @@ class GraphStateSpec extends SparkSpec {
       val expect = graft.ops.Graph.integerPageRank(fullD, fullDeg)
         .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
       assert(got === expect, s"delta ≠ full loop for novel=$novel")
+      graft.ops.Graph.lastSaturatedAtRound
     }
     // NON-saturating: a 12-node path with the delta at one end — the
     // 5-round forward frontier of seeds {0, 2} stops at node 7, so the
@@ -132,14 +133,23 @@ class GraphStateSpec extends SparkSpec {
     val path = (0L to 10L).map(i => (i, i + 1))
     check(path, Seq((0L, 2L)))
     // saturating: a dense clustered graph where the frontier covers
-    // everything by round 2 — the degenerate worst case must still be
-    // exact (every node recomputed, merge a no-op).
+    // everything immediately — the degenerate worst case must still be
+    // exact (every node recomputed, merge a no-op), and the ⅔ switch
+    // must FIRE (instrumented like Bpe.lastBatchedIterations), so a
+    // silent regression to always-frontier fails here, not in a bench.
     val dense = for { i <- 0L to 7L; j <- (i + 1) to 7L
       if (i + j) % 3 != 0 } yield (i, j)
-    check(dense, Seq((0L, 3L), (1L, 4L)))
+    assert(check(dense, Seq((0L, 3L), (1L, 4L))) === 1,
+      "dense fixture must trip the saturation switch in round 1")
     // multiple novel edges touching one hub — overlapping frontiers,
     // the seed set deduped across endpoints
     check(path, Seq((0L, 5L), (2L, 5L), (5L, 11L)))
+    // a 21-node path keeps the 5-hop frontier under ⅔·|V| in every
+    // round: the switch must NOT fire (the frontier-bounded path is the
+    // one actually exercised, standing vectors read through the merge)
+    val longPath = (0L to 19L).map(i => (i, i + 1))
+    assert(check(longPath, Seq((0L, 2L))) === 0,
+      "long-path fixture must stay frontier-bounded end to end")
   }
 
   test("q_incr_ranks: standing rounds + delta ≡ definitional old/new diff (r12)") {

@@ -103,29 +103,36 @@ class GraphStateSpec extends SparkSpec {
       "fixture delta produced no tie-count changes — the test is vacuous")
   }
 
-  test("incrRank5: frontier-bounded delta equals the full loop, saturating or not (r12)") {
+  private def incrRanksOf(canonical: org.apache.spark.sql.DataFrame) = {
+    val d = graft.ops.Graph.bothDirs(canonical).localCheckpoint()
+    (d, d.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint())
+  }
+
+  /** incrRank5 on (old ∪ novel) vs the full loop — asserts bit-equality,
+    * returns [[graft.ops.Graph.lastSaturatedAtRound]] for switch pins.
+    */
+  private def incrRankCheck(oldC: Seq[(Long, Long)],
+      novel: Seq[(Long, Long)]): Int = {
     import spark.implicits._
-    def ranksOf(canonical: org.apache.spark.sql.DataFrame) = {
-      val d = graft.ops.Graph.bothDirs(canonical).localCheckpoint()
-      (d, d.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint())
-    }
-    def check(oldC: Seq[(Long, Long)], novel: Seq[(Long, Long)]): Int = {
-      val oldDF = oldC.toDF("src", "dst")
-      val novelDF = novel.toDF("src", "dst")
-      val (oldD, oldDeg) = ranksOf(oldDF)
-      val oldRounds = graft.ops.Graph.integerPageRankRounds(oldD, oldDeg)
-        .map(_.localCheckpoint())
-      val (fullD, fullDeg) = ranksOf(oldDF.unionByName(novelDF))
-      val seeds = graft.ops.Graph.bothDirs(novelDF)
-        .select(col("src").as("node")).distinct()
-      val got = graft.ops.Graph
-        .incrRank5(oldRounds, fullD, fullDeg, seeds)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
-      val expect = graft.ops.Graph.integerPageRank(fullD, fullDeg)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
-      assert(got === expect, s"delta ≠ full loop for novel=$novel")
-      graft.ops.Graph.lastSaturatedAtRound
-    }
+    val oldDF = oldC.toDF("src", "dst")
+    val novelDF = novel.toDF("src", "dst")
+    val (oldD, oldDeg) = incrRanksOf(oldDF)
+    val oldRounds = graft.ops.Graph.integerPageRankRounds(oldD, oldDeg)
+      .map(_.localCheckpoint())
+    val (fullD, fullDeg) = incrRanksOf(oldDF.unionByName(novelDF))
+    val seeds = graft.ops.Graph.bothDirs(novelDF)
+      .select(col("src").as("node")).distinct()
+    val got = graft.ops.Graph
+      .incrRank5(oldRounds, fullD, fullDeg, seeds)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val expect = graft.ops.Graph.integerPageRank(fullD, fullDeg)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got === expect, s"delta ≠ full loop for novel=$novel")
+    graft.ops.Graph.lastSaturatedAtRound
+  }
+
+  test("incrRank5: frontier-bounded delta equals the full loop, saturating or not (r12)") {
+    def check(o: Seq[(Long, Long)], n: Seq[(Long, Long)]) = incrRankCheck(o, n)
     // NON-saturating: a 12-node path with the delta at one end — the
     // 5-round forward frontier of seeds {0, 2} stops at node 7, so the
     // far end's values MUST come from the standing vectors through the
@@ -150,6 +157,46 @@ class GraphStateSpec extends SparkSpec {
     val longPath = (0L to 19L).map(i => (i, i + 1))
     assert(check(longPath, Seq((0L, 2L))) === 0,
       "long-path fixture must stay frontier-bounded end to end")
+  }
+
+  test("incrRank5: randomized graphs and deltas equal the full loop (8 seeded trials)") {
+    // BpeSpec's seeded-adversarial discipline applied to the rank
+    // algebra: random connected graphs (spanning tree + random extra
+    // edges, so the node set is stable — the incrRank5 precondition)
+    // with random 1–4-edge deltas; every trial must be bit-equal to the
+    // full loop whichever side of the saturation switch it lands on.
+    val rnd = new scala.util.Random(12)
+    var saturatedTrials = 0
+    (1 to 8).foreach { trial =>
+      // odd trials: long sparse paths (high diameter — the
+      // frontier-bounded regime); even trials: random connected graphs
+      // with extra edges (low diameter — the saturated regime)
+      val pathShaped = trial % 2 == 1
+      val n = if (pathShaped) 20 + rnd.nextInt(10) else 8 + rnd.nextInt(15)
+      val spanning =
+        if (pathShaped) (1 until n).map(i => ((i - 1).toLong, i.toLong))
+        else (1 until n).map(i => (rnd.nextInt(i).toLong, i.toLong))
+      val all = for { i <- 0 until n; j <- (i + 1) until n }
+        yield (i.toLong, j.toLong)
+      val extra =
+        if (pathShaped) Seq.empty else rnd.shuffle(all).take(rnd.nextInt(2 * n))
+      val old = (spanning ++ extra).distinct
+      val oldSet = old.toSet
+      val candidates =
+        if (pathShaped)
+          // keep the delta local so its 5-hop frontier stays well under
+          // ⅔·|V| on the path
+          rnd.shuffle(all.filterNot(oldSet).filter { case (a, b) =>
+            a <= 4 && b <= 6 })
+        else rnd.shuffle(all.filterNot(oldSet))
+      if (candidates.nonEmpty) {
+        val novel = candidates.take(1 + rnd.nextInt(4))
+        if (incrRankCheck(old, novel) > 0) saturatedTrials += 1
+      }
+    }
+    // the sweep must exercise BOTH regimes or it proves less than it says
+    assert(saturatedTrials > 0 && saturatedTrials < 8,
+      s"trials covered one regime only (saturated in $saturatedTrials/8)")
   }
 
   test("q_incr_ranks: standing rounds + delta ≡ definitional old/new diff (r12)") {

@@ -1053,15 +1053,28 @@ object GraphQueries {
     * `q_incr_triangles` claim lifted from one-shot statistics to an
     * ITERATIVE fixed point.
     */
+  private val fullDirCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String),
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
+
   private val incrRanks: Q = (s, d) => {
     val (st, novelC) = novelEdgeSplit(s, d)
     val oldRounds = graft.sources.GraphStateStore
       .standingRankRounds(s, d, 19L, 20L)
     val novelNodes = graft.ops.Graph.bothDirs(novelC)
       .select(col("src").as("node")).distinct()
-    val fullD = graft.ops.Graph
-      .bothDirs(st.edges.unionByName(novelC)).ckpt()
-    val degNew = fullD.groupBy("src").agg(count(lit(1)).as("deg")).ckpt()
+    // The post-append full directed graph and its degrees, staged ONCE
+    // per (session, batch) like the novel split itself — the nightly
+    // maintenance pass materializes the updated graph once and every
+    // maintained view reads it; Ck.pin exempts it from per-query drain.
+    val (fullD, degNew) =
+      graft.sources.LayoutCache.getOrBuild(fullDirCache, (s, d)) {
+        val fd = graft.ops.Ck.pin(
+          graft.ops.Graph.bothDirs(st.edges.unionByName(novelC)))
+        (fd, graft.ops.Ck.pin(
+          fd.groupBy("src").agg(count(lit(1)).as("deg"))))
+      }
     // r₀ = U div N: a new node changes N and with it EVERY rank — the
     // delta algebra's precondition, checked here (one tiny job against
     // the |seed|-row novel-node set), with the loud full-loop fallback.

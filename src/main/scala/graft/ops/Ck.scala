@@ -61,7 +61,10 @@ object Ck {
     b.result()
   }
 
-  private def allPinnedIds(s: SparkSession): Set[Int] = pinned.synchronized {
+  /** Pinned ids across ALL sessions — pins are sacrosanct whoever owns
+    * them, so sweep's keep-set takes the union, not a per-session view.
+    */
+  private def allPinnedIds: Set[Int] = pinned.synchronized {
     val b = Set.newBuilder[Int]
     pinned.forEach { (_, ids) => ids.forEach(b += _) }
     b.result()
@@ -146,7 +149,7 @@ object Ck {
     */
   def sweep(spark: SparkSession): Int = {
     val sc = spark.sparkContext
-    val keep = allPinnedIds(spark) ++ othersIds(tracked, spark)
+    val keep = allPinnedIds ++ othersIds(tracked, spark)
     val set = tracked.synchronized { tracked.get(spark) }
     var n = 0
     sc.getPersistentRDDs.foreach { case (id, r) =>

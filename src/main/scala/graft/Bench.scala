@@ -92,7 +92,10 @@ object Bench {
       // the trained-recall pair each build their own trainedDet layout
       // (different fitEvery cache keys) — first sample pays it, the
       // median measures the serving-side audit
-      "q_ann_recall_trained", "q_ann_recall_sampled")
+      "q_ann_recall_trained", "q_ann_recall_sampled",
+      // det-ALS training: fit-shaped (two solve aggregations + staged
+      // ratings) — joins the ml_-family median discipline
+      "q_mf_trained")
     val spreads = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double)]
     // Leak loudness (r10 lesson): every query's tracked checkpoints are
     // drained after its timed count, and sweep() evicts anything else

@@ -13,6 +13,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.{Hashing, Num}
+import graft.ops.Ck.CkOps
 import graft.tables.Tables
 import Registry.{Entry, Q}
 
@@ -560,7 +561,179 @@ object MLQueries {
       |         // ((n_c - n_cf) + 20) AS enc_smooth_cents
       |FROM x ORDER BY cat, fold""".stripMargin
 
+  /** MATRIX-FACTORIZATION TRAINING under the DuckDB hash gate (r12 — the
+    * `trainedDet` discipline extended from clustering to the
+    * collaborative model itself): a rank-2 alternating-least-squares
+    * factorization whose every arithmetic step is exact and
+    * order-independent, so a SQL oracle replays the TRAINING — init,
+    * the user solve, the item solve — and the served recommendations,
+    * end to end. MLlib's `ALS` (the library-coverage rows
+    * `ml_als_rmse` / `ml_als_recommend`) stays the production fit; this
+    * is the auditable twin that proves the engine can train a
+    * factorization model reproducibly across engines, the same split as
+    * `q_ann_recall_trained` vs `ml_ann_trained`.
+    *
+    * Determinism by construction:
+    *  - ratings are the additive 1 + (user mod 3) + (item mod 3) over
+    *    the orders ⋈ lineitem pairs — deterministic, cross-engine
+    *    exact, and EXACTLY rank-2-representable (r = a_u + b_i is the
+    *    bias decomposition x_u=(a_u,1)·y_i=(1,b_i)ᵀ), so the fit is
+    *    mathematically meaningful and MLQueriesSpec can gate in-sample
+    *    accuracy, not just reproducibility;
+    *  - factors live in integer units of 10⁻³ ([[mfScale]]); item init
+    *    is a pure function of the item id;
+    *  - each half-step solves the regularized 2×2 normal equations
+    *    in CLOSED FORM — adjugate over determinant — with the sums
+    *    aggregated as longs (order-independent integer addition) and
+    *    the products/division in decimal(38,0) ↔ HUGEINT;
+    *  - the one division per solve is an explicit floor-div written
+    *    identically on both engines, `(n - ((n % det + det) % det)) /
+    *    det` (det > 0 by λ > 0; `%` is truncation-signed in BOTH Spark
+    *    and DuckDB, and the final division is exact by construction);
+    *  - scoring is an integer dot product; top-3 per probe user under a
+    *    (score DESC, item ASC) total order.
+    *
+    * Scale shape: two groupBy aggregations (user step keyed on user,
+    * item step keyed on item — the exact shuffle pattern of
+    * distributed ALS), one broadcast of the |items|-row factor table
+    * for scoring, no collects. Rank is fixed at 2 because that is
+    * where the normal-equation solve has an exact closed form — the
+    * point is the replayable-training capability, not leaderboard RMSE.
+    */
+  private val mfScale = 1000L
+  private val mfLambda = mfScale * mfScale
+
+  /** The det-ALS core shared by [[mfTrained]] and MLQueriesSpec's
+    * residual/accuracy gates: returns (user factors x, item factors y
+    * after the alternation, the materialized ratings).
+    */
+  private[graft] def mfFactors(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val dec = "decimal(38,0)"
+    def fdiv(n: Column, dd: Column): Column =
+      ((n - ((n % dd + dd) % dd)) / dd).cast("long")
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val ratings = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"))
+      .distinct()
+      .withColumn("r", lit(1L) + pmod(col("user_id"), lit(3L)) +
+        pmod(col("item_id"), lit(3L)))
+      // four consumers (item init, user step, item step, the unrated
+      // anti-join) — materialize the pair set once, drained post-query
+      .ckpt()
+    // bias-shaped init ŷ = (1, item mod 3): the additive rating is
+    // exactly x̂=(1+u mod 3, 1)·ŷᵀ in this basis, so ONE alternation
+    // recovers it (up to λ shrinkage + quantization) — the spec's
+    // accuracy gate then measures the solver, not init luck
+    val y0 = ratings.select(col("item_id")).distinct()
+      .withColumn("y1", lit(mfScale))
+      .withColumn("y2", pmod(col("item_id"), lit(3L)) * mfScale)
+    def solve(df: DataFrame, key: String, f1: String, f2: String,
+        o1: String, o2: String): DataFrame = {
+      val g = df.groupBy(key).agg(
+        sum(col(f1) * col(f1)).as("a"), sum(col(f1) * col(f2)).as("b"),
+        sum(col(f2) * col(f2)).as("c"),
+        sum(col("r") * col(f1)).as("d1"), sum(col("r") * col(f2)).as("d2"))
+      val a11 = (col("a") + lit(mfLambda)).cast(dec)
+      val a22 = (col("c") + lit(mfLambda)).cast(dec)
+      val b = col("b").cast(dec)
+      val det = a11 * a22 - b * b
+      // x = S·x̂: with A = S²·M and b = S·v, A⁻¹b = x̂/S, so the stored
+      // integer factor is S²·adj(A)·b / det(A) — the S² is load-bearing
+      // (an S¹ here floors every factor to ~0; caught by the MAE gate,
+      // invisible to the hash gate, which both engines would replay)
+      g.select(col(key),
+        fdiv((a22 * col("d1").cast(dec) - b * col("d2").cast(dec)) *
+          lit(mfScale * mfScale).cast(dec), det).as(o1),
+        fdiv((a11 * col("d2").cast(dec) - b * col("d1").cast(dec)) *
+          lit(mfScale * mfScale).cast(dec), det).as(o2))
+    }
+    // user step reads the item init; item step reads the solved users —
+    // one alternation, exactly the distributed-ALS shuffle pattern.
+    // The solved user factors feed BOTH the item step and the probe
+    // scoring — materialize once (drained post-query).
+    val x = solve(ratings.join(y0, Seq("item_id")), "user_id",
+      "y1", "y2", "x1", "x2").ckpt()
+    val y1 = solve(ratings.join(x, Seq("user_id")), "item_id",
+      "x1", "x2", "ny1", "ny2")
+    (x, y1, ratings)
+  }
+
+  private val mfTrained: Q = (s, d) => {
+    val (x, y1, ratings) = mfFactors(s, d)
+    val probes = x.filter(pmod(col("user_id"), lit(200L)) === 0L)
+    probes.crossJoin(broadcast(y1))
+      .join(ratings.select("user_id", "item_id"),
+        Seq("user_id", "item_id"), "left_anti")
+      .withColumn("score_units",
+        col("x1") * col("ny1") + col("x2") * col("ny2"))
+      .withColumn("rank", row_number().over(Window.partitionBy("user_id")
+        .orderBy(desc("score_units"), asc("item_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("user_id"), col("rank"), col("item_id"), col("score_units"))
+      .orderBy("user_id", "rank")
+  }
+
+  private val mfTrainedSql = {
+    val S = mfScale; val lam = mfLambda
+    val S2 = S * S
+    def solveSql(src: String, key: String, f1: String, f2: String,
+        o1: String, o2: String, g: String, out: String) =
+      s"""$g AS (
+         |  SELECT $key,
+         |         CAST(sum($f1 * $f1) AS HUGEINT) AS a,
+         |         CAST(sum($f1 * $f2) AS HUGEINT) AS b,
+         |         CAST(sum($f2 * $f2) AS HUGEINT) AS c,
+         |         CAST(sum(r * $f1) AS HUGEINT) AS d1,
+         |         CAST(sum(r * $f2) AS HUGEINT) AS d2
+         |  FROM $src GROUP BY $key),
+         |$out AS (
+         |  SELECT $key,
+         |    CAST((((c + $lam) * d1 - b * d2) * $S2
+         |          - ((((c + $lam) * d1 - b * d2) * $S2) % ((a + $lam) * (c + $lam) - b * b)
+         |             + ((a + $lam) * (c + $lam) - b * b))
+         |            % ((a + $lam) * (c + $lam) - b * b))
+         |         // ((a + $lam) * (c + $lam) - b * b) AS BIGINT) AS $o1,
+         |    CAST((((a + $lam) * d2 - b * d1) * $S2
+         |          - ((((a + $lam) * d2 - b * d1) * $S2) % ((a + $lam) * (c + $lam) - b * b)
+         |             + ((a + $lam) * (c + $lam) - b * b))
+         |            % ((a + $lam) * (c + $lam) - b * b))
+         |         // ((a + $lam) * (c + $lam) - b * b) AS BIGINT) AS $o2
+         |  FROM $g)""".stripMargin
+    s"""WITH ratings AS MATERIALIZED (
+       |  SELECT user_id, item_id,
+       |         1 + user_id % 3 + item_id % 3 AS r
+       |  FROM (SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey AS item_id
+       |        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)),
+       |y0 AS (
+       |  SELECT DISTINCT item_id,
+       |         $S AS y1,
+       |         (item_id % 3) * $S AS y2
+       |  FROM ratings),
+       |ur AS (SELECT ratings.*, y0.y1, y0.y2 FROM ratings JOIN y0 USING (item_id)),
+       |${solveSql("ur", "user_id", "y1", "y2", "x1", "x2", "ug", "x")},
+       |ir AS (SELECT ratings.*, x.x1, x.x2 FROM ratings JOIN x USING (user_id)),
+       |${solveSql("ir", "item_id", "x1", "x2", "ny1", "ny2", "ig", "ynew")},
+       |cand AS (
+       |  SELECT p.user_id, y.item_id,
+       |         p.x1 * y.ny1 + p.x2 * y.ny2 AS score_units
+       |  FROM (SELECT * FROM x WHERE user_id % 200 = 0) p
+       |  CROSS JOIN ynew y
+       |  WHERE NOT EXISTS (SELECT 1 FROM ratings t
+       |                    WHERE t.user_id = p.user_id AND t.item_id = y.item_id)),
+       |ranked AS (
+       |  SELECT user_id, item_id, score_units,
+       |         ROW_NUMBER() OVER (PARTITION BY user_id
+       |                            ORDER BY score_units DESC, item_id) AS rank
+       |  FROM cand)
+       |SELECT user_id, CAST(rank AS INTEGER) AS rank, item_id, score_units
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY user_id, rank""".stripMargin
+  }
+
   val entries: Seq[Entry] = Seq(
+    Entry("q_mf_trained", mfTrained, Some(mfTrainedSql)),
     Entry("ml_feature_pipeline", featurePipeline, Some(featurePipelineSql)),
     Entry("ml_kmeans_clusters", kmeansClusters, None),
     Entry("ml_kmeans_assign", kmeansAssign, Some(kmeansAssignSql)),

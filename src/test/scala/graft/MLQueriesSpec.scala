@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{abs, avg, col, lit}
 import graft.queries.Registry
 import graft.tables.Tables
 
@@ -310,5 +310,54 @@ class MLQueriesSpec extends SparkSpec {
     assert(m("n_interactions") === Tables.part(spark, sfDir).count() * 8.0)
     val expectSparsity = 1.0 - m("n_interactions") / (m("n_users") * m("n_items"))
     assert(math.abs(m("sparsity") - expectSparsity) < 1e-3)
+  }
+
+  test("q_mf_trained: the det-ALS user solve IS the regularized least-squares solution (residual bound)") {
+    // x = floor(S²·adj(A)·b / det(A)) with ε ∈ [0,1)² of floor error, so
+    // A·x must sit within one row-abs-sum of A from S²·b — an exactness
+    // pin on the SOLVER, independent of fit quality. BigInt throughout
+    // (A entries exceed Long in products).
+    import graft.queries.MLQueries
+    val (x, _, ratings) = MLQueries.mfFactors(spark, sfDir)
+    val S = BigInt(1000); val lam = S * S
+    val xs = x.collect().map(r => r.getLong(0) -> (BigInt(r.getLong(1)), BigInt(r.getLong(2)))).toMap
+    val rows = ratings.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byUser = rows.groupBy(_._1)
+    var checked = 0
+    byUser.foreach { case (u, rs) =>
+      var a, b, c, d1, d2 = BigInt(0)
+      rs.foreach { case (_, item, rr) =>
+        val y1 = S; val y2 = BigInt(item % 3) * S
+        a += y1 * y1; b += y1 * y2; c += y2 * y2
+        d1 += BigInt(rr) * y1; d2 += BigInt(rr) * y2
+      }
+      val (a11, a22) = (a + lam, c + lam)
+      val (x1, x2) = xs(u)
+      val r1 = (a11 * x1 + b * x2 - S * S * d1).abs
+      val r2 = (b * x1 + a22 * x2 - S * S * d2).abs
+      assert(r1 <= a11 + b && r2 <= b + a22,
+        s"user $u solve residual out of floor-error bound: $r1 / $r2")
+      checked += 1
+    }
+    assert(checked > 50, s"vacuous fixture: only $checked users")
+  }
+
+  test("q_mf_trained: the fit LEARNS the additive structure (in-sample MAE gate)") {
+    // ratings are r = 1 + (u mod 3) + (i mod 3) = exactly rank-2; after
+    // one alternation the factorization must beat the constant-3
+    // baseline by a wide margin, not just reproduce itself — this gate
+    // caught a real S¹-vs-S² scaling bug the cross-engine hash gate
+    // replays identically on both sides and can never see.
+    import graft.queries.MLQueries
+    val (x, y, ratings) = MLQueries.mfFactors(spark, sfDir)
+    val row = ratings.join(x, Seq("user_id")).join(y, Seq("item_id"))
+      .select(avg(abs((col("x1") * col("ny1") + col("x2") * col("ny2"))
+          .cast("double") / 1e6 - col("r"))).as("mae"),
+        avg(abs(lit(3.0) - col("r"))).as("baseline"))
+      .collect()(0)
+    val (mae, baseline) = (row.getDouble(0), row.getDouble(1))
+    assert(mae <= 0.15, s"det-ALS in-sample MAE $mae above gate 0.15")
+    assert(mae < baseline / 4,
+      s"det-ALS MAE $mae not clearly better than constant baseline $baseline")
   }
 }

@@ -93,9 +93,9 @@ object Bench {
       // (different fitEvery cache keys) — first sample pays it, the
       // median measures the serving-side audit
       "q_ann_recall_trained", "q_ann_recall_sampled",
-      // det-ALS training: fit-shaped (two solve aggregations + staged
+      // det-MF training pair: fit-shaped (solve aggregations + staged
       // ratings) — joins the ml_-family median discipline
-      "q_mf_trained")
+      "q_mf_trained", "q_mf_implicit_trained")
     val spreads = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double)]
     // Leak loudness (r10 lesson): every query's tracked checkpoints are
     // drained after its timed count, and sweep() evicts anything else

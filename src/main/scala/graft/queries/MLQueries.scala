@@ -607,21 +607,34 @@ object MLQueries {
     * residual/accuracy gates: returns (user factors x, item factors y
     * after the alternation, the materialized ratings).
     */
+  private val mfRatingsCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), DataFrame]()
+
+  /** The deterministic (user, item, r) interaction set both det-MF
+    * twins train on — staged ONCE per session (Ck-pinned: the explicit
+    * and implicit fits, their specs, and the unrated anti-joins all
+    * read the same staged batch, the same discipline as the graph
+    * family's novel-edge split).
+    */
+  private[graft] def mfRatings(s: SparkSession, d: String): DataFrame =
+    graft.sources.LayoutCache.getOrBuild(mfRatingsCache, (s, d)) {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      graft.ops.Ck.pin(li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"))
+        .distinct()
+        .withColumn("r", lit(1L) + pmod(col("user_id"), lit(3L)) +
+          pmod(col("item_id"), lit(3L))))
+    }
+
   private[graft] def mfFactors(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val dec = "decimal(38,0)"
     def fdiv(n: Column, dd: Column): Column =
       ((n - ((n % dd + dd) % dd)) / dd).cast("long")
-    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-    val ratings = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .select(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"))
-      .distinct()
-      .withColumn("r", lit(1L) + pmod(col("user_id"), lit(3L)) +
-        pmod(col("item_id"), lit(3L)))
-      // four consumers (item init, user step, item step, the unrated
-      // anti-join) — materialize the pair set once, drained post-query
-      .ckpt()
+    val ratings = mfRatings(s, d)
     // bias-shaped init ŷ = (1, item mod 3): the additive rating is
     // exactly x̂=(1+u mod 3, 1)·ŷᵀ in this basis, so ONE alternation
     // recovers it (up to λ shrinkage + quantization) — the spec's
@@ -660,8 +673,8 @@ object MLQueries {
     (x, y1, ratings)
   }
 
-  private val mfTrained: Q = (s, d) => {
-    val (x, y1, ratings) = mfFactors(s, d)
+  private def mfServe(x: DataFrame, y1: DataFrame,
+      ratings: DataFrame): DataFrame = {
     val probes = x.filter(pmod(col("user_id"), lit(200L)) === 0L)
     probes.crossJoin(broadcast(y1))
       .join(ratings.select("user_id", "item_id"),
@@ -673,6 +686,80 @@ object MLQueries {
       .filter(col("rank") <= 3)
       .select(col("user_id"), col("rank"), col("item_id"), col("score_units"))
       .orderBy("user_id", "rank")
+  }
+
+  private val mfTrained: Q = (s, d) => {
+    val (x, y1, ratings) = mfFactors(s, d)
+    mfServe(x, y1, ratings)
+  }
+
+  /** IMPLICIT-feedback det-MF (the `ml_nmf_implicit` library fit's
+    * deterministic trained twin, completing the factorization pair the
+    * way `q_mf_trained` twins `ml_als_*`): Hu–Koren–Volinsky weighted
+    * ALS at rank 2 with confidence c = 1 + r on observed pairs and
+    * preference p = 1/0, solved exactly via the global-Gram trick —
+    * YᵀC_uY = (YᵀY over ALL items, a 3-scalar broadcast) + Σ_{observed}
+    * r·y yᵀ, so the per-user work stays proportional to that user's
+    * interactions while the model still scores every unobserved item
+    * (the whole point of implicit MF). Same integer discipline as
+    * [[mfFactors]] — long sums, decimal(38,0) ↔ HUGEINT closed-form
+    * solve, one explicit cross-engine floor-div — with SEPARATE output
+    * scales (user 10⁶, item 10³): the global Gram dominates the
+    * normal matrix, so implicit x̂ is ~10⁻², and an S-scale output
+    * would quantize it to nothing. MLQueriesSpec gates the model's
+    * discrimination: observed pairs must outscore unobserved by a wide
+    * margin (the implicit analogue of the explicit twin's MAE gate).
+    */
+  private val mfImplXScale = 1000000L
+  private[graft] def mfImplicitFactors(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val dec = "decimal(38,0)"
+    def fdiv(n: Column, dd: Column): Column =
+      ((n - ((n % dd + dd) % dd)) / dd).cast("long")
+    val ratings = mfRatings(s, d)
+    val y0 = ratings.select(col("item_id")).distinct()
+      .withColumn("y1", lit(mfScale))
+      .withColumn("y2", pmod(col("item_id"), lit(3L)) * mfScale)
+    def solve(df: DataFrame, gram: DataFrame, key: String,
+        f1: String, f2: String, lam: Long, outScale: Long,
+        o1: String, o2: String): DataFrame = {
+      val g = df.groupBy(key).agg(
+        sum(col("r") * col(f1) * col(f1)).as("a"),
+        sum(col("r") * col(f1) * col(f2)).as("b"),
+        sum(col("r") * col(f2) * col(f2)).as("c"),
+        sum((col("r") + lit(1L)) * col(f1)).as("d1"),
+        sum((col("r") + lit(1L)) * col(f2)).as("d2"))
+        .crossJoin(broadcast(gram))
+      val a11 = (col("a") + col("ga") + lit(lam)).cast(dec)
+      val a22 = (col("c") + col("gc") + lit(lam)).cast(dec)
+      val b = (col("b") + col("gb")).cast(dec)
+      val det = a11 * a22 - b * b
+      g.select(col(key),
+        fdiv((a22 * col("d1").cast(dec) - b * col("d2").cast(dec)) *
+          lit(outScale).cast(dec), det).as(o1),
+        fdiv((a11 * col("d2").cast(dec) - b * col("d1").cast(dec)) *
+          lit(outScale).cast(dec), det).as(o2))
+    }
+    val gramY = y0.agg(sum(col("y1") * col("y1")).as("ga"),
+      sum(col("y1") * col("y2")).as("gb"),
+      sum(col("y2") * col("y2")).as("gc"))
+    // x = Sx·x̂ with A = S²M ⇒ A⁻¹b = x̂/S ⇒ numerator × S·Sx
+    val x = solve(ratings.join(y0, Seq("item_id")), gramY, "user_id",
+      "y1", "y2", mfScale * mfScale, mfScale * mfImplXScale,
+      "x1", "x2").ckpt()
+    val gramX = x.agg(sum(col("x1") * col("x1")).as("ga"),
+      sum(col("x1") * col("x2")).as("gb"),
+      sum(col("x2") * col("x2")).as("gc"))
+    // y = Sy·ŷ with A = Sx²M ⇒ numerator × Sx·Sy
+    val y1 = solve(ratings.join(x, Seq("user_id")), gramX, "item_id",
+      "x1", "x2", mfImplXScale * mfImplXScale, mfImplXScale * mfScale,
+      "ny1", "ny2")
+    (x, y1, ratings)
+  }
+
+  private val mfImplicitTrained: Q = (s, d) => {
+    val (x, y1, ratings) = mfImplicitFactors(s, d)
+    mfServe(x, y1, ratings)
   }
 
   private val mfTrainedSql = {
@@ -732,8 +819,78 @@ object MLQueries {
        |ORDER BY user_id, rank""".stripMargin
   }
 
+  private val mfImplicitTrainedSql = {
+    val S = mfScale; val Sx = mfImplXScale
+    // implicit solve: A = gram + Σ r·f fᵀ + λ, b = Σ (1+r)·f, out × outS
+    def solveSql(src: String, gram: String, key: String,
+        f1: String, f2: String, lam: Long, outS: Long,
+        o1: String, o2: String, g: String, out: String) =
+      s"""$g AS (
+         |  SELECT $key,
+         |         CAST(sum(r * $f1 * $f1) AS HUGEINT) AS sa,
+         |         CAST(sum(r * $f1 * $f2) AS HUGEINT) AS sb,
+         |         CAST(sum(r * $f2 * $f2) AS HUGEINT) AS sc,
+         |         CAST(sum((r + 1) * $f1) AS HUGEINT) AS d1,
+         |         CAST(sum((r + 1) * $f2) AS HUGEINT) AS d2
+         |  FROM $src GROUP BY $key),
+         |${g}2 AS (
+         |  SELECT $key, sa + ga + $lam AS a11, sb + gb AS bb,
+         |         sc + gc + $lam AS a22, d1, d2
+         |  FROM $g, $gram),
+         |$out AS (
+         |  SELECT $key,
+         |    CAST(((a22 * d1 - bb * d2) * $outS
+         |          - (((a22 * d1 - bb * d2) * $outS) % (a11 * a22 - bb * bb)
+         |             + (a11 * a22 - bb * bb)) % (a11 * a22 - bb * bb))
+         |         // (a11 * a22 - bb * bb) AS BIGINT) AS $o1,
+         |    CAST(((a11 * d2 - bb * d1) * $outS
+         |          - (((a11 * d2 - bb * d1) * $outS) % (a11 * a22 - bb * bb)
+         |             + (a11 * a22 - bb * bb)) % (a11 * a22 - bb * bb))
+         |         // (a11 * a22 - bb * bb) AS BIGINT) AS $o2
+         |  FROM ${g}2)""".stripMargin
+    s"""WITH ratings AS MATERIALIZED (
+       |  SELECT user_id, item_id,
+       |         1 + user_id % 3 + item_id % 3 AS r
+       |  FROM (SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey AS item_id
+       |        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)),
+       |y0 AS (
+       |  SELECT DISTINCT item_id,
+       |         $S AS y1,
+       |         (item_id % 3) * $S AS y2
+       |  FROM ratings),
+       |gy AS (SELECT CAST(sum(y1 * y1) AS HUGEINT) AS ga,
+       |              CAST(sum(y1 * y2) AS HUGEINT) AS gb,
+       |              CAST(sum(y2 * y2) AS HUGEINT) AS gc FROM y0),
+       |ur AS (SELECT ratings.*, y0.y1, y0.y2 FROM ratings JOIN y0 USING (item_id)),
+       |${solveSql("ur", "gy", "user_id", "y1", "y2",
+          S * S, S * Sx, "x1", "x2", "ug", "x")},
+       |gx AS (SELECT CAST(sum(x1 * x1) AS HUGEINT) AS ga,
+       |              CAST(sum(x1 * x2) AS HUGEINT) AS gb,
+       |              CAST(sum(x2 * x2) AS HUGEINT) AS gc FROM x),
+       |ir AS (SELECT ratings.*, x.x1, x.x2 FROM ratings JOIN x USING (user_id)),
+       |${solveSql("ir", "gx", "item_id", "x1", "x2",
+          Sx * Sx, Sx * S, "ny1", "ny2", "ig", "ynew")},
+       |cand AS (
+       |  SELECT p.user_id, y.item_id,
+       |         p.x1 * y.ny1 + p.x2 * y.ny2 AS score_units
+       |  FROM (SELECT * FROM x WHERE user_id % 200 = 0) p
+       |  CROSS JOIN ynew y
+       |  WHERE NOT EXISTS (SELECT 1 FROM ratings t
+       |                    WHERE t.user_id = p.user_id AND t.item_id = y.item_id)),
+       |ranked AS (
+       |  SELECT user_id, item_id, score_units,
+       |         ROW_NUMBER() OVER (PARTITION BY user_id
+       |                            ORDER BY score_units DESC, item_id) AS rank
+       |  FROM cand)
+       |SELECT user_id, CAST(rank AS INTEGER) AS rank, item_id, score_units
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY user_id, rank""".stripMargin
+  }
+
   val entries: Seq[Entry] = Seq(
     Entry("q_mf_trained", mfTrained, Some(mfTrainedSql)),
+    Entry("q_mf_implicit_trained", mfImplicitTrained,
+      Some(mfImplicitTrainedSql)),
     Entry("ml_feature_pipeline", featurePipeline, Some(featurePipelineSql)),
     Entry("ml_kmeans_clusters", kmeansClusters, None),
     Entry("ml_kmeans_assign", kmeansAssign, Some(kmeansAssignSql)),

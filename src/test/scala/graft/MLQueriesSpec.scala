@@ -360,4 +360,53 @@ class MLQueriesSpec extends SparkSpec {
     assert(mae < baseline / 4,
       s"det-ALS MAE $mae not clearly better than constant baseline $baseline")
   }
+
+  test("q_mf_implicit_trained: gram-corrected solve is exact; observed pairs outscore unobserved") {
+    import graft.queries.MLQueries
+    val (x, y, ratings) = MLQueries.mfImplicitFactors(spark, sfDir)
+    // (a) solver pin: A_u = G + Σ r·y yᵀ + λI, b_u = Σ (1+r)·y, and the
+    // stored x must satisfy |A·x − S·Sx·b| within the floor-error bound
+    // (one row-abs-sum of A) — BigInt, gram recomputed independently
+    val S = BigInt(1000); val Sx = BigInt(1000000); val lam = S * S
+    val rows = ratings.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val items = rows.map(_._2).distinct
+    var ga, gb, gc = BigInt(0)
+    items.foreach { i =>
+      val y1 = S; val y2 = BigInt(i % 3) * S
+      ga += y1 * y1; gb += y1 * y2; gc += y2 * y2
+    }
+    val xs = x.collect().map(r => r.getLong(0) -> (BigInt(r.getLong(1)), BigInt(r.getLong(2)))).toMap
+    var checked = 0
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      var sa, sb, sc, d1, d2 = BigInt(0)
+      rs.foreach { case (_, item, rr) =>
+        val y1 = S; val y2 = BigInt(item % 3) * S
+        sa += BigInt(rr) * y1 * y1; sb += BigInt(rr) * y1 * y2
+        sc += BigInt(rr) * y2 * y2
+        d1 += BigInt(rr + 1) * y1; d2 += BigInt(rr + 1) * y2
+      }
+      val (a11, bb, a22) = (sa + ga + lam, sb + gb, sc + gc + lam)
+      val (x1, x2) = xs(u)
+      val r1 = (a11 * x1 + bb * x2 - S * Sx * d1).abs
+      val r2 = (bb * x1 + a22 * x2 - S * Sx * d2).abs
+      assert(r1 <= a11 + bb && r2 <= bb + a22,
+        s"user $u implicit solve residual out of bound: $r1 / $r2")
+      checked += 1
+    }
+    assert(checked > 50, s"vacuous fixture: only $checked users")
+    // (b) the model DISCRIMINATES: mean score of observed pairs must
+    // exceed unobserved by a clear margin (p = 1 vs 0 is what implicit
+    // MF fits; measured 14–18% at spec/driver SFs, gate at 5%)
+    val all = x.crossJoin(org.apache.spark.sql.functions.broadcast(y))
+      .join(ratings.withColumn("obs", lit(1)),
+        Seq("user_id", "item_id"), "left_outer")
+      .withColumn("s",
+        (col("x1") * col("ny1") + col("x2") * col("ny2")).cast("double") / 1e9)
+    val m = all.groupBy(org.apache.spark.sql.functions
+        .coalesce(col("obs"), lit(0)).as("o"))
+      .agg(avg(col("s")).as("m")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(m(1) > m(0) * 1.05,
+      s"implicit fit does not discriminate: obs=${m(1)} unobs=${m(0)}")
+  }
 }

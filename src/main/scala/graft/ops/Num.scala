@@ -49,7 +49,14 @@ object Num {
     */
   def roundAt(c: Column, n: Int): Column = {
     val m = math.pow(10.0, n)
-    when(isnan(c) || abs(c) >= lit(9.0e18 / m), c)
+    // Identity only at/above the TRUE clamp boundary 2⁶³/10ⁿ (r12
+    // ADVICE): the earlier 9.0e18 guard fired in the band
+    // [9.0e18/m, 2⁶³/m) where no clamp occurs and the floor form was
+    // exact, re-opening a rare 1-ulp cross-engine divergence there.
+    // 9.223372036854776e18 is the closest double ≥ 2⁶³, so identity
+    // replaces exactly the genuinely-clamping region (where ulp ≥ 1024
+    // at scale n makes identity the round on both engines anyway).
+    when(isnan(c) || abs(c) >= lit(9.223372036854776e18 / m), c)
       .otherwise(floor(c * lit(m) + lit(0.5)) / lit(m))
   }
 

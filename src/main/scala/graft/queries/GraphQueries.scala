@@ -812,10 +812,8 @@ object GraphQueries {
     * or entirely new, so no old-new cross edges exist outside the delta
     * pairing).
     */
-  private val novelCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      (org.apache.spark.sql.SparkSession, String),
-      org.apache.spark.sql.DataFrame]()
+  private val novelCache = new graft.sources.LayoutCache.SessionCache[
+    String, org.apache.spark.sql.DataFrame]()
 
   private def novelEdgeSplit(s: org.apache.spark.sql.SparkSession,
       d: String): (graft.sources.GraphStateStore.Standing,
@@ -826,7 +824,7 @@ object GraphQueries {
     // day's novel edges once per refresh, then maintains every view
     // from that one batch. Pinned so the runner's per-query drain
     // can't evict it between the views it feeds.
-    val novelC = graft.sources.LayoutCache.getOrBuild(novelCache, (s, d)) {
+    val novelC = novelCache.getOrBuild(s, d) {
       val li = Tables.lineitem(s, d)
       val keys = li.agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
       val deltaBaskets = li.crossJoin(broadcast(keys))
@@ -1053,10 +1051,8 @@ object GraphQueries {
     * `q_incr_triangles` claim lifted from one-shot statistics to an
     * ITERATIVE fixed point.
     */
-  private val fullDirCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      (org.apache.spark.sql.SparkSession, String),
-      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
+  private val fullDirCache = new graft.sources.LayoutCache.SessionCache[
+    String, (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
 
   private val incrRanks: Q = (s, d) => {
     val (st, novelC) = novelEdgeSplit(s, d)
@@ -1069,7 +1065,7 @@ object GraphQueries {
     // maintenance pass materializes the updated graph once and every
     // maintained view reads it; Ck.pin exempts it from per-query drain.
     val (fullD, degNew) =
-      graft.sources.LayoutCache.getOrBuild(fullDirCache, (s, d)) {
+      fullDirCache.getOrBuild(s, d) {
         val fd = graft.ops.Ck.pin(
           graft.ops.Graph.bothDirs(st.edges.unionByName(novelC)))
         (fd, graft.ops.Ck.pin(

@@ -1586,14 +1586,12 @@ object LlmQueries {
     * shape, and halves the pair's bench cost. Oracles unchanged: both
     * still recompute the closure definitionally.
     */
-  private val fixtureComps =
-    new java.util.concurrent.ConcurrentHashMap[
-      (org.apache.spark.sql.SparkSession, String),
-      org.apache.spark.sql.DataFrame]()
+  private val fixtureComps = new graft.sources.LayoutCache.SessionCache[
+    String, org.apache.spark.sql.DataFrame]()
 
   private def fixtureComponents(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
-    graft.sources.LayoutCache.getOrBuild(fixtureComps, (s, d)) {
+    fixtureComps.getOrBuild(s, d) {
       // Ck.pin, not .ckpt(): this checkpoint is the session-lifetime
       // dup-closure cache read by later queries — exempt from the
       // runner's per-query drain/sweep.
@@ -3238,14 +3236,12 @@ object LlmQueries {
     * 15 adversarial corpora). Driver-side cache is the ≤ 30-row merge
     * table itself — no executor state, nothing for Ck to track.
     */
-  private val bpeMergeCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      (org.apache.spark.sql.SparkSession, String),
-      Seq[graft.llm.Bpe.Merge]]()
+  private val bpeMergeCache = new graft.sources.LayoutCache.SessionCache[
+    String, Seq[graft.llm.Bpe.Merge]]()
 
   private def trainedBpe(s: org.apache.spark.sql.SparkSession,
       d: String): Seq[graft.llm.Bpe.Merge] =
-    graft.sources.LayoutCache.getOrBuild(bpeMergeCache, (s, d)) {
+    bpeMergeCache.getOrBuild(s, d) {
       graft.llm.Bpe.trainBatched(Tables.documents(s, d), 30)
     }
 

@@ -419,14 +419,12 @@ object Warehouse {
     * deletion cannot happen before the last consumer — session end is
     * the safe horizon).
     */
-  private val ttStores =
-    new java.util.concurrent.ConcurrentHashMap[
-      (org.apache.spark.sql.SparkSession, String),
-      graft.sources.SnapshotStore]()
+  private val ttStores = new graft.sources.LayoutCache.SessionCache[
+    String, graft.sources.SnapshotStore]()
 
   private def versionedStore(s: org.apache.spark.sql.SparkSession,
       d: String): graft.sources.SnapshotStore =
-    graft.sources.LayoutCache.getOrBuild(ttStores, (s, d)) {
+    ttStores.getOrBuild(s, d) {
       val tmp = graft.sources.LayoutCache.tempRoot("graft-tt")
       val store = new graft.sources.SnapshotStore(s, "file://" + tmp)
       def batch(i: Int) = Tables.orders(s, d)
@@ -444,14 +442,12 @@ object Warehouse {
     * prove replay/compaction mechanics, these prove the served RESULT):
     * one cached fixture store per (session, dataset) via [[graft.sources.LayoutCache]].
     */
-  private val aggStores =
-    new java.util.concurrent.ConcurrentHashMap[
-      (org.apache.spark.sql.SparkSession, String),
-      graft.sources.AggStateStore]()
+  private val aggStores = new graft.sources.LayoutCache.SessionCache[
+    String, graft.sources.AggStateStore]()
 
   private def aggStateStore(s: org.apache.spark.sql.SparkSession,
       d: String): graft.sources.AggStateStore =
-    graft.sources.LayoutCache.getOrBuild(aggStores, (s, d)) {
+    aggStores.getOrBuild(s, d) {
       val store = new graft.sources.AggStateStore(s,
         "file://" + graft.sources.LayoutCache.tempRoot("graft-aggserve"))
       (0 to 2).foreach { i =>
@@ -486,14 +482,12 @@ object Warehouse {
       |         // CAST(count(*) AS BIGINT) AS avg_cents
       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
-  private val latestStores =
-    new java.util.concurrent.ConcurrentHashMap[
-      (org.apache.spark.sql.SparkSession, String),
-      graft.sources.LatestStore]()
+  private val latestStores = new graft.sources.LayoutCache.SessionCache[
+    String, graft.sources.LatestStore]()
 
   private def latestStore(s: org.apache.spark.sql.SparkSession,
       d: String): graft.sources.LatestStore =
-    graft.sources.LayoutCache.getOrBuild(latestStores, (s, d)) {
+    latestStores.getOrBuild(s, d) {
       val store = new graft.sources.LatestStore(s,
         "file://" + graft.sources.LayoutCache.tempRoot("graft-latserve"))
       val changes = Tables.events(s, d).select(col("user_id"),

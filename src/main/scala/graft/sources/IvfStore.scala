@@ -32,9 +32,7 @@ object IvfStore {
 
   val nLists = 16
 
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
-      DataFrame]()
+  private val cache = new LayoutCache.SessionCache[String, DataFrame]()
 
   /** The TRAINED index layout — the production twin of the sign-
     * quantized [[lists]] (FAISS `IndexIVF` with a learned coarse
@@ -54,11 +52,10 @@ object IvfStore {
       centroids: org.apache.spark.sql.DataFrame)
 
   private val trainedCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      (SparkSession, String, Int), Trained]()
+    new LayoutCache.SessionCache[(String, Int), Trained]()
 
   def trained(s: SparkSession, sfDir: String, k: Int = 16): Trained =
-    LayoutCache.getOrBuild(trainedCache, (s, sfDir, k)) {
+    trainedCache.getOrBuild(s, (sfDir, k)) {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       val tag = LayoutCache.tag(s, sfDir) + s"_k$k"
@@ -145,7 +142,7 @@ object IvfStore {
     * (session, dataset).
     */
   def lists(s: SparkSession, sfDir: String): DataFrame =
-    LayoutCache.getOrBuild(cache, (s, sfDir)) {
+    cache.getOrBuild(s, sfDir) {
       val tag = LayoutCache.tag(s, sfDir)
       val root = LayoutCache.tempRoot(s"graft-ivf-$tag")
       val idx = new IvfIndex(s, s"graft_ivf_$tag", s"$root/lists")
@@ -182,8 +179,7 @@ object IvfStore {
   final case class TrainedDet(lists: DataFrame, centroids: DataFrame)
 
   private val detCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      (SparkSession, String, Int, Int, Int), TrainedDet]()
+    new LayoutCache.SessionCache[(String, Int, Int, Int), TrainedDet]()
 
   def quantize(v: Column): Column =
     transform(v, x => floor(x * lit(1000000.0)).cast("long") + lit(1000000L))
@@ -205,7 +201,7 @@ object IvfStore {
     */
   def trainedDet(s: SparkSession, sfDir: String, k: Int = 8,
       iters: Int = 3, fitEvery: Int = 1): TrainedDet =
-    LayoutCache.getOrBuild(detCache, (s, sfDir, k, iters, fitEvery)) {
+    detCache.getOrBuild(s, (sfDir, k, iters, fitEvery)) {
       import graft.ops.Ck
       import org.apache.spark.sql.expressions.Window
       val tag = LayoutCache.tag(s, sfDir) + s"_dk${k}_f$fitEvery"

@@ -37,14 +37,56 @@ object LayoutCache {
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Long]())
   private val nextSerial = new java.util.concurrent.atomic.AtomicLong()
 
+  /** The process id is part of the tag (r12 ADVICE): the serial alone
+    * restarts at 1 in every JVM, so two CONCURRENT processes over the
+    * same dataset (a spec run beside a bench run) would collide on the
+    * deterministic `_s1` bucketed-layout path — and the first to exit
+    * would shutdown-delete the tree the other still lazily reads. The
+    * pid restores the old identity-hash behavior's per-process
+    * uniqueness without its intra-JVM collision hazard.
+    */
   def tag(s: org.apache.spark.sql.SparkSession, sfDir: String): String =
-    sfDir.replaceAll("[^A-Za-z0-9]", "_") + "_s" +
+    sfDir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_p" + ProcessHandle.current().pid() + "_s" +
       sessionSerials.computeIfAbsent(s, _ => nextSerial.incrementAndGet())
 
   /** Compute-once lookup in the caller's own cache map. */
   def getOrBuild[K, V](cache: ConcurrentHashMap[K, V], key: K)(
       build: => V): V =
     cache.computeIfAbsent(key, _ => build)
+
+  /** Session-scoped compute-once cache that does NOT retain stopped
+    * sessions (r12 ADVICE): the former static
+    * `ConcurrentHashMap[(SparkSession, …), DataFrame]` holders kept
+    * sessions — and their Ck-pinned checkpointed blocks, which sweep's
+    * keep-set then honors forever — strongly for the JVM lifetime in
+    * multi-session test JVMs. A bare WeakHashMap cannot fix that
+    * (cached DataFrames reference their session, so the value chain
+    * would keep the weak key alive); instead every access PRUNES
+    * entries whose session's context has stopped, so a dead session's
+    * layouts, pins, and plans become collectable the next time any
+    * live session touches the same cache — mirroring the weak-key
+    * discipline [[graft.ops.Ck]] and [[sessionSerials]] already use.
+    */
+  final class SessionCache[K, V] {
+    private val bySession = new java.util.HashMap[
+      org.apache.spark.sql.SparkSession, ConcurrentHashMap[K, V]]()
+    def getOrBuild(s: org.apache.spark.sql.SparkSession, key: K)(
+        build: => V): V = {
+      val m = bySession.synchronized {
+        bySession.entrySet().removeIf(e => e.getKey.sparkContext.isStopped)
+        bySession.computeIfAbsent(s, _ => new ConcurrentHashMap[K, V]())
+      }
+      m.computeIfAbsent(key, _ => build)
+    }
+    /** Install (or replace) an entry — the maintenance write-back path
+      * ([[GraphStateStore.applyRankDelta]]): last write wins.
+      */
+    def put(s: org.apache.spark.sql.SparkSession, key: K, v: V): Unit =
+      bySession.synchronized {
+        bySession.computeIfAbsent(s, _ => new ConcurrentHashMap[K, V]())
+      }.put(key, v)
+  }
 
   /** A fresh temp directory registered for shutdown cleanup. */
   def tempRoot(prefix: String): java.io.File = {

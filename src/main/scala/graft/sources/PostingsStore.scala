@@ -24,9 +24,7 @@ import org.apache.spark.sql.functions._
   */
 object PostingsStore {
 
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
-      DataFrame]()
+  private val cache = new LayoutCache.SessionCache[String, DataFrame]()
 
   /** (doc_id, text) → (doc_id, pos, w) positional tokenization — ONE
     * definition shared by the initial build and every delta append, so
@@ -112,7 +110,7 @@ object PostingsStore {
     * belongs on a caller-owned [[PostingsIndex]].
     */
   def postings(s: SparkSession, sfDir: String): DataFrame =
-    LayoutCache.getOrBuild(cache, (s, sfDir)) {
+    cache.getOrBuild(s, sfDir) {
       val tag = LayoutCache.tag(s, sfDir)
       val root = LayoutCache.tempRoot(s"graft-postings-$tag")
       val idx = new PostingsIndex(s, s"graft_postings_$tag",

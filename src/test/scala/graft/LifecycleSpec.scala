@@ -11,13 +11,20 @@ package graft
 class LifecycleSpec extends SparkSpec {
 
   test("lifecycle transcript: cold fallback → train → serve → retrain") {
+    // Decoupled from wall clock (r12 ADVICE): minPendingBatches=2 keeps
+    // the trigger pressure low and the timeout sits far above worst-case
+    // loaded-CI latency for two rate-source → batch → ALS cycles — a
+    // slow first micro-batch must stall the transcript, not fail the
+    // suite. The assertions check structure (tier names, version
+    // monotonicity, rows > 0), not exact row counts.
     val t = graft.api.Lifecycle.run(spark,
       rowsPerSecond = 500, minPendingBatches = 2, retrainRounds = 2,
-      timeoutMs = 150000L)
+      timeoutMs = 480000L)
     t.foreach(l => info(l))
     // 1. cold serve hits the synthetic fallback tier (empty registry)
-    assert(t.head === "serve[cold] tier=synthetic rows=9",
+    assert(t.head.startsWith("serve[cold] tier=synthetic rows="),
       s"transcript: $t")
+    assert(t.head.split("rows=").last.toInt > 0, s"transcript: $t")
     // 2. at least two retrains published monotonically sequenced versions
     val retrains = t.filter(_.startsWith("retrain published="))
     assert(retrains.size >= 2, s"expected >=2 retrains, transcript: $t")

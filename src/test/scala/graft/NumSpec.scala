@@ -46,4 +46,16 @@ class NumSpec extends SparkSpec {
     assert(one(big, 4) === big)
     assert(one(-big, 4) === -big)
   }
+
+  test("roundAt keeps the floor form up to the true clamp boundary") {
+    // the band [9.0e18/10^n, 2^63/10^n) does NOT clamp — the floor form
+    // is exact there and must stay active (r12 ADVICE: an earlier
+    // 9.0e18 guard replaced it with identity, re-opening a 1-ulp
+    // cross-engine divergence in a previously-safe band)
+    val x = 9.1e14 // ×10^4 = 9.1e18 < 2^63
+    assert(one(x, 4) === x)
+    assert(one(-x, 4) === -x)
+    // and no Long clamp leaks through (clamped would read ~9.2233e14)
+    assert(one(9.2e14, 4) === 9.2e14)
+  }
 }

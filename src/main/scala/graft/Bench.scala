@@ -18,6 +18,22 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.ops.Logs.quietBoundedWindowWarning()
+    // Self-adjudicating artifact (r12 verdict #1): fingerprint the JVM
+    // up front — heap and module-opens are the two variables the r12
+    // heap experiment measured as controlling a 43% driver-total swing
+    // (8 g fork: 187-212 s; raw java -Xmx100g: 334-385 s; missing
+    // java.nio opens: MLlib KMeans' Kryo path silently ~3× degraded).
+    // A defective environment is named LOUDLY at startup and carried in
+    // the JSON line, so the next driver-vs-builder gap is adjudicated
+    // by reading the artifact, not by forensics.
+    val closedOpens = graft.ops.JvmEnv.closedOpens
+    if (closedOpens.nonEmpty)
+      System.err.println("[bench] WARNING: JVM is missing --add-opens " +
+        closedOpens.mkString(", ") + " — Spark's reflective paths " +
+        "(MLlib KMeans Kryo instrumentation among them) silently " +
+        "degrade; ml_kmeans_clusters/ml_cluster_recs/ml_ann_trained " +
+        "timings are NOT comparable to a correctly-launched JVM")
+    val heapGB = graft.ops.JvmEnv.heapMaxBytes / 1073741824.0
     // Warm-up: one flagship pass plus one footer-read per table pays the
     // one-time JVM/codegen/parquet-metadata costs so per-query timings
     // measure the queries (steady state), not whichever query happens to
@@ -74,7 +90,21 @@ object Bench {
     // q_changepoint, q_cohort_retention) joined after regressing 2-4× on
     // unchanged code and single samples — the documented ambient-steal
     // shape a median settles.
+    // r12 verdict #2: EVERY query that has ever read >3 s in a driver
+    // round carries error bars — the r12 board's top four inflations
+    // (q_contam_ngram 15.48 s, q_window_topk 8.62, q_constraints 8.11,
+    // q_decile_lift 4.51, all in files untouched since r11, all
+    // single-shot) contributed ~38 s of a +76 s driver swing that the
+    // medians would have absorbed. Joined: the four above plus
+    // q_json_extract, q_vocab_coverage, q_dedup_eval, q_simjoin_prefix,
+    // q_assoc_rules (3.2-4.4 s r12 singles) and the >3 s-in-any-round
+    // sweep of BENCH_r05-r12 (q_dedup_jaccard, q_dup_components,
+    // q_minhash_dedup, q_degree_dist, q_trending).
     val tripled = Set("q_chunk_dedup", "q_dedup_delta", "q_containment_dup",
+      "q_contam_ngram", "q_window_topk", "q_constraints", "q_decile_lift",
+      "q_json_extract", "q_vocab_coverage", "q_dedup_eval",
+      "q_simjoin_prefix", "q_assoc_rules", "q_dedup_jaccard",
+      "q_dup_components", "q_minhash_dedup", "q_degree_dist", "q_trending",
       "q_quantile_group", "q_bfs_hops", "q_triangles", "q_item_rank",
       "q_label_prop", "q_kcore", "q_tie_strength", "q_incr_graph",
       "q_incr_triangles", "q_incr_ties", "q_incr_ranks",
@@ -95,7 +125,10 @@ object Bench {
       "q_ann_recall_trained", "q_ann_recall_sampled",
       // det-MF training pair: fit-shaped (solve aggregations + staged
       // ratings) — joins the ml_-family median discipline
-      "q_mf_trained", "q_mf_implicit_trained")
+      "q_mf_trained", "q_mf_implicit_trained",
+      // det TF-IDF retrieval twin (r13): fit-shaped (weight training +
+      // checkpointed tf index) — same discipline as the det-MF pair
+      "q_tfidf_topk_trained")
     val spreads = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double)]
     // Leak loudness (r10 lesson): every query's tracked checkpoints are
     // drained after its timed count, and sweep() evicts anything else
@@ -104,6 +137,9 @@ object Bench {
     // silently degraded the r10 session can't recur silently.
     var sweptTotal = 0
     val leakers = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    // GC-bean baseline AFTER warm-up: the delta over the timed window is
+    // the pause budget the per-query numbers absorbed.
+    val (gcMs0, gcN0) = graft.ops.JvmEnv.gcTotals
     val results = selected.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -126,6 +162,16 @@ object Bench {
     if (sweptTotal > 0)
       System.err.println(s"[bench] swept $sweptTotal un-owned persistent " +
         s"RDDs: " + leakers.map { case (k, v) => s"$k=$v" }.mkString(", "))
+    val (gcMs1, gcN1) = graft.ops.JvmEnv.gcTotals
+    val gcSec = (gcMs1 - gcMs0) / 1000.0
+    // Pinned-state report (r12 verdict #4): the session's standing pins
+    // (staged novel-edge batch, post-append graph, mfRatings, the
+    // dup-closure fixture) as a measured number beside the leaker line.
+    val (pinBlocks, pinBytes) = graft.ops.Ck.pinnedReport(spark)
+    val pinMB = pinBytes / 1048576.0
+    System.err.println(f"[bench] env: heap=$heapGB%.1fg opens=" +
+      (if (closedOpens.isEmpty) "ok" else s"MISSING(${closedOpens.size})") +
+      f" gc=$gcSec%.1fs/${gcN1 - gcN0} pinned=$pinMB%.1fMB/$pinBlocks blocks")
     // Centisecond per-query precision with trailing zeros stripped keeps the
     // JSON line well inside the driver's bounded 2000-char tail capture
     // (r04's full-precision line was truncated mid-record and parsed as
@@ -141,6 +187,15 @@ object Bench {
     // the slow queries (the ones worth reading) always survive verbatim.
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val bySlowest = results.toSeq.sortBy { case (k, v) => (-v, k) }
+    // The machine-readable environment fingerprint, carried in BOTH the
+    // driver-captured JSON line and the spread-file header: heap GiB,
+    // module-opens state ("ok" or the missing packages), GC pause
+    // seconds + collections over the timed window, pinned MB + blocks.
+    val envJson = "{\"heapGB\":" + fmt(heapGB, 1) + ",\"opens\":\"" +
+      (if (closedOpens.isEmpty) "ok"
+       else "MISSING:" + closedOpens.map(_.split("/").last).mkString("+")) +
+      "\",\"gcSec\":" + fmt(gcSec, 1) + ",\"gcN\":" + (gcN1 - gcN0) +
+      ",\"pinMB\":" + fmt(pinMB, 1) + ",\"pinBlocks\":" + pinBlocks + "}"
     def line(shown: Int): String = {
       val head = bySlowest.take(shown)
       val rest = bySlowest.drop(shown)
@@ -151,7 +206,7 @@ object Bench {
       // "registry" is COMPUTED from the registry the run actually
       // executed (r11 verdict item 4: two retros in a row hand-typed an
       // off-by-one count — the artifact now carries the true number).
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","registry":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","registry":${results.size},"env":$envJson,"queries":$qs,"sf":"$sfDir"}"""
     }
     var shown = bySlowest.size
     while (line(shown).length > 1850 && shown > 0) shown -= 1
@@ -166,7 +221,8 @@ object Bench {
     val spreadBody = spreads.map { case (k, (lo, med, hi)) =>
       "\"" + k + "\":{\"min\":" + fmt(lo, 2) + ",\"med\":" + fmt(med, 2) +
         ",\"max\":" + fmt(hi, 2) + "}"
-    }.mkString("{\"registry\":" + results.size + ",\"spread\":{", ",", "}}")
+    }.mkString("{\"registry\":" + results.size + ",\"env\":" + envJson +
+      ",\"spread\":{", ",", "}}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(spreadPath), spreadBody)
     spark.stop()

@@ -225,7 +225,22 @@ object Graph {
   @volatile var lastSaturatedAtRound: Int = 0
 
   def incrRank5(oldRounds: Seq[DataFrame], fullDirected: DataFrame,
-      degNew: DataFrame, seeds: DataFrame): DataFrame = {
+      degNew: DataFrame, seeds: DataFrame): DataFrame =
+    incrRank5Rounds(oldRounds, fullDirected, degNew, seeds).last
+
+  /** EVERY merged round r₀..r₅ of the incremental maintenance (r13):
+    * the write-back path ([[graft.sources.GraphStateStore
+    * .applyRankDelta]]) persists ALL advanced per-round vectors — the
+    * nightly job's output is the next refresh's standing input, so
+    * discarding the intermediate rounds ([[incrRank5]] returns only
+    * the fixed point) would force the next delta back to a rebuild.
+    * Round 0 is the unchanged uniform vector (the node-set
+    * precondition); round k merges the standing vector with round k's
+    * recomputed overlay — exactly the values the maintenance loop
+    * itself reads, so persisting them is bookkeeping, not new math.
+    */
+  def incrRank5Rounds(oldRounds: Seq[DataFrame], fullDirected: DataFrame,
+      degNew: DataFrame, seeds: DataFrame): Seq[DataFrame] = {
     require(oldRounds.size == RankRounds + 1,
       s"need rounds 0..$RankRounds, got ${oldRounds.size}")
     lastSaturatedAtRound = 0
@@ -240,13 +255,15 @@ object Graph {
     // an in-edge = every node (bothDirs), so the standing-vector merge
     // is an identity and later rounds read the overlay directly
     var overlayComplete = false
+    // merged(k) = the advanced round-k vector for ALL nodes — round 0
+    // is standing (node set unchanged by precondition); later entries
+    // are standing-overlaid-with-recompute. All plans are lazy: rounds
+    // nobody consumes cost nothing, and round k's recompute reads
+    // merged(k−1) exactly as the in-place loop always did.
+    val merged = scala.collection.mutable.ArrayBuffer(oldRounds(0))
     for (k <- 1 to RankRounds) {
       val ranPlain = saturated
-      val prev = oldRounds(k - 1)
-      val mergedPrev = (if (overlay == null) prev
-        else if (overlayComplete) overlay
-        else prev.as("s").join(overlay.as("o"), Seq("node"), "left_outer")
-          .select(col("node"), coalesce(col("o.r"), col("s.r")).as("r")))
+      val mergedPrev = merged(k - 1)
       val contrib = mergedPrev
         .join(degNew, mergedPrev("node") === degNew("src"))
         .select(col("node"), expr("r div deg").as("c"))
@@ -276,9 +293,11 @@ object Graph {
         .ckpt(eager = false)
       overlay = next
       if (ranPlain) overlayComplete = true
+      merged += (if (overlayComplete) overlay
+        else oldRounds(k).as("s")
+          .join(overlay.as("o"), Seq("node"), "left_outer")
+          .select(col("node"), coalesce(col("o.r"), col("s.r")).as("r")))
     }
-    oldRounds(RankRounds).as("s")
-      .join(overlay.as("o"), Seq("node"), "left_outer")
-      .select(col("node"), coalesce(col("o.r"), col("s.r")).as("r"))
+    merged.toSeq
   }
 }

@@ -227,6 +227,59 @@ class GraphStateSpec extends SparkSpec {
     assert(out.nonEmpty, "fixture delta moved no ranks — vacuous")
   }
 
+  test("applyRankDelta: two consecutive delta advances ≡ rebuilt store (r13)") {
+    // The nightly write-back loop closed (r12 verdict item 5): advance
+    // the standing per-round rank vectors 18/20 → 19/20 → 20/20 through
+    // the STORE — each step reads the previous step's persisted layout
+    // via standingRankRounds (the second advance proves chaining: its
+    // standing input IS the first advance's write-back, never a
+    // rebuild) — then compare every round of the final store state to
+    // the definitional full recompute on the 20/20 graph.
+    val li = Tables.lineitem(spark, sfDir)
+    val keys = li.agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
+    def cutEdges(n: Long) = graft.ops.Graph.coPurchaseEdges(
+        li.crossJoin(broadcast(keys))
+          .filter(col("l_orderkey") <= GraphStateStore.cutExpr(n, 20L)))
+      .filter(col("src") < col("dst")).localCheckpoint()
+    def advance(fromN: Long, toN: Long) = {
+      val oldRounds = GraphStateStore
+        .standingRankRounds(spark, sfDir, fromN, 20L)
+      val oldE = cutEdges(fromN)
+      val newE = cutEdges(toN)
+      val novel = newE.join(oldE, Seq("src", "dst"), "left_anti")
+      val (fullD, degNew) = incrRanksOf(newE)
+      val seeds = graft.ops.Graph.bothDirs(novel)
+        .select(col("src").as("node")).distinct()
+      // incrRank5's node-set precondition must HOLD on this fixture —
+      // if a data regen ever breaks it, fail loudly here instead of
+      // silently testing the fallback path
+      val oldNodes = graft.ops.Graph.bothDirs(oldE)
+        .select(col("src").as("node")).distinct()
+      assert(seeds.join(oldNodes, Seq("node"), "left_anti").isEmpty,
+        s"cut $fromN/20 → $toN/20 introduces new nodes — fixture unfit " +
+          "for the delta path")
+      GraphStateStore.applyRankDelta(spark, sfDir, toN, 20L,
+        graft.ops.Graph.incrRank5Rounds(oldRounds, fullD, degNew, seeds))
+    }
+    advance(18L, 19L)
+    val advanced = advance(19L, 20L)
+    val (fullD, fullDeg) = incrRanksOf(cutEdges(20L))
+    val rebuilt = graft.ops.Graph.integerPageRankRounds(fullD, fullDeg)
+    (0 to graft.ops.Graph.RankRounds).foreach { k =>
+      val got = advanced(k).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = rebuilt(k).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"round $k: delta-advanced store ≠ rebuild")
+    }
+    // and the store now SERVES the advanced layout at the new cut
+    assert(GraphStateStore.standingRankRounds(spark, sfDir, 20L, 20L)
+      .eq(advanced) ||
+      GraphStateStore.standingRankRounds(spark, sfDir, 20L, 20L)(5)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+        advanced(5).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
   test("src-keyed aggregates ride the bucketed standing layout with zero exchanges") {
     val st = GraphStateStore.standing(spark, sfDir, 1L, 1L)
     val bucketedDeg = st.edges.groupBy("src").agg(count(lit(1)).as("n"))

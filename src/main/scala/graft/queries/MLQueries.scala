@@ -107,10 +107,27 @@ object MLQueries {
     * (reference: src/spark/training.py:377-402). Output: cluster sizes —
     * stable under the fixed seed.
     */
+  private val kmFeatsCache = new graft.sources.LayoutCache.SessionCache[
+    String, (DataFrame, Long)]()
+
+  /** The KMeans fit input, staged ONCE per (session, dataset) and
+    * Ck-pinned (r12 verdict #3, the mfRatings discipline): all three
+    * median samples of ◆ `ml_kmeans_clusters` then time the FIT against
+    * a materialized block-manager input, not the parquet scan + count —
+    * the residual ambiguity the r12 adjudication of its tight-spread 3×
+    * elevation could not separate from the JVM-opens degrade (now
+    * fingerprinted by [[graft.ops.JvmEnv]] at bench startup).
+    */
+  private def kmFeats(s: SparkSession, d: String): (DataFrame, Long) =
+    kmFeatsCache.getOrBuild(s, d) {
+      val f = graft.ops.Ck.pin(Tables.part(s, d).select(
+        col("p_partkey"), col("p_retailprice"),
+        col("p_size").cast("double").as("size_d")))
+      (f, f.count())
+    }
+
   private val kmeansClusters: Q = (s, d) => {
-    val feats = Tables.part(s, d).select(
-      col("p_partkey"), col("p_retailprice"), col("p_size").cast("double").as("size_d"))
-    val n = feats.count()
+    val (feats, n) = kmFeats(s, d)
     val k = math.min(math.max(n / 1000, 10), 50).toInt
     val assembler = new VectorAssembler()
       .setInputCols(Array("p_retailprice", "size_d"))
@@ -449,6 +466,96 @@ object MLQueries {
        |LIMIT 30""".stripMargin
   }
 
+  /** M12–M14's SERVING ranking under the hash gate (r13 — the last ML
+    * family whose served ranking had no deterministic trained twin:
+    * `ml_tfidf_similar` is rows-only because IDF's `ln` is a
+    * cross-engine libm trap, and ◆ `ml_tfidf_counts` gates the exact
+    * counts IDF derives from but not the ranking). The det twin in the
+    * `q_mf_trained` mold: the same tokenize → stopword-filter semantics
+    * as ml_tfidf_counts, exact integer tf, and the RATIONAL inverse-df
+    * weight w(t) = (N·100) div df(t) — log-free, so both engines train
+    * the weight table in exact integer arithmetic — then
+    * score(seed, doc) = Σ_t (tf_seed·w)·(tf_doc·w): the integer dot
+    * product of the weighted term vectors, top-5 per seed with doc_id
+    * as the total-order tie-break. The oracle replays tokenization,
+    * training (df → weights), and serving end to end, so hash equality
+    * gates the full retrieval pipeline.
+    *
+    * Scale shape: this is a SERVING query — the candidate join is
+    * |seed-term postings| (5 broadcast seed vectors against the term-
+    * keyed tf index), never corpus×corpus; per seed the work is
+    * Σ_t∈seed |postings(t)| ≤ |terms|·N with map-side partial sums, the
+    * same inverted-index shape ◆ `q_bm25_topk` serves from the
+    * PostingsStore layout (on a natural Zipf vocabulary the df-stoplist
+    * knob that store's queries use bounds the common-term lists; the
+    * synthetic 31-word corpus would be emptied by any such threshold,
+    * so the twin scores every term). The tf table is checkpointed once
+    * (it feeds training, the seed vectors, and the corpus side).
+    * Overflow bound: df ≥ N/20 on every fixture term, so w ≤ 2000 and
+    * a term contributes tf²·w² ≤ 14²·2000² ≈ 7.8e8 over ≤ 31 shared
+    * terms — eight orders inside Long.
+    */
+  private val tfidfTopkTrained: Q = (s, d) => {
+    val stops = lit(org.apache.spark.ml.feature.StopWordsRemover
+      .loadDefaultStopWords("english"))
+    val words = filter(split(lower(col("text")), "[ \\t\\n\\x0B\\f\\r]+"),
+      w => length(w) >= 1 && !array_contains(stops, w))
+    val tf = graft.ops.Ck(Tables.documents(s, d)
+      .select(col("doc_id"), explode(words).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf")))
+    val nC = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+    val weights = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nC))
+      .select(col("word"), expr("(n * 100L) div df").as("w"))
+    val weighted = tf.join(weights, Seq("word"))
+    val seeds = weighted.filter(col("doc_id") < 5)
+      .select(col("word"), col("doc_id").as("seed_id"),
+        (col("tf") * col("w")).as("sv"))
+    weighted.join(broadcast(seeds), Seq("word"))
+      .filter(col("doc_id") =!= col("seed_id"))
+      .groupBy("seed_id", "doc_id")
+      .agg(sum(col("sv") * col("tf") * col("w")).as("score_units"))
+      .withColumn("rank", row_number().over(Window.partitionBy("seed_id")
+        .orderBy(desc("score_units"), asc("doc_id"))))
+      .filter(col("rank") <= 5)
+      .select("seed_id", "rank", "doc_id", "score_units")
+      .orderBy("seed_id", "rank")
+  }
+
+  private val tfidfTopkTrainedSql: String = {
+    val stops = org.apache.spark.ml.feature.StopWordsRemover
+      .loadDefaultStopWords("english")
+      .map(w => "'" + w.replace("'", "''") + "'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         unnest(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+')) AS word
+       |  FROM documents),
+       |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+       |       FROM toks
+       |       WHERE length(word) >= 1 AND word NOT IN ($stops)
+       |       GROUP BY doc_id, word),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |idf AS (SELECT word, CAST((n * 100) // df AS BIGINT) AS w
+       |        FROM (SELECT word, CAST(count(*) AS BIGINT) AS df
+       |              FROM tf GROUP BY word), n),
+       |wtf AS (SELECT t.doc_id, t.word, t.tf, i.w
+       |        FROM tf t JOIN idf i USING (word)),
+       |sc AS (SELECT s.doc_id AS seed_id, c.doc_id,
+       |              CAST(SUM(s.tf * s.w * c.tf * c.w) AS BIGINT)
+       |                AS score_units
+       |       FROM wtf s JOIN wtf c USING (word)
+       |       WHERE s.doc_id < 5 AND c.doc_id <> s.doc_id
+       |       GROUP BY 1, 2),
+       |rk AS (SELECT seed_id, doc_id, score_units,
+       |              row_number() OVER (PARTITION BY seed_id
+       |                                 ORDER BY score_units DESC, doc_id)
+       |                AS rank
+       |       FROM sc)
+       |SELECT seed_id, CAST(rank AS INTEGER) AS rank, doc_id, score_units
+       |FROM rk WHERE rank <= 5
+       |ORDER BY seed_id, rank""".stripMargin
+  }
+
   /** M16 — model-quality metadata as a small metrics DataFrame
     * (reference: src/spark/training.py:421-431; src/training_service.py:557-566).
     * The md5 synthesis ([[interactions]]) is SQL-expressible, so unlike the
@@ -608,8 +715,7 @@ object MLQueries {
     * after the alternation, the materialized ratings).
     */
   private val mfRatingsCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      (SparkSession, String), DataFrame]()
+    new graft.sources.LayoutCache.SessionCache[String, DataFrame]()
 
   /** The deterministic (user, item, r) interaction set both det-MF
     * twins train on — staged ONCE per session (Ck-pinned: the explicit
@@ -618,7 +724,7 @@ object MLQueries {
     * family's novel-edge split).
     */
   private[graft] def mfRatings(s: SparkSession, d: String): DataFrame =
-    graft.sources.LayoutCache.getOrBuild(mfRatingsCache, (s, d)) {
+    mfRatingsCache.getOrBuild(s, d) {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_partkey"))
       val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
@@ -900,6 +1006,8 @@ object MLQueries {
     Entry("ml_nmf_implicit", nmfImplicit, None),
     Entry("ml_tfidf_similar", tfidfSimilar, None),
     Entry("ml_tfidf_counts", tfidfCounts, Some(tfidfCountsSql)),
+    Entry("q_tfidf_topk_trained", tfidfTopkTrained,
+      Some(tfidfTopkTrainedSql)),
     Entry("ml_cluster_recs", clusterRecs, None),
     Entry("ml_cluster_serve", clusterServe, Some(clusterServeSql)),
     Entry("ml_model_metadata", modelMetadata, Some(modelMetadataSql)),

@@ -409,4 +409,24 @@ class MLQueriesSpec extends SparkSpec {
     assert(m(1) > m(0) * 1.05,
       s"implicit fit does not discriminate: obs=${m(1)} unobs=${m(0)}")
   }
+
+  test("q_tfidf_topk_trained: full ranking per seed, positive ordered scores (r13)") {
+    // the det retrieval twin's structural contract (the hash gate pins
+    // the values; this pins the SHAPE a refactor could silently break):
+    // all 5 seeds present, ranks dense 1..5, scores strictly positive
+    // and non-increasing within each seed, tie-break total order
+    val out = SparkEntry.queries("q_tfidf_topk_trained")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val bySeed = out.groupBy(_._1)
+    assert(bySeed.keySet === Set(0L, 1L, 2L, 3L, 4L), s"seeds: ${bySeed.keySet}")
+    bySeed.foreach { case (seed, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to 5), s"seed $seed ranks")
+      assert(sorted.forall(_._4 > 0L), s"seed $seed non-positive score")
+      assert(sorted.map(_._4).toSeq ==
+        sorted.map(_._4).sortBy(x => -x).toSeq, s"seed $seed not ordered")
+      assert(!sorted.exists(_._3 == seed), s"seed $seed returned itself")
+    }
+  }
 }

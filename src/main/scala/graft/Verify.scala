@@ -21,6 +21,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.ops.Logs.quietBoundedWindowWarning()
+    // Same loud env probe as Bench (r13): a JVM missing Spark's
+    // --add-opens makes MLlib-fit queries fail per-query and silently
+    // VANISH from the dump (each is caught and skipped below) — name
+    // the cause up front instead of leaving a shrunken dump to explain
+    // itself.
+    val closedOpens = graft.ops.JvmEnv.closedOpens
+    if (closedOpens.nonEmpty)
+      System.err.println("[verify] WARNING: JVM is missing --add-opens " +
+        closedOpens.mkString(", ") + " — MLlib-backed queries will " +
+        "fail and be skipped; the dump will be incomplete")
     new java.io.File(outDir).mkdirs()
     // Optional SPARK_GRAFT_ONLY subset for local iteration (mirrors Bench);
     // unknown names fail loudly (SparkEntry.selectedQueries) instead of

@@ -128,7 +128,13 @@ object Bench {
       "q_mf_trained", "q_mf_implicit_trained",
       // det TF-IDF retrieval twin (r13): fit-shaped (weight training +
       // checkpointed tf index) — same discipline as the det-MF pair
-      "q_tfidf_topk_trained")
+      "q_tfidf_topk_trained",
+      // r13: the planted-corpus dedup family stages its discovery pairs,
+      // exact ground truth, and component closure once per session
+      // (LlmQueries.minhashVerified/plantedExactPairs/minhashComponents);
+      // whichever consumer runs first pays the build — the median is the
+      // serving path (the PostingsStore/IvfStore discipline)
+      "q_dedup_pipeline", "q_split_leakfree")
     val spreads = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double)]
     // Leak loudness (r10 lesson): every query's tracked checkpoints are
     // drained after its timed count, and sweep() evicts anything else

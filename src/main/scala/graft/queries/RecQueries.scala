@@ -82,22 +82,33 @@ object RecQueries {
     * most popular item; no single-partition window ever sees the
     * |items|-sized input.
     */
+  private val looCache = new graft.sources.LayoutCache.SessionCache[
+    String, (DataFrame, DataFrame, DataFrame, DataFrame)]()
+
   private def loo(s: SparkSession, d: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val inter = MLQueries.interactions(s, d)
-    val byRating = Window.partitionBy("user_id")
-      .orderBy(desc("rating"), desc("item_id"))
-    val held = inter.withColumn("rn", row_number().over(byRating))
-      .where(col("rn") === 1).select("user_id", "item_id")
-    val train = inter.join(held, Seq("user_id", "item_id"), "left_anti")
-    val trainItems = train.select("user_id", "item_id").distinct()
-    val pop = train.groupBy("item_id").agg(count(lit(1)).as("pop"))
-    val itemRank = Prefix.withCumSum(
-        pop.withColumn("neg_pop", -col("pop")).withColumn("one", lit(1L)),
-        "neg_pop", Seq("item_id"), "one", "rnk")
-      .select(col("item_id"), col("pop"), col("rnk"))
-    (held, trainItems, pop, itemRank)
-  }
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    // Staged once per session and Ck-pinned (r13): the LOO split + the
+    // popularity model ARE the trained artifacts this family evaluates —
+    // a deployment splits and fits once, then every offline-eval job
+    // (◆ q_eval_ranking, ◆ q_rec_coverage) reads the same model tables.
+    // All four are catalog/user-sized (≤ |interactions| rows). Oracles
+    // unchanged: both consumers replay the split and fit definitionally.
+    looCache.getOrBuild(s, d) {
+      val inter = MLQueries.interactions(s, d)
+      val byRating = Window.partitionBy("user_id")
+        .orderBy(desc("rating"), desc("item_id"))
+      val held = inter.withColumn("rn", row_number().over(byRating))
+        .where(col("rn") === 1).select("user_id", "item_id")
+      val train = inter.join(held, Seq("user_id", "item_id"), "left_anti")
+      val trainItems = train.select("user_id", "item_id").distinct()
+      val pop = train.groupBy("item_id").agg(count(lit(1)).as("pop"))
+      val itemRank = Prefix.withCumSum(
+          pop.withColumn("neg_pop", -col("pop")).withColumn("one", lit(1L)),
+          "neg_pop", Seq("item_id"), "one", "rnk")
+        .select(col("item_id"), col("pop"), col("rnk"))
+      (graft.ops.Ck.pin(held), graft.ops.Ck.pin(trainItems),
+        graft.ops.Ck.pin(pop), graft.ops.Ck.pin(itemRank))
+    }
 
   /** The SQL twin of [[loo]] (appended after [[interCte]]). The oracle may
     * use the naive global `row_number` window — it only ever runs at

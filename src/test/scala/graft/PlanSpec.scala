@@ -158,9 +158,16 @@ class PlanSpec extends SparkSpec {
         l.contains("*(") && l.toLowerCase.contains(ex))
       assert(inStarredStage, s"$q: $ex not inside a codegen stage:\n$p")
     }
-    for ((q, ex) <- Seq("q_dedup_embed" -> "dotproduct",
-        "q_dedup_jaccard" -> "jaccardsorted"))
-      assertStarred(Registry.queries(q)(spark, sfDir), ex, q)
+    assertStarred(Registry.queries("q_dedup_embed")(spark, sfDir),
+      "dotproduct", "q_dedup_embed")
+    // q_dedup_jaccard now reads the session-staged pair table (r13), so
+    // its registry plan is a pinned-scan; pin the codegen property on
+    // the BUILD path the staging runs (the same precedent as
+    // q_hilbert_skip's checkpointed grid below).
+    assertStarred(
+      graft.queries.LlmQueries.jaccardPairs(
+        graft.tables.Tables.documents(spark, sfDir), Seq("lang"), 0.5),
+      "jaccardsorted", "jaccardPairs build")
     // q_hilbert_skip localCheckpoints its grid stage (the expression's
     // plan is materialized before the inspected final plan), so pin the
     // codegen property on a direct projection of the same expression.

@@ -74,8 +74,11 @@ class RegistrySpec extends SparkSpec {
       "q_phrase_search" -> "≤ 2 rows (top-2 query terms)",
       "q_trending" -> "≤ 64 bucket-offset rows ×2 (Rank.withGlobalRank)",
       "q_churn_hazard" -> "|months| tenure rows (calendar-bounded)",
-      "q_eval_ranking" -> "≤ 64 bucket-offset rows (Prefix.withCumSum)",
-      "q_rec_coverage" -> "≤ 64 bucket-offset rows ×2 (Prefix.withCumSum)",
+      // q_eval_ranking's popularity-rank window moved into the staged
+      // LOO model build (r13, eagerly pinned before the inspected plan);
+      // q_rec_coverage keeps its in-query exposure-rank window, the
+      // popularity side now reads the same staged model.
+      "q_rec_coverage" -> "≤ 64 bucket-offset rows (Prefix.withCumSum)",
       "q_bpe_pairs" -> "≤ 20 rows (Rank.firstK)",
       "q_pagination" -> "≤ 70 rows (Rank.firstK)",
       "q_rank_decay" -> "≤ 20 rows (Rank.firstK)",

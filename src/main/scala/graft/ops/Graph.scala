@@ -111,6 +111,86 @@ object Graph {
   def edgeCommonCounts(und: DataFrame): DataFrame =
     tiesOf(orientedTriangles(und))
 
+  /** The SIGNED delta-triangle enumeration under edge insertion — the
+    * algebra behind ◆ `q_incr_triangles` / `q_incr_ties` AND the
+    * store's write-back ([[graft.sources.GraphStateStore
+    * .applyGraphDelta]], r13), extracted here so every consumer re-keys
+    * the SAME enumerated instances and cannot disagree about which
+    * triangles the delta added. When the novel canonical edge set N is
+    * inserted into standing edges O, each triangle with k ≥ 1 novel
+    * edges appears
+    *
+    *   +once per contained novel edge                 (A1, k times),
+    *   −once per novel-edge pair sharing a vertex     (A2, C(k,2)),
+    *   +once per all-novel min-vertex enumeration     (A3, C(k,3)),
+    *
+    * and k − C(k,2) + C(k,3) = 1 for k = 1, 2, 3 — every NEW triangle
+    * nets exactly one. Each term's cost is DELTA-DRIVEN: novel edges
+    * joined against the full adjacency, never a re-enumeration of the
+    * standing graph. Returns (ca, cb, cc) instance lists with their
+    * signs; re-key with [[cornerDeltaOf]] (per-node) or [[tieDeltaOf]]
+    * (per-edge). `oldEdges`/`novelEdges` are canonical (src < dst) and
+    * disjoint.
+    */
+  def deltaTriangleInstances(oldEdges: DataFrame,
+      novelEdges: DataFrame): Seq[(DataFrame, Long)] = {
+    val fullC = oldEdges.unionByName(novelEdges)
+    val fullD = bothDirs(fullC)
+    val novelD = bothDirs(novelEdges)
+    // A1: per novel edge (a, b): common neighbors w in the FULL graph
+    val a1 = novelEdges.as("n")
+      .join(fullD.as("f1"), col("n.src") === col("f1.src"))
+      .join(fullD.as("f2"),
+        col("n.dst") === col("f2.src") && col("f1.dst") === col("f2.dst"))
+      .select(col("n.src").as("ca"), col("n.dst").as("cb"),
+        col("f1.dst").as("cc"))
+    // A2: per unordered pair of novel edges sharing vertex u — one
+    // novel-novel wedge (u; a < b) — closed by ANY full edge (a, b)
+    val a2 = novelD.as("x")
+      .join(novelD.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .join(fullC.as("cl"),
+        col("x.dst") === col("cl.src") && col("y.dst") === col("cl.dst"))
+      .select(col("x.src").as("ca"), col("x.dst").as("cb"),
+        col("y.dst").as("cc"))
+    // A3: all-novel triangles, once each (min-vertex a < b < c)
+    val a3 = novelEdges.as("x")
+      .join(novelEdges.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .join(novelEdges.as("cl"),
+        col("x.dst") === col("cl.src") && col("y.dst") === col("cl.dst"))
+      .select(col("x.src").as("ca"), col("x.dst").as("cb"),
+        col("y.dst").as("cc"))
+    Seq(a1 -> 1L, a2 -> -1L, a3 -> 1L)
+  }
+
+  /** Corner-keyed net delta (node, delta_tri) of a signed triangle
+    * enumeration — each instance credits its three corners.
+    */
+  def cornerDeltaOf(terms: Seq[(DataFrame, Long)]): DataFrame =
+    terms.map { case (t, w) =>
+      t.select(explode(array(col("ca"), col("cb"), col("cc"))).as("node"),
+        lit(w).as("w"))
+    }.reduce(_.unionByName(_))
+      .groupBy("node").agg(sum("w").as("delta_tri"))
+
+  /** Edge-keyed net delta (src, dst, delta_common) of a signed triangle
+    * enumeration — each instance credits its three canonical edges.
+    */
+  def tieDeltaOf(terms: Seq[(DataFrame, Long)]): DataFrame =
+    terms.map { case (t, w) =>
+      t.select(explode(array(
+          struct(least(col("ca"), col("cb")).as("x"),
+            greatest(col("ca"), col("cb")).as("y")),
+          struct(least(col("ca"), col("cc")).as("x"),
+            greatest(col("ca"), col("cc")).as("y")),
+          struct(least(col("cb"), col("cc")).as("x"),
+            greatest(col("cb"), col("cc")).as("y")))).as("p"),
+        lit(w).as("w"))
+        .select(col("p.x").as("src"), col("p.y").as("dst"), col("w"))
+    }.reduce(_.unionByName(_))
+      .groupBy("src", "dst").agg(sum("w").as("delta_common"))
+
   /** Total rank mass for integer PageRank: 10¹² units. */
   val RankUnit = 1000000000000L
   /** (1−d)·RankUnit with d = 0.85, exact: 0.15·10¹² = 1.5·10¹¹. */

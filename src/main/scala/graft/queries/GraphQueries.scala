@@ -846,47 +846,16 @@ object GraphQueries {
     // fixture scaffolding — a deployment reads the maintained view);
     // only the delta terms compute here.
     val (st, novelC) = novelEdgeSplit(s, d)
-    val oldC = st.edges
-    val fullC = oldC.unionByName(novelC)
-    def bothDirs(c: org.apache.spark.sql.DataFrame) =
-      graft.ops.Graph.bothDirs(c)
-    val fullD = bothDirs(fullC)
-    val novelD = bothDirs(novelC)
-    // A1: per novel edge (a, b): common neighbors w in the FULL graph
-    val a1 = novelC.as("n")
-      .join(fullD.as("f1"), col("n.src") === col("f1.src"))
-      .join(fullD.as("f2"),
-        col("n.dst") === col("f2.src") && col("f1.dst") === col("f2.dst"))
-      .select(col("n.src").as("ca"), col("n.dst").as("cb"),
-        col("f1.dst").as("cc"))
-    // A2: per unordered pair of novel edges sharing vertex u — one
-    // novel-novel wedge (u; a < b) — closed by ANY full edge (a, b)
-    val a2 = novelD.as("x")
-      .join(novelD.as("y"),
-        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
-      .join(fullC.as("cl"),
-        col("x.dst") === col("cl.src") && col("y.dst") === col("cl.dst"))
-      .select(col("x.src").as("ca"), col("x.dst").as("cb"),
-        col("y.dst").as("cc"))
-    // A3: all-novel triangles, once each (min-vertex a < b < c)
-    val a3 = novelC.as("x")
-      .join(novelC.as("y"),
-        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
-      .join(novelC.as("cl"),
-        col("x.dst") === col("cl.src") && col("y.dst") === col("cl.dst"))
-      .select(col("x.src").as("ca"), col("x.dst").as("cb"),
-        col("y.dst").as("cc"))
-    (st, Seq(a1 -> 1L, a2 -> -1L, a3 -> 1L))
+    // the enumeration itself lives in Graph.deltaTriangleInstances
+    // (r13): the store's write-back (applyGraphDelta) re-keys the SAME
+    // instances, so query-time maintenance and the persisted advance
+    // cannot disagree
+    (st, graft.ops.Graph.deltaTriangleInstances(st.edges, novelC))
   }
 
   private val incrTriangles: Q = (s, d) => {
     val (st, terms) = deltaTriangleTerms(s, d)
-    def corners(t: org.apache.spark.sql.DataFrame, sign: Long) =
-      t.select(explode(array(col("ca"), col("cb"), col("cc"))).as("node"),
-        lit(sign).as("w"))
-    val delta = terms.map { case (t, w) => corners(t, w) }
-      .reduce(_.unionByName(_))
-      .groupBy("node").agg(sum("w").as("delta_tri"))
+    val delta = graft.ops.Graph.cornerDeltaOf(terms)
     val oldCnt = st.corners
       .select(col("node"), col("triangles").as("old_tri"))
     oldCnt.join(delta, Seq("node"), "full_outer")
@@ -982,19 +951,7 @@ object GraphQueries {
     */
   private val incrTies: Q = (s, d) => {
     val (st, terms) = deltaTriangleTerms(s, d)
-    def edgesOf(t: org.apache.spark.sql.DataFrame, sign: Long) =
-      t.select(explode(array(
-          struct(least(col("ca"), col("cb")).as("x"),
-            greatest(col("ca"), col("cb")).as("y")),
-          struct(least(col("ca"), col("cc")).as("x"),
-            greatest(col("ca"), col("cc")).as("y")),
-          struct(least(col("cb"), col("cc")).as("x"),
-            greatest(col("cb"), col("cc")).as("y")))).as("p"),
-        lit(sign).as("w"))
-        .select(col("p.x").as("src"), col("p.y").as("dst"), col("w"))
-    val delta = terms.map { case (t, w) => edgesOf(t, w) }
-      .reduce(_.unionByName(_))
-      .groupBy("src", "dst").agg(sum("w").as("delta_common"))
+    val delta = graft.ops.Graph.tieDeltaOf(terms)
     st.ties.select(col("src"), col("dst"), col("common").as("old_common"))
       .join(delta, Seq("src", "dst"), "full_outer")
       .select(col("src"), col("dst"),

@@ -280,6 +280,61 @@ class GraphStateSpec extends SparkSpec {
         advanced(5).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
   }
 
+  test("applyGraphDelta: two consecutive delta advances ≡ rebuilt state (r13)") {
+    // The FULL write-back loop (the applyRankDelta discipline over the
+    // rest of the store): advance edges/degrees/corners/ties
+    // 18/20 → 19/20 → 20/20 through the STORE — the second advance's
+    // standing input IS the first advance's persisted layout (standing()
+    // serves the installed cache entry), never a rebuild — then compare
+    // every table of the final state to the definitional recompute on
+    // the 20/20 graph.
+    val li = Tables.lineitem(spark, sfDir)
+    val keys = li.agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
+    def cutEdges(n: Long) = graft.ops.Graph.coPurchaseEdges(
+        li.crossJoin(broadcast(keys))
+          .filter(col("l_orderkey") <= GraphStateStore.cutExpr(n, 20L)))
+      .filter(col("src") < col("dst")).localCheckpoint()
+    def advance(fromN: Long, toN: Long) = {
+      val novel = cutEdges(toN)
+        .join(cutEdges(fromN), Seq("src", "dst"), "left_anti")
+      GraphStateStore.applyGraphDelta(spark, sfDir,
+        fromN, 20L, toN, 20L, novel)
+    }
+    // force the 18/20 standing build first so the chain starts from a
+    // REAL layout, then verify each advance is non-vacuous
+    GraphStateStore.standing(spark, sfDir, 18L, 20L)
+    val mid = advance(18L, 19L)
+    assert(mid.edges.count() > 0)
+    val adv = advance(19L, 20L)
+    // the second advance must have consumed the FIRST advance's layout:
+    // standing(19/20) now IS mid (cache identity)
+    assert(GraphStateStore.standing(spark, sfDir, 19L, 20L) eq mid,
+      "second advance rebuilt instead of reading the written-back state")
+    val fullC = cutEdges(20L)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(pairs(adv.edges) === pairs(fullC), "edges: advanced ≠ rebuild")
+    assert(pairs(adv.degrees) === pairs(graft.ops.Graph.bothDirs(fullC)
+      .groupBy("src").agg(count(lit(1)).as("deg"))),
+      "degrees: advanced ≠ rebuild")
+    assert(pairs(adv.corners) === pairs(graft.ops.Graph.cornerCounts(fullC)),
+      "corners: advanced ≠ rebuild")
+    val tiesGot = adv.ties.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val tiesWant = graft.ops.Graph.edgeCommonCounts(fullC).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(tiesGot === tiesWant, "ties: advanced ≠ rebuild")
+    // non-vacuity: the two deltas really added triangles and ties
+    val midTri = mid.corners.agg(sum("triangles")).first().getLong(0)
+    val advTri = adv.corners.agg(sum("triangles")).first().getLong(0)
+    assert(advTri > midTri, "second delta added no triangles — vacuous")
+    // and the advanced layout rides the bucketed contract like a build
+    val plan = adv.edges.groupBy("src").agg(count(lit(1)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"advanced edge layout lost the bucketed no-shuffle property:\n$plan")
+  }
+
   test("src-keyed aggregates ride the bucketed standing layout with zero exchanges") {
     val st = GraphStateStore.standing(spark, sfDir, 1L, 1L)
     val bucketedDeg = st.edges.groupBy("src").agg(count(lit(1)).as("n"))

@@ -127,13 +127,14 @@ object Graph {
     * and k − C(k,2) + C(k,3) = 1 for k = 1, 2, 3 — every NEW triangle
     * nets exactly one. Each term's cost is DELTA-DRIVEN: novel edges
     * joined against the full adjacency, never a re-enumeration of the
-    * standing graph. Returns (ca, cb, cc) instance lists with their
-    * signs; re-key with [[cornerDeltaOf]] (per-node) or [[tieDeltaOf]]
+    * standing graph. Returns ONE signed instance list
+    * (ca, cb, cc, w ∈ {+1, −1}) — a refresh enumerates once and every
+    * consumer re-keys it: [[cornerDeltaOf]] (per-node), [[tieDeltaOf]]
     * (per-edge). `oldEdges`/`novelEdges` are canonical (src < dst) and
     * disjoint.
     */
   def deltaTriangleInstances(oldEdges: DataFrame,
-      novelEdges: DataFrame): Seq[(DataFrame, Long)] = {
+      novelEdges: DataFrame): DataFrame = {
     val fullC = oldEdges.unionByName(novelEdges)
     val fullD = bothDirs(fullC)
     val novelD = bothDirs(novelEdges)
@@ -162,33 +163,33 @@ object Graph {
       .select(col("x.src").as("ca"), col("x.dst").as("cb"),
         col("y.dst").as("cc"))
     Seq(a1 -> 1L, a2 -> -1L, a3 -> 1L)
+      .map { case (t, w) => t.withColumn("w", lit(w)) }
+      .reduce(_.unionByName(_))
   }
 
   /** Corner-keyed net delta (node, delta_tri) of a signed triangle
     * enumeration — each instance credits its three corners.
     */
-  def cornerDeltaOf(terms: Seq[(DataFrame, Long)]): DataFrame =
-    terms.map { case (t, w) =>
-      t.select(explode(array(col("ca"), col("cb"), col("cc"))).as("node"),
-        lit(w).as("w"))
-    }.reduce(_.unionByName(_))
+  def cornerDeltaOf(signed: DataFrame): DataFrame =
+    signed
+      .select(explode(array(col("ca"), col("cb"), col("cc"))).as("node"),
+        col("w"))
       .groupBy("node").agg(sum("w").as("delta_tri"))
 
   /** Edge-keyed net delta (src, dst, delta_common) of a signed triangle
     * enumeration — each instance credits its three canonical edges.
     */
-  def tieDeltaOf(terms: Seq[(DataFrame, Long)]): DataFrame =
-    terms.map { case (t, w) =>
-      t.select(explode(array(
+  def tieDeltaOf(signed: DataFrame): DataFrame =
+    signed
+      .select(explode(array(
           struct(least(col("ca"), col("cb")).as("x"),
             greatest(col("ca"), col("cb")).as("y")),
           struct(least(col("ca"), col("cc")).as("x"),
             greatest(col("ca"), col("cc")).as("y")),
           struct(least(col("cb"), col("cc")).as("x"),
             greatest(col("cb"), col("cc")).as("y")))).as("p"),
-        lit(w).as("w"))
-        .select(col("p.x").as("src"), col("p.y").as("dst"), col("w"))
-    }.reduce(_.unionByName(_))
+        col("w"))
+      .select(col("p.x").as("src"), col("p.y").as("dst"), col("w"))
       .groupBy("src", "dst").agg(sum("w").as("delta_common"))
 
   /** Total rank mass for integer PageRank: 10¹² units. */

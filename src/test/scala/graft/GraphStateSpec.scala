@@ -335,6 +335,69 @@ class GraphStateSpec extends SparkSpec {
       s"advanced edge layout lost the bucketed no-shuffle property:\n$plan")
   }
 
+  test("streaming maintenance: staged batches fold into one applyGraphDelta (r13)") {
+    // The write-back driven from a LIVE stream, the IvfStore
+    // StreamingIvf shape: observed pair batches stage exactly-once
+    // (batchId-keyed — a checkpoint-replayed batch rewrites, never
+    // duplicates), read serves standing ∪ staged between folds, and
+    // fold() advances the store with ONE applyGraphDelta. The final
+    // state must equal the definitional 20/20 recompute.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.hadoop.fs.Path
+    val li = Tables.lineitem(spark, sfDir)
+    val keys = li.agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
+    def cutEdges(n: Long) = graft.ops.Graph.coPurchaseEdges(
+        li.crossJoin(broadcast(keys))
+          .filter(col("l_orderkey") <= GraphStateStore.cutExpr(n, 20L)))
+      .filter(col("src") < col("dst")).localCheckpoint()
+    val novel = cutEdges(20L)
+      .join(cutEdges(19L), Seq("src", "dst"), "left_anti")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(novel.nonEmpty, "fixture delta empty — vacuous")
+    val (d1, d2) = novel.splitAt(novel.size / 2)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-gsstream").toString
+    val m = new GraphStateStore.StreamingGraphMaintenance(spark, sfDir,
+      19L, 20L, 20L, 20L, s"$root/deltas")
+    val ckpt = s"$root/ckpt"
+    import spark.implicits._
+    val ms = MemoryStream[(Long, Long)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, Long)]],
+      spark.sqlContext)
+    def start() = m.maintainStream(ms.toDF().toDF("src", "dst"), ckpt)
+    val q1 = start()
+    try {
+      ms.addData(d1); q1.processAllAvailable()
+      // second batch includes REDUNDANT observations (already-standing
+      // edges and a repeat of d1's head) — set semantics must absorb
+      ms.addData(d2 ++ d1.take(3)); q1.processAllAvailable()
+    } finally q1.stop()
+    def edgeSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val fullSet = edgeSet(cutEdges(20L))
+    assert(edgeSet(m.read) === fullSet,
+      "between folds: standing ∪ staged must serve the full edge set")
+    // redelivery of batch 1 (the family's crash-window move): delete
+    // its commit, restart — the batch rewrites its own directory
+    val fs = new Path(ckpt).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new Path(ckpt, "commits/1"), false))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(edgeSet(m.read) === fullSet,
+      "a redelivered batch must rewrite its own delta, never duplicate")
+    val adv = m.fold()
+    assert(edgeSet(adv.edges) === fullSet, "folded edges ≠ full graph")
+    val cornersWant = graft.ops.Graph.cornerCounts(cutEdges(20L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(adv.corners.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq === cornersWant, "folded corners ≠ rebuild")
+    assert(!fs.exists(new Path(s"$root/deltas/batch=0")),
+      "fold must clear the staged deltas")
+    deleteRecursively(root)
+  }
+
   test("src-keyed aggregates ride the bucketed standing layout with zero exchanges") {
     val st = GraphStateStore.standing(spark, sfDir, 1L, 1L)
     val bucketedDeg = st.edges.groupBy("src").agg(count(lit(1)).as("n"))

@@ -269,16 +269,40 @@ object GraphStateStore {
     */
   final class StreamingGraphMaintenance(s: SparkSession, sfDir: String,
       oldCutNum: Long, oldCutDen: Long,
-      newCutNum: Long, newCutDen: Long, deltaRoot: String) {
+      newCutNum: Long, newCutDen: Long, deltaRoot: String,
+      maintainRanks: Boolean = false) {
     private val staged = new StagedDeltas(s, deltaRoot, Seq("src", "dst"),
       rows => {
         val old = standing(s, sfDir, oldCutNum, oldCutDen)
         // observed pairs may repeat across batches and may re-observe
         // standing edges — set semantics: distinct, then anti-join
         // (applyGraphDelta's disjointness contract)
-        applyGraphDelta(s, sfDir, oldCutNum, oldCutDen,
-          newCutNum, newCutDen,
-          rows.distinct().join(old.edges, Seq("src", "dst"), "left_anti"))
+        val novel = graft.ops.Ck(rows.distinct()
+          .join(old.edges, Seq("src", "dst"), "left_anti"))
+        val adv = applyGraphDelta(s, sfDir, oldCutNum, oldCutDen,
+          newCutNum, newCutDen, novel)
+        // With maintainRanks the fold advances EVERY maintained view
+        // from the one staged batch — the rank rounds through the
+        // frontier-bounded incrRank5Rounds + applyRankDelta, with the
+        // query path's loud full-loop fallback when the batch
+        // introduces new nodes (r₀ = U div N: a node-count change
+        // perturbs every rank).
+        if (maintainRanks) {
+          val oldRounds = standingRankRounds(
+            s, sfDir, oldCutNum, oldCutDen)
+          val fullD = Graph.bothDirs(adv.edges)
+          val degNew = adv.degrees
+            .select(col("node").as("src"), col("deg"))
+          val seeds = Graph.bothDirs(novel)
+            .select(col("src").as("node")).distinct()
+          val newNodes = seeds.join(old.degrees, Seq("node"), "left_anti")
+          val advRounds =
+            if (newNodes.isEmpty)
+              Graph.incrRank5Rounds(oldRounds, fullD, degNew, seeds)
+            else Graph.integerPageRankRounds(fullD, degNew)
+          applyRankDelta(s, sfDir, newCutNum, newCutDen, advRounds)
+        }
+        graft.ops.Ck.free(novel)
         ()
       },
       () => standing(s, sfDir, oldCutNum, oldCutDen).edges)

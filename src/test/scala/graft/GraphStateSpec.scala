@@ -358,7 +358,7 @@ class GraphStateSpec extends SparkSpec {
     val root = java.nio.file.Files
       .createTempDirectory("graft-gsstream").toString
     val m = new GraphStateStore.StreamingGraphMaintenance(spark, sfDir,
-      19L, 20L, 20L, 20L, s"$root/deltas")
+      19L, 20L, 20L, 20L, s"$root/deltas", maintainRanks = true)
     val ckpt = s"$root/ckpt"
     import spark.implicits._
     val ms = MemoryStream[(Long, Long)](
@@ -395,6 +395,20 @@ class GraphStateSpec extends SparkSpec {
       .sorted.toSeq === cornersWant, "folded corners ≠ rebuild")
     assert(!fs.exists(new Path(s"$root/deltas/batch=0")),
       "fold must clear the staged deltas")
+    // maintainRanks: the fold advanced the rank rounds too — every
+    // round of the stored state equals the definitional rebuild
+    val advRounds = GraphStateStore
+      .standingRankRounds(spark, sfDir, 20L, 20L)
+    val fullD20 = graft.ops.Graph.bothDirs(cutEdges(20L)).localCheckpoint()
+    val rebuilt = graft.ops.Graph.integerPageRankRounds(fullD20,
+      fullD20.groupBy("src").agg(count(lit(1)).as("deg")))
+    (0 to graft.ops.Graph.RankRounds).foreach { k =>
+      assert(advRounds(k).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+        rebuilt(k).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap,
+        s"round $k: fold-advanced ranks ≠ rebuild")
+    }
     deleteRecursively(root)
   }
 

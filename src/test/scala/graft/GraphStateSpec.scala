@@ -335,6 +335,54 @@ class GraphStateSpec extends SparkSpec {
       s"advanced edge layout lost the bucketed no-shuffle property:\n$plan")
   }
 
+  test("delta-triangle algebra: randomized graphs and deltas reconstruct corners and ties (8 seeded trials)") {
+    // The incrRank5 seeded-adversarial discipline applied to the signed
+    // enumeration every maintenance consumer re-keys: random canonical
+    // graphs with random disjoint edge deltas; merged counts must equal
+    // the full-graph recompute exactly — corners AND ties — whatever
+    // mix of k=1/2/3-novel-edge triangles the trial produces.
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    var sawTies = 0
+    (1 to 8).foreach { trial =>
+      val n = 8 + rnd.nextInt(12)
+      val all = for { i <- 0 until n; j <- (i + 1) until n }
+        yield (i.toLong, j.toLong)
+      val shuffled = rnd.shuffle(all)
+      val old = shuffled.take(n + rnd.nextInt(2 * n))
+      val novel = shuffled.drop(old.size).take(1 + rnd.nextInt(6))
+      val oldDf = old.toDF("src", "dst").localCheckpoint()
+      val novelDf = novel.toDF("src", "dst").localCheckpoint()
+      val fullDf = (old ++ novel).toDF("src", "dst").localCheckpoint()
+      val terms = graft.ops.Graph
+        .deltaTriangleInstances(oldDf, novelDf).localCheckpoint()
+      def cmap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val oldC = cmap(graft.ops.Graph.cornerCounts(oldDf))
+      val deltaC = cmap(graft.ops.Graph.cornerDeltaOf(terms))
+      val mergedC = (oldC.keySet ++ deltaC.keySet).map(k =>
+        k -> (oldC.getOrElse(k, 0L) + deltaC.getOrElse(k, 0L)))
+        .filter(_._2 > 0).toMap
+      assert(mergedC === cmap(graft.ops.Graph.cornerCounts(fullDf)),
+        s"trial $trial: corners merge ≠ recompute (|old|=${old.size}, " +
+          s"|novel|=${novel.size})")
+      def tmap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val oldT = tmap(graft.ops.Graph.edgeCommonCounts(oldDf))
+      val deltaT = tmap(graft.ops.Graph.tieDeltaOf(terms))
+      val mergedT = (oldT.keySet ++ deltaT.keySet).map(k =>
+        k -> (oldT.getOrElse(k, 0L) + deltaT.getOrElse(k, 0L)))
+        .filter(_._2 > 0).toMap
+      val fullT = tmap(graft.ops.Graph.edgeCommonCounts(fullDf))
+      assert(mergedT === fullT,
+        s"trial $trial: ties merge ≠ recompute")
+      if (fullT.nonEmpty) sawTies += 1
+    }
+    assert(sawTies >= 4,
+      s"only $sawTies/8 trials produced triangles — sweep too sparse " +
+        "to prove the merge")
+  }
+
   test("streaming maintenance: staged batches fold into one applyGraphDelta (r13)") {
     // The write-back driven from a LIVE stream, the IvfStore
     // StreamingIvf shape: observed pair batches stage exactly-once

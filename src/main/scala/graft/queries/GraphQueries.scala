@@ -1031,8 +1031,16 @@ object GraphQueries {
     // maintained view reads it; Ck.pin exempts it from per-query drain.
     val (fullD, degNew) =
       fullDirCache.getOrBuild(s, d) {
+        // repartition(dst) BEFORE the pin: localCheckpoint preserves
+        // the physical partitioning, so every rank round's
+        // groupBy("dst") aggregation — the loop's only per-round
+        // shuffle — rides the staged layout with no exchange (the
+        // contrib join broadcasts and the affected-set semi-join is
+        // dst-keyed, so neither disturbs it). One shuffle at stage
+        // time replaces one per round per sample.
         val fd = graft.ops.Ck.pin(
-          graft.ops.Graph.bothDirs(st.edges.unionByName(novelC)))
+          graft.ops.Graph.bothDirs(st.edges.unionByName(novelC))
+            .repartition(col("dst")))
         (fd, graft.ops.Ck.pin(
           fd.groupBy("src").agg(count(lit(1)).as("deg"))))
       }

@@ -118,10 +118,16 @@ object GraphStateStore {
       val st = standing(s, sfDir, 1L, 1L)
       val root = LayoutCache.tempRoot(
         s"graft-gsranks-${LayoutCache.tag(s, sfDir)}")
-      Graph.integerPageRank(
-          Graph.bothDirs(st.edges),
+      // dst-partitioned + checkpointed: every round's groupBy("dst")
+      // rides the materialized layout with no exchange (localCheckpoint
+      // preserves partitioning) — one shuffle for the whole 5-round
+      // build instead of one per round
+      val fd = graft.ops.Ck(
+        Graph.bothDirs(st.edges).repartition(col("dst")))
+      Graph.integerPageRank(fd,
           st.degrees.select(col("node").as("src"), col("deg")))
         .write.mode("overwrite").parquet(s"$root/ranks")
+      graft.ops.Ck.free(fd)
       s.read.parquet(s"$root/ranks")
     }
 
@@ -144,14 +150,19 @@ object GraphStateStore {
       val root = LayoutCache.tempRoot(
         s"graft-gsrankrounds-${LayoutCache.tag(s, sfDir)}" +
           s"_${cutNum}_$cutDen")
-      val rounds = Graph.integerPageRankRounds(
-        Graph.bothDirs(st.edges),
+      // dst-partitioned + checkpointed, as in [[standingRanks]]: the
+      // per-round groupBy("dst") shuffles once at stage time, not once
+      // per round
+      val fd = graft.ops.Ck(
+        Graph.bothDirs(st.edges).repartition(col("dst")))
+      val rounds = Graph.integerPageRankRounds(fd,
         st.degrees.select(col("node").as("src"), col("deg")))
       rounds.zipWithIndex
         .map { case (r, i) => r.withColumn("round", lit(i)) }
         .reduce(_.unionByName(_))
         .write.partitionBy("round").mode("overwrite")
         .parquet(s"$root/rankrounds")
+      graft.ops.Ck.free(fd)
       val all = s.read.parquet(s"$root/rankrounds")
       (0 to Graph.RankRounds).map(k =>
         all.filter(col("round") === k).select("node", "r"))
@@ -290,7 +301,10 @@ object GraphStateStore {
         if (maintainRanks) {
           val oldRounds = standingRankRounds(
             s, sfDir, oldCutNum, oldCutDen)
-          val fullD = Graph.bothDirs(adv.edges)
+          // dst-partitioned + materialized (the caller-materializes
+          // contract): every round's dst aggregation is exchange-free
+          val fullD = graft.ops.Ck(
+            Graph.bothDirs(adv.edges).repartition(col("dst")))
           val degNew = adv.degrees
             .select(col("node").as("src"), col("deg"))
           val seeds = Graph.bothDirs(novel)
@@ -301,6 +315,7 @@ object GraphStateStore {
               Graph.incrRank5Rounds(oldRounds, fullD, degNew, seeds)
             else Graph.integerPageRankRounds(fullD, degNew)
           applyRankDelta(s, sfDir, newCutNum, newCutDen, advRounds)
+          graft.ops.Ck.free(fullD)
         }
         graft.ops.Ck.free(novel)
         ()

@@ -67,6 +67,32 @@ object GraphQueries {
         graft.sources.GraphStateStore.standing(s, d, 1L, 1L).edges)
     else coPurchaseEdges(Tables.lineitem(s, d)).ckpt()
 
+  private val dirDstCache = new graft.sources.LayoutCache.SessionCache[
+    String, DataFrame]()
+
+  /** The ITERATIVE consumers' shared directed edge list (r13): under
+    * the flag, ONE session-staged, Ck-pinned copy of the standing
+    * layout's both-direction expansion, repartitioned by `dst` —
+    * `localCheckpoint` preserves the physical partitioning, so every
+    * loop round's dst-keyed aggregation (k-core's alive recount, LPA's
+    * label vote; hashpartitioning on a subset of the grouping keys
+    * satisfies the clustering) rides the staged layout with NO
+    * exchange, and the per-round double FileScan of the bucketed table
+    * disappears with it. The list is symmetric (bothDirs), so any
+    * per-node count can key on dst. One shuffle at stage time replaces
+    * one per round per consumer per sample. Flag-off falls back to the
+    * per-query checkpoint (spec path).
+    */
+  private def fullDirectedStaged(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    if (s.conf.get("spark.graft.graph.bucketedEdges", "false").toBoolean)
+      dirDstCache.getOrBuild(s, d) {
+        graft.ops.Ck.pin(graft.ops.Graph.bothDirs(
+            graft.sources.GraphStateStore.standing(s, d, 1L, 1L).edges)
+          .repartition(col("dst")))
+      }
+    else fullDirectedEdges(s, d)
+
   /** Directed edges for SINGLE-PASS consumers: flag-aware like
     * [[fullDirectedEdges]] but never checkpoints — one consumer means a
     * materialization pass would cost more than it saves.
@@ -325,7 +351,7 @@ object GraphQueries {
     */
   private val labelProp: Q = (s, d) => {
     val pack = 1L << 40
-    val edges = fullDirectedEdges(s, d)
+    val edges = fullDirectedStaged(s, d)
     val nodes = standingOpt(s, d).map(_.degrees.select("node"))
       .getOrElse(edges.select(col("src").as("node")).distinct())
     var labels = nodes
@@ -402,7 +428,7 @@ object GraphQueries {
     * hash aggregate. The ◆ oracle unrolls the identical rounds as CTEs.
     */
   private val kcore: Q = (s, d) => {
-    val edges = fullDirectedEdges(s, d)
+    val edges = fullDirectedStaged(s, d)
     // k and the initial alive set: from the |V|-row maintained degrees
     // table under the flag (sum(deg) = |directed E|, one row per node),
     // from the |E| edge list otherwise
@@ -420,10 +446,12 @@ object GraphQueries {
       val next = edges
         .join(broadcast(alive.withColumnRenamed("node", "src")), "src")
         .join(broadcast(alive.withColumnRenamed("node", "dst")), "dst")
-        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        // dst-keyed on the symmetric staged list: the count per node is
+        // identical either way, and dst rides the staged partitioning
+        .groupBy(col("dst")).agg(count(lit(1)).as("deg"))
         .crossJoin(broadcast(kDf))
         .filter(col("deg") >= col("k"))
-        .select(col("src").as("node"))
+        .select(col("dst").as("node"))
         .ckpt()
       Ck.free(alive)
       alive = next
@@ -431,8 +459,8 @@ object GraphQueries {
     edges
       .join(broadcast(alive.withColumnRenamed("node", "src")), "src")
       .join(broadcast(alive.withColumnRenamed("node", "dst")), "dst")
-      .groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
-      .select(col("src").as("part_id"), col("core_deg"))
+      .groupBy(col("dst")).agg(count(lit(1)).as("core_deg"))
+      .select(col("dst").as("part_id"), col("core_deg"))
       .orderBy("part_id")
   }
 
@@ -520,7 +548,7 @@ object GraphQueries {
   }
 
   private val kcoreFixpoint: Q = (s, d) => {
-    val edges = fullDirectedEdges(s, d)
+    val edges = fullDirectedStaged(s, d)
     // k and the initial alive set: from the |V|-row maintained degrees
     // table under the flag (sum(deg) = |directed E|, one row per node),
     // from the |E| edge list otherwise
@@ -547,10 +575,12 @@ object GraphQueries {
       val next = edges
         .join(broadcast(alive.withColumnRenamed("node", "src")), "src")
         .join(broadcast(alive.withColumnRenamed("node", "dst")), "dst")
-        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        // dst-keyed on the symmetric staged list: the count per node is
+        // identical either way, and dst rides the staged partitioning
+        .groupBy(col("dst")).agg(count(lit(1)).as("deg"))
         .crossJoin(broadcast(kDf))
         .filter(col("deg") >= col("k"))
-        .select(col("src").as("node"))
+        .select(col("dst").as("node"))
         .ckpt()
       val nextN = next.count()
       converged = nextN == aliveN
@@ -561,8 +591,8 @@ object GraphQueries {
     edges
       .join(broadcast(alive.withColumnRenamed("node", "src")), "src")
       .join(broadcast(alive.withColumnRenamed("node", "dst")), "dst")
-      .groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
-      .select(col("src").as("part_id"), col("core_deg"))
+      .groupBy(col("dst")).agg(count(lit(1)).as("core_deg"))
+      .select(col("dst").as("part_id"), col("core_deg"))
       .orderBy("part_id")
   }
 

@@ -175,9 +175,15 @@ object Bench {
     // dup-closure fixture) as a measured number beside the leaker line.
     val (pinBlocks, pinBytes) = graft.ops.Ck.pinnedReport(spark)
     val pinMB = pinBytes / 1048576.0
+    // Per-owner breakdown (r13): "which pin grew?" answerable from the
+    // artifact — the dirDst staging question took an A/B bench run that
+    // this line would have settled on its face.
+    val pinsByLabel = graft.ops.Ck.pinnedByLabel(spark)
     System.err.println(f"[bench] env: heap=$heapGB%.1fg opens=" +
       (if (closedOpens.isEmpty) "ok" else s"MISSING(${closedOpens.size})") +
-      f" gc=$gcSec%.1fs/${gcN1 - gcN0} pinned=$pinMB%.1fMB/$pinBlocks blocks")
+      f" gc=$gcSec%.1fs/${gcN1 - gcN0} pinned=$pinMB%.1fMB/$pinBlocks blocks" +
+      pinsByLabel.map { case (l, mb) => f"$l=$mb%.0f" }
+        .mkString(" (", " ", "MB)"))
     // Centisecond per-query precision with trailing zeros stripped keeps the
     // JSON line well inside the driver's bounded 2000-char tail capture
     // (r04's full-precision line was truncated mid-record and parsed as
@@ -224,11 +230,17 @@ object Bench {
     // bench output (repo cwd → BENCH_SPREAD.json).
     val spreadPath =
       sys.env.getOrElse("SPARK_GRAFT_SPREAD_OUT", "BENCH_SPREAD.json")
+    // The spread header also carries the per-owner pin breakdown — the
+    // bench LINE stays compact (driver tail capture is bounded), the
+    // spread file is where adjudication detail lives.
+    val pinsJson = pinsByLabel.map { case (l, mb) =>
+      "\"" + l + "\":" + fmt(mb, 1)
+    }.mkString("{", ",", "}")
     val spreadBody = spreads.map { case (k, (lo, med, hi)) =>
       "\"" + k + "\":{\"min\":" + fmt(lo, 2) + ",\"med\":" + fmt(med, 2) +
         ",\"max\":" + fmt(hi, 2) + "}"
     }.mkString("{\"registry\":" + results.size + ",\"env\":" + envJson +
-      ",\"spread\":{", ",", "}}")
+      ",\"pins\":" + pinsJson + ",\"spread\":{", ",", "}}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(spreadPath), spreadBody)
     spark.stop()

@@ -90,13 +90,37 @@ object Ck {
     out
   }
 
+  // id → owner label for the pinned-state breakdown (ids are unique per
+  // context for a JVM's lifetime; the map is tiny — one entry per pin)
+  private val pinLabels = new ConcurrentHashMap[Int, String]()
+
   /** Cross-query checkpoint: materialized once per session, exempt from
     * [[drain]] and [[sweep]] (the caller's cache owns its lifetime).
     */
-  def pin(df: DataFrame): DataFrame = {
-    val out = df.localCheckpoint()
+  def pin(df: DataFrame): DataFrame = pin(df, "unlabeled")
+
+  /** Labeled pin: the label names the owning staged artifact in the
+    * bench tail's pinned-state breakdown, so "which pin grew?" is
+    * answerable from the artifact (r13: the dirDst staging experiment
+    * took an A/B bench run to attribute — the breakdown answers it on
+    * its face).
+    */
+  def pin(df: DataFrame, label: String): DataFrame =
+    pin(df, label, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Pin at an explicit storage level. |E|-scale staged layouts pin
+    * DISK_ONLY: an in-heap pin of that size squeezes the unified memory
+    * pool every later query runs in (measured r13: the 2|E| dst-staged
+    * list at MEMORY_AND_DISK cost +26 s of GC-pressure inflation across
+    * the ML fits — more than the staging saved), while DISK_ONLY keeps
+    * the partitioning contract and serves re-reads from the OS page
+    * cache. Catalog-scale pins (|V| rows, few MB) stay in memory.
+    */
+  def pin(df: DataFrame, label: String,
+      level: org.apache.spark.storage.StorageLevel): DataFrame = {
+    val out = df.localCheckpoint(true, level)
     val set = setFor(pinned, df.sparkSession)
-    rddIds(out).foreach(set.add)
+    rddIds(out).foreach { id => set.add(id); pinLabels.put(id, label) }
     out
   }
 
@@ -177,6 +201,21 @@ object Ck {
       if (ids.contains(i.id)) { n += 1; bytes += i.memSize + i.diskSize }
     }
     (n, bytes)
+  }
+
+  /** Per-owner pinned bytes, MB, sorted descending — the breakdown
+    * behind [[pinnedReport]]'s total (bench spread-file header + tail).
+    */
+  def pinnedByLabel(spark: SparkSession): Seq[(String, Double)] = {
+    val ids = allPinnedIds
+    val acc = scala.collection.mutable.Map.empty[String, Long]
+    spark.sparkContext.getRDDStorageInfo.foreach { i =>
+      if (ids.contains(i.id)) {
+        val l = pinLabels.getOrDefault(i.id, "unlabeled")
+        acc(l) = acc.getOrElse(l, 0L) + i.memSize + i.diskSize
+      }
+    }
+    acc.toSeq.map { case (l, b) => (l, b / 1048576.0) }.sortBy(-_._2)
   }
 
   /** Postfix form so call sites read like the `.localCheckpoint()` they

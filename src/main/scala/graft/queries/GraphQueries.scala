@@ -87,9 +87,14 @@ object GraphQueries {
       d: String): DataFrame =
     if (s.conf.get("spark.graft.graph.bucketedEdges", "false").toBoolean)
       dirDstCache.getOrBuild(s, d) {
+        // DISK_ONLY: a 2|E| in-heap pin squeezes the unified pool every
+        // later query runs in (A/B-measured: +26 s of ML-fit GC
+        // inflation, more than the staging saves) — on disk the
+        // partitioning contract survives and rounds re-read page cache
         graft.ops.Ck.pin(graft.ops.Graph.bothDirs(
             graft.sources.GraphStateStore.standing(s, d, 1L, 1L).edges)
-          .repartition(col("dst")))
+          .repartition(col("dst")), "graph.dirDst",
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
       }
     else fullDirectedEdges(s, d)
 
@@ -285,7 +290,10 @@ object GraphQueries {
     * instead of sum.
     */
   private val bfsHops: Q = (s, d) => {
-    val edges = fullDirectedEdges(s, d)
+    // shares the iterative family's staged dst-partitioned list: the
+    // relax step keys its new frontier on dst, and each round reads the
+    // pinned copy instead of re-expanding the bucketed table
+    val edges = fullDirectedStaged(s, d)
     // node set: maintained degrees table under the flag (|V| file scan),
     // |E| distinct otherwise
     val nodes = standingOpt(s, d).map(_.degrees.select("node"))
@@ -858,7 +866,7 @@ object GraphQueries {
           graft.sources.GraphStateStore.cutExpr(cutNum, cutDen))
       graft.ops.Ck.pin(coPurchaseEdges(deltaBaskets)
         .filter(col("src") < col("dst"))
-        .join(st.edges, Seq("src", "dst"), "left_anti"))
+        .join(st.edges, Seq("src", "dst"), "left_anti"), "graph.novel")
     }
     (st, novelC)
   }
@@ -884,7 +892,8 @@ object GraphQueries {
     // (instances touching novel edges only).
     (st, termsCache.getOrBuild(s, d) {
       graft.ops.Ck.pin(
-        graft.ops.Graph.deltaTriangleInstances(st.edges, novelC))
+        graft.ops.Graph.deltaTriangleInstances(st.edges, novelC),
+        "graph.deltaTriangleTerms")
     })
   }
 
@@ -1070,9 +1079,11 @@ object GraphQueries {
         // time replaces one per round per sample.
         val fd = graft.ops.Ck.pin(
           graft.ops.Graph.bothDirs(st.edges.unionByName(novelC))
-            .repartition(col("dst")))
+            .repartition(col("dst")), "graph.postAppendDir",
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
         (fd, graft.ops.Ck.pin(
-          fd.groupBy("src").agg(count(lit(1)).as("deg"))))
+          fd.groupBy("src").agg(count(lit(1)).as("deg")),
+          "graph.postAppendDeg"))
       }
     // r₀ = U div N: a new node changes N and with it EVERY rank — the
     // delta algebra's precondition, checked here (one tiny job against

@@ -174,7 +174,8 @@ object LlmQueries {
       d: String): org.apache.spark.sql.DataFrame =
     jaccardPairsCache.getOrBuild(s, d) {
       graft.ops.Ck.pin(
-        jaccardPairs(Tables.documents(s, d), Seq("lang"), 0.5))
+        jaccardPairs(Tables.documents(s, d), Seq("lang"), 0.5),
+        "llm.jaccardPairs")
     }
 
   private val dedupJaccard: Q = (s, d) =>
@@ -313,7 +314,7 @@ object LlmQueries {
       (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val corpus = plantedCorpus(s, d)
     (corpus, verifiedPairsCache.getOrBuild(s, d) {
-      graft.ops.Ck.pin(minhashPairs(corpus))
+      graft.ops.Ck.pin(minhashPairs(corpus), "llm.minhashPairs")
     })
   }
 
@@ -553,7 +554,8 @@ object LlmQueries {
   private[graft] def minhashComponents(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     minhashCompsCache.getOrBuild(s, d) {
-      graft.ops.Ck.pin(componentsFromPairs(minhashVerified(s, d)._2))
+      graft.ops.Ck.pin(componentsFromPairs(minhashVerified(s, d)._2),
+        "llm.minhashComps")
     }
 
   private val dedupPipeline: Q = (s, d) => {
@@ -1659,7 +1661,7 @@ object LlmQueries {
       // runner's per-query drain/sweep. Closes over the STAGED pair
       // table (r13) so the lang-blocked chain builds each stage once.
       graft.ops.Ck.pin(
-        componentsFromPairs(fixtureJaccardPairs(s, d)))
+        componentsFromPairs(fixtureJaccardPairs(s, d)), "llm.jaccardComps")
     }
 
   private val dupComponentsQ: Q = (s, d) =>
@@ -3481,7 +3483,8 @@ object LlmQueries {
   private def plantedExactPairs(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     exactPairsCache.getOrBuild(s, d) {
-      graft.ops.Ck.pin(prefixExactPairs(plantedCorpus(s, d)))
+      graft.ops.Ck.pin(prefixExactPairs(plantedCorpus(s, d)),
+      "llm.prefixExactPairs")
     }
 
   private val simjoinPrefix: Q = (s, d) =>

@@ -122,7 +122,7 @@ object MLQueries {
     kmFeatsCache.getOrBuild(s, d) {
       val f = graft.ops.Ck.pin(Tables.part(s, d).select(
         col("p_partkey"), col("p_retailprice"),
-        col("p_size").cast("double").as("size_d")))
+        col("p_size").cast("double").as("size_d")), "ml.kmFeats")
       (f, f.count())
     }
 
@@ -732,7 +732,7 @@ object MLQueries {
         .select(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"))
         .distinct()
         .withColumn("r", lit(1L) + pmod(col("user_id"), lit(3L)) +
-          pmod(col("item_id"), lit(3L))))
+          pmod(col("item_id"), lit(3L))), "ml.mfRatings")
     }
 
   private[graft] def mfFactors(s: SparkSession, d: String)

@@ -106,8 +106,10 @@ object RecQueries {
           pop.withColumn("neg_pop", -col("pop")).withColumn("one", lit(1L)),
           "neg_pop", Seq("item_id"), "one", "rnk")
         .select(col("item_id"), col("pop"), col("rnk"))
-      (graft.ops.Ck.pin(held), graft.ops.Ck.pin(trainItems),
-        graft.ops.Ck.pin(pop), graft.ops.Ck.pin(itemRank))
+      (graft.ops.Ck.pin(held, "rec.looHeld"),
+        graft.ops.Ck.pin(trainItems, "rec.looTrain"),
+        graft.ops.Ck.pin(pop, "rec.looPop"),
+        graft.ops.Ck.pin(itemRank, "rec.looRank"))
     }
 
   /** The SQL twin of [[loo]] (appended after [[interCte]]). The oracle may

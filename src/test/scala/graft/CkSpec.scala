@@ -84,4 +84,28 @@ class CkSpec extends SparkSpec {
     assert(pinnedDf.count() === 50)
     assert(persistedIds.nonEmpty, "the pinned block itself must remain")
   }
+
+  test("labeled pins surface in the per-owner breakdown; DISK_ONLY honored") {
+    import spark.implicits._
+    Ck.drain(spark); Ck.sweep(spark)
+    val mem = Ck.pin((1 to 1000).toDF("n"), "spec.mem")
+    val dsk = Ck.pin((1 to 1000).toDF("n"), "spec.dsk",
+      StorageLevel.DISK_ONLY)
+    assert(mem.count() === 1000 && dsk.count() === 1000)
+    val byLabel = Ck.pinnedByLabel(spark).toMap
+    assert(byLabel.contains("spec.mem") && byLabel.contains("spec.dsk"),
+      s"both labels must appear in the breakdown: $byLabel")
+    // the DISK_ONLY pin holds zero heap: its blocks report no memSize
+    val ids = dsk.queryExecution.logical.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }.toSet
+    val info = spark.sparkContext.getRDDStorageInfo
+      .filter(i => ids.contains(i.id))
+    assert(info.nonEmpty && info.forall(_.memSize === 0L),
+      "DISK_ONLY pin must not occupy storage memory")
+    assert(info.exists(_.diskSize > 0L), "DISK_ONLY pin must be on disk")
+    // drain/sweep still honor both
+    Ck.drain(spark); Ck.sweep(spark)
+    assert(mem.count() === 1000 && dsk.count() === 1000)
+  }
 }

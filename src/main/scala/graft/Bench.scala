@@ -134,7 +134,11 @@ object Bench {
       // (LlmQueries.minhashVerified/plantedExactPairs/minhashComponents);
       // whichever consumer runs first pays the build — the median is the
       // serving path (the PostingsStore/IvfStore discipline)
-      "q_dedup_pipeline", "q_split_leakfree")
+      "q_dedup_pipeline", "q_split_leakfree",
+      // r13 in-session sweep: the one single-shot line that read >3 s in
+      // any of the round's three full boards (4.5 s in one run, 1.8 s in
+      // the next — the ambient-capture shape the median settles)
+      "q_seq_pairs")
     val spreads = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double)]
     // Leak loudness (r10 lesson): every query's tracked checkpoints are
     // drained after its timed count, and sweep() evicts anything else
@@ -146,6 +150,7 @@ object Bench {
     // GC-bean baseline AFTER warm-up: the delta over the timed window is
     // the pause budget the per-query numbers absorbed.
     val (gcMs0, gcN0) = graft.ops.JvmEnv.gcTotals
+    val cpuNs0 = graft.ops.JvmEnv.processCpuNanos
     val results = selected.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -170,6 +175,11 @@ object Bench {
         s"RDDs: " + leakers.map { case (k, v) => s"$k=$v" }.mkString(", "))
     val (gcMs1, gcN1) = graft.ops.JvmEnv.gcTotals
     val gcSec = (gcMs1 - gcMs0) / 1000.0
+    // Process CPU over the timed window: wall inflation with flat cpuSec
+    // is external descheduling; wall+cpu inflating together is real work
+    val cpuNs1 = graft.ops.JvmEnv.processCpuNanos
+    val cpuSec =
+      if (cpuNs0 < 0 || cpuNs1 < 0) -1.0 else (cpuNs1 - cpuNs0) / 1e9
     // Pinned-state report (r12 verdict #4): the session's standing pins
     // (staged novel-edge batch, post-append graph, mfRatings, the
     // dup-closure fixture) as a measured number beside the leaker line.
@@ -181,7 +191,8 @@ object Bench {
     val pinsByLabel = graft.ops.Ck.pinnedByLabel(spark)
     System.err.println(f"[bench] env: heap=$heapGB%.1fg opens=" +
       (if (closedOpens.isEmpty) "ok" else s"MISSING(${closedOpens.size})") +
-      f" gc=$gcSec%.1fs/${gcN1 - gcN0} pinned=$pinMB%.1fMB/$pinBlocks blocks" +
+      f" gc=$gcSec%.1fs/${gcN1 - gcN0} cpu=$cpuSec%.0fs" +
+      f" pinned=$pinMB%.1fMB/$pinBlocks blocks" +
       pinsByLabel.map { case (l, mb) => f"$l=$mb%.0f" }
         .mkString(" (", " ", "MB)"))
     // Centisecond per-query precision with trailing zeros stripped keeps the
@@ -207,6 +218,7 @@ object Bench {
       (if (closedOpens.isEmpty) "ok"
        else "MISSING:" + closedOpens.map(_.split("/").last).mkString("+")) +
       "\",\"gcSec\":" + fmt(gcSec, 1) + ",\"gcN\":" + (gcN1 - gcN0) +
+      ",\"cpuSec\":" + fmt(cpuSec, 0) +
       ",\"pinMB\":" + fmt(pinMB, 1) + ",\"pinBlocks\":" + pinBlocks + "}"
     def line(shown: Int): String = {
       val head = bySlowest.take(shown)

@@ -50,6 +50,22 @@ object JvmEnv {
 
   def heapMaxBytes: Long = Runtime.getRuntime.maxMemory()
 
+  /** Cumulative CPU nanoseconds consumed by THIS process (all threads),
+    * from the platform OS bean; -1 if the platform bean is unavailable.
+    * The bench prints the timed-window delta as `cpuSec` beside the wall
+    * total: a wall-clock inflation with FLAT cpuSec is external
+    * descheduling (host noisy-neighbor, IO stall — r13 measured
+    * same-code totals swinging 172–264 s across one evening), while
+    * wall and cpu inflating TOGETHER is real extra work (GC pressure,
+    * spills, a plan change). The one adjudication axis heap/opens/gc
+    * could not cover.
+    */
+  def processCpuNanos: Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _ => -1L
+    }
+
   /** (total GC pause millis, total collection count) across all beans. */
   def gcTotals: (Long, Long) = {
     var ms = 0L; var n = 0L

@@ -993,7 +993,112 @@ object MLQueries {
        |ORDER BY user_id, rank""".stripMargin
   }
 
+  /** ◆ `q_cv_popularity` — k-FOLD CROSS-VALIDATION of the item-mean
+    * rating model over the deterministic interaction set, fully under
+    * the hash gate (the evaluation-methodology op the split family —
+    * q_split_leakfree / q_split_temporal / q_eval_ranking — stopped
+    * short of: those gate ONE held-out split; this gates the k-fold
+    * protocol itself). Fold assignment is md5-derived (cross-engine,
+    * per interaction); each fold's training statistics come from the
+    * GLOBAL-minus-FOLD identity — train(item, ¬f) = tot(item) −
+    * fold(item, f) — so leave-one-fold-out evaluation costs ONE
+    * data-sized aggregation plus catalog-scale broadcast joins, never
+    * k passes over the interactions. Items with no training ratings
+    * outside the fold fall back to the left-out global mean, then to
+    * the synthetic-prior 3·S. All arithmetic is non-negative integer
+    * (milli-rating scale, truncating div ≡ DuckDB's flooring `//`),
+    * so the oracle replays assignment → stats → prediction → per-fold
+    * MAE end to end.
+    *
+    * Scale shape: pass 1 aggregates the interactions to |items|·k
+    * partials with map-side combine; item totals, fold totals, and
+    * the grand total all derive from the PARTIALS (catalog-scale
+    * inputs); pass 2 re-reads the interactions once and broadcast-
+    * joins the |items|·k prediction table. Two data passes total, no
+    * data-sized shuffle beyond the one keyed aggregation, no collects.
+    */
+  private val cvFolds = 5L
+
+  private val cvPopularity: Q = (s, d) => {
+    def idiv(n: Column, dd: Column): Column =
+      ((n - pmod(n, dd)) / dd).cast("long") // non-negative operands
+    val folded = mfRatings(s, d).withColumn("fold",
+      pmod(Hashing.md5Long(concat(col("user_id").cast("string"), lit("_"),
+        col("item_id").cast("string"))), lit(cvFolds)))
+    // ONE data-sized aggregation; everything below reads the partials
+    val itemFold = folded.groupBy("item_id", "fold")
+      .agg(sum("r").as("s_f"), count(lit(1)).as("c_f")).ckpt()
+    val itemTot = itemFold.groupBy("item_id")
+      .agg(sum("s_f").as("s_tot"), sum("c_f").as("c_tot"))
+    val foldTot = itemFold.groupBy("fold")
+      .agg(sum("s_f").as("gs_f"), sum("c_f").as("gc_f"))
+    val grand = itemFold.agg(sum("s_f").as("gs"), sum("c_f").as("gc"))
+    val pred = itemFold
+      .join(broadcast(itemTot), Seq("item_id"))
+      .join(broadcast(foldTot), Seq("fold"))
+      .crossJoin(broadcast(grand))
+      .select(col("item_id"), col("fold"),
+        when(col("c_tot") - col("c_f") > 0L,
+          idiv(lit(1000L) * (col("s_tot") - col("s_f")),
+            col("c_tot") - col("c_f")))
+        .when(col("gc") - col("gc_f") > 0L,
+          idiv(lit(1000L) * (col("gs") - col("gs_f")),
+            col("gc") - col("gc_f")))
+        .otherwise(lit(3000L)).as("pred_milli"))
+    folded
+      .join(broadcast(pred), Seq("item_id", "fold"))
+      .select(col("fold"),
+        abs(lit(1000L) * col("r") - col("pred_milli")).as("aerr"))
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n_test"), sum("aerr").as("sum_abs_err"))
+      .withColumn("mae_milli", idiv(col("sum_abs_err"), col("n_test")))
+      .orderBy("fold")
+  }
+
+  private val cvPopularitySql =
+    s"""WITH ratings AS MATERIALIZED (
+       |  SELECT user_id, item_id,
+       |         1 + user_id % 3 + item_id % 3 AS r
+       |  FROM (SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey AS item_id
+       |        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)),
+       |folded AS MATERIALIZED (
+       |  SELECT user_id, item_id, r,
+       |         ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '_' ||
+       |                             CAST(item_id AS VARCHAR)), 1, 8))::BIGINT
+       |           % $cvFolds AS fold
+       |  FROM ratings),
+       |item_fold AS MATERIALIZED (
+       |  SELECT item_id, fold, SUM(r) AS s_f, COUNT(*) AS c_f
+       |  FROM folded GROUP BY 1, 2),
+       |item_tot AS (
+       |  SELECT item_id, SUM(s_f) AS s_tot, SUM(c_f) AS c_tot
+       |  FROM item_fold GROUP BY 1),
+       |fold_tot AS (
+       |  SELECT fold, SUM(s_f) AS gs_f, SUM(c_f) AS gc_f
+       |  FROM item_fold GROUP BY 1),
+       |grand AS (SELECT SUM(s_f) AS gs, SUM(c_f) AS gc FROM item_fold),
+       |pred AS (
+       |  SELECT f.item_id, f.fold,
+       |         CASE WHEN (t.c_tot - f.c_f) > 0
+       |              THEN (1000 * (t.s_tot - f.s_f)) // (t.c_tot - f.c_f)
+       |              WHEN (g.gc - ft.gc_f) > 0
+       |              THEN (1000 * (g.gs - ft.gs_f)) // (g.gc - ft.gc_f)
+       |              ELSE 3000 END AS pred_milli
+       |  FROM item_fold f
+       |  JOIN item_tot t USING (item_id)
+       |  JOIN fold_tot ft USING (fold)
+       |  CROSS JOIN grand g),
+       |scored AS (
+       |  SELECT fo.fold, ABS(1000 * fo.r - p.pred_milli) AS aerr
+       |  FROM folded fo JOIN pred p
+       |    ON fo.item_id = p.item_id AND fo.fold = p.fold)
+       |SELECT fold, COUNT(*) AS n_test,
+       |       CAST(SUM(aerr) AS BIGINT) AS sum_abs_err,
+       |       CAST(SUM(aerr) // COUNT(*) AS BIGINT) AS mae_milli
+       |FROM scored GROUP BY fold ORDER BY fold""".stripMargin
+
   val entries: Seq[Entry] = Seq(
+    Entry("q_cv_popularity", cvPopularity, Some(cvPopularitySql)),
     Entry("q_mf_trained", mfTrained, Some(mfTrainedSql)),
     Entry("q_mf_implicit_trained", mfImplicitTrained,
       Some(mfImplicitTrainedSql)),

@@ -429,4 +429,30 @@ class MLQueriesSpec extends SparkSpec {
       assert(!sorted.exists(_._3 == seed), s"seed $seed returned itself")
     }
   }
+
+  test("q_cv_popularity: folds partition the interactions; item-mean beats the constant baseline in EVERY fold (r13)") {
+    // The hash gate pins the values; this pins the PROTOCOL and the
+    // MODEL: (a) the 5 md5-derived folds cover every interaction
+    // exactly once (their n_test sums to |ratings|), and (b) the
+    // cross-validated item-mean model beats the constant global-mean
+    // baseline in every fold — on the additive synthetic ratings the
+    // constant predictor's expected absolute error is 8/9 ≈ 889 milli
+    // (|u%3 + i%3 − 2| over uniform residues), while conditioning on
+    // the item removes the i%3 term (~667 milli) — so a fold whose
+    // MAE reaches 800 means the evaluation learned nothing and the
+    // gate fails loudly.
+    val out = SparkEntry.queries("q_cv_popularity")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.map(_._1).toSet === (0L to 4L).toSet, "all 5 folds present")
+    val nTotal = graft.queries.MLQueries.mfRatings(spark, sfDir).count()
+    assert(out.map(_._2).sum === nTotal,
+      s"fold sizes must partition the ${nTotal} interactions")
+    out.foreach { case (fold, n, sumAbs, mae) =>
+      assert(n > 0L, s"fold $fold empty")
+      assert(mae === sumAbs / n, s"fold $fold mae not floor(sum/n)")
+      assert(mae < 800L,
+        s"fold $fold MAE $mae does not beat the 889-milli constant baseline")
+    }
+  }
 }

@@ -1055,6 +1055,103 @@ object MLQueries {
       .orderBy("fold")
   }
 
+  /** ◆ `q_learning_curve` — SAMPLE-EFFICIENCY evaluation, the natural
+    * sibling of [[cvPopularity]] for a training-DATA engine: hold out a
+    * fixed md5-derived 10% test set, split the remaining pool into 10
+    * md5-derived buckets (an independent salt), and evaluate the
+    * item-mean model trained on every PREFIX of buckets (10%, 20%, …,
+    * 100% of the pool) against the SAME test set — the "how much corpus
+    * does the model actually need" curve a 100 TB pipeline consults
+    * before paying for the next data tranche. Training statistics per
+    * prefix come from per-(item, bucket) partials joined to a tiny
+    * prefix table and re-aggregated — ONE data-sized aggregation, then
+    * catalog-scale (|items|·10-row) arithmetic; the test set is scored
+    * once per prefix via a broadcast join (test is a tenth of the data,
+    * so all 10 prefixes together cost one data pass). Items unseen in a
+    * prefix fall back to the prefix's global mean, then to the
+    * synthetic prior. Exact integer milli-ratings throughout; the
+    * oracle replays split → buckets → prefix stats → prediction →
+    * per-prefix MAE end to end. MLQueriesSpec gates the CURVE: the
+    * full-pool MAE must beat the tenth-pool MAE and the constant
+    * baseline — a flat curve means the op measured nothing.
+    */
+  private val learningCurve: Q = (s, d) => {
+    def idiv(n: Column, dd: Column): Column =
+      ((n - pmod(n, dd)) / dd).cast("long")
+    val keyStr = concat(col("user_id").cast("string"), lit("_"),
+      col("item_id").cast("string"))
+    val tagged = mfRatings(s, d)
+      .withColumn("tb", pmod(Hashing.md5Long(concat(keyStr, lit("lt"))),
+        lit(10L)))
+      .withColumn("b", pmod(Hashing.md5Long(concat(keyStr, lit("lb"))),
+        lit(10L)))
+    val test = tagged.filter(col("tb") === 9L)
+    val train = tagged.filter(col("tb") =!= 9L)
+    // ONE data-sized aggregation; prefix arithmetic reads the partials
+    val itemBucket = train.groupBy("item_id", "b")
+      .agg(sum("r").as("s_b"), count(lit(1)).as("c_b")).ckpt()
+    val prefixes = s.range(1L, 11L).select(col("id").as("p"))
+    val cum = itemBucket.join(broadcast(prefixes), col("b") < col("p"))
+      .groupBy("item_id", "p")
+      .agg(sum("s_b").as("cs"), sum("c_b").as("cc"))
+    val globalCum = itemBucket.join(broadcast(prefixes), col("b") < col("p"))
+      .groupBy("p").agg(sum("s_b").as("gs"), sum("c_b").as("gc"))
+    test.crossJoin(broadcast(globalCum))
+      .join(broadcast(cum), Seq("item_id", "p"), "left")
+      .select(col("p"), col("gc"),
+        abs(lit(1000L) * col("r") -
+          when(col("cc").isNotNull && col("cc") > 0L,
+            idiv(lit(1000L) * col("cs"), col("cc")))
+          .when(col("gc") > 0L, idiv(lit(1000L) * col("gs"), col("gc")))
+          .otherwise(lit(3000L))).as("aerr"))
+      .groupBy("p")
+      .agg(max("gc").as("n_train"), count(lit(1)).as("n_test"),
+        sum("aerr").as("sum_abs_err"))
+      .withColumn("mae_milli", idiv(col("sum_abs_err"), col("n_test")))
+      .orderBy("p")
+  }
+
+  private val learningCurveSql =
+    s"""WITH ratings AS MATERIALIZED (
+       |  SELECT user_id, item_id,
+       |         1 + user_id % 3 + item_id % 3 AS r
+       |  FROM (SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey AS item_id
+       |        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)),
+       |tagged AS MATERIALIZED (
+       |  SELECT user_id, item_id, r,
+       |         ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '_' ||
+       |             CAST(item_id AS VARCHAR) || 'lt'), 1, 8))::BIGINT
+       |           % 10 AS tb,
+       |         ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '_' ||
+       |             CAST(item_id AS VARCHAR) || 'lb'), 1, 8))::BIGINT
+       |           % 10 AS b
+       |  FROM ratings),
+       |item_bucket AS MATERIALIZED (
+       |  SELECT item_id, b, SUM(r) AS s_b, COUNT(*) AS c_b
+       |  FROM tagged WHERE tb <> 9 GROUP BY 1, 2),
+       |prefixes(p) AS (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10)),
+       |cum AS (
+       |  SELECT item_id, p, SUM(s_b) AS cs, SUM(c_b) AS cc
+       |  FROM item_bucket JOIN prefixes ON b < p GROUP BY 1, 2),
+       |global_cum AS (
+       |  SELECT p, SUM(s_b) AS gs, SUM(c_b) AS gc
+       |  FROM item_bucket JOIN prefixes ON b < p GROUP BY 1),
+       |scored AS (
+       |  SELECT g.p, g.gc,
+       |         ABS(1000 * t.r -
+       |             CASE WHEN c.cc IS NOT NULL AND c.cc > 0
+       |                  THEN (1000 * c.cs) // c.cc
+       |                  WHEN g.gc > 0 THEN (1000 * g.gs) // g.gc
+       |                  ELSE 3000 END) AS aerr
+       |  FROM (SELECT * FROM tagged WHERE tb = 9) t
+       |  CROSS JOIN global_cum g
+       |  LEFT JOIN cum c ON c.item_id = t.item_id AND c.p = g.p)
+       |SELECT CAST(p AS BIGINT) AS p, CAST(MAX(gc) AS BIGINT) AS n_train,
+       |       COUNT(*) AS n_test,
+       |       CAST(SUM(aerr) AS BIGINT) AS sum_abs_err,
+       |       CAST(SUM(aerr) // COUNT(*) AS BIGINT) AS mae_milli
+       |FROM scored GROUP BY p ORDER BY p""".stripMargin
+
   private val cvPopularitySql =
     s"""WITH ratings AS MATERIALIZED (
        |  SELECT user_id, item_id,
@@ -1099,6 +1196,7 @@ object MLQueries {
 
   val entries: Seq[Entry] = Seq(
     Entry("q_cv_popularity", cvPopularity, Some(cvPopularitySql)),
+    Entry("q_learning_curve", learningCurve, Some(learningCurveSql)),
     Entry("q_mf_trained", mfTrained, Some(mfTrainedSql)),
     Entry("q_mf_implicit_trained", mfImplicitTrained,
       Some(mfImplicitTrainedSql)),

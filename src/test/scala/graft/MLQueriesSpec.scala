@@ -455,4 +455,25 @@ class MLQueriesSpec extends SparkSpec {
         s"fold $fold MAE $mae does not beat the 889-milli constant baseline")
     }
   }
+
+  test("q_learning_curve: training prefixes grow, the fixed test set holds, and the curve actually descends (r13)") {
+    // The hash gate pins the values; this pins the SHAPE the op exists
+    // for: 10 prefixes, a test set that never changes across them,
+    // strictly growing training pools, and a curve where the full pool
+    // beats the tenth pool AND the 889-milli constant baseline — a
+    // flat or rising curve means the sample-efficiency measurement
+    // measured nothing.
+    val out = SparkEntry.queries("q_learning_curve")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.map(_._1).toSeq === (1L to 10L), "prefixes 1..10 in order")
+    assert(out.map(_._3).toSet.size === 1, "test set fixed across prefixes")
+    assert(out.sliding(2).forall { case Array(a, b) => b._2 > a._2 },
+      "training pool must strictly grow with the prefix")
+    val mae = out.map(_._5)
+    assert(mae.last < mae.head,
+      s"full-pool MAE ${mae.last} must beat tenth-pool ${mae.head}")
+    assert(mae.last < 800L,
+      s"full-pool MAE ${mae.last} must beat the 889-milli constant baseline")
+  }
 }

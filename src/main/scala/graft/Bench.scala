@@ -126,9 +126,10 @@ object Bench {
       // det-MF training pair: fit-shaped (solve aggregations + staged
       // ratings) — joins the ml_-family median discipline
       "q_mf_trained", "q_mf_implicit_trained",
-      // k-fold CV + learning curve (r13): fit-shaped, first sample pays
-      // the staged mfRatings build — same discipline as the det-MF pair
-      "q_cv_popularity", "q_learning_curve",
+      // k-fold CV + learning curve + hyperparameter sweep (r13):
+      // fit-shaped, first sample pays the staged mfRatings build —
+      // same discipline as the det-MF pair
+      "q_cv_popularity", "q_learning_curve", "q_hyperparam_sweep",
       // det TF-IDF retrieval twin (r13): fit-shaped (weight training +
       // checkpointed tf index) — same discipline as the det-MF pair
       "q_tfidf_topk_trained",

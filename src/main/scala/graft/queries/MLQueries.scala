@@ -1152,6 +1152,90 @@ object MLQueries {
        |       CAST(SUM(aerr) // COUNT(*) AS BIGINT) AS mae_milli
        |FROM scored GROUP BY p ORDER BY p""".stripMargin
 
+  /** ◆ `q_hyperparam_sweep` — MODEL SELECTION under the hash gate,
+    * completing the evaluate ([[cvPopularity]]) / sample-size
+    * ([[learningCurve]]) / select triad: a shrinkage-prior sweep for
+    * the item-mean model. Training statistics come from the md5 folds
+    * ≠ 0, evaluation from fold 0, and the model at prior strength λ
+    * predicts the quantized Bayesian shrinkage
+    * `(1000·S_i + λ·μ_milli) div (C_i + λ)` — items unseen in training
+    * collapse to the global-mean prior exactly (S=C=0), λ→∞ collapses
+    * every item to the constant predictor, so the sweep's curve has a
+    * measurable interior argmin. The λ grid is an 8-row broadcast; the
+    * per-λ scoring is one broadcast join over the held-out fold (8×
+    * a fifth of the data = under two data passes all in). Integer
+    * milli-rating arithmetic end to end; the oracle replays folds →
+    * stats → shrinkage → per-λ MAE. MLQueriesSpec gates the
+    * DISCRIMINATION: the best λ must beat λ = 1000 (over-shrinkage
+    * approaches the 889-milli constant baseline) — a flat sweep means
+    * the selection measured nothing.
+    */
+  private val hyperparamSweep: Q = (s, d) => {
+    def idiv(n: Column, dd: Column): Column =
+      ((n - pmod(n, dd)) / dd).cast("long")
+    val folded = mfRatings(s, d).withColumn("fold",
+      pmod(Hashing.md5Long(concat(col("user_id").cast("string"), lit("_"),
+        col("item_id").cast("string"))), lit(cvFolds)))
+    val test = folded.filter(col("fold") === 0L)
+    val train = folded.filter(col("fold") =!= 0L)
+    val itemStats = train.groupBy("item_id")
+      .agg(sum("r").as("s_i"), count(lit(1)).as("c_i")).ckpt()
+    val grand = itemStats.agg(
+      idiv(lit(1000L) * sum("s_i"), sum("c_i")).as("mu_milli"))
+    val grid = s.range(0L, 8L).select(
+      element_at(array(Seq(0L, 1L, 2L, 5L, 10L, 20L, 100L, 1000L)
+        .map(lit): _*), (col("id") + 1L).cast("int")).as("lambda"))
+    test
+      .join(broadcast(itemStats), Seq("item_id"), "left")
+      .na.fill(0L, Seq("s_i", "c_i"))
+      .crossJoin(broadcast(grid))
+      .crossJoin(broadcast(grand))
+      .select(col("lambda"),
+        abs(lit(1000L) * col("r") -
+          when(col("c_i") + col("lambda") > 0L,
+            idiv(lit(1000L) * col("s_i") + col("lambda") * col("mu_milli"),
+              col("c_i") + col("lambda")))
+          .otherwise(col("mu_milli"))).as("aerr"))
+      .groupBy("lambda")
+      .agg(count(lit(1)).as("n_test"), sum("aerr").as("sum_abs_err"))
+      .withColumn("mae_milli", idiv(col("sum_abs_err"), col("n_test")))
+      .orderBy("lambda")
+  }
+
+  private val hyperparamSweepSql =
+    s"""WITH ratings AS MATERIALIZED (
+       |  SELECT user_id, item_id,
+       |         1 + user_id % 3 + item_id % 3 AS r
+       |  FROM (SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey AS item_id
+       |        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)),
+       |folded AS MATERIALIZED (
+       |  SELECT user_id, item_id, r,
+       |         ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '_' ||
+       |                             CAST(item_id AS VARCHAR)), 1, 8))::BIGINT
+       |           % $cvFolds AS fold
+       |  FROM ratings),
+       |item_stats AS MATERIALIZED (
+       |  SELECT item_id, SUM(r) AS s_i, COUNT(*) AS c_i
+       |  FROM folded WHERE fold <> 0 GROUP BY 1),
+       |grand AS (
+       |  SELECT (1000 * SUM(s_i)) // SUM(c_i) AS mu_milli FROM item_stats),
+       |grid(lambda) AS (VALUES (0),(1),(2),(5),(10),(20),(100),(1000)),
+       |scored AS (
+       |  SELECT g.lambda,
+       |         ABS(1000 * t.r -
+       |             CASE WHEN COALESCE(i.c_i, 0) + g.lambda > 0
+       |                  THEN (1000 * COALESCE(i.s_i, 0)
+       |                        + g.lambda * gr.mu_milli)
+       |                       // (COALESCE(i.c_i, 0) + g.lambda)
+       |                  ELSE gr.mu_milli END) AS aerr
+       |  FROM (SELECT * FROM folded WHERE fold = 0) t
+       |  LEFT JOIN item_stats i USING (item_id)
+       |  CROSS JOIN grid g CROSS JOIN grand gr)
+       |SELECT CAST(lambda AS BIGINT) AS lambda, COUNT(*) AS n_test,
+       |       CAST(SUM(aerr) AS BIGINT) AS sum_abs_err,
+       |       CAST(SUM(aerr) // COUNT(*) AS BIGINT) AS mae_milli
+       |FROM scored GROUP BY lambda ORDER BY lambda""".stripMargin
+
   private val cvPopularitySql =
     s"""WITH ratings AS MATERIALIZED (
        |  SELECT user_id, item_id,
@@ -1197,6 +1281,7 @@ object MLQueries {
   val entries: Seq[Entry] = Seq(
     Entry("q_cv_popularity", cvPopularity, Some(cvPopularitySql)),
     Entry("q_learning_curve", learningCurve, Some(learningCurveSql)),
+    Entry("q_hyperparam_sweep", hyperparamSweep, Some(hyperparamSweepSql)),
     Entry("q_mf_trained", mfTrained, Some(mfTrainedSql)),
     Entry("q_mf_implicit_trained", mfImplicitTrained,
       Some(mfImplicitTrainedSql)),

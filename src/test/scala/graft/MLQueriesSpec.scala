@@ -476,4 +476,25 @@ class MLQueriesSpec extends SparkSpec {
     assert(mae.last < 800L,
       s"full-pool MAE ${mae.last} must beat the 889-milli constant baseline")
   }
+
+  test("q_hyperparam_sweep: the selection discriminates — best lambda beats over-shrinkage and the baseline (r13)") {
+    // The hash gate pins the values; this pins what selection MEANS:
+    // the grid is evaluated on one fixed fold, the best lambda's MAE
+    // beats both lambda = 1000 (which collapses the model toward the
+    // 889-milli constant predictor) and the baseline itself, and the
+    // fold never changes across the grid. A sweep where every lambda
+    // ties has measured nothing and fails here.
+    val out = SparkEntry.queries("q_hyperparam_sweep")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.map(_._1).toSeq ===
+      Seq(0L, 1L, 2L, 5L, 10L, 20L, 100L, 1000L), "the declared grid")
+    assert(out.map(_._2).toSet.size === 1, "one fixed evaluation fold")
+    val byLambda = out.map(t => t._1 -> t._4).toMap
+    val best = out.map(_._4).min
+    assert(best < byLambda(1000L),
+      s"best $best must beat over-shrinkage ${byLambda(1000L)}")
+    assert(best < 800L,
+      s"best $best must beat the 889-milli constant baseline")
+  }
 }

@@ -62,6 +62,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("the evaluation triad never sort-merge-joins: stats and grids broadcast (r13)") {
+    // q_cv_popularity / q_learning_curve / q_hyperparam_sweep are built
+    // as one data-sized aggregation plus catalog-scale broadcast joins
+    // (global-minus-fold stats, prefix/lambda grids, grand totals). A
+    // SortMergeJoin in any of them means a data-sized shuffle crept
+    // into what should be broadcast arithmetic — the exact regression
+    // this pin exists to catch. (Their BroadcastNestedLoopJoins are the
+    // <=10-row grid/grand builds, benign by construction.)
+    for (q <- Seq("q_cv_popularity", "q_learning_curve",
+        "q_hyperparam_sweep")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"), s"$q sort-merge-joined:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q degraded to cartesian")
+    }
+  }
+
   test("exact-Jaccard pins its broadcast AT BENCH SCALE and tokenizes once per side") {
     // The r6 driver bench showed a 3.4× swing on q_dedup_jaccard; the plan
     // audit found the broadcast intact but relied on Catalyst's stats-based

@@ -497,4 +497,43 @@ class MLQueriesSpec extends SparkSpec {
     assert(best < 800L,
       s"best $best must beat the 889-milli constant baseline")
   }
+
+  test("q_cv_popularity: the global-minus-fold plan equals a literal per-fold recompute (r13)") {
+    // The query's one clever step is the identity train(item, ¬f) =
+    // tot(item) − fold(item, f); this gate recomputes every fold the
+    // LITERAL way — five separate train/predict passes in plain Scala
+    // on the collected interactions, md5 folds re-derived with
+    // java.security.MessageDigest — and demands exact equality with
+    // the query's output, independently of BOTH engines' SQL.
+    val rows = graft.queries.MLQueries.mfRatings(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def fold(u: Long, i: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${u}_$i".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map(b => f"$b%02x").mkString, 16) % 5
+    }
+    val folded = rows.map { case (u, i, r) => (fold(u, i), u, i, r) }
+    val expected = (0L to 4L).map { f =>
+      val train = folded.filter(_._1 != f)
+      val test = folded.filter(_._1 == f)
+      val byItem = train.groupBy(_._3)
+        .map { case (i, rs) => i -> (rs.map(_._4).sum, rs.size.toLong) }
+      val (gs, gc) = (train.map(_._4).sum, train.size.toLong)
+      val errs = test.map { case (_, _, i, r) =>
+        val pred = byItem.get(i) match {
+          case Some((s, c)) if c > 0 => 1000L * s / c
+          case _ if gc > 0 => 1000L * gs / gc
+          case _ => 3000L
+        }
+        math.abs(1000L * r - pred)
+      }
+      (f, test.size.toLong, errs.sum, errs.sum / test.size)
+    }
+    val got = SparkEntry.queries("q_cv_popularity")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got === expected,
+      "global-minus-fold plan diverged from the literal per-fold recompute")
+  }
 }

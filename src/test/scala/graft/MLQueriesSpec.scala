@@ -536,4 +536,45 @@ class MLQueriesSpec extends SparkSpec {
     assert(got === expected,
       "global-minus-fold plan diverged from the literal per-fold recompute")
   }
+
+  test("q_learning_curve: the prefix-partial plan equals a literal per-prefix recompute (r13)") {
+    // Same discipline as the CV gate: ten separate train/predict passes
+    // in plain Scala (test split and buckets re-derived from md5 with
+    // their salts), exact equality with the query output — the
+    // partials-join-prefix-table trick is proven against the definition,
+    // independent of both engines.
+    val rows = graft.queries.MLQueries.mfRatings(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def h(u: Long, i: Long, salt: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${u}_$i$salt".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map(b => f"$b%02x").mkString, 16) % 10
+    }
+    val tagged = rows.map { case (u, i, r) =>
+      (h(u, i, "lt"), h(u, i, "lb"), u, i, r) }
+    val test = tagged.filter(_._1 == 9L)
+    val pool = tagged.filter(_._1 != 9L)
+    val expected = (1L to 10L).map { p =>
+      val train = pool.filter(_._2 < p)
+      val byItem = train.groupBy(_._4)
+        .map { case (i, rs) => i -> (rs.map(_._5).sum, rs.size.toLong) }
+      val (gs, gc) = (train.map(_._5).sum, train.size.toLong)
+      val errs = test.map { case (_, _, _, i, r) =>
+        val pred = byItem.get(i) match {
+          case Some((s, c)) if c > 0 => 1000L * s / c
+          case _ if gc > 0 => 1000L * gs / gc
+          case _ => 3000L
+        }
+        math.abs(1000L * r - pred)
+      }
+      (p, train.size.toLong, test.size.toLong, errs.sum,
+        errs.sum / test.size)
+    }
+    val got = SparkEntry.queries("q_learning_curve")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === expected,
+      "prefix-partial plan diverged from the literal per-prefix recompute")
+  }
 }

@@ -577,4 +577,37 @@ class MLQueriesSpec extends SparkSpec {
     assert(got === expected,
       "prefix-partial plan diverged from the literal per-prefix recompute")
   }
+
+  test("q_hyperparam_sweep: the broadcast-grid plan equals a literal per-lambda recompute (r13)") {
+    // Completes the triad's definitional symmetry: eight separate
+    // shrinkage evaluations in plain Scala, exact equality.
+    val rows = graft.queries.MLQueries.mfRatings(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def fold(u: Long, i: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${u}_$i".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map(b => f"$b%02x").mkString, 16) % 5
+    }
+    val folded = rows.map { case (u, i, r) => (fold(u, i), u, i, r) }
+    val test = folded.filter(_._1 == 0L)
+    val train = folded.filter(_._1 != 0L)
+    val byItem = train.groupBy(_._3)
+      .map { case (i, rs) => i -> (rs.map(_._4).sum, rs.size.toLong) }
+    val mu = 1000L * train.map(_._4).sum / train.size
+    val expected = Seq(0L, 1L, 2L, 5L, 10L, 20L, 100L, 1000L).map { lam =>
+      val errs = test.map { case (_, _, i, r) =>
+        val (s, c) = byItem.getOrElse(i, (0L, 0L))
+        val pred = if (c + lam > 0) (1000L * s + lam * mu) / (c + lam)
+                   else mu
+        math.abs(1000L * r - pred)
+      }
+      (lam, test.size.toLong, errs.sum, errs.sum / test.size)
+    }
+    val got = SparkEntry.queries("q_hyperparam_sweep")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got === expected,
+      "broadcast-grid plan diverged from the literal per-lambda recompute")
+  }
 }

@@ -142,7 +142,11 @@ object Bench {
       // r13 in-session sweep: the one single-shot line that read >3 s in
       // any of the round's three full boards (4.5 s in one run, 1.8 s in
       // the next — the ambient-capture shape the median settles)
-      "q_seq_pairs")
+      "q_seq_pairs",
+      // r13: the threshold sweep runs the prefix-filtered discovery join
+      // at τ=0.29 (heavier than the 0.8 family default) — discovery-
+      // shaped, same error-bar discipline as q_simjoin_prefix
+      "q_dedup_threshold_sweep")
     val spreads = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double)]
     // Leak loudness (r10 lesson): every query's tracked checkpoints are
     // drained after its timed count, and sweep() evicts anything else

@@ -3575,6 +3575,174 @@ object LlmQueries {
       |                 * 10000 + 0.5) / 10000.0 >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** ◆ `q_dedup_threshold_sweep` — THRESHOLD SELECTION for the near-dup
+    * family, the dedup analogue of ◆ `q_hyperparam_sweep`'s model
+    * selection: before a deployment commits the τ every discovery query
+    * here verifies at (0.8 across the MinHash/prefix family), it sweeps τ
+    * against a corpus with KNOWN labels and reads the precision/recall/F1
+    * curve. The labeled corpus plants two failure modes a real sweep must
+    * separate: 25 noisy duplicates of docs 0–24 (every 6·(i mod 5)-th word
+    * replaced by a marker, i mod 5 = 0 kept verbatim — five corruption
+    * tiers spanning exact Jaccard ≈ 0.35 … 1.0) and 25 chimeras (first
+    * half of doc i ‖ second half of doc i+1 — the boilerplate-overlap
+    * false match, ≈ 0.33 similar to BOTH parents yet a duplicate of
+    * neither). Ground truth is definitional: (j, plant-of-i) is true iff
+    * doc j's text is byte-identical to source i (md5-keyed equality);
+    * chimera pairs are never true. The measured curve has an interior F1
+    * argmax (τ = 0.5–0.6 ≈ 8700 bp at both SFs: τ = 0.3 admits the
+    * chimeras — precision ~42%, τ = 0.8 loses the noisy tiers — recall
+    * 36–40%), so the family default is an evaluated choice, and
+    * LlmPipelineSpec gates the discrimination (argmax strictly inside the
+    * grid, beating both edges).
+    *
+    * Scale shape: discovery is the [[prefixExactPairs]] machinery
+    * re-parameterized at τ_prefix = 0.29 (lossless for every grid
+    * threshold, incl. the 3000-bp rounding boundary): df is a
+    * shingle-keyed aggregate, only prefix postings shuffle, candidates are
+    * bipartite (natural × plant) by construction. The sweep itself is ONE
+    * pass over the verified pair table — the 7-row τ grid and the
+    * evaluation-harness-sized truth set broadcast; integer basis-point
+    * arithmetic end to end. The oracle regenerates candidates from ANY
+    * shared shingle (a strict superset — the same losslessness diff as
+    * ◆ `q_simjoin_prefix`) and replays corpus → labels → curve.
+    */
+  private val dedupThresholdSweep: Q = (s, d) => {
+    def idiv(n: Column, dd: Column): Column = call_function("div", n, dd)
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val src = docs.filter(col("doc_id") < 25)
+    val srcW = src.withColumn("ws", split(col("text"), " "))
+    val noisy = srcW.select(
+      (col("doc_id") + lit(10000L)).as("doc_id"),
+      concat_ws(" ", expr(
+        "transform(sequence(1, size(ws)), i -> " +
+          "case when doc_id % 5 > 0 and i % greatest(6 * (doc_id % 5), 1) = 0 " +
+          "then 'zzqz' else element_at(ws, i) end)")).as("text"))
+    val nxtW = docs.filter(col("doc_id") >= 1 && col("doc_id") <= 25)
+      .select((col("doc_id") - 1).as("doc_id"), split(col("text"), " ").as("wsb"))
+    val chim = srcW.join(nxtW, "doc_id")
+      .select((col("doc_id") + lit(20000L)).as("doc_id"),
+        concat_ws(" ", concat(
+          expr("slice(ws, 1, size(ws) div 2)"),
+          expr("slice(wsb, (size(wsb) div 2) + 1, size(wsb) - (size(wsb) div 2))")))
+          .as("text"))
+    val corpus = docs.unionByName(noisy).unionByName(chim)
+    val shingled = corpus
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("sh", array_distinct(
+        expr("transform(sequence(0, size(ws) - 3), " +
+          "i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")))
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
+      .ckpt()
+    val postings = shingled.select(col("doc_id"), col("n"),
+      explode(col("sh")).as("g"))
+    val dfTab = postings.groupBy("g").agg(count(lit(1)).as("df"))
+    val prefix = postings.join(dfTab, "g")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("g"))))
+      // prefix length n − ⌈0.29·n⌉ + 1, with ⌈29n/100⌉ = (29n+99) div 100
+      .filter(col("pos") <=
+        col("n") - idiv(col("n") * 29 + lit(99), lit(100)) + 1)
+      .select(col("doc_id"), col("n"), col("g"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < lit(10000L) &&
+          col("b.doc_id") >= lit(10000L) &&
+          least(col("a.n"), col("b.n")) * lit(100) >=
+            greatest(col("a.n"), col("b.n")) * lit(29))
+      .select(col("a.doc_id").as("doc_j"), col("b.doc_id").as("doc_p"))
+      .distinct()
+    val sa = shingled.select(col("doc_id").as("doc_j"), col("sh").as("sh_a"))
+    val sb = shingled.select(col("doc_id").as("doc_p"), col("sh").as("sh_b"))
+    val pairs = cand.join(sa, Seq("doc_j")).join(sb, Seq("doc_p"))
+      .withColumn("jac_bp", floor(
+        size(array_intersect(col("sh_a"), col("sh_b"))) /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double") *
+          10000 + 0.5).cast("long"))
+      .filter(col("jac_bp") >= 3000L)
+      .select("doc_j", "doc_p", "jac_bp")
+    val truth = docs.select(col("doc_id").as("doc_j"), md5(col("text")).as("k"))
+      .join(src.select((col("doc_id") + lit(10000L)).as("doc_p"),
+        md5(col("text")).as("k")), "k")
+      .select("doc_j", "doc_p")
+    val flagged = pairs.join(broadcast(truth.withColumn("is_true", lit(1L))),
+        Seq("doc_j", "doc_p"), "left")
+      .na.fill(0L, Seq("is_true"))
+    val grid = s.range(0L, 7L).select(
+      (lit(3000L) + col("id") * lit(1000L)).as("tau_bp"))
+    flagged.crossJoin(broadcast(grid))
+      .groupBy("tau_bp")
+      .agg(
+        sum(when(col("jac_bp") >= col("tau_bp"), 1L).otherwise(0L)).as("n_pred"),
+        sum(when(col("jac_bp") >= col("tau_bp"), col("is_true")).otherwise(0L))
+          .as("n_tp"))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .select(col("tau_bp"), col("n_pred"), col("n_tp"), col("n_truth"),
+        idiv(lit(10000L) * col("n_tp"), greatest(col("n_pred"), lit(1L)))
+          .as("precision_bp"),
+        idiv(lit(10000L) * col("n_tp"), col("n_truth")).as("recall_bp"),
+        idiv(lit(20000L) * col("n_tp"), col("n_pred") + col("n_truth"))
+          .as("f1_bp"))
+      .orderBy("tau_bp")
+  }
+
+  private val dedupThresholdSweepSql =
+    """WITH src AS (SELECT doc_id, text FROM documents WHERE doc_id < 25),
+      |srcw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM src),
+      |noisy AS (
+      |  SELECT doc_id + 10000 AS doc_id,
+      |         array_to_string(list_transform(range(1, len(ws) + 1),
+      |           i -> CASE WHEN doc_id % 5 > 0
+      |                      AND i % greatest(6 * (doc_id % 5), 1) = 0
+      |                     THEN 'zzqz' ELSE ws[i] END), ' ') AS text
+      |  FROM srcw),
+      |chim AS (
+      |  SELECT a.doc_id + 20000 AS doc_id,
+      |         array_to_string(a.ws[1:len(a.ws)//2] ||
+      |                         b.ws[len(b.ws)//2+1:], ' ') AS text
+      |  FROM srcw a
+      |  JOIN (SELECT doc_id, string_split(text, ' ') AS ws
+      |        FROM documents WHERE doc_id <= 25) b
+      |    ON b.doc_id = a.doc_id + 1),
+      |all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id, text FROM noisy
+      |  UNION ALL SELECT doc_id, text FROM chim),
+      |sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(1, len(ws) - 1),
+      |                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM all_docs)),
+      |exc AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id < 10000),
+      |pexc AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id >= 10000),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_j, b.doc_id AS doc_p
+      |         FROM exc a JOIN pexc b ON a.g = b.g),
+      |pairs AS (
+      |  SELECT doc_j, doc_p,
+      |         CAST(floor((len(list_intersect(sa.sh, sb.sh)) /
+      |               CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE))
+      |                    * 10000 + 0.5) AS BIGINT) AS jac_bp
+      |  FROM cand
+      |  JOIN sh sa ON sa.doc_id = cand.doc_j
+      |  JOIN sh sb ON sb.doc_id = cand.doc_p),
+      |truth AS (SELECT n.doc_id AS doc_j, s.doc_id + 10000 AS doc_p
+      |          FROM documents n JOIN src s ON md5(n.text) = md5(s.text)),
+      |tn AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+      |fl AS (SELECT p.doc_j, p.doc_p, p.jac_bp,
+      |              CASE WHEN t.doc_j IS NULL THEN 0 ELSE 1 END AS is_true
+      |       FROM (SELECT * FROM pairs WHERE jac_bp >= 3000) p
+      |       LEFT JOIN truth t ON t.doc_j = p.doc_j AND t.doc_p = p.doc_p),
+      |grid(tau_bp) AS (VALUES (3000),(4000),(5000),(6000),(7000),(8000),(9000)),
+      |m AS (SELECT tau_bp,
+      |        CAST(sum(CASE WHEN jac_bp >= tau_bp THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS n_pred,
+      |        CAST(sum(CASE WHEN jac_bp >= tau_bp THEN is_true ELSE 0 END) AS BIGINT)
+      |          AS n_tp
+      |      FROM grid CROSS JOIN fl GROUP BY tau_bp)
+      |SELECT CAST(tau_bp AS BIGINT) AS tau_bp, n_pred, n_tp, n_truth,
+      |       (10000 * n_tp) // greatest(n_pred, 1) AS precision_bp,
+      |       (10000 * n_tp) // n_truth AS recall_bp,
+      |       (20000 * n_tp) // (n_pred + n_truth) AS f1_bp
+      |FROM m CROSS JOIN tn ORDER BY tau_bp""".stripMargin
+
   /** Inverted index build — the retrieval-side artifact of the text
     * pipeline: per token its document frequency, total term frequency,
     * and a rank-limited postings sample (top-3 docs by tf, doc_id
@@ -4150,11 +4318,75 @@ object LlmQueries {
       |       (10000 * cum_tokens) // total_tokens AS share_bp
       |FROM c, t WHERE (k & (k - 1)) = 0 ORDER BY k""".stripMargin
 
+  /** ◆ `q_tokenizer_fertility` — the tokenizer-quality metric every
+    * multilingual training pipeline reads before committing a vocab:
+    * tokens-per-word and chars-per-token by language under the
+    * SESSION-TRAINED 30-merge BPE table ([[trainedBpe]] — the same
+    * artifact ◆ `ml_bpe_vocab` reports and ◆ `ml_bpe_encode` applies).
+    * High fertility on a language means the merge budget under-serves it
+    * (its byte cost per semantic unit balloons) — the number that drives
+    * per-language vocab-size and data-mixture decisions. Integer milli
+    * ratios end to end; the oracle replays the full 30-merge training
+    * chain and re-derives every language's fertility from the round-30
+    * symbol table, so the measurement sits under the hash gate, not a
+    * spec assertion.
+    *
+    * Scale shape: the corpus collapses to a (lang, word) occurrence
+    * aggregate (one shuffle); the encoder runs once over the DISTINCT
+    * vocabulary with the merge table folded into the plan as literals
+    * (|vocab| rows, zero shuffle — the ml_bpe_encode shape), and the
+    * join back to (lang, word) is word-keyed. Per-language totals are a
+    * |langs|-row aggregate. At 100 TB: encode-the-vocab-once is exactly
+    * how a deployment amortizes tokenization audits.
+    */
+  private val tokenizerFertility: Q = (s, d) => {
+    def idiv(n: Column, dd: Column): Column = call_function("div", n, dd)
+    val docs = Tables.documents(s, d)
+    val merges = trainedBpe(s, d)
+    val langWords = docs.select(col("lang"),
+        explode(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("occ"))
+    val vocabTok = graft.llm.Bpe.encode(
+        langWords.select("word").distinct(), merges)
+      .select(col("word"), size(col("syms")).cast("long").as("n_tok"),
+        length(col("word")).cast("long").as("n_chr"))
+    langWords.join(vocabTok, "word")
+      .groupBy("lang")
+      .agg(sum(col("occ")).as("n_words"),
+        sum(col("occ") * col("n_chr")).as("n_chars"),
+        sum(col("occ") * col("n_tok")).as("n_tokens"))
+      .withColumn("tokens_per_word_milli",
+        idiv(lit(1000L) * col("n_tokens"), col("n_words")))
+      .withColumn("chars_per_token_milli",
+        idiv(lit(1000L) * col("n_chars"), col("n_tokens")))
+      .orderBy("lang")
+  }
+
+  private val tokenizerFertilitySql =
+    s"""WITH ${bpeReplayCtes(bpeMerges)},
+       |tok AS (SELECT word, CAST(count(*) AS BIGINT) AS n_tok
+       |        FROM t$bpeMerges GROUP BY word),
+       |lw AS (SELECT lang, unnest(regexp_extract_all(text, '[a-z]+')) AS word
+       |       FROM documents),
+       |lwc AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS occ
+       |        FROM lw GROUP BY lang, word),
+       |agg AS (SELECT lang,
+       |               CAST(sum(occ) AS BIGINT) AS n_words,
+       |               CAST(sum(occ * len(word)) AS BIGINT) AS n_chars,
+       |               CAST(sum(occ * n_tok) AS BIGINT) AS n_tokens
+       |        FROM lwc JOIN tok USING (word) GROUP BY lang)
+       |SELECT lang, n_words, n_chars, n_tokens,
+       |       (1000 * n_tokens) // n_words AS tokens_per_word_milli,
+       |       (1000 * n_chars) // n_tokens AS chars_per_token_milli
+       |FROM agg ORDER BY lang""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     Entry("q_dedup_jaccard", dedupJaccard, Some(dedupJaccardSql)),
     Entry("q_simjoin_prefix", simjoinPrefix, Some(simjoinPrefixSql)),
     Entry("q_dedup_eval", dedupEval, Some(dedupEvalSql)),
+    Entry("q_dedup_threshold_sweep", dedupThresholdSweep,
+      Some(dedupThresholdSweepSql)),
     Entry("q_inverted_index", invertedIndex, Some(invertedIndexSql)),
     Entry("q_bm25_topk", bm25TopK, Some(bm25TopKSql)),
     Entry("q_ann_ivf_probe", annIvfProbe, Some(annIvfProbeSql)),
@@ -4222,6 +4454,8 @@ object LlmQueries {
     Entry("q_dup_rate_by_source", dupRateBySourceQ, Some(dupRateBySourceSql)),
     Entry("q_phrase_search", phraseSearchQ, Some(phraseSearchSql)),
     Entry("q_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
+    Entry("q_tokenizer_fertility", tokenizerFertility,
+      Some(tokenizerFertilitySql)),
   )
 
 }

@@ -508,6 +508,57 @@ class LlmPipelineSpec extends SparkSpec {
     assert(bp >= 5000L, s"banded recall collapsed: $bp bp ($nl/$ne)")
   }
 
+  test("q_dedup_threshold_sweep: interior F1 argmax — the selection discriminates (r13)") {
+    val rows = SparkEntry.queries("q_dedup_threshold_sweep")(spark, sfDir)
+      .collect()
+    assert(rows.length === 7)
+    assert(rows.map(_.getLong(0)).toSeq === (3000L to 9000L by 1000L))
+    val f1 = rows.map(r => r.getLong(0) -> r.getLong(6)).toMap
+    rows.foreach { r =>
+      val (tau, nPred, nTp, nTruth) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nTruth === 25L, "25 planted duplicates are the ground truth")
+      assert(nTp <= nPred && nTp <= nTruth)
+      assert(r.getLong(4) === 10000L * nTp / math.max(nPred, 1L),
+        s"precision identity broke at tau=$tau")
+      assert(r.getLong(5) === 10000L * nTp / nTruth,
+        s"recall identity broke at tau=$tau")
+      assert(r.getLong(6) === 20000L * nTp / (nPred + nTruth),
+        s"f1 identity broke at tau=$tau")
+    }
+    // τ = 0.3 must find every plant (the noisiest tier sits at jac ≈ 0.35)
+    assert(rows.head.getLong(5) === 10000L, "recall at the loosest τ")
+    // The selection must DISCRIMINATE: some interior τ strictly beats both
+    // edges (low τ admits the chimeras, high τ loses the noisy tiers) — a
+    // monotone curve would mean the sweep measured nothing.
+    val best = f1.values.max
+    assert(best > f1(3000L) && best > f1(9000L),
+      s"flat sweep: f1 curve $f1")
+  }
+
+  test("q_tokenizer_fertility: per-lang ratios are consistent and the merges compress (r13)") {
+    val rows = SparkEntry.queries("q_tokenizer_fertility")(spark, sfDir)
+      .collect()
+    val langs = Tables.documents(spark, sfDir)
+      .select("lang").distinct().collect().map(_.getString(0)).sorted
+    assert(rows.map(_.getString(0)).toSeq === langs.toSeq)
+    rows.foreach { r =>
+      val (nWords, nChars, nTokens) =
+        (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nWords > 0)
+      assert(nTokens >= nWords, "every word is at least one token")
+      assert(nTokens < nChars,
+        s"30 merges must compress below character count (${r.getString(0)})")
+      assert(r.getLong(4) === 1000L * nTokens / nWords)
+      assert(r.getLong(5) === 1000L * nChars / nTokens)
+    }
+    // Cross-check the per-lang decomposition against the corpus-global
+    // vocabulary collapse the BPE family trains on.
+    val total = graft.llm.Bpe.wordFreq(Tables.documents(spark, sfDir))
+      .agg(org.apache.spark.sql.functions.sum("freq")).collect()(0).getLong(0)
+    assert(rows.map(_.getLong(1)).sum === total)
+  }
+
   test("mm_phash_dedup: full banded-pHash replay matches; planted copies at distance 0") {
     val corpus = docs ++ docs.collect {
       case (id, t) if id < 25 => (id + 10000L) -> t

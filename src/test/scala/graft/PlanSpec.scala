@@ -78,6 +78,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("the threshold sweep evaluates once: truth and grid broadcast, no cartesian (r13)") {
+    // q_dedup_threshold_sweep sweeps 7 operating points with ONE pass
+    // over the verified pair table: the md5-keyed truth set rides a
+    // broadcast left-join and the τ grid a broadcast cross — a
+    // CartesianProduct (non-broadcast cross) or a shuffled truth join
+    // means the sweep started re-shuffling pair-table-sized data per τ.
+    val p = plan("q_dedup_threshold_sweep")
+    assert(!p.contains("CartesianProduct"), s"sweep degraded to cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"),
+      s"truth flags must broadcast onto the pair table:\n$p")
+  }
+
+  test("tokenizer fertility aggregates map-side and never cartesians (r13)") {
+    val p = plan("q_tokenizer_fertility")
+    assert(!p.contains("CartesianProduct"), s"fertility cartesianed:\n$p")
+    // the corpus-sized (lang, word) collapse must partial-aggregate
+    // before its exchange — fertility's only data-sized shuffle
+    assert(p.contains("partial_count"), s"no map-side combine:\n$p")
+  }
+
   test("exact-Jaccard pins its broadcast AT BENCH SCALE and tokenizes once per side") {
     // The r6 driver bench showed a 3.4× swing on q_dedup_jaccard; the plan
     // audit found the broadcast intact but relied on Catalyst's stats-based

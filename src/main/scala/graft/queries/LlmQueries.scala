@@ -3606,26 +3606,17 @@ object LlmQueries {
     * shared shingle (a strict superset — the same losslessness diff as
     * ◆ `q_simjoin_prefix`) and replays corpus → labels → curve.
     */
-  private val dedupThresholdSweep: Q = (s, d) => {
+  /** The sweep's discovery stage over ANY mixed corpus (doc_id < 10000 =
+    * natural side, ≥ 10000 = plant side): bipartite prefix-filtered
+    * candidates at τ_prefix = 0.29, verified at the grid floor
+    * jac_bp ≥ 3000. Factored out so the losslessness claim — candidates
+    * from df-ranked prefixes must reproduce brute-force all-pairs exactly
+    * — is randomized-spec-tested (LlmPipelineSpec seeded sweep) on top of
+    * the oracle's any-shared-shingle superset replay.
+    */
+  private[graft] def sweepPairs29(corpus: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame = {
     def idiv(n: Column, dd: Column): Column = call_function("div", n, dd)
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val src = docs.filter(col("doc_id") < 25)
-    val srcW = src.withColumn("ws", split(col("text"), " "))
-    val noisy = srcW.select(
-      (col("doc_id") + lit(10000L)).as("doc_id"),
-      concat_ws(" ", expr(
-        "transform(sequence(1, size(ws)), i -> " +
-          "case when doc_id % 5 > 0 and i % greatest(6 * (doc_id % 5), 1) = 0 " +
-          "then 'zzqz' else element_at(ws, i) end)")).as("text"))
-    val nxtW = docs.filter(col("doc_id") >= 1 && col("doc_id") <= 25)
-      .select((col("doc_id") - 1).as("doc_id"), split(col("text"), " ").as("wsb"))
-    val chim = srcW.join(nxtW, "doc_id")
-      .select((col("doc_id") + lit(20000L)).as("doc_id"),
-        concat_ws(" ", concat(
-          expr("slice(ws, 1, size(ws) div 2)"),
-          expr("slice(wsb, (size(wsb) div 2) + 1, size(wsb) - (size(wsb) div 2))")))
-          .as("text"))
-    val corpus = docs.unionByName(noisy).unionByName(chim)
     val shingled = corpus
       .withColumn("ws", split(col("text"), " "))
       .withColumn("sh", array_distinct(
@@ -3652,13 +3643,36 @@ object LlmQueries {
       .distinct()
     val sa = shingled.select(col("doc_id").as("doc_j"), col("sh").as("sh_a"))
     val sb = shingled.select(col("doc_id").as("doc_p"), col("sh").as("sh_b"))
-    val pairs = cand.join(sa, Seq("doc_j")).join(sb, Seq("doc_p"))
+    cand.join(sa, Seq("doc_j")).join(sb, Seq("doc_p"))
       .withColumn("jac_bp", floor(
         size(array_intersect(col("sh_a"), col("sh_b"))) /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double") *
           10000 + 0.5).cast("long"))
       .filter(col("jac_bp") >= 3000L)
       .select("doc_j", "doc_p", "jac_bp")
+  }
+
+  private val dedupThresholdSweep: Q = (s, d) => {
+    def idiv(n: Column, dd: Column): Column = call_function("div", n, dd)
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val src = docs.filter(col("doc_id") < 25)
+    val srcW = src.withColumn("ws", split(col("text"), " "))
+    val noisy = srcW.select(
+      (col("doc_id") + lit(10000L)).as("doc_id"),
+      concat_ws(" ", expr(
+        "transform(sequence(1, size(ws)), i -> " +
+          "case when doc_id % 5 > 0 and i % greatest(6 * (doc_id % 5), 1) = 0 " +
+          "then 'zzqz' else element_at(ws, i) end)")).as("text"))
+    val nxtW = docs.filter(col("doc_id") >= 1 && col("doc_id") <= 25)
+      .select((col("doc_id") - 1).as("doc_id"), split(col("text"), " ").as("wsb"))
+    val chim = srcW.join(nxtW, "doc_id")
+      .select((col("doc_id") + lit(20000L)).as("doc_id"),
+        concat_ws(" ", concat(
+          expr("slice(ws, 1, size(ws) div 2)"),
+          expr("slice(wsb, (size(wsb) div 2) + 1, size(wsb) - (size(wsb) div 2))")))
+          .as("text"))
+    val corpus = docs.unionByName(noisy).unionByName(chim)
+    val pairs = sweepPairs29(corpus)
     val truth = docs.select(col("doc_id").as("doc_j"), md5(col("text")).as("k"))
       .join(src.select((col("doc_id") + lit(10000L)).as("doc_p"),
         md5(col("text")).as("k")), "k")

@@ -536,6 +536,45 @@ class LlmPipelineSpec extends SparkSpec {
       s"flat sweep: f1 curve $f1")
   }
 
+  test("sweep discovery is lossless: prefix-filtered pairs equal brute force (8 seeded trials)") {
+    // The threshold sweep's keystone claim — df-ranked prefix postings at
+    // τ_prefix = 0.29 generate EVERY bipartite pair with rounded
+    // jac_bp ≥ 3000 — randomized through the real Spark machinery: tiny
+    // vocabularies force heavy shingle sharing and boundary-adjacent
+    // Jaccard values, and the brute-force model replays the exact
+    // floor((i/u)·10⁴ + 0.5) arithmetic the query computes.
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    var sawPairs = 0
+    (1 to 8).foreach { trial =>
+      val vocab = Vector("a", "b", "c", "d", "e", "f").take(4 + rnd.nextInt(3))
+      def doc(): String =
+        Vector.fill(3 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")
+      val nat = (0L until (4 + rnd.nextInt(5)).toLong).map(i => (i, doc()))
+      val pl = (0L until (3 + rnd.nextInt(4)).toLong).map(i => (10000L + i, doc()))
+      val corpus = (nat ++ pl).toDF("doc_id", "text")
+      val got = graft.queries.LlmQueries.sweepPairs29(corpus).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      def sh(t: String): Set[String] =
+        t.split(" ").sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet
+      val expect = (for {
+        (j, tj) <- nat; (p, tp) <- pl
+        sa = sh(tj); sb = sh(tp)
+        u = (sa ++ sb).size if u > 0
+        bp = math.floor(
+          (sa & sb).size.toDouble / u.toDouble * 10000 + 0.5).toLong
+        if bp >= 3000L
+      } yield (j, p) -> bp).toMap
+      assert(got === expect,
+        s"trial $trial: prefix discovery ≠ brute force " +
+          s"(|nat|=${nat.size}, |plants|=${pl.size})")
+      if (expect.nonEmpty) sawPairs += 1
+    }
+    assert(sawPairs >= 4, s"only $sawPairs/8 trials produced pairs")
+  }
+
   test("q_tokenizer_fertility: per-lang ratios are consistent and the merges compress (r13)") {
     val rows = SparkEntry.queries("q_tokenizer_fertility")(spark, sfDir)
       .collect()

@@ -146,7 +146,10 @@ object Bench {
       // r13: the threshold sweep runs the prefix-filtered discovery join
       // at τ=0.29 (heavier than the 0.8 family default) — discovery-
       // shaped, same error-bar discipline as q_simjoin_prefix
-      "q_dedup_threshold_sweep")
+      "q_dedup_threshold_sweep",
+      // r13: det-PQ training twin — 3 Lloyd rounds × 8 subspaces are
+      // fit-shaped work; same discipline as q_ann_recall_trained
+      "q_pq_recall_trained")
     val spreads = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double)]
     // Leak loudness (r10 lesson): every query's tracked checkpoints are
     // drained after its timed count, and sweep() evicts anything else

@@ -958,6 +958,212 @@ object ScaleQueries {
       |      FROM daily GROUP BY day)
       |SELECT s.day, s.dau, r.dau7 FROM s JOIN r USING (day) ORDER BY day""".stripMargin
 
+  /** ◆ `q_pq_recall_trained` — PQ codebook TRAINING under the hash gate,
+    * completing the ANN family's trained-twin story (`ml_ann_pq_trained`
+    * is the MLlib row; IVF got its deterministic twin in
+    * ◆ `q_ann_recall_trained`): per-subspace quantized-Lloyd codebooks
+    * (8 subspaces × 16 cells) with the [[graft.sources.IvfStore]]
+    * integer discipline — micro-unit +1e6-shift quantization, 16-lowest-
+    * vec_id init (cell = rank order), 3 Lloyd rounds of exact int64
+    * assignment (ties → lowest cell) and per-dimension floor-means —
+    * then the full PQ serving stack measured against EXACT integer-d²
+    * truth: encode every vector, ADC via the 8×16-cell integer LUT,
+    * shortlist 32, exact rerank, recall@5 of BOTH the raw ADC ranking
+    * and the reranked shortlist. No doubles anywhere (d² ≤ 16·8·(2.2e6)²
+    * ≪ 2⁶³), so the DuckDB oracle replays training → encode → ADC →
+    * rerank → recall end to end. The measured gap IS the result: raw
+    * ADC recall 16–28% vs 54–64% reranked at the same 32-candidate
+    * shortlist — the "PQ shortlists, exact reranks" deployment rule as a
+    * hash-gated number (ScaleQueriesSpec gates the discrimination).
+    *
+    * Scale shape: all 8 subspace fits ride ONE (vec_id, s)-keyed plan —
+    * per round, assign is a broadcast of the 128-row codebook + a
+    * packed-long min aggregate (d2·16 + cell keeps the argmin inside
+    * codegen, the [[pqSearch]] trick), update is a (s, cell, spos)
+    * aggregate; encode/LUT/ADC are the [[pqSearch]] shapes; the only
+    * query-sized joins broadcast the 10-query side. At 100 TB the fit
+    * runs on a bounded sample exactly like `q_ann_recall_sampled`.
+    */
+  private val pqRecallTrained: Q = (s, d) => {
+    import graft.sources.IvfStore.{quantize, qdist2}
+    import graft.ops.Ck
+    val qv = Ck(Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        quantize(col("embedding").cast("array<double>")).as("q")))
+    val sub = Ck(qv.select(col("vec_id"),
+        explode(sequence(lit(0), lit(7))).as("s"), col("q"))
+      .withColumn("sq", expr("slice(q, s * 8 + 1, 8)"))
+      .drop("q"))
+    val cent0 = sub.join(
+        qv.orderBy("vec_id").limit(16).select(col("vec_id")),
+        "vec_id")
+      .withColumn("cell", (row_number().over(
+        Window.partitionBy("s").orderBy("vec_id")) - 1).cast("int"))
+      .select(col("s"), col("cell"), col("sq").as("cq"))
+    // packed-long argmin: d2 ≤ 8·(2.2e6)² ≈ 3.9e13, ×16 ≪ 2⁶³ and
+    // non-negative, so min(d2·16 + cell) IS the (d2, cell) lexicographic
+    // argmin and the aggregate stays a codegen HashAggregate.
+    def assign(over: org.apache.spark.sql.DataFrame,
+        cent: org.apache.spark.sql.DataFrame) =
+      over.join(broadcast(cent), "s")
+        .withColumn("packed",
+          qdist2(col("sq"), col("cq")) * lit(16L) + col("cell"))
+        .groupBy("vec_id", "s")
+        .agg(min("packed").as("m"))
+        .select(col("vec_id"), col("s"), (col("m") % 16).cast("int").as("cell"))
+    def update(assigned: org.apache.spark.sql.DataFrame) =
+      assigned.join(sub, Seq("vec_id", "s"))
+        .select(col("s"), col("cell"), posexplode(col("sq")).as(Seq("spos", "val")))
+        .groupBy("s", "cell", "spos")
+        .agg(call_function("div", sum("val"), count(lit(1))).as("cval"))
+        .groupBy("s", "cell")
+        .agg(transform(
+          array_sort(collect_list(struct(col("spos"), col("cval")))),
+          p => p.getField("cval")).as("cq"))
+    var cent = Ck(cent0)
+    for (_ <- 1 to 3) {
+      val a = Ck(assign(sub, cent))
+      val next = Ck(update(a))
+      Ck.free(a); Ck.free(cent)
+      cent = next
+    }
+    val codes = assign(sub, cent)
+    val lut = sub.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("s"), col("sq").as("qsv"))
+      .join(broadcast(cent), "s")
+      .select(col("q_id"), col("s"), col("cell"),
+        qdist2(col("qsv"), col("cq")).as("d2l"))
+    val adc = codes.join(broadcast(lut), Seq("s", "cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum("d2l").as("adc_d2"))
+    val short = adc.withColumn("rn", row_number().over(
+      Window.partitionBy("q_id").orderBy(asc("adc_d2"), asc("vec_id"))))
+      .filter(col("rn") <= 32)
+    // exact integer-d² pair table: 10 broadcast queries × corpus
+    val x = Ck(qv
+      .join(broadcast(qv.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("q").as("qq"))),
+        col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), qdist2(col("q"), col("qq")).as("d2x")))
+    def top5(cands: org.apache.spark.sql.DataFrame) = cands
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(asc("d2x"), asc("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select("q_id", "vec_id")
+    val truth = top5(x)
+    val adc5 = short.filter(col("rn") <= 5).select("q_id", "vec_id")
+    val rr5 = top5(short.join(x, Seq("q_id", "vec_id")))
+    truth
+      .join(adc5.withColumn("ha", lit(1L)), Seq("q_id", "vec_id"), "left")
+      .join(rr5.withColumn("hr", lit(1L)), Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("ha"), lit(0L))).as("hit_adc"),
+        sum(coalesce(col("hr"), lit(0L))).as("hit_rerank"))
+      .select(col("q_id"), col("n_truth"), col("hit_adc"), col("hit_rerank"),
+        call_function("div", lit(10000L) * col("hit_adc"), col("n_truth"))
+          .as("recall_adc_bp"),
+        call_function("div", lit(10000L) * col("hit_rerank"), col("n_truth"))
+          .as("recall_rr_bp"))
+      .orderBy("q_id")
+  }
+
+  private val pqRecallTrainedSql: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""d$i AS (
+         |  SELECT qp.vec_id, qp.s, cp.cell,
+         |         SUM((qp.val - cp.cval) * (qp.val - cp.cval)) AS d2
+         |  FROM qp JOIN cp${i - 1} cp USING (s, spos) GROUP BY 1, 2, 3),
+         |a$i AS (
+         |  SELECT vec_id, s, cell FROM (
+         |    SELECT vec_id, s, cell,
+         |           row_number() OVER (PARTITION BY vec_id, s
+         |                              ORDER BY d2, cell) AS rn
+         |    FROM d$i) WHERE rn = 1),
+         |cp$i AS (
+         |  SELECT a.s, a.cell, qp.spos,
+         |         CAST(SUM(qp.val) // COUNT(*) AS BIGINT) AS cval
+         |  FROM a$i a JOIN qp USING (vec_id, s) GROUP BY 1, 2, 3)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH qv AS (
+       |  SELECT vec_id,
+       |         list_transform(CAST(embedding AS DOUBLE[]),
+       |           x -> CAST(floor(x * 1000000.0) AS BIGINT) + 1000000) AS q
+       |  FROM embeddings),
+       |qp AS (
+       |  SELECT vec_id, CAST((pos - 1) // 8 AS INT) AS s,
+       |         CAST((pos - 1) % 8 AS INT) AS spos, val
+       |  FROM (SELECT vec_id, unnest(range(1, len(q) + 1)) AS pos,
+       |               unnest(q) AS val FROM qv)),
+       |init AS (SELECT vec_id,
+       |                CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+       |                  AS cell
+       |         FROM (SELECT vec_id FROM qv ORDER BY vec_id LIMIT 16)),
+       |cp0 AS (SELECT qp.s, i.cell, qp.spos, qp.val AS cval
+       |        FROM init i JOIN qp USING (vec_id)),
+       |$rounds,
+       |codes AS (
+       |  SELECT vec_id, s, cell FROM (
+       |    SELECT qp.vec_id, qp.s, cp.cell,
+       |           row_number() OVER (PARTITION BY qp.vec_id, qp.s
+       |                              ORDER BY SUM((qp.val - cp.cval) *
+       |                                           (qp.val - cp.cval)), cp.cell)
+       |             AS rn
+       |    FROM qp JOIN cp3 cp USING (s, spos)
+       |    GROUP BY qp.vec_id, qp.s, cp.cell) WHERE rn = 1),
+       |lut AS (
+       |  SELECT qp.vec_id AS q_id, qp.s, cp.cell,
+       |         SUM((qp.val - cp.cval) * (qp.val - cp.cval)) AS d2l
+       |  FROM qp JOIN cp3 cp USING (s, spos)
+       |  WHERE qp.vec_id < 10 GROUP BY 1, 2, 3),
+       |adc AS (
+       |  SELECT l.q_id, c.vec_id, CAST(SUM(l.d2l) AS BIGINT) AS adc_d2
+       |  FROM codes c JOIN lut l USING (s, cell)
+       |  WHERE c.vec_id <> l.q_id
+       |  GROUP BY 1, 2),
+       |short AS (
+       |  SELECT q_id, vec_id, adc_d2,
+       |         row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY adc_d2, vec_id) AS rn
+       |  FROM adc),
+       |x AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id,
+       |         CAST(SUM((a.val - b.val) * (a.val - b.val)) AS BIGINT) AS d2x
+       |  FROM (SELECT * FROM qp WHERE vec_id < 10) a
+       |  JOIN qp b ON a.s = b.s AND a.spos = b.spos AND b.vec_id <> a.vec_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |                              ORDER BY d2x, vec_id) AS rank
+       |    FROM x) WHERE rank <= 5),
+       |adc5 AS (SELECT q_id, vec_id FROM short WHERE rn <= 5),
+       |rr5 AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT s.q_id, s.vec_id,
+       |           row_number() OVER (PARTITION BY s.q_id
+       |                              ORDER BY x.d2x, s.vec_id) AS rank
+       |    FROM short s JOIN x ON x.q_id = s.q_id AND x.vec_id = s.vec_id
+       |    WHERE s.rn <= 32) WHERE rank <= 5)
+       |SELECT t.q_id, CAST(count(*) AS BIGINT) AS n_truth,
+       |       CAST(SUM(CASE WHEN a5.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS hit_adc,
+       |       CAST(SUM(CASE WHEN r5.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS hit_rerank,
+       |       (10000 * CAST(SUM(CASE WHEN a5.vec_id IS NOT NULL THEN 1 ELSE 0
+       |                         END) AS BIGINT)) // CAST(count(*) AS BIGINT)
+       |         AS recall_adc_bp,
+       |       (10000 * CAST(SUM(CASE WHEN r5.vec_id IS NOT NULL THEN 1 ELSE 0
+       |                         END) AS BIGINT)) // CAST(count(*) AS BIGINT)
+       |         AS recall_rr_bp
+       |FROM truth t
+       |LEFT JOIN adc5 a5 ON a5.q_id = t.q_id AND a5.vec_id = t.vec_id
+       |LEFT JOIN rr5 r5 ON r5.q_id = t.q_id AND r5.vec_id = t.vec_id
+       |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin
+  }
+
   val entries: Seq[Entry] = Seq(
     Entry("q_rolling_dau", rollingDau, Some(rollingDauSql)),
     Entry("q_rolling_dau_approx", rollingDauApprox, None),
@@ -969,6 +1175,7 @@ object ScaleQueries {
     Entry("q_chunk_dedup", chunkDedup, Some(chunkDedupSql)),
     Entry("q_ann_pq", annPq, Some(annPqSql)),
     Entry("ml_ann_pq_trained", annPqTrainedQ, None),
+    Entry("q_pq_recall_trained", pqRecallTrained, Some(pqRecallTrainedSql)),
     Entry("q_zorder_skip", zorderSkip, Some(zorderSkipSql)),
   )
 }

@@ -25,7 +25,7 @@ object Salt {
     */
   def saltedCountSum(df: DataFrame, key: Column, valueCents: Column,
       salts: Int): DataFrame =
-    df.withColumn("__salt", pmod(hash(struct(df.columns.map(col): _*)), lit(salts)))
+    df.withColumn("__salt", pmod(hash(struct(df.columns.toIndexedSeq.map(col): _*)), lit(salts)))
       .groupBy(key.as("k"), col("__salt"))
       .agg(count(lit(1)).as("pc"), sum(valueCents).as("ps"))
       .groupBy(col("k"))
@@ -51,7 +51,7 @@ object Salt {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salts: Int): DataFrame = {
     val tagged = big.withColumn("__salt",
-      pmod(hash(struct(big.columns.map(col): _*)), lit(salts)))
+      pmod(hash(struct(big.columns.toIndexedSeq.map(col): _*)), lit(salts)))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     tagged.join(replicated, Seq(key, "__salt")).drop("__salt")

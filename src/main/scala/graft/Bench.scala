@@ -204,8 +204,12 @@ object Bench {
       (if (closedOpens.isEmpty) "ok" else s"MISSING(${closedOpens.size})") +
       f" gc=$gcSec%.1fs/${gcN1 - gcN0} cpu=$cpuSec%.0fs" +
       f" pinned=$pinMB%.1fMB/$pinBlocks blocks" +
-      pinsByLabel.map { case (l, mb) => f"$l=$mb%.0f" }
-        .mkString(" (", " ", "MB)"))
+      // per-owner MB breakdown; omit entirely when nothing is pinned
+      // (a subset run would otherwise print a stray " (MB)") and keep
+      // the unit OFF the last value (review r13)
+      (if (pinsByLabel.isEmpty) ""
+       else pinsByLabel.map { case (l, mb) => f"$l=$mb%.0f" }
+         .mkString(" (", " ", " MB)")))
     // Centisecond per-query precision with trailing zeros stripped keeps the
     // JSON line well inside the driver's bounded 2000-char tail capture
     // (r04's full-precision line was truncated mid-record and parsed as

@@ -1021,7 +1021,11 @@ object MLQueries {
 
   private val cvPopularity: Q = (s, d) => {
     def idiv(n: Column, dd: Column): Column =
-      ((n - pmod(n, dd)) / dd).cast("long") // non-negative operands
+      // integer div, not (n - pmod)/dd: the double round-trip is exact
+      // only below 2^53 and the global-sum numerators outgrow that at
+      // large SFs (review r13) — div matches the oracle's // for the
+      // non-negative operands used here
+      call_function("div", n, dd)
     val folded = mfRatings(s, d).withColumn("fold",
       pmod(Hashing.md5Long(concat(col("user_id").cast("string"), lit("_"),
         col("item_id").cast("string"))), lit(cvFolds)))
@@ -1077,7 +1081,11 @@ object MLQueries {
     */
   private val learningCurve: Q = (s, d) => {
     def idiv(n: Column, dd: Column): Column =
-      ((n - pmod(n, dd)) / dd).cast("long")
+      // integer div, not (n - pmod)/dd: the double round-trip is exact
+      // only below 2^53 and the global-sum numerators outgrow that at
+      // large SFs (review r13) — div matches the oracle's // for the
+      // non-negative operands used here
+      call_function("div", n, dd)
     val keyStr = concat(col("user_id").cast("string"), lit("_"),
       col("item_id").cast("string"))
     val tagged = mfRatings(s, d)
@@ -1172,7 +1180,11 @@ object MLQueries {
     */
   private val hyperparamSweep: Q = (s, d) => {
     def idiv(n: Column, dd: Column): Column =
-      ((n - pmod(n, dd)) / dd).cast("long")
+      // integer div, not (n - pmod)/dd: the double round-trip is exact
+      // only below 2^53 and the global-sum numerators outgrow that at
+      // large SFs (review r13) — div matches the oracle's // for the
+      // non-negative operands used here
+      call_function("div", n, dd)
     val folded = mfRatings(s, d).withColumn("fold",
       pmod(Hashing.md5Long(concat(col("user_id").cast("string"), lit("_"),
         col("item_id").cast("string"))), lit(cvFolds)))

@@ -97,19 +97,28 @@ object RecQueries {
       val inter = MLQueries.interactions(s, d)
       val byRating = Window.partitionBy("user_id")
         .orderBy(desc("rating"), desc("item_id"))
-      val held = inter.withColumn("rn", row_number().over(byRating))
-        .where(col("rn") === 1).select("user_id", "item_id")
-      val train = inter.join(held, Seq("user_id", "item_id"), "left_anti")
-      val trainItems = train.select("user_id", "item_id").distinct()
-      val pop = train.groupBy("item_id").agg(count(lit(1)).as("pop"))
-      val itemRank = Prefix.withCumSum(
+      // Chained build (review r13): each stage derives from the PREVIOUS
+      // materialized stage — pinning four independent lazy plans would
+      // re-run the interactions scan + window once per table (~4× the
+      // one-time build cost); here the scan+window runs once (held), the
+      // anti-join once (train, tracked + freed after its two readers
+      // materialize), and itemRank reads the pinned pop.
+      val held = graft.ops.Ck.pin(
+        inter.withColumn("rn", row_number().over(byRating))
+          .where(col("rn") === 1).select("user_id", "item_id"),
+        "rec.looHeld")
+      val train = graft.ops.Ck(
+        inter.join(held, Seq("user_id", "item_id"), "left_anti"))
+      val trainItems = graft.ops.Ck.pin(
+        train.select("user_id", "item_id").distinct(), "rec.looTrain")
+      val pop = graft.ops.Ck.pin(
+        train.groupBy("item_id").agg(count(lit(1)).as("pop")), "rec.looPop")
+      graft.ops.Ck.free(train)
+      val itemRank = graft.ops.Ck.pin(Prefix.withCumSum(
           pop.withColumn("neg_pop", -col("pop")).withColumn("one", lit(1L)),
           "neg_pop", Seq("item_id"), "one", "rnk")
-        .select(col("item_id"), col("pop"), col("rnk"))
-      (graft.ops.Ck.pin(held, "rec.looHeld"),
-        graft.ops.Ck.pin(trainItems, "rec.looTrain"),
-        graft.ops.Ck.pin(pop, "rec.looPop"),
-        graft.ops.Ck.pin(itemRank, "rec.looRank"))
+        .select(col("item_id"), col("pop"), col("rnk")), "rec.looRank")
+      (held, trainItems, pop, itemRank)
     }
 
   /** The SQL twin of [[loo]] (appended after [[interCte]]). The oracle may

@@ -168,19 +168,6 @@ object GraphStateStore {
         all.filter(col("round") === k).select("node", "r"))
     }
 
-  /** WRITE-BACK of a maintenance pass (r13, closing the r12 verdict's
-    * `q_incr_ranks` loop): persist [[Graph.incrRank5Rounds]]'s merged
-    * per-round vectors as the standing rank layout for the ADVANCED cut
-    * `newCutNum/newCutDen` — the nightly job's output becomes the next
-    * refresh's standing input, so consecutive deltas chain without ever
-    * rebuilding (GraphStateSpec round-trips two consecutive deltas
-    * against the definitional full recompute). Same partitioned-by-round
-    * layout as the rebuild path; the installed cache entry means a later
-    * [[standingRankRounds]] at the new cut READS this layout. Last write
-    * wins if the new cut's vectors were already built — the two are
-    * answer-identical (that is the maintenance algebra's proven claim),
-    * so the swap only trades one layout path for another.
-    */
   /** WRITE-BACK of a FULL maintenance pass (r13): advance every
     * maintained table — edges, degrees, corners, ties — from the
     * standing state at `oldCut` to the state at `newCut` by applying
@@ -215,13 +202,28 @@ object GraphStateStore {
       oldCutNum: Long, oldCutDen: Long,
       newCutNum: Long, newCutDen: Long,
       novelEdges: DataFrame): Standing = {
+    // novel feeds the union write, the degree overlay, and all three
+    // enumeration terms — materialize it once
+    val novel = graft.ops.Ck(novelEdges)
+    try applyGraphDeltaPinned(s, sfDir, oldCutNum, oldCutDen,
+      newCutNum, newCutDen, novel)
+    finally graft.ops.Ck.free(novel)
+  }
+
+  /** [[applyGraphDelta]] over a caller-materialized novel set — the
+    * streaming fold already checkpoints its anti-joined batch (it also
+    * feeds the rank seeds), so this variant skips the redundant second
+    * materialization. `novel` must be checkpointed/pinned by the caller,
+    * who retains ownership (this method never frees it).
+    */
+  private[sources] def applyGraphDeltaPinned(s: SparkSession, sfDir: String,
+      oldCutNum: Long, oldCutDen: Long,
+      newCutNum: Long, newCutDen: Long,
+      novel: DataFrame): Standing = {
     val old = standing(s, sfDir, oldCutNum, oldCutDen)
     val tag = LayoutCache.tag(s, sfDir) +
       s"_adv_${newCutNum}_$newCutDen"
     val root = LayoutCache.tempRoot(s"graft-graphstate-$tag")
-    // novel feeds the union write, the degree overlay, and all three
-    // enumeration terms — materialize it once
-    val novel = graft.ops.Ck(novelEdges)
     // edges' = old ∪ novel, re-written bucketed on src (the layout
     // invariant every downstream pass rides)
     val table = s"graft_gs_edges_$tag"
@@ -257,7 +259,6 @@ object GraphStateStore {
       .filter(col("common") > 0)
       .write.mode("overwrite").parquet(s"$root/ties")
     graft.ops.Ck.free(terms)
-    graft.ops.Ck.free(novel)
     val advanced = Standing(edges,
       s.read.parquet(s"$root/degrees"),
       s.read.parquet(s"$root/corners"),
@@ -282,16 +283,30 @@ object GraphStateStore {
       oldCutNum: Long, oldCutDen: Long,
       newCutNum: Long, newCutDen: Long, deltaRoot: String,
       maintainRanks: Boolean = false) {
+    // The maintenance CHAINS across refresh cycles (review r13): `cur`
+    // is the cut the standing state currently sits at, `next` the cut
+    // the upcoming fold advances to. Each successful fold sets
+    // cur = next, so the following cycle's anti-join and advance read
+    // the PREVIOUS fold's write-back — never the original cut (a fixed
+    // old-cut would silently drop every earlier fold's edges from the
+    // second fold onward). Later cycles pass their target cut to
+    // [[fold(nextCutNum:Long,nextCutDen:Long)*]].
+    @volatile private var cur = (oldCutNum, oldCutDen)
+    @volatile private var next = (newCutNum, newCutDen)
+    @volatile private var cycleFolded = false
     private val staged = new StagedDeltas(s, deltaRoot, Seq("src", "dst"),
       rows => {
-        val old = standing(s, sfDir, oldCutNum, oldCutDen)
+        val (cn, cd) = cur
+        val (nn, nd) = next
+        val old = standing(s, sfDir, cn, cd)
         // observed pairs may repeat across batches and may re-observe
         // standing edges — set semantics: distinct, then anti-join
         // (applyGraphDelta's disjointness contract)
         val novel = graft.ops.Ck(rows.distinct()
           .join(old.edges, Seq("src", "dst"), "left_anti"))
-        val adv = applyGraphDelta(s, sfDir, oldCutNum, oldCutDen,
-          newCutNum, newCutDen, novel)
+        // the pinned variant: `novel` also feeds the rank seeds below,
+        // so it is checkpointed once here, not re-checkpointed inside
+        val adv = applyGraphDeltaPinned(s, sfDir, cn, cd, nn, nd, novel)
         // With maintainRanks the fold advances EVERY maintained view
         // from the one staged batch — the rank rounds through the
         // frontier-bounded incrRank5Rounds + applyRankDelta, with the
@@ -299,8 +314,7 @@ object GraphStateStore {
         // introduces new nodes (r₀ = U div N: a node-count change
         // perturbs every rank).
         if (maintainRanks) {
-          val oldRounds = standingRankRounds(
-            s, sfDir, oldCutNum, oldCutDen)
+          val oldRounds = standingRankRounds(s, sfDir, cn, cd)
           // dst-partitioned + materialized (the caller-materializes
           // contract): every round's dst aggregation is exchange-free
           val fullD = graft.ops.Ck(
@@ -314,13 +328,14 @@ object GraphStateStore {
             if (newNodes.isEmpty)
               Graph.incrRank5Rounds(oldRounds, fullD, degNew, seeds)
             else Graph.integerPageRankRounds(fullD, degNew)
-          applyRankDelta(s, sfDir, newCutNum, newCutDen, advRounds)
+          applyRankDelta(s, sfDir, nn, nd, advRounds)
           graft.ops.Ck.free(fullD)
         }
         graft.ops.Ck.free(novel)
+        cycleFolded = true
         ()
       },
-      () => standing(s, sfDir, oldCutNum, oldCutDen).edges)
+      () => { val (cn, cd) = cur; standing(s, sfDir, cn, cd).edges })
 
     /** Canonicalize one micro-batch's (src, dst) pair rows and stage
       * them exactly-once under their batchId.
@@ -339,22 +354,61 @@ object GraphStateStore {
         }
         .start()
 
-    /** The edge-SET view between folds: standing ∪ staged, distinct
-      * (a staged pair may re-observe a standing edge).
+    /** The edge-SET view between folds: standing-at-the-CURRENT-cut ∪
+      * staged, distinct (a staged pair may re-observe a standing edge).
+      * After a fold the base side is the fold's write-back, so folded
+      * edges never disappear from the view (review r13).
       */
     def read: DataFrame = staged.read.distinct()
 
     /** Advance the standing layout with everything staged — one
       * [[applyGraphDelta]], then the advanced cut serves from the
-      * store. Refuses (loudly, via the `_folding` marker) if a prior
-      * fold crashed mid-way.
+      * store and becomes the NEXT cycle's standing input. Refuses
+      * (loudly, via the `_folding` marker) if a prior fold crashed
+      * mid-way. A fold with NOTHING staged is a no-op that returns the
+      * current cut's standing — the state never advanced, so building
+      * the target cut definitionally (the full wedge-join cost the
+      * delta path exists to avoid) would be both wrong-shaped and, for
+      * a data-defined cut, a different graph (review r13).
       */
     def fold(): Standing = {
+      cycleFolded = false
       staged.fold()
-      standing(s, sfDir, newCutNum, newCutDen)
+      if (cycleFolded) {
+        cur = next
+        val (cn, cd) = cur
+        standing(s, sfDir, cn, cd)
+      } else {
+        val (cn, cd) = cur
+        standing(s, sfDir, cn, cd)
+      }
+    }
+
+    /** A LATER refresh cycle's fold: set the cycle's target cut, then
+      * advance everything staged since the previous fold — the previous
+      * fold's write-back is this fold's standing input.
+      */
+    def fold(nextCutNum: Long, nextCutDen: Long): Standing = {
+      next = (nextCutNum, nextCutDen)
+      fold()
     }
   }
 
+  /** WRITE-BACK of a rank maintenance pass (r13, closing the r12
+    * verdict's `q_incr_ranks` loop): persist [[Graph.incrRank5Rounds]]'s
+    * merged per-round vectors as the standing rank layout for the
+    * ADVANCED cut `newCutNum/newCutDen` — the nightly job's output
+    * becomes the next refresh's standing input, so consecutive deltas
+    * chain without ever rebuilding (GraphStateSpec round-trips two
+    * consecutive deltas against the definitional full recompute).
+    * Requires all rounds 0..[[Graph.RankRounds]]; same
+    * partitioned-by-round layout as the rebuild path, and the installed
+    * cache entry means a later [[standingRankRounds]] at the new cut
+    * READS this layout. Last write wins if the new cut's vectors were
+    * already built — the two are answer-identical (the maintenance
+    * algebra's proven claim), so the swap only trades one layout path
+    * for another.
+    */
   def applyRankDelta(s: SparkSession, sfDir: String,
       newCutNum: Long, newCutDen: Long,
       mergedRounds: Seq[DataFrame]): Seq[DataFrame] = {

@@ -460,6 +460,70 @@ class GraphStateSpec extends SparkSpec {
     deleteRecursively(root)
   }
 
+  test("streaming maintenance chains refresh cycles: fold 2 consumes fold 1's write-back; empty fold is a no-op (r13 review)") {
+    // The review's lifecycle findings, pinned: (a) a SECOND fold must
+    // advance from the FIRST fold's written-back standing (a fixed
+    // old-cut would drop fold 1's edges), (b) after a fold, read serves
+    // the folded edges (the base side moves to the advanced cut), and
+    // (c) a fold with nothing staged returns the current standing
+    // without building the target cut definitionally.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val li = Tables.lineitem(spark, sfDir)
+    val keys = li.agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
+    def cutEdges(n: Long) = graft.ops.Graph.coPurchaseEdges(
+        li.crossJoin(broadcast(keys))
+          .filter(col("l_orderkey") <= GraphStateStore.cutExpr(n, 20L)))
+      .filter(col("src") < col("dst")).localCheckpoint()
+    def edgeSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    def delta(a: Long, b: Long) = cutEdges(b)
+      .join(cutEdges(a), Seq("src", "dst"), "left_anti")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val d1 = delta(18L, 19L)
+    val d2 = delta(19L, 20L)
+    assert(d1.nonEmpty && d2.nonEmpty, "fixture deltas empty — vacuous")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-gschain").toString
+    val m = new GraphStateStore.StreamingGraphMaintenance(spark, sfDir,
+      18L, 20L, 19L, 20L, s"$root/deltas")
+    import spark.implicits._
+    val ms = MemoryStream[(Long, Long)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, Long)]],
+      spark.sqlContext)
+    val q = m.maintainStream(ms.toDF().toDF("src", "dst"), s"$root/ckpt")
+    try {
+      // cycle 1: stage the 18→19 delta, fold to 19/20
+      ms.addData(d1); q.processAllAvailable()
+      val adv1 = m.fold()
+      assert(edgeSet(adv1.edges) === edgeSet(cutEdges(19L)),
+        "cycle 1 fold ≠ 19/20 rebuild")
+      // post-fold read must serve the FOLDED edges (base side advanced)
+      assert(edgeSet(m.read) === edgeSet(cutEdges(19L)),
+        "read after fold lost the folded edges")
+      // empty fold: nothing staged — returns the current standing, and
+      // the SAME standing (cache identity), not a definitional rebuild
+      val noop = m.fold()
+      assert(noop.edgesTable === adv1.edgesTable,
+        "empty fold must be a no-op on the current cut")
+      // cycle 2: stage the 19→20 delta (with redundant re-observations
+      // of cycle 1's edges), fold to 20/20 — the anti-join and advance
+      // must consume cycle 1's write-back, not the original 18/20 cut
+      ms.addData(d2 ++ d1.take(2)); q.processAllAvailable()
+      val adv2 = m.fold(20L, 20L)
+      assert(edgeSet(adv2.edges) === edgeSet(cutEdges(20L)),
+        "cycle 2 fold ≠ 20/20 rebuild — fold 1's edges were dropped")
+      val cornersWant = graft.ops.Graph.cornerCounts(cutEdges(20L))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(adv2.corners.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ===
+        cornersWant, "cycle 2 corners ≠ rebuild")
+      assert(edgeSet(m.read) === edgeSet(cutEdges(20L)),
+        "read after the chained folds ≠ full graph")
+    } finally q.stop()
+    deleteRecursively(root)
+  }
+
   test("src-keyed aggregates ride the bucketed standing layout with zero exchanges") {
     val st = GraphStateStore.standing(spark, sfDir, 1L, 1L)
     val bucketedDeg = st.edges.groupBy("src").agg(count(lit(1)).as("n"))

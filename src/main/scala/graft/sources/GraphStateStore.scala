@@ -298,6 +298,13 @@ object GraphStateStore {
       rows => {
         val (cn, cd) = cur
         val (nn, nd) = next
+        // a consumed target must not be re-advanced onto itself: after a
+        // successful fold cur == next until the caller names the next
+        // cycle's cut — folding staged data then would overwrite the
+        // cut's standing with a graph its label no longer describes
+        require((cn, cd) != (nn, nd),
+          s"refresh cycle at cut $cn/$cd already folded — name the next " +
+            "cycle's target via fold(nextCutNum, nextCutDen)")
         val old = standing(s, sfDir, cn, cd)
         // observed pairs may repeat across batches and may re-observe
         // standing edges — set semantics: distinct, then anti-join
@@ -372,6 +379,14 @@ object GraphStateStore {
       * a data-defined cut, a different graph (review r13).
       */
     def fold(): Standing = {
+      // refuse BEFORE StagedDeltas lays its _folding marker: a consumed
+      // target must not be re-advanced onto itself (cur == next after a
+      // successful fold until the caller names the next cycle's cut —
+      // folding staged data then would overwrite the cut's standing
+      // with a graph its label no longer describes)
+      require(cur != next || !staged.hasStaged,
+        s"refresh cycle at cut ${cur._1}/${cur._2} already folded — " +
+          "name the next cycle's target via fold(nextCutNum, nextCutDen)")
       cycleFolded = false
       staged.fold()
       if (cycleFolded) {

@@ -42,6 +42,17 @@ final class StagedDeltas(
     rows.select(cols.map(col): _*)
       .write.mode("overwrite").parquet(s"$deltaRoot/batch=$batchId")
 
+  /** Whether any staged delta directories exist — lets a caller refuse
+    * a mis-targeted fold BEFORE the `_folding` marker is laid down
+    * (failing inside `appendToBase` would leave a crashed-fold state
+    * that demands manual cleanup for what was a caller error).
+    */
+  def hasStaged: Boolean = {
+    val root = new org.apache.hadoop.fs.Path(deltaRoot)
+    fs.exists(root) &&
+      fs.listStatus(root).exists(_.getPath.getName.startsWith("batch="))
+  }
+
   /** Base ∪ deltas — the serving view between folds. */
   def read: DataFrame = {
     require(!fs.exists(markerPath),

@@ -520,6 +520,12 @@ class GraphStateSpec extends SparkSpec {
         cornersWant, "cycle 2 corners ≠ rebuild")
       assert(edgeSet(m.read) === edgeSet(cutEdges(20L)),
         "read after the chained folds ≠ full graph")
+      // a consumed target must not be re-advanced onto itself: staging
+      // more data and folding WITHOUT naming the next cycle's cut must
+      // fail loudly, not overwrite 20/20's standing with a wrong graph
+      ms.addData(Seq((999901L, 999902L))); q.processAllAvailable()
+      val e = intercept[Exception](m.fold())
+      assert(e.getMessage.contains("already folded"), e.getMessage)
     } finally q.stop()
     deleteRecursively(root)
   }

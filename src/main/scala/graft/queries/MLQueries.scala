@@ -1019,13 +1019,16 @@ object MLQueries {
     */
   private val cvFolds = 5L
 
+  /** Integer division on non-negative long columns — the evaluation
+    * triad's milli-unit arithmetic. `div`, not `(n - pmod)/dd`: the
+    * double round-trip is exact only below 2^53 and the global-sum
+    * numerators outgrow that at large SFs (review r13); for the
+    * non-negative operands used here `div` matches the oracle's `//`.
+    */
+  private def idiv(n: Column, dd: Column): Column =
+    call_function("div", n, dd)
+
   private val cvPopularity: Q = (s, d) => {
-    def idiv(n: Column, dd: Column): Column =
-      // integer div, not (n - pmod)/dd: the double round-trip is exact
-      // only below 2^53 and the global-sum numerators outgrow that at
-      // large SFs (review r13) — div matches the oracle's // for the
-      // non-negative operands used here
-      call_function("div", n, dd)
     val folded = mfRatings(s, d).withColumn("fold",
       pmod(Hashing.md5Long(concat(col("user_id").cast("string"), lit("_"),
         col("item_id").cast("string"))), lit(cvFolds)))
@@ -1080,12 +1083,6 @@ object MLQueries {
     * baseline — a flat curve means the op measured nothing.
     */
   private val learningCurve: Q = (s, d) => {
-    def idiv(n: Column, dd: Column): Column =
-      // integer div, not (n - pmod)/dd: the double round-trip is exact
-      // only below 2^53 and the global-sum numerators outgrow that at
-      // large SFs (review r13) — div matches the oracle's // for the
-      // non-negative operands used here
-      call_function("div", n, dd)
     val keyStr = concat(col("user_id").cast("string"), lit("_"),
       col("item_id").cast("string"))
     val tagged = mfRatings(s, d)
@@ -1179,12 +1176,6 @@ object MLQueries {
     * the selection measured nothing.
     */
   private val hyperparamSweep: Q = (s, d) => {
-    def idiv(n: Column, dd: Column): Column =
-      // integer div, not (n - pmod)/dd: the double round-trip is exact
-      // only below 2^53 and the global-sum numerators outgrow that at
-      // large SFs (review r13) — div matches the oracle's // for the
-      // non-negative operands used here
-      call_function("div", n, dd)
     val folded = mfRatings(s, d).withColumn("fold",
       pmod(Hashing.md5Long(concat(col("user_id").cast("string"), lit("_"),
         col("item_id").cast("string"))), lit(cvFolds)))

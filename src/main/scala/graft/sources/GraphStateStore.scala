@@ -298,13 +298,6 @@ object GraphStateStore {
       rows => {
         val (cn, cd) = cur
         val (nn, nd) = next
-        // a consumed target must not be re-advanced onto itself: after a
-        // successful fold cur == next until the caller names the next
-        // cycle's cut — folding staged data then would overwrite the
-        // cut's standing with a graph its label no longer describes
-        require((cn, cd) != (nn, nd),
-          s"refresh cycle at cut $cn/$cd already folded — name the next " +
-            "cycle's target via fold(nextCutNum, nextCutDen)")
         val old = standing(s, sfDir, cn, cd)
         // observed pairs may repeat across batches and may re-observe
         // standing edges — set semantics: distinct, then anti-join
@@ -353,11 +346,18 @@ object GraphStateStore {
         .option("checkpointLocation", checkpoint)
         .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
         .foreachBatch { (batch: DataFrame, id: Long) =>
-          staged.stage(batch
+          val canon = batch
             .select(least(col("src"), col("dst")).as("src"),
               greatest(col("src"), col("dst")).as("dst"))
             .filter(col("src") =!= col("dst"))
-            .distinct(), id)
+            .distinct()
+          // an all-self-loop/duplicate batch canonicalizes to zero rows;
+          // staging its empty dir would defeat fold's empty-delta
+          // early-return (paying the |E| advance for nothing) and make
+          // the no-op bare fold() spuriously refuse (review r13, round
+          // 2). Deterministic transform ⇒ a replayed batch skips the
+          // same way, so exactly-once is unaffected.
+          if (!canon.isEmpty) staged.stage(canon, id)
         }
         .start()
 
@@ -379,24 +379,23 @@ object GraphStateStore {
       * a data-defined cut, a different graph (review r13).
       */
     def fold(): Standing = {
-      // refuse BEFORE StagedDeltas lays its _folding marker: a consumed
+      cycleFolded = false
+      // the guard runs inside StagedDeltas.fold AFTER the delta listing
+      // proves there is work but BEFORE the _folding marker: a consumed
       // target must not be re-advanced onto itself (cur == next after a
       // successful fold until the caller names the next cycle's cut —
       // folding staged data then would overwrite the cut's standing
-      // with a graph its label no longer describes)
-      require(cur != next || !staged.hasStaged,
-        s"refresh cycle at cut ${cur._1}/${cur._2} already folded — " +
-          "name the next cycle's target via fold(nextCutNum, nextCutDen)")
-      cycleFolded = false
-      staged.fold()
-      if (cycleFolded) {
-        cur = next
-        val (cn, cd) = cur
-        standing(s, sfDir, cn, cd)
-      } else {
-        val (cn, cd) = cur
-        standing(s, sfDir, cn, cd)
+      // with a graph its label no longer describes), and checking any
+      // earlier races a concurrently staging micro-batch into
+      // crashed-fold state (review r13, round 2)
+      staged.fold { () =>
+        require(cur != next,
+          s"refresh cycle at cut ${cur._1}/${cur._2} already folded — " +
+            "name the next cycle's target via fold(nextCutNum, nextCutDen)")
       }
+      if (cycleFolded) cur = next
+      val (cn, cd) = cur
+      standing(s, sfDir, cn, cd)
     }
 
     /** A LATER refresh cycle's fold: set the cycle's target cut, then

@@ -42,17 +42,6 @@ final class StagedDeltas(
     rows.select(cols.map(col): _*)
       .write.mode("overwrite").parquet(s"$deltaRoot/batch=$batchId")
 
-  /** Whether any staged delta directories exist — lets a caller refuse
-    * a mis-targeted fold BEFORE the `_folding` marker is laid down
-    * (failing inside `appendToBase` would leave a crashed-fold state
-    * that demands manual cleanup for what was a caller error).
-    */
-  def hasStaged: Boolean = {
-    val root = new org.apache.hadoop.fs.Path(deltaRoot)
-    fs.exists(root) &&
-      fs.listStatus(root).exists(_.getPath.getName.startsWith("batch="))
-  }
-
   /** Base ∪ deltas — the serving view between folds. */
   def read: DataFrame = {
     require(!fs.exists(markerPath),
@@ -71,8 +60,15 @@ final class StagedDeltas(
   /** Fold accumulated deltas into the bucketed base (the nightly
     * compaction): marker → one batch append → delete deltas → marker
     * off. Answers invariant; only the read path's delta union empties.
+    *
+    * `guard` runs AFTER the delta listing proves there is work but
+    * BEFORE the `_folding` marker is laid down — the one spot where a
+    * caller precondition (e.g. "this refresh cycle already consumed
+    * its target cut") can refuse without leaving crashed-fold state:
+    * checking before fold() races a concurrently staging micro-batch,
+    * and throwing inside `appendToBase` strands the marker.
     */
-  def fold(): Unit = {
+  def fold(guard: () => Unit = () => ()): Unit = {
     require(!fs.exists(markerPath),
       s"a previous fold at $deltaRoot crashed between its append and " +
         "its delta cleanup — the deltas may or may not be in the " +
@@ -83,6 +79,7 @@ final class StagedDeltas(
     val deltaDirs = fs.listStatus(root).toSeq
       .map(_.getPath).filter(_.getName.startsWith("batch="))
     if (deltaDirs.isEmpty) return
+    guard()
     fs.create(markerPath, true).close()
     val rows = s.read.parquet(deltaDirs.map(_.toString): _*)
       .select(cols.map(col): _*)

@@ -12,6 +12,23 @@ import graft.tables.Tables
   */
 class GraphStateSpec extends SparkSpec {
 
+  /** Shared cut fixture (review r13): the canonical co-purchase edge
+    * set at cut n/20 — four tests previously each carried a verbatim
+    * copy; one definition keeps them pinned to the SAME fixture.
+    */
+  private def cutEdges(n: Long) = {
+    val li = Tables.lineitem(spark, sfDir)
+    val keys = li.agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
+    graft.ops.Graph.coPurchaseEdges(
+        li.crossJoin(broadcast(keys))
+          .filter(col("l_orderkey") <= GraphStateStore.cutExpr(n, 20L)))
+      .filter(col("src") < col("dst")).localCheckpoint()
+  }
+
+  private def edgeSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
   test("graph queries are answer-invariant under the bucketed-edge swap") {
     // q_item_rank (directed loop) and q_triangles (canonical +
     // orientation) run identically whether the edge list is computed +
@@ -235,12 +252,6 @@ class GraphStateSpec extends SparkSpec {
     // standing input IS the first advance's write-back, never a
     // rebuild) — then compare every round of the final store state to
     // the definitional full recompute on the 20/20 graph.
-    val li = Tables.lineitem(spark, sfDir)
-    val keys = li.agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
-    def cutEdges(n: Long) = graft.ops.Graph.coPurchaseEdges(
-        li.crossJoin(broadcast(keys))
-          .filter(col("l_orderkey") <= GraphStateStore.cutExpr(n, 20L)))
-      .filter(col("src") < col("dst")).localCheckpoint()
     def advance(fromN: Long, toN: Long) = {
       val oldRounds = GraphStateStore
         .standingRankRounds(spark, sfDir, fromN, 20L)
@@ -288,12 +299,6 @@ class GraphStateSpec extends SparkSpec {
     // serves the installed cache entry), never a rebuild — then compare
     // every table of the final state to the definitional recompute on
     // the 20/20 graph.
-    val li = Tables.lineitem(spark, sfDir)
-    val keys = li.agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
-    def cutEdges(n: Long) = graft.ops.Graph.coPurchaseEdges(
-        li.crossJoin(broadcast(keys))
-          .filter(col("l_orderkey") <= GraphStateStore.cutExpr(n, 20L)))
-      .filter(col("src") < col("dst")).localCheckpoint()
     def advance(fromN: Long, toN: Long) = {
       val novel = cutEdges(toN)
         .join(cutEdges(fromN), Seq("src", "dst"), "left_anti")
@@ -392,12 +397,6 @@ class GraphStateSpec extends SparkSpec {
     // state must equal the definitional 20/20 recompute.
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.hadoop.fs.Path
-    val li = Tables.lineitem(spark, sfDir)
-    val keys = li.agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
-    def cutEdges(n: Long) = graft.ops.Graph.coPurchaseEdges(
-        li.crossJoin(broadcast(keys))
-          .filter(col("l_orderkey") <= GraphStateStore.cutExpr(n, 20L)))
-      .filter(col("src") < col("dst")).localCheckpoint()
     val novel = cutEdges(20L)
       .join(cutEdges(19L), Seq("src", "dst"), "left_anti")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
@@ -420,9 +419,6 @@ class GraphStateSpec extends SparkSpec {
       // edges and a repeat of d1's head) — set semantics must absorb
       ms.addData(d2 ++ d1.take(3)); q1.processAllAvailable()
     } finally q1.stop()
-    def edgeSet(df: org.apache.spark.sql.DataFrame) =
-      df.select("src", "dst").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     val fullSet = edgeSet(cutEdges(20L))
     assert(edgeSet(m.read) === fullSet,
       "between folds: standing ∪ staged must serve the full edge set")
@@ -468,15 +464,6 @@ class GraphStateSpec extends SparkSpec {
     // (c) a fold with nothing staged returns the current standing
     // without building the target cut definitionally.
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    val li = Tables.lineitem(spark, sfDir)
-    val keys = li.agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
-    def cutEdges(n: Long) = graft.ops.Graph.coPurchaseEdges(
-        li.crossJoin(broadcast(keys))
-          .filter(col("l_orderkey") <= GraphStateStore.cutExpr(n, 20L)))
-      .filter(col("src") < col("dst")).localCheckpoint()
-    def edgeSet(df: org.apache.spark.sql.DataFrame) =
-      df.select("src", "dst").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     def delta(a: Long, b: Long) = cutEdges(b)
       .join(cutEdges(a), Seq("src", "dst"), "left_anti")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq

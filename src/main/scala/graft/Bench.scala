@@ -34,6 +34,25 @@ object Bench {
         "degrade; ml_kmeans_clusters/ml_cluster_recs/ml_ann_trained " +
         "timings are NOT comparable to a correctly-launched JVM")
     val heapGB = graft.ops.JvmEnv.heapMaxBytes / 1073741824.0
+    // Out-of-band heap escalates like missing opens do (r13 verdict #3):
+    // the fingerprint already REPORTS heapGB, but a heap far above the
+    // measured 8 g optimum deserves the same loud stderr treatment at
+    // launch — G1 on a huge lazily-committed heap defers collection
+    // until multi-second pauses land on whichever query is running.
+    // Measured on these binaries: r12 experiment 334-385 s raw
+    // -Xmx100g vs 187-212 s at 8 g; r13 driver round 244.5 s at 89 g
+    // vs 131.5-153.0 s same-code at 8 g (~1.8x, wall and CPU scaling
+    // together). 2x the build.sbt default is the threshold.
+    if (heapGB > 16.0)
+      System.err.println(f"[bench] WARNING: JVM heap is $heapGB%.1f GiB — " +
+        "far above the 8 GiB this suite is tuned for. Measured penalty on " +
+        "identical code: 334-385 s at -Xmx100g vs 187-212 s at 8 g (r12); " +
+        "244.5 s at 89 g vs 131.5-153.0 s at 8 g (r13). Big-heap G1 " +
+        "couples GC pressure into the MLlib fit family " +
+        "(ml_ann_pq_trained, ml_als_recommend ~3x). Launch via " +
+        "`sbt \"runMain graft.Bench\"` (build.sbt forks -Xmx8g) or set " +
+        "SPARK_DRIVER_MEM=8g; timings from this run are NOT comparable " +
+        "to an 8 g board.")
     // Warm-up: one flagship pass plus one footer-read per table pays the
     // one-time JVM/codegen/parquet-metadata costs so per-query timings
     // measure the queries (steady state), not whichever query happens to
@@ -149,7 +168,15 @@ object Bench {
       "q_dedup_threshold_sweep",
       // r13: det-PQ training twin — 3 Lloyd rounds × 8 subspaces are
       // fit-shaped work; same discipline as q_ann_recall_trained
-      "q_pq_recall_trained")
+      "q_pq_recall_trained",
+      // r14 (the standing >3 s-in-any-driver-round rule, verdict #3):
+      // the r13 driver board's five single-shot lines above 3 s —
+      // q_doc_keywords 5.35, q_curate_funnel 4.84 (first run absorbs
+      // the staged-dedup family build), q_rfm_segments 4.78,
+      // q_eval_langid 4.71, q_outlier_mad 3.35 — all join, so every
+      // line the driver detail list can show carries (min, med, max)
+      "q_doc_keywords", "q_curate_funnel", "q_rfm_segments",
+      "q_eval_langid", "q_outlier_mad")
     val spreads = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double)]
     // Leak loudness (r10 lesson): every query's tracked checkpoints are
     // drained after its timed count, and sweep() evicts anything else

@@ -276,12 +276,38 @@ object LlmQueries {
     * unlike the MLlib hash family this is hash-checked against the oracle,
     * not rows-only.
     */
+  /** Loud guard for the planted-id convention (ADVICE r13): the dedup
+    * family's plant offsets (+10000 noisy/dup plants, +20000 chimeras)
+    * and its bipartite split at doc_id < 10000 assume natural docs stay
+    * below 10000. On a corpus where that fails, natural docs would
+    * silently flip to the plant side of discovery — and the DuckDB
+    * oracles share the convention, so the hash gate could not catch the
+    * divergence from intended semantics. Checked once per (session,
+    * dataset) — one 1-row max aggregate — and the collision fails the
+    * query loudly instead.
+    */
+  private val plantHeadroomCache = new graft.sources.LayoutCache.SessionCache[
+    String, Long]()
+
+  private def requirePlantHeadroom(s: org.apache.spark.sql.SparkSession,
+      d: String, who: String): Unit = {
+    val mx = plantHeadroomCache.getOrBuild(s, d) {
+      val row = Tables.documents(s, d).agg(max("doc_id")).head()
+      if (row.isNullAt(0)) -1L else row.getLong(0)
+    }
+    require(mx < 10000L,
+      s"$who: planted doc_id offsets (+10000/+20000) collide with natural " +
+        s"max doc_id = $mx — the plant convention needs regenerating for " +
+        "this corpus")
+  }
+
   /** The planted-dup fixture corpus shared by the whole dedup family —
     * construction only (two scans + union), so callers that stage their
     * own derived artifacts can build it without touching the caches.
     */
   private def plantedCorpus(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
+    requirePlantHeadroom(s, d, "plantedCorpus")
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val dup = docs.filter(col("doc_id") < 25)
       .withColumn("doc_id", col("doc_id") + lit(10000L))
@@ -330,8 +356,11 @@ object LlmQueries {
       org.apache.spark.sql.DataFrame =
     corpus
       .withColumn("ws", split(col("text"), " "))
-      .withColumn("sh", array_distinct(
+      // same short-doc guard as the prefix-filter discovery sites
+      // (ADVICE r13): < 3 words → empty shingle set, not ws[-1]
+      .withColumn("sh", when(size(col("ws")) >= 3, array_distinct(
         expr("transform(sequence(0, size(ws) - 3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")))
+        .otherwise(expr("array()").cast("array<string>")))
       .select("doc_id", "sh")
 
   /** (doc_id, band, bkey) LSH bucket rows from a shingled corpus — the
@@ -3437,9 +3466,15 @@ object LlmQueries {
     // verification sides — one interpreted shingling pass instead of three.
     val shingled = corpus
       .withColumn("ws", split(col("text"), " "))
-      .withColumn("sh", array_distinct(
+      // size(ws) >= 3 guard (ADVICE r13, the Bpe.pairCounts discipline):
+      // a shorter doc would make sequence(0, size-3) step DOWNWARD and
+      // index ws[-1] (null shingle, or an error under ANSI mode) where
+      // the DuckDB twin's range() yields an empty list — latent on this
+      // fixture (every doc >= 3 words) but wrong semantics on any other.
+      .withColumn("sh", when(size(col("ws")) >= 3, array_distinct(
         expr("transform(sequence(0, size(ws) - 3), " +
           "i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")))
+        .otherwise(expr("array()").cast("array<string>")))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
       .ckpt()
     val postings = shingled.select(col("doc_id"), col("n"),
@@ -3619,9 +3654,15 @@ object LlmQueries {
     def idiv(n: Column, dd: Column): Column = call_function("div", n, dd)
     val shingled = corpus
       .withColumn("ws", split(col("text"), " "))
-      .withColumn("sh", array_distinct(
+      // size(ws) >= 3 guard (ADVICE r13, the Bpe.pairCounts discipline):
+      // a shorter doc would make sequence(0, size-3) step DOWNWARD and
+      // index ws[-1] (null shingle, or an error under ANSI mode) where
+      // the DuckDB twin's range() yields an empty list — latent on this
+      // fixture (every doc >= 3 words) but wrong semantics on any other.
+      .withColumn("sh", when(size(col("ws")) >= 3, array_distinct(
         expr("transform(sequence(0, size(ws) - 3), " +
           "i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")))
+        .otherwise(expr("array()").cast("array<string>")))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
       .ckpt()
     val postings = shingled.select(col("doc_id"), col("n"),
@@ -3654,6 +3695,7 @@ object LlmQueries {
 
   private val dedupThresholdSweep: Q = (s, d) => {
     def idiv(n: Column, dd: Column): Column = call_function("div", n, dd)
+    requirePlantHeadroom(s, d, "dedupThresholdSweep")
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val src = docs.filter(col("doc_id") < 25)
     val srcW = src.withColumn("ws", split(col("text"), " "))

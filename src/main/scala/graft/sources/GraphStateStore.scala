@@ -283,6 +283,14 @@ object GraphStateStore {
       oldCutNum: Long, oldCutDen: Long,
       newCutNum: Long, newCutDen: Long, deltaRoot: String,
       maintainRanks: Boolean = false) {
+    // Equal cuts (compared as rationals — 19/20 ≡ 38/40) would make the
+    // very first fold() trip the cur != next guard with its misleading
+    // "already folded" message even though nothing was ever folded
+    // (ADVICE r13): refuse at construction, where the mistake is.
+    require(oldCutNum * newCutDen != newCutNum * oldCutDen,
+      s"StreamingGraphMaintenance: old cut $oldCutNum/$oldCutDen equals " +
+        s"new cut $newCutNum/$newCutDen — the first fold needs a distinct " +
+        "target cut to advance to")
     // The maintenance CHAINS across refresh cycles (review r13): `cur`
     // is the cut the standing state currently sits at, `next` the cut
     // the upcoming fold advances to. Each successful fold sets
@@ -378,7 +386,7 @@ object GraphStateStore {
       * delta path exists to avoid) would be both wrong-shaped and, for
       * a data-defined cut, a different graph (review r13).
       */
-    def fold(): Standing = {
+    def fold(): Standing = synchronized {
       cycleFolded = false
       // the guard runs inside StagedDeltas.fold AFTER the delta listing
       // proves there is work but BEFORE the _folding marker: a consumed
@@ -401,8 +409,17 @@ object GraphStateStore {
     /** A LATER refresh cycle's fold: set the cycle's target cut, then
       * advance everything staged since the previous fold — the previous
       * fold's write-back is this fold's standing input.
+      *
+      * Both fold overloads synchronize on this instance (ADVICE r13):
+      * cur/next/cycleFolded are volatile for read visibility, but two
+      * concurrent fold() calls could otherwise both pass the cur != next
+      * guard and the StagedDeltas exists-then-create marker check
+      * (non-atomic) and double-apply the same staged deltas. The monitor
+      * is reentrant, so this overload's body may call the bare fold().
+      * Staging ([[maintainStream]]'s foreachBatch) is not serialized
+      * against folds here — StagedDeltas owns that ordering.
       */
-    def fold(nextCutNum: Long, nextCutDen: Long): Standing = {
+    def fold(nextCutNum: Long, nextCutDen: Long): Standing = synchronized {
       next = (nextCutNum, nextCutDen)
       fold()
     }

@@ -178,6 +178,25 @@ object LlmQueries {
         "llm.jaccardPairs")
     }
 
+  /** Build every session-staged dedup artifact outside any query's
+    * timing (r13 verdict #4): the LSH-verified pair set, the exact
+    * ground truth, both component closures, the Jaccard pair fixture,
+    * and the trained BPE merge table. Bench calls this during warm-up
+    * and prints the cost as a `staged-build:` tail line; the family's
+    * first sampled consumer then times serving, not discovery. Pins are
+    * eager, so touching each builder materializes it.
+    */
+  private[graft] def prewarmStaged(s: org.apache.spark.sql.SparkSession,
+      d: String): Unit = {
+    fixtureJaccardPairs(s, d)   // llm.jaccardPairs
+    fixtureComponents(s, d)     // llm.jaccardComps
+    minhashVerified(s, d)       // llm.minhashPairs
+    minhashComponents(s, d)     // llm.minhashComps
+    plantedExactPairs(s, d)     // llm.prefixExactPairs
+    trainedBpe(s, d)            // the 30-merge tokenizer artifact
+    ()
+  }
+
   private val dedupJaccard: Q = (s, d) =>
     fixtureJaccardPairs(s, d).orderBy("doc_a", "doc_b")
 

@@ -177,8 +177,10 @@ object Bench {
       "q_dpp_prune", "q_rec_coverage",
       // the trained-recall pair each build their own trainedDet layout
       // (different fitEvery cache keys) — first sample pays it, the
-      // median measures the serving-side audit
+      // median measures the serving-side audit; the trained cluster-rec
+      // twin (r14) reads the same layout, same discipline
       "q_ann_recall_trained", "q_ann_recall_sampled",
+      "q_cluster_recs_trained",
       // det-MF training pair: fit-shaped (solve aggregations + staged
       // ratings) — joins the ml_-family median discipline
       "q_mf_trained", "q_mf_implicit_trained",

@@ -996,7 +996,14 @@ object LlmQueries {
     * pass), and the probes/truth/recall assembly reads a4. All positive
     * int64, so DuckDB's flooring // and Spark's truncating div agree.
     */
-  private def annRecallTrainedSqlFor(fitPred: String): String = {
+  /** The deterministic quantized-Lloyd training chain as oracle CTEs —
+    * quantize → `fitPred`-filtered init/fit → 3 rounds → full
+    * assignment `a4` (every vec_id's TRAINED bucket). Shared by the
+    * trained-recall audits and ◆ `q_cluster_recs_trained`, which serve
+    * different views of the same trained layout
+    * ([[graft.sources.IvfStore.trainedDet]]).
+    */
+  private def detTrainCtesSql(fitPred: String): String = {
     val rounds = (1 to 3).map { i =>
       s"""d$i AS (
          |  SELECT qp.vec_id, cp.bucket,
@@ -1041,7 +1048,11 @@ object LlmQueries {
        |    SELECT vec_id, bucket,
        |           row_number() OVER (PARTITION BY vec_id
        |                              ORDER BY d2, bucket) AS rn
-       |    FROM d4) WHERE rn = 1),
+       |    FROM d4) WHERE rn = 1)""".stripMargin
+  }
+
+  private def annRecallTrainedSqlFor(fitPred: String): String = {
+    s"""${detTrainCtesSql(fitPred)},
        |qq AS (SELECT vec_id AS q_id, v AS qvec FROM qv WHERE vec_id < 10),
        |pd AS (SELECT qp.vec_id AS q_id, cp.bucket,
        |              SUM((qp.val - cp.cval) * (qp.val - cp.cval)) AS d2
@@ -1101,6 +1112,54 @@ object LlmQueries {
   private val annRecallTrainedSql = annRecallTrainedSqlFor("TRUE")
   private val annRecallSampledSql =
     annRecallTrainedSqlFor("vec_id % 3 = 0")
+
+  /** ◆ `q_cluster_recs_trained` — the cluster-REC ranking under a
+    * TRAINED codebook (r13 verdict stretch, closing the last model
+    * family's serving gap): `ml_cluster_recs` is the MLlib KMeans row
+    * (rows-only — the seeded k-means‖ fit is not SQL-replayable) and
+    * ◆ `ml_cluster_serve` gates same-cluster popularity top-3 under
+    * PINNED centroids; this twin serves the identical ranking off the
+    * quantized-Lloyd TRAINED layout
+    * ([[graft.sources.IvfStore.trainedDet]], the ◆ `q_ann_recall_trained`
+    * artifact, k = 8), so the recommendation a user receives is
+    * hash-gated under trained cluster assignments end to end
+    * (reference semantics: src/app.py:267-299). Popularity is the
+    * family's deterministic md5-mod-1000 stand-in, the
+    * `ml_cluster_serve` convention.
+    *
+    * Scale: the trained lists are the maintained store layout (written
+    * bucketed on the learned list id — the serving scan, not a re-fit);
+    * pop is a map-side expression; the per-cluster top-3 is a
+    * rank-limited window (WindowGroupLimit below the shuffle). The
+    * oracle replays training → assignment → ranking via the shared
+    * [[detTrainCtesSql]] chain.
+    */
+  private val clusterRecsTrained: Q = (s, d) => {
+    val st = graft.sources.IvfStore.trainedDet(s, d, 8, 3, 1)
+    st.lists.select(col("vec_id"), col("bucket").cast("int").as("cluster"))
+      .withColumn("pop",
+        pmod(Hashing.md5Long(col("vec_id").cast("string")), lit(1000L)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("cluster").orderBy(desc("pop"), asc("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select("cluster", "rank", "vec_id", "pop")
+      .orderBy("cluster", "rank")
+  }
+
+  private val clusterRecsTrainedSql =
+    s"""${detTrainCtesSql("TRUE")},
+       |p AS (
+       |  SELECT vec_id, CAST(bucket AS INT) AS cluster,
+       |         ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+       |           % 1000 AS pop
+       |  FROM a4)
+       |SELECT cluster, rank, vec_id, pop
+       |FROM (SELECT cluster, vec_id, pop,
+       |             row_number() OVER (PARTITION BY cluster
+       |                                ORDER BY pop DESC, vec_id) AS rank
+       |      FROM p)
+       |WHERE rank <= 3
+       |ORDER BY cluster, rank""".stripMargin
 
   /** kNN label-vote probe — the standard embedding-quality audit: predict
     * each query vector's label by majority vote of its 5 cosine neighbors
@@ -4470,6 +4529,8 @@ object LlmQueries {
       Some(annRecallTrainedSql)),
     Entry("q_ann_recall_sampled", annRecallSampled,
       Some(annRecallSampledSql)),
+    Entry("q_cluster_recs_trained", clusterRecsTrained,
+      Some(clusterRecsTrainedSql)),
     Entry("q_embed_centroid", embedCentroid, Some(embedCentroidSql)),
     Entry("q_dup_components", dupComponentsQ, Some(dupComponentsSql)),
     Entry("q_pii_scrub", piiScrub, Some(piiScrubSql)),

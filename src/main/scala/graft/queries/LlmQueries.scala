@@ -1540,8 +1540,13 @@ object LlmQueries {
   private val fingerprint: Q = (s, d) =>
     Tables.documents(s, d)
       .withColumn("ws", split(col("text"), " "))
-      .withColumn("grams",
+      // short-doc guard (the r14 sweep of ADVICE r13's finding): < 3
+      // words → empty gram list (fp null, n_grams 0), matching the
+      // DuckDB twin's empty range() — not a descending sequence
+      // indexing ws[-1]
+      .withColumn("grams", when(size(col("ws")) >= 3,
         expr("transform(sequence(0, size(ws) - 3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))"))
+        .otherwise(expr("array()").cast("array<string>")))
       .withColumn("fp",
         expr("array_min(transform(grams, g -> cast(conv(substring(md5(g), 1, 8), 16, 10) as bigint)))"))
       .select(col("doc_id"), col("fp"), size(col("grams")).as("n_grams"))

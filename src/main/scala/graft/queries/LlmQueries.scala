@@ -40,6 +40,7 @@ object LlmQueries {
     * first 50 docs under shifted ids; canonical = min id per fingerprint.
     */
   private val dedupExact: Q = (s, d) => {
+    requirePlantHeadroom(s, d, "dedupExact")
     val docs = Tables.documents(s, d)
     val dup = docs.filter(col("doc_id") < 50)
       .withColumn("doc_id", col("doc_id") + lit(10000L))
@@ -308,16 +309,37 @@ object LlmQueries {
   private val plantHeadroomCache = new graft.sources.LayoutCache.SessionCache[
     String, Long]()
 
-  private def requirePlantHeadroom(s: org.apache.spark.sql.SparkSession,
+  private[graft] def requirePlantHeadroom(
+      s: org.apache.spark.sql.SparkSession,
       d: String, who: String): Unit = {
     val mx = plantHeadroomCache.getOrBuild(s, d) {
       val row = Tables.documents(s, d).agg(max("doc_id")).head()
       if (row.isNullAt(0)) -1L else row.getLong(0)
     }
     require(mx < 10000L,
-      s"$who: planted doc_id offsets (+10000/+20000) collide with natural " +
-        s"max doc_id = $mx — the plant convention needs regenerating for " +
-        "this corpus")
+      s"$who: planted doc_id offsets (+10000/+20000/+30000) collide with " +
+        s"natural max doc_id = $mx — the plant convention needs " +
+        "regenerating for this corpus")
+  }
+
+  /** The embedding-side twin of [[requirePlantHeadroom]] (review r14):
+    * `q_dedup_embed` and `q_reconcile` plant vec_id + 10000 copies with
+    * the same silent-collision hazard on a corpus whose natural vec_ids
+    * reach 10000.
+    */
+  private val vecHeadroomCache = new graft.sources.LayoutCache.SessionCache[
+    String, Long]()
+
+  private def requireVecHeadroom(s: org.apache.spark.sql.SparkSession,
+      d: String, who: String): Unit = {
+    val mx = vecHeadroomCache.getOrBuild(s, d) {
+      val row = Tables.embeddings(s, d).agg(max("vec_id")).head()
+      if (row.isNullAt(0)) -1L else row.getLong(0)
+    }
+    require(mx < 10000L,
+      s"$who: planted vec_id offset (+10000) collides with natural max " +
+        s"vec_id = $mx — the plant convention needs regenerating for this " +
+        "corpus")
   }
 
   /** The planted-dup fixture corpus shared by the whole dedup family —
@@ -682,6 +704,7 @@ object LlmQueries {
         when(element_at(v, 2) >= 0, 4).otherwise(0) +
         when(element_at(v, 3) >= 0, 2).otherwise(0) +
         when(element_at(v, 4) >= 0, 1).otherwise(0)).cast("int")
+    requireVecHeadroom(s, d, "dedupEmbed")
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val planted = e.filter(col("vec_id") < 25)
@@ -1821,6 +1844,7 @@ object LlmQueries {
     * original source.
     */
   private val dupRateBySourceQ: Q = (s, d) => {
+    requirePlantHeadroom(s, d, "dupRateBySource")
     val base = Tables.documents(s, d)
     val mirrored = base.unionByName(
       base.filter(col("doc_id") < 50)
@@ -1999,6 +2023,7 @@ object LlmQueries {
     * source eval doc.
     */
   private val decontaminate: Q = (s, d) => {
+    requirePlantHeadroom(s, d, "decontaminate")
     val docs = Tables.documents(s, d)
     val evalSet = docs.filter(pmod(col("doc_id"), lit(10L)) === 0)
     val leaked = evalSet.filter(col("doc_id") < 200)
@@ -2422,6 +2447,7 @@ object LlmQueries {
     * the sort-merge shuffle on unique ids IS the correct scale plan.
     */
   private val reconcile: Q = (s, d) => {
+    requireVecHeadroom(s, d, "reconcile")
     val docs = Tables.documents(s, d).select(col("doc_id"))
     val vecs0 = Tables.embeddings(s, d).select(col("vec_id"))
     val vecs = vecs0.filter(col("vec_id") < 450)
@@ -4071,6 +4097,7 @@ object LlmQueries {
     * shuffle, only 8-byte signatures).
     */
   private val mmPhashDedup: Q = (s, d) => {
+    requirePlantHeadroom(s, d, "mmPhashDedup")
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val dup = docs.filter(col("doc_id") < 25)
       .withColumn("doc_id", col("doc_id") + lit(10000L))

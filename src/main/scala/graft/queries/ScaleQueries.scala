@@ -104,6 +104,7 @@ object ScaleQueries {
     */
   private val chunkDedup: Q = (s, d) => {
     val k = 16
+    LlmQueries.requirePlantHeadroom(s, d, "chunkDedup")
     val docs = Tables.documents(s, d)
     val all = docs.select(col("doc_id"), col("text"))
       .unionByName(docs.filter(col("doc_id") < 40)
@@ -1001,6 +1002,11 @@ object ScaleQueries {
     val tp = graft.sources.IvfStore.trainedPq(s, d)
     val cent = tp.codebook
     val codes = tp.codes
+    // LUT geometry derived from the SAME constants trainedPq trains
+    // with (review r14) — a re-stated literal could silently disagree
+    // with the staged codes' subspace layout.
+    val pqM = graft.sources.IvfStore.PqM
+    val pqSub = graft.sources.IvfStore.PqSubDim
     val qv = Tables.embeddings(s, d)
       .select(col("vec_id"),
         quantize(col("embedding").cast("array<double>")).as("q"))
@@ -1009,8 +1015,8 @@ object ScaleQueries {
     // are the maintained artifacts)
     val lut = qv.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"),
-        explode(sequence(lit(0), lit(7))).as("s"), col("q"))
-      .withColumn("qsv", expr("slice(q, s * 8 + 1, 8)"))
+        explode(sequence(lit(0), lit(pqM - 1))).as("s"), col("q"))
+      .withColumn("qsv", expr(s"slice(q, s * $pqSub + 1, $pqSub)"))
       .join(broadcast(cent), "s")
       .select(col("q_id"), col("s"), col("cell"),
         qdist2(col("qsv"), col("cq")).as("d2l"))

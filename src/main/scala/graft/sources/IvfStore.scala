@@ -285,15 +285,31 @@ object IvfStore {
     */
   final case class TrainedPq(codebook: DataFrame, codes: DataFrame)
 
+  /** The PQ geometry the registry serves — `PqM` subspaces of `PqSubDim`
+    * dims each, `PqKsub` cells, `PqIters` Lloyd rounds. The serving
+    * query (`q_pq_recall_trained`) derives its LUT slice literals from
+    * THESE constants (review r14): re-stated literals could silently
+    * disagree with the staged codes' geometry if the defaults changed.
+    */
+  val PqM = 8
+  val PqSubDim = 8
+  val PqKsub = 16
+  val PqIters = 3
+
   private val pqDetCache =
     new LayoutCache.SessionCache[(String, Int, Int, Int, Int), TrainedPq]()
 
-  def trainedPq(s: SparkSession, sfDir: String, m: Int = 8, subDim: Int = 8,
-      ksub: Int = 16, iters: Int = 3): TrainedPq =
+  def trainedPq(s: SparkSession, sfDir: String, m: Int = PqM,
+      subDim: Int = PqSubDim, ksub: Int = PqKsub,
+      iters: Int = PqIters): TrainedPq =
     pqDetCache.getOrBuild(s, (sfDir, m, subDim, ksub, iters)) {
       import graft.ops.Ck
       import org.apache.spark.sql.expressions.Window
-      val tag = LayoutCache.tag(s, sfDir) + s"_pq${m}x${ksub}i$iters"
+      // subDim in the tag too (review r14): the session-cache key
+      // carries it, so the table/dir name must as well or two builds
+      // differing only in subDim would clobber each other's catalog
+      // entry through writeBucketed's drop-and-recreate.
+      val tag = LayoutCache.tag(s, sfDir) + s"_pq${m}x${ksub}d${subDim}i$iters"
       val root = LayoutCache.tempRoot(s"graft-pqdet-$tag")
       val qv = Ck(graft.tables.Tables.embeddings(s, sfDir)
         .select(col("vec_id"),

@@ -517,6 +517,67 @@ class GraphStateSpec extends SparkSpec {
     deleteRecursively(root)
   }
 
+  test("maintenance guards: equal cuts refuse at construction; concurrent folds never double-apply (r14 ADVICE)") {
+    // (a) oldCut == newCut — compared as RATIONALS (19/20 ≡ 38/40) —
+    // must refuse at construction, not at the first fold with a
+    // misleading "already folded" message.
+    val eqRoot = java.nio.file.Files
+      .createTempDirectory("graft-gseq").toString
+    val e = intercept[IllegalArgumentException](
+      new GraphStateStore.StreamingGraphMaintenance(spark, sfDir,
+        19L, 20L, 38L, 40L, s"$eqRoot/deltas"))
+    assert(e.getMessage.contains("distinct"), e.getMessage)
+    deleteRecursively(eqRoot)
+    // (b) two concurrent fold() calls on one staged batch: the
+    // synchronized folds serialize, so exactly one advances and the
+    // other sees nothing staged (a no-op on the advanced cut) — never
+    // a double-apply of the same deltas. The final standing must equal
+    // the definitional rebuild; a double-apply racing the same pre-fold
+    // standing would double the delta's corner credits.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val d1 = cutEdges(19L)
+      .join(cutEdges(18L), Seq("src", "dst"), "left_anti")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(d1.nonEmpty, "fixture delta empty — vacuous")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-gsconc").toString
+    val m = new GraphStateStore.StreamingGraphMaintenance(spark, sfDir,
+      18L, 20L, 19L, 20L, s"$root/deltas")
+    import spark.implicits._
+    val ms = MemoryStream[(Long, Long)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, Long)]],
+      spark.sqlContext)
+    val q = m.maintainStream(ms.toDF().toDF("src", "dst"), s"$root/ckpt")
+    try {
+      ms.addData(d1); q.processAllAvailable()
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[
+        Either[Throwable, GraphStateStore.Standing]]()
+      val threads = (1 to 2).map { _ =>
+        new Thread(() =>
+          results.add(
+            try Right(m.fold()) catch { case t: Throwable => Left(t) }))
+      }
+      threads.foreach(_.start()); threads.foreach(_.join(300000))
+      val rs = results.toArray(Array.empty[
+        Either[Throwable, GraphStateStore.Standing]])
+      assert(rs.length === 2, "a fold thread hung")
+      // neither path may throw: one advances, the serialized other
+      // finds nothing staged and no-ops on the advanced cut
+      assert(rs.forall(_.isRight),
+        s"concurrent fold threw: ${rs.collect { case Left(t) => t }.toSeq}")
+      assert(edgeSet(m.read) === edgeSet(cutEdges(19L)),
+        "post-fold view ≠ 19/20 rebuild")
+      val st = GraphStateStore.standing(spark, sfDir, 19L, 20L)
+      val cornersWant = graft.ops.Graph.cornerCounts(cutEdges(19L))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(st.corners.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ===
+        cornersWant,
+        "corners ≠ rebuild — the staged delta was applied twice")
+    } finally q.stop()
+    deleteRecursively(root)
+  }
+
   test("src-keyed aggregates ride the bucketed standing layout with zero exchanges") {
     val st = GraphStateStore.standing(spark, sfDir, 1L, 1L)
     val bucketedDeg = st.edges.groupBy("src").agg(count(lit(1)).as("n"))

@@ -104,6 +104,8 @@ object Bench {
           { graft.sources.IvfStore.trainedDet(spark, sfDir, 8, 3, 3); () }),
         "ivf.trainedPq" -> (() =>
           { graft.sources.IvfStore.trainedPq(spark, sfDir); () }),
+        "ivf.trainedPqSampled" -> (() =>
+          { graft.sources.IvfStore.trainedPq(spark, sfDir, fitEvery = 3); () }),
         "ivf.lists" -> (() =>
           { graft.sources.IvfStore.lists(spark, sfDir); () }),
         "ivf.trainedMllib" -> (() =>
@@ -218,8 +220,9 @@ object Bench {
       // shaped, same error-bar discipline as q_simjoin_prefix
       "q_dedup_threshold_sweep",
       // r13: det-PQ training twin — 3 Lloyd rounds × 8 subspaces are
-      // fit-shaped work; same discipline as q_ann_recall_trained
-      "q_pq_recall_trained",
+      // fit-shaped work; same discipline as q_ann_recall_trained. The
+      // r14 sampled-fit variant reads its own staged layout, same story.
+      "q_pq_recall_trained", "q_pq_recall_sampled",
       // r14 (the standing >3 s-in-any-driver-round rule, verdict #3):
       // the r13 driver board's five single-shot lines above 3 s —
       // q_doc_keywords 5.35, q_curate_funnel 4.84, q_rfm_segments 4.78,

@@ -996,10 +996,22 @@ object ScaleQueries {
     * under the hash gate every round. The ADC aggregate is
     * exchange-free off the vec_id-bucketed codes.
     */
-  private val pqRecallTrained: Q = (s, d) => {
+  /** ◆ `q_pq_recall_trained` (full fit) / ◆ `q_pq_recall_sampled`
+    * (r14 — Lloyd on the deterministic `vec_id % 3 = 0` THIRD, full
+    * corpus encoded against the published codebooks: the bounded-sample
+    * fit the full-fit scaladoc names as the 100 TB path, now an
+    * artifact of its own, the `q_ann_recall_sampled` treatment applied
+    * to PQ. The sample predicate is pure SQL, so the oracle replays the
+    * SAMPLED training end to end — fit economics change, the gate does
+    * not.)
+    */
+  private val pqRecallTrained: Q = pqRecallTrainedWith(1)
+  private val pqRecallSampled: Q = pqRecallTrainedWith(3)
+
+  private def pqRecallTrainedWith(fitEvery: Int): Q = (s, d) => {
     import graft.sources.IvfStore.{quantize, qdist2}
     import graft.ops.Ck
-    val tp = graft.sources.IvfStore.trainedPq(s, d)
+    val tp = graft.sources.IvfStore.trainedPq(s, d, fitEvery = fitEvery)
     val cent = tp.codebook
     val codes = tp.codes
     // LUT geometry derived from the SAME constants trainedPq trains
@@ -1056,12 +1068,16 @@ object ScaleQueries {
       .orderBy("q_id")
   }
 
-  private val pqRecallTrainedSql: String = {
+  private val pqRecallTrainedSql: String = pqRecallTrainedSqlFor("TRUE")
+  private val pqRecallSampledSql: String =
+    pqRecallTrainedSqlFor("vec_id % 3 = 0")
+
+  private def pqRecallTrainedSqlFor(fitPred: String): String = {
     val rounds = (1 to 3).map { i =>
       s"""d$i AS (
          |  SELECT qp.vec_id, qp.s, cp.cell,
          |         SUM((qp.val - cp.cval) * (qp.val - cp.cval)) AS d2
-         |  FROM qp JOIN cp${i - 1} cp USING (s, spos) GROUP BY 1, 2, 3),
+         |  FROM qpf qp JOIN cp${i - 1} cp USING (s, spos) GROUP BY 1, 2, 3),
          |a$i AS (
          |  SELECT vec_id, s, cell FROM (
          |    SELECT vec_id, s, cell,
@@ -1071,7 +1087,7 @@ object ScaleQueries {
          |cp$i AS (
          |  SELECT a.s, a.cell, qp.spos,
          |         CAST(SUM(qp.val) // COUNT(*) AS BIGINT) AS cval
-         |  FROM a$i a JOIN qp USING (vec_id, s) GROUP BY 1, 2, 3)""".stripMargin
+         |  FROM a$i a JOIN qpf qp USING (vec_id, s) GROUP BY 1, 2, 3)""".stripMargin
     }.mkString(",\n")
     s"""WITH qv AS (
        |  SELECT vec_id,
@@ -1083,10 +1099,12 @@ object ScaleQueries {
        |         CAST((pos - 1) % 8 AS INT) AS spos, val
        |  FROM (SELECT vec_id, unnest(range(1, len(q) + 1)) AS pos,
        |               unnest(q) AS val FROM qv)),
+       |qpf AS (SELECT * FROM qp WHERE $fitPred),
        |init AS (SELECT vec_id,
        |                CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
        |                  AS cell
-       |         FROM (SELECT vec_id FROM qv ORDER BY vec_id LIMIT 16)),
+       |         FROM (SELECT vec_id FROM qv WHERE $fitPred
+       |               ORDER BY vec_id LIMIT 16)),
        |cp0 AS (SELECT qp.s, i.cell, qp.spos, qp.val AS cval
        |        FROM init i JOIN qp USING (vec_id)),
        |$rounds,
@@ -1163,6 +1181,7 @@ object ScaleQueries {
     Entry("q_ann_pq", annPq, Some(annPqSql)),
     Entry("ml_ann_pq_trained", annPqTrainedQ, None),
     Entry("q_pq_recall_trained", pqRecallTrained, Some(pqRecallTrainedSql)),
+    Entry("q_pq_recall_sampled", pqRecallSampled, Some(pqRecallSampledSql)),
     Entry("q_zorder_skip", zorderSkip, Some(zorderSkipSql)),
   )
 }

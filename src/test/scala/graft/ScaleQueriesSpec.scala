@@ -142,27 +142,34 @@ class ScaleQueriesSpec extends SparkSpec {
     assert(recall >= 0.5, s"trained recall@3 $recall under the 0.5 floor")
   }
 
-  test("q_pq_recall_trained: rerank beats raw ADC; identities hold; recall above floor (r13)") {
-    val rows = SparkEntry.queries("q_pq_recall_trained")(spark, sfDir)
-      .collect()
-    assert(rows.length === 10)
-    rows.foreach { r =>
-      val (nT, hA, hR) = (r.getLong(1), r.getLong(2), r.getLong(3))
-      assert(nT === 5L)
-      assert(hA <= hR,
-        s"q ${r.getLong(0)}: exact rerank of a superset shortlist can " +
-          s"never hit fewer truth rows than its ADC-top-5 subset ($hA > $hR)")
-      assert(r.getLong(4) === 10000L * hA / nT)
-      assert(r.getLong(5) === 10000L * hR / nT)
+  test("q_pq_recall_trained/_sampled: rerank beats raw ADC; identities hold; recall above floor (r13/r14)") {
+    // Both fit variants under one gate (r14: the sampled fit — Lloyd on
+    // the vec_id % 3 = 0 third, full corpus encoded — is the 100 TB
+    // path and must hold the SAME serving contract as the full fit).
+    for (q <- Seq("q_pq_recall_trained", "q_pq_recall_sampled")) {
+      val rows = SparkEntry.queries(q)(spark, sfDir).collect()
+      assert(rows.length === 10, s"$q returned ${rows.length} rows")
+      rows.foreach { r =>
+        val (nT, hA, hR) = (r.getLong(1), r.getLong(2), r.getLong(3))
+        assert(nT === 5L)
+        assert(hA <= hR,
+          s"$q q ${r.getLong(0)}: exact rerank of a superset shortlist " +
+            s"can never hit fewer truth rows than its ADC-top-5 subset " +
+            s"($hA > $hR)")
+        assert(r.getLong(4) === 10000L * hA / nT)
+        assert(r.getLong(5) === 10000L * hR / nT)
+      }
+      // the measured result IS the deployment rule: ADC orders a
+      // shortlist, exact distance reranks it — the rerank must
+      // DISCRIMINATE (strictly more truth hits in aggregate) and hold a
+      // conservative floor, under the sampled codebooks too
+      val sumA = rows.map(_.getLong(2)).sum
+      val sumR = rows.map(_.getLong(3)).sum
+      assert(sumR > sumA, s"$q rerank did not discriminate: adc=$sumA rr=$sumR")
+      assert(sumR * 10 >= rows.length * 5 * 3,
+        s"$q reranked recall@5 ${sumR.toDouble / (rows.length * 5)} " +
+          "under the 0.3 floor")
     }
-    // the measured result IS the deployment rule: ADC orders a shortlist,
-    // exact distance reranks it — the rerank must DISCRIMINATE (strictly
-    // more truth hits in aggregate) and hold a conservative floor
-    val sumA = rows.map(_.getLong(2)).sum
-    val sumR = rows.map(_.getLong(3)).sum
-    assert(sumR > sumA, s"rerank did not discriminate: adc=$sumA rr=$sumR")
-    assert(sumR * 10 >= rows.length * 5 * 3,
-      s"reranked recall@5 ${sumR.toDouble / (rows.length * 5)} under the 0.3 floor")
   }
 
   test("Layout.writeZOrdered: real files carry tighter 2-D envelopes than a 1-D sort") {

@@ -101,11 +101,13 @@ object Bench {
         "ivf.trainedDet" -> (() =>
           { graft.sources.IvfStore.trainedDet(spark, sfDir, 8, 3, 1); () }),
         "ivf.trainedDetSampled" -> (() =>
-          { graft.sources.IvfStore.trainedDet(spark, sfDir, 8, 3, 3); () }),
+          { graft.sources.IvfStore.trainedDet(spark, sfDir, 8, 3,
+              graft.sources.IvfStore.SampleEvery); () }),
         "ivf.trainedPq" -> (() =>
           { graft.sources.IvfStore.trainedPq(spark, sfDir); () }),
         "ivf.trainedPqSampled" -> (() =>
-          { graft.sources.IvfStore.trainedPq(spark, sfDir, fitEvery = 3); () }),
+          { graft.sources.IvfStore.trainedPq(spark, sfDir,
+              fitEvery = graft.sources.IvfStore.SampleEvery); () }),
         "ivf.lists" -> (() =>
           { graft.sources.IvfStore.lists(spark, sfDir); () }),
         "ivf.trainedMllib" -> (() =>

@@ -969,7 +969,8 @@ object LlmQueries {
     * replays the sampled training end-to-end — fit economics change,
     * the gate does not.
     */
-  private val annRecallSampled: Q = annRecallTrainedWith(3)
+  private val annRecallSampled: Q =
+    annRecallTrainedWith(graft.sources.IvfStore.SampleEvery)
 
   private def annRecallTrainedWith(fitEvery: Int): Q = (s, d) => {
     val st = graft.sources.IvfStore.trainedDet(s, d, 8, 3, fitEvery)
@@ -1133,8 +1134,10 @@ object LlmQueries {
   }
 
   private val annRecallTrainedSql = annRecallTrainedSqlFor("TRUE")
-  private val annRecallSampledSql =
-    annRecallTrainedSqlFor("vec_id % 3 = 0")
+  // same ONE-constant interpolation as the PQ twin (review r14): the
+  // Spark knob and the oracle predicate cannot drift independently
+  private val annRecallSampledSql = annRecallTrainedSqlFor(
+    s"vec_id % ${graft.sources.IvfStore.SampleEvery} = 0")
 
   /** ◆ `q_cluster_recs_trained` — the cluster-REC ranking under a
     * TRAINED codebook (r13 verdict stretch, closing the last model

@@ -995,18 +995,22 @@ object ScaleQueries {
     * training → serving definitionally, so the staged content stays
     * under the hash gate every round. The ADC aggregate is
     * exchange-free off the vec_id-bucketed codes.
-    */
-  /** ◆ `q_pq_recall_trained` (full fit) / ◆ `q_pq_recall_sampled`
-    * (r14 — Lloyd on the deterministic `vec_id % 3 = 0` THIRD, full
-    * corpus encoded against the published codebooks: the bounded-sample
-    * fit the full-fit scaladoc names as the 100 TB path, now an
-    * artifact of its own, the `q_ann_recall_sampled` treatment applied
-    * to PQ. The sample predicate is pure SQL, so the oracle replays the
-    * SAMPLED training end to end — fit economics change, the gate does
-    * not.)
+    *
+    * ◆ `q_pq_recall_trained` is the full fit; ◆ `q_pq_recall_sampled`
+    * (r14) trains on the deterministic
+    * `vec_id % `[[graft.sources.IvfStore.SampleEvery]]` = 0` subset
+    * and encodes the full corpus — the bounded-sample fit the scale
+    * paragraph above names as the 100 TB path, now an artifact of its
+    * own (the `q_ann_recall_sampled` treatment applied to PQ). The
+    * sample predicate is pure SQL, so the oracle replays the SAMPLED
+    * training end to end — fit economics change, the gate does not.
+    * The knob is interpolated into the Spark call AND the oracle SQL
+    * from the ONE constant (review r14: two re-stated literals could
+    * silently train different codebooks per engine).
     */
   private val pqRecallTrained: Q = pqRecallTrainedWith(1)
-  private val pqRecallSampled: Q = pqRecallTrainedWith(3)
+  private val pqRecallSampled: Q =
+    pqRecallTrainedWith(graft.sources.IvfStore.SampleEvery)
 
   private def pqRecallTrainedWith(fitEvery: Int): Q = (s, d) => {
     import graft.sources.IvfStore.{quantize, qdist2}
@@ -1069,8 +1073,8 @@ object ScaleQueries {
   }
 
   private val pqRecallTrainedSql: String = pqRecallTrainedSqlFor("TRUE")
-  private val pqRecallSampledSql: String =
-    pqRecallTrainedSqlFor("vec_id % 3 = 0")
+  private val pqRecallSampledSql: String = pqRecallTrainedSqlFor(
+    s"vec_id % ${graft.sources.IvfStore.SampleEvery} = 0")
 
   private def pqRecallTrainedSqlFor(fitPred: String): String = {
     val rounds = (1 to 3).map { i =>

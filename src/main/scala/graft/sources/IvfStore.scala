@@ -296,6 +296,17 @@ object IvfStore {
   val PqKsub = 16
   val PqIters = 3
 
+  /** The deterministic bounded-sample knob shared by every sampled-fit
+    * twin — ◆ `q_ann_recall_sampled` ([[trainedDet]]) and
+    * ◆ `q_pq_recall_sampled` ([[trainedPq]]) fit on
+    * `vec_id % SampleEvery = 0`. ONE constant, interpolated into both
+    * the Spark calls and the oracle SQL predicates (review r14: two
+    * independently re-stated literals could silently train different
+    * codebooks per engine, a divergence only a driver round would
+    * catch).
+    */
+  val SampleEvery = 3
+
   private val pqDetCache = new LayoutCache.SessionCache[
     (String, Int, Int, Int, Int, Int), TrainedPq]()
 
@@ -328,12 +339,15 @@ object IvfStore {
           explode(sequence(lit(0), lit(m - 1))).as("s"), col("q"))
         .withColumn("sq", expr(s"slice(q, s * $subDim + 1, $subDim)"))
         .drop("q"))
-      val fit = if (fitEvery == 1) sub
-        else sub.filter(pmod(col("vec_id"), lit(fitEvery)) === 0)
+      // ONE sample predicate (review r14) — the fit rows and the init
+      // ids derive from the same helper, so the two cannot drift, and
+      // the full-fit plan carries no dead filter node.
+      def fitOnly(df: DataFrame): DataFrame =
+        if (fitEvery == 1) df
+        else df.filter(pmod(col("vec_id"), lit(fitEvery)) === 0)
+      val fit = fitOnly(sub)
       val cent0 = sub.join(
-          qv.filter(if (fitEvery == 1) lit(true)
-            else pmod(col("vec_id"), lit(fitEvery)) === 0)
-            .orderBy("vec_id").limit(ksub).select(col("vec_id")),
+          fitOnly(qv).orderBy("vec_id").limit(ksub).select(col("vec_id")),
           "vec_id")
         .withColumn("cell", (row_number().over(
           Window.partitionBy("s").orderBy("vec_id")) - 1).cast("int"))

@@ -109,6 +109,29 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("trainedPq: full and sampled fits encode the FULL corpus exactly once per subspace (r14)") {
+    // The sampled variant's defining invariant — Lloyd on the
+    // vec_id % SampleEvery = 0 subset, encode EVERYTHING — has to be
+    // pinned here (review r14): a regression that encoded only the fit
+    // subset would keep ~1/SampleEvery of truth reachable and could
+    // still clear the serving spec's recall floor. The coverage checks
+    // are the trainedDet discipline; the value-level proof stays the
+    // DuckDB hash gate, which replays the (sampled) training.
+    val n = Tables.embeddings(spark, sfDir).count()
+    for (fitEvery <- Seq(1, IvfStore.SampleEvery)) {
+      val tp = IvfStore.trainedPq(spark, sfDir, fitEvery = fitEvery)
+      assert(tp.codebook.count() === IvfStore.PqM.toLong * IvfStore.PqKsub,
+        s"fitEvery=$fitEvery: codebook must hold m×ksub rows")
+      assert(tp.codes.count() === n * IvfStore.PqM,
+        s"fitEvery=$fitEvery: every vector must be encoded in every subspace")
+      assert(tp.codes.select("vec_id").distinct().count() === n,
+        s"fitEvery=$fitEvery: codes must cover the FULL corpus, not the fit subset")
+      val cells = tp.codes.select("cell").distinct()
+        .collect().map(_.getInt(0)).toSet
+      assert(cells.subsetOf((0 until IvfStore.PqKsub).toSet))
+    }
+  }
+
   test("owned IVF index: append equals rebuild, probes prune across base + delta files") {
     import org.apache.spark.sql.functions._
     val e = Tables.embeddings(spark, sfDir)

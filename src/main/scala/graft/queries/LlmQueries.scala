@@ -973,7 +973,8 @@ object LlmQueries {
     annRecallTrainedWith(graft.sources.IvfStore.SampleEvery)
 
   private def annRecallTrainedWith(fitEvery: Int): Q = (s, d) => {
-    val st = graft.sources.IvfStore.trainedDet(s, d, 8, 3, fitEvery)
+    val st = graft.sources.IvfStore.trainedDet(s, d,
+      graft.sources.IvfStore.DetK, graft.sources.IvfStore.DetIters, fitEvery)
     val lists = st.lists
     val q0 = lists.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
@@ -1014,21 +1015,27 @@ object LlmQueries {
   }
 
   /** The oracle builder, parameterized by the FIT-SAMPLE predicate on
-    * vec_id ("TRUE" = train on everything): the three Lloyd rounds are
-    * unrolled over the sampled positional rows, the published codebook
-    * cp3 then assigns the FULL corpus (d4/a4 — the one full-corpus
-    * pass), and the probes/truth/recall assembly reads a4. All positive
-    * int64, so DuckDB's flooring // and Spark's truncating div agree.
+    * vec_id ("TRUE" = train on everything): the `DetIters` Lloyd rounds
+    * are unrolled over the sampled positional rows, the published
+    * codebook then assigns the FULL corpus (dfin/afin — the one
+    * full-corpus pass), and the probes/truth/recall assembly reads
+    * afin. All positive int64, so DuckDB's flooring // and Spark's
+    * truncating div agree.
     */
   /** The deterministic quantized-Lloyd training chain as oracle CTEs —
-    * quantize → `fitPred`-filtered init/fit → 3 rounds → full
-    * assignment `a4` (every vec_id's TRAINED bucket). Shared by the
+    * quantize → `fitPred`-filtered init/fit → `DetIters` rounds → full
+    * assignment `afin` (every vec_id's TRAINED bucket). Shared by the
     * trained-recall audits and ◆ `q_cluster_recs_trained`, which serve
     * different views of the same trained layout
     * ([[graft.sources.IvfStore.trainedDet]]).
     */
   private def detTrainCtesSql(fitPred: String): String = {
-    val rounds = (1 to 3).map { i =>
+    // geometry interpolated from the ONE IvfStore constant group
+    // (ADVICE r14): a k/iters change at any Spark call site and this
+    // chain can no longer drift apart — both read DetK/DetIters.
+    val k = graft.sources.IvfStore.DetK
+    val iters = graft.sources.IvfStore.DetIters
+    val rounds = (1 to iters).map { i =>
       s"""d$i AS (
          |  SELECT qp.vec_id, cp.bucket,
          |         SUM((qp.val - cp.cval) * (qp.val - cp.cval)) AS d2
@@ -1055,7 +1062,7 @@ object LlmQueries {
        |  FROM qv),
        |qpf AS (SELECT * FROM qp WHERE $fitPred),
        |init AS (SELECT vec_id FROM qv WHERE $fitPred
-       |         ORDER BY vec_id LIMIT 8),
+       |         ORDER BY vec_id LIMIT $k),
        |c0 AS (SELECT vec_id,
        |              CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
        |                AS bucket
@@ -1063,24 +1070,25 @@ object LlmQueries {
        |cp0 AS (SELECT c0.bucket, qp.pos, qp.val AS cval
        |        FROM c0 JOIN qp USING (vec_id)),
        |$rounds,
-       |d4 AS (
+       |dfin AS (
        |  SELECT qp.vec_id, cp.bucket,
        |         SUM((qp.val - cp.cval) * (qp.val - cp.cval)) AS d2
-       |  FROM qp JOIN cp3 cp USING (pos) GROUP BY 1, 2),
-       |a4 AS (
+       |  FROM qp JOIN cp$iters cp USING (pos) GROUP BY 1, 2),
+       |afin AS (
        |  SELECT vec_id, bucket FROM (
        |    SELECT vec_id, bucket,
        |           row_number() OVER (PARTITION BY vec_id
        |                              ORDER BY d2, bucket) AS rn
-       |    FROM d4) WHERE rn = 1)""".stripMargin
+       |    FROM dfin) WHERE rn = 1)""".stripMargin
   }
 
   private def annRecallTrainedSqlFor(fitPred: String): String = {
+    val iters = graft.sources.IvfStore.DetIters
     s"""${detTrainCtesSql(fitPred)},
        |qq AS (SELECT vec_id AS q_id, v AS qvec FROM qv WHERE vec_id < 10),
        |pd AS (SELECT qp.vec_id AS q_id, cp.bucket,
        |              SUM((qp.val - cp.cval) * (qp.val - cp.cval)) AS d2
-       |       FROM qp JOIN cp3 cp USING (pos)
+       |       FROM qp JOIN cp$iters cp USING (pos)
        |       WHERE qp.vec_id < 10 GROUP BY 1, 2),
        |pr AS (SELECT q_id, bucket,
        |              row_number() OVER (PARTITION BY q_id
@@ -1100,7 +1108,7 @@ object LlmQueries {
        |           row_number() OVER (PARTITION BY p.q_id ORDER BY
        |             floor(list_cosine_similarity(qq.qvec, e.v) * 1000 + 0.5)
        |               / 1000.0 DESC, a.vec_id) AS rank
-       |    FROM pr p JOIN a4 a USING (bucket)
+       |    FROM pr p JOIN afin a USING (bucket)
        |         JOIN qq ON qq.q_id = p.q_id
        |         JOIN qv e ON e.vec_id = a.vec_id
        |    WHERE p.pr <= 1 AND a.vec_id <> p.q_id)
@@ -1111,7 +1119,7 @@ object LlmQueries {
        |           row_number() OVER (PARTITION BY p.q_id ORDER BY
        |             floor(list_cosine_similarity(qq.qvec, e.v) * 1000 + 0.5)
        |               / 1000.0 DESC, a.vec_id) AS rank
-       |    FROM pr p JOIN a4 a USING (bucket)
+       |    FROM pr p JOIN afin a USING (bucket)
        |         JOIN qq ON qq.q_id = p.q_id
        |         JOIN qv e ON e.vec_id = a.vec_id
        |    WHERE p.pr <= 2 AND a.vec_id <> p.q_id)
@@ -1161,7 +1169,8 @@ object LlmQueries {
     * [[detTrainCtesSql]] chain.
     */
   private val clusterRecsTrained: Q = (s, d) => {
-    val st = graft.sources.IvfStore.trainedDet(s, d, 8, 3, 1)
+    val st = graft.sources.IvfStore.trainedDet(s, d,
+      graft.sources.IvfStore.DetK, graft.sources.IvfStore.DetIters, 1)
     st.lists.select(col("vec_id"), col("bucket").cast("int").as("cluster"))
       .withColumn("pop",
         pmod(Hashing.md5Long(col("vec_id").cast("string")), lit(1000L)))
@@ -1178,7 +1187,7 @@ object LlmQueries {
        |  SELECT vec_id, CAST(bucket AS INT) AS cluster,
        |         ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
        |           % 1000 AS pop
-       |  FROM a4)
+       |  FROM afin)
        |SELECT cluster, rank, vec_id, pop
        |FROM (SELECT cluster, vec_id, pop,
        |             row_number() OVER (PARTITION BY cluster

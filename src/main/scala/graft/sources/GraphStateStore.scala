@@ -397,9 +397,17 @@ object GraphStateStore {
       // earlier races a concurrently staging micro-batch into
       // crashed-fold state (review r13, round 2)
       staged.fold { () =>
-        require(cur != next,
-          s"refresh cycle at cut ${cur._1}/${cur._2} already folded — " +
-            "name the next cycle's target via fold(nextCutNum, nextCutDen)")
+        // cross-multiplied RATIONAL comparison, the constructor guard's
+        // (ADVICE r14): tuple equality would let fold(38, 40) after
+        // folding to 19/20 advance staged deltas onto a rationally
+        // identical cut under a second label — two divergent standings
+        // for the same rational cut, exactly the confusion the
+        // construction require refuses.
+        require(cur._1 * next._2 != next._1 * cur._2,
+          s"refresh cycle at cut ${cur._1}/${cur._2} already folded " +
+            s"(target ${next._1}/${next._2} is the same rational cut) — " +
+            "name a DISTINCT next cycle's target via " +
+            "fold(nextCutNum, nextCutDen)")
       }
       if (cycleFolded) cur = next
       val (cn, cd) = cur

@@ -178,6 +178,18 @@ object IvfStore {
     */
   final case class TrainedDet(lists: DataFrame, centroids: DataFrame)
 
+  /** The deterministic quantized-Lloyd geometry the registry serves —
+    * `DetK` lists, `DetIters` Lloyd rounds (the Pq* constants' treatment
+    * applied to [[trainedDet]], ADVICE r14): the oracle's shared training
+    * chain (`detTrainCtesSql`) and every Spark consumer
+    * (`q_ann_recall_trained`/`_sampled`, `q_cluster_recs_trained`, the
+    * Bench pre-warm) interpolate THESE, so a k or iters change at one
+    * site can neither silently diverge the engines nor split the
+    * trainedDet session cache.
+    */
+  val DetK = 8
+  val DetIters = 3
+
   private val detCache =
     new LayoutCache.SessionCache[(String, Int, Int, Int), TrainedDet]()
 
@@ -199,8 +211,8 @@ object IvfStore {
     * sample predicate is pure SQL, so the oracle replays the sampled
     * training too.
     */
-  def trainedDet(s: SparkSession, sfDir: String, k: Int = 8,
-      iters: Int = 3, fitEvery: Int = 1): TrainedDet =
+  def trainedDet(s: SparkSession, sfDir: String, k: Int = DetK,
+      iters: Int = DetIters, fitEvery: Int = 1): TrainedDet =
     detCache.getOrBuild(s, (sfDir, k, iters, fitEvery)) {
       import graft.ops.Ck
       import org.apache.spark.sql.expressions.Window

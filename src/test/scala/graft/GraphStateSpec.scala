@@ -513,6 +513,12 @@ class GraphStateSpec extends SparkSpec {
       ms.addData(Seq((999901L, 999902L))); q.processAllAvailable()
       val e = intercept[Exception](m.fold())
       assert(e.getMessage.contains("already folded"), e.getMessage)
+      // ...and naming a RATIONALLY identical cut under a second label
+      // (40/40 ≡ 20/20) must refuse the same way (ADVICE r14): tuple
+      // inequality alone would advance the staged deltas onto the same
+      // rational cut and leave two divergent standings for it.
+      val e2 = intercept[Exception](m.fold(40L, 40L))
+      assert(e2.getMessage.contains("same rational cut"), e2.getMessage)
     } finally q.stop()
     deleteRecursively(root)
   }

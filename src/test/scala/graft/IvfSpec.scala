@@ -91,7 +91,7 @@ class IvfSpec extends SparkSpec {
     // table behaves: nprobe=2 dominates nprobe=1 and truth is 5 per
     // query. (The full value-level proof is the DuckDB hash gate, which
     // replays the training step for step.)
-    val st = IvfStore.trainedDet(spark, sfDir, 8, 3)
+    val st = IvfStore.trainedDet(spark, sfDir, IvfStore.DetK, IvfStore.DetIters)
     val n = Tables.embeddings(spark, sfDir).count()
     assert(st.lists.count() === n)
     assert(st.lists.select("vec_id").distinct().count() === n)

@@ -179,7 +179,8 @@ class MLQueriesSpec extends SparkSpec {
     // assignment table — plus non-vacuity (every non-empty trained
     // cluster served, and more than one cluster exists, so the ranking
     // measures a real partition of the corpus).
-    val lists = graft.sources.IvfStore.trainedDet(spark, sfDir, 8, 3, 1)
+    val lists = graft.sources.IvfStore.trainedDet(spark, sfDir,
+      graft.sources.IvfStore.DetK, graft.sources.IvfStore.DetIters, 1)
       .lists.select("vec_id", "bucket").collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("bucket")))
     val topByCluster = lists.groupBy(_._2).view.mapValues(

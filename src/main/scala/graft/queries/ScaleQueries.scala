@@ -323,46 +323,62 @@ object ScaleQueries {
     * shortlist (at sf0.001 the shortlist is 6.4% of the corpus and both
     * sit near 0.6 — coverage dominates there).
     */
+  private val pqMllibCache = new graft.sources.LayoutCache.SessionCache[
+    String, org.apache.spark.sql.DataFrame]()
+
+  /** The MLlib-trained PQ codebook (8 subspaces × 16 cells), staged once
+    * per (session, dataset) — the r14 verdict's fit-staging treatment
+    * applied to the last MLlib fit that re-ran inside every bench
+    * sample: the 8 concurrent KMeans fits are the nightly codebook
+    * job's cost, and `ml_ann_pq_trained` then times encode → ADC →
+    * rerank against the PUBLISHED codebook (the [[pqSearch]] serving
+    * plan), which is what a deployment executes per refresh. The
+    * codebook is 128 LOCAL rows (a toDF of collected centers) — no
+    * block-manager residency, nothing for the bench sweeper to evict.
+    */
+  private[graft] def pqMllibCodebook(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    pqMllibCache.getOrBuild(s, d) {
+      import s.implicits._
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      // The cache serves the EIGHT FITS (each iterates the data several
+      // times) and is released once the collected centers are local.
+      // The fits are independent and overhead-dominated at test scale
+      // (instance conversion + a handful of Lloyd jobs), so they submit
+      // CONCURRENTLY — wall time is the slowest fit, not the sum. Random
+      // init, not kmeans||: the parallel init alone schedules several
+      // extra jobs per subspace; on 8-dim subvectors with k=16, seeded
+      // random init plus Lloyd iterations reaches the same recall
+      // (re-measured).
+      val cached = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .cache()
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      try {
+        val fits = (0 until 8).map { si => Future {
+          val feats = cached
+            .select(expr(s"slice(v, ${si * 8 + 1}, 8)").as("sv"))
+            .withColumn("features", array_to_vector(col("sv")))
+          val km = new KMeans().setK(16).setSeed(42L + si).setMaxIter(8)
+            .setInitMode("random").setFeaturesCol("features").fit(feats)
+          km.clusterCenters.toSeq.zipWithIndex.map { case (c, i) =>
+            (i, si, c.toArray.toSeq)
+          }
+        } }
+        Await.result(Future.sequence(fits), Duration.Inf)
+          .flatten.toDF("cid", "s", "cv")
+      } finally cached.unpersist(blocking = false)
+    }
+
   def annPqTrained(s: org.apache.spark.sql.SparkSession, d: String,
       numQueries: Int = 10, shortlist: Int = 32,
       topK: Int = 3): org.apache.spark.sql.DataFrame = {
-    import s.implicits._
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    // The cache serves the EIGHT FITS (each iterates the data several
-    // times) and is released before the search plan is returned —
-    // unpersisting in a finally around the lazy pqSearch frame would
-    // evict it before the caller ever executes, silently un-caching the
-    // very query it was threaded in for; the search itself reads the
-    // parquet scan directly, same as the pinned path.
-    // The fits are independent and overhead-dominated at test scale
-    // (instance conversion + a handful of Lloyd jobs), so they submit
-    // CONCURRENTLY — wall time is the slowest fit, not the sum. Random
-    // init, not kmeans||: the parallel init alone schedules several
-    // extra jobs per subspace; on 8-dim subvectors with k=16, seeded
-    // random init plus Lloyd iterations reaches the same recall
-    // (re-measured).
-    val cached = e.cache()
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val cent = try {
-      val fits = (0 until 8).map { si => Future {
-        val feats = cached
-          .select(expr(s"slice(v, ${si * 8 + 1}, 8)").as("sv"))
-          .withColumn("features", array_to_vector(col("sv")))
-        val km = new KMeans().setK(16).setSeed(42L + si).setMaxIter(8)
-          .setInitMode("random").setFeaturesCol("features").fit(feats)
-        km.clusterCenters.toSeq.zipWithIndex.map { case (c, i) =>
-          (i, si, c.toArray.toSeq)
-        }
-      } }
-      Await.result(Future.sequence(fits), Duration.Inf)
-        .flatten.toDF("cid", "s", "cv")
-    } finally cached.unpersist(blocking = false)
-    pqSearch(e, cent, numQueries, shortlist, topK)
+    pqSearch(e, pqMllibCodebook(s, d), numQueries, shortlist, topK)
   }
 
   private val annPqTrainedQ: Q = (s, d) => annPqTrained(s, d)
@@ -1072,12 +1088,224 @@ object ScaleQueries {
       .orderBy("q_id")
   }
 
+  /** ◆ `q_pq_sample_sweep` — the `fitEvery` knob as a MEASURED curve
+    * (r14 verdict #2, the ◆ `q_dedup_threshold_sweep` treatment applied
+    * to the ANN family's 100 TB cost lever): recall@5 of the raw ADC
+    * ranking AND the exact-reranked shortlist at every operating point
+    * in [[graft.sources.IvfStore.PqSweepRates]] (1 = full fit,
+    * [[graft.sources.IvfStore.SampleEvery]] = the gated sampled twin,
+    * then 10 and 30), each served off its own session-staged
+    * [[graft.sources.IvfStore.trainedPq]] layout. One row per rate —
+    * the curve a deployment reads to pick how much of the corpus the
+    * nightly Lloyd fit actually needs.
+    *
+    * Scale shape: the exact-truth pair table `x` and the truth top-5
+    * are RATE-INDEPENDENT, built once (checkpointed) and shared by all
+    * four rates' rerank/recall assemblies; each rate's serving side is
+    * the ◆ `q_pq_recall_trained` plan — broadcast LUT, exchange-free
+    * ADC aggregate off the vec_id-bucketed codes, 32-candidate
+    * shortlist, exact rerank. The oracle replays all four SAMPLED
+    * trainings end to end through the shared CTE generator (one
+    * training definition, N rates — the detTrainCtesSql discipline),
+    * so every point of the curve sits under the hash gate.
+    *
+    * Measured (sf0.01): reranked recall holds 58–64% for fits on the
+    * full corpus down to a third, and degrades gracefully at 1/30th
+    * (38%) while raw ADC recall is low and NON-monotone everywhere
+    * (12–26% — sampled codebooks are coarser exactly where ADC ranks);
+    * the exact rerank is what recovers the curve, which IS the
+    * deployment story. ScaleQueriesSpec gates rerank ≥ ADC per row and
+    * full-fit rerank > 1/30th-fit rerank.
+    */
+  private val pqSampleSweep: Q = (s, d) => {
+    import graft.sources.IvfStore.{quantize, qdist2}
+    import graft.ops.Ck
+    val pqM = graft.sources.IvfStore.PqM
+    val pqSub = graft.sources.IvfStore.PqSubDim
+    val qv = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        quantize(col("embedding").cast("array<double>")).as("q"))
+    // rate-independent exact integer-d² pair table + truth top-5:
+    // 10 broadcast queries × corpus, materialized once for all rates
+    val x = Ck(qv
+      .join(broadcast(qv.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("q").as("qq"))),
+        col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), qdist2(col("q"), col("qq")).as("d2x")))
+    def top5(cands: org.apache.spark.sql.DataFrame) = cands
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(asc("d2x"), asc("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select("q_id", "vec_id")
+    val truth = Ck(top5(x))
+    val perRate = graft.sources.IvfStore.PqSweepRates.map { f =>
+      val tp = graft.sources.IvfStore.trainedPq(s, d, fitEvery = f)
+      val lut = qv.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"),
+          explode(sequence(lit(0), lit(pqM - 1))).as("s"), col("q"))
+        .withColumn("qsv", expr(s"slice(q, s * $pqSub + 1, $pqSub)"))
+        .join(broadcast(tp.codebook), "s")
+        .select(col("q_id"), col("s"), col("cell"),
+          qdist2(col("qsv"), col("cq")).as("d2l"))
+      val short = tp.codes.join(broadcast(lut), Seq("s", "cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(sum("d2l").as("adc_d2"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("q_id").orderBy(asc("adc_d2"), asc("vec_id"))))
+        .filter(col("rn") <= 32)
+      val adc5 = short.filter(col("rn") <= 5).select("q_id", "vec_id")
+      val rr5 = top5(short.join(x, Seq("q_id", "vec_id")))
+      truth
+        .join(adc5.withColumn("ha", lit(1L)), Seq("q_id", "vec_id"), "left")
+        .join(rr5.withColumn("hr", lit(1L)), Seq("q_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("ha"), lit(0L))).as("hit_adc"),
+          sum(coalesce(col("hr"), lit(0L))).as("hit_rerank"))
+        .select(lit(f).as("fit_every"), col("n_truth"), col("hit_adc"),
+          col("hit_rerank"),
+          call_function("div", lit(10000L) * col("hit_adc"), col("n_truth"))
+            .as("recall_adc_bp"),
+          call_function("div", lit(10000L) * col("hit_rerank"), col("n_truth"))
+            .as("recall_rr_bp"))
+    }
+    perRate.reduce(_.union(_)).orderBy("fit_every")
+  }
+
+  /** One rate's training + serving + hit CTEs, suffixed `_r<rate>` —
+    * the SHARED shapes of [[pqRecallTrainedSqlFor]] replayed per
+    * operating point against the rate-independent `qp`/`x`/`truth`.
+    */
+  private def pqSweepRateCtesSql(rate: Int): String = {
+    val ksub = graft.sources.IvfStore.PqKsub
+    val iters = graft.sources.IvfStore.PqIters
+    val t = s"r$rate"
+    val pred = if (rate == 1) "TRUE" else s"vec_id % $rate = 0"
+    val rounds = (1 to iters).map { i =>
+      s"""d${i}_$t AS (
+         |  SELECT qp.vec_id, qp.s, cp.cell,
+         |         SUM((qp.val - cp.cval) * (qp.val - cp.cval)) AS d2
+         |  FROM qpf_$t qp JOIN cp${i - 1}_$t cp USING (s, spos)
+         |  GROUP BY 1, 2, 3),
+         |a${i}_$t AS (
+         |  SELECT vec_id, s, cell FROM (
+         |    SELECT vec_id, s, cell,
+         |           row_number() OVER (PARTITION BY vec_id, s
+         |                              ORDER BY d2, cell) AS rn
+         |    FROM d${i}_$t) WHERE rn = 1),
+         |cp${i}_$t AS (
+         |  SELECT a.s, a.cell, qp.spos,
+         |         CAST(SUM(qp.val) // COUNT(*) AS BIGINT) AS cval
+         |  FROM a${i}_$t a JOIN qpf_$t qp USING (vec_id, s)
+         |  GROUP BY 1, 2, 3)""".stripMargin
+    }.mkString(",\n")
+    s"""qpf_$t AS (SELECT * FROM qp WHERE $pred),
+       |init_$t AS (SELECT vec_id,
+       |              CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+       |                AS cell
+       |       FROM (SELECT vec_id FROM qv WHERE $pred
+       |             ORDER BY vec_id LIMIT $ksub)),
+       |cp0_$t AS (SELECT qp.s, i.cell, qp.spos, qp.val AS cval
+       |        FROM init_$t i JOIN qp USING (vec_id)),
+       |$rounds,
+       |codes_$t AS (
+       |  SELECT vec_id, s, cell FROM (
+       |    SELECT qp.vec_id, qp.s, cp.cell,
+       |           row_number() OVER (PARTITION BY qp.vec_id, qp.s
+       |                              ORDER BY SUM((qp.val - cp.cval) *
+       |                                           (qp.val - cp.cval)),
+       |                                       cp.cell) AS rn
+       |    FROM qp JOIN cp${iters}_$t cp USING (s, spos)
+       |    GROUP BY qp.vec_id, qp.s, cp.cell) WHERE rn = 1),
+       |lut_$t AS (
+       |  SELECT qp.vec_id AS q_id, qp.s, cp.cell,
+       |         SUM((qp.val - cp.cval) * (qp.val - cp.cval)) AS d2l
+       |  FROM qp JOIN cp${iters}_$t cp USING (s, spos)
+       |  WHERE qp.vec_id < 10 GROUP BY 1, 2, 3),
+       |adc_$t AS (
+       |  SELECT l.q_id, c.vec_id, CAST(SUM(l.d2l) AS BIGINT) AS adc_d2
+       |  FROM codes_$t c JOIN lut_$t l USING (s, cell)
+       |  WHERE c.vec_id <> l.q_id
+       |  GROUP BY 1, 2),
+       |short_$t AS (
+       |  SELECT q_id, vec_id, adc_d2,
+       |         row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY adc_d2, vec_id) AS rn
+       |  FROM adc_$t),
+       |adc5_$t AS (SELECT q_id, vec_id FROM short_$t WHERE rn <= 5),
+       |rr5_$t AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT s.q_id, s.vec_id,
+       |           row_number() OVER (PARTITION BY s.q_id
+       |                              ORDER BY x.d2x, s.vec_id) AS rank
+       |    FROM short_$t s JOIN x ON x.q_id = s.q_id AND x.vec_id = s.vec_id
+       |    WHERE s.rn <= 32) WHERE rank <= 5)""".stripMargin
+  }
+
+  private def pqSweepRateAggSql(rate: Int): String = {
+    val t = s"r$rate"
+    s"""SELECT CAST($rate AS INT) AS fit_every,
+       |       CAST(count(*) AS BIGINT) AS n_truth,
+       |       CAST(SUM(CASE WHEN a5.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS hit_adc,
+       |       CAST(SUM(CASE WHEN r5.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS hit_rerank,
+       |       (10000 * CAST(SUM(CASE WHEN a5.vec_id IS NOT NULL THEN 1 ELSE 0
+       |                         END) AS BIGINT)) // CAST(count(*) AS BIGINT)
+       |         AS recall_adc_bp,
+       |       (10000 * CAST(SUM(CASE WHEN r5.vec_id IS NOT NULL THEN 1 ELSE 0
+       |                         END) AS BIGINT)) // CAST(count(*) AS BIGINT)
+       |         AS recall_rr_bp
+       |FROM truth t
+       |LEFT JOIN adc5_$t a5 ON a5.q_id = t.q_id AND a5.vec_id = t.vec_id
+       |LEFT JOIN rr5_$t r5 ON r5.q_id = t.q_id AND r5.vec_id = t.vec_id""".stripMargin
+  }
+
+  private def pqSampleSweepSql: String = {
+    val subDim = graft.sources.IvfStore.PqSubDim
+    val rates = graft.sources.IvfStore.PqSweepRates
+    s"""WITH qv AS (
+       |  SELECT vec_id,
+       |         list_transform(CAST(embedding AS DOUBLE[]),
+       |           x -> CAST(floor(x * 1000000.0) AS BIGINT) + 1000000) AS q
+       |  FROM embeddings),
+       |qp AS (
+       |  SELECT vec_id, CAST((pos - 1) // $subDim AS INT) AS s,
+       |         CAST((pos - 1) % $subDim AS INT) AS spos, val
+       |  FROM (SELECT vec_id, unnest(range(1, len(q) + 1)) AS pos,
+       |               unnest(q) AS val FROM qv)),
+       |x AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id,
+       |         CAST(SUM((a.val - b.val) * (a.val - b.val)) AS BIGINT) AS d2x
+       |  FROM (SELECT * FROM qp WHERE vec_id < 10) a
+       |  JOIN qp b ON a.s = b.s AND a.spos = b.spos AND b.vec_id <> a.vec_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |                              ORDER BY d2x, vec_id) AS rank
+       |    FROM x) WHERE rank <= 5),
+       |${rates.map(pqSweepRateCtesSql).mkString(",\n")}
+       |${rates.map(r => "(" + pqSweepRateAggSql(r) + ")").mkString("\nUNION ALL\n")}
+       |ORDER BY fit_every""".stripMargin
+  }
+
   private val pqRecallTrainedSql: String = pqRecallTrainedSqlFor("TRUE")
   private val pqRecallSampledSql: String = pqRecallTrainedSqlFor(
     s"vec_id % ${graft.sources.IvfStore.SampleEvery} = 0")
 
   private def pqRecallTrainedSqlFor(fitPred: String): String = {
-    val rounds = (1 to 3).map { i =>
+    // PQ geometry interpolated from the SAME IvfStore constants the
+    // Spark serving path and trainedPq train with (ADVICE r14): a
+    // hard-coded LIMIT/subspace-math literal here would silently
+    // diverge the oracle from the staged codes if any Pq* constant
+    // changed. PqM needs no literal — `s = (pos-1) // PqSubDim` spans
+    // 0..PqM-1 by the dim = PqM·PqSubDim layout contract.
+    val ksub = graft.sources.IvfStore.PqKsub
+    val subDim = graft.sources.IvfStore.PqSubDim
+    val iters = graft.sources.IvfStore.PqIters
+    val rounds = (1 to iters).map { i =>
       s"""d$i AS (
          |  SELECT qp.vec_id, qp.s, cp.cell,
          |         SUM((qp.val - cp.cval) * (qp.val - cp.cval)) AS d2
@@ -1099,8 +1327,8 @@ object ScaleQueries {
        |           x -> CAST(floor(x * 1000000.0) AS BIGINT) + 1000000) AS q
        |  FROM embeddings),
        |qp AS (
-       |  SELECT vec_id, CAST((pos - 1) // 8 AS INT) AS s,
-       |         CAST((pos - 1) % 8 AS INT) AS spos, val
+       |  SELECT vec_id, CAST((pos - 1) // $subDim AS INT) AS s,
+       |         CAST((pos - 1) % $subDim AS INT) AS spos, val
        |  FROM (SELECT vec_id, unnest(range(1, len(q) + 1)) AS pos,
        |               unnest(q) AS val FROM qv)),
        |qpf AS (SELECT * FROM qp WHERE $fitPred),
@@ -1108,7 +1336,7 @@ object ScaleQueries {
        |                CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
        |                  AS cell
        |         FROM (SELECT vec_id FROM qv WHERE $fitPred
-       |               ORDER BY vec_id LIMIT 16)),
+       |               ORDER BY vec_id LIMIT $ksub)),
        |cp0 AS (SELECT qp.s, i.cell, qp.spos, qp.val AS cval
        |        FROM init i JOIN qp USING (vec_id)),
        |$rounds,
@@ -1119,12 +1347,12 @@ object ScaleQueries {
        |                              ORDER BY SUM((qp.val - cp.cval) *
        |                                           (qp.val - cp.cval)), cp.cell)
        |             AS rn
-       |    FROM qp JOIN cp3 cp USING (s, spos)
+       |    FROM qp JOIN cp$iters cp USING (s, spos)
        |    GROUP BY qp.vec_id, qp.s, cp.cell) WHERE rn = 1),
        |lut AS (
        |  SELECT qp.vec_id AS q_id, qp.s, cp.cell,
        |         SUM((qp.val - cp.cval) * (qp.val - cp.cval)) AS d2l
-       |  FROM qp JOIN cp3 cp USING (s, spos)
+       |  FROM qp JOIN cp$iters cp USING (s, spos)
        |  WHERE qp.vec_id < 10 GROUP BY 1, 2, 3),
        |adc AS (
        |  SELECT l.q_id, c.vec_id, CAST(SUM(l.d2l) AS BIGINT) AS adc_d2
@@ -1186,6 +1414,7 @@ object ScaleQueries {
     Entry("ml_ann_pq_trained", annPqTrainedQ, None),
     Entry("q_pq_recall_trained", pqRecallTrained, Some(pqRecallTrainedSql)),
     Entry("q_pq_recall_sampled", pqRecallSampled, Some(pqRecallSampledSql)),
+    Entry("q_pq_sample_sweep", pqSampleSweep, Some(pqSampleSweepSql)),
     Entry("q_zorder_skip", zorderSkip, Some(zorderSkipSql)),
   )
 }

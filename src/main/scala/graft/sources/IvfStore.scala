@@ -319,6 +319,18 @@ object IvfStore {
     */
   val SampleEvery = 3
 
+  /** The evaluated operating points of the bounded-sample fit knob —
+    * ◆ `q_pq_sample_sweep` measures recall@5 (raw ADC and reranked) at
+    * every rate off the corresponding [[trainedPq]] layout, the
+    * `q_dedup_threshold_sweep` treatment applied to the ANN family's
+    * 100 TB cost lever (r14 verdict #2): the knob stops being an
+    * asserted point ([[SampleEvery]], which the sweep includes by
+    * construction) and becomes a measured curve. ONE constant list,
+    * interpolated into the Spark consumers, the oracle SQL, and the
+    * Bench pre-warm.
+    */
+  val PqSweepRates: Seq[Int] = Seq(1, SampleEvery, 10, 30)
+
   private val pqDetCache = new LayoutCache.SessionCache[
     (String, Int, Int, Int, Int, Int), TrainedPq]()
 

@@ -172,6 +172,45 @@ class ScaleQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_pq_sample_sweep: one row per rate; rerank recovers at every point; the curve coarsens at the sparse end (r15)") {
+    import graft.sources.IvfStore
+    val rows = SparkEntry.queries("q_pq_sample_sweep")(spark, sfDir).collect()
+    // one row per operating point, in rate order, each over the same
+    // 10-query × top-5 truth set — a missing rate would make the curve
+    // silently measure less than the constant list promises
+    assert(rows.map(_.getInt(0)).toSeq === IvfStore.PqSweepRates,
+      "sweep rows must cover PqSweepRates exactly, in order")
+    rows.foreach { r =>
+      val (nT, hA, hR) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nT === 50L, s"rate ${r.getInt(0)}: truth set must be 10×5")
+      // exact rerank of a superset shortlist can never hit fewer truth
+      // rows than its ADC-top-5 subset — at EVERY operating point
+      assert(hA <= hR, s"rate ${r.getInt(0)}: adc=$hA > rerank=$hR")
+      assert(r.getLong(4) === 10000L * hA / nT)
+      assert(r.getLong(5) === 10000L * hR / nT)
+    }
+    val byRate = rows.map(r => r.getInt(0) -> r.getLong(3)).toMap
+    // the measured deployment claims (NOT monotonicity — raw ADC recall
+    // is non-monotone in the fit rate on this fixture, measured
+    // r15: sampled codebooks are coarser exactly where ADC ranks):
+    // (a) the rerank discriminates in aggregate at every rate —
+    //     measured rr > adc on every row at every SF;
+    val (sumA, sumR) = (rows.map(_.getLong(2)).sum, rows.map(_.getLong(3)).sum)
+    assert(sumR > sumA, s"rerank did not discriminate: adc=$sumA rr=$sumR")
+    // (b) fitting on 1/30th of the corpus costs reranked recall vs the
+    //     full fit (measured 30→19 hits at sf0.001, 32→19 at sf0.01,
+    //     27→18 at sf0.1) — the curve's reason to exist;
+    assert(byRate(1) > byRate(IvfStore.PqSweepRates.last),
+      s"full-fit rerank ${byRate(1)} must beat the sparsest fit " +
+        s"${byRate(IvfStore.PqSweepRates.last)}")
+    // (c) every point still clears the family's conservative 0.3 floor
+    rows.foreach { r =>
+      assert(r.getLong(3) * 10 >= 50L * 3,
+        s"rate ${r.getInt(0)}: reranked recall@5 " +
+          s"${r.getLong(3) / 50.0} under the 0.3 floor")
+    }
+  }
+
   test("Layout.writeZOrdered: real files carry tighter 2-D envelopes than a 1-D sort") {
     import graft.sources.Layout
     // sf0.1, not the usual sf0.001: repartitionByRange SAMPLES its

@@ -65,16 +65,13 @@ object Bench {
         if (t == "events") graft.tables.Tables.events(spark, sfDir).count()
         else graft.tables.Tables.read(spark, sfDir, t).count()
       } catch { case _: Throwable => () }
-    // Build the full-graph standing layout once, outside any query's
-    // timing — with bucketedEdges on, EVERY graph query reads it, and
-    // the first single-shot one would otherwise absorb the build. The
-    // standing rank vector (r12) is part of that layout: built here with
-    // the other maintained tables, so q_item_rank times pure serving.
-    try {
-      graft.sources.GraphStateStore.standing(spark, sfDir, 1L, 1L)
-        .edges.count()
-      graft.sources.GraphStateStore.standingRanks(spark, sfDir).count()
-    } catch { case _: Throwable => () }
+    // The full-graph standing layout (with bucketedEdges on, EVERY
+    // graph query reads it) builds inside the graph family's staged
+    // pre-warm below — since r15 the three standing cuts CHAIN through
+    // applyGraphDelta there, so the 1/1 layout must come from the 19/20
+    // advance, not a definitional build here that the chain would then
+    // overwrite. Under SPARK_GRAFT_ONLY the first graph query absorbs
+    // the build, exactly like every other staged family.
     // Staged-family pre-warm (r13 verdict #4): every session-staged
     // artifact — the graph family's novel batch / signed enumeration /
     // post-append graph / dst-staged list, the dedup discovery tables,
@@ -88,7 +85,18 @@ object Bench {
     // instead of vanishing. Skipped under SPARK_GRAFT_ONLY — local
     // subset iteration should not pay every family's build; the first
     // sample then absorbs it, exactly as before.
-    if (sys.env.get("SPARK_GRAFT_ONLY").isEmpty) {
+    if (sys.env.get("SPARK_GRAFT_ONLY").isEmpty) runStagedBuilds(spark, sfDir)
+    graft.ops.Ck.drain(spark); graft.ops.Ck.sweep(spark)
+    benchBody(spark, sfDir, heapGB, closedOpens)
+  }
+
+  /** The staged-family pre-warm list — every session-staged artifact the
+    * registry serves from, built outside any sample's timing, each cost
+    * printed as its own `staged-build:` tail line. Shared with
+    * [[Prewarm]] (the warm-up breakdown without the bench).
+    */
+  private[graft] def runStagedBuilds(spark: SparkSession,
+      sfDir: String): Unit = {
       val stagedBuilds: Seq[(String, () => Unit)] = Seq(
         "graph" ->
           (() => graft.queries.GraphQueries.prewarmStaged(spark, sfDir)),
@@ -146,8 +154,10 @@ object Bench {
         } catch { case e: Throwable =>
           System.err.println(s"[bench] staged-build: $label FAILED: $e") }
       }
-    }
-    graft.ops.Ck.drain(spark); graft.ops.Ck.sweep(spark)
+  }
+
+  private def benchBody(spark: SparkSession, sfDir: String,
+      heapGB: Double, closedOpens: Seq[String]): Unit = {
     // Optional SPARK_GRAFT_ONLY subset for local iteration; unknown names
     // fail loudly (SparkEntry.selectedQueries) instead of silently
     // shrinking the run.

@@ -859,14 +859,13 @@ object GraphQueries {
     // maintains every view from that one batch. Pinned so the runner's
     // per-query drain can't evict it between the views it feeds.
     val novelC = novelCache.getOrBuild(s, (d, cutNum, cutDen)) {
-      val li = Tables.lineitem(s, d)
-      val keys = li.agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
-      val deltaBaskets = li.crossJoin(broadcast(keys))
-        .filter(col("l_orderkey") >
-          graft.sources.GraphStateStore.cutExpr(cutNum, cutDen))
-      graft.ops.Ck.pin(coPurchaseEdges(deltaBaskets)
-        .filter(col("src") < col("dst"))
-        .join(st.edges, Seq("src", "dst"), "left_anti"), "graph.novel")
+      // one filter over the shared first-witness catalog (r15):
+      // first_ok > cut IS "introduced by the delta baskets and not
+      // standing" — the old delta-basket self-join + anti-join against
+      // the standing layout, as a single predicate
+      graft.ops.Ck.pin(
+        graft.sources.GraphStateStore.novelAtCut(s, d, cutNum, cutDen),
+        "graph.novel")
     }
     (st, novelC)
   }
@@ -1100,12 +1099,53 @@ object GraphQueries {
     */
   private[graft] def prewarmStaged(s: org.apache.spark.sql.SparkSession,
       d: String): Unit = {
-    fullDirectedStaged(s, d)       // graph.dirDst (iterative family)
-    deltaTriangleTerms(s, d)       // graph.novel + deltaTriangleTerms
-    novelEdgeSplit(s, d, 8L, 10L)  // q_incr_graph's 8/10-cut batch
-    postAppendStaged(s, d)         // graph.postAppendDir + Deg
-    // the 19/20-cut standing rank rounds q_incr_ranks reads
-    graft.sources.GraphStateStore.standingRankRounds(s, d, 19L, 20L)
+    import graft.sources.GraphStateStore
+    // per-artifact cost lines (r15 verdict #4): the family's one
+    // `staged-build: graph` total was half the refresh budget with no
+    // way to see WHICH artifact grew — each sub-build reports itself,
+    // so the next audit reads the breakdown off the bench log.
+    def timed(label: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime(); f
+      System.err.println(
+        f"[bench]   graph stage $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    // ONE wedge enumeration for the whole warm-up (r15 verdict #4):
+    // the 8/10 cut's consumers read only degrees, so its triangle
+    // tables never build (lazy); the 19/20 cut pays the single
+    // definitional enumeration its corner/tie consumers need; and the
+    // full graph's triangle tables come from an applyGraphDelta-style
+    // advance that REUSES the already-pinned deltaTriangleTerms — the
+    // same (standing edges, novel batch) pair — so the advance
+    // enumerates nothing. Answer-identical by GraphStateSpec's chained
+    // advance ≡ rebuild round-trip (and re-proven every driver round:
+    // the q_incr_* oracles recompute their tables definitionally).
+    // This is not a bench trick, it IS the deployment: a nightly
+    // refresh advances yesterday's layout; only the backfill ever
+    // enumerates a full graph.
+    timed("standing8_10")(GraphStateStore.standing(s, d, 8L, 10L))
+    timed("novel8_10")(novelEdgeSplit(s, d, 8L, 10L))
+    timed("standing19_20")(GraphStateStore.standing(s, d, 19L, 20L))
+    timed("triangles19_20") {
+      val st = GraphStateStore.standing(s, d, 19L, 20L)
+      st.corners; st.ties
+    }
+    timed("novel+triTerms")(deltaTriangleTerms(s, d))
+    timed("advanceTo1_1") {
+      // novelAtCut(19/20) IS novelBetween(19/20 → 1/1) (every first
+      // witness ≤ hi), and the pinned terms are its signed enumeration
+      // against the same standing edges — nothing re-enumerates
+      val terms = deltaTriangleTerms(s, d)._2
+      val novelC = novelEdgeSplit(s, d)._2
+      GraphStateStore.advanceChained(s, d, 19L, 20L, 1L, 1L,
+        Some((novelC, terms)))
+    }
+    timed("dirDst")(fullDirectedStaged(s, d))
+    timed("postAppend")(postAppendStaged(s, d))
+    // the standing rank vectors: the full-graph serving vector and the
+    // 19/20-cut per-round vectors q_incr_ranks reads
+    timed("standingRanks")(GraphStateStore.standingRanks(s, d).count())
+    timed("rankRounds19_20")(
+      GraphStateStore.standingRankRounds(s, d, 19L, 20L))
     ()
   }
 

@@ -39,13 +39,25 @@ import graft.tables.Tables
   */
 object GraphStateStore {
 
-  /** Standing state handle: every member is a materialized scan.
-    * `ties` (r11) is the per-canonical-edge common-neighbor count —
-    * the tie-strength numerator maintained beside the corner counts,
-    * derived from the SAME once-enumerated triangle list at build.
+  /** Standing state handle: every member reads materialized layouts
+    * (since r15 `edges` is a single-predicate view over the bucketed
+    * [[firstSeen]] catalog — one |E| write serves every cut — and the
+    * derived tables stay per-cut parquet). `ties` (r11) is the
+    * per-canonical-edge common-neighbor count — the tie-strength
+    * numerator maintained beside the corner counts, derived from the
+    * SAME once-enumerated triangle list.
+    *
+    * `corners`/`ties` build LAZILY on first access (r15 verdict #4): a
+    * cut whose consumers read only edges/degrees — the 8/10 delta
+    * split feeding ◆ `q_incr_graph` — never pays the wedge enumeration
+    * behind the two triangle tables. One access builds BOTH (the
+    * shared-enumeration contract is unchanged); later reads are the
+    * written parquet.
     */
-  final case class Standing(edges: DataFrame, degrees: DataFrame,
-      corners: DataFrame, ties: DataFrame, edgesTable: String)
+  final class Standing(val edges: DataFrame, val degrees: DataFrame,
+      cornersTies: => (DataFrame, DataFrame), val edgesTable: String) {
+    lazy val (corners, ties) = cornersTies
+  }
 
   private val cache =
     new LayoutCache.SessionCache[(String, Long, Long), Standing]()
@@ -58,6 +70,110 @@ object GraphStateStore {
   def cutExpr(cutNum: Long, cutDen: Long) = call_function("div",
     col("lo") + (col("hi") - col("lo")) * cutNum, lit(cutDen))
 
+  /** (catalog frame, table name, lo, hi) — lo/hi are the dataset's
+    * l_orderkey bounds, collected ONCE at catalog build (two scalars,
+    * the Warehouse bounded-collect precedent): cut predicates are then
+    * LITERALS that push into the bucketed parquet scan (PushedFilters
+    * data skipping) instead of a per-use broadcast of the bounds
+    * aggregate, keeping every cut view's plan a pure filtered scan.
+    */
+  private val firstSeenCache =
+    new LayoutCache.SessionCache[String, (DataFrame, String, Long, Long)]()
+
+  /** The canonical co-purchase pair catalog annotated with each pair's
+    * FIRST witnessing basket (min `l_orderkey`) — r15 verdict #4, the
+    * `q_assoc_rules` shared-scan technique applied to the store build:
+    * baskets nest across cuts, so an edge stands at cut c iff its first
+    * witness stands (`first_ok ≤ cut`), and a delta batch's NOVEL edges
+    * are exactly `first_ok > cut` — no anti-join, no per-cut basket
+    * self-join. Every standing cut's edge set and every cut's novel
+    * split are single-predicate FILTERS over this one table, so the
+    * warm-up's five basket self-joins (one per standing cut 8/10,
+    * 19/20, 1/1 + one per delta split) collapse into one.
+    *
+    * At 100 TB this is the maintained edge catalog with a created-at
+    * column — the shape every temporal graph store keeps anyway; cut
+    * reads are predicate-pruned scans of it. Written hash-BUCKETED on
+    * `src` (the standing layout's own contract), so a cut's edge view
+    * is a FILTER of this one table that still carries
+    * HashPartitioning(src): the per-cut standing layouts stop writing
+    * their own |E| edge copies entirely — one bucketed write serves
+    * every cut, and every src-keyed consumer stays exchange-free.
+    */
+  def firstSeen(s: SparkSession, sfDir: String): DataFrame =
+    firstSeenTable(s, sfDir)._1
+
+  private def firstSeenTable(s: SparkSession,
+      sfDir: String): (DataFrame, String, Long, Long) =
+    firstSeenCache.getOrBuild(s, sfDir) {
+      val tag = LayoutCache.tag(s, sfDir)
+      val root = LayoutCache.tempRoot(s"graft-gsfirst-$tag")
+      val li = Tables.lineitem(s, sfDir)
+      val inc = li.select(col("l_orderkey").as("ok"),
+        col("l_partkey").as("pid")).distinct()
+      // canonical in the join itself (a.pid < b.pid): half the pair
+      // rows of the two-directional form, same distinct edge set
+      val pairs = inc.as("a").join(inc.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pid") < col("b.pid"))
+        .select(col("a.pid").as("src"), col("b.pid").as("dst"),
+          col("a.ok").as("ok"))
+        .groupBy("src", "dst").agg(min("ok").as("first_ok"))
+      val table = s"graft_gs_first_$tag"
+      Bucketed.writeBucketed(pairs, table, s"$root/firstseen", "src",
+        s.sessionState.conf.numShufflePartitions)
+      val bounds = li.agg(min("l_orderkey"), max("l_orderkey")).head()
+      (s.table(table), table, bounds.getLong(0), bounds.getLong(1))
+    }
+
+  /** The cut boundary as a literal — same truncating-division arithmetic
+    * as [[cutExpr]] over the catalog's collected bounds (all values
+    * positive, so Long `/` ≡ SQL `div`).
+    */
+  private def cutValueAt(s: SparkSession, sfDir: String,
+      cutNum: Long, cutDen: Long): Long = {
+    val (_, _, lo, hi) = firstSeenTable(s, sfDir)
+    lo + (hi - lo) * cutNum / cutDen
+  }
+
+  /** The canonical standing edge set at a cut — one filter over
+    * [[firstSeen]]. `lo`/`hi` come from the same lineitem aggregate the
+    * basket split uses, so the boundary is bit-identical to the
+    * definitional build's.
+    */
+  private def canonicalAtCut(s: SparkSession, sfDir: String,
+      cutNum: Long, cutDen: Long): DataFrame =
+    firstSeen(s, sfDir)
+      .filter(col("first_ok") <= cutValueAt(s, sfDir, cutNum, cutDen))
+      .select("src", "dst")
+
+  /** The NOVEL canonical edges a cut's delta baskets introduce:
+    * `first_ok > cut` — definitionally disjoint from the standing set
+    * (the [[applyGraphDelta]] contract) with no anti-join at all.
+    */
+  def novelAtCut(s: SparkSession, sfDir: String,
+      cutNum: Long, cutDen: Long): DataFrame =
+    firstSeen(s, sfDir)
+      .filter(col("first_ok") > cutValueAt(s, sfDir, cutNum, cutDen))
+      .select("src", "dst")
+
+  /** Novel canonical edges BETWEEN two cuts (first witness in
+    * (oldCut, newCut]) — the batch that advances the standing layout
+    * from oldCut to newCut when consecutive refreshes CHAIN through
+    * [[applyGraphDelta]] instead of rebuilding each cut's triangle
+    * tables definitionally (r15 verdict #4: the warm-up's three
+    * standing cuts each paid a full wedge enumeration; chained, only
+    * the oldest cut enumerates and the later two pay delta-sized work
+    * — the store's own nightly-refresh story, answer-identical by
+    * GraphStateSpec's chained-advance ≡ rebuild round-trip).
+    */
+  def novelBetween(s: SparkSession, sfDir: String,
+      oldCutNum: Long, oldCutDen: Long,
+      newCutNum: Long, newCutDen: Long): DataFrame =
+    firstSeen(s, sfDir)
+      .filter(col("first_ok") > cutValueAt(s, sfDir, oldCutNum, oldCutDen) &&
+        col("first_ok") <= cutValueAt(s, sfDir, newCutNum, newCutDen))
+      .select("src", "dst")
+
   /** The standing state for `sfDir` at the given cut, building (and
     * caching) it on first access. `cutNum/cutDen = 1/1` is the FULL
     * graph — the layout the non-incremental loops (PageRank, triangle
@@ -69,34 +185,35 @@ object GraphStateStore {
       val tag = LayoutCache.tag(s, sfDir) +
         s"_${cutNum}_$cutDen"
       val root = LayoutCache.tempRoot(s"graft-graphstate-$tag")
-      val li = Tables.lineitem(s, sfDir)
-      val keys = li.agg(min("l_orderkey").as("lo"),
-        max("l_orderkey").as("hi"))
-      val standing = li.crossJoin(broadcast(keys))
-        .filter(col("l_orderkey") <= cutExpr(cutNum, cutDen))
-      val canonical = Graph.coPurchaseEdges(standing)
-        .filter(col("src") < col("dst"))
-      val table = s"graft_gs_edges_$tag"
-      Bucketed.writeBucketed(canonical, table,
-        s"$root/edges", "src",
-        s.sessionState.conf.numShufflePartitions)
-      val edges = s.table(table)
+      // the cut's edges are a PREDICATE over the shared bucketed
+      // first-witness catalog (r15) — value-identical to the old
+      // per-cut basket self-join + dedicated edge write (an edge
+      // stands iff SOME basket ≤ cut witnesses it ⟺ its min witness
+      // does), with the join AND the |E| bucketed write paid once per
+      // dataset in [[firstSeen]]. The filtered bucketed scan still
+      // carries HashPartitioning(src), so every src-keyed consumer
+      // stays exchange-free (GraphStateSpec pins it).
+      val table = firstSeenTable(s, sfDir)._2
+      val edges = canonicalAtCut(s, sfDir, cutNum, cutDen)
       Graph.bothDirs(edges).groupBy("src").agg(count(lit(1)).as("deg"))
         .select(col("src").as("node"), col("deg"))
         .write.mode("overwrite").parquet(s"$root/degrees")
-      // one wedge enumeration feeds BOTH derived tables (per-node
-      // corners, per-edge ties) — checkpointed so the two aggregates
-      // share the triangle list instead of re-joining wedges
-      val tri = graft.ops.Ck(Graph.orientedTriangles(edges))
-      Graph.cornersOf(tri)
-        .write.mode("overwrite").parquet(s"$root/corners")
-      Graph.tiesOf(tri)
-        .write.mode("overwrite").parquet(s"$root/ties")
-      graft.ops.Ck.free(tri)
-      Standing(edges,
+      // triangle tables build lazily (the Standing scaladoc): one wedge
+      // enumeration feeds BOTH (per-node corners, per-edge ties) —
+      // checkpointed so the two aggregates share the triangle list
+      // instead of re-joining wedges
+      def buildTriangles(): (DataFrame, DataFrame) = {
+        val tri = graft.ops.Ck(Graph.orientedTriangles(edges))
+        Graph.cornersOf(tri)
+          .write.mode("overwrite").parquet(s"$root/corners")
+        Graph.tiesOf(tri)
+          .write.mode("overwrite").parquet(s"$root/ties")
+        graft.ops.Ck.free(tri)
+        (s.read.parquet(s"$root/corners"), s.read.parquet(s"$root/ties"))
+      }
+      new Standing(edges,
         s.read.parquet(s"$root/degrees"),
-        s.read.parquet(s"$root/corners"),
-        s.read.parquet(s"$root/ties"), table)
+        buildTriangles(), table)
     }
 
   private val ranksCache = new LayoutCache.SessionCache[String, DataFrame]()
@@ -231,6 +348,24 @@ object GraphStateStore {
       s"$root/edges", "src",
       s.sessionState.conf.numShufflePartitions)
     val edges = s.table(table)
+    writeAdvancedDerived(s, root.toString, old, novel, None)
+    val advanced = new Standing(edges,
+      s.read.parquet(s"$root/degrees"),
+      (s.read.parquet(s"$root/corners"),
+        s.read.parquet(s"$root/ties")), table)
+    cache.put(s, (sfDir, newCutNum, newCutDen), advanced)
+    advanced
+  }
+
+  /** The three derived-table merge writes of an advance — degrees
+    * overlay, corners + ties from ONE materialized signed enumeration —
+    * shared by [[applyGraphDeltaPinned]] (streaming folds: arbitrary
+    * novel edges, writes its own edge layout) and [[advanceChained]]
+    * (catalog cuts: the edge view needs no write at all).
+    */
+  private def writeAdvancedDerived(s: SparkSession, root: String,
+      old: Standing, novel: DataFrame,
+      precomputedTerms: Option[DataFrame]): Unit = {
     // degrees' = degrees + both-direction novel-degree overlay
     val dDelta = Graph.bothDirs(novel)
       .groupBy("src").agg(count(lit(1)).as("ddelta"))
@@ -242,8 +377,12 @@ object GraphStateStore {
       .write.mode("overwrite").parquet(s"$root/degrees")
     // corners'/ties' = standing counts + the signed delta enumeration,
     // re-keyed per node and per canonical edge respectively
-    // one materialized enumeration feeds BOTH derived-table writes
-    val terms = graft.ops.Ck(Graph.deltaTriangleInstances(old.edges, novel))
+    // one materialized enumeration feeds BOTH derived-table writes;
+    // a caller whose novel batch already has its signed enumeration
+    // pinned (the prewarm's deltaTriangleTerms — the SAME (old edges,
+    // novel) pair) passes it in instead of re-enumerating (r15)
+    val terms = precomputedTerms.getOrElse(
+      graft.ops.Ck(Graph.deltaTriangleInstances(old.edges, novel)))
     old.corners
       .join(Graph.cornerDeltaOf(terms), Seq("node"), "full_outer")
       .select(col("node"),
@@ -258,13 +397,44 @@ object GraphStateStore {
           coalesce(col("delta_common"), lit(0L))).as("common"))
       .filter(col("common") > 0)
       .write.mode("overwrite").parquet(s"$root/ties")
-    graft.ops.Ck.free(terms)
-    val advanced = Standing(edges,
-      s.read.parquet(s"$root/degrees"),
-      s.read.parquet(s"$root/corners"),
-      s.read.parquet(s"$root/ties"), table)
-    cache.put(s, (sfDir, newCutNum, newCutDen), advanced)
-    advanced
+    if (precomputedTerms.isEmpty) graft.ops.Ck.free(terms)
+  }
+
+  /** Advance the standing state between CATALOG cuts without rewriting
+    * any edge layout (r15 verdict #4): the new cut's edges are the same
+    * bucketed [[firstSeen]] catalog under a wider predicate, so an
+    * advance runs ONLY the delta-sized derived-table merges — the
+    * chained warm-up's 19/20 and 1/1 cuts pay O(delta) triangle work
+    * instead of a full wedge enumeration each. Answer-identical to the
+    * definitional build by the maintenance algebra (GraphStateSpec's
+    * chained advance ≡ rebuild round-trip; the q_incr_* oracles
+    * recompute the served tables definitionally every driver round).
+    */
+  def advanceChained(s: SparkSession, sfDir: String,
+      oldCutNum: Long, oldCutDen: Long,
+      newCutNum: Long, newCutDen: Long,
+      precomputed: Option[(DataFrame, DataFrame)] = None): Standing = {
+    val old = standing(s, sfDir, oldCutNum, oldCutDen)
+    // caller-owned (novel, signed terms) when the pair is already
+    // pinned — the prewarm's deltaTriangleTerms is this exact pair for
+    // the 19/20 → 1/1 advance, so the advance re-enumerates nothing
+    val novel = precomputed.map(_._1).getOrElse(
+      graft.ops.Ck(novelBetween(s, sfDir,
+        oldCutNum, oldCutDen, newCutNum, newCutDen)))
+    try {
+      val tag = LayoutCache.tag(s, sfDir) +
+        s"_adv_${newCutNum}_$newCutDen"
+      val root = LayoutCache.tempRoot(s"graft-graphstate-$tag")
+      writeAdvancedDerived(s, root.toString, old, novel,
+        precomputed.map(_._2))
+      val advanced = new Standing(
+        canonicalAtCut(s, sfDir, newCutNum, newCutDen),
+        s.read.parquet(s"$root/degrees"),
+        (s.read.parquet(s"$root/corners"),
+          s.read.parquet(s"$root/ties")), firstSeenTable(s, sfDir)._2)
+      cache.put(s, (sfDir, newCutNum, newCutDen), advanced)
+      advanced
+    } finally if (precomputed.isEmpty) graft.ops.Ck.free(novel)
   }
 
   /** CONTINUOUS maintenance feed for the standing graph state (r13):

@@ -331,6 +331,97 @@ object IvfStore {
     */
   val PqSweepRates: Seq[Int] = Seq(1, SampleEvery, 10, 30)
 
+  /** Per-subspace quantized slices (vec_id, s, sq) of an embedding
+    * frame — the positional layout every PQ pass (Lloyd fit, corpus
+    * encode, streaming append) shares.
+    */
+  def pqSubspaces(e: DataFrame, m: Int = PqM,
+      subDim: Int = PqSubDim): DataFrame =
+    e.select(col("vec_id"),
+        quantize(col("embedding").cast("array<double>")).as("q"))
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"), col("q"))
+      .withColumn("sq", expr(s"slice(q, s * $subDim + 1, $subDim)"))
+      .drop("q")
+
+  /** Encode pre-sliced sub-vectors (vec_id, s, sq) against a PUBLISHED
+    * codebook (s, cell, cq) — THE one definition of PQ encoding, shared
+    * by the Lloyd rounds' assignment, [[trainedPq]]'s full-corpus
+    * encode, and the streaming appender ([[StreamingPqCodes]]): a
+    * second re-stated encode could silently disagree with the staged
+    * codes (the same drift hazard the Pq / Det constant groups close).
+    * Packed-long argmin: d2 ≤ subDim·(2.2e6)², ×ksub ≪ 2⁶³ and
+    * non-negative, so min(d2·ksub + cell) IS the (d2, cell)
+    * lexicographic argmin and the aggregate stays a codegen
+    * HashAggregate.
+    */
+  def encodeSub(sub: DataFrame, codebook: DataFrame,
+      ksub: Int = PqKsub): DataFrame =
+    sub.join(broadcast(codebook), "s")
+      .withColumn("packed",
+        qdist2(col("sq"), col("cq")) * lit(ksub.toLong) + col("cell"))
+      .groupBy("vec_id", "s")
+      .agg(min("packed").as("packed_min"))
+      .select(col("vec_id"), col("s"),
+        (col("packed_min") % ksub).cast("int").as("cell"))
+
+  /** Encode raw embedding rows (vec_id, embedding) end to end. */
+  def encodePq(e: DataFrame, codebook: DataFrame, m: Int = PqM,
+      subDim: Int = PqSubDim, ksub: Int = PqKsub): DataFrame =
+    encodeSub(pqSubspaces(e, m, subDim), codebook, ksub)
+
+  /** One OWNED PQ code table under a PUBLISHED codebook — the
+    * [[IvfIndex]] contract applied to the compression half: build once
+    * (encode + vec_id-bucketed write, so the serving ADC aggregate
+    * stays exchange-free across base + delta files), append new
+    * vectors encoded against the SAME codebook. [[append]] is a BLIND
+    * batch append (the nightly indexer's exactly-once-by-construction
+    * path); streaming encoders route through [[StreamingPqCodes]]'s
+    * batchId-keyed staging instead.
+    */
+  final class PqIndex(s: SparkSession, val codebook: DataFrame,
+      val table: String, dir: String, buckets: Int = 16) {
+    def build(e: DataFrame): Unit =
+      Bucketed.writeBucketed(encodePq(e, codebook), table, dir,
+        "vec_id", buckets)
+    def append(e: DataFrame): Unit =
+      encodePq(e, codebook).write.mode("append").insertInto(table)
+    def read: DataFrame = s.table(table)
+  }
+
+  /** Streaming vector ingestion for a [[PqIndex]] — the nightly-index
+    * deployment story's last step (the scaladoc at the top of this file
+    * names it: "new vectors append with the same bucketing"), with the
+    * family's exactly-once discipline via the shared [[StagedDeltas]]
+    * core: micro-batches are encoded against the PUBLISHED codebook and
+    * stage into batchId-keyed delta directories (redelivery rewrites,
+    * never duplicates), reads union base + deltas, the nightly
+    * [[foldDeltas]] compacts them into the bucketed base. IvfSpec
+    * proves append + serve ≡ rebuild + serve, with redelivery.
+    */
+  final class StreamingPqCodes(s: SparkSession, idx: PqIndex,
+      deltaRoot: String) {
+    private val staged = new StagedDeltas(s, deltaRoot,
+      Seq("vec_id", "s", "cell"),
+      rows => rows.write.mode("append").insertInto(idx.table),
+      () => idx.read)
+
+    def appendStream(embeddings: DataFrame, checkpoint: String)
+        : org.apache.spark.sql.streaming.StreamingQuery =
+      embeddings.writeStream
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          staged.stage(encodePq(batch, idx.codebook), id)
+        }
+        .start()
+
+    /** Base ∪ deltas — the serving view between folds. */
+    def read: DataFrame = staged.read
+
+    def foldDeltas(): Unit = staged.fold()
+  }
+
   private val pqDetCache = new LayoutCache.SessionCache[
     (String, Int, Int, Int, Int, Int), TrainedPq]()
 
@@ -376,18 +467,10 @@ object IvfStore {
         .withColumn("cell", (row_number().over(
           Window.partitionBy("s").orderBy("vec_id")) - 1).cast("int"))
         .select(col("s"), col("cell"), col("sq").as("cq"))
-      // packed-long argmin: d2 ≤ subDim·(2.2e6)², ×ksub ≪ 2⁶³ and
-      // non-negative, so min(d2·ksub + cell) IS the (d2, cell)
-      // lexicographic argmin and the aggregate stays a codegen
-      // HashAggregate.
+      // assignment IS the shared [[encodeSub]] (one definition of PQ
+      // encoding for fit, corpus encode, and streaming append — r15)
       def assign(over: DataFrame, cent: DataFrame): DataFrame =
-        over.join(broadcast(cent), "s")
-          .withColumn("packed",
-            qdist2(col("sq"), col("cq")) * lit(ksub.toLong) + col("cell"))
-          .groupBy("vec_id", "s")
-          .agg(min("packed").as("packed_min"))
-          .select(col("vec_id"), col("s"),
-            (col("packed_min") % ksub).cast("int").as("cell"))
+        encodeSub(over, cent, ksub)
       def update(assigned: DataFrame): DataFrame =
         assigned.join(sub, Seq("vec_id", "s"))
           .select(col("s"), col("cell"),

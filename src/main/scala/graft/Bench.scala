@@ -379,8 +379,14 @@ object Bench {
     // q_item_rank was unadjudicable without driver-side error bars).
     // SPARK_GRAFT_SPREAD_OUT overrides the default path beside the
     // bench output (repo cwd → BENCH_SPREAD.json).
-    val spreadPath =
-      sys.env.getOrElse("SPARK_GRAFT_SPREAD_OUT", "BENCH_SPREAD.json")
+    // A SPARK_GRAFT_ONLY subset run defaults to its own file (review
+    // r15): a local-iteration artifact silently OVERWROTE the committed
+    // board of record — 2-query pins/spreads in place of the full
+    // board — breaking the very prior-reading chain the >1.5× relative
+    // clause adjudicates against. Full runs keep the standing name.
+    val spreadPath = sys.env.getOrElse("SPARK_GRAFT_SPREAD_OUT",
+      if (sys.env.contains("SPARK_GRAFT_ONLY")) "BENCH_SPREAD_subset.json"
+      else "BENCH_SPREAD.json")
     // The spread header also carries the per-owner pin breakdown — the
     // bench LINE stays compact (driver tail capture is bounded), the
     // spread file is where adjudication detail lives.

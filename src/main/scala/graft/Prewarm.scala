@@ -26,6 +26,16 @@ object Prewarm {
     spark.sparkContext.setLogLevel("WARN")
     graft.ops.Logs.quietBoundedWindowWarning()
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // same per-table footer warm-up as Bench (review r15): without it
+    // the first staged-build lines absorb sfDir's one-time parquet
+    // footer/codegen costs that Bench's equivalent lines never include,
+    // and the breakdown misattributes growth — the opposite of the
+    // tool's purpose
+    for (t <- graft.tables.Tables.names)
+      try {
+        if (t == "events") graft.tables.Tables.events(spark, sfDir).count()
+        else graft.tables.Tables.read(spark, sfDir, t).count()
+      } catch { case _: Throwable => () }
     Bench.runStagedBuilds(spark, sfDir)
     spark.stop()
   }

@@ -1172,80 +1172,119 @@ object ScaleQueries {
     perRate.reduce(_.union(_)).orderBy("fit_every")
   }
 
-  /** One rate's training + serving + hit CTEs, suffixed `_r<rate>` —
-    * the SHARED shapes of [[pqRecallTrainedSqlFor]] replayed per
-    * operating point against the rate-independent `qp`/`x`/`truth`.
+  /** The rate-independent oracle prologue — quantized vectors, their
+    * positional subspace rows, the exact integer-d² pair table `x`, and
+    * the truth top-5 — shared by the trained/sampled recall audits and
+    * every sweep rate (review r15: ONE definition; a re-stated copy
+    * could silently drift).
     */
-  private def pqSweepRateCtesSql(rate: Int): String = {
+  private def pqProloguesSql: String = {
+    val subDim = graft.sources.IvfStore.PqSubDim
+    s"""qv AS (
+       |  SELECT vec_id,
+       |         list_transform(CAST(embedding AS DOUBLE[]),
+       |           x -> CAST(floor(x * 1000000.0) AS BIGINT) + 1000000) AS q
+       |  FROM embeddings),
+       |qp AS (
+       |  SELECT vec_id, CAST((pos - 1) // $subDim AS INT) AS s,
+       |         CAST((pos - 1) % $subDim AS INT) AS spos, val
+       |  FROM (SELECT vec_id, unnest(range(1, len(q) + 1)) AS pos,
+       |               unnest(q) AS val FROM qv)),
+       |x AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id,
+       |         CAST(SUM((a.val - b.val) * (a.val - b.val)) AS BIGINT) AS d2x
+       |  FROM (SELECT * FROM qp WHERE vec_id < 10) a
+       |  JOIN qp b ON a.s = b.s AND a.spos = b.spos AND b.vec_id <> a.vec_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |                              ORDER BY d2x, vec_id) AS rank
+       |    FROM x) WHERE rank <= 5)""".stripMargin
+  }
+
+  /** One fit's training + serving + hit CTEs over the shared prologue,
+    * every name suffixed `sfx` — THE one definition of the oracle's
+    * quantized-Lloyd training and ADC/shortlist/rerank serving (review
+    * r15: the trained/sampled audits use suffix "" and the sweep one
+    * suffix per rate, so an edit to the Lloyd text can never diverge
+    * the sweep's rate-[[graft.sources.IvfStore.SampleEvery]] row from
+    * ◆ `q_pq_recall_sampled`). Geometry interpolated from the Pq*
+    * constants (ADVICE r14); PqM needs no literal — `s = (pos-1) //
+    * PqSubDim` spans 0..PqM-1 by the dim = PqM·PqSubDim layout
+    * contract.
+    */
+  private def pqRateCtesSql(sfx: String, fitPred: String): String = {
     val ksub = graft.sources.IvfStore.PqKsub
     val iters = graft.sources.IvfStore.PqIters
-    val t = s"r$rate"
-    val pred = if (rate == 1) "TRUE" else s"vec_id % $rate = 0"
     val rounds = (1 to iters).map { i =>
-      s"""d${i}_$t AS (
+      s"""d$i$sfx AS (
          |  SELECT qp.vec_id, qp.s, cp.cell,
          |         SUM((qp.val - cp.cval) * (qp.val - cp.cval)) AS d2
-         |  FROM qpf_$t qp JOIN cp${i - 1}_$t cp USING (s, spos)
+         |  FROM qpf$sfx qp JOIN cp${i - 1}$sfx cp USING (s, spos)
          |  GROUP BY 1, 2, 3),
-         |a${i}_$t AS (
+         |a$i$sfx AS (
          |  SELECT vec_id, s, cell FROM (
          |    SELECT vec_id, s, cell,
          |           row_number() OVER (PARTITION BY vec_id, s
          |                              ORDER BY d2, cell) AS rn
-         |    FROM d${i}_$t) WHERE rn = 1),
-         |cp${i}_$t AS (
+         |    FROM d$i$sfx) WHERE rn = 1),
+         |cp$i$sfx AS (
          |  SELECT a.s, a.cell, qp.spos,
          |         CAST(SUM(qp.val) // COUNT(*) AS BIGINT) AS cval
-         |  FROM a${i}_$t a JOIN qpf_$t qp USING (vec_id, s)
+         |  FROM a$i$sfx a JOIN qpf$sfx qp USING (vec_id, s)
          |  GROUP BY 1, 2, 3)""".stripMargin
     }.mkString(",\n")
-    s"""qpf_$t AS (SELECT * FROM qp WHERE $pred),
-       |init_$t AS (SELECT vec_id,
+    s"""qpf$sfx AS (SELECT * FROM qp WHERE $fitPred),
+       |init$sfx AS (SELECT vec_id,
        |              CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
        |                AS cell
-       |       FROM (SELECT vec_id FROM qv WHERE $pred
+       |       FROM (SELECT vec_id FROM qv WHERE $fitPred
        |             ORDER BY vec_id LIMIT $ksub)),
-       |cp0_$t AS (SELECT qp.s, i.cell, qp.spos, qp.val AS cval
-       |        FROM init_$t i JOIN qp USING (vec_id)),
+       |cp0$sfx AS (SELECT qp.s, i.cell, qp.spos, qp.val AS cval
+       |        FROM init$sfx i JOIN qp USING (vec_id)),
        |$rounds,
-       |codes_$t AS (
+       |codes$sfx AS (
        |  SELECT vec_id, s, cell FROM (
        |    SELECT qp.vec_id, qp.s, cp.cell,
        |           row_number() OVER (PARTITION BY qp.vec_id, qp.s
        |                              ORDER BY SUM((qp.val - cp.cval) *
        |                                           (qp.val - cp.cval)),
        |                                       cp.cell) AS rn
-       |    FROM qp JOIN cp${iters}_$t cp USING (s, spos)
+       |    FROM qp JOIN cp$iters$sfx cp USING (s, spos)
        |    GROUP BY qp.vec_id, qp.s, cp.cell) WHERE rn = 1),
-       |lut_$t AS (
+       |lut$sfx AS (
        |  SELECT qp.vec_id AS q_id, qp.s, cp.cell,
        |         SUM((qp.val - cp.cval) * (qp.val - cp.cval)) AS d2l
-       |  FROM qp JOIN cp${iters}_$t cp USING (s, spos)
+       |  FROM qp JOIN cp$iters$sfx cp USING (s, spos)
        |  WHERE qp.vec_id < 10 GROUP BY 1, 2, 3),
-       |adc_$t AS (
+       |adc$sfx AS (
        |  SELECT l.q_id, c.vec_id, CAST(SUM(l.d2l) AS BIGINT) AS adc_d2
-       |  FROM codes_$t c JOIN lut_$t l USING (s, cell)
+       |  FROM codes$sfx c JOIN lut$sfx l USING (s, cell)
        |  WHERE c.vec_id <> l.q_id
        |  GROUP BY 1, 2),
-       |short_$t AS (
+       |short$sfx AS (
        |  SELECT q_id, vec_id, adc_d2,
        |         row_number() OVER (PARTITION BY q_id
        |                            ORDER BY adc_d2, vec_id) AS rn
-       |  FROM adc_$t),
-       |adc5_$t AS (SELECT q_id, vec_id FROM short_$t WHERE rn <= 5),
-       |rr5_$t AS (
+       |  FROM adc$sfx),
+       |adc5$sfx AS (SELECT q_id, vec_id FROM short$sfx WHERE rn <= 5),
+       |rr5$sfx AS (
        |  SELECT q_id, vec_id FROM (
        |    SELECT s.q_id, s.vec_id,
        |           row_number() OVER (PARTITION BY s.q_id
        |                              ORDER BY x.d2x, s.vec_id) AS rank
-       |    FROM short_$t s JOIN x ON x.q_id = s.q_id AND x.vec_id = s.vec_id
+       |    FROM short$sfx s JOIN x ON x.q_id = s.q_id AND x.vec_id = s.vec_id
        |    WHERE s.rn <= 32) WHERE rank <= 5)""".stripMargin
   }
 
-  private def pqSweepRateAggSql(rate: Int): String = {
-    val t = s"r$rate"
-    s"""SELECT CAST($rate AS INT) AS fit_every,
-       |       CAST(count(*) AS BIGINT) AS n_truth,
+  /** The shared recall hit/ratio columns + truth joins over one fit's
+    * adc5/rr5 CTEs — used per-q_id (trained/sampled) and globally
+    * (the sweep's per-rate row).
+    */
+  private def pqHitColumnsSql(sfx: String): String =
+    s"""CAST(count(*) AS BIGINT) AS n_truth,
        |       CAST(SUM(CASE WHEN a5.vec_id IS NOT NULL THEN 1 ELSE 0 END)
        |            AS BIGINT) AS hit_adc,
        |       CAST(SUM(CASE WHEN r5.vec_id IS NOT NULL THEN 1 ELSE 0 END)
@@ -1257,149 +1296,33 @@ object ScaleQueries {
        |                         END) AS BIGINT)) // CAST(count(*) AS BIGINT)
        |         AS recall_rr_bp
        |FROM truth t
-       |LEFT JOIN adc5_$t a5 ON a5.q_id = t.q_id AND a5.vec_id = t.vec_id
-       |LEFT JOIN rr5_$t r5 ON r5.q_id = t.q_id AND r5.vec_id = t.vec_id""".stripMargin
-  }
+       |LEFT JOIN adc5$sfx a5 ON a5.q_id = t.q_id AND a5.vec_id = t.vec_id
+       |LEFT JOIN rr5$sfx r5 ON r5.q_id = t.q_id AND r5.vec_id = t.vec_id""".stripMargin
+
+  private def pqFitPred(rate: Int): String =
+    if (rate == 1) "TRUE" else s"vec_id % $rate = 0"
 
   private def pqSampleSweepSql: String = {
-    val subDim = graft.sources.IvfStore.PqSubDim
     val rates = graft.sources.IvfStore.PqSweepRates
-    s"""WITH qv AS (
-       |  SELECT vec_id,
-       |         list_transform(CAST(embedding AS DOUBLE[]),
-       |           x -> CAST(floor(x * 1000000.0) AS BIGINT) + 1000000) AS q
-       |  FROM embeddings),
-       |qp AS (
-       |  SELECT vec_id, CAST((pos - 1) // $subDim AS INT) AS s,
-       |         CAST((pos - 1) % $subDim AS INT) AS spos, val
-       |  FROM (SELECT vec_id, unnest(range(1, len(q) + 1)) AS pos,
-       |               unnest(q) AS val FROM qv)),
-       |x AS (
-       |  SELECT a.vec_id AS q_id, b.vec_id,
-       |         CAST(SUM((a.val - b.val) * (a.val - b.val)) AS BIGINT) AS d2x
-       |  FROM (SELECT * FROM qp WHERE vec_id < 10) a
-       |  JOIN qp b ON a.s = b.s AND a.spos = b.spos AND b.vec_id <> a.vec_id
-       |  GROUP BY 1, 2),
-       |truth AS (
-       |  SELECT q_id, vec_id FROM (
-       |    SELECT q_id, vec_id,
-       |           row_number() OVER (PARTITION BY q_id
-       |                              ORDER BY d2x, vec_id) AS rank
-       |    FROM x) WHERE rank <= 5),
-       |${rates.map(pqSweepRateCtesSql).mkString(",\n")}
-       |${rates.map(r => "(" + pqSweepRateAggSql(r) + ")").mkString("\nUNION ALL\n")}
+    val aggs = rates.map { r =>
+      s"""(SELECT CAST($r AS INT) AS fit_every,
+         |       ${pqHitColumnsSql(s"_r$r")})""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $pqProloguesSql,
+       |${rates.map(r => pqRateCtesSql(s"_r$r", pqFitPred(r))).mkString(",\n")}
+       |$aggs
        |ORDER BY fit_every""".stripMargin
   }
 
   private val pqRecallTrainedSql: String = pqRecallTrainedSqlFor("TRUE")
   private val pqRecallSampledSql: String = pqRecallTrainedSqlFor(
-    s"vec_id % ${graft.sources.IvfStore.SampleEvery} = 0")
+    pqFitPred(graft.sources.IvfStore.SampleEvery))
 
-  private def pqRecallTrainedSqlFor(fitPred: String): String = {
-    // PQ geometry interpolated from the SAME IvfStore constants the
-    // Spark serving path and trainedPq train with (ADVICE r14): a
-    // hard-coded LIMIT/subspace-math literal here would silently
-    // diverge the oracle from the staged codes if any Pq* constant
-    // changed. PqM needs no literal — `s = (pos-1) // PqSubDim` spans
-    // 0..PqM-1 by the dim = PqM·PqSubDim layout contract.
-    val ksub = graft.sources.IvfStore.PqKsub
-    val subDim = graft.sources.IvfStore.PqSubDim
-    val iters = graft.sources.IvfStore.PqIters
-    val rounds = (1 to iters).map { i =>
-      s"""d$i AS (
-         |  SELECT qp.vec_id, qp.s, cp.cell,
-         |         SUM((qp.val - cp.cval) * (qp.val - cp.cval)) AS d2
-         |  FROM qpf qp JOIN cp${i - 1} cp USING (s, spos) GROUP BY 1, 2, 3),
-         |a$i AS (
-         |  SELECT vec_id, s, cell FROM (
-         |    SELECT vec_id, s, cell,
-         |           row_number() OVER (PARTITION BY vec_id, s
-         |                              ORDER BY d2, cell) AS rn
-         |    FROM d$i) WHERE rn = 1),
-         |cp$i AS (
-         |  SELECT a.s, a.cell, qp.spos,
-         |         CAST(SUM(qp.val) // COUNT(*) AS BIGINT) AS cval
-         |  FROM a$i a JOIN qpf qp USING (vec_id, s) GROUP BY 1, 2, 3)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH qv AS (
-       |  SELECT vec_id,
-       |         list_transform(CAST(embedding AS DOUBLE[]),
-       |           x -> CAST(floor(x * 1000000.0) AS BIGINT) + 1000000) AS q
-       |  FROM embeddings),
-       |qp AS (
-       |  SELECT vec_id, CAST((pos - 1) // $subDim AS INT) AS s,
-       |         CAST((pos - 1) % $subDim AS INT) AS spos, val
-       |  FROM (SELECT vec_id, unnest(range(1, len(q) + 1)) AS pos,
-       |               unnest(q) AS val FROM qv)),
-       |qpf AS (SELECT * FROM qp WHERE $fitPred),
-       |init AS (SELECT vec_id,
-       |                CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
-       |                  AS cell
-       |         FROM (SELECT vec_id FROM qv WHERE $fitPred
-       |               ORDER BY vec_id LIMIT $ksub)),
-       |cp0 AS (SELECT qp.s, i.cell, qp.spos, qp.val AS cval
-       |        FROM init i JOIN qp USING (vec_id)),
-       |$rounds,
-       |codes AS (
-       |  SELECT vec_id, s, cell FROM (
-       |    SELECT qp.vec_id, qp.s, cp.cell,
-       |           row_number() OVER (PARTITION BY qp.vec_id, qp.s
-       |                              ORDER BY SUM((qp.val - cp.cval) *
-       |                                           (qp.val - cp.cval)), cp.cell)
-       |             AS rn
-       |    FROM qp JOIN cp$iters cp USING (s, spos)
-       |    GROUP BY qp.vec_id, qp.s, cp.cell) WHERE rn = 1),
-       |lut AS (
-       |  SELECT qp.vec_id AS q_id, qp.s, cp.cell,
-       |         SUM((qp.val - cp.cval) * (qp.val - cp.cval)) AS d2l
-       |  FROM qp JOIN cp$iters cp USING (s, spos)
-       |  WHERE qp.vec_id < 10 GROUP BY 1, 2, 3),
-       |adc AS (
-       |  SELECT l.q_id, c.vec_id, CAST(SUM(l.d2l) AS BIGINT) AS adc_d2
-       |  FROM codes c JOIN lut l USING (s, cell)
-       |  WHERE c.vec_id <> l.q_id
-       |  GROUP BY 1, 2),
-       |short AS (
-       |  SELECT q_id, vec_id, adc_d2,
-       |         row_number() OVER (PARTITION BY q_id
-       |                            ORDER BY adc_d2, vec_id) AS rn
-       |  FROM adc),
-       |x AS (
-       |  SELECT a.vec_id AS q_id, b.vec_id,
-       |         CAST(SUM((a.val - b.val) * (a.val - b.val)) AS BIGINT) AS d2x
-       |  FROM (SELECT * FROM qp WHERE vec_id < 10) a
-       |  JOIN qp b ON a.s = b.s AND a.spos = b.spos AND b.vec_id <> a.vec_id
-       |  GROUP BY 1, 2),
-       |truth AS (
-       |  SELECT q_id, vec_id FROM (
-       |    SELECT q_id, vec_id,
-       |           row_number() OVER (PARTITION BY q_id
-       |                              ORDER BY d2x, vec_id) AS rank
-       |    FROM x) WHERE rank <= 5),
-       |adc5 AS (SELECT q_id, vec_id FROM short WHERE rn <= 5),
-       |rr5 AS (
-       |  SELECT q_id, vec_id FROM (
-       |    SELECT s.q_id, s.vec_id,
-       |           row_number() OVER (PARTITION BY s.q_id
-       |                              ORDER BY x.d2x, s.vec_id) AS rank
-       |    FROM short s JOIN x ON x.q_id = s.q_id AND x.vec_id = s.vec_id
-       |    WHERE s.rn <= 32) WHERE rank <= 5)
-       |SELECT t.q_id, CAST(count(*) AS BIGINT) AS n_truth,
-       |       CAST(SUM(CASE WHEN a5.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-       |            AS BIGINT) AS hit_adc,
-       |       CAST(SUM(CASE WHEN r5.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-       |            AS BIGINT) AS hit_rerank,
-       |       (10000 * CAST(SUM(CASE WHEN a5.vec_id IS NOT NULL THEN 1 ELSE 0
-       |                         END) AS BIGINT)) // CAST(count(*) AS BIGINT)
-       |         AS recall_adc_bp,
-       |       (10000 * CAST(SUM(CASE WHEN r5.vec_id IS NOT NULL THEN 1 ELSE 0
-       |                         END) AS BIGINT)) // CAST(count(*) AS BIGINT)
-       |         AS recall_rr_bp
-       |FROM truth t
-       |LEFT JOIN adc5 a5 ON a5.q_id = t.q_id AND a5.vec_id = t.vec_id
-       |LEFT JOIN rr5 r5 ON r5.q_id = t.q_id AND r5.vec_id = t.vec_id
+  private def pqRecallTrainedSqlFor(fitPred: String): String =
+    s"""WITH $pqProloguesSql,
+       |${pqRateCtesSql("", fitPred)}
+       |SELECT t.q_id, ${pqHitColumnsSql("")}
        |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin
-  }
 
   val entries: Seq[Entry] = Seq(
     Entry("q_rolling_dau", rollingDau, Some(rollingDauSql)),

@@ -125,14 +125,19 @@ object GraphStateStore {
       (s.table(table), table, bounds.getLong(0), bounds.getLong(1))
     }
 
-  /** The cut boundary as a literal — same truncating-division arithmetic
-    * as [[cutExpr]] over the catalog's collected bounds (all values
-    * positive, so Long `/` ≡ SQL `div`).
+  /** The cut boundary as a literal — the SAME arithmetic as [[cutExpr]]
+    * over the catalog's collected bounds: `(lo + (hi−lo)·num) div den`,
+    * the WHOLE numerator divided (review r15: `lo + (hi−lo)·num/den`
+    * only coincides when lo = 0 — true of every shipped fixture, which
+    * is exactly why only a formula audit could catch it — and on lo ≠ 0
+    * data it would classify boundary edges standing while every
+    * definitional oracle calls them novel). All values positive, so
+    * Long `/` ≡ SQL `div`.
     */
   private def cutValueAt(s: SparkSession, sfDir: String,
       cutNum: Long, cutDen: Long): Long = {
     val (_, _, lo, hi) = firstSeenTable(s, sfDir)
-    lo + (hi - lo) * cutNum / cutDen
+    (lo + (hi - lo) * cutNum) / cutDen
   }
 
   /** The canonical standing edge set at a cut — one filter over
@@ -406,9 +411,11 @@ object GraphStateStore {
     * advance runs ONLY the delta-sized derived-table merges — the
     * chained warm-up's 19/20 and 1/1 cuts pay O(delta) triangle work
     * instead of a full wedge enumeration each. Answer-identical to the
-    * definitional build by the maintenance algebra (GraphStateSpec's
-    * chained advance ≡ rebuild round-trip; the q_incr_* oracles
-    * recompute the served tables definitionally every driver round).
+    * definitional build by the maintenance algebra — GraphStateSpec's
+    * "advanceChained ≡ definitional rebuild" test gates BOTH variants
+    * (self-computed and caller-pinned (novel, terms)) table for table,
+    * and the q_incr_* oracles recompute the served tables
+    * definitionally every driver round.
     */
   def advanceChained(s: SparkSession, sfDir: String,
       oldCutNum: Long, oldCutDen: Long,

@@ -327,9 +327,13 @@ object IvfStore {
     * asserted point ([[SampleEvery]], which the sweep includes by
     * construction) and becomes a measured curve. ONE constant list,
     * interpolated into the Spark consumers, the oracle SQL, and the
-    * Bench pre-warm.
+    * Bench pre-warm. DERIVED sorted + distinct (review r15): the
+    * sweep's output ordering, ScaleQueriesSpec's list-equality gate,
+    * and the oracle's rate-suffixed CTE names all require a strictly
+    * ascending duplicate-free list, so a [[SampleEvery]] change can
+    * reorder or absorb a point but never break those invariants.
     */
-  val PqSweepRates: Seq[Int] = Seq(1, SampleEvery, 10, 30)
+  val PqSweepRates: Seq[Int] = (Seq(1, 10, 30) :+ SampleEvery).distinct.sorted
 
   /** Per-subspace quantized slices (vec_id, s, sq) of an embedding
     * frame — the positional layout every PQ pass (Lloyd fit, corpus

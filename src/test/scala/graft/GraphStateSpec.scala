@@ -84,6 +84,43 @@ class GraphStateSpec extends SparkSpec {
     assert(GraphStateStore.standing(spark, sfDir, 19L, 20L) eq st)
   }
 
+  test("advanceChained ≡ definitional rebuild, with and without precomputed (novel, terms) (r15)") {
+    import graft.sources.GraphStateStore
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    def triples(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    def assertMatches(adv: GraphStateStore.Standing, cut: Long): Unit = {
+      val want = cutEdges(cut)
+      assert(edgeSet(adv.edges) === edgeSet(want),
+        s"advanced edges ≠ $cut/20 rebuild")
+      assert(pairs(adv.degrees) === pairs(graft.ops.Graph.bothDirs(want)
+        .groupBy("src").agg(count(lit(1)).as("deg"))),
+        s"advanced degrees ≠ $cut/20 rebuild")
+      assert(pairs(adv.corners) ===
+        pairs(graft.ops.Graph.cornerCounts(want)),
+        s"advanced corners ≠ $cut/20 rebuild")
+      assert(triples(adv.ties) ===
+        triples(graft.ops.Graph.edgeCommonCounts(want)),
+        s"advanced ties ≠ $cut/20 rebuild")
+    }
+    // (a) self-computed novel + terms: 18/20 → 19/20
+    assertMatches(
+      GraphStateStore.advanceChained(spark, sfDir, 18L, 20L, 19L, 20L), 19L)
+    // (b) the prewarm's handoff shape — caller-pinned novel + the SAME
+    // signed enumeration deltaTriangleTerms pins: 19/20 → 20/20. The
+    // pinned pair must be over the OLD cut's standing edges and the
+    // exact between-cut novel set, the contract prewarmStaged relies on.
+    val old = GraphStateStore.standing(spark, sfDir, 19L, 20L)
+    val novel = graft.ops.Ck(
+      GraphStateStore.novelBetween(spark, sfDir, 19L, 20L, 20L, 20L))
+    val terms = graft.ops.Ck(
+      graft.ops.Graph.deltaTriangleInstances(old.edges, novel))
+    try assertMatches(GraphStateStore.advanceChained(spark, sfDir,
+      19L, 20L, 20L, 20L, Some((novel, terms))), 20L)
+    finally { graft.ops.Ck.free(terms); graft.ops.Ck.free(novel) }
+  }
+
   test("the standing rank vector equals the in-query fixed point (r12)") {
     // standingRanks materializes q_item_rank's 5-round integer PageRank
     // at layout-build time; exact-integer arithmetic makes the stored

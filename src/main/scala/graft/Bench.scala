@@ -273,7 +273,16 @@ object Bench {
       // real is adjudicable from the artifact. Motivating case:
       // q_feature_bins 0.96 → 1.45 s (r13 → r14, +51%), the r14 board's
       // only real regression, single-shot with no spread entry.
-      "q_feature_bins")
+      "q_feature_bins",
+      // r15 boards: the relative clause's first application — these four
+      // read >1.5× their r14 driver values on BOTH closing boards
+      // (q_weighted_quantile 1.41 → 2.23/2.35, q_join_dedup_dim 0.72 →
+      // 1.29/1.34, q_resample_ffill 0.58 → 0.95/0.90, q_top_paths 0.57
+      // → 0.90/0.96) amid a broad ambient elevation (32 lines up >20%,
+      // untouched files included, cpuSec near-flat) — the median set is
+      // exactly where noise-vs-real gets adjudicated next round.
+      "q_weighted_quantile", "q_join_dedup_dim", "q_resample_ffill",
+      "q_top_paths")
     val spreads = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double)]
     // Leak loudness (r10 lesson): every query's tracked checkpoints are
     // drained after its timed count, and sweep() evicts anything else

@@ -257,6 +257,9 @@ object Bench {
       // r15: the fitEvery curve reads FOUR staged layouts and runs four
       // serving stacks — fit-family-shaped, same discipline as the pair
       "q_pq_sample_sweep",
+      // r15: the composed IVF-PQ audit reads both trained layouts —
+      // same discipline as its two parents
+      "q_ann_ivfpq",
       // r14 (the standing >3 s-in-any-driver-round rule, verdict #3):
       // the r13 driver board's five single-shot lines above 3 s —
       // q_doc_keywords 5.35, q_curate_funnel 4.84, q_rfm_segments 4.78,

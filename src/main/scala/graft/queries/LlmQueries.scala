@@ -1029,7 +1029,7 @@ object LlmQueries {
     * different views of the same trained layout
     * ([[graft.sources.IvfStore.trainedDet]]).
     */
-  private def detTrainCtesSql(fitPred: String): String = {
+  private[queries] def detTrainCtesSql(fitPred: String): String = {
     // geometry interpolated from the ONE IvfStore constant group
     // (ADVICE r14): a k/iters change at any Spark call site and this
     // chain can no longer drift apart — both read DetK/DetIters.

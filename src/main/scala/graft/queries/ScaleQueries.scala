@@ -1213,9 +1213,13 @@ object ScaleQueries {
     * ◆ `q_pq_recall_sampled`). Geometry interpolated from the Pq*
     * constants (ADVICE r14); PqM needs no literal — `s = (pos-1) //
     * PqSubDim` spans 0..PqM-1 by the dim = PqM·PqSubDim layout
-    * contract.
+    * contract. `qpName` names the positional-subspace source CTE —
+    * "qp" in the PQ-family queries, "pqp" when the composed
+    * ◆ `q_ann_ivfpq` oracle re-keys the IVF chain's positional rows
+    * to subspaces so BOTH trainings replay off one explode.
     */
-  private def pqRateCtesSql(sfx: String, fitPred: String): String = {
+  private def pqRateCtesSql(sfx: String, fitPred: String,
+      qpName: String = "qp"): String = {
     val ksub = graft.sources.IvfStore.PqKsub
     val iters = graft.sources.IvfStore.PqIters
     val rounds = (1 to iters).map { i =>
@@ -1236,14 +1240,14 @@ object ScaleQueries {
          |  FROM a$i$sfx a JOIN qpf$sfx qp USING (vec_id, s)
          |  GROUP BY 1, 2, 3)""".stripMargin
     }.mkString(",\n")
-    s"""qpf$sfx AS (SELECT * FROM qp WHERE $fitPred),
+    s"""qpf$sfx AS (SELECT * FROM $qpName WHERE $fitPred),
        |init$sfx AS (SELECT vec_id,
        |              CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
        |                AS cell
        |       FROM (SELECT vec_id FROM qv WHERE $fitPred
        |             ORDER BY vec_id LIMIT $ksub)),
        |cp0$sfx AS (SELECT qp.s, i.cell, qp.spos, qp.val AS cval
-       |        FROM init$sfx i JOIN qp USING (vec_id)),
+       |        FROM init$sfx i JOIN $qpName qp USING (vec_id)),
        |$rounds,
        |codes$sfx AS (
        |  SELECT vec_id, s, cell FROM (
@@ -1252,12 +1256,12 @@ object ScaleQueries {
        |                              ORDER BY SUM((qp.val - cp.cval) *
        |                                           (qp.val - cp.cval)),
        |                                       cp.cell) AS rn
-       |    FROM qp JOIN cp$iters$sfx cp USING (s, spos)
+       |    FROM $qpName qp JOIN cp$iters$sfx cp USING (s, spos)
        |    GROUP BY qp.vec_id, qp.s, cp.cell) WHERE rn = 1),
        |lut$sfx AS (
        |  SELECT qp.vec_id AS q_id, qp.s, cp.cell,
        |         SUM((qp.val - cp.cval) * (qp.val - cp.cval)) AS d2l
-       |  FROM qp JOIN cp$iters$sfx cp USING (s, spos)
+       |  FROM $qpName qp JOIN cp$iters$sfx cp USING (s, spos)
        |  WHERE qp.vec_id < 10 GROUP BY 1, 2, 3),
        |adc$sfx AS (
        |  SELECT l.q_id, c.vec_id, CAST(SUM(l.d2l) AS BIGINT) AS adc_d2
@@ -1314,6 +1318,185 @@ object ScaleQueries {
        |ORDER BY fit_every""".stripMargin
   }
 
+  /** ◆ `q_ann_ivfpq` — the COMPOSED trained-ANN serving shape (r15),
+    * FAISS `IndexIVFPQ`'s architecture with BOTH trainings under the
+    * hash gate: the query routes to its `nprobe` nearest trained IVF
+    * lists ([[graft.sources.IvfStore.trainedDet]] — the
+    * ◆ `q_ann_recall_trained` artifact), ADC-scores ONLY the probed
+    * lists' vectors against the trained PQ codes
+    * ([[graft.sources.IvfStore.trainedPq]] — the ◆ `q_pq_recall_trained`
+    * artifact), exact-reranks the 32-candidate shortlist, and audits
+    * recall@5 of both rankings vs exact integer-d² truth, reporting the
+    * per-query candidate count beside it — the compression × recall
+    * tradeoff the composed index exists to make (measured: ~25% of the
+    * corpus scored at nprobe 2 of 8 lists; reranked recall 70% at
+    * sf0.01, 50% at sf0.1 — bounded by the IVF routing's coverage,
+    * which ◆ `q_ann_recall_trained` prices separately).
+    *
+    * Scale shape: both layouts are the maintained staged tables (lists
+    * bucketed on the learned list id → the probe is a bucket-pruned
+    * scan; codes bucketed on vec_id → the ADC aggregate needs no
+    * exchange); the DetK-row coarse codebook and the query LUT
+    * broadcast; candidate restriction happens BEFORE the ADC sum, so
+    * the scored stream is |corpus|·nprobe/nlists, not |corpus|. Every
+    * step is the integer arithmetic of its parent query, so the oracle
+    * replays IVF training + PQ training + routing + ADC + rerank end
+    * to end — the two shared CTE generators composed, nothing
+    * re-stated.
+    */
+  private val annIvfPq: Q = (s, d) => {
+    import graft.sources.IvfStore
+    import graft.ops.Ck
+    val st = IvfStore.trainedDet(s, d, IvfStore.DetK, IvfStore.DetIters, 1)
+    val tp = IvfStore.trainedPq(s, d)
+    val pqM = IvfStore.PqM
+    val pqSub = IvfStore.PqSubDim
+    val qv = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        IvfStore.quantize(col("embedding").cast("array<double>")).as("q"))
+    val q0 = qv.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"))
+    // route: rank the DetK-row coarse codebook per query (broadcast by
+    // construction), keep the nprobe = 2 nearest lists
+    val probes = q0.crossJoin(broadcast(st.centroids))
+      .withColumn("d2", IvfStore.qdist2(col("qq"), col("c")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("q_id").orderBy(asc("d2"), asc("bucket"))))
+      .filter(col("pr") <= 2)
+      .select("q_id", "bucket")
+    // candidates: the probed lists' members — a bucket-pruned read of
+    // the trained layout (checkpointed: feeds the ADC restriction AND
+    // the per-query candidate count)
+    val cands = Ck(st.lists.select("vec_id", "bucket")
+      .join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id"))
+    val nCand = cands.groupBy("q_id").agg(count(lit(1)).as("n_cand"))
+    val lut = qv.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"),
+        explode(sequence(lit(0), lit(pqM - 1))).as("s"), col("q"))
+      .withColumn("qsv", expr(s"slice(q, s * $pqSub + 1, $pqSub)"))
+      .join(broadcast(tp.codebook), "s")
+      .select(col("q_id"), col("s"), col("cell"),
+        IvfStore.qdist2(col("qsv"), col("cq")).as("d2l"))
+    // ADC restricted to the candidate pairs BEFORE the sum
+    val cadc = tp.codes.join(broadcast(lut), Seq("s", "cell"))
+      .join(cands, Seq("q_id", "vec_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum("d2l").as("adc_d2"))
+    val short = cadc.withColumn("rn", row_number().over(
+      Window.partitionBy("q_id").orderBy(asc("adc_d2"), asc("vec_id"))))
+      .filter(col("rn") <= 32)
+    val x = Ck(qv
+      .join(broadcast(q0), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        IvfStore.qdist2(col("q"), col("qq")).as("d2x")))
+    def top5(cs: org.apache.spark.sql.DataFrame) = cs
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(asc("d2x"), asc("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select("q_id", "vec_id")
+    val truth = top5(x)
+    val adc5 = short.filter(col("rn") <= 5).select("q_id", "vec_id")
+    val rr5 = top5(short.join(x, Seq("q_id", "vec_id")))
+    truth
+      .join(nCand, Seq("q_id"))
+      .join(adc5.withColumn("ha", lit(1L)), Seq("q_id", "vec_id"), "left")
+      .join(rr5.withColumn("hr", lit(1L)), Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id", "n_cand")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("ha"), lit(0L))).as("hit_adc"),
+        sum(coalesce(col("hr"), lit(0L))).as("hit_rerank"))
+      .select(col("q_id"), col("n_cand"), col("n_truth"), col("hit_adc"),
+        col("hit_rerank"),
+        call_function("div", lit(10000L) * col("hit_adc"), col("n_truth"))
+          .as("recall_adc_bp"),
+        call_function("div", lit(10000L) * col("hit_rerank"), col("n_truth"))
+          .as("recall_rr_bp"))
+      .orderBy("q_id")
+  }
+
+  /** The composed oracle: [[LlmQueries.detTrainCtesSql]] (IVF training
+    * → `afin`, the full trained assignment) + the PQ generator over
+    * `pqp` — the SAME positional rows re-keyed to subspaces, so both
+    * trainings replay off one explode — + routing/candidate/ADC/rerank
+    * CTEs. The PQ generator's own serving tail (`adc_pq`/`short_pq`/…)
+    * goes unreferenced and unexecuted; the candidate-restricted `cadc`
+    * below is this query's serving path.
+    */
+  private def annIvfPqSql: String = {
+    val subDim = graft.sources.IvfStore.PqSubDim
+    val detIters = graft.sources.IvfStore.DetIters
+    s"""${LlmQueries.detTrainCtesSql("TRUE")},
+       |pqp AS (
+       |  SELECT vec_id, CAST((pos - 1) // $subDim AS INT) AS s,
+       |         CAST((pos - 1) % $subDim AS INT) AS spos, val
+       |  FROM qp),
+       |x AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id,
+       |         CAST(SUM((a.val - b.val) * (a.val - b.val)) AS BIGINT) AS d2x
+       |  FROM (SELECT * FROM qp WHERE vec_id < 10) a
+       |  JOIN qp b ON a.pos = b.pos AND b.vec_id <> a.vec_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |                              ORDER BY d2x, vec_id) AS rank
+       |    FROM x) WHERE rank <= 5),
+       |${pqRateCtesSql("_pq", "TRUE", "pqp")},
+       |pd AS (SELECT qp.vec_id AS q_id, cp.bucket,
+       |              SUM((qp.val - cp.cval) * (qp.val - cp.cval)) AS d2
+       |       FROM qp JOIN cp$detIters cp USING (pos)
+       |       WHERE qp.vec_id < 10 GROUP BY 1, 2),
+       |pr AS (SELECT q_id, bucket,
+       |              row_number() OVER (PARTITION BY q_id
+       |                                 ORDER BY d2, bucket) AS pr
+       |       FROM pd),
+       |cands AS (
+       |  SELECT p.q_id, a.vec_id
+       |  FROM pr p JOIN afin a USING (bucket)
+       |  WHERE p.pr <= 2 AND a.vec_id <> p.q_id),
+       |nc AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_cand
+       |       FROM cands GROUP BY 1),
+       |cadc AS (
+       |  SELECT l.q_id, c.vec_id, CAST(SUM(l.d2l) AS BIGINT) AS adc_d2
+       |  FROM codes_pq c
+       |  JOIN lut_pq l USING (s, cell)
+       |  JOIN cands cd ON cd.q_id = l.q_id AND cd.vec_id = c.vec_id
+       |  GROUP BY 1, 2),
+       |cshort AS (
+       |  SELECT q_id, vec_id, adc_d2,
+       |         row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY adc_d2, vec_id) AS rn
+       |  FROM cadc),
+       |cadc5 AS (SELECT q_id, vec_id FROM cshort WHERE rn <= 5),
+       |crr5 AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT s.q_id, s.vec_id,
+       |           row_number() OVER (PARTITION BY s.q_id
+       |                              ORDER BY x.d2x, s.vec_id) AS rank
+       |    FROM cshort s JOIN x ON x.q_id = s.q_id AND x.vec_id = s.vec_id
+       |    WHERE s.rn <= 32) WHERE rank <= 5)
+       |SELECT t.q_id, nc.n_cand,
+       |       CAST(count(*) AS BIGINT) AS n_truth,
+       |       CAST(SUM(CASE WHEN a5.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS hit_adc,
+       |       CAST(SUM(CASE WHEN r5.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS hit_rerank,
+       |       (10000 * CAST(SUM(CASE WHEN a5.vec_id IS NOT NULL THEN 1 ELSE 0
+       |                         END) AS BIGINT)) // CAST(count(*) AS BIGINT)
+       |         AS recall_adc_bp,
+       |       (10000 * CAST(SUM(CASE WHEN r5.vec_id IS NOT NULL THEN 1 ELSE 0
+       |                         END) AS BIGINT)) // CAST(count(*) AS BIGINT)
+       |         AS recall_rr_bp
+       |FROM truth t
+       |JOIN nc ON nc.q_id = t.q_id
+       |LEFT JOIN cadc5 a5 ON a5.q_id = t.q_id AND a5.vec_id = t.vec_id
+       |LEFT JOIN crr5 r5 ON r5.q_id = t.q_id AND r5.vec_id = t.vec_id
+       |GROUP BY t.q_id, nc.n_cand ORDER BY t.q_id""".stripMargin
+  }
+
   private val pqRecallTrainedSql: String = pqRecallTrainedSqlFor("TRUE")
   private val pqRecallSampledSql: String = pqRecallTrainedSqlFor(
     pqFitPred(graft.sources.IvfStore.SampleEvery))
@@ -1338,6 +1521,7 @@ object ScaleQueries {
     Entry("q_pq_recall_trained", pqRecallTrained, Some(pqRecallTrainedSql)),
     Entry("q_pq_recall_sampled", pqRecallSampled, Some(pqRecallSampledSql)),
     Entry("q_pq_sample_sweep", pqSampleSweep, Some(pqSampleSweepSql)),
+    Entry("q_ann_ivfpq", annIvfPq, Some(annIvfPqSql)),
     Entry("q_zorder_skip", zorderSkip, Some(zorderSkipSql)),
   )
 }

@@ -211,6 +211,35 @@ class ScaleQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_ann_ivfpq: composed routing compresses the scored set; rerank recovers; recall above floor (r15)") {
+    val n = Tables.embeddings(spark, sfDir).count()
+    val rows = SparkEntry.queries("q_ann_ivfpq")(spark, sfDir).collect()
+    assert(rows.length === 10, "10 query rows")
+    rows.foreach { r =>
+      val (nC, nT, hA, hR) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nT === 5L)
+      // the composition's reason to exist: the ADC pass scores the
+      // probed lists' members (nprobe 2 of DetK 8 ≈ a quarter of the
+      // corpus on this fixture), never everything — and never nothing
+      assert(nC > 0 && nC < n / 2,
+        s"q ${r.getLong(0)}: scored $nC of $n — not a compressed probe")
+      // exact rerank of a superset shortlist can never hit fewer truth
+      // rows than its ADC-top-5 subset
+      assert(hA <= hR, s"q ${r.getLong(0)}: adc=$hA > rerank=$hR")
+      assert(r.getLong(5) === 10000L * hA / nT)
+      assert(r.getLong(6) === 10000L * hR / nT)
+    }
+    val (sumA, sumR) = (rows.map(_.getLong(3)).sum, rows.map(_.getLong(4)).sum)
+    assert(sumR > sumA, s"rerank did not discriminate: adc=$sumA rr=$sumR")
+    // measured 0.70 at sf0.001/sf0.01 and 0.50 at sf0.1 — bounded by
+    // the 2-probe IVF coverage, which q_ann_recall_trained prices
+    // separately; 0.4 is the regression tripwire
+    assert(sumR * 10 >= rows.length * 5 * 4,
+      s"composed reranked recall@5 ${sumR.toDouble / (rows.length * 5)} " +
+        "under the 0.4 floor")
+  }
+
   test("Layout.writeZOrdered: real files carry tighter 2-D envelopes than a 1-D sort") {
     import graft.sources.Layout
     // sf0.1, not the usual sf0.001: repartitionByRange SAMPLES its

@@ -3,6 +3,29 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = openSession()
+    val (heapGB, closedOpens) = warmUp(spark, sfDir)
+    // Staged-family pre-warm (r13 verdict #4): every session-staged
+    // artifact — incl. since r15 the full-graph standing layout, whose
+    // three cuts CHAIN through the maintenance algebra inside the graph
+    // family's builder — is built HERE, outside any sample's timing,
+    // with its cost printed as its own `staged-build:` tail line.
+    // Medians then measure the steady-state serving path the staging
+    // was built to deliver, and the build cost stays visible in the
+    // artifact instead of vanishing. Skipped under SPARK_GRAFT_ONLY —
+    // local subset iteration should not pay every family's build; the
+    // first sample then absorbs it, exactly as before.
+    if (sys.env.get("SPARK_GRAFT_ONLY").isEmpty) runStagedBuilds(spark, sfDir)
+    graft.ops.Ck.drain(spark); graft.ops.Ck.sweep(spark)
+    benchBody(spark, sfDir, heapGB, closedOpens)
+  }
+
+  /** The bench protocol's SparkSession — ONE definition, shared with
+    * [[Prewarm]] (review r15 II: a copy-pasted config would silently
+    * diverge the audit tool's staged-build numbers from the bench's
+    * ledger lines the moment either gained a setting).
+    */
+  private[graft] def openSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -12,12 +35,21 @@ object Bench {
       // Graph queries read the once-written src-bucketed standing edge
       // layout (GraphStateStore) instead of rebuilding the edge list per
       // query — the 100 TB deployment shape, answer-invariance proven by
-      // GraphStateSpec, build cost paid once in the warm-up below.
+      // GraphStateSpec, build cost paid once in the warm-up.
       .config("spark.graft.graph.bucketedEdges", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.ops.Logs.quietBoundedWindowWarning()
+    spark
+  }
+
+  /** JVM fingerprint warnings + flagship/table warm-up — shared with
+    * [[Prewarm]] so its ledger lines are comparable to the bench's.
+    * Returns (heapGB, closedOpens) for the env line.
+    */
+  private[graft] def warmUp(spark: SparkSession,
+      sfDir: String): (Double, Seq[String]) = {
     // Self-adjudicating artifact (r12 verdict #1): fingerprint the JVM
     // up front — heap and module-opens are the two variables the r12
     // heap experiment measured as controlling a 43% driver-total swing
@@ -65,29 +97,7 @@ object Bench {
         if (t == "events") graft.tables.Tables.events(spark, sfDir).count()
         else graft.tables.Tables.read(spark, sfDir, t).count()
       } catch { case _: Throwable => () }
-    // The full-graph standing layout (with bucketedEdges on, EVERY
-    // graph query reads it) builds inside the graph family's staged
-    // pre-warm below — since r15 the three standing cuts CHAIN through
-    // applyGraphDelta there, so the 1/1 layout must come from the 19/20
-    // advance, not a definitional build here that the chain would then
-    // overwrite. Under SPARK_GRAFT_ONLY the first graph query absorbs
-    // the build, exactly like every other staged family.
-    // Staged-family pre-warm (r13 verdict #4): every session-staged
-    // artifact — the graph family's novel batch / signed enumeration /
-    // post-append graph / dst-staged list, the dedup discovery tables,
-    // the ML fit inputs, the LOO split, the trained IVF/PQ layouts — is
-    // built HERE, outside any sample's timing, with its cost printed as
-    // its own `staged-build:` tail line. Medians then measure the
-    // steady-state serving path the staging was built to deliver
-    // (q_incr_triangles' 22.93 s max and q_incr_ties' med 5.07 vs min
-    // 1.19 in the r13 driver round were one-time builds landing inside
-    // samples), and the build cost stays visible in the artifact
-    // instead of vanishing. Skipped under SPARK_GRAFT_ONLY — local
-    // subset iteration should not pay every family's build; the first
-    // sample then absorbs it, exactly as before.
-    if (sys.env.get("SPARK_GRAFT_ONLY").isEmpty) runStagedBuilds(spark, sfDir)
-    graft.ops.Ck.drain(spark); graft.ops.Ck.sweep(spark)
-    benchBody(spark, sfDir, heapGB, closedOpens)
+    (heapGB, closedOpens)
   }
 
   /** The staged-family pre-warm list — every session-staged artifact the

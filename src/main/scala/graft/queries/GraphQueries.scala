@@ -1122,6 +1122,10 @@ object GraphQueries {
     // This is not a bench trick, it IS the deployment: a nightly
     // refresh advances yesterday's layout; only the backfill ever
     // enumerates a full graph.
+    // the shared catalog first, under its OWN line (review r15 II):
+    // attributed to whichever cut ran first, the family's dominant
+    // one-time cost would read as that cut's growth
+    timed("firstSeenCatalog")(GraphStateStore.firstSeen(s, d))
     timed("standing8_10")(GraphStateStore.standing(s, d, 8L, 10L))
     timed("novel8_10")(novelEdgeSplit(s, d, 8L, 10L))
     timed("standing19_20")(GraphStateStore.standing(s, d, 19L, 20L))

@@ -1024,6 +1024,24 @@ object ScaleQueries {
     * from the ONE constant (review r14: two re-stated literals could
     * silently train different codebooks per engine).
     */
+  /** The 10 query vectors' integer ADC lookup table against a published
+    * PQ codebook — query-sized, rebuilt per run (a serving job receives
+    * its queries; codebook + codes are the maintained artifacts).
+    * Subspace slicing is [[graft.sources.IvfStore.pqSubspaces]], the
+    * ONE positional-layout definition (review r15 II: three hand-rolled
+    * slice copies in this file could drift from the staged codes'
+    * geometry on a Pq* constant change).
+    */
+  private def pqQueryLut(s: org.apache.spark.sql.SparkSession, d: String,
+      codebook: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    graft.sources.IvfStore.pqSubspaces(
+        Tables.embeddings(s, d).filter(col("vec_id") < 10))
+      .select(col("vec_id").as("q_id"), col("s"), col("sq"))
+      .join(broadcast(codebook), "s")
+      .select(col("q_id"), col("s"), col("cell"),
+        graft.sources.IvfStore.qdist2(col("sq"), col("cq")).as("d2l"))
+
   private val pqRecallTrained: Q = pqRecallTrainedWith(1)
   private val pqRecallSampled: Q =
     pqRecallTrainedWith(graft.sources.IvfStore.SampleEvery)
@@ -1034,24 +1052,10 @@ object ScaleQueries {
     val tp = graft.sources.IvfStore.trainedPq(s, d, fitEvery = fitEvery)
     val cent = tp.codebook
     val codes = tp.codes
-    // LUT geometry derived from the SAME constants trainedPq trains
-    // with (review r14) — a re-stated literal could silently disagree
-    // with the staged codes' subspace layout.
-    val pqM = graft.sources.IvfStore.PqM
-    val pqSub = graft.sources.IvfStore.PqSubDim
     val qv = Tables.embeddings(s, d)
       .select(col("vec_id"),
         quantize(col("embedding").cast("array<double>")).as("q"))
-    // the 10 query vectors' subspace slices — query-sized, rebuilt per
-    // run (a serving job receives its queries; only codebook + codes
-    // are the maintained artifacts)
-    val lut = qv.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"),
-        explode(sequence(lit(0), lit(pqM - 1))).as("s"), col("q"))
-      .withColumn("qsv", expr(s"slice(q, s * $pqSub + 1, $pqSub)"))
-      .join(broadcast(cent), "s")
-      .select(col("q_id"), col("s"), col("cell"),
-        qdist2(col("qsv"), col("cq")).as("d2l"))
+    val lut = pqQueryLut(s, d, cent)
     val adc = codes.join(broadcast(lut), Seq("s", "cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy("q_id", "vec_id")
@@ -1120,8 +1124,6 @@ object ScaleQueries {
   private val pqSampleSweep: Q = (s, d) => {
     import graft.sources.IvfStore.{quantize, qdist2}
     import graft.ops.Ck
-    val pqM = graft.sources.IvfStore.PqM
-    val pqSub = graft.sources.IvfStore.PqSubDim
     val qv = Tables.embeddings(s, d)
       .select(col("vec_id"),
         quantize(col("embedding").cast("array<double>")).as("q"))
@@ -1140,13 +1142,7 @@ object ScaleQueries {
     val truth = Ck(top5(x))
     val perRate = graft.sources.IvfStore.PqSweepRates.map { f =>
       val tp = graft.sources.IvfStore.trainedPq(s, d, fitEvery = f)
-      val lut = qv.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"),
-          explode(sequence(lit(0), lit(pqM - 1))).as("s"), col("q"))
-        .withColumn("qsv", expr(s"slice(q, s * $pqSub + 1, $pqSub)"))
-        .join(broadcast(tp.codebook), "s")
-        .select(col("q_id"), col("s"), col("cell"),
-          qdist2(col("qsv"), col("cq")).as("d2l"))
+      val lut = pqQueryLut(s, d, tp.codebook)
       val short = tp.codes.join(broadcast(lut), Seq("s", "cell"))
         .filter(col("vec_id") =!= col("q_id"))
         .groupBy("q_id", "vec_id")
@@ -1349,8 +1345,6 @@ object ScaleQueries {
     import graft.ops.Ck
     val st = IvfStore.trainedDet(s, d, IvfStore.DetK, IvfStore.DetIters, 1)
     val tp = IvfStore.trainedPq(s, d)
-    val pqM = IvfStore.PqM
-    val pqSub = IvfStore.PqSubDim
     val qv = Tables.embeddings(s, d)
       .select(col("vec_id"),
         IvfStore.quantize(col("embedding").cast("array<double>")).as("q"))
@@ -1372,13 +1366,7 @@ object ScaleQueries {
       .filter(col("vec_id") =!= col("q_id"))
       .select("q_id", "vec_id"))
     val nCand = cands.groupBy("q_id").agg(count(lit(1)).as("n_cand"))
-    val lut = qv.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"),
-        explode(sequence(lit(0), lit(pqM - 1))).as("s"), col("q"))
-      .withColumn("qsv", expr(s"slice(q, s * $pqSub + 1, $pqSub)"))
-      .join(broadcast(tp.codebook), "s")
-      .select(col("q_id"), col("s"), col("cell"),
-        IvfStore.qdist2(col("qsv"), col("cq")).as("d2l"))
+    val lut = pqQueryLut(s, d, tp.codebook)
     // ADC restricted to the candidate pairs BEFORE the sum
     val cadc = tp.codes.join(broadcast(lut), Seq("s", "cell"))
       .join(cands, Seq("q_id", "vec_id"))
@@ -1400,7 +1388,11 @@ object ScaleQueries {
     val adc5 = short.filter(col("rn") <= 5).select("q_id", "vec_id")
     val rr5 = top5(short.join(x, Seq("q_id", "vec_id")))
     truth
-      .join(nCand, Seq("q_id"))
+      // LEFT join (review r15 II): a query whose probed lists hold no
+      // other vectors must report n_cand = 0 / recall 0 as DATA, not
+      // silently vanish from the 10-row audit
+      .join(nCand, Seq("q_id"), "left")
+      .withColumn("n_cand", coalesce(col("n_cand"), lit(0L)))
       .join(adc5.withColumn("ha", lit(1L)), Seq("q_id", "vec_id"), "left")
       .join(rr5.withColumn("hr", lit(1L)), Seq("q_id", "vec_id"), "left")
       .groupBy("q_id", "n_cand")
@@ -1478,7 +1470,7 @@ object ScaleQueries {
        |                              ORDER BY x.d2x, s.vec_id) AS rank
        |    FROM cshort s JOIN x ON x.q_id = s.q_id AND x.vec_id = s.vec_id
        |    WHERE s.rn <= 32) WHERE rank <= 5)
-       |SELECT t.q_id, nc.n_cand,
+       |SELECT t.q_id, CAST(coalesce(nc.n_cand, 0) AS BIGINT) AS n_cand,
        |       CAST(count(*) AS BIGINT) AS n_truth,
        |       CAST(SUM(CASE WHEN a5.vec_id IS NOT NULL THEN 1 ELSE 0 END)
        |            AS BIGINT) AS hit_adc,
@@ -1491,7 +1483,7 @@ object ScaleQueries {
        |                         END) AS BIGINT)) // CAST(count(*) AS BIGINT)
        |         AS recall_rr_bp
        |FROM truth t
-       |JOIN nc ON nc.q_id = t.q_id
+       |LEFT JOIN nc ON nc.q_id = t.q_id
        |LEFT JOIN cadc5 a5 ON a5.q_id = t.q_id AND a5.vec_id = t.vec_id
        |LEFT JOIN crr5 r5 ON r5.q_id = t.q_id AND r5.vec_id = t.vec_id
        |GROUP BY t.q_id, nc.n_cand ORDER BY t.q_id""".stripMargin

@@ -270,6 +270,9 @@ object Bench {
       // r15: the composed IVF-PQ audit reads both trained layouts —
       // same discipline as its two parents
       "q_ann_ivfpq",
+      // r15: the routing-knob curve reads the trained layout four
+      // times — same discipline as the trained-recall pair
+      "q_ivf_probe_sweep",
       // r14 (the standing >3 s-in-any-driver-round rule, verdict #3):
       // the r13 driver board's five single-shot lines above 3 s —
       // q_doc_keywords 5.35, q_curate_funnel 4.84, q_rfm_segments 4.78,

@@ -1147,6 +1147,134 @@ object LlmQueries {
   private val annRecallSampledSql = annRecallTrainedSqlFor(
     s"vec_id % ${graft.sources.IvfStore.SampleEvery} = 0")
 
+  /** ◆ `q_ivf_probe_sweep` — the IVF ROUTING knob as a measured curve
+    * (r15, completing the knob-sweep pair: ◆ `q_pq_sample_sweep` prices
+    * the TRAINING fraction, this prices every SERVED query): recall@5
+    * and the scanned-candidate count at every
+    * `nprobe ∈ `[[graft.sources.IvfStore.ProbeSweepRates]] off the
+    * trained [[graft.sources.IvfStore.trainedDet]] layout, candidates
+    * ranked by EXACT integer d² within the probed lists (the probe
+    * restricts the scan; scoring inside it is exact — the pure-IVF
+    * serving mode, vs the composed ◆ `q_ann_ivfpq`'s ADC). Two
+    * THEOREMS anchor the curve where the PQ sweep could only gate
+    * measurements: candidate sets NEST in nprobe and anything closer
+    * than a global-top-5 member is itself one, so hits are provably
+    * non-decreasing; and the `DetK`-probe row scans everything, so its
+    * recall is exactly 10000 bp and its candidate count exactly
+    * |queries|·(|V|−1). Measured (sf0.01): 40/43/48/50 of 50 truth
+    * hits at nprobe 1/2/4/8 while scanning 12/24/51/100% of the corpus
+    * — the recall-vs-scan tradeoff a deployment reads to set nprobe.
+    *
+    * Scale shape: one trained-layout scan per operating point, each a
+    * broadcast join against its ≤ nprobe·|queries| probed-list pairs
+    * (bucket-keyed on the layout's own bucketing); the exact pair
+    * table is query-sized × corpus, checkpointed ONCE and shared by
+    * every rate's ranking and the truth. The oracle replays training →
+    * routing → per-rate candidate ranking → recall via the shared
+    * [[detTrainCtesSql]] chain and ONE grid-joined candidate CTE.
+    */
+  private val ivfProbeSweep: Q = (s, d) => {
+    import graft.sources.IvfStore
+    import graft.ops.Ck
+    val st = IvfStore.trainedDet(s, d,
+      IvfStore.DetK, IvfStore.DetIters, 1)
+    val qv = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        IvfStore.quantize(col("embedding").cast("array<double>")).as("q"))
+    val q0 = qv.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"))
+    val x = Ck(qv
+      .join(broadcast(q0), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        IvfStore.qdist2(col("q"), col("qq")).as("d2x")))
+    def top5(cs: org.apache.spark.sql.DataFrame) = cs
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(asc("d2x"), asc("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select("q_id", "vec_id")
+    val truth = Ck(top5(x))
+    val ranked = q0.crossJoin(broadcast(st.centroids))
+      .withColumn("d2", IvfStore.qdist2(col("qq"), col("c")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("q_id").orderBy(asc("d2"), asc("bucket"))))
+    val perProbe = IvfStore.ProbeSweepRates.map { n =>
+      val cands = st.lists.select("vec_id", "bucket")
+        .join(broadcast(ranked.filter(col("pr") <= n)
+          .select("q_id", "bucket")), Seq("bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select("q_id", "vec_id")
+      val hit5 = top5(cands.join(x, Seq("q_id", "vec_id")))
+      truth
+        .join(hit5.withColumn("h", lit(1L)), Seq("q_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("h"), lit(0L))).as("hit"))
+        .crossJoin(cands.agg(count(lit(1)).as("n_cand")))
+        .select(lit(n).as("nprobe"), col("n_cand"), col("n_truth"),
+          col("hit"),
+          call_function("div", lit(10000L) * col("hit"), col("n_truth"))
+            .as("recall_bp"))
+    }
+    perProbe.reduce(_.union(_)).orderBy("nprobe")
+  }
+
+  private def ivfProbeSweepSql: String = {
+    val detIters = graft.sources.IvfStore.DetIters
+    val rates = graft.sources.IvfStore.ProbeSweepRates
+    val hits = rates.map { n =>
+      s"""hit$n AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT c.q_id, c.vec_id,
+         |           row_number() OVER (PARTITION BY c.q_id
+         |                              ORDER BY x.d2x, c.vec_id) AS rank
+         |    FROM cands c JOIN x ON x.q_id = c.q_id AND x.vec_id = c.vec_id
+         |    WHERE c.pr_lim = $n) WHERE rank <= 5)""".stripMargin
+    }.mkString(",\n")
+    val rows = rates.map { n =>
+      s"""(SELECT CAST($n AS INT) AS nprobe,
+         |       CAST((SELECT count(*) FROM cands WHERE pr_lim = $n)
+         |            AS BIGINT) AS n_cand,
+         |       CAST(count(*) AS BIGINT) AS n_truth,
+         |       CAST(SUM(CASE WHEN h.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS hit,
+         |       (10000 * CAST(SUM(CASE WHEN h.vec_id IS NOT NULL THEN 1
+         |                         ELSE 0 END) AS BIGINT))
+         |         // CAST(count(*) AS BIGINT) AS recall_bp
+         |FROM truth t
+         |LEFT JOIN hit$n h ON h.q_id = t.q_id AND h.vec_id = t.vec_id)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""${detTrainCtesSql("TRUE")},
+       |x AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id,
+       |         CAST(SUM((a.val - b.val) * (a.val - b.val)) AS BIGINT) AS d2x
+       |  FROM (SELECT * FROM qp WHERE vec_id < 10) a
+       |  JOIN qp b ON a.pos = b.pos AND b.vec_id <> a.vec_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |                              ORDER BY d2x, vec_id) AS rank
+       |    FROM x) WHERE rank <= 5),
+       |pd AS (SELECT qp.vec_id AS q_id, cp.bucket,
+       |              SUM((qp.val - cp.cval) * (qp.val - cp.cval)) AS d2
+       |       FROM qp JOIN cp$detIters cp USING (pos)
+       |       WHERE qp.vec_id < 10 GROUP BY 1, 2),
+       |pr AS (SELECT q_id, bucket,
+       |              row_number() OVER (PARTITION BY q_id
+       |                                 ORDER BY d2, bucket) AS pr
+       |       FROM pd),
+       |grid AS (SELECT unnest([${rates.mkString(", ")}]) AS pr_lim),
+       |cands AS (
+       |  SELECT g.pr_lim, p.q_id, a.vec_id
+       |  FROM grid g
+       |  JOIN pr p ON p.pr <= g.pr_lim
+       |  JOIN afin a USING (bucket)
+       |  WHERE a.vec_id <> p.q_id),
+       |$hits
+       |$rows
+       |ORDER BY nprobe""".stripMargin
+  }
+
   /** ◆ `q_cluster_recs_trained` — the cluster-REC ranking under a
     * TRAINED codebook (r13 verdict stretch, closing the last model
     * family's serving gap): `ml_cluster_recs` is the MLlib KMeans row
@@ -4573,6 +4701,7 @@ object LlmQueries {
       Some(annRecallTrainedSql)),
     Entry("q_ann_recall_sampled", annRecallSampled,
       Some(annRecallSampledSql)),
+    Entry("q_ivf_probe_sweep", ivfProbeSweep, Some(ivfProbeSweepSql)),
     Entry("q_cluster_recs_trained", clusterRecsTrained,
       Some(clusterRecsTrainedSql)),
     Entry("q_embed_centroid", embedCentroid, Some(embedCentroidSql)),

@@ -335,6 +335,16 @@ object IvfStore {
     */
   val PqSweepRates: Seq[Int] = (Seq(1, 10, 30) :+ SampleEvery).distinct.sorted
 
+  /** The IVF ROUTING knob's operating points — ◆ `q_ivf_probe_sweep`
+    * measures recall@5 and the scanned-candidate count at every nprobe
+    * off the [[trainedDet]] layout: the other half of the ANN cost
+    * story beside [[PqSweepRates]] (fit fraction prices TRAINING,
+    * nprobe prices every SERVED QUERY). Derived sorted + distinct and
+    * anchored at [[DetK]] — the full-probe point where recall is
+    * exactly 100% by construction, the curve's built-in sanity row.
+    */
+  val ProbeSweepRates: Seq[Int] = (Seq(1, 2, 4) :+ DetK).distinct.sorted
+
   /** Per-subspace quantized slices (vec_id, s, sq) of an embedding
     * frame — the positional layout every PQ pass (Lloyd fit, corpus
     * encode, streaming append) shares.

@@ -223,6 +223,36 @@ class IvfSpec extends SparkSpec {
     deleteRecursively(root)
   }
 
+  test("q_ivf_probe_sweep: hits provably non-decreasing; the DetK-probe anchor is exact (r15)") {
+    val n = Tables.embeddings(spark, sfDir).count()
+    val rows = SparkEntry.queries("q_ivf_probe_sweep")(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSeq === IvfStore.ProbeSweepRates,
+      "sweep rows must cover ProbeSweepRates exactly, in order")
+    rows.foreach { r =>
+      assert(r.getLong(2) === 50L, s"nprobe ${r.getInt(0)}: truth = 10×5")
+      assert(r.getLong(4) === 10000L * r.getLong(3) / r.getLong(2))
+    }
+    // THEOREM gates (not just measurements): candidate sets nest in
+    // nprobe and anything closer than a global-top-5 member is itself
+    // one, so per-rate hits can never decrease...
+    val hits = rows.map(_.getLong(3))
+    assert(hits.zip(hits.tail).forall { case (a, b) => a <= b },
+      s"hits must be non-decreasing in nprobe: ${hits.toSeq}")
+    val cands = rows.map(_.getLong(1))
+    assert(cands.zip(cands.tail).forall { case (a, b) => a < b },
+      s"scanned candidates must grow with nprobe: ${cands.toSeq}")
+    // ...and the DetK-probe row scans everything: recall is exactly
+    // 100% and the candidate count exactly |queries|·(|V|−1)
+    assert(rows.last.getLong(4) === 10000L,
+      "full-probe recall must be exactly 10000 bp")
+    assert(rows.last.getLong(1) === 10L * (n - 1),
+      s"full-probe candidates must be 10·(|V|−1) = ${10 * (n - 1)}")
+    // the curve discriminates: the cheapest probe must not already be
+    // at the anchor (a degenerate routing would gate nothing)
+    assert(hits.head < hits.last,
+      s"nprobe=1 must trade recall for scan (hits ${hits.toSeq})")
+  }
+
   test("streaming PQ codes: append+serve ≡ rebuild+serve, redelivery rewrites, fold compacts (r15)") {
     import spark.implicits._
     import org.apache.spark.sql.Encoder

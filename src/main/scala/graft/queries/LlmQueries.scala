@@ -1082,18 +1082,30 @@ object LlmQueries {
        |    FROM dfin) WHERE rn = 1)""".stripMargin
   }
 
-  private def annRecallTrainedSqlFor(fitPred: String): String = {
+  /** The trained-IVF probe ranking as oracle CTEs — each query vector's
+    * integer d² to every published centroid (`pd`) and the resulting
+    * probe order (`pr`, ties → lowest bucket). ONE definition (review
+    * r15 III) shared by the trained/sampled recall audits, the routing
+    * sweep, and the composed IVF-PQ oracle: a tie-break or query-set
+    * tweak in a re-stated copy would silently route the audits to
+    * different lists.
+    */
+  private[queries] def detProbeRankCtesSql: String = {
     val iters = graft.sources.IvfStore.DetIters
-    s"""${detTrainCtesSql(fitPred)},
-       |qq AS (SELECT vec_id AS q_id, v AS qvec FROM qv WHERE vec_id < 10),
-       |pd AS (SELECT qp.vec_id AS q_id, cp.bucket,
+    s"""pd AS (SELECT qp.vec_id AS q_id, cp.bucket,
        |              SUM((qp.val - cp.cval) * (qp.val - cp.cval)) AS d2
        |       FROM qp JOIN cp$iters cp USING (pos)
        |       WHERE qp.vec_id < 10 GROUP BY 1, 2),
        |pr AS (SELECT q_id, bucket,
        |              row_number() OVER (PARTITION BY q_id
        |                                 ORDER BY d2, bucket) AS pr
-       |       FROM pd),
+       |       FROM pd)""".stripMargin
+  }
+
+  private def annRecallTrainedSqlFor(fitPred: String): String = {
+    s"""${detTrainCtesSql(fitPred)},
+       |qq AS (SELECT vec_id AS q_id, v AS qvec FROM qv WHERE vec_id < 10),
+       |$detProbeRankCtesSql,
        |truth AS (
        |  SELECT q_id, vec_id FROM (
        |    SELECT qq.q_id, e.vec_id,
@@ -1178,32 +1190,26 @@ object LlmQueries {
     import graft.ops.Ck
     val st = IvfStore.trainedDet(s, d,
       IvfStore.DetK, IvfStore.DetIters, 1)
-    val qv = Tables.embeddings(s, d)
-      .select(col("vec_id"),
-        IvfStore.quantize(col("embedding").cast("array<double>")).as("q"))
-    val q0 = qv.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("q").as("qq"))
-    val x = Ck(qv
-      .join(broadcast(q0), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        IvfStore.qdist2(col("q"), col("qq")).as("d2x")))
-    def top5(cs: org.apache.spark.sql.DataFrame) = cs
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(asc("d2x"), asc("vec_id"))))
-      .filter(col("rank") <= 5)
-      .select("q_id", "vec_id")
-    val truth = Ck(top5(x))
+    val q0 = Tables.embeddings(s, d).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"),
+        IvfStore.quantize(col("embedding").cast("array<double>")).as("qq"))
+    // the ONE exact-truth definition every recall audit shares
+    // (review r15 III), checkpointed once for all rates
+    val x = IvfStore.exactPairs(s, d)
+    val truth = Ck(IvfStore.top5Exact(x))
     val ranked = q0.crossJoin(broadcast(st.centroids))
       .withColumn("d2", IvfStore.qdist2(col("qq"), col("c")))
       .withColumn("pr", row_number().over(
         Window.partitionBy("q_id").orderBy(asc("d2"), asc("bucket"))))
     val perProbe = IvfStore.ProbeSweepRates.map { n =>
-      val cands = st.lists.select("vec_id", "bucket")
+      // checkpointed: feeds the ranking join AND the count (review
+      // r15 III — the lists would otherwise scan twice per rate)
+      val cands = Ck(st.lists.select("vec_id", "bucket")
         .join(broadcast(ranked.filter(col("pr") <= n)
           .select("q_id", "bucket")), Seq("bucket"))
         .filter(col("vec_id") =!= col("q_id"))
-        .select("q_id", "vec_id")
-      val hit5 = top5(cands.join(x, Seq("q_id", "vec_id")))
+        .select("q_id", "vec_id"))
+      val hit5 = IvfStore.top5Exact(cands.join(x, Seq("q_id", "vec_id")))
       truth
         .join(hit5.withColumn("h", lit(1L)), Seq("q_id", "vec_id"), "left")
         .agg(count(lit(1)).as("n_truth"),
@@ -1218,7 +1224,6 @@ object LlmQueries {
   }
 
   private def ivfProbeSweepSql: String = {
-    val detIters = graft.sources.IvfStore.DetIters
     val rates = graft.sources.IvfStore.ProbeSweepRates
     val hits = rates.map { n =>
       s"""hit$n AS (
@@ -1255,14 +1260,7 @@ object LlmQueries {
        |           row_number() OVER (PARTITION BY q_id
        |                              ORDER BY d2x, vec_id) AS rank
        |    FROM x) WHERE rank <= 5),
-       |pd AS (SELECT qp.vec_id AS q_id, cp.bucket,
-       |              SUM((qp.val - cp.cval) * (qp.val - cp.cval)) AS d2
-       |       FROM qp JOIN cp$detIters cp USING (pos)
-       |       WHERE qp.vec_id < 10 GROUP BY 1, 2),
-       |pr AS (SELECT q_id, bucket,
-       |              row_number() OVER (PARTITION BY q_id
-       |                                 ORDER BY d2, bucket) AS pr
-       |       FROM pd),
+       |$detProbeRankCtesSql,
        |grid AS (SELECT unnest([${rates.mkString(", ")}]) AS pr_lim),
        |cands AS (
        |  SELECT g.pr_lim, p.q_id, a.vec_id

@@ -1052,9 +1052,6 @@ object ScaleQueries {
     val tp = graft.sources.IvfStore.trainedPq(s, d, fitEvery = fitEvery)
     val cent = tp.codebook
     val codes = tp.codes
-    val qv = Tables.embeddings(s, d)
-      .select(col("vec_id"),
-        quantize(col("embedding").cast("array<double>")).as("q"))
     val lut = pqQueryLut(s, d, cent)
     val adc = codes.join(broadcast(lut), Seq("s", "cell"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -1063,17 +1060,11 @@ object ScaleQueries {
     val short = adc.withColumn("rn", row_number().over(
       Window.partitionBy("q_id").orderBy(asc("adc_d2"), asc("vec_id"))))
       .filter(col("rn") <= 32)
-    // exact integer-d² pair table: 10 broadcast queries × corpus
-    val x = Ck(qv
-      .join(broadcast(qv.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("q").as("qq"))),
-        col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), qdist2(col("q"), col("qq")).as("d2x")))
-    def top5(cands: org.apache.spark.sql.DataFrame) = cands
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(asc("d2x"), asc("vec_id"))))
-      .filter(col("rank") <= 5)
-      .select("q_id", "vec_id")
+    // the ONE exact-truth definition every recall audit shares
+    // (review r15 III)
+    val x = graft.sources.IvfStore.exactPairs(s, d)
+    def top5(cands: org.apache.spark.sql.DataFrame) =
+      graft.sources.IvfStore.top5Exact(cands)
     val truth = top5(x)
     val adc5 = short.filter(col("rn") <= 5).select("q_id", "vec_id")
     val rr5 = top5(short.join(x, Seq("q_id", "vec_id")))
@@ -1124,21 +1115,11 @@ object ScaleQueries {
   private val pqSampleSweep: Q = (s, d) => {
     import graft.sources.IvfStore.{quantize, qdist2}
     import graft.ops.Ck
-    val qv = Tables.embeddings(s, d)
-      .select(col("vec_id"),
-        quantize(col("embedding").cast("array<double>")).as("q"))
-    // rate-independent exact integer-d² pair table + truth top-5:
-    // 10 broadcast queries × corpus, materialized once for all rates
-    val x = Ck(qv
-      .join(broadcast(qv.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("q").as("qq"))),
-        col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), qdist2(col("q"), col("qq")).as("d2x")))
-    def top5(cands: org.apache.spark.sql.DataFrame) = cands
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(asc("d2x"), asc("vec_id"))))
-      .filter(col("rank") <= 5)
-      .select("q_id", "vec_id")
+    // rate-independent exact truth — the ONE shared definition
+    // (review r15 III), checkpointed once for all rates
+    val x = graft.sources.IvfStore.exactPairs(s, d)
+    def top5(cands: org.apache.spark.sql.DataFrame) =
+      graft.sources.IvfStore.top5Exact(cands)
     val truth = Ck(top5(x))
     val perRate = graft.sources.IvfStore.PqSweepRates.map { f =>
       val tp = graft.sources.IvfStore.trainedPq(s, d, fitEvery = f)
@@ -1375,15 +1356,8 @@ object ScaleQueries {
     val short = cadc.withColumn("rn", row_number().over(
       Window.partitionBy("q_id").orderBy(asc("adc_d2"), asc("vec_id"))))
       .filter(col("rn") <= 32)
-    val x = Ck(qv
-      .join(broadcast(q0), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        IvfStore.qdist2(col("q"), col("qq")).as("d2x")))
-    def top5(cs: org.apache.spark.sql.DataFrame) = cs
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(asc("d2x"), asc("vec_id"))))
-      .filter(col("rank") <= 5)
-      .select("q_id", "vec_id")
+    val x = IvfStore.exactPairs(s, d)
+    def top5(cs: org.apache.spark.sql.DataFrame) = IvfStore.top5Exact(cs)
     val truth = top5(x)
     val adc5 = short.filter(col("rn") <= 5).select("q_id", "vec_id")
     val rr5 = top5(short.join(x, Seq("q_id", "vec_id")))
@@ -1418,7 +1392,6 @@ object ScaleQueries {
     */
   private def annIvfPqSql: String = {
     val subDim = graft.sources.IvfStore.PqSubDim
-    val detIters = graft.sources.IvfStore.DetIters
     s"""${LlmQueries.detTrainCtesSql("TRUE")},
        |pqp AS (
        |  SELECT vec_id, CAST((pos - 1) // $subDim AS INT) AS s,
@@ -1437,14 +1410,7 @@ object ScaleQueries {
        |                              ORDER BY d2x, vec_id) AS rank
        |    FROM x) WHERE rank <= 5),
        |${pqRateCtesSql("_pq", "TRUE", "pqp")},
-       |pd AS (SELECT qp.vec_id AS q_id, cp.bucket,
-       |              SUM((qp.val - cp.cval) * (qp.val - cp.cval)) AS d2
-       |       FROM qp JOIN cp$detIters cp USING (pos)
-       |       WHERE qp.vec_id < 10 GROUP BY 1, 2),
-       |pr AS (SELECT q_id, bucket,
-       |              row_number() OVER (PARTITION BY q_id
-       |                                 ORDER BY d2, bucket) AS pr
-       |       FROM pd),
+       |${LlmQueries.detProbeRankCtesSql},
        |cands AS (
        |  SELECT p.q_id, a.vec_id
        |  FROM pr p JOIN afin a USING (bucket)

@@ -201,6 +201,40 @@ object IvfStore {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, x) => acc + x)
 
+  /** The exact integer-d² (query × corpus) pair table for the first
+    * `nQueries` vectors — CHECKPOINTED, columns (q_id, vec_id, d2x):
+    * THE one definition of "exact truth" every recall audit ranks
+    * against (review r15 III: three hand-maintained copies across two
+    * files could drift a tie-break or the quantization and leave
+    * supposedly comparable recall curves scoring different truths).
+    * Callers own the checkpoint (the runner's drain frees it).
+    */
+  def exactPairs(s: SparkSession, sfDir: String,
+      nQueries: Int = 10): DataFrame = {
+    val qv = graft.tables.Tables.embeddings(s, sfDir)
+      .select(col("vec_id"),
+        quantize(col("embedding").cast("array<double>")).as("q"))
+    graft.ops.Ck(qv
+      .join(broadcast(qv.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("q").as("qq"))),
+        col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        qdist2(col("q"), col("qq")).as("d2x")))
+  }
+
+  /** Top-5 per query by exact distance (ties → lowest vec_id) over any
+    * frame carrying (q_id, vec_id, d2x) — the ranking half of the
+    * [[exactPairs]] truth definition, shared by the recall audits.
+    */
+  def top5Exact(cands: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    cands
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(asc("d2x"), asc("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select("q_id", "vec_id")
+  }
+
   /** `fitEvery` is the bounded-sample knob the 100 TB deployment turns:
     * the Lloyd rounds train on the deterministic `vec_id % fitEvery = 0`
     * subset (Lloyd needs only representative density), then the FULL
@@ -343,7 +377,8 @@ object IvfStore {
     * anchored at [[DetK]] — the full-probe point where recall is
     * exactly 100% by construction, the curve's built-in sanity row.
     */
-  val ProbeSweepRates: Seq[Int] = (Seq(1, 2, 4) :+ DetK).distinct.sorted
+  val ProbeSweepRates: Seq[Int] =
+    (Seq(1, 2, 4).filter(_ < DetK) :+ DetK).distinct.sorted
 
   /** Per-subspace quantized slices (vec_id, s, sq) of an embedding
     * frame — the positional layout every PQ pass (Lloyd fit, corpus

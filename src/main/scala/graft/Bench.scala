@@ -4,7 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = openSession()
-    val (heapGB, closedOpens) = warmUp(spark, sfDir)
+    val probe = warmUp(spark, sfDir)
     // Staged-family pre-warm (r13 verdict #4): every session-staged
     // artifact — incl. since r15 the full-graph standing layout, whose
     // three cuts CHAIN through the maintenance algebra inside the graph
@@ -14,10 +14,15 @@ object Bench {
     // was built to deliver, and the build cost stays visible in the
     // artifact instead of vanishing. Skipped under SPARK_GRAFT_ONLY —
     // local subset iteration should not pay every family's build; the
-    // first sample then absorbs it, exactly as before.
+    // subset's first sample of each staged-family query then absorbs
+    // its family's WHOLE build (since r15 that includes the full-graph
+    // standing layout and standingRanks, which used to build
+    // unconditionally in warm-up — ADVICE r15: subset graph numbers
+    // are NOT comparable to full-board medians; adjudicate subset runs
+    // on their later samples, or run without SPARK_GRAFT_ONLY).
     if (sys.env.get("SPARK_GRAFT_ONLY").isEmpty) runStagedBuilds(spark, sfDir)
     graft.ops.Ck.drain(spark); graft.ops.Ck.sweep(spark)
-    benchBody(spark, sfDir, heapGB, closedOpens)
+    benchBody(spark, sfDir, probe)
   }
 
   /** The bench protocol's SparkSession — ONE definition, shared with
@@ -44,12 +49,65 @@ object Bench {
     spark
   }
 
-  /** JVM fingerprint warnings + flagship/table warm-up — shared with
-    * [[Prewarm]] so its ledger lines are comparable to the bench's.
-    * Returns (heapGB, closedOpens) for the env line.
+  /** The bench environment fingerprint, carried in the env JSON: heap,
+    * module-opens, and the two fixed-work ambient calibration readings
+    * (r15 verdict #2 — the r15 board's 53% swing was adjudicated by a
+    * builder-side A/B narrative; these put the adjudication IN the
+    * artifact).
+    */
+  private[graft] final case class EnvProbe(heapGB: Double,
+      closedOpens: Seq[String], calibCpu: Double, calibIo: Double)
+
+  /** Fixed-work single-thread CPU probe: a deterministic splitmix64-
+    * style mix chain, identical work every run, so the reading moves
+    * ONLY with the host's effective single-core speed (steal, thermal
+    * or cgroup throttling, SMT contention) — the "is 197 s the code or
+    * the box?" question decided by a number every board carries. A
+    * small untimed pass first so JIT compilation is excluded; the
+    * result feeds a side-effect guard so the loop cannot be eliminated.
+    */
+  private def calibCpuProbe(): Double = {
+    def pass(n: Int): Long = {
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < n) {
+        x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L
+        x ^= x >>> 27; x *= 0x94D049BB133111EBL
+        x ^= x >>> 31
+        i += 1
+      }
+      x
+    }
+    val warmSink = pass(2000000)
+    val t0 = System.nanoTime()
+    val sink = pass(200000000)
+    val dt = (System.nanoTime() - t0) / 1e9
+    if ((sink ^ warmSink) == 42L) System.err.print("") // consume: no DCE
+    dt
+  }
+
+  /** Fixed-work IO/scan probe: one full-column parquet aggregate over
+    * the dataset's lineitem (footer metadata already warmed by the
+    * table pass, so this times steady-state decode + scheduling — the
+    * same path every query's scans ride). Comparable across boards at
+    * the same SF, which is all driver rounds (sf0.1).
+    */
+  private def calibIoProbe(spark: SparkSession, sfDir: String): Double = {
+    import org.apache.spark.sql.functions.{col, sum}
+    val t0 = System.nanoTime()
+    try spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .agg(sum(col("l_extendedprice"))).head()
+    catch { case _: Throwable => () }
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** JVM fingerprint warnings + flagship/table warm-up + the two
+    * fixed-work calibration probes — shared with [[Prewarm]] so its
+    * ledger lines are comparable to the bench's. Returns the
+    * [[EnvProbe]] for the env line.
     */
   private[graft] def warmUp(spark: SparkSession,
-      sfDir: String): (Double, Seq[String]) = {
+      sfDir: String): EnvProbe = {
     // Self-adjudicating artifact (r12 verdict #1): fingerprint the JVM
     // up front — heap and module-opens are the two variables the r12
     // heap experiment measured as controlling a 43% driver-total swing
@@ -97,7 +155,14 @@ object Bench {
         if (t == "events") graft.tables.Tables.events(spark, sfDir).count()
         else graft.tables.Tables.read(spark, sfDir, t).count()
       } catch { case _: Throwable => () }
-    (heapGB, closedOpens)
+    // Ambient calibration AFTER the table warm-up (metadata warm, JIT
+    // warm) so both probes read steady state. Printed here AND carried
+    // in the env JSON: a slow-host board names itself at startup.
+    val calibCpu = calibCpuProbe()
+    val calibIo = calibIoProbe(spark, sfDir)
+    System.err.println(
+      f"[bench] calib: cpu=$calibCpu%.2fs io=$calibIo%.2fs")
+    EnvProbe(heapGB, closedOpens, calibCpu, calibIo)
   }
 
   /** The staged-family pre-warm list — every session-staged artifact the
@@ -121,6 +186,18 @@ object Bench {
         // transform/evaluate/recommendForUserSubset serving.
         "ml.alsFit" ->
           (() => { graft.queries.MLQueries.alsFits(spark, sfDir); () }),
+        // r16 (verdict #1): the three remaining in-sample MLlib fits —
+        // the parts-KMeans pipeline (ml_kmeans_clusters), the k=8
+        // embeddings KMeans (ml_cluster_recs, the r15 board's worst
+        // code-attributable line), and the TF-IDF pipeline
+        // (ml_tfidf_similar) — join the alsFits fit→save→load staging;
+        // their queries serve the LOADED models.
+        "ml.kmPartsFit" ->
+          (() => { graft.queries.MLQueries.kmPartsFit(spark, sfDir); () }),
+        "ml.kmEmbedFit" ->
+          (() => { graft.queries.MLQueries.kmEmbedFit(spark, sfDir); () }),
+        "ml.tfidfFit" ->
+          (() => { graft.queries.MLQueries.tfidfFit(spark, sfDir); () }),
         "ml.pqMllib" ->
           (() => { graft.queries.ScaleQueries.pqMllibCodebook(spark, sfDir); () }),
         "rec.loo" ->
@@ -167,7 +244,8 @@ object Bench {
   }
 
   private def benchBody(spark: SparkSession, sfDir: String,
-      heapGB: Double, closedOpens: Seq[String]): Unit = {
+      probe: EnvProbe): Unit = {
+    val EnvProbe(heapGB, closedOpens, calibCpu, calibIo) = probe
     // Optional SPARK_GRAFT_ONLY subset for local iteration; unknown names
     // fail loudly (SparkEntry.selectedQueries) instead of silently
     // shrinking the run.
@@ -270,6 +348,9 @@ object Bench {
       // r15: the composed IVF-PQ audit reads both trained layouts —
       // same discipline as its two parents
       "q_ann_ivfpq",
+      // r16: the composed grid reads the trained-IVF layout and all
+      // four staged PQ layouts (16 serving cells) — same discipline
+      "q_ivfpq_grid",
       // r15: the routing-knob curve reads the trained layout four
       // times — same discipline as the trained-recall pair
       "q_ivf_probe_sweep",
@@ -298,7 +379,19 @@ object Bench {
       // untouched files included, cpuSec near-flat) — the median set is
       // exactly where noise-vs-real gets adjudicated next round.
       "q_weighted_quantile", "q_join_dedup_dim", "q_resample_ffill",
-      "q_top_paths")
+      "q_top_paths",
+      // r16 (verdict #3): the r15 DRIVER board's five >1.5× regressed
+      // lines carried no spread entries — the relative clause had been
+      // applied only to the builder's closing boards, leaving exactly
+      // the driver-round blind spot it was written to close. All five
+      // live in files r15 never touched (Warehouse/StreamingQueries/
+      // Stats/LlmQueries) amid the board-wide ambient elevation;
+      // their (min, med, max) adjudicates noise vs real next round:
+      // q_incr_join 1.17→3.53, q_table_diff 1.31→3.26, q_set_ops
+      // →2.90, q_session_window 0.71→2.65, q_tokenizer_fertility
+      // 0.57→2.66.
+      "q_incr_join", "q_table_diff", "q_set_ops", "q_session_window",
+      "q_tokenizer_fertility")
     val spreads = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double)]
     // Leak loudness (r10 lesson): every query's tracked checkpoints are
     // drained after its timed count, and sweep() evicts anything else
@@ -352,6 +445,7 @@ object Bench {
     System.err.println(f"[bench] env: heap=$heapGB%.1fg opens=" +
       (if (closedOpens.isEmpty) "ok" else s"MISSING(${closedOpens.size})") +
       f" gc=$gcSec%.1fs/${gcN1 - gcN0} cpu=$cpuSec%.0fs" +
+      f" calibCpu=$calibCpu%.2fs calibIo=$calibIo%.2fs" +
       f" pinned=$pinMB%.1fMB/$pinBlocks blocks" +
       // per-owner MB breakdown; omit entirely when nothing is pinned
       // (a subset run would otherwise print a stray " (MB)") and keep
@@ -377,12 +471,17 @@ object Bench {
     // The machine-readable environment fingerprint, carried in BOTH the
     // driver-captured JSON line and the spread-file header: heap GiB,
     // module-opens state ("ok" or the missing packages), GC pause
-    // seconds + collections over the timed window, pinned MB + blocks.
+    // seconds + collections over the timed window, the two fixed-work
+    // ambient calibration probes (r16: a board's slow-host question is
+    // decided by the artifact — same-code boards with calibCpu apart
+    // by >20% are different boxes, not different code), pinned MB +
+    // blocks.
     val envJson = "{\"heapGB\":" + fmt(heapGB, 1) + ",\"opens\":\"" +
       (if (closedOpens.isEmpty) "ok"
        else "MISSING:" + closedOpens.map(_.split("/").last).mkString("+")) +
       "\",\"gcSec\":" + fmt(gcSec, 1) + ",\"gcN\":" + (gcN1 - gcN0) +
       ",\"cpuSec\":" + fmt(cpuSec, 0) +
+      ",\"calibCpu\":" + fmt(calibCpu, 2) + ",\"calibIo\":" + fmt(calibIo, 2) +
       ",\"pinMB\":" + fmt(pinMB, 1) + ",\"pinBlocks\":" + pinBlocks + "}"
     def line(shown: Int): String = {
       val head = bySlowest.take(shown)

@@ -976,7 +976,7 @@ object LlmQueries {
     val st = graft.sources.IvfStore.trainedDet(s, d,
       graft.sources.IvfStore.DetK, graft.sources.IvfStore.DetIters, fitEvery)
     val lists = st.lists
-    val q0 = lists.filter(col("vec_id") < 10)
+    val q0 = lists.filter(col("vec_id") < graft.sources.IvfStore.NQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("q").as("qq"))
     def top5(cands: org.apache.spark.sql.DataFrame) = cands
@@ -1082,6 +1082,29 @@ object LlmQueries {
        |    FROM dfin) WHERE rn = 1)""".stripMargin
   }
 
+  /** The exact integer-d² pair table `x` + truth top-5 as oracle CTEs
+    * over the positional rows `qp` — [[graft.sources.IvfStore.exactPairs]]
+    * / `top5Exact`'s SQL twin, ONE definition (r16, extending the review
+    * r15 III shared-truth discipline to the SQL side: the routing sweep,
+    * the composed IVF-PQ oracle, and the IVF-PQ grid each re-stated this
+    * pair). Query set = the shared `NQueries` constant.
+    */
+  private[queries] def exactTruthCtesSql: String = {
+    val nq = graft.sources.IvfStore.NQueries
+    s"""x AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id,
+       |         CAST(SUM((a.val - b.val) * (a.val - b.val)) AS BIGINT) AS d2x
+       |  FROM (SELECT * FROM qp WHERE vec_id < $nq) a
+       |  JOIN qp b ON a.pos = b.pos AND b.vec_id <> a.vec_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |                              ORDER BY d2x, vec_id) AS rank
+       |    FROM x) WHERE rank <= 5)""".stripMargin
+  }
+
   /** The trained-IVF probe ranking as oracle CTEs — each query vector's
     * integer d² to every published centroid (`pd`) and the resulting
     * probe order (`pr`, ties → lowest bucket). ONE definition (review
@@ -1092,10 +1115,11 @@ object LlmQueries {
     */
   private[queries] def detProbeRankCtesSql: String = {
     val iters = graft.sources.IvfStore.DetIters
+    val nq = graft.sources.IvfStore.NQueries
     s"""pd AS (SELECT qp.vec_id AS q_id, cp.bucket,
        |              SUM((qp.val - cp.cval) * (qp.val - cp.cval)) AS d2
        |       FROM qp JOIN cp$iters cp USING (pos)
-       |       WHERE qp.vec_id < 10 GROUP BY 1, 2),
+       |       WHERE qp.vec_id < $nq GROUP BY 1, 2),
        |pr AS (SELECT q_id, bucket,
        |              row_number() OVER (PARTITION BY q_id
        |                                 ORDER BY d2, bucket) AS pr
@@ -1103,8 +1127,9 @@ object LlmQueries {
   }
 
   private def annRecallTrainedSqlFor(fitPred: String): String = {
+    val nq = graft.sources.IvfStore.NQueries
     s"""${detTrainCtesSql(fitPred)},
-       |qq AS (SELECT vec_id AS q_id, v AS qvec FROM qv WHERE vec_id < 10),
+       |qq AS (SELECT vec_id AS q_id, v AS qvec FROM qv WHERE vec_id < $nq),
        |$detProbeRankCtesSql,
        |truth AS (
        |  SELECT q_id, vec_id FROM (
@@ -1190,7 +1215,8 @@ object LlmQueries {
     import graft.ops.Ck
     val st = IvfStore.trainedDet(s, d,
       IvfStore.DetK, IvfStore.DetIters, 1)
-    val q0 = Tables.embeddings(s, d).filter(col("vec_id") < 10)
+    val q0 = Tables.embeddings(s, d)
+      .filter(col("vec_id") < IvfStore.NQueries)
       .select(col("vec_id").as("q_id"),
         IvfStore.quantize(col("embedding").cast("array<double>")).as("qq"))
     // the ONE exact-truth definition every recall audit shares
@@ -1248,18 +1274,7 @@ object LlmQueries {
          |LEFT JOIN hit$n h ON h.q_id = t.q_id AND h.vec_id = t.vec_id)""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""${detTrainCtesSql("TRUE")},
-       |x AS (
-       |  SELECT a.vec_id AS q_id, b.vec_id,
-       |         CAST(SUM((a.val - b.val) * (a.val - b.val)) AS BIGINT) AS d2x
-       |  FROM (SELECT * FROM qp WHERE vec_id < 10) a
-       |  JOIN qp b ON a.pos = b.pos AND b.vec_id <> a.vec_id
-       |  GROUP BY 1, 2),
-       |truth AS (
-       |  SELECT q_id, vec_id FROM (
-       |    SELECT q_id, vec_id,
-       |           row_number() OVER (PARTITION BY q_id
-       |                              ORDER BY d2x, vec_id) AS rank
-       |    FROM x) WHERE rank <= 5),
+       |$exactTruthCtesSql,
        |$detProbeRankCtesSql,
        |grid AS (SELECT unnest([${rates.mkString(", ")}]) AS pr_lim),
        |cands AS (

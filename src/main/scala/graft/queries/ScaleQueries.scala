@@ -1036,7 +1036,8 @@ object ScaleQueries {
       codebook: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     graft.sources.IvfStore.pqSubspaces(
-        Tables.embeddings(s, d).filter(col("vec_id") < 10))
+        Tables.embeddings(s, d)
+          .filter(col("vec_id") < graft.sources.IvfStore.NQueries))
       .select(col("vec_id").as("q_id"), col("s"), col("sq"))
       .join(broadcast(codebook), "s")
       .select(col("q_id"), col("s"), col("cell"),
@@ -1157,6 +1158,7 @@ object ScaleQueries {
     */
   private def pqProloguesSql: String = {
     val subDim = graft.sources.IvfStore.PqSubDim
+    val nq = graft.sources.IvfStore.NQueries
     s"""qv AS (
        |  SELECT vec_id,
        |         list_transform(CAST(embedding AS DOUBLE[]),
@@ -1170,7 +1172,7 @@ object ScaleQueries {
        |x AS (
        |  SELECT a.vec_id AS q_id, b.vec_id,
        |         CAST(SUM((a.val - b.val) * (a.val - b.val)) AS BIGINT) AS d2x
-       |  FROM (SELECT * FROM qp WHERE vec_id < 10) a
+       |  FROM (SELECT * FROM qp WHERE vec_id < $nq) a
        |  JOIN qp b ON a.s = b.s AND a.spos = b.spos AND b.vec_id <> a.vec_id
        |  GROUP BY 1, 2),
        |truth AS (
@@ -1199,6 +1201,7 @@ object ScaleQueries {
       qpName: String = "qp"): String = {
     val ksub = graft.sources.IvfStore.PqKsub
     val iters = graft.sources.IvfStore.PqIters
+    val nq = graft.sources.IvfStore.NQueries
     val rounds = (1 to iters).map { i =>
       s"""d$i$sfx AS (
          |  SELECT qp.vec_id, qp.s, cp.cell,
@@ -1239,7 +1242,7 @@ object ScaleQueries {
        |  SELECT qp.vec_id AS q_id, qp.s, cp.cell,
        |         SUM((qp.val - cp.cval) * (qp.val - cp.cval)) AS d2l
        |  FROM $qpName qp JOIN cp$iters$sfx cp USING (s, spos)
-       |  WHERE qp.vec_id < 10 GROUP BY 1, 2, 3),
+       |  WHERE qp.vec_id < $nq GROUP BY 1, 2, 3),
        |adc$sfx AS (
        |  SELECT l.q_id, c.vec_id, CAST(SUM(l.d2l) AS BIGINT) AS adc_d2
        |  FROM codes$sfx c JOIN lut$sfx l USING (s, cell)
@@ -1321,41 +1324,63 @@ object ScaleQueries {
     * to end — the two shared CTE generators composed, nothing
     * re-stated.
     */
+  /** The composed index's ROUTING step — rank the DetK-row coarse
+    * codebook per query (broadcast by construction), keep the `nprobe`
+    * nearest lists, and read their members off the bucket-pruned
+    * trained layout: the (q_id, vec_id) candidate pairs. ONE definition
+    * (r16) shared by ◆ `q_ann_ivfpq` and every ◆ `q_ivfpq_grid` cell,
+    * so the two queries' routing cannot drift. Caller checkpoints (the
+    * result feeds both the ADC restriction and the candidate counts).
+    */
+  private def ivfRouteCands(s: org.apache.spark.sql.SparkSession,
+      d: String, st: graft.sources.IvfStore.TrainedDet,
+      nprobe: Int): org.apache.spark.sql.DataFrame = {
+    import graft.sources.IvfStore
+    val q0 = Tables.embeddings(s, d)
+      .filter(col("vec_id") < IvfStore.NQueries)
+      .select(col("vec_id").as("q_id"),
+        IvfStore.quantize(col("embedding").cast("array<double>")).as("qq"))
+    val probes = q0.crossJoin(broadcast(st.centroids))
+      .withColumn("d2", IvfStore.qdist2(col("qq"), col("c")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("q_id").orderBy(asc("d2"), asc("bucket"))))
+      .filter(col("pr") <= nprobe)
+      .select("q_id", "bucket")
+    st.lists.select("vec_id", "bucket")
+      .join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id")
+  }
+
+  /** Candidate-restricted ADC → 32-shortlist, the composed index's
+    * serving core (restriction BEFORE the sum — the scored stream is
+    * |corpus|·nprobe/nlists, not |corpus|); shared by ◆ `q_ann_ivfpq`
+    * and every grid cell. Keeps the `rn` column (callers slice adc5
+    * from it).
+    */
+  private def composedShortlist(codes: org.apache.spark.sql.DataFrame,
+      lut: org.apache.spark.sql.DataFrame,
+      cands: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    codes.join(broadcast(lut), Seq("s", "cell"))
+      .join(cands, Seq("q_id", "vec_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum("d2l").as("adc_d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(asc("adc_d2"), asc("vec_id"))))
+      .filter(col("rn") <= 32)
+
   private val annIvfPq: Q = (s, d) => {
     import graft.sources.IvfStore
     import graft.ops.Ck
     val st = IvfStore.trainedDet(s, d, IvfStore.DetK, IvfStore.DetIters, 1)
     val tp = IvfStore.trainedPq(s, d)
-    val qv = Tables.embeddings(s, d)
-      .select(col("vec_id"),
-        IvfStore.quantize(col("embedding").cast("array<double>")).as("q"))
-    val q0 = qv.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("q").as("qq"))
-    // route: rank the DetK-row coarse codebook per query (broadcast by
-    // construction), keep the nprobe = 2 nearest lists
-    val probes = q0.crossJoin(broadcast(st.centroids))
-      .withColumn("d2", IvfStore.qdist2(col("qq"), col("c")))
-      .withColumn("pr", row_number().over(
-        Window.partitionBy("q_id").orderBy(asc("d2"), asc("bucket"))))
-      .filter(col("pr") <= 2)
-      .select("q_id", "bucket")
-    // candidates: the probed lists' members — a bucket-pruned read of
-    // the trained layout (checkpointed: feeds the ADC restriction AND
-    // the per-query candidate count)
-    val cands = Ck(st.lists.select("vec_id", "bucket")
-      .join(broadcast(probes), Seq("bucket"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select("q_id", "vec_id"))
+    // candidates: checkpointed — feeds the ADC restriction AND the
+    // per-query candidate count
+    val cands = Ck(ivfRouteCands(s, d, st, IvfStore.ComposedNProbe))
     val nCand = cands.groupBy("q_id").agg(count(lit(1)).as("n_cand"))
-    val lut = pqQueryLut(s, d, tp.codebook)
-    // ADC restricted to the candidate pairs BEFORE the sum
-    val cadc = tp.codes.join(broadcast(lut), Seq("s", "cell"))
-      .join(cands, Seq("q_id", "vec_id"))
-      .groupBy("q_id", "vec_id")
-      .agg(sum("d2l").as("adc_d2"))
-    val short = cadc.withColumn("rn", row_number().over(
-      Window.partitionBy("q_id").orderBy(asc("adc_d2"), asc("vec_id"))))
-      .filter(col("rn") <= 32)
+    val short = composedShortlist(tp.codes,
+      pqQueryLut(s, d, tp.codebook), cands)
     val x = IvfStore.exactPairs(s, d)
     def top5(cs: org.apache.spark.sql.DataFrame) = IvfStore.top5Exact(cs)
     val truth = top5(x)
@@ -1382,60 +1407,84 @@ object ScaleQueries {
       .orderBy("q_id")
   }
 
-  /** The composed oracle: [[LlmQueries.detTrainCtesSql]] (IVF training
-    * → `afin`, the full trained assignment) + the PQ generator over
-    * `pqp` — the SAME positional rows re-keyed to subspaces, so both
-    * trainings replay off one explode — + routing/candidate/ADC/rerank
-    * CTEs. The PQ generator's own serving tail (`adc_pq`/`short_pq`/…)
-    * goes unreferenced and unexecuted; the candidate-restricted `cadc`
-    * below is this query's serving path.
+  /** The positional rows re-keyed to PQ subspaces — `pqp`, the bridge
+    * between [[LlmQueries.detTrainCtesSql]]'s `qp` explode and the PQ
+    * generator, so BOTH trainings replay off one explode. Shared by
+    * the composed oracle and the grid (r16).
     */
-  private def annIvfPqSql: String = {
+  private def pqpCteSql: String = {
     val subDim = graft.sources.IvfStore.PqSubDim
-    s"""${LlmQueries.detTrainCtesSql("TRUE")},
-       |pqp AS (
+    s"""pqp AS (
        |  SELECT vec_id, CAST((pos - 1) // $subDim AS INT) AS s,
        |         CAST((pos - 1) % $subDim AS INT) AS spos, val
-       |  FROM qp),
-       |x AS (
-       |  SELECT a.vec_id AS q_id, b.vec_id,
-       |         CAST(SUM((a.val - b.val) * (a.val - b.val)) AS BIGINT) AS d2x
-       |  FROM (SELECT * FROM qp WHERE vec_id < 10) a
-       |  JOIN qp b ON a.pos = b.pos AND b.vec_id <> a.vec_id
-       |  GROUP BY 1, 2),
-       |truth AS (
-       |  SELECT q_id, vec_id FROM (
-       |    SELECT q_id, vec_id,
-       |           row_number() OVER (PARTITION BY q_id
-       |                              ORDER BY d2x, vec_id) AS rank
-       |    FROM x) WHERE rank <= 5),
-       |${pqRateCtesSql("_pq", "TRUE", "pqp")},
-       |${LlmQueries.detProbeRankCtesSql},
-       |cands AS (
-       |  SELECT p.q_id, a.vec_id
-       |  FROM pr p JOIN afin a USING (bucket)
-       |  WHERE p.pr <= 2 AND a.vec_id <> p.q_id),
-       |nc AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_cand
-       |       FROM cands GROUP BY 1),
-       |cadc AS (
+       |  FROM qp)""".stripMargin
+  }
+
+  /** The composed index's routing candidates over a probe GRID —
+    * `gcands (pr_lim, q_id, vec_id)` is every probe count's candidate
+    * set in one grid-joined CTE (the ◆ `q_ivf_probe_sweep` shape),
+    * shared by ◆ `q_ann_ivfpq` (a one-point grid) and ◆ `q_ivfpq_grid`
+    * so the two oracles' routing text is ONE definition.
+    */
+  private def composedCandsCtesSql(probes: Seq[Int]): String =
+    s"""grid AS (SELECT unnest([${probes.mkString(", ")}]) AS pr_lim),
+       |gcands AS (
+       |  SELECT g.pr_lim, p.q_id, a.vec_id
+       |  FROM grid g
+       |  JOIN pr p ON p.pr <= g.pr_lim
+       |  JOIN afin a USING (bucket)
+       |  WHERE a.vec_id <> p.q_id)""".stripMargin
+
+  /** One composed serving cell: candidate-restricted ADC at probe
+    * count `prLim` against rate chain `rateSfx`'s codes/LUT →
+    * 32-shortlist → adc5/rr5, every CTE suffixed `sfx` so
+    * [[pqHitColumnsSql]] reads the cell's hits verbatim. ONE
+    * definition of the composed serving text for the single-point and
+    * grid oracles (r16).
+    */
+  private def composedCellCtesSql(sfx: String, prLim: Int,
+      rateSfx: String): String =
+    s"""adc$sfx AS (
        |  SELECT l.q_id, c.vec_id, CAST(SUM(l.d2l) AS BIGINT) AS adc_d2
-       |  FROM codes_pq c
-       |  JOIN lut_pq l USING (s, cell)
-       |  JOIN cands cd ON cd.q_id = l.q_id AND cd.vec_id = c.vec_id
+       |  FROM codes$rateSfx c
+       |  JOIN lut$rateSfx l USING (s, cell)
+       |  JOIN gcands cd ON cd.pr_lim = $prLim AND cd.q_id = l.q_id
+       |                AND cd.vec_id = c.vec_id
        |  GROUP BY 1, 2),
-       |cshort AS (
+       |short$sfx AS (
        |  SELECT q_id, vec_id, adc_d2,
        |         row_number() OVER (PARTITION BY q_id
        |                            ORDER BY adc_d2, vec_id) AS rn
-       |  FROM cadc),
-       |cadc5 AS (SELECT q_id, vec_id FROM cshort WHERE rn <= 5),
-       |crr5 AS (
+       |  FROM adc$sfx),
+       |adc5$sfx AS (SELECT q_id, vec_id FROM short$sfx WHERE rn <= 5),
+       |rr5$sfx AS (
        |  SELECT q_id, vec_id FROM (
        |    SELECT s.q_id, s.vec_id,
        |           row_number() OVER (PARTITION BY s.q_id
        |                              ORDER BY x.d2x, s.vec_id) AS rank
-       |    FROM cshort s JOIN x ON x.q_id = s.q_id AND x.vec_id = s.vec_id
-       |    WHERE s.rn <= 32) WHERE rank <= 5)
+       |    FROM short$sfx s JOIN x ON x.q_id = s.q_id AND x.vec_id = s.vec_id
+       |    WHERE s.rn <= 32) WHERE rank <= 5)""".stripMargin
+
+  /** The composed oracle: [[LlmQueries.detTrainCtesSql]] (IVF training
+    * → `afin`, the full trained assignment) + the PQ generator over
+    * `pqp` — the SAME positional rows re-keyed to subspaces, so both
+    * trainings replay off one explode — + the shared routing/cell
+    * generators at the one-point grid ([[graft.sources.IvfStore
+    * .ComposedNProbe]], rate 1). The PQ generator's own serving tail
+    * (`adc_pq`/`short_pq`/…) goes unreferenced and unexecuted; the
+    * candidate-restricted cell is this query's serving path.
+    */
+  private def annIvfPqSql: String = {
+    val np = graft.sources.IvfStore.ComposedNProbe
+    s"""${LlmQueries.detTrainCtesSql("TRUE")},
+       |$pqpCteSql,
+       |${LlmQueries.exactTruthCtesSql},
+       |${pqRateCtesSql("_pq", "TRUE", "pqp")},
+       |${LlmQueries.detProbeRankCtesSql},
+       |${composedCandsCtesSql(Seq(np))},
+       |nc AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_cand
+       |       FROM gcands WHERE pr_lim = $np GROUP BY 1),
+       |${composedCellCtesSql("_c", np, "_pq")}
        |SELECT t.q_id, CAST(coalesce(nc.n_cand, 0) AS BIGINT) AS n_cand,
        |       CAST(count(*) AS BIGINT) AS n_truth,
        |       CAST(SUM(CASE WHEN a5.vec_id IS NOT NULL THEN 1 ELSE 0 END)
@@ -1450,9 +1499,101 @@ object ScaleQueries {
        |         AS recall_rr_bp
        |FROM truth t
        |LEFT JOIN nc ON nc.q_id = t.q_id
-       |LEFT JOIN cadc5 a5 ON a5.q_id = t.q_id AND a5.vec_id = t.vec_id
-       |LEFT JOIN crr5 r5 ON r5.q_id = t.q_id AND r5.vec_id = t.vec_id
+       |LEFT JOIN adc5_c a5 ON a5.q_id = t.q_id AND a5.vec_id = t.vec_id
+       |LEFT JOIN rr5_c r5 ON r5.q_id = t.q_id AND r5.vec_id = t.vec_id
        |GROUP BY t.q_id, nc.n_cand ORDER BY t.q_id""".stripMargin
+  }
+
+  /** ◆ `q_ivfpq_grid` — the composed IndexIVFPQ at EVERY
+    * (nprobe, fitEvery) grid point (r15 verdict stretch): the two
+    * measured knobs — routing breadth ([[graft.sources.IvfStore
+    * .ProbeSweepRates]], priced per served query) and training
+    * fraction ([[graft.sources.IvfStore.PqSweepRates]], priced per
+    * refresh) — composed over the already-staged layouts into the full
+    * compression × routing × recall tradeoff surface under one hash
+    * gate. One row per grid point: total candidates scanned, recall@5
+    * of the raw ADC ranking and of the exact-reranked 32-shortlist.
+    *
+    * Scale shape: nothing new is staged — routing reads the ONE
+    * trained-IVF layout, each row's ADC reads its rate's staged PQ
+    * codes (vec_id-bucketed, exchange-free aggregate), the exact-truth
+    * pair table and truth top-5 are checkpointed once and shared by
+    * all 16 cells, and each probe count's candidate set is
+    * checkpointed once and shared by its 4 rates. THEOREMS (IvfSpec):
+    * candidate sets nest, so n_cand is non-decreasing in nprobe and
+    * rate-independent; the full-probe (DetK) candidates are ALL pairs,
+    * so its rows' hits EQUAL ◆ `q_pq_sample_sweep`'s unrestricted rows
+    * rate for rate; truth members in the shortlist always survive the
+    * exact rerank (at most 4 closer vectors exist), so
+    * hit_rerank ≥ hit_adc per cell; and the
+    * ([[graft.sources.IvfStore.ComposedNProbe]], 1) cell aggregates
+    * exactly ◆ `q_ann_ivfpq`'s per-query rows.
+    */
+  private val ivfPqGrid: Q = (s, d) => {
+    import graft.sources.IvfStore
+    import graft.ops.Ck
+    val st = IvfStore.trainedDet(s, d, IvfStore.DetK, IvfStore.DetIters, 1)
+    val x = IvfStore.exactPairs(s, d)
+    val truth = Ck(IvfStore.top5Exact(x))
+    val rows = IvfStore.ProbeSweepRates.flatMap { n =>
+      // checkpointed once per probe count, shared by its 4 rate cells
+      val cands = Ck(ivfRouteCands(s, d, st, n))
+      val nCand = cands.agg(count(lit(1)).as("n_cand"))
+      IvfStore.PqSweepRates.map { f =>
+        val tp = IvfStore.trainedPq(s, d, fitEvery = f)
+        val short = composedShortlist(tp.codes,
+          pqQueryLut(s, d, tp.codebook), cands)
+        val adc5 = short.filter(col("rn") <= 5).select("q_id", "vec_id")
+        val rr5 = IvfStore.top5Exact(short.join(x, Seq("q_id", "vec_id")))
+        truth
+          .join(adc5.withColumn("ha", lit(1L)), Seq("q_id", "vec_id"), "left")
+          .join(rr5.withColumn("hr", lit(1L)), Seq("q_id", "vec_id"), "left")
+          .agg(count(lit(1)).as("n_truth"),
+            sum(coalesce(col("ha"), lit(0L))).as("hit_adc"),
+            sum(coalesce(col("hr"), lit(0L))).as("hit_rerank"))
+          .crossJoin(nCand)
+          .select(lit(n).as("nprobe"), lit(f).as("fit_every"),
+            col("n_cand"), col("n_truth"), col("hit_adc"),
+            col("hit_rerank"),
+            call_function("div", lit(10000L) * col("hit_adc"),
+              col("n_truth")).as("recall_adc_bp"),
+            call_function("div", lit(10000L) * col("hit_rerank"),
+              col("n_truth")).as("recall_rr_bp"))
+      }
+    }
+    rows.reduce(_.union(_)).orderBy("nprobe", "fit_every")
+  }
+
+  /** The grid oracle: ONE training prologue (IVF chain + `pqp` bridge +
+    * shared exact truth), the four rate chains through the suffix-
+    * parameterized PQ generator, the shared probe ranking, ONE
+    * grid-joined candidate CTE, then a [[composedCellCtesSql]] +
+    * [[pqHitColumnsSql]] assembly per (nprobe, rate) — nothing
+    * re-stated against ◆ `q_ann_ivfpq` / ◆ `q_pq_sample_sweep`, whose
+    * generators these are.
+    */
+  private def ivfPqGridSql: String = {
+    val probes = graft.sources.IvfStore.ProbeSweepRates
+    val rates = graft.sources.IvfStore.PqSweepRates
+    val rateCtes = rates.map(r =>
+      pqRateCtesSql(s"_r$r", pqFitPred(r), "pqp")).mkString(",\n")
+    val cells = (for { n <- probes; r <- rates } yield
+      composedCellCtesSql(s"_g${n}x$r", n, s"_r$r")).mkString(",\n")
+    val rows = (for { n <- probes; r <- rates } yield
+      s"""(SELECT CAST($n AS INT) AS nprobe, CAST($r AS INT) AS fit_every,
+         |       CAST((SELECT count(*) FROM gcands WHERE pr_lim = $n)
+         |            AS BIGINT) AS n_cand,
+         |       ${pqHitColumnsSql(s"_g${n}x$r")})""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""${LlmQueries.detTrainCtesSql("TRUE")},
+       |$pqpCteSql,
+       |${LlmQueries.exactTruthCtesSql},
+       |$rateCtes,
+       |${LlmQueries.detProbeRankCtesSql},
+       |${composedCandsCtesSql(probes)},
+       |$cells
+       |$rows
+       |ORDER BY nprobe, fit_every""".stripMargin
   }
 
   private val pqRecallTrainedSql: String = pqRecallTrainedSqlFor("TRUE")
@@ -1480,6 +1621,7 @@ object ScaleQueries {
     Entry("q_pq_recall_sampled", pqRecallSampled, Some(pqRecallSampledSql)),
     Entry("q_pq_sample_sweep", pqSampleSweep, Some(pqSampleSweepSql)),
     Entry("q_ann_ivfpq", annIvfPq, Some(annIvfPqSql)),
+    Entry("q_ivfpq_grid", ivfPqGrid, Some(ivfPqGridSql)),
     Entry("q_zorder_skip", zorderSkip, Some(zorderSkipSql)),
   )
 }

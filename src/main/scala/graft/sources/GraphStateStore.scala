@@ -154,6 +154,17 @@ object GraphStateStore {
   /** The NOVEL canonical edges a cut's delta baskets introduce:
     * `first_ok > cut` — definitionally disjoint from the standing set
     * (the [[applyGraphDelta]] contract) with no anti-join at all.
+    *
+    * SCOPE (ADVICE r15): catalog-derived novelty is only valid against
+    * CATALOG-DERIVED standings. A standing layout advanced with
+    * out-of-catalog edges (the [[StreamingGraphMaintenance]] path,
+    * whose observed pairs need not be lineitem co-purchases) holds
+    * edges this catalog has no first witness for, so "first_ok > cut"
+    * no longer implies "disjoint from that standing". The streaming
+    * path derives its novelty by anti-join against the standing edges
+    * themselves for exactly this reason; consumers pairing THIS helper
+    * with a standing must take the standing from [[standing]]/
+    * [[advanceChained]] at a catalog cut, never from a streaming fold.
     */
   def novelAtCut(s: SparkSession, sfDir: String,
       cutNum: Long, cutDen: Long): DataFrame =
@@ -422,6 +433,33 @@ object GraphStateStore {
       newCutNum: Long, newCutDen: Long,
       precomputed: Option[(DataFrame, DataFrame)] = None): Standing = {
     val old = standing(s, sfDir, oldCutNum, oldCutDen)
+    // A caller-pinned novel set must BE the (oldCut, newCut] catalog
+    // batch (ADVICE r15): a mismatched handoff — novel from a different
+    // cut pair, or from outside the catalog — would write silently
+    // wrong corners/ties and cache them under the new cut key for
+    // every later consumer in the session. Refused here by one
+    // delta-sized aggregate (novel joined back to the bucketed catalog
+    // for its first witnesses): every pinned edge must exist in the
+    // catalog with its first witness in (cutValueAt(old),
+    // cutValueAt(new)]. Staging-time cost, not query-time.
+    precomputed.map(_._1).foreach { pinned =>
+      val oldCut = cutValueAt(s, sfDir, oldCutNum, oldCutDen)
+      val newCut = cutValueAt(s, sfDir, newCutNum, newCutDen)
+      val st = pinned.join(firstSeen(s, sfDir), Seq("src", "dst"))
+        .agg(count(lit(1)).as("n"), min("first_ok").as("flo"),
+          max("first_ok").as("fhi")).head()
+      val nPinned = pinned.count()
+      require(st.getLong(0) == nPinned,
+        s"advanceChained: $nPinned pinned novel edges but only " +
+          s"${st.getLong(0)} appear in the first-witness catalog — " +
+          "catalog-cut advances require catalog-derived novel sets")
+      require(nPinned == 0L ||
+        (st.getLong(1) > oldCut && st.getLong(2) <= newCut),
+        s"advanceChained: pinned novel first witnesses span " +
+          s"[${st.getLong(1)}, ${st.getLong(2)}], not within " +
+          s"($oldCut, $newCut] — the handoff does not correspond to " +
+          s"the $oldCutNum/$oldCutDen -> $newCutNum/$newCutDen advance")
+    }
     // caller-owned (novel, signed terms) when the pair is already
     // pinned — the prewarm's deltaTriangleTerms is this exact pair for
     // the 19/20 → 1/1 advance, so the advance re-enumerates nothing

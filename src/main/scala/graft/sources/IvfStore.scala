@@ -201,21 +201,30 @@ object IvfStore {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, x) => acc + x)
 
-  /** The exact integer-d² (query × corpus) pair table for the first
-    * `nQueries` vectors — CHECKPOINTED, columns (q_id, vec_id, d2x):
-    * THE one definition of "exact truth" every recall audit ranks
+  /** The recall-audit query set: the first `NQueries` vec_ids. ONE
+    * constant (ADVICE r15), interpolated into [[exactPairs]] AND every
+    * oracle generator's `vec_id < NQueries` predicate (the DetK /
+    * PqSweepRates treatment): exactPairs used to take an nQueries
+    * parameter that every oracle silently assumed was 10 — a caller
+    * passing anything else would diverge the Spark side from the hash
+    * gate, the exact drift class the shared-truth refactor closed.
+    */
+  val NQueries = 10
+
+  /** The exact integer-d² (query × corpus) pair table for the
+    * [[NQueries]] audit queries — CHECKPOINTED, columns (q_id, vec_id,
+    * d2x): THE one definition of "exact truth" every recall audit ranks
     * against (review r15 III: three hand-maintained copies across two
     * files could drift a tie-break or the quantization and leave
     * supposedly comparable recall curves scoring different truths).
     * Callers own the checkpoint (the runner's drain frees it).
     */
-  def exactPairs(s: SparkSession, sfDir: String,
-      nQueries: Int = 10): DataFrame = {
+  def exactPairs(s: SparkSession, sfDir: String): DataFrame = {
     val qv = graft.tables.Tables.embeddings(s, sfDir)
       .select(col("vec_id"),
         quantize(col("embedding").cast("array<double>")).as("q"))
     graft.ops.Ck(qv
-      .join(broadcast(qv.filter(col("vec_id") < nQueries)
+      .join(broadcast(qv.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("q_id"), col("q").as("qq"))),
         col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
@@ -368,6 +377,16 @@ object IvfStore {
     * reorder or absorb a point but never break those invariants.
     */
   val PqSweepRates: Seq[Int] = (Seq(1, 10, 30) :+ SampleEvery).distinct.sorted
+
+  /** The composed IVF-PQ serving point's probe count — ◆ `q_ann_ivfpq`
+    * routes to this many trained lists before ADC-scoring only their
+    * members. ONE constant (the DetK treatment, r16): the Spark
+    * routing filter and the oracle's `pr <= n` predicate both
+    * interpolate it, and the grid gate (`q_ivfpq_grid` at
+    * (ComposedNProbe, fitEvery=1) ≡ the aggregated ◆ `q_ann_ivfpq`
+    * row, IvfSpec) rides the same value.
+    */
+  val ComposedNProbe = 2
 
   /** The IVF ROUTING knob's operating points — ◆ `q_ivf_probe_sweep`
     * measures recall@5 and the scanned-candidate count at every nprobe

@@ -121,6 +121,43 @@ class GraphStateSpec extends SparkSpec {
     finally { graft.ops.Ck.free(terms); graft.ops.Ck.free(novel) }
   }
 
+  test("advanceChained refuses a mismatched caller-pinned handoff (ADVICE r15)") {
+    import graft.sources.GraphStateStore
+    // the 17/20 → 18/20 batch handed to an 18/20 → 19/20 advance: its
+    // first witnesses sit AT or BELOW cutValueAt(18/20), outside the
+    // target interval — the silent-wrong-corners handoff the guard
+    // refuses (and without the guard, would cache under 19/20 for the
+    // whole session)
+    val wrongNovel = graft.ops.Ck(
+      GraphStateStore.novelBetween(spark, sfDir, 17L, 20L, 18L, 20L))
+    // an empty mismatch would legitimately pass the bounds clause (and
+    // an empty advance is harmless) — the refusal claim needs mass
+    assert(wrongNovel.count() > 0, "fixture: 17/20-18/20 batch is empty")
+    val old = GraphStateStore.standing(spark, sfDir, 18L, 20L)
+    val terms = graft.ops.Ck(
+      graft.ops.Graph.deltaTriangleInstances(old.edges, wrongNovel))
+    try {
+      val e = intercept[IllegalArgumentException] {
+        GraphStateStore.advanceChained(spark, sfDir, 18L, 20L, 19L, 20L,
+          Some((wrongNovel, terms)))
+      }
+      assert(e.getMessage.contains("does not correspond"),
+        s"wrong refusal: ${e.getMessage}")
+      // out-of-catalog edges refuse on the membership clause
+      import spark.implicits._
+      val alien = graft.ops.Ck(
+        Seq((900001L, 900002L)).toDF("src", "dst"))
+      try {
+        val e2 = intercept[IllegalArgumentException] {
+          GraphStateStore.advanceChained(spark, sfDir, 18L, 20L, 19L, 20L,
+            Some((alien, terms)))
+        }
+        assert(e2.getMessage.contains("catalog-derived"),
+          s"wrong refusal: ${e2.getMessage}")
+      } finally graft.ops.Ck.free(alien)
+    } finally { graft.ops.Ck.free(terms); graft.ops.Ck.free(wrongNovel) }
+  }
+
   test("the standing rank vector equals the in-query fixed point (r12)") {
     // standingRanks materializes q_item_rank's 5-round integer PageRank
     // at layout-build time; exact-integer arithmetic makes the stored

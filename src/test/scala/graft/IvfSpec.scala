@@ -261,6 +261,60 @@ class IvfSpec extends SparkSpec {
       s"nprobe=1 must trade recall for scan (hits ${hits.toSeq})")
   }
 
+  test("q_ivfpq_grid: nesting + full-probe ≡ unrestricted sweep + the composed point sits on the grid (r16)") {
+    val n = Tables.embeddings(spark, sfDir).count()
+    val nq = IvfStore.NQueries
+    val grid = SparkEntry.queries("q_ivfpq_grid")(spark, sfDir).collect()
+    // rows ≡ ProbeSweepRates × PqSweepRates, ordered
+    assert(grid.map(r => (r.getInt(0), r.getInt(1))).toSeq ===
+      (for { p <- IvfStore.ProbeSweepRates; f <- IvfStore.PqSweepRates }
+        yield (p, f)),
+      "grid rows must cover ProbeSweepRates × PqSweepRates exactly")
+    grid.foreach { r =>
+      assert(r.getLong(3) === nq * 5L,
+        s"cell (${r.getInt(0)}, ${r.getInt(1)}): truth = $nq×5")
+      // THEOREM: a truth member in the 32-shortlist always survives the
+      // exact rerank (at most 4 closer vectors exist), so rerank hits
+      // dominate raw-ADC hits cell for cell
+      assert(r.getLong(5) >= r.getLong(4),
+        s"cell (${r.getInt(0)}, ${r.getInt(1)}): rerank < ADC")
+      assert(r.getLong(6) === 10000L * r.getLong(4) / r.getLong(3))
+      assert(r.getLong(7) === 10000L * r.getLong(5) / r.getLong(3))
+    }
+    // THEOREM: routing is rate-independent — the 4 rates of one probe
+    // count scan the SAME candidate set — and candidate sets nest in
+    // nprobe; the full probe scans all |queries|·(|V|−1) pairs
+    val candsByProbe = grid.groupBy(_.getInt(0)).view
+      .mapValues(_.map(_.getLong(2)).distinct).toMap
+    candsByProbe.foreach { case (p, cs) =>
+      assert(cs.size === 1, s"nprobe $p: n_cand differs across rates $cs")
+    }
+    val cands = IvfStore.ProbeSweepRates.map(candsByProbe(_).head)
+    assert(cands.zip(cands.tail).forall { case (a, b) => a <= b },
+      s"n_cand must be non-decreasing in nprobe: $cands")
+    assert(cands.last === nq * (n - 1),
+      s"full-probe candidates must be ${nq}·(|V|−1) = ${nq * (n - 1)}")
+    // THEOREM: at the full probe the candidate set is ALL pairs, so the
+    // restricted ADC ≡ the unrestricted one — the grid's nprobe = DetK
+    // rows must equal ◆ q_pq_sample_sweep's rows rate for rate
+    val sweep = SparkEntry.queries("q_pq_sample_sweep")(spark, sfDir)
+      .collect().map(r => r.getInt(0) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    grid.filter(_.getInt(0) === IvfStore.DetK).foreach { r =>
+      assert((r.getLong(4), r.getLong(5)) === sweep(r.getInt(1)),
+        s"full-probe cell rate ${r.getInt(1)} ≠ unrestricted sweep row")
+    }
+    // and the composed single point ◆ q_ann_ivfpq aggregates onto its
+    // grid cell (ComposedNProbe, fitEvery = 1) — hits AND total scan
+    val pt = SparkEntry.queries("q_ann_ivfpq")(spark, sfDir).collect()
+    val cell = grid.find(r =>
+      r.getInt(0) === IvfStore.ComposedNProbe && r.getInt(1) === 1).get
+    assert((pt.map(_.getLong(1)).sum, pt.map(_.getLong(3)).sum,
+        pt.map(_.getLong(4)).sum) ===
+      ((cell.getLong(2), cell.getLong(4), cell.getLong(5))),
+      "q_ann_ivfpq's aggregated rows must BE the grid's composed cell")
+  }
+
   test("streaming PQ codes: append+serve ≡ rebuild+serve, redelivery rewrites, fold compacts (r15)") {
     import spark.implicits._
     import org.apache.spark.sql.Encoder

@@ -651,4 +651,22 @@ class MLQueriesSpec extends SparkSpec {
     assert(got === expected,
       "broadcast-grid plan diverged from the literal per-lambda recompute")
   }
+
+  test("the r16 staged fits (parts-KMeans, embed-KMeans, TF-IDF) build once per session and serve reloaded models") {
+    import graft.queries.MLQueries
+    // session-cache identity: a second access must return the SAME
+    // loaded-model handle, never refit (the alsFits discipline — the
+    // three queries these stage for time transform/serving only)
+    assert(MLQueries.kmPartsFit(spark, sfDir) eq
+      MLQueries.kmPartsFit(spark, sfDir), "kmPartsFit refit")
+    assert(MLQueries.kmEmbedFit(spark, sfDir) eq
+      MLQueries.kmEmbedFit(spark, sfDir), "kmEmbedFit refit")
+    assert(MLQueries.tfidfFit(spark, sfDir) eq
+      MLQueries.tfidfFit(spark, sfDir), "tfidfFit refit")
+    // and the handles ARE reloaded saved models, not the in-memory fit:
+    // the ML writer round-trip drops the parent estimator reference
+    // (hasParent == false is the load fingerprint)
+    assert(!MLQueries.kmEmbedFit(spark, sfDir).hasParent,
+      "kmEmbedFit is serving the in-memory fit, not the reloaded model")
+  }
 }

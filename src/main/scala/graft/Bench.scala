@@ -198,6 +198,10 @@ object Bench {
           (() => { graft.queries.MLQueries.kmEmbedFit(spark, sfDir); () }),
         "ml.tfidfFit" ->
           (() => { graft.queries.MLQueries.tfidfFit(spark, sfDir); () }),
+        // ...and the transformed corpus index the similarity query
+        // scores against (the reference's precomputed tf-idf matrix)
+        "ml.tfidfVecs" ->
+          (() => { graft.queries.MLQueries.tfidfVecs(spark, sfDir); () }),
         "ml.pqMllib" ->
           (() => { graft.queries.ScaleQueries.pqMllibCodebook(spark, sfDir); () }),
         "rec.loo" ->

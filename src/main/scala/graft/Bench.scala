@@ -58,6 +58,24 @@ object Bench {
   private[graft] final case class EnvProbe(heapGB: Double,
       closedOpens: Seq[String], calibCpu: Double, calibIo: Double)
 
+  /** JSON number rendering for the bench artifacts: fixed decimal places
+    * (Locale.ROOT — a comma-decimal default locale would emit invalid
+    * JSON) with the FRACTIONAL part's trailing zeros stripped to keep
+    * the line inside the driver's bounded tail capture. A dot-less
+    * integer rendering passes through untouched: the earlier
+    * unconditional trim turned cpuSec 1180 into "118" in a board of
+    * record (only `places=0` values ending in 0 were exposed).
+    * BenchFmtSpec gates both regimes.
+    */
+  private[graft] def jsonNum(v: Double, places: Int): String = {
+    val s = String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(v))
+    if (!s.contains('.')) s
+    else {
+      val t = s.reverse.dropWhile(_ == '0').reverse
+      if (t.endsWith(".")) t + "0" else t
+    }
+  }
+
   /** Fixed-work single-thread CPU probe: a deterministic splitmix64-
     * style mix chain, identical work every run, so the reading moves
     * ONLY with the host's effective single-core speed (steal, thermal
@@ -457,16 +475,11 @@ object Bench {
       (if (pinsByLabel.isEmpty) ""
        else pinsByLabel.map { case (l, mb) => f"$l=$mb%.0f" }
          .mkString(" (", " ", " MB)")))
-    // Centisecond per-query precision with trailing zeros stripped keeps the
+    // Centisecond per-query precision (total keeps milliseconds) keeps the
     // JSON line well inside the driver's bounded 2000-char tail capture
     // (r04's full-precision line was truncated mid-record and parsed as
-    // null); the total keeps milliseconds. Locale.ROOT: a comma-decimal
-    // default locale would otherwise emit invalid JSON.
-    def fmt(v: Double, places: Int): String = {
-      val s = String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(v))
-      val t = s.reverse.dropWhile(_ == '0').reverse
-      if (t.endsWith(".")) t + "0" else t
-    }
+    // null); rendering rules live in jsonNum.
+    def fmt(v: Double, places: Int): String = jsonNum(v, places)
     // Self-limiting: if the per-query map would push the line past the
     // capture window, fold the FASTEST entries into one "other" bucket —
     // the slow queries (the ones worth reading) always survive verbatim.

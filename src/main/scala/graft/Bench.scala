@@ -113,10 +113,15 @@ object Bench {
   private def calibIoProbe(spark: SparkSession, sfDir: String): Double = {
     import org.apache.spark.sql.functions.{col, sum}
     val t0 = System.nanoTime()
-    try spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .agg(sum(col("l_extendedprice"))).head()
-    catch { case _: Throwable => () }
-    (System.nanoTime() - t0) / 1e9
+    // A failed probe must NOT masquerade as a fast box: the elapsed
+    // time of an immediately-throwing read (~0.01 s) would actively
+    // mis-adjudicate a board swing. cpuSec's -1 "unavailable" sentinel
+    // applies here too; the env line then shows calibIo=-1.00s loudly.
+    try {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .agg(sum(col("l_extendedprice"))).head()
+      (System.nanoTime() - t0) / 1e9
+    } catch { case scala.util.control.NonFatal(_) => -1.0 }
   }
 
   /** JVM fingerprint warnings + flagship/table warm-up + the two

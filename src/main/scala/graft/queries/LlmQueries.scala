@@ -1215,26 +1215,17 @@ object LlmQueries {
     import graft.ops.Ck
     val st = IvfStore.trainedDet(s, d,
       IvfStore.DetK, IvfStore.DetIters, 1)
-    val q0 = Tables.embeddings(s, d)
-      .filter(col("vec_id") < IvfStore.NQueries)
-      .select(col("vec_id").as("q_id"),
-        IvfStore.quantize(col("embedding").cast("array<double>")).as("qq"))
     // the ONE exact-truth definition every recall audit shares
     // (review r15 III), checkpointed once for all rates
     val x = IvfStore.exactPairs(s, d)
     val truth = Ck(IvfStore.top5Exact(x))
-    val ranked = q0.crossJoin(broadcast(st.centroids))
-      .withColumn("d2", IvfStore.qdist2(col("qq"), col("c")))
-      .withColumn("pr", row_number().over(
-        Window.partitionBy("q_id").orderBy(asc("d2"), asc("bucket"))))
     val perProbe = IvfStore.ProbeSweepRates.map { n =>
-      // checkpointed: feeds the ranking join AND the count (review
-      // r15 III — the lists would otherwise scan twice per rate)
-      val cands = Ck(st.lists.select("vec_id", "bucket")
-        .join(broadcast(ranked.filter(col("pr") <= n)
-          .select("q_id", "bucket")), Seq("bucket"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select("q_id", "vec_id"))
+      // the ONE routing definition (review r16 — previously re-stated
+      // inline here), checkpointed: feeds the ranking join AND the
+      // count (review r15 III — the lists would otherwise scan twice
+      // per rate). The nprobe·|queries| probe ranking inside it is a
+      // broadcast-sized recompute per rate.
+      val cands = Ck(ScaleQueries.ivfRouteCands(s, d, st, n))
       val hit5 = IvfStore.top5Exact(cands.join(x, Seq("q_id", "vec_id")))
       truth
         .join(hit5.withColumn("h", lit(1L)), Seq("q_id", "vec_id"), "left")
@@ -1257,12 +1248,12 @@ object LlmQueries {
          |    SELECT c.q_id, c.vec_id,
          |           row_number() OVER (PARTITION BY c.q_id
          |                              ORDER BY x.d2x, c.vec_id) AS rank
-         |    FROM cands c JOIN x ON x.q_id = c.q_id AND x.vec_id = c.vec_id
+         |    FROM gcands c JOIN x ON x.q_id = c.q_id AND x.vec_id = c.vec_id
          |    WHERE c.pr_lim = $n) WHERE rank <= 5)""".stripMargin
     }.mkString(",\n")
     val rows = rates.map { n =>
       s"""(SELECT CAST($n AS INT) AS nprobe,
-         |       CAST((SELECT count(*) FROM cands WHERE pr_lim = $n)
+         |       CAST((SELECT count(*) FROM gcands WHERE pr_lim = $n)
          |            AS BIGINT) AS n_cand,
          |       CAST(count(*) AS BIGINT) AS n_truth,
          |       CAST(SUM(CASE WHEN h.vec_id IS NOT NULL THEN 1 ELSE 0 END)
@@ -1273,16 +1264,12 @@ object LlmQueries {
          |FROM truth t
          |LEFT JOIN hit$n h ON h.q_id = t.q_id AND h.vec_id = t.vec_id)""".stripMargin
     }.mkString("\nUNION ALL\n")
+    // grid + gcands: the ONE shared routing-candidates text (review
+    // r16 — previously a re-stated copy under the name `cands`)
     s"""${detTrainCtesSql("TRUE")},
        |$exactTruthCtesSql,
        |$detProbeRankCtesSql,
-       |grid AS (SELECT unnest([${rates.mkString(", ")}]) AS pr_lim),
-       |cands AS (
-       |  SELECT g.pr_lim, p.q_id, a.vec_id
-       |  FROM grid g
-       |  JOIN pr p ON p.pr <= g.pr_lim
-       |  JOIN afin a USING (bucket)
-       |  WHERE a.vec_id <> p.q_id),
+       |${ScaleQueries.composedCandsCtesSql(rates)},
        |$hits
        |$rows
        |ORDER BY nprobe""".stripMargin

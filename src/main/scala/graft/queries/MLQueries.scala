@@ -406,8 +406,10 @@ object MLQueries {
     * which is what `ml_tfidf_similar` then times. Board 1 of r16
     * showed staging the FIT alone left the query at 1.5 s: the 5-stage
     * transform per sample was the cost, exactly the matrix the
-    * deployment never recomputes. ~|docs|·100 doubles (4 MB at sf0.1),
-    * DISK_ONLY pinned with its own ledger label.
+    * deployment never recomputes. ~|docs|·100 doubles (4 MB at sf0.1)
+    * — catalog-scale, so it pins at Ck's default MEMORY_AND_DISK (the
+    * DISK_ONLY rule is for |E|-scale layouts; Ck.pin scaladoc) with its
+    * own ledger label.
     */
   private val tfidfVecsCache =
     new graft.sources.LayoutCache.SessionCache[String, DataFrame]()

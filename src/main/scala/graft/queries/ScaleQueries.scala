@@ -1328,11 +1328,13 @@ object ScaleQueries {
     * codebook per query (broadcast by construction), keep the `nprobe`
     * nearest lists, and read their members off the bucket-pruned
     * trained layout: the (q_id, vec_id) candidate pairs. ONE definition
-    * (r16) shared by ◆ `q_ann_ivfpq` and every ◆ `q_ivfpq_grid` cell,
-    * so the two queries' routing cannot drift. Caller checkpoints (the
-    * result feeds both the ADC restriction and the candidate counts).
+    * (r16) shared by ◆ `q_ann_ivfpq`, every ◆ `q_ivfpq_grid` cell, AND
+    * ◆ `q_ivf_probe_sweep`'s per-rate candidate sets (review r16 — the
+    * sweep previously re-stated this shape inline), so the three
+    * queries' routing cannot drift. Caller checkpoints (the result
+    * feeds both the ADC/exact restriction and the candidate counts).
     */
-  private def ivfRouteCands(s: org.apache.spark.sql.SparkSession,
+  private[queries] def ivfRouteCands(s: org.apache.spark.sql.SparkSession,
       d: String, st: graft.sources.IvfStore.TrainedDet,
       nprobe: Int): org.apache.spark.sql.DataFrame = {
     import graft.sources.IvfStore
@@ -1422,11 +1424,13 @@ object ScaleQueries {
 
   /** The composed index's routing candidates over a probe GRID —
     * `gcands (pr_lim, q_id, vec_id)` is every probe count's candidate
-    * set in one grid-joined CTE (the ◆ `q_ivf_probe_sweep` shape),
-    * shared by ◆ `q_ann_ivfpq` (a one-point grid) and ◆ `q_ivfpq_grid`
-    * so the two oracles' routing text is ONE definition.
+    * set in one grid-joined CTE, shared by ◆ `q_ann_ivfpq` (a
+    * one-point grid), ◆ `q_ivfpq_grid`, and ◆ `q_ivf_probe_sweep`
+    * (review r16 — the sweep previously carried its own copy of this
+    * text under the name `cands`) so the three oracles' routing text
+    * is ONE definition.
     */
-  private def composedCandsCtesSql(probes: Seq[Int]): String =
+  private[queries] def composedCandsCtesSql(probes: Seq[Int]): String =
     s"""grid AS (SELECT unnest([${probes.mkString(", ")}]) AS pr_lim),
        |gcands AS (
        |  SELECT g.pr_lim, p.q_id, a.vec_id

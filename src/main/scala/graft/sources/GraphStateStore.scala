@@ -459,6 +459,20 @@ object GraphStateStore {
           s"[${st.getLong(1)}, ${st.getLong(2)}], not within " +
           s"($oldCut, $newCut] — the handoff does not correspond to " +
           s"the $oldCutNum/$oldCutDen -> $newCutNum/$newCutDen advance")
+      // Totality: containment alone admits a strict SUBSET of the
+      // interval's batch (or a nested sub-interval), which would merge
+      // corners/ties missing the dropped edges' triangle terms. The
+      // pinned multiset must carry exactly as many edges as the catalog
+      // holds in (oldCut, newCut] — with the two clauses above, count
+      // equality pins the handoff to THE batch (a duplicate-carrying
+      // multiset overcounts and is refused the same way).
+      val nInterval = firstSeen(s, sfDir)
+        .filter(col("first_ok") > oldCut && col("first_ok") <= newCut)
+        .count()
+      require(nPinned == nInterval,
+        s"advanceChained: pinned novel has $nPinned edges but the " +
+          s"catalog holds $nInterval in ($oldCut, $newCut] — partial " +
+          "handoffs would write silently wrong corners/ties")
     }
     // caller-owned (novel, signed terms) when the pair is already
     // pinned — the prewarm's deltaTriangleTerms is this exact pair for

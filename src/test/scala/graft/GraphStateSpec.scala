@@ -155,6 +155,24 @@ class GraphStateSpec extends SparkSpec {
         assert(e2.getMessage.contains("catalog-derived"),
           s"wrong refusal: ${e2.getMessage}")
       } finally graft.ops.Ck.free(alien)
+      // a strict SUBSET of the right interval's batch passes membership
+      // AND bounds but must refuse on the totality clause (review r16 —
+      // a partial handoff would merge corners/ties missing the dropped
+      // edges' triangle terms)
+      val full = GraphStateStore.novelBetween(spark, sfDir,
+        18L, 20L, 19L, 20L)
+      val nFull = full.count()
+      assert(nFull > 1, "fixture: 18/20-19/20 batch too small to subset")
+      val partial = graft.ops.Ck(
+        full.orderBy("src", "dst").limit((nFull - 1).toInt))
+      try {
+        val e3 = intercept[IllegalArgumentException] {
+          GraphStateStore.advanceChained(spark, sfDir, 18L, 20L, 19L, 20L,
+            Some((partial, terms)))
+        }
+        assert(e3.getMessage.contains("partial handoffs"),
+          s"wrong refusal: ${e3.getMessage}")
+      } finally graft.ops.Ck.free(partial)
     } finally { graft.ops.Ck.free(terms); graft.ops.Ck.free(wrongNovel) }
   }
 

@@ -665,8 +665,15 @@ class MLQueriesSpec extends SparkSpec {
       MLQueries.tfidfFit(spark, sfDir), "tfidfFit refit")
     // and the handles ARE reloaded saved models, not the in-memory fit:
     // the ML writer round-trip drops the parent estimator reference
-    // (hasParent == false is the load fingerprint)
+    // (hasParent == false is the load fingerprint). ALL THREE, so a
+    // refactor that drops one fit's save/load round-trip — serving the
+    // block-manager-resident in-memory fit the sweep can evict — can't
+    // slip past the gate (review r16).
+    assert(!MLQueries.kmPartsFit(spark, sfDir).hasParent,
+      "kmPartsFit is serving the in-memory fit, not the reloaded model")
     assert(!MLQueries.kmEmbedFit(spark, sfDir).hasParent,
       "kmEmbedFit is serving the in-memory fit, not the reloaded model")
+    assert(!MLQueries.tfidfFit(spark, sfDir).hasParent,
+      "tfidfFit is serving the in-memory fit, not the reloaded model")
   }
 }

@@ -306,8 +306,9 @@ object Graph {
   @volatile var lastSaturatedAtRound: Int = 0
 
   def incrRank5(oldRounds: Seq[DataFrame], fullDirected: DataFrame,
-      degNew: DataFrame, seeds: DataFrame): DataFrame =
-    incrRank5Rounds(oldRounds, fullDirected, degNew, seeds).last
+      degNew: DataFrame, seeds: DataFrame,
+      nNodes: Option[Long] = None): DataFrame =
+    incrRank5Rounds(oldRounds, fullDirected, degNew, seeds, nNodes).last
 
   /** EVERY merged round r₀..r₅ of the incremental maintenance (r13):
     * the write-back path ([[graft.sources.GraphStateStore
@@ -321,15 +322,23 @@ object Graph {
     * itself reads, so persisting them is bookkeeping, not new math.
     */
   def incrRank5Rounds(oldRounds: Seq[DataFrame], fullDirected: DataFrame,
-      degNew: DataFrame, seeds: DataFrame): Seq[DataFrame] = {
+      degNew: DataFrame, seeds: DataFrame,
+      nNodes: Option[Long] = None): Seq[DataFrame] = {
     require(oldRounds.size == RankRounds + 1,
       s"need rounds 0..$RankRounds, got ${oldRounds.size}")
     lastSaturatedAtRound = 0
     val nC = degNew.agg(count(lit(1)).as("n"))
     // |V| of the new graph = every node with an edge (bothDirs makes the
-    // src- and dst-sets identical) — the saturation yardstick.
-    val nAll = degNew.count()
-    val s0 = seeds.select(col("node").as("src")).distinct().ckpt()
+    // src- and dst-sets identical) — the saturation yardstick. A caller
+    // holding the staged degree table's count passes it (r16: the
+    // per-call count() was a driver-synchronous job on the serving
+    // path); absent, it computes here.
+    val nAll = nNodes.getOrElse(degNew.count())
+    // lazy checkpoint (r16): cuts lineage but materializes inside round
+    // 1's affected-set job instead of as its own synchronous job —
+    // callers pass small (often pre-staged) seed sets
+    val s0 = seeds.select(col("node").as("src")).distinct()
+      .ckpt(eager = false)
     var overlay: DataFrame = null // round k's recomputed (node, r)
     var saturated = false
     // set once a PLAIN round has run: its output covers every node with

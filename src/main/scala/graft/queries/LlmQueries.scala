@@ -1219,13 +1219,16 @@ object LlmQueries {
     // (review r15 III), checkpointed once for all rates
     val x = IvfStore.exactPairs(s, d)
     val truth = Ck(IvfStore.top5Exact(x))
+    // the ONE centroid-ranking definition, computed once for all rates
+    // (review r16 II) — each rate below filters it
+    val ranked = Ck(ScaleQueries.ivfProbeRank(s, d, st))
     val perProbe = IvfStore.ProbeSweepRates.map { n =>
       // the ONE routing definition (review r16 — previously re-stated
       // inline here), checkpointed: feeds the ranking join AND the
       // count (review r15 III — the lists would otherwise scan twice
-      // per rate). The nprobe·|queries| probe ranking inside it is a
-      // broadcast-sized recompute per rate.
-      val cands = Ck(ScaleQueries.ivfRouteCands(s, d, st, n))
+      // per rate)
+      val cands = Ck(ScaleQueries.ivfRouteCands(s, d, st, n,
+        Some(ranked)))
       val hit5 = IvfStore.top5Exact(cands.join(x, Seq("q_id", "vec_id")))
       truth
         .join(hit5.withColumn("h", lit(1L)), Seq("q_id", "vec_id"), "left")

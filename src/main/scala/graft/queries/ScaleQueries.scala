@@ -1333,25 +1333,42 @@ object ScaleQueries {
     * sweep previously re-stated this shape inline), so the three
     * queries' routing cannot drift. Caller checkpoints (the result
     * feeds both the ADC/exact restriction and the candidate counts).
+    * A multi-rate caller (the sweep) computes [[ivfProbeRank]] once and
+    * passes it, so the per-query centroid ranking isn't redone per rate
+    * (review r16 II); the tie-break lives in ONE place either way.
     */
   private[queries] def ivfRouteCands(s: org.apache.spark.sql.SparkSession,
       d: String, st: graft.sources.IvfStore.TrainedDet,
-      nprobe: Int): org.apache.spark.sql.DataFrame = {
-    import graft.sources.IvfStore
-    val q0 = Tables.embeddings(s, d)
-      .filter(col("vec_id") < IvfStore.NQueries)
-      .select(col("vec_id").as("q_id"),
-        IvfStore.quantize(col("embedding").cast("array<double>")).as("qq"))
-    val probes = q0.crossJoin(broadcast(st.centroids))
-      .withColumn("d2", IvfStore.qdist2(col("qq"), col("c")))
-      .withColumn("pr", row_number().over(
-        Window.partitionBy("q_id").orderBy(asc("d2"), asc("bucket"))))
+      nprobe: Int,
+      ranked: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val probes = ranked.getOrElse(ivfProbeRank(s, d, st))
       .filter(col("pr") <= nprobe)
       .select("q_id", "bucket")
     st.lists.select("vec_id", "bucket")
       .join(broadcast(probes), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .select("q_id", "vec_id")
+  }
+
+  /** The per-query centroid ranking `(q_id, bucket, pr)` behind
+    * [[ivfRouteCands]] — the Spark twin of the oracle's `pr` CTE
+    * ([[LlmQueries.detProbeRankCtesSql]]): integer d² to every
+    * published centroid, ties → lowest bucket. NQueries × DetK rows.
+    */
+  private[queries] def ivfProbeRank(s: org.apache.spark.sql.SparkSession,
+      d: String, st: graft.sources.IvfStore.TrainedDet)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.sources.IvfStore
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") < IvfStore.NQueries)
+      .select(col("vec_id").as("q_id"),
+        IvfStore.quantize(col("embedding").cast("array<double>")).as("qq"))
+      .crossJoin(broadcast(st.centroids))
+      .withColumn("d2", IvfStore.qdist2(col("qq"), col("c")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("q_id").orderBy(asc("d2"), asc("bucket"))))
+      .select("q_id", "bucket", "pr")
   }
 
   /** Candidate-restricted ADC → 32-shortlist, the composed index's

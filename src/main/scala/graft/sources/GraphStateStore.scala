@@ -447,7 +447,8 @@ object GraphStateStore {
       val newCut = cutValueAt(s, sfDir, newCutNum, newCutDen)
       val st = pinned.join(firstSeen(s, sfDir), Seq("src", "dst"))
         .agg(count(lit(1)).as("n"), min("first_ok").as("flo"),
-          max("first_ok").as("fhi")).head()
+          max("first_ok").as("fhi"),
+          countDistinct(col("src"), col("dst")).as("nd")).head()
       val nPinned = pinned.count()
       require(st.getLong(0) == nPinned,
         s"advanceChained: $nPinned pinned novel edges but only " +
@@ -462,17 +463,21 @@ object GraphStateStore {
       // Totality: containment alone admits a strict SUBSET of the
       // interval's batch (or a nested sub-interval), which would merge
       // corners/ties missing the dropped edges' triangle terms. The
-      // pinned multiset must carry exactly as many edges as the catalog
-      // holds in (oldCut, newCut] — with the two clauses above, count
-      // equality pins the handoff to THE batch (a duplicate-carrying
-      // multiset overcounts and is refused the same way).
+      // pinned set must carry exactly the catalog's (oldCut, newCut]
+      // edges: the DISTINCT matched count must equal the interval count
+      // (every interval edge present — a bare multiset count would let
+      // a duplicate compensate for a missing edge, review r16 II), and
+      // the multiset count must equal it too (no duplicates, which
+      // would double-count triangle terms in the merge).
       val nInterval = firstSeen(s, sfDir)
         .filter(col("first_ok") > oldCut && col("first_ok") <= newCut)
         .count()
-      require(nPinned == nInterval,
-        s"advanceChained: pinned novel has $nPinned edges but the " +
-          s"catalog holds $nInterval in ($oldCut, $newCut] — partial " +
-          "handoffs would write silently wrong corners/ties")
+      require(st.getLong(3) == nInterval && nPinned == nInterval,
+        s"advanceChained: pinned novel has $nPinned edges " +
+          s"(${st.getLong(3)} distinct) but the catalog holds " +
+          s"$nInterval in ($oldCut, $newCut] — partial or " +
+          "duplicate-carrying handoffs would write silently wrong " +
+          "corners/ties")
     }
     // caller-owned (novel, signed terms) when the pair is already
     // pinned — the prewarm's deltaTriangleTerms is this exact pair for

@@ -170,8 +170,21 @@ class GraphStateSpec extends SparkSpec {
           GraphStateStore.advanceChained(spark, sfDir, 18L, 20L, 19L, 20L,
             Some((partial, terms)))
         }
-        assert(e3.getMessage.contains("partial handoffs"),
+        assert(e3.getMessage.contains("duplicate-carrying"),
           s"wrong refusal: ${e3.getMessage}")
+        // and a duplicate compensating for a missing edge — the bare
+        // multiset count matches the interval, so only the DISTINCT
+        // clause can refuse it (review r16 II)
+        val compensated = graft.ops.Ck(
+          partial.unionByName(partial.limit(1)))
+        try {
+          val e4 = intercept[IllegalArgumentException] {
+            GraphStateStore.advanceChained(spark, sfDir, 18L, 20L,
+              19L, 20L, Some((compensated, terms)))
+          }
+          assert(e4.getMessage.contains("duplicate-carrying"),
+            s"wrong refusal: ${e4.getMessage}")
+        } finally graft.ops.Ck.free(compensated)
       } finally graft.ops.Ck.free(partial)
     } finally { graft.ops.Ck.free(terms); graft.ops.Ck.free(wrongNovel) }
   }

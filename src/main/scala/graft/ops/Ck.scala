@@ -108,13 +108,18 @@ object Ck {
   def pin(df: DataFrame, label: String): DataFrame =
     pin(df, label, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  /** Pin at an explicit storage level. |E|-scale staged layouts pin
-    * DISK_ONLY: an in-heap pin of that size squeezes the unified memory
-    * pool every later query runs in (measured r13: the 2|E| dst-staged
-    * list at MEMORY_AND_DISK cost +26 s of GC-pressure inflation across
-    * the ML fits — more than the staging saved), while DISK_ONLY keeps
-    * the partitioning contract and serves re-reads from the OS page
-    * cache. Catalog-scale pins (|V| rows, few MB) stay in memory.
+  /** Pin at an explicit storage level. The |E|-scale rule is a
+    * MEASURED decision that has flipped once as the workload changed —
+    * re-A/B it when heap residency shifts, don't inherit it:
+    * r13 (ML fits held block-manager residents) measured the 2|E|
+    * dst-staged list at MEMORY_AND_DISK as +26 s of GC-pressure
+    * inflation across the fits, so |E| pins went DISK_ONLY; r16 (the
+    * staged-fit era freed that heap) re-measured the same pins at
+    * MEMORY_AND_DISK as a 15 s faster board WITH lower gcSec — the
+    * graph layouts now pin MEMORY_AND_DISK (GraphQueries comments
+    * carry the numbers), which also degrades gracefully by spilling
+    * if pressure returns. Catalog-scale pins (|V| rows, few MB)
+    * always stay in memory.
     */
   def pin(df: DataFrame, label: String,
       level: org.apache.spark.storage.StorageLevel): DataFrame = {

@@ -87,14 +87,20 @@ object GraphQueries {
       d: String): DataFrame =
     if (s.conf.get("spark.graft.graph.bucketedEdges", "false").toBoolean)
       dirDstCache.getOrBuild(s, d) {
-        // DISK_ONLY: a 2|E| in-heap pin squeezes the unified pool every
-        // later query runs in (A/B-measured: +26 s of ML-fit GC
-        // inflation, more than the staging saves) — on disk the
-        // partitioning contract survives and rounds re-read page cache
+        // MEMORY_AND_DISK (re-measured r16): r13 pinned this 2|E|
+        // layout DISK_ONLY because the in-heap pin inflated the ML
+        // fits' GC by +26 s — but the staged-fit era (r15/r16) removed
+        // those block-manager residents, and the full-board A/B now
+        // reads MEMORY_AND_DISK 15 s FASTER (146.4 vs 161.5 s at equal
+        // calib) with LOWER gcSec (2.7 vs 5.0): the loop families drop
+        // 40–60% (kcore 1.49→0.82, incr_ranks 3.66→1.46) and no line
+        // regresses beyond noise. Spills degrade gracefully if heap
+        // pressure returns — the level to re-A/B if large residents
+        // ever come back.
         graft.ops.Ck.pin(graft.ops.Graph.bothDirs(
             graft.sources.GraphStateStore.standing(s, d, 1L, 1L).edges)
           .repartition(col("dst")), "graph.dirDst",
-          org.apache.spark.storage.StorageLevel.DISK_ONLY)
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
     else fullDirectedEdges(s, d)
 
@@ -1076,11 +1082,15 @@ object GraphQueries {
       // shuffle — rides the staged layout with no exchange (the
       // contrib join broadcasts and the affected-set semi-join is
       // dst-keyed, so neither disturbs it). One shuffle at stage
-      // time replaces one per round per sample.
+      // time replaces one per round per sample. MEMORY_AND_DISK
+      // (re-measured r16, with dirDst — see fullDirectedStaged's
+      // comment for the full A/B): the r13 DISK_ONLY reason dissolved
+      // with the staged-fit era's heap, and the rank loop's 6 passes
+      // over this layout read memory instead of disk.
       val fd = graft.ops.Ck.pin(
         graft.ops.Graph.bothDirs(st.edges.unionByName(novelC))
           .repartition(col("dst")), "graph.postAppendDir",
-        org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val deg = graft.ops.Ck.pin(
         fd.groupBy("src").agg(count(lit(1)).as("deg")),
         "graph.postAppendDeg")

@@ -418,7 +418,10 @@ object Bench {
       // →2.90, q_session_window 0.71→2.65, q_tokenizer_fertility
       // 0.57→2.66.
       "q_incr_join", "q_table_diff", "q_set_ops", "q_session_window",
-      "q_tokenizer_fertility")
+      "q_tokenizer_fertility",
+      // r16: the banding-knob sweep joins at birth — sweep-shaped like
+      // q_pq_sample_sweep/q_ivf_probe_sweep, same median discipline
+      "q_lsh_band_sweep")
     val spreads = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double)]
     // Leak loudness (r10 lesson): every query's tracked checkpoints are
     // drained after its timed count, and sweep() evicts anything else

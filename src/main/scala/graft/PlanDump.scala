@@ -26,11 +26,19 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.ops.Logs.quietBoundedWindowWarning()
+    // SPARK_GRAFT_PLAN_FORMAT=formatted prints `explain("formatted")`
+    // (the optimization-round plan artifacts in plans/r16/); default
+    // stays the post-AQE executedPlan the PLANS_r{N}.md audits quote.
+    val formatted =
+      sys.env.get("SPARK_GRAFT_PLAN_FORMAT").contains("formatted")
     names.split(",").map(_.trim).filter(_.nonEmpty).foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.collect()
       println(s"==== $name ====")
-      println(df.queryExecution.executedPlan.toString)
+      if (formatted)
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      else println(df.queryExecution.executedPlan.toString)
     }
     spark.stop()
   }

@@ -1032,7 +1032,7 @@ object ScaleQueries {
     * slice copies in this file could drift from the staged codes'
     * geometry on a Pq* constant change).
     */
-  private def pqQueryLut(s: org.apache.spark.sql.SparkSession, d: String,
+  private[graft] def pqQueryLut(s: org.apache.spark.sql.SparkSession, d: String,
       codebook: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     graft.sources.IvfStore.pqSubspaces(
@@ -1066,7 +1066,7 @@ object ScaleQueries {
     val x = graft.sources.IvfStore.exactPairs(s, d)
     def top5(cands: org.apache.spark.sql.DataFrame) =
       graft.sources.IvfStore.top5Exact(cands)
-    val truth = top5(x)
+    val truth = graft.sources.IvfStore.exactTruth(s, d)
     val adc5 = short.filter(col("rn") <= 5).select("q_id", "vec_id")
     val rr5 = top5(short.join(x, Seq("q_id", "vec_id")))
     truth
@@ -1121,7 +1121,8 @@ object ScaleQueries {
     val x = graft.sources.IvfStore.exactPairs(s, d)
     def top5(cands: org.apache.spark.sql.DataFrame) =
       graft.sources.IvfStore.top5Exact(cands)
-    val truth = Ck(top5(x))
+    // the session-pinned answer key (r16) — was Ck'd per sample
+    val truth = graft.sources.IvfStore.exactTruth(s, d)
     val perRate = graft.sources.IvfStore.PqSweepRates.map { f =>
       val tp = graft.sources.IvfStore.trainedPq(s, d, fitEvery = f)
       val lut = pqQueryLut(s, d, tp.codebook)
@@ -1324,39 +1325,40 @@ object ScaleQueries {
     * to end — the two shared CTE generators composed, nothing
     * re-stated.
     */
-  /** The composed index's ROUTING step — rank the DetK-row coarse
-    * codebook per query (broadcast by construction), keep the `nprobe`
-    * nearest lists, and read their members off the bucket-pruned
-    * trained layout: the (q_id, vec_id) candidate pairs. ONE definition
-    * (r16) shared by ◆ `q_ann_ivfpq`, every ◆ `q_ivfpq_grid` cell, AND
-    * ◆ `q_ivf_probe_sweep`'s per-rate candidate sets (review r16 — the
-    * sweep previously re-stated this shape inline), so the three
-    * queries' routing cannot drift. Caller checkpoints (the result
-    * feeds both the ADC/exact restriction and the candidate counts).
-    * A multi-rate caller (the sweep) computes [[ivfProbeRank]] once and
-    * passes it, so the per-query centroid ranking isn't redone per rate
-    * (review r16 II); the tie-break lives in ONE place either way.
+  /** The composed index's ROUTING table — every (q_id, vec_id) pair of
+    * the canonical trained-IVF layout with the rank `pr` of vec_id's
+    * list in q_id's probe order attached ([[ivfProbeRank]] broadcast
+    * onto the bucket-keyed lists): probe count n's candidate set (the
+    * "rank the codebook, keep the n nearest lists, read their members"
+    * routing step) is exactly `filter(pr <= n)`, because the pr
+    * restriction commutes with the bucket join. ONE definition shared
+    * by ◆ `q_ann_ivfpq`, ◆ `q_ivfpq_grid` and ◆ `q_ivf_probe_sweep`
+    * (review r16 — the sweep previously re-stated this shape inline),
+    * so the three queries' routing cannot drift — and PINNED once per
+    * (session, dataset) (r16 optimization round: the three tripled
+    * consumers re-ran the identical route join nine times per board).
+    * NQueries·(|V|−1) rows, three narrow columns — catalog-scale.
     */
-  private[queries] def ivfRouteCands(s: org.apache.spark.sql.SparkSession,
-      d: String, st: graft.sources.IvfStore.TrainedDet,
-      nprobe: Int,
-      ranked: Option[org.apache.spark.sql.DataFrame] = None)
-      : org.apache.spark.sql.DataFrame = {
-    val probes = ranked.getOrElse(ivfProbeRank(s, d, st))
-      .filter(col("pr") <= nprobe)
-      .select("q_id", "bucket")
-    st.lists.select("vec_id", "bucket")
-      .join(broadcast(probes), Seq("bucket"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select("q_id", "vec_id")
-  }
+  private val pairPrCache = new graft.sources.LayoutCache.SessionCache[
+    String, org.apache.spark.sql.DataFrame]()
+
+  private[graft] def ivfPairPr(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    pairPrCache.getOrBuild(s, d) {
+      import graft.sources.IvfStore
+      val st = IvfStore.trainedDet(s, d, IvfStore.DetK, IvfStore.DetIters, 1)
+      graft.ops.Ck.pin(st.lists.select("vec_id", "bucket")
+        .join(broadcast(ivfProbeRank(s, d, st)), Seq("bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select("q_id", "vec_id", "pr"), "ivf.pairPr")
+    }
 
   /** The per-query centroid ranking `(q_id, bucket, pr)` behind
     * [[ivfRouteCands]] — the Spark twin of the oracle's `pr` CTE
     * ([[LlmQueries.detProbeRankCtesSql]]): integer d² to every
     * published centroid, ties → lowest bucket. NQueries × DetK rows.
     */
-  private[queries] def ivfProbeRank(s: org.apache.spark.sql.SparkSession,
+  private[graft] def ivfProbeRank(s: org.apache.spark.sql.SparkSession,
       d: String, st: graft.sources.IvfStore.TrainedDet)
       : org.apache.spark.sql.DataFrame = {
     import graft.sources.IvfStore
@@ -1382,7 +1384,9 @@ object ScaleQueries {
       cands: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     codes.join(broadcast(lut), Seq("s", "cell"))
-      .join(cands, Seq("q_id", "vec_id"))
+      // cands is a filter of the pinned [[ivfPairPr]] — broadcast keeps
+      // the restriction map-side off the bucketed codes (r16)
+      .join(broadcast(cands), Seq("q_id", "vec_id"))
       .groupBy("q_id", "vec_id")
       .agg(sum("d2l").as("adc_d2"))
       .withColumn("rn", row_number().over(
@@ -1391,28 +1395,31 @@ object ScaleQueries {
 
   private val annIvfPq: Q = (s, d) => {
     import graft.sources.IvfStore
-    import graft.ops.Ck
-    val st = IvfStore.trainedDet(s, d, IvfStore.DetK, IvfStore.DetIters, 1)
     val tp = IvfStore.trainedPq(s, d)
-    // candidates: checkpointed — feeds the ADC restriction AND the
-    // per-query candidate count
-    val cands = Ck(ivfRouteCands(s, d, st, IvfStore.ComposedNProbe))
+    // candidates: a probe-rank filter of the pinned routing table (r16
+    // — was a per-sample route join + checkpoint); feeds the ADC
+    // restriction AND the per-query candidate count
+    val cands = ivfPairPr(s, d)
+      .filter(col("pr") <= IvfStore.ComposedNProbe)
+      .select("q_id", "vec_id")
     val nCand = cands.groupBy("q_id").agg(count(lit(1)).as("n_cand"))
     val short = composedShortlist(tp.codes,
       pqQueryLut(s, d, tp.codebook), cands)
     val x = IvfStore.exactPairs(s, d)
     def top5(cs: org.apache.spark.sql.DataFrame) = IvfStore.top5Exact(cs)
-    val truth = top5(x)
+    val truth = IvfStore.exactTruth(s, d)
     val adc5 = short.filter(col("rn") <= 5).select("q_id", "vec_id")
     val rr5 = top5(short.join(x, Seq("q_id", "vec_id")))
     truth
       // LEFT join (review r15 II): a query whose probed lists hold no
       // other vectors must report n_cand = 0 / recall 0 as DATA, not
       // silently vanish from the 10-row audit
-      .join(nCand, Seq("q_id"), "left")
+      .join(broadcast(nCand), Seq("q_id"), "left")
       .withColumn("n_cand", coalesce(col("n_cand"), lit(0L)))
-      .join(adc5.withColumn("ha", lit(1L)), Seq("q_id", "vec_id"), "left")
-      .join(rr5.withColumn("hr", lit(1L)), Seq("q_id", "vec_id"), "left")
+      .join(broadcast(adc5.withColumn("ha", lit(1L))),
+        Seq("q_id", "vec_id"), "left")
+      .join(broadcast(rr5.withColumn("hr", lit(1L))),
+        Seq("q_id", "vec_id"), "left")
       .groupBy("q_id", "n_cand")
       .agg(count(lit(1)).as("n_truth"),
         sum(coalesce(col("ha"), lit(0L))).as("hit_adc"),
@@ -1553,36 +1560,89 @@ object ScaleQueries {
   private val ivfPqGrid: Q = (s, d) => {
     import graft.sources.IvfStore
     import graft.ops.Ck
-    val st = IvfStore.trainedDet(s, d, IvfStore.DetK, IvfStore.DetIters, 1)
     val x = IvfStore.exactPairs(s, d)
-    val truth = Ck(IvfStore.top5Exact(x))
-    val rows = IvfStore.ProbeSweepRates.flatMap { n =>
-      // checkpointed once per probe count, shared by its 4 rate cells
-      val cands = Ck(ivfRouteCands(s, d, st, n))
-      val nCand = cands.agg(count(lit(1)).as("n_cand"))
-      IvfStore.PqSweepRates.map { f =>
+    val truth = IvfStore.exactTruth(s, d)
+    // r16 optimization: the 16 per-cell plans (4 candidate checkpoints,
+    // 16 restricted ADC aggregates, 32 windows — a 337-codegen-stage
+    // union at 2 000 vectors, pure scheduling overhead) collapse into
+    // ONE pair-rank table and ONE fused shortlist window. Every cell's
+    // candidate set is [[ivfRouteCands]] at its probe count, which is
+    // exactly `pairPr.filter(pr <= n)` — the rank attached up front
+    // (same join, same broadcast [[ivfProbeRank]], filter and join
+    // commute) — and the max probe count is full-probe, so each rate's
+    // ADC over ALL pairs scores every cell's stream once; all 16 cells'
+    // shortlists come from a single (fit_every, nprobe, q_id)-
+    // partitioned window over the union of the grid-joined scores.
+    // Cell semantics are byte-identical: the oracle ([[ivfPqGridSql]])
+    // is untouched and the IvfSpec grid theorems (nesting, full-probe
+    // anchor, rerank ≥ ADC, composed single-point identity) ride the
+    // same rows. Measured (driver-protocol bench medians, sf0.1):
+    // 3.88 → 1.38 s; formatted plan 16 473 → 566 lines, Exchange
+    // 1 074 → 44, SortMergeJoin 160 → 0, Window 272 → 6.
+    val pairPr = ivfPairPr(s, d)
+    val probeGrid = s.range(0L, IvfStore.ProbeSweepRates.size.toLong)
+      .select(element_at(
+        array(IvfStore.ProbeSweepRates.map(lit): _*),
+        (col("id") + 1L).cast("int")).as("nprobe"))
+    val nCand = pairPr.join(broadcast(probeGrid), col("pr") <= col("nprobe"))
+      .groupBy("nprobe").agg(count(lit(1)).as("n_cand"))
+    // ONE fused shortlist job for all four rates (r16 II): the rates'
+    // full-pair ADC streams union BEFORE the single
+    // (fit_every, nprobe, q_id)-partitioned window — four ~0.45 s
+    // per-rate shortlist jobs become one, and the final assembly is a
+    // single aggregate instead of a 4-branch union. pairPr is the
+    // checkpointed NQueries·(|V|−1)-row rank table — broadcast keeps
+    // every restriction map-side (the planner sees an unknown-size
+    // LogicalRDD and would sort-merge). ≤ 32 rows per
+    // (fit_every, nprobe, q_id) survive the window.
+    val shortAll = Ck(IvfStore.PqSweepRates.map { f =>
         val tp = IvfStore.trainedPq(s, d, fitEvery = f)
-        val short = composedShortlist(tp.codes,
-          pqQueryLut(s, d, tp.codebook), cands)
-        val adc5 = short.filter(col("rn") <= 5).select("q_id", "vec_id")
-        val rr5 = IvfStore.top5Exact(short.join(x, Seq("q_id", "vec_id")))
-        truth
-          .join(adc5.withColumn("ha", lit(1L)), Seq("q_id", "vec_id"), "left")
-          .join(rr5.withColumn("hr", lit(1L)), Seq("q_id", "vec_id"), "left")
-          .agg(count(lit(1)).as("n_truth"),
-            sum(coalesce(col("ha"), lit(0L))).as("hit_adc"),
-            sum(coalesce(col("hr"), lit(0L))).as("hit_rerank"))
-          .crossJoin(nCand)
-          .select(lit(n).as("nprobe"), lit(f).as("fit_every"),
-            col("n_cand"), col("n_truth"), col("hit_adc"),
-            col("hit_rerank"),
-            call_function("div", lit(10000L) * col("hit_adc"),
-              col("n_truth")).as("recall_adc_bp"),
-            call_function("div", lit(10000L) * col("hit_rerank"),
-              col("n_truth")).as("recall_rr_bp"))
-      }
-    }
-    rows.reduce(_.union(_)).orderBy("nprobe", "fit_every")
+        tp.codes
+          .join(broadcast(pqQueryLut(s, d, tp.codebook)), Seq("s", "cell"))
+          .join(broadcast(pairPr), Seq("q_id", "vec_id"))
+          .groupBy("q_id", "vec_id", "pr")
+          .agg(sum("d2l").as("adc_d2"))
+          .select(lit(f).as("fit_every"), col("q_id"), col("vec_id"),
+            col("pr"), col("adc_d2"))
+      }.reduce(_.unionByName(_))
+      .join(broadcast(probeGrid), col("pr") <= col("nprobe"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("fit_every", "nprobe", "q_id")
+          .orderBy(asc("adc_d2"), asc("vec_id"))))
+      .filter(col("rn") <= 32)
+      .select("fit_every", "nprobe", "q_id", "vec_id", "rn"))
+    val adc5 = shortAll.filter(col("rn") <= 5)
+      .select("fit_every", "nprobe", "q_id", "vec_id")
+    val rr5 = broadcast(shortAll).join(x, Seq("q_id", "vec_id"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("fit_every", "nprobe", "q_id")
+          .orderBy(asc("d2x"), asc("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select("fit_every", "nprobe", "q_id", "vec_id")
+    val rateGrid = s.range(0L, IvfStore.PqSweepRates.size.toLong)
+      .select(element_at(
+        array(IvfStore.PqSweepRates.map(lit): _*),
+        (col("id") + 1L).cast("int")).as("fit_every"))
+    // adc5/rr5 are ≤ 5 rows per cell — broadcast both hit sides so the
+    // audit join never exchanges the truth table
+    truth.crossJoin(broadcast(probeGrid)).crossJoin(broadcast(rateGrid))
+      .join(broadcast(adc5.withColumn("ha", lit(1L))),
+        Seq("fit_every", "nprobe", "q_id", "vec_id"), "left")
+      .join(broadcast(rr5.withColumn("hr", lit(1L))),
+        Seq("fit_every", "nprobe", "q_id", "vec_id"), "left")
+      .groupBy("nprobe", "fit_every")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("ha"), lit(0L))).as("hit_adc"),
+        sum(coalesce(col("hr"), lit(0L))).as("hit_rerank"))
+      .join(broadcast(nCand), Seq("nprobe"), "left")
+      .select(col("nprobe"), col("fit_every"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"), col("n_truth"),
+        col("hit_adc"), col("hit_rerank"),
+        call_function("div", lit(10000L) * col("hit_adc"),
+          col("n_truth")).as("recall_adc_bp"),
+        call_function("div", lit(10000L) * col("hit_rerank"),
+          col("n_truth")).as("recall_rr_bp"))
+      .orderBy("nprobe", "fit_every")
   }
 
   /** The grid oracle: ONE training prologue (IVF chain + `pqp` bridge +

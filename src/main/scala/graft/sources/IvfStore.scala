@@ -212,24 +212,45 @@ object IvfStore {
   val NQueries = 10
 
   /** The exact integer-d² (query × corpus) pair table for the
-    * [[NQueries]] audit queries — CHECKPOINTED, columns (q_id, vec_id,
-    * d2x): THE one definition of "exact truth" every recall audit ranks
-    * against (review r15 III: three hand-maintained copies across two
-    * files could drift a tie-break or the quantization and leave
-    * supposedly comparable recall curves scoring different truths).
-    * Callers own the checkpoint (the runner's drain frees it).
+    * [[NQueries]] audit queries — columns (q_id, vec_id, d2x): THE one
+    * definition of "exact truth" every recall audit ranks against
+    * (review r15 III: three hand-maintained copies across two files
+    * could drift a tie-break or the quantization and leave supposedly
+    * comparable recall curves scoring different truths). Staged ONCE
+    * per (session, dataset) and Ck-pinned (r16 optimization round —
+    * previously re-checkpointed by every consumer every sample: six
+    * tripled recall audits × 3 samples re-ran the same
+    * NQueries·(|V|−1)-row job 18 times per board, ~0.4 s each; a
+    * deployment computes its ground-truth eval pairs once per corpus
+    * refresh and serves every audit from them).
     */
-  def exactPairs(s: SparkSession, sfDir: String): DataFrame = {
-    val qv = graft.tables.Tables.embeddings(s, sfDir)
-      .select(col("vec_id"),
-        quantize(col("embedding").cast("array<double>")).as("q"))
-    graft.ops.Ck(qv
-      .join(broadcast(qv.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("q_id"), col("q").as("qq"))),
-        col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        qdist2(col("q"), col("qq")).as("d2x")))
-  }
+  private val exactPairsCache =
+    new LayoutCache.SessionCache[String, DataFrame]()
+
+  def exactPairs(s: SparkSession, sfDir: String): DataFrame =
+    exactPairsCache.getOrBuild(s, sfDir) {
+      val qv = graft.tables.Tables.embeddings(s, sfDir)
+        .select(col("vec_id"),
+          quantize(col("embedding").cast("array<double>")).as("q"))
+      graft.ops.Ck.pin(qv
+        .join(broadcast(qv.filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("q_id"), col("q").as("qq"))),
+          col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          qdist2(col("q"), col("qq")).as("d2x")), "ivf.exactPairs")
+    }
+
+  /** The truth ranking over [[exactPairs]] — [[top5Exact]] of the full
+    * pair table, pinned beside it (the 50-row eval answer key every
+    * recall audit left-joins its hits against).
+    */
+  private val exactTruthCache =
+    new LayoutCache.SessionCache[String, DataFrame]()
+
+  def exactTruth(s: SparkSession, sfDir: String): DataFrame =
+    exactTruthCache.getOrBuild(s, sfDir) {
+      graft.ops.Ck.pin(top5Exact(exactPairs(s, sfDir)), "ivf.exactTruth")
+    }
 
   /** Top-5 per query by exact distance (ties → lowest vec_id) over any
     * frame carrying (q_id, vec_id, d2x) — the ranking half of the

@@ -380,7 +380,17 @@ object Analytics {
     val fi = items.join(freq, "item")
     val a = fi.select(col("bk"), col("item").as("pa"), col("c_item").as("c_a"))
     val b = fi.select(col("bk"), col("item").as("pb"), col("c_item").as("c_b"))
-    val pairs = a.join(b, Seq("bk")).filter(col("pa") < col("pb"))
+    // shuffled-hash for the basket self-join: left alone, AQE
+    // auto-broadcasts the pruned fact side (600 k rows at sf0.1 — a
+    // full driver collect + rebroadcast per sample, and a plain
+    // non-starter at data scale, where the basket table is the corpus).
+    // The hint keeps the join on the two already-reused (bk, item)
+    // exchanges with a per-partition hash build that AQE partition
+    // sizing bounds at any scale. Measured isolated A/B at sf0.1:
+    // 2.19 → 1.26-1.49 s steady; plan BroadcastHashJoin(600 k build)
+    // → ShuffledHashJoin over ReusedExchange.
+    val pairs = a.join(b.hint("shuffle_hash"), Seq("bk"))
+      .filter(col("pa") < col("pb"))
     val nOrders = items.groupBy("bk").agg(count(lit(1)))
       .agg(count(lit(1)).as("n_orders"))
     pairs.groupBy("pa", "pb", "c_a", "c_b")

@@ -284,6 +284,33 @@ object Bench {
       }
   }
 
+  /** The spread file's default path: a LOWER-core rerun must not
+    * overwrite a higher-core board of record (r16 verdict #4: the
+    * driver's 8-core scaling rerun silently replaced the committed
+    * 32-core BENCH_SPREAD.json, leaving the round's one weak mark
+    * unadjudicable — only the env cpuSec betrayed the swap). If the
+    * standing file exists and its env header declares MORE cores than
+    * this run, divert to `BENCH_SPREAD_c<cpus>.json`; equal-or-higher
+    * core reruns keep refreshing the standing name, and an explicit
+    * SPARK_GRAFT_SPREAD_OUT always wins (callers bypass this). A
+    * pre-`cpus`-stamp legacy file (no "cpus" key) is treated as
+    * overwritable — the stamp is what makes the guard enforceable.
+    */
+  private[graft] def spreadDefaultPath(cpus: Int, standing: String): String = {
+    val p = java.nio.file.Paths.get(standing)
+    val existingCpus =
+      if (!java.nio.file.Files.exists(p)) None
+      else """"cpus":(\d+)""".r.findFirstMatchIn(
+        java.nio.file.Files.readString(p)).map(_.group(1).toInt)
+    if (existingCpus.exists(_ > cpus)) {
+      val diverted = s"BENCH_SPREAD_c$cpus.json"
+      System.err.println(s"[bench] spread: standing $standing is a " +
+        s"${existingCpus.get}-core board; this $cpus-core run writes " +
+        diverted + " instead")
+      diverted
+    } else standing
+  }
+
   private def benchBody(spark: SparkSession, sfDir: String,
       probe: EnvProbe): Unit = {
     val EnvProbe(heapGB, closedOpens, calibCpu, calibIo) = probe
@@ -442,7 +469,20 @@ object Bench {
       // q_drift_ks 0.76→2.43, q_ann_pq 0.86→2.16, all in untouched
       // files while cpuSec FELL 1038→957) — they join the median set so
       // the next swing carries (min, med, max)
-      "q_count_distinct", "q_drift_ks", "q_ann_pq")
+      "q_count_distinct", "q_drift_ks", "q_ann_pq",
+      // r17 (r16 verdict #3): the r16 DRIVER board's three spread-less
+      // >1.5× regressions — q_bpe_pairs 0.93→1.89, q_table_health
+      // 0.91→1.52, q_containment_words 0.90→1.49, all in files r16
+      // never touched — join per the standing relative clause so the
+      // next swing carries (min, med, max)
+      "q_bpe_pairs", "q_table_health", "q_containment_words",
+      // r17 (r16 verdict #6): the persistent >1 s single-shot stats
+      // lines (q_winsorize 1.23, q_pareto 1.16, q_simhash 1.12,
+      // q_quantile_global 1.06 on the r16 driver board) — their plans
+      // re-read r16/r17 show the intended multi-pass selection shapes
+      // with no structural waste, so the open question is ambient vs
+      // floor; the median set is where that adjudicates
+      "q_winsorize", "q_pareto", "q_simhash", "q_quantile_global")
     val spreads = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double)]
     // Leak loudness (r10 lesson): every query's tracked checkpoints are
     // drained after its timed count, and sweep() evicts anything else
@@ -522,10 +562,17 @@ object Bench {
     // decided by the artifact — same-code boards with calibCpu apart
     // by >20% are different boxes, not different code), pinned MB +
     // blocks.
+    // The session's core count, stamped into BOTH the bench line and the
+    // spread header (r16 verdict #4: the committed 32-core BENCH_SPREAD
+    // board of record was silently replaced by the driver's subsequent
+    // 8-core rerun, and only the env cpuSec betrayed it — the artifact
+    // now names its core count).
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val envJson = "{\"heapGB\":" + fmt(heapGB, 1) + ",\"opens\":\"" +
       (if (closedOpens.isEmpty) "ok"
        else "MISSING:" + closedOpens.map(_.split("/").last).mkString("+")) +
-      "\",\"gcSec\":" + fmt(gcSec, 1) + ",\"gcN\":" + (gcN1 - gcN0) +
+      "\",\"cpus\":" + cpus +
+      ",\"gcSec\":" + fmt(gcSec, 1) + ",\"gcN\":" + (gcN1 - gcN0) +
       ",\"cpuSec\":" + fmt(cpuSec, 0) +
       ",\"calibCpu\":" + fmt(calibCpu, 2) + ",\"calibIo\":" + fmt(calibIo, 2) +
       ",\"pinMB\":" + fmt(pinMB, 1) + ",\"pinBlocks\":" + pinBlocks + "}"
@@ -556,7 +603,7 @@ object Bench {
     // clause adjudicates against. Full runs keep the standing name.
     val spreadPath = sys.env.getOrElse("SPARK_GRAFT_SPREAD_OUT",
       if (sys.env.contains("SPARK_GRAFT_ONLY")) "BENCH_SPREAD_subset.json"
-      else "BENCH_SPREAD.json")
+      else spreadDefaultPath(cpus, "BENCH_SPREAD.json"))
     // The spread header also carries the per-owner pin breakdown — the
     // bench LINE stays compact (driver tail capture is bounded), the
     // spread file is where adjudication detail lives.

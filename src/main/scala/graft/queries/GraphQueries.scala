@@ -307,7 +307,16 @@ object GraphQueries {
     val seeds = nodes
       .orderBy("node").limit(3)
       .select(col("node"), lit(0L).as("dist"))
-    var dist = seeds.ckpt()
+    // LAZY per-round checkpoints (r17, verdict item 1 — fewer driver
+    // sync points per sample): each eager ckpt was its own blocking job
+    // whose blocks the NEXT round's broadcast build merely re-read;
+    // lazily marked, that broadcast build itself materializes the round
+    // (same plan, same blocks, one job instead of two per round). The
+    // superseded rounds' early frees go with the eager jobs — nothing
+    // may free round k−1 before round k's blocks exist, and the ≤
+    // depth·|V|-row residue is drained by the runner post-query as
+    // always (Ck tracking unchanged).
+    var dist = seeds.ckpt(eager = false)
     for (_ <- 1 to bfsDepth) {
       // Broadcast the |reached| vector onto the stationary edge list —
       // the q_item_rank loop rule: without it each round re-shuffles the
@@ -316,12 +325,9 @@ object GraphQueries {
       val relaxed = edges
         .join(broadcast(dist.withColumnRenamed("node", "src")), "src")
         .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
-      val next = dist.union(relaxed)
+      dist = dist.union(relaxed)
         .groupBy("node").agg(min("dist").as("dist"))
-        .ckpt()
-      // round k materialized eagerly above — round k−1's blocks are dead
-      Ck.free(dist)
-      dist = next
+        .ckpt(eager = false)
     }
     dist.orderBy("node")
   }
@@ -368,11 +374,14 @@ object GraphQueries {
     val edges = fullDirectedStaged(s, d)
     val nodes = standingOpt(s, d).map(_.degrees.select("node"))
       .getOrElse(edges.select(col("src").as("node")).distinct())
+    // Lazy per-round checkpoints (r17) — the [[bfsHops]] fold: the next
+    // round's broadcast build materializes the blocks the eager job
+    // used to, one sync point per round instead of two.
     var labels = nodes
       .select(col("node"), col("node").as("lbl"))
-      .ckpt()
+      .ckpt(eager = false)
     for (_ <- 1 to lpaRounds) {
-      val next = edges
+      labels = edges
         .join(broadcast(labels.withColumnRenamed("node", "src")), "src")
         .groupBy(col("dst").as("node"), col("lbl"))
         .agg(count(lit(1)).as("c"))
@@ -380,9 +389,7 @@ object GraphQueries {
         .agg(max(col("c") * pack + (lit(pack - 1) - col("lbl"))).as("packed"))
         .select(col("node"),
           (lit(pack - 1) - pmod(col("packed"), lit(pack))).as("lbl"))
-        .ckpt()
-      Ck.free(labels)
-      labels = next
+        .ckpt(eager = false)
     }
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("csize"))
     labels.join(broadcast(sizes), "lbl")
@@ -453,11 +460,15 @@ object GraphQueries {
       .getOrElse(edges.agg(call_function("div",
         call_function("div", count(lit(1)), countDistinct(col("src"))) * 5L,
         lit(8L)).as("k")))
+    // Lazy per-round checkpoints (r17) — the [[bfsHops]] fold: each
+    // round's FIRST broadcast build materializes the blocks the eager
+    // job used to (the second endpoint's build re-reads them), one sync
+    // point per round instead of two.
     var alive = standingOpt(s, d).map(_.degrees.select("node"))
       .getOrElse(edges.select(col("src").as("node")).distinct())
-      .ckpt()
+      .ckpt(eager = false)
     for (_ <- 1 to kcoreRounds) {
-      val next = edges
+      alive = edges
         .join(broadcast(alive.withColumnRenamed("node", "src")), "src")
         .join(broadcast(alive.withColumnRenamed("node", "dst")), "dst")
         // dst-keyed on the symmetric staged list: the count per node is
@@ -466,9 +477,7 @@ object GraphQueries {
         .crossJoin(broadcast(kDf))
         .filter(col("deg") >= col("k"))
         .select(col("dst").as("node"))
-        .ckpt()
-      Ck.free(alive)
-      alive = next
+        .ckpt(eager = false)
     }
     edges
       .join(broadcast(alive.withColumnRenamed("node", "src")), "src")
@@ -573,9 +582,17 @@ object GraphQueries {
       .getOrElse(edges.agg(call_function("div",
         call_function("div", count(lit(1)), countDistinct(col("src"))) * 5L,
         lit(8L)).as("k")))
+    // Lazy checkpoint + count (r17, verdict items 1/5): the loop
+    // control needs ONE scalar per round — the alive cardinality — and
+    // the lazily-marked plan's count() materializes the round's blocks
+    // AND returns it in a single job, where the eager ckpt + count pair
+    // was two driver round-trips per round (the count merely re-reading
+    // the blocks the ckpt job had just written). Same rounds, same
+    // convergence test, same blocks — GraphStateSpec's fixpoint gates
+    // (loop ≡ unrolled ◆ q_kcore, stop-before-cap) ride unchanged.
     var alive = standingOpt(s, d).map(_.degrees.select("node"))
       .getOrElse(edges.select(col("src").as("node")).distinct())
-      .ckpt()
+      .ckpt(eager = false)
     var aliveN = alive.count()
     var converged = false
     var round = 0
@@ -595,10 +612,9 @@ object GraphQueries {
         .crossJoin(broadcast(kDf))
         .filter(col("deg") >= col("k"))
         .select(col("dst").as("node"))
-        .ckpt()
+        .ckpt(eager = false)
       val nextN = next.count()
       converged = nextN == aliveN
-      Ck.free(alive)
       alive = next
       aliveN = nextN
     }
@@ -1004,8 +1020,16 @@ object GraphQueries {
   private val incrTies: Q = (s, d) => {
     val (st, terms) = deltaTriangleTerms(s, d)
     val delta = graft.ops.Graph.tieDeltaOf(terms)
+    // shuffle_hash on the DELTA side (r17, guide §3.1): the planner
+    // sort-merged this full-outer — two ~1M-row sorts at sf0.1 on top
+    // of the unavoidable (src, dst) exchanges. The delta side is
+    // bounded by the novel batch's triangle enumeration (delta-scale at
+    // any corpus size — the standing side is the |E|-scale one), so a
+    // per-partition hash build is the right strategy at 100 TB too;
+    // full-outer shuffled-hash is supported since Spark 3.1. Join keys,
+    // type, and rows are untouched — the oracle re-proves equality.
     st.ties.select(col("src"), col("dst"), col("common").as("old_common"))
-      .join(delta, Seq("src", "dst"), "full_outer")
+      .join(delta.hint("shuffle_hash"), Seq("src", "dst"), "full_outer")
       .select(col("src"), col("dst"),
         coalesce(col("old_common"), lit(0L)).as("old_common"),
         coalesce(col("delta_common"), lit(0L)).as("delta_common"),

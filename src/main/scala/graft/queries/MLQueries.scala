@@ -981,7 +981,14 @@ object MLQueries {
     // user step reads the item init; item step reads the solved users —
     // one alternation, exactly the distributed-ALS shuffle pattern.
     // The solved user factors feed BOTH the item step and the probe
-    // scoring — materialize once (drained post-query).
+    // scoring — materialize once (drained post-query). LAZY checkpoint
+    // (r17, verdict item 2's "fold the solve jobs into the serve
+    // action"): eager ckpt was a separate driver-blocking job per
+    // sample; lazily marked, the first consumer (the item step's
+    // broadcast(x) build inside the ONE serving action) materializes
+    // the blocks and every other reader — the probe scan, the implicit
+    // twin's Gram aggregate — reads them, so the whole twin executes as
+    // one action with no mid-build sync points.
     // Both factor tables are catalog-scale (|items| / |users| rows, two
     // longs each) while ratings is the data-sized staged pin: broadcast
     // the factor side so neither alternation step shuffles the
@@ -990,15 +997,31 @@ object MLQueries {
     // shuffling the 53 MB pin twice per sample; measured r16:
     // q_mf_trained 2.36 → ~1.2 s med with the serve-side fix below).
     val x = solve(ratings.join(broadcast(y0), Seq("item_id")), "user_id",
-      "y1", "y2", "x1", "x2").ckpt()
+      "y1", "y2", "x1", "x2").ckpt(eager = false)
     val y1 = solve(ratings.join(broadcast(x), Seq("user_id")), "item_id",
       "x1", "x2", "ny1", "ny2")
     (x, y1, ratings)
   }
 
-  private def mfServe(s: SparkSession, d: String, x: DataFrame,
+  private[graft] def mfServe(s: SparkSession, d: String, x: DataFrame,
       y1: DataFrame): DataFrame = {
+    // The probe side is spread across the session's cores BEFORE the
+    // |probes|×|items| fan-out (r17, guide §2.3 "shuffle keys, not
+    // payloads" + §2.6 idle capacity): the checkpointed factor frame is
+    // catalog-tiny, so AQE coalesces it to ONE partition and the whole
+    // score+rank pipeline — the serve's dominant cost, profiled at
+    // 1.5 s of a 2.2 s query — ran in a single task while 31 cores
+    // idled. Exchanging the |probes| rows (75 at sf0.1; always the
+    // pre-fan-out side) parallelizes the fan-out AND, because the
+    // repartition key IS the window key, the scored stream itself never
+    // crosses an exchange — the window's shuffle disappears from the
+    // plan (before: WindowGroupLimit partial → Exchange → final; after:
+    // one upstream 75-row exchange, zero post-score exchanges).
+    // defaultParallelism is the session's core count — scale-adaptive,
+    // never a constant (the driver re-runs the bench at 8 cores).
+    // Profiled A/B (32 cores, sf0.1): serve 1.5-1.6 → 0.45-0.52 s.
     val probes = x.filter(pmod(col("user_id"), lit(200L)) === 0L)
+      .repartition(s.sparkContext.defaultParallelism, col("user_id"))
     // The unrated anti-join's right side restricted to the probe users
     // (see [[mfProbeRated]] — exact because the pmod predicate is the
     // probe definition itself) and broadcast: without it the planner
@@ -1073,9 +1096,11 @@ object MLQueries {
     // x = Sx·x̂ with A = S²M ⇒ A⁻¹b = x̂/S ⇒ numerator × S·Sx
     // Factor sides broadcast for the same reason as [[mfFactors]]:
     // catalog-scale tables against the data-sized ratings pin.
+    // Lazy ckpt (r17): the Gram aggregates and both solve passes fold
+    // into the ONE serving action — see [[mfFactors]]'s comment.
     val x = solve(ratings.join(broadcast(y0), Seq("item_id")), gramY,
       "user_id", "y1", "y2", mfScale * mfScale, mfScale * mfImplXScale,
-      "x1", "x2").ckpt()
+      "x1", "x2").ckpt(eager = false)
     val gramX = x.agg(sum(col("x1") * col("x1")).as("ga"),
       sum(col("x1") * col("x2")).as("gb"),
       sum(col("x2") * col("x2")).as("gc"))

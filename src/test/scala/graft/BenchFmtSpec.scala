@@ -34,4 +34,26 @@ class BenchFmtSpec extends AnyFunSuite {
       assert(Bench.jsonNum(1.5, 2) === "1.5")
     } finally java.util.Locale.setDefault(prev)
   }
+
+  /** r16 verdict #4: a lower-core rerun must not overwrite a
+    * higher-core BENCH_SPREAD board of record. The guard reads the
+    * standing file's stamped `"cpus"` header.
+    */
+  test("spread path diverts a lower-core rerun, keeps higher/equal") {
+    val dir = java.nio.file.Files.createTempDirectory("spreadguard")
+    val standing = dir.resolve("BENCH_SPREAD.json").toString
+    // no standing file: keep the standing name
+    assert(Bench.spreadDefaultPath(8, standing) === standing)
+    // standing 32-core board: an 8-core rerun diverts, a 32-core
+    // rerun and a 64-core rerun keep refreshing the standing name
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(standing),
+      """{"registry":261,"env":{"heapGB":8.0,"opens":"ok","cpus":32,"gcSec":1.0},"spread":{}}""")
+    assert(Bench.spreadDefaultPath(8, standing) === "BENCH_SPREAD_c8.json")
+    assert(Bench.spreadDefaultPath(32, standing) === standing)
+    assert(Bench.spreadDefaultPath(64, standing) === standing)
+    // legacy file without a cpus stamp: overwritable (no basis to guard)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(standing),
+      """{"registry":261,"env":{"heapGB":8.0},"spread":{}}""")
+    assert(Bench.spreadDefaultPath(8, standing) === standing)
+  }
 }

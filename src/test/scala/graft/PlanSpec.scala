@@ -62,6 +62,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("det-MF serving spreads the probe fan-out before scoring (r17)") {
+    // The serve's |probes|×|items| score+rank pipeline hangs off the
+    // checkpointed factor frame, which AQE coalesces to ONE partition —
+    // without an explicit spread the whole fan-out runs in a single
+    // task (profiled: 1.5 s of a 2.2 s query on 32 idle-bar-one cores).
+    // The probe side must therefore repartition by the window key
+    // before the cross join (which ALSO removes the scored stream's
+    // window exchange), and neither twin may sort-merge anywhere.
+    for (q <- Seq("q_mf_trained", "q_mf_implicit_trained")) {
+      val p = plan(q)
+      assert(p.contains("REPARTITION_BY_NUM"),
+        s"$q must spread the probe side before the fan-out:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q sort-merge-joined — a data-sized shuffle crept in:\n$p")
+    }
+  }
+
   test("the evaluation triad never sort-merge-joins: stats and grids broadcast (r13)") {
     // q_cv_popularity / q_learning_curve / q_hyperparam_sweep are built
     // as one data-sized aggregation plus catalog-scale broadcast joins

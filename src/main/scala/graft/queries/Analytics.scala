@@ -1916,15 +1916,42 @@ object Analytics {
         when(col("day") <= call_function("div", col("lo") + col("hi"),
           lit(2L)), lit(1L)).otherwise(lit(2L)))
       .groupBy("pid", "half").agg(count(lit(1)).as("n"))
-      .ckpt()
-    val h1 = graft.ops.Rank.withGlobalRank(
-        counts.filter(col("half") === 1L).select("pid", "n"),
-        "n", Seq("pid"), "r1", descending = true)
-      .select(col("pid"), col("n").as("n_old"), col("r1"))
-    val h2 = graft.ops.Rank.withGlobalRank(
-        counts.filter(col("half") === 2L).select("pid", "n"),
-        "n", Seq("pid"), "r2", descending = true)
-      .select(col("pid"), col("n").as("n_new"), col("r2"))
+      .ckpt(eager = false)
+    // ONE fused selection pass for both halves (r17 — the q_rfm_segments
+    // treatment): the two chained Rank.withGlobalRank calls re-embedded
+    // the counts subtree into each bounds probe, offsets pass and main
+    // chain; partitioning every stage of the SAME template by `half`
+    // runs it once. Per half the bucket (descending `hi − n` width
+    // division from per-half broadcast bounds), the ≤64-row exclusive
+    // prefix offsets, and the (half, bucket)-local (desc n, asc pid)
+    // row_number are arithmetic-identical to the per-half passes — the
+    // ◆ oracle's two ranking windows re-prove rank equality.
+    val hBounds = counts.groupBy("half")
+      .agg(min("n").cast("long").as("rlo"), max("n").cast("long").as("rhi"))
+    val rWidth = call_function("div",
+      col("rhi") - col("rlo"), lit(64L)) + lit(1L)
+    val bucketed = counts.join(broadcast(hBounds), Seq("half"))
+      .withColumn("b",
+        call_function("div", col("rhi") - col("n").cast("long"), rWidth))
+      .select("pid", "half", "n", "b")
+    val offW = org.apache.spark.sql.expressions.Window
+      .partitionBy("half").orderBy(asc("b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("half", "b")
+      .agg(count(lit(1)).as("bn"))
+      .select(col("half"), col("b"),
+        coalesce(sum("bn").over(offW), lit(0L)).as("off"))
+    val localW = org.apache.spark.sql.expressions.Window
+      .partitionBy("half", "b").orderBy(desc("n"), asc("pid"))
+    val ranked = bucketed.join(broadcast(offsets), Seq("half", "b"))
+      .withColumn("r", col("off") + row_number().over(localW))
+      .select("pid", "half", "n", "r")
+      .ckpt(eager = false)
+    val h1 = ranked.filter(col("half") === 1L)
+      .select(col("pid"), col("n").as("n_old"), col("r").as("r1"))
+    val h2 = ranked.filter(col("half") === 2L)
+      .select(col("pid"), col("n").as("n_new"), col("r").as("r2"))
     h1.join(h2, "pid")
       .withColumn("rank_delta", col("r1") - col("r2"))
       .select(col("pid").as("part_id"), col("n_old"), col("n_new"),

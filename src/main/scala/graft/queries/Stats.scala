@@ -1328,24 +1328,60 @@ object Stats {
     */
   private val rfmQ: Q = (s, d) => {
     import graft.ops.Rank
+    import org.apache.spark.sql.expressions.Window
     val cust = Tables.orders(s, d).groupBy(col("o_custkey"))
       .agg(max(expr("unix_micros(o_orderdate) div 86400000000"))
         .as("recency_day"),
         count(lit(1)).as("frequency"),
         sum(Num.cents(col("o_totalprice"))).as("monetary_cents"))
-      .ckpt()
-    val withN = cust.crossJoin(
-      broadcast(cust.agg(count(lit(1)).as("n_total"))))
-    val ranked = Seq(
-      ("recency_day", "r_rank"), ("frequency", "f_rank"),
-      ("monetary_cents", "m_rank"))
-      .foldLeft(withN) { case (df, (c, r)) =>
-        Rank.withGlobalRank(df, c, Seq("o_custkey"), r, descending = true)
-      }
-    ranked.select(col("o_custkey"),
-        Rank.ntileFromRank(col("r_rank"), col("n_total"), 5).as("r_q"),
-        Rank.ntileFromRank(col("f_rank"), col("n_total"), 5).as("f_q"),
-        Rank.ntileFromRank(col("m_rank"), col("n_total"), 5).as("m_q"))
+      .ckpt(eager = false)
+    // ONE fused selection pass for all three ranks (r17, guide §2.4):
+    // the three CHAINED Rank.withGlobalRank passes each re-embedded the
+    // previous pass's whole plan into their bounds probe, offsets pass
+    // AND main chain — 3× plan growth per pass, 6 874 plan lines / 624
+    // Exchange markers / 19 sequential single-task jobs at sf0.1 for
+    // 15 k state rows. Unpivoting to (customer, metric, value) runs the
+    // SAME template once with every window and offsets pass partitioned
+    // by metric: per metric the bucket (descending `hi − v` width
+    // division from per-metric broadcast bounds), the ≤64-row exclusive
+    // prefix offsets, the (metric, bucket)-local row_number with the
+    // (desc value, asc customer) order, and ntileFromRank's fill rule
+    // are arithmetic-identical to the chained form — so r_q/f_q/m_q are
+    // equal VALUE FOR VALUE (the ◆ oracle's three ntile(5) windows
+    // re-prove it), while the 3·|customers| unpivoted rows cross each
+    // exchange once instead of |customers| rows crossing 3× each plus
+    // every re-embedded recompute.
+    val nD = broadcast(cust.agg(count(lit(1)).as("n_total")))
+    val m = cust.select(col("o_custkey"), explode(array(
+        struct(lit(0).as("mid"), col("recency_day").as("v")),
+        struct(lit(1).as("mid"), col("frequency").as("v")),
+        struct(lit(2).as("mid"), col("monetary_cents").as("v")))).as("x"))
+      .select(col("o_custkey"), col("x.mid").as("mid"), col("x.v").as("v"))
+    val bounds = m.groupBy("mid")
+      .agg(min("v").cast("long").as("lo"), max("v").cast("long").as("hi"))
+    val width = call_function("div",
+      col("hi") - col("lo"), lit(64L)) + lit(1L)
+    val bucketed = m.join(broadcast(bounds), Seq("mid"))
+      .withColumn("b",
+        call_function("div", col("hi") - col("v").cast("long"), width))
+      .select("o_custkey", "mid", "v", "b")
+    val offW = Window.partitionBy("mid").orderBy(asc("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("mid", "b")
+      .agg(count(lit(1)).as("bn"))
+      .select(col("mid"), col("b"),
+        coalesce(sum("bn").over(offW), lit(0L)).as("off"))
+    val localW = Window.partitionBy("mid", "b")
+      .orderBy(desc("v"), asc("o_custkey"))
+    val q = bucketed.join(broadcast(offsets), Seq("mid", "b"))
+      .withColumn("rank", col("off") + row_number().over(localW))
+      .crossJoin(nD)
+      .select(col("o_custkey"), col("mid"),
+        Rank.ntileFromRank(col("rank"), col("n_total"), 5).as("q"))
+    q.groupBy("o_custkey")
+      .agg(max(when(col("mid") === 0, col("q"))).as("r_q"),
+        max(when(col("mid") === 1, col("q"))).as("f_q"),
+        max(when(col("mid") === 2, col("q"))).as("m_q"))
       .withColumn("rfm",
         col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
       .withColumn("segment",

@@ -48,7 +48,9 @@ class RegistrySpec extends SparkSpec {
       "q_pareto" -> "≤ 64 bucket-offset rows + 10 decile rows",
       "q_feature_bins" -> "≤ 64 bucket-offset rows (selection template)",
       "q_skyline" -> "≤ 64 bucket-offset rows (Prefix.withCumMin)",
-      "q_rfm_segments" -> "≤ 64 bucket-offset rows ×3 (Rank.withGlobalRank)",
+      // q_rfm_segments' and q_trending's offsets windows partition by
+      // metric/half since the r17 fused-selection rewrite — no
+      // unpartitioned window remains in either
       "q_vocab_coverage" -> "≤ 64 bucket-offset rows ×2 (rank + cumsum)",
       "q_gini" -> "≤ 64 bucket-offset rows (Rank.withGlobalRank)",
       // q_changepoint's rank+cumsum offsets windows sit BEHIND its eager
@@ -72,7 +74,6 @@ class RegistrySpec extends SparkSpec {
       "q_weighted_quantile" -> "≤ 64 bucket-offset rows (selection template)",
       "q_winsorize" -> "≤ 64 bucket-offset rows (selection template)",
       "q_phrase_search" -> "≤ 2 rows (top-2 query terms)",
-      "q_trending" -> "≤ 64 bucket-offset rows ×2 (Rank.withGlobalRank)",
       "q_churn_hazard" -> "|months| tenure rows (calendar-bounded)",
       // q_eval_ranking's popularity-rank window moved into the staged
       // LOO model build (r13, eagerly pinned before the inspected plan);
